@@ -1,0 +1,175 @@
+"""Scalar column builders — SURVEY.md §2.8 (F1–F22), Spark-first.
+
+Each builder reproduces the semantics of a reference scalar function
+as a *pure Catalyst expression* (JVM-side, whole-stage-codegen
+friendly) — no Python UDFs on the hot path. Reference citations give
+the behavior contract; the implementation is idiomatic Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# F1 — date_type(str): classify a date string and normalize it.
+# Reference: razu/util.py:9-30 — regex classify `yyyy-mm-dd` → xsd:date,
+# `yyyy` → xsd:gYear, `d-m-yyyy` → reformat to ISO xsd:date, else plain.
+# ---------------------------------------------------------------------------
+
+ISO_DATE_RE = r"^\d{4}-\d{2}-\d{2}$"
+GYEAR_RE = r"^\d{4}$"
+DMY_RE = r"^\d{1,2}-\d{1,2}-\d{4}$"
+
+
+def date_type_classify(col: Column) -> tuple[Column, Column]:
+    """Return (xsd_type, normalized_value) columns for a date string.
+
+    xsd_type ∈ {'xsd:date','xsd:gYear','literal'}; normalized_value is
+    the ISO yyyy-mm-dd form for date-typed values (d-m-yyyy gets
+    reordered and zero-padded, mirroring razu/util.py:21-27), the raw
+    string otherwise.
+    """
+    dmy_iso = F.concat_ws(
+        "-",
+        F.split_part(col, F.lit("-"), F.lit(3)),
+        F.lpad(F.split_part(col, F.lit("-"), F.lit(2)), 2, "0"),
+        F.lpad(F.split_part(col, F.lit("-"), F.lit(1)), 2, "0"),
+    )
+    xsd_type = (
+        F.when(col.rlike(ISO_DATE_RE), F.lit("xsd:date"))
+        .when(col.rlike(GYEAR_RE), F.lit("xsd:gYear"))
+        .when(col.rlike(DMY_RE), F.lit("xsd:date"))
+        .otherwise(F.lit("literal"))
+    )
+    value = (
+        F.when(col.rlike(ISO_DATE_RE), col)
+        .when(col.rlike(DMY_RE), dmy_iso)
+        .otherwise(col)
+    )
+    return xsd_type, value
+
+
+# ---------------------------------------------------------------------------
+# F2 / F5 — multi-part extension and stem.
+# Reference: razu/util.py:32-53 (repeated splitext → `.tar.gz`),
+# razu/util.py:109-126 (cut at first dot).
+# ---------------------------------------------------------------------------
+
+
+def full_extension(name: Column) -> Column:
+    """Everything from the first dot on (`a.tar.gz` → `.tar.gz`), '' if none."""
+    return F.when(
+        name.rlike(r"^[^.]*\."), F.regexp_extract(name, r"^[^.]*(\..*)$", 1)
+    ).otherwise(F.lit(""))
+
+
+def filename_stem(name: Column) -> Column:
+    """Filename up to the first dot (razu/util.py:109-126)."""
+    return F.split_part(name, F.lit("."), F.lit(1))
+
+
+# ---------------------------------------------------------------------------
+# F6 — normalize_path. Reference: razu/util.py:128-153 — backslash→slash,
+# relativize to a base dir or to the `bestanden/` segment.
+# ---------------------------------------------------------------------------
+
+
+def normalize_path(path: Column, anchor: str = "bestanden/") -> Column:
+    fwd = F.regexp_replace(path, r"\\", "/")
+    return F.when(
+        fwd.contains(anchor), F.substring_index(fwd, anchor, -1)
+    ).otherwise(fwd)
+
+
+# ---------------------------------------------------------------------------
+# F8 — uid / uri / filename / S3-key templating.
+# Reference: razu/identifiers.py:11-86 — `{razu_file_id}-{creator}-
+# {archive}-{id}`, CDN uri, and `millions/thousands` zero-padded S3
+# path bucketing (identifiers.py:80-86).
+# ---------------------------------------------------------------------------
+
+
+def razu_uid(object_id: Column, file_id: str = "NL-WbDRAZU", creator: str = "G0321", archive: str = "661") -> Column:
+    return F.concat_ws("-", F.lit(file_id), F.lit(creator), F.lit(archive), object_id.cast("string"))
+
+
+def razu_uri(uid: Column, base: str = "https://data.razu.nl", segment: str = "id", kind: str = "object") -> Column:
+    return F.concat_ws("/", F.lit(base), F.lit(segment), F.lit(kind), uid)
+
+
+def razu_filename(uid: Column, suffix: str = "meta", ext: str = "json") -> Column:
+    return F.concat(uid, F.lit("."), F.lit(suffix), F.lit("."), F.lit(ext))
+
+
+def razu_s3_key(object_id: Column, uid: Column) -> Column:
+    """`{millions:03d}/{thousands:03d}/{uid}` bucketing (identifiers.py:80-86).
+
+    Integer div/mod keeps one S3 prefix under ~1000 objects — the same
+    trick that keeps parquet output directories balanced at scale.
+    """
+    millions = F.lpad(F.floor(object_id / 1_000_000).cast("long").cast("string"), 3, "0")
+    thousands = F.lpad(
+        F.floor((object_id % 1_000_000) / 1_000).cast("long").cast("string"), 3, "0"
+    )
+    return F.concat_ws("/", millions, thousands, uid)
+
+
+# ---------------------------------------------------------------------------
+# F10/F11/F12 — coordinate parsing and WKT polygon.
+# Reference: demo/csv_luchtfotos/extra.py:14-18 (parse `"X 136669000 Y
+# 451994996"` → (x/1000, y/1000)), extra.py:29-40 (two corners →
+# POLYGON WKT). The pyproj EPSG transform (extra.py:23-25) is the one
+# genuinely-Python scalar; it lives in operators/multimodal-style
+# pandas UDF territory and is not needed for the oracle surface.
+# ---------------------------------------------------------------------------
+
+
+def parse_rd_coord(col: Column) -> tuple[Column, Column]:
+    x = (F.split_part(col, F.lit(" "), F.lit(2)).cast("double") / 1000.0)
+    y = (F.split_part(col, F.lit(" "), F.lit(4)).cast("double") / 1000.0)
+    return x, y
+
+
+def wkt_bbox_polygon(x1: Column, y1: Column, x2: Column, y2: Column) -> Column:
+    def pt(a: Column, b: Column) -> Column:
+        return F.concat_ws(" ", a.cast("string"), b.cast("string"))
+
+    return F.concat(
+        F.lit("POLYGON (("),
+        F.concat_ws(", ", pt(x1, y1), pt(x2, y1), pt(x2, y2), pt(x1, y2), pt(x1, y1)),
+        F.lit("))"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine-deterministic aggregation helper.
+#
+# Double sums are accumulation-order dependent, so a Spark parallel sum
+# and a DuckDB sequential sum can differ in the last ulps. Worse,
+# Spark's double→decimal cast rounds the *shortest string repr* of the
+# double (BigDecimal.valueOf) while DuckDB rounds the binary value —
+# they disagree on exact-half ties. The portable fix is fixed-point:
+# per row compute floor(x·10^s + 0.5) — three IEEE-deterministic ops —
+# sum the resulting integers exactly, and divide once at the end. The
+# final double is bit-identical in both engines as long as the integer
+# sum stays below 2^53 (10^4-scaled money at 100 TB needs the
+# per-group sums < ~9·10^14, which the grouped queries satisfy; global
+# sums would use scale 2).
+# ---------------------------------------------------------------------------
+
+
+def dec_sum(col: Column, alias: str, scale: int = 4) -> Column:
+    m = 10 ** scale
+    return (
+        F.sum(F.floor(col * m + F.lit(0.5)).cast("long")) / float(m)
+    ).alias(alias)
+
+
+def DEC_SUM_SQL(expr: str, alias: str, scale: int = 4) -> str:
+    """DuckDB spelling of :func:`dec_sum` for oracle queries."""
+    m = 10 ** scale
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {m}.0 AS {alias}"
+    )

@@ -1,0 +1,163 @@
+"""Deduplication operators for large-scale text corpora.
+
+Beyond the reference's surface (BASELINE.json north star): exact
+dedup, word-shingle n-gram Jaccard, MinHash+LSH banding, SimHash.
+
+Scale design notes (100 TB posture):
+- Exact dedup is one hash-aggregate on md5(content) — map-side partial
+  aggregation makes the shuffle carry only distinct hashes.
+- Shingling explodes each doc into (doc_id, shingle) rows; the
+  candidate-pair join shuffles on `shingle` — the highest-cardinality
+  key available, so it distributes well. Banded MinHash-LSH caps the
+  pair blow-up: candidates come from 128-bit band-key equality joins
+  instead of the full shingle×shingle join.
+- All hashes are md5 hex strings (engine-portable, deterministic);
+  a MinHash signature is the lexicographic min of the seeded-hash
+  strings, so signatures are order-independent and exactly
+  reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_MINHASH = 12
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def exact_dedup_groups(documents: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one row per distinct content with
+    the canonical (min) doc_id and the number of copies."""
+    return (
+        documents.select(F.md5(F.col("text")).alias("content_md5"), "doc_id")
+        .groupBy("content_md5")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs of word k-grams.
+
+    Pure Catalyst: split → transform(sequence(...)) → explode; no UDF.
+    Docs shorter than k words produce no shingles.
+    """
+    terms = ", ".join(f"w[i+{j}]" for j in range(k))
+    expr = (
+        f"transform(sequence(0, size(w) - {k}), i -> concat_ws(' ', {terms}))"
+    )
+    return (
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingles: DataFrame, threshold: float, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Pairwise n-gram Jaccard similarity ≥ threshold.
+
+    |A∩B| via a self-join on the shingle key, |A∪B| = n1 + n2 - common.
+    If `candidates` (d1, d2) is given (e.g. from LSH banding), the
+    intersection join is restricted to those pairs — the scale path.
+    """
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("common"))
+    )
+    if candidates is not None:
+        common = common.join(candidates, on=["d1", "d2"], how="left_semi")
+    n1 = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.round(
+        F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6
+    ).alias("jaccard")
+    return (
+        common.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(shingles: DataFrame, n_hashes: int = N_MINHASH) -> DataFrame:
+    """MinHash signature per doc: sig_h = min over shingles of
+    md5('{h}:' || shingle) — h seeds independent hash functions; the
+    lexicographic min over hex strings is the permutation-min analog."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}:"), F.col("shingle")))).alias(f"sig{h}")
+        for h in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Band the signature and emit distinct candidate pairs whose band
+    key collides in any band. The join key is (band_id, band_hash) —
+    a 2^128 space, so collisions are true LSH candidates."""
+    bands = None
+    for bnd in range(n_bands):
+        cols = [F.col(f"sig{bnd * rows_per_band + r}") for r in range(rows_per_band)]
+        part = signatures.select(
+            "doc_id",
+            F.lit(bnd).alias("band_id"),
+            F.md5(F.concat(*cols)).alias("band_hash"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(b, on=["band_id", "band_hash"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .distinct()
+    )
+
+
+def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash over distinct words: per word take the first bits/4 hex
+    chars of md5(word) as the bit source; each bit contributes ±1 to
+    its position; the sign of the per-position sum forms the hash.
+
+    All arithmetic (hex-nibble decode via position(), div/mod bit
+    extraction, signed sums) is engine-portable — the DuckDB oracle
+    reproduces it bit-for-bit.
+    """
+    n_nibbles = bits // 4
+    words = (
+        documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .distinct()
+        .withColumn("h", F.md5(F.col("w")))
+    )
+    for i in range(n_nibbles):
+        words = words.withColumn(
+            f"nib{i}",
+            F.expr(f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1"),
+        )
+    bit_sums = []
+    for j in range(bits):
+        nib, off = divmod(j, 4)
+        bit = (F.col(f"nib{nib}") / (2 ** off)).cast("long") % 2
+        bit_sums.append(F.sum(bit * 2 - 1).alias(f"s{j}"))
+    sums = words.groupBy("doc_id").agg(*bit_sums)
+    value = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
+        value = term if value is None else value + term
+    return sums.select("doc_id", value.cast("long").alias("simhash"))

@@ -1,0 +1,112 @@
+"""RDF data model on Spark — SURVEY.md §1 (D1–D3) and §2.9 (O2).
+
+The reference wraps rdflib Graphs per resource (razu/rdf_resource.py:4-19,
+razu/meta_graph.py:16-29); here the canonical representation is a
+**triples DataFrame** with schema (s, p, o, o_type, o_datatype, o_lang)
+— columnar, partitionable, unionable. Entity rows fan out to triples
+via a generated array<struct> + explode (pure Catalyst, no UDF), the
+Spark-native form of `add_properties` recursion
+(razu/rdf_resource.py:46-70).
+
+Blank nodes are skolemized (`bnode:<uid>:<local>`), eliminating the
+merge-time bnode-suffix remap of tools/collect_rdf.py:37-54 entirely.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+# The 11 prefix bindings of razu/meta_graph.py:19-29.
+NAMESPACES = {
+    "ldto": "https://data.razu.nl/def/ldto/",
+    "mdto": "http://www.nationaalarchief.nl/mdto#",
+    "schema": "http://schema.org/",
+    "dct": "http://purl.org/dc/terms/",
+    "geo": "http://www.opengis.net/ont/geosparql#",
+    "premis": "http://www.loc.gov/premis/rdf/v3/",
+    "prov": "http://www.w3.org/ns/prov#",
+    "eror": "http://id.loc.gov/vocabulary/preservation/eventRelatedObjectRole/",
+    "erar": "http://id.loc.gov/vocabulary/preservation/eventRelatedAgentRole/",
+    "eo": "http://id.loc.gov/vocabulary/preservation/eventOutcome/",
+    "owl": "http://www.w3.org/2002/07/owl#",
+}
+
+TRIPLE_SCHEMA = StructType(
+    [
+        StructField("s", StringType(), False),
+        StructField("p", StringType(), False),
+        StructField("o", StringType(), True),
+        StructField("o_type", StringType(), False),  # 'uri' | 'bnode' | 'literal'
+        StructField("o_datatype", StringType(), True),
+        StructField("o_lang", StringType(), True),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class PropertyMap:
+    """One predicate mapping for the entity→triples fan-out."""
+
+    predicate: str
+    value: Column
+    o_type: str = "literal"  # 'uri' | 'bnode' | 'literal'
+    datatype: str | None = None
+    lang: str | None = None
+
+
+def skolemize(uid: Column, local: Column) -> Column:
+    """File-scoped blank node → stable global id (SURVEY §1.2)."""
+    return F.concat(F.lit("bnode:"), uid, F.lit(":"), local.cast("string"))
+
+
+def entity_to_triples(df: DataFrame, subject: Column, props: list[PropertyMap]) -> DataFrame:
+    """Fan one entity row out into N triples (O2; csv2rdf.py:117-237).
+
+    Builds an array<struct> of candidate triples per row and explodes
+    it; null-valued properties are dropped afterwards (the optional-
+    field semantics of csv2rdf.py:188-200 / pandasutils.py:5-8).
+    Entirely whole-stage-codegen — one narrow transformation, no
+    shuffle, linear at any scale.
+    """
+    structs = [
+        F.struct(
+            subject.cast("string").alias("s"),
+            F.lit(p.predicate).alias("p"),
+            p.value.cast("string").alias("o"),
+            F.lit(p.o_type).alias("o_type"),
+            F.lit(p.datatype).cast("string").alias("o_datatype"),
+            F.lit(p.lang).cast("string").alias("o_lang"),
+        )
+        for p in props
+    ]
+    return (
+        df.select(F.explode(F.array(*structs)).alias("t"))
+        .select("t.*")
+        .filter(F.col("o").isNotNull())
+    )
+
+
+def graph_union(*triple_dfs: DataFrame) -> DataFrame:
+    """Graph union (U2/A5; razu/rdf_resource.py:25-28, razu/sip.py:42-45).
+
+    rdflib Graph union de-duplicates identical triples, hence the
+    distinct() — dropped by callers that know their parts are disjoint.
+    """
+    out = triple_dfs[0]
+    for other in triple_dfs[1:]:
+        out = out.unionByName(other)
+    return out.distinct()
+
+
+def triple_pattern(triples: DataFrame, s=None, p=None, o=None) -> DataFrame:
+    """Triple-pattern match (P4/P5; razu/meta_resource.py:224-232):
+    filter on any bound combination of s/p/o."""
+    out = triples
+    for col_name, val in (("s", s), ("p", p), ("o", o)):
+        if val is not None:
+            out = out.filter(F.col(col_name) == val)
+    return out

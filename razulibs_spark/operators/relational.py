@@ -1,0 +1,89 @@
+"""Relational operator library — SURVEY.md §2.2/§2.3/§2.7 (P/J/U ops).
+
+Generic, table-agnostic building blocks. All are pure DataFrame
+transformations: Catalyst pushes the predicates into the scans and
+picks broadcast vs sort-merge per side size (AQE re-plans at runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def reconcile_full_outer(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    check: str,
+    left_name: str = "manifest",
+    right_name: str = "filesystem",
+) -> DataFrame:
+    """Manifest ↔ filesystem reconcile (J4; razu/manifest.py:185-221).
+
+    Full-outer join on `key`, bucketing every row into
+    'missing' (left only), 'extra' (right only), 'mismatch' (differing
+    `check` value) or 'ok'. One shuffle on the key; at scale both
+    sides arrive hash-partitioned so AQE coalesces the output.
+    """
+    lhs = left.select(F.col(key), F.col(check).alias("_l_check"))
+    rhs = right.select(F.col(key), F.col(check).alias("_r_check"))
+    joined = lhs.join(rhs, key, "full_outer")
+    status = (
+        F.when(F.col("_r_check").isNull(), F.lit("missing"))
+        .when(F.col("_l_check").isNull(), F.lit("extra"))
+        .when(F.col("_l_check") != F.col("_r_check"), F.lit("mismatch"))
+        .otherwise(F.lit("ok"))
+    )
+    return joined.select(F.col(key), status.alias("status"))
+
+
+def changed_or_new(
+    source: DataFrame, target: DataFrame, key: str, check: str
+) -> DataFrame:
+    """Incremental-sync diff (J5; tools/sip2localstorage.py:69-94,
+    razu/edepot.py:87-106): rows of `source` whose key is absent from
+    `target` or whose `check` value differs — a left-anti join on
+    (key, check)."""
+    return source.join(
+        target.select(key, check), on=[key, check], how="left_anti"
+    )
+
+
+def set_diff_both(a: DataFrame, b: DataFrame, key: str) -> DataFrame:
+    """Two-direction key diff (J6/U3; logs/compare_manifest_to_s3.py:13-25):
+    keys only in `a` tagged 'only_a', keys only in `b` tagged 'only_b'."""
+    only_a = (
+        a.select(key).distinct().join(b.select(key).distinct(), key, "left_anti")
+        .withColumn("side", F.lit("only_a"))
+    )
+    only_b = (
+        b.select(key).distinct().join(a.select(key).distinct(), key, "left_anti")
+        .withColumn("side", F.lit("only_b"))
+    )
+    return only_a.unionByName(only_b)
+
+
+def upsert_by_key(old: DataFrame, new: DataFrame, key: str) -> DataFrame:
+    """Last-wins key upsert (U4; razu/manifest.py:128-147):
+    `new ∪ (old ⟕anti new)`. The Delta-MERGE shape without Delta."""
+    return new.unionByName(old.join(new.select(key), key, "left_anti"))
+
+
+def top_k(df: DataFrame, k: int, order: list[Column]) -> DataFrame:
+    """Deterministic top-k (T-ops): callers must give a total order
+    (include a unique tie-break column).
+
+    Two-phase by design: `orderBy().limit(k)` compiles to
+    TakeOrderedAndProject (per-partition heap of k + driver merge — no
+    global sort, no single-partition window), then the k-row result is
+    ranked with a window that is trivially cheap.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(*order)
+    return (
+        df.orderBy(*order)
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w))
+    )

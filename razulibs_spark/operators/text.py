@@ -1,0 +1,86 @@
+"""Text-analysis operators (BASELINE.json north star): token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+Everything is built from Catalyst expressions (split / filter lambda /
+regexp_count / md5) — no Python on the hot path, and every score uses
+pure integer/rational arithmetic (no transcendentals) so the DuckDB
+oracle matches bit-for-bit after round().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a")
+
+# marker-word profiles for the language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a"),
+    "es": ("data", "value"),
+    "de": ("query", "join"),
+}
+
+
+def count_words_in(col_name: str, wanted: tuple[str, ...]) -> Column:
+    """size(filter(split(text,' '), w -> w IN wanted)) as a pure expr."""
+    in_list = ", ".join(f"'{t}'" for t in wanted)
+    return F.expr(f"size(filter(split({col_name}, ' '), w -> w in ({in_list})))")
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace token count, regex (BPE-ish) token count, char count."""
+    return documents.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("re_tokens"),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+def quality_scores(documents: DataFrame) -> DataFrame:
+    """Length/stopword-ratio quality score in [0,1], rational arithmetic
+    only: score = (1 - stop_ratio) * min(1, n_words/100)."""
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_stop = count_words_in("text", STOPWORDS)
+    stop_ratio = n_stop / n_words
+    score = (F.lit(1.0) - stop_ratio) * F.least(F.lit(1.0), n_words / F.lit(100.0))
+    return documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_stop.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stop_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Marker-word language-ID heuristic with a deterministic
+    first-wins tie-break (en ≥ es ≥ de), compared to the labeled lang."""
+    c_en = count_words_in("text", LANG_MARKERS["en"])
+    c_es = count_words_in("text", LANG_MARKERS["es"])
+    c_de = count_words_in("text", LANG_MARKERS["de"])
+    predicted = (
+        F.when((c_en >= c_es) & (c_en >= c_de), F.lit("en"))
+        .when(c_es >= c_de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    return documents.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        F.col("lang").alias("labeled_lang"),
+        (predicted == F.col("lang")).alias("is_match"),
+    )
+
+
+def fingerprints(shingles: DataFrame) -> DataFrame:
+    """Rolling-hash document fingerprint: the minimum md5 over the
+    doc's k-gram shingles (1-hash MinHash / winnowing-lite) plus the
+    distinct-shingle count."""
+    return shingles.groupBy("doc_id").agg(
+        F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
+        F.count("*").alias("n_shingles"),
+    )

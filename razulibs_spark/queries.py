@@ -1,0 +1,427 @@
+"""Query registry: every implemented operator from SURVEY.md §2 as a
+(spark_query, duckdb_oracle_sql) pair.
+
+Contract (driver, __spark_entry__.py): each Spark callable takes
+(spark, sf_dir) and returns a DataFrame; the oracle SQL runs on DuckDB
+views named after the parquet tables. Column names are aliased
+identically on both sides; every floating aggregate goes through the
+decimal-cast trick (functions/scalars.dec_sum) so values are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from razulibs_spark import tables
+from razulibs_spark.functions.scalars import (
+    DEC_SUM_SQL,
+    date_type_classify,
+    dec_sum,
+    filename_stem,
+    full_extension,
+    razu_filename,
+    razu_s3_key,
+    razu_uid,
+    razu_uri,
+)
+from razulibs_spark.operators import dedup, relational, similarity, text
+from razulibs_spark.operators.rdf import PropertyMap, entity_to_triples
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return tables.load(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations — flagship pricing summary (A1/A4 + Catalyst
+# partial/final agg; TPC-H Q1 shape over the driver tables)
+# ---------------------------------------------------------------------------
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {DEC_SUM_SQL('l_quantity', 'sum_qty', 2)},
+       {DEC_SUM_SQL('l_extendedprice', 'sum_base_price')},
+       {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {DEC_SUM_SQL('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", _Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A4 flagship rollup (SURVEY §2.4; csv2rdf.py:241-254 analog)."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum(F.col("l_quantity"), "sum_qty", 2),
+            dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            dec_sum(disc_price, "sum_disc_price"),
+            dec_sum(disc_price * (1 + F.col("l_tax")), "sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+_J1_SQL = f"""
+SELECT p_brand,
+       {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@query("j1_lookup_join", _J1_SQL)
+def j1_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 keyed lookup join (csv2rdf.py:207-208: droid_df.loc[filename])
+    as a broadcast hash join — the dimension side never shuffles."""
+    li = T(spark, sf_dir, "lineitem")
+    part = T(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_J2_SQL = f"""
+SELECT r_name,
+       COUNT(*) AS n_customers,
+       {DEC_SUM_SQL('c_acctbal', 'sum_acctbal')}
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("j2_vocab_resolve", _J2_SQL)
+def j2_vocab_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2/J3 concept-dimension resolve (concept_resolver.py:65-100):
+    per-row SPARQL lookups become one broadcast-join chain over
+    pre-materialized dimension tables."""
+    c = T(spark, sf_dir, "customer")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            dec_sum(F.col("c_acctbal"), "sum_acctbal"),
+        )
+    )
+
+
+_Q3_SQL = f"""
+WITH rev AS (
+  SELECT o_orderkey, o_orderdate, o_orderpriority,
+         {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'revenue')}
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '2000-01-01'
+    AND l_shipdate  > TIMESTAMP '2000-01-01'
+  GROUP BY o_orderkey, o_orderdate, o_orderpriority
+)
+SELECT o_orderkey, o_orderdate, o_orderpriority, revenue, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, o_orderkey) AS rnk FROM rev)
+WHERE rnk <= 10
+"""
+
+
+@query("q3_shipping_priority", _Q3_SQL)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg + deterministic top-k (J-ops, T-ops)."""
+    c = T(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = T(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("2000-01-01").cast("timestamp")
+    )
+    li = T(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    return relational.top_k(
+        rev, 10, [F.col("revenue").desc(), F.col("o_orderkey")]
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority", "revenue", "rnk")
+
+
+_A1_SQL = """
+SELECT MIN(l_shipdate) AS earliest, MAX(l_shipdate) AS latest, COUNT(*) AS n
+FROM lineitem
+"""
+
+
+@query("a1_global_minmax", _A1_SQL)
+def a1_global_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A7 global date range (csv2rdf.py:241-254 dekkingInTijd)."""
+    return T(spark, sf_dir, "lineitem").agg(
+        F.min("l_shipdate").alias("earliest"),
+        F.max("l_shipdate").alias("latest"),
+        F.count("*").alias("n"),
+    )
+
+
+_A6_SQL = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       MIN(o_orderdate) AS first_date,
+       MAX(o_orderdate) AS last_date
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("a6_distinct_groups", _A6_SQL)
+def a6_distinct_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 serie rollup: order-independent group semantics replacing the
+    reference's sorted-input group-change loop (csv2rdf.py:90-114)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.min("o_orderdate").alias("first_date"),
+            F.max("o_orderdate").alias("last_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins — manifest reconcile / diff family (J4–J6, U4) over two
+# deterministic snapshots derived from `orders`:
+#   snap_a (manifest): keys where k%3≠0; checksums "modified" at k%5=0
+#   snap_b (filesystem): keys where k%3≠1; true checksums
+# ---------------------------------------------------------------------------
+
+_SNAP_CTE = """
+WITH snap_a AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0
+              THEN md5(CAST(o_orderkey AS VARCHAR) || ':MODIFIED')
+              ELSE md5(CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus) END AS checksum
+  FROM orders WHERE o_orderkey % 3 <> 0
+), snap_b AS (
+  SELECT o_orderkey,
+         md5(CAST(o_orderkey AS VARCHAR) || ':' || o_orderstatus) AS checksum
+  FROM orders WHERE o_orderkey % 3 <> 1
+)
+"""
+
+
+def _snapshots(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = T(spark, sf_dir, "orders")
+    true_sum = F.md5(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit(":"), F.col("o_orderstatus"))
+    )
+    mod_sum = F.md5(F.concat(F.col("o_orderkey").cast("string"), F.lit(":MODIFIED")))
+    snap_a = o.filter(F.col("o_orderkey") % 3 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, mod_sum).otherwise(true_sum).alias("checksum"),
+    )
+    snap_b = o.filter(F.col("o_orderkey") % 3 != 1).select(
+        "o_orderkey", true_sum.alias("checksum")
+    )
+    return snap_a, snap_b
+
+
+_J4_SQL = _SNAP_CTE + """
+SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+       CASE WHEN b.checksum IS NULL THEN 'missing'
+            WHEN a.checksum IS NULL THEN 'extra'
+            WHEN a.checksum <> b.checksum THEN 'mismatch'
+            ELSE 'ok' END AS status
+FROM snap_a a FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+"""
+
+
+@query("j4_manifest_reconcile", _J4_SQL)
+def j4_manifest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 manifest↔filesystem reconcile (razu/manifest.py:185-221)."""
+    snap_a, snap_b = _snapshots(spark, sf_dir)
+    return relational.reconcile_full_outer(snap_a, snap_b, "o_orderkey", "checksum")
+
+
+_J5_SQL = _SNAP_CTE + """
+SELECT b.o_orderkey, b.checksum
+FROM snap_b b
+WHERE NOT EXISTS (
+  SELECT 1 FROM snap_a a
+  WHERE a.o_orderkey = b.o_orderkey AND a.checksum = b.checksum)
+"""
+
+
+@query("j5_changed_or_new", _J5_SQL)
+def j5_changed_or_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 incremental-sync diff: left-anti on (key, checksum)
+    (tools/sip2localstorage.py:69-94; razu/edepot.py:87-106)."""
+    snap_a, snap_b = _snapshots(spark, sf_dir)
+    return relational.changed_or_new(snap_b, snap_a, "o_orderkey", "checksum")
+
+
+_J6_SQL = _SNAP_CTE + """
+SELECT o_orderkey, 'only_a' AS side FROM snap_a
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM snap_b)
+UNION ALL
+SELECT o_orderkey, 'only_b' AS side FROM snap_b
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM snap_a)
+"""
+
+
+@query("j6_set_diff", _J6_SQL)
+def j6_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6/U3 two-direction anti-join diff
+    (logs/compare_manifest_to_s3.py:13-25)."""
+    snap_a, snap_b = _snapshots(spark, sf_dir)
+    return relational.set_diff_both(snap_a, snap_b, "o_orderkey")
+
+
+_U4_SQL = _SNAP_CTE + """
+SELECT o_orderkey, checksum, 'new' AS src FROM snap_b
+UNION ALL
+SELECT a.o_orderkey, a.checksum, 'old' AS src FROM snap_a a
+WHERE NOT EXISTS (SELECT 1 FROM snap_b b WHERE b.o_orderkey = a.o_orderkey)
+"""
+
+
+@query("u4_upsert_by_key", _U4_SQL)
+def u4_upsert_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 last-wins manifest upsert (razu/manifest.py:128-147)."""
+    snap_a, snap_b = _snapshots(spark, sf_dir)
+    return relational.upsert_by_key(
+        snap_a.withColumn("src", F.lit("old")),
+        snap_b.withColumn("src", F.lit("new")),
+        "o_orderkey",
+    )
+
+
+_J8_SQL = """
+SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS s,
+       'ldto:isOnderdeelVan' AS p,
+       'urn:customer:' || CAST(o_custkey AS VARCHAR) AS o
+FROM orders
+UNION ALL
+SELECT 'urn:customer:' || CAST(o_custkey AS VARCHAR) AS s,
+       'ldto:bevatOnderdeel' AS p,
+       'urn:order:' || CAST(o_orderkey AS VARCHAR) AS o
+FROM orders
+"""
+
+
+@query("j8_hierarchy_links", _J8_SQL)
+def j8_hierarchy_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 hierarchical self-link: both containment directions
+    (csv2rdf.py:113-114,203-204,230-231)."""
+    o = T(spark, sf_dir, "orders")
+    child = F.concat(F.lit("urn:order:"), F.col("o_orderkey").cast("string"))
+    parent = F.concat(F.lit("urn:customer:"), F.col("o_custkey").cast("string"))
+    up = o.select(child.alias("s"), F.lit("ldto:isOnderdeelVan").alias("p"), parent.alias("o"))
+    down = o.select(parent.alias("s"), F.lit("ldto:bevatOnderdeel").alias("p"), child.alias("o"))
+    return up.unionByName(down)
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.6/§2.9 — windows, sorts/limits, sequential ids
+# ---------------------------------------------------------------------------
+
+_T1_SQL = """
+SELECT o_orderkey, o_totalprice, rnk FROM (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+  FROM orders)
+WHERE rnk <= 10
+"""
+
+
+@query("t1_topk_orders", _T1_SQL)
+def t1_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-ops deterministic top-k (TakeOrderedAndProject, no full sort)."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return relational.top_k(o, 10, [F.col("o_totalprice").desc(), F.col("o_orderkey")])
+
+
+_O1_SQL = """
+SELECT o_orderkey,
+       ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS seq_id
+FROM orders
+"""
+
+
+@query("o1_sequential_ids", _O1_SQL)
+def o1_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 dense sequential ids (razu/incrementer.py:1-11) as
+    row_number over a stable total order. Note: a global window is the
+    SIP-compatibility path only — at 100 TB the engine uses
+    content-derived hash uids instead (SURVEY §2.9 design note)."""
+    w = Window.orderBy("o_orderdate", "o_orderkey")
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate")
+        .withColumn("seq_id", F.row_number().over(w))
+        .select("o_orderkey", "seq_id")
+    )
+
+
+_A6W_SQL = """
+SELECT o_orderkey, o_custkey,
+       (prev_status IS NULL OR prev_status <> o_orderstatus) AS changed
+FROM (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         LAG(o_orderstatus) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_status
+  FROM orders)
+"""
+
+
+@query("a6w_group_change_detect", _A6W_SQL)
+def a6w_group_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 group-change detection (csv2rdf.py:90-114) done properly:
+    lag() over an explicit order instead of assuming sorted input."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderstatus").over(w)
+    return (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+        .withColumn("prev_status", prev)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (F.col("prev_status").isNull() | (F.col("prev_status") != F.col("o_orderstatus"))).alias("changed"),
+        )
+    )
