@@ -425,3 +425,352 @@ def a6w_group_change_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("prev_status").isNull() | (F.col("prev_status") != F.col("o_orderstatus"))).alias("changed"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions — F1/F2/F5/F8/F13/F21 exercised row-level so the
+# oracle checks every value, not just aggregates
+# ---------------------------------------------------------------------------
+
+_F1_SQL = """
+WITH d AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE CAST(l_linenumber % 3 AS INTEGER)
+           WHEN 0 THEN strftime(l_shipdate, '%Y-%m-%d')
+           WHEN 1 THEN strftime(l_shipdate, '%Y')
+           ELSE strftime(l_shipdate, '%d-%m-%Y') END AS date_str
+  FROM lineitem)
+SELECT l_orderkey, l_linenumber, date_str,
+       CASE WHEN regexp_matches(date_str, '^\\d{4}-\\d{2}-\\d{2}$') THEN 'xsd:date'
+            WHEN regexp_matches(date_str, '^\\d{4}$') THEN 'xsd:gYear'
+            WHEN regexp_matches(date_str, '^\\d{1,2}-\\d{1,2}-\\d{4}$') THEN 'xsd:date'
+            ELSE 'literal' END AS xsd_type,
+       CASE WHEN regexp_matches(date_str, '^\\d{4}-\\d{2}-\\d{2}$') THEN date_str
+            WHEN regexp_matches(date_str, '^\\d{1,2}-\\d{1,2}-\\d{4}$') THEN
+                 split_part(date_str, '-', 3) || '-' ||
+                 lpad(split_part(date_str, '-', 2), 2, '0') || '-' ||
+                 lpad(split_part(date_str, '-', 1), 2, '0')
+            ELSE date_str END AS normalized
+FROM d
+"""
+
+
+@query("f1_date_type_classify", _F1_SQL)
+def f1_date_type_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 date_type (razu/util.py:9-30): regex classify + Dutch
+    d-m-yyyy → ISO normalization, as a when/rlike chain."""
+    li = T(spark, sf_dir, "lineitem")
+    date_str = (
+        F.when((F.col("l_linenumber") % 3) == 0, F.date_format("l_shipdate", "yyyy-MM-dd"))
+        .when((F.col("l_linenumber") % 3) == 1, F.date_format("l_shipdate", "yyyy"))
+        .otherwise(F.date_format("l_shipdate", "dd-MM-yyyy"))
+    )
+    d = li.select("l_orderkey", "l_linenumber", date_str.alias("date_str"))
+    xsd_type, normalized = date_type_classify(F.col("date_str"))
+    return d.select(
+        "l_orderkey",
+        "l_linenumber",
+        "date_str",
+        xsd_type.alias("xsd_type"),
+        normalized.alias("normalized"),
+    )
+
+
+_F2_SQL = """
+WITH f AS (
+  SELECT o_orderkey,
+         'file_' || CAST(o_orderkey AS VARCHAR) ||
+         CASE CAST(o_orderkey % 4 AS INTEGER)
+           WHEN 0 THEN '.tar.gz' WHEN 1 THEN '.meta.json'
+           WHEN 2 THEN '.jpg' ELSE '' END AS filename
+  FROM orders)
+SELECT o_orderkey, filename,
+       split_part(filename, '.', 1) AS stem,
+       CASE WHEN regexp_matches(filename, '^[^.]*\\.')
+            THEN regexp_extract(filename, '^[^.]*(\\..*)$', 1)
+            ELSE '' END AS full_ext
+FROM f
+"""
+
+
+@query("f2_full_extension", _F2_SQL)
+def f2_full_extension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F5 multi-part extension + stem (razu/util.py:32-53,109-126)."""
+    o = T(spark, sf_dir, "orders")
+    ext = (
+        F.when((F.col("o_orderkey") % 4) == 0, F.lit(".tar.gz"))
+        .when((F.col("o_orderkey") % 4) == 1, F.lit(".meta.json"))
+        .when((F.col("o_orderkey") % 4) == 2, F.lit(".jpg"))
+        .otherwise(F.lit(""))
+    )
+    f = o.select(
+        "o_orderkey",
+        F.concat(F.lit("file_"), F.col("o_orderkey").cast("string"), ext).alias("filename"),
+    )
+    return f.select(
+        "o_orderkey",
+        "filename",
+        filename_stem(F.col("filename")).alias("stem"),
+        full_extension(F.col("filename")).alias("full_ext"),
+    )
+
+
+_F8_SQL = """
+WITH u AS (
+  SELECT o_orderkey,
+         'NL-WbDRAZU-G0321-661-' || CAST(o_orderkey AS VARCHAR) AS uid
+  FROM orders)
+SELECT o_orderkey, uid,
+       'https://data.razu.nl/id/object/' || uid AS uri,
+       uid || '.meta.json' AS filename,
+       lpad(CAST(CAST(FLOOR(o_orderkey / 1000000.0) AS BIGINT) AS VARCHAR), 3, '0')
+       || '/' ||
+       lpad(CAST(CAST(FLOOR((o_orderkey % 1000000) / 1000.0) AS BIGINT) AS VARCHAR), 3, '0')
+       || '/' || uid AS s3_key
+FROM u
+"""
+
+
+@query("f8_identifier_templating", _F8_SQL)
+def f8_identifier_templating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 uid/uri/filename/S3-key templating (razu/identifiers.py:11-86)
+    incl. the millions/thousands zero-padded prefix bucketing."""
+    o = T(spark, sf_dir, "orders")
+    uid = razu_uid(F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        uid.alias("uid"),
+        razu_uri(uid).alias("uri"),
+        razu_filename(uid).alias("filename"),
+        razu_s3_key(F.col("o_orderkey"), uid).alias("s3_key"),
+    )
+
+
+_F13_SQL = """
+SELECT word, COUNT(*) AS n
+FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+
+@query("f13_split_explode", _F13_SQL)
+def f13_split_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13 string-split fan-out (razu/rdf_resource.py:72-77): one row
+    per separator-delimited part via explode(split(...))."""
+    p = T(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+_F21_SQL = """
+WITH lex AS (
+  SELECT p_partkey,
+         CASE CAST(p_partkey % 3 AS INTEGER)
+           WHEN 0 THEN CAST(p_size AS VARCHAR)
+           WHEN 1 THEN '+' || CAST(p_size AS VARCHAR)
+           ELSE p_name END AS lexical
+  FROM part)
+SELECT p_partkey, lexical,
+       regexp_matches(lexical, '^[+-]?\\d+$') AS is_valid_integer,
+       CASE WHEN regexp_matches(lexical, '^[+-]?\\d+$')
+            THEN CAST(lexical AS INTEGER) END AS typed_value
+FROM lex
+"""
+
+
+@query("f21_integer_validation", _F21_SQL)
+def f21_integer_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F21/P11 xsd:integer lexical validation with demotion
+    (tools/collect_rdf.py:57-60,93-111). The CASE guard keeps the cast
+    ANSI-safe on both engines."""
+    p = T(spark, sf_dir, "part")
+    lexical = (
+        F.when((F.col("p_partkey") % 3) == 0, F.col("p_size").cast("string"))
+        .when((F.col("p_partkey") % 3) == 1, F.concat(F.lit("+"), F.col("p_size").cast("string")))
+        .otherwise(F.col("p_name"))
+    )
+    d = p.select("p_partkey", lexical.alias("lexical"))
+    valid = F.col("lexical").rlike(r"^[+-]?\d+$")
+    return d.select(
+        "p_partkey",
+        "lexical",
+        valid.alias("is_valid_integer"),
+        F.when(valid, F.col("lexical").cast("int")).alias("typed_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event log (D6) — S8 max-id recovery, P6 lock predicate, F18/F19,
+# windowed + sessionized aggregation (§2.10 batch shape)
+# ---------------------------------------------------------------------------
+
+_S8_SQL = """
+SELECT MAX(CAST(regexp_extract('e' || CAST(event_id AS VARCHAR), 'e(\\d+)', 1) AS BIGINT)) AS current_id,
+       COUNT(*) AS n_events
+FROM events
+"""
+
+
+@query("s8_eventlog_maxid", _S8_SQL)
+def s8_eventlog_maxid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 eventlog max-id recovery (preservation_events.py:30-38):
+    parse `e{N}` suffixes, resume the counter at the max."""
+    e = T(spark, sf_dir, "events")
+    eid = F.concat(F.lit("e"), F.col("event_id").cast("string"))
+    return e.agg(
+        F.max(F.regexp_extract(eid, r"e(\d+)", 1).cast("long")).alias("current_id"),
+        F.count("*").alias("n_events"),
+    )
+
+
+_P6_SQL = """
+SELECT COUNT(CASE WHEN event_type = 'error' THEN 1 END) > 0 AS locked,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_lock_events
+FROM events
+"""
+
+
+@query("p6_lock_predicate", _P6_SQL)
+def p6_lock_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 lock-state existence predicate (preservation_events.py:40-42,
+    decorators.py:6-16): any terminal event ⇒ log is locked."""
+    e = T(spark, sf_dir, "events")
+    n_lock = F.count(F.when(F.col("event_type") == "error", 1))
+    return e.agg(
+        (n_lock > 0).alias("locked"), n_lock.alias("n_lock_events")
+    )
+
+
+_EVW_SQL = f"""
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       {DEC_SUM_SQL('value', 'sum_value')}
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@query("events_hourly_rollup", _EVW_SQL)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation over the event stream (batch shape
+    of §2.10; streaming variant in razulibs_spark.streaming)."""
+    e = T(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"), "event_type"
+        )
+        .agg(F.count("*").alias("n"), dec_sum(F.col("value"), "sum_value"))
+    )
+
+
+_F19_SQL = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("f19_json_extract", _F19_SQL)
+def f19_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19 JSON map (de)serialization (razu/manifest.py:29-43,
+    run_info.py:34-42) via native JSON-path extraction."""
+    e = T(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"), F.count("*").alias("n_events")
+    )
+
+
+_SESS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       {DEC_SUM_SQL('value', 'sum_value')}
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@query("events_sessionize", _SESS_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (1-day gap): the batch equivalent of a
+    stateful streaming session window — lag + running sum, all
+    partitioned by user (parallel, no global window)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap_us > 86_400_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    flagged = e.select("user_id", "event_id", "ts", "value", is_new.alias("is_new"))
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = flagged.withColumn("session_seq", F.sum("is_new").over(wsum))
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        dec_sum(F.col("value"), "sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O2 — entity → triples fan-out with a SQL-expressible oracle
+# ---------------------------------------------------------------------------
+
+_O2_SQL = """
+WITH u AS (
+  SELECT *, 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-'
+            || CAST(o_orderkey AS VARCHAR) AS uri
+  FROM orders)
+SELECT uri AS s, 'rdf:type' AS p, 'ldto:Informatieobject' AS o FROM u
+UNION ALL
+SELECT uri, 'ldto:identificatie',
+       'NL-WbDRAZU-G0321-661-' || CAST(o_orderkey AS VARCHAR) FROM u
+UNION ALL
+SELECT uri, 'ldto:status', o_orderstatus FROM u
+UNION ALL
+SELECT uri, 'ldto:totalPrice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM u
+UNION ALL
+SELECT uri, 'ldto:orderDate', CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM u
+"""
+
+
+@query("o2_entity_fanout", _O2_SQL)
+def o2_entity_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 row→entity→triples fan-out (csv2rdf.py:117-237) through the
+    rdf.entity_to_triples operator (array<struct> + explode)."""
+    o = T(spark, sf_dir, "orders")
+    uid = razu_uid(F.col("o_orderkey"))
+    triples = entity_to_triples(
+        o,
+        razu_uri(uid),
+        [
+            PropertyMap("rdf:type", F.lit("ldto:Informatieobject"), "uri"),
+            PropertyMap("ldto:identificatie", uid),
+            PropertyMap("ldto:status", F.col("o_orderstatus")),
+            PropertyMap("ldto:totalPrice", F.col("o_totalprice").cast("decimal(18,2)")),
+            PropertyMap("ldto:orderDate", F.col("o_orderdate").cast("date")),
+        ],
+    )
+    return triples.select("s", "p", "o")
