@@ -5,10 +5,16 @@ nearest-centroid partitioner as the scale path (bucket first, search
 within bucket — turns O(N·Q) into O(N·Q/√buckets) with pre-partitioned
 buckets co-locating candidates).
 
-All dot products run JVM-side via zip_with + aggregate over
-double-cast arrays (float→double is exact, the left-to-right fold is
-deterministic); similarities are rounded before output so the DuckDB
-oracle (list_cosine_similarity over DOUBLE[]) matches.
+Scale posture:
+- Norms are computed once per vector *before* any join (an O(N) narrow
+  stage), never per pair.
+- The big side of every pairwise join is explicitly repartitioned: a
+  small parquet arrives as one input split, and without the
+  repartition the whole O(N²) compare would run on a single task.
+- All dot products run JVM-side via zip_with + aggregate over
+  double-cast arrays (float→double is exact, the left-to-right fold is
+  deterministic); similarities are rounded before output so the DuckDB
+  oracle (list_cosine_similarity over DOUBLE[]) matches.
 """
 
 from __future__ import annotations
@@ -38,27 +44,39 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _with_vec(embeddings: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
-    return embeddings.select(
+def _parallelism(df: DataFrame) -> int:
+    return df.sparkSession.sparkContext.defaultParallelism
+
+
+def _with_vec(
+    embeddings: DataFrame, id_alias: str, vec_alias: str, norm_alias: str | None = None
+) -> DataFrame:
+    out = embeddings.select(
         F.col("vec_id").alias(id_alias), as_double(F.col("embedding")).alias(vec_alias)
     )
+    if norm_alias is not None:
+        out = out.withColumn(norm_alias, norm(F.col(vec_alias)))
+    return out
 
 
 def cosine_topk(
     embeddings: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
     """Brute-force top-k: for every query vector, the k most cosine-
-    similar non-self vectors. The query side is broadcast (small);
-    the corpus side streams — no shuffle of the big table."""
-    q = _with_vec(queries, "query_id", "qv")
-    c = _with_vec(embeddings, "neighbor_id", "cv")
+    similar non-self vectors. The query side is broadcast (small); the
+    corpus side is repartitioned and streams — no shuffle of scores,
+    per-partition heaps via the ranked window on query_id."""
+    q = _with_vec(queries, "query_id", "qv", "qn")
+    c = _with_vec(embeddings, "neighbor_id", "cv", "cn").repartition(
+        _parallelism(embeddings)
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("_cos"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -75,14 +93,18 @@ def near_duplicate_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """All vector pairs with cosine ≥ threshold (embedding near-dup).
 
     Brute force O(N²/2) — correct baseline; at scale restrict the join
-    with `ivf_assign` buckets (equal-bucket equi-join) first.
+    with `ivf_assign` buckets (equal-bucket equi-join) first. The left
+    side is repartitioned so the pair compare parallelizes; the right
+    side is broadcast when it fits (the optimizer decides — both sides
+    here are the same table).
     """
-    a = _with_vec(embeddings, "v1", "av")
-    b = _with_vec(embeddings, "v2", "bv")
+    a = _with_vec(embeddings, "v1", "av", "an").repartition(_parallelism(embeddings))
+    b = _with_vec(embeddings, "v2", "bv", "bn")
+    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
     return (
         a.crossJoin(b)
         .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("cosine"))
+        .select("v1", "v2", F.round(cos, 6).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
@@ -91,12 +113,14 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF-style bucket assignment: each vector goes to its most
     cosine-similar centroid (broadcast the small centroid set, argmax
     via row_number). Downstream ANN joins become per-bucket joins."""
-    c = _with_vec(centroids, "centroid_id", "cv")
-    v = _with_vec(embeddings, "vec_id", "vv")
+    c = _with_vec(centroids, "centroid_id", "cv", "cn")
+    v = _with_vec(embeddings, "vec_id", "vv", "vn").repartition(
+        _parallelism(embeddings)
+    )
     scored = v.crossJoin(F.broadcast(c)).select(
         "vec_id",
         "centroid_id",
-        cosine(F.col("vv"), F.col("cv")).alias("_cos"),
+        (dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("_cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("centroid_id"))
     return (

@@ -35,9 +35,9 @@ def token_stats(documents: DataFrame) -> DataFrame:
     """Whitespace token count, regex (BPE-ish) token count, char count."""
     return documents.select(
         "doc_id",
-        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("ws_tokens"),
-        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).alias("re_tokens"),
-        F.length("text").alias("n_chars_measured"),
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(TOKEN_RE)).cast("long").alias("re_tokens"),
+        F.length("text").cast("long").alias("n_chars_measured"),
     )
 
 
@@ -50,8 +50,8 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     score = (F.lit(1.0) - stop_ratio) * F.least(F.lit(1.0), n_words / F.lit(100.0))
     return documents.select(
         "doc_id",
-        n_words.alias("n_words"),
-        n_stop.alias("n_stopwords"),
+        n_words.cast("long").alias("n_words"),
+        n_stop.cast("long").alias("n_stopwords"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
         F.round(score, 6).alias("quality_score"),
     )

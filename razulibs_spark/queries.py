@@ -774,3 +774,263 @@ def o2_entity_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return triples.select("s", "p", "o")
+
+
+# ---------------------------------------------------------------------------
+# North-star: deduplication (BASELINE.json) over `documents`
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ ds AS (SELECT DISTINCT doc_id, s AS shingle FROM (
+   SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                          for i in generate_series(1, len(ws) - 2)]) AS s
+   FROM w WHERE len(ws) >= 3))
+"""
+
+_JACCARD_CTES = """
+, n AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id)
+, common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+             FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+, jac AS (SELECT d1, d2, round(common / (n1.n + n2.n - common), 6) AS jaccard
+          FROM common JOIN n n1 ON common.d1 = n1.doc_id
+                      JOIN n n2 ON common.d2 = n2.doc_id)
+"""
+
+_EXACT_SQL = """
+SELECT md5(text) AS content_md5,
+       min(doc_id) AS canonical_doc_id,
+       COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact", _EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy with canonical min-id. One
+    hash aggregate; the shuffle carries only distinct hashes."""
+    return dedup.exact_dedup_groups(T(spark, sf_dir, "documents"))
+
+
+_NGRAM_SQL = _SHINGLE_CTE + _JACCARD_CTES + """
+SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: word-3-gram Jaccard ≥ 0.5 over all pairs
+    sharing a shingle (the shuffle key is the shingle — high
+    cardinality, well distributed)."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    return dedup.jaccard_pairs(sh, 0.5)
+
+
+def _minhash_sql() -> str:
+    sigs = ",\n   ".join(
+        f"min(md5('{h}:' || shingle)) AS sig{h}" for h in range(dedup.N_MINHASH)
+    )
+    bands = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {b} AS band_id, md5(sig{i0} || sig{i1} || sig{i2}) AS band_hash FROM sigs".format(
+            b=b, i0=3 * b, i1=3 * b + 1, i2=3 * b + 2
+        )
+        for b in range(dedup.N_BANDS)
+    )
+    return (
+        _SHINGLE_CTE
+        + _JACCARD_CTES
+        + f"""
+, sigs AS (SELECT doc_id,
+   {sigs}
+   FROM ds GROUP BY doc_id)
+, bands AS (
+{bands}
+)
+, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM bands a JOIN bands b
+             ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+                AND a.doc_id < b.doc_id)
+SELECT j.d1, j.d2, j.jaccard
+FROM jac j JOIN cand c ON j.d1 = c.d1 AND j.d2 = c.d2
+WHERE j.jaccard >= 0.2
+"""
+    )
+
+
+@query("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: 12 seeded-md5 min-hashes, 4 bands × 3
+    rows; candidates from band-hash equality joins, then verified
+    Jaccard ≥ 0.2. The scale path: candidate generation never touches
+    the O(n²) pair space."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
+    return dedup.jaccard_pairs(sh, 0.2, candidates=cand)
+
+
+def _simhash_sql(bits: int = 16) -> str:
+    nibs = ", ".join(
+        f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS nib{i}"
+        for i in range(bits // 4)
+    )
+    sums = ", ".join(
+        f"SUM((CAST(FLOOR(nib{j // 4} / {2 ** (j % 4)}.0) AS BIGINT) % 2) * 2 - 1) AS s{j}"
+        for j in range(bits)
+    )
+    val = " + ".join(f"(CASE WHEN s{j} >= 0 THEN {2 ** j} ELSE 0 END)" for j in range(bits))
+    return f"""
+WITH words AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+ h AS (SELECT doc_id, md5(w) AS h FROM words),
+ nib AS (SELECT doc_id, {nibs} FROM h),
+ sums AS (SELECT doc_id, {sums} FROM nib GROUP BY doc_id)
+SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM sums
+"""
+
+
+@query("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (16-bit, md5-nibble bit
+    source): equal-hash buckets are near-dup candidates at scale."""
+    return dedup.simhash(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# North-star: text analysis over `documents`
+# ---------------------------------------------------------------------------
+
+_TOKEN_SQL = r"""
+SELECT doc_id,
+       len(regexp_split_to_array(trim(text), '\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS re_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_measured
+FROM documents
+"""
+
+
+@query("text_token_stats", _TOKEN_SQL)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens."""
+    return text.token_stats(T(spark, sf_dir, "documents"))
+
+
+_QUALITY_SQL = """
+WITH q AS (SELECT doc_id,
+   len(string_split(text, ' ')) AS n_words,
+   len([w for w in string_split(text, ' ') if w = 'the' OR w = 'a']) AS n_stop
+ FROM documents)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_stop AS BIGINT) AS n_stopwords,
+       round(n_stop / n_words, 6) AS stop_ratio,
+       round((1.0 - n_stop / n_words) * least(1.0, n_words / 100.0), 6) AS quality_score
+FROM q
+"""
+
+
+@query("text_quality_scores", _QUALITY_SQL)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio × length saturation, pure
+    rational arithmetic (cross-engine deterministic)."""
+    return text.quality_scores(T(spark, sf_dir, "documents"))
+
+
+_LANGID_SQL = """
+WITH c AS (SELECT doc_id, lang,
+   len([w for w in string_split(text, ' ') if w = 'the' OR w = 'a']) AS c_en,
+   len([w for w in string_split(text, ' ') if w = 'data' OR w = 'value']) AS c_es,
+   len([w for w in string_split(text, ' ') if w = 'query' OR w = 'join']) AS c_de
+ FROM documents)
+SELECT doc_id,
+       CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+            WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS predicted_lang,
+       lang AS labeled_lang,
+       (CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+             WHEN c_es >= c_de THEN 'es' ELSE 'de' END) = lang AS is_match
+FROM c
+"""
+
+
+@query("text_language_id", _LANGID_SQL)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic vs the labeled lang column."""
+    return text.language_id(T(spark, sf_dir, "documents"))
+
+
+_FP_SQL = _SHINGLE_CTE + """
+SELECT doc_id, min(md5(shingle)) AS fingerprint, COUNT(*) AS n_shingles
+FROM ds GROUP BY doc_id
+"""
+
+
+@query("text_fingerprints", _FP_SQL)
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min-md5 over 3-gram shingles."""
+    return text.fingerprints(dedup.word_shingles(T(spark, sf_dir, "documents")))
+
+
+# ---------------------------------------------------------------------------
+# North-star: similarity search over `embeddings`
+# ---------------------------------------------------------------------------
+
+_EMB_CTE = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+"""
+
+_TOPK_SQL = _EMB_CTE + """
+, q AS (SELECT * FROM e WHERE vec_id < 10)
+, scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cos
+             FROM q, e c WHERE c.vec_id <> q.vec_id)
+, ranked AS (SELECT query_id, neighbor_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM scored)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("sim_cosine_topk", _TOPK_SQL)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 10 query vectors (ANN baseline):
+    broadcast the queries, stream the corpus."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+_NEARDUP_SQL = _EMB_CTE + """
+, scored AS (SELECT a.vec_id AS v1, b.vec_id AS v2,
+                    round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+             FROM e a, e b WHERE a.vec_id < b.vec_id)
+SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.4
+"""
+
+
+@query("sim_embedding_neardup", _NEARDUP_SQL)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.4), brute-force
+    half-matrix; the LSH/IVF bucketed variant bounds this at scale."""
+    return similarity.near_duplicate_pairs(T(spark, sf_dir, "embeddings"), 0.4)
+
+
+_IVF_SQL = _EMB_CTE + """
+, cent AS (SELECT * FROM e WHERE vec_id < 4)
+, scored AS (SELECT e.vec_id, cent.vec_id AS centroid_id,
+                    list_cosine_similarity(e.v, cent.v) AS cos
+             FROM e, cent)
+, r AS (SELECT vec_id, centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, centroid_id) AS rn
+        FROM scored)
+SELECT vec_id, centroid_id FROM r WHERE rn = 1
+"""
+
+
+@query("sim_ivf_assign", _IVF_SQL)
+def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style nearest-centroid bucket assignment — the partitioning
+    stage of scalable ANN (per-bucket joins replace the full cross
+    join)."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.ivf_assign(e, e.filter(F.col("vec_id") < 4))
