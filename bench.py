@@ -1,0 +1,86 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full materialization with a noop sink (no
+driver-side collect, no pandas conversion) — measuring the engine, not
+the transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from razulibs_spark import queries as Q
+from razulibs_spark.plans.flagship import flagship_triples
+from razulibs_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "j1_lookup_join",
+    "q3_shipping_priority",
+    "j4_manifest_reconcile",
+    "o1_sequential_ids",
+    "o2_entity_fanout",
+    "f1_date_type_classify",
+    "f8_identifier_templating",
+    "events_sessionize",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_token_stats",
+    "text_quality_scores",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "sim_ivf_assign",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("razulibs-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths once so per-query numbers measure the
+    # engine, not first-run class loading.
+    flagship_triples(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    times: dict[str, float] = {}
+    t_flag = time.time()
+    flagship_triples(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    times["flagship_rdf_pipeline"] = round(time.time() - t_flag, 3)
+
+    for name in HEADLINE:
+        fn = Q.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_seconds_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,14 @@ def word_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     expr = (
         f"transform(sequence(0, size(w) - {k}), i -> concat_ws(' ', {terms}))"
     )
+    n = documents.sparkSession.sparkContext.defaultParallelism
     return (
-        documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        # Repartition by doc_id before the explode: a small parquet
+        # arrives as one split, and everything downstream (signature
+        # and count aggregates on doc_id) reuses this partitioning
+        # without a second shuffle.
+        documents.repartition(n, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
         .filter(F.size("w") >= k)
         .select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
         .distinct()
@@ -140,8 +146,10 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     reproduces it bit-for-bit.
     """
     n_nibbles = bits // 4
+    n = documents.sparkSession.sparkContext.defaultParallelism
     words = (
-        documents.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        documents.repartition(n, "doc_id")
+        .select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .distinct()
         .withColumn("h", F.md5(F.col("w")))
     )

@@ -822,8 +822,10 @@ SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup detection: word-3-gram Jaccard ≥ 0.5 over all pairs
     sharing a shingle (the shuffle key is the shingle — high
-    cardinality, well distributed)."""
-    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    cardinality, well distributed). The shingle table feeds the count
+    aggregate and both sides of the pair join, so it is persisted
+    rather than re-exploded per consumer."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
     return dedup.jaccard_pairs(sh, 0.5)
 
 
@@ -863,8 +865,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup: 12 seeded-md5 min-hashes, 4 bands × 3
     rows; candidates from band-hash equality joins, then verified
     Jaccard ≥ 0.2. The scale path: candidate generation never touches
-    the O(n²) pair space."""
-    sh = dedup.word_shingles(T(spark, sf_dir, "documents"))
+    the O(n²) pair space. Shingles feed four consumers (signatures,
+    counts, two join sides) → persisted once."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
     cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
     return dedup.jaccard_pairs(sh, 0.2, candidates=cand)
 
