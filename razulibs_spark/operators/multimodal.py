@@ -1,0 +1,101 @@
+"""Multimodal-column plumbing (BASELINE.json north star).
+
+Image/audio/video payloads are opaque `binary` columns with a typed
+metadata struct; decode / feature-extract run as Arrow-batched
+`mapInPandas` stages. The actual media decode is STUBBED (the
+image/audio libraries are not in this container): `decode_image`
+raises NotImplementedError, and the pipeline uses a deterministic
+fake feature extractor instead — the Spark-side plumbing (schema,
+partitioning, UDF signature, batch shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("media_format", StringType(), True),
+        StructField("declared_width", LongType(), True),
+        StructField("declared_height", LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("payload_md5", StringType(), True),
+        StructField("media_format", StringType(), True),
+        StructField("thumb_width", LongType(), True),
+        StructField("thumb_height", LongType(), True),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> object:
+    """Real media decode — intentionally not implemented in this
+    container (no imaging libraries). The distributed pipeline around
+    it is real; swap this for PIL/opencv on a full cluster image."""
+    raise NotImplementedError(
+        "media decode requires an imaging library not present in this "
+        "environment; the pipeline uses extract_features_stub instead"
+    )
+
+
+def attach_media_columns(documents: DataFrame) -> DataFrame:
+    """Synthesize an opaque binary payload + typed metadata from the
+    documents table (stands in for `binaryFile` content at scale)."""
+    fmt = F.when((F.col("doc_id") % 3) == 0, F.lit("image/jpeg")).when(
+        (F.col("doc_id") % 3) == 1, F.lit("image/png")
+    ).otherwise(F.lit("audio/wav"))
+    return documents.select(
+        "doc_id",
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        fmt.alias("media_format"),
+        (F.col("n_chars") % 1024 + 16).cast("long").alias("declared_width"),
+        (F.col("n_chars") % 768 + 16).cast("long").alias("declared_height"),
+    )
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    mapInPandas streams record batches through Python once — the shape
+    a real decode/resize/frame-sample stage takes. The per-payload
+    work here is a deterministic fake (length + md5 + 16:9 thumb box)
+    standing in for the stubbed decode_image.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(lambda b: len(b) if b is not None else 0),
+                    "payload_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                    "media_format": pdf["media_format"],
+                    "thumb_width": (pdf["declared_width"].clip(upper=256)),
+                    "thumb_height": (pdf["declared_width"].clip(upper=256) * 9 // 16),
+                }
+            )
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n, "doc_id").mapInPandas(batches, schema=FEATURE_SCHEMA)

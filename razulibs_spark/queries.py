@@ -1037,3 +1037,60 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     join)."""
     e = T(spark, sf_dir, "embeddings")
     return similarity.ivf_assign(e, e.filter(F.col("vec_id") < 4))
+
+
+# ---------------------------------------------------------------------------
+# Rows-only queries (no SQL oracle): multimodal pipeline (Pandas-UDF
+# plumbing) and the Structured Streaming rollup — the driver records
+# the weaker rows-only check for these by contract.
+# ---------------------------------------------------------------------------
+
+
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media columns + Arrow-batched mapInPandas feature
+    extraction (decode stubbed — see operators/multimodal.py)."""
+    from razulibs_spark.operators.multimodal import attach_media_columns, extract_features
+
+    docs = T(spark, sf_dir, "documents")
+    return extract_features(attach_media_columns(docs))
+
+
+@query("streaming_hourly_rollup")
+def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: readStream + watermark + tumbling window over the events
+    table, drained with Trigger.AvailableNow (stateful streaming —
+    not SQL-expressible, rows-only check)."""
+    from razulibs_spark.streaming.events_stream import (
+        hourly_rollup_stream,
+        run_available_now,
+    )
+
+    return run_available_now(hourly_rollup_stream(spark, sf_dir), spark)
+
+
+@query("s6_manifest_scan")
+def s6_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 recursive binaryFile scan → manifest rows (path-keyed MD5 /
+    size / mtime / extension) over the sf_dir payload itself. File-
+    content hashing — rows-only check."""
+    from razulibs_spark.operators.manifest import manifest_from_directory
+
+    m = manifest_from_directory(spark, sf_dir)
+    return m.select("filename", "md5hash", "file_size", "file_extension")
+
+
+@query("d6_premis_events")
+def d6_premis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 PREMIS event generation: one `mem` (metadata modification)
+    event per order entity with dense ids (O1 two-phase scheme).
+    Timestamps are batch-stamped (current_timestamp) — rows-only."""
+    from razulibs_spark.operators.events import build_events
+
+    o = T(spark, sf_dir, "orders")
+    subjects = o.select(razu_uri(razu_uid(F.col("o_orderkey"))).alias("uri"))
+    return build_events(
+        subjects, "uri", "mem",
+        actor="https://data.razu.nl/id/actor/razu",
+        description="Metadata object created.",
+    )

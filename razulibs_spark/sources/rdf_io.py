@@ -27,10 +27,17 @@ def _escape_literal(col: Column) -> Column:
     return out
 
 
-def ntriples_line(s=F.col("s"), p=F.col("p"), o=F.col("o"),
-                  o_type=F.col("o_type"), o_datatype=F.col("o_datatype"),
-                  o_lang=F.col("o_lang")) -> Column:
-    """Format one triple row as an N-Triples line (pure expressions)."""
+def ntriples_line(s=None, p=None, o=None, o_type=None, o_datatype=None,
+                  o_lang=None) -> Column:
+    """Format one triple row as an N-Triples line (pure expressions).
+    Defaults bind to the canonical triple columns lazily (F.col needs
+    an active session, so not in default args)."""
+    s = F.col("s") if s is None else s
+    p = F.col("p") if p is None else p
+    o = F.col("o") if o is None else o
+    o_type = F.col("o_type") if o_type is None else o_type
+    o_datatype = F.col("o_datatype") if o_datatype is None else o_datatype
+    o_lang = F.col("o_lang") if o_lang is None else o_lang
     subj = F.when(s.startswith("bnode:"), F.concat(F.lit("_:"), F.md5(s))).otherwise(
         F.concat(F.lit("<"), s, F.lit(">"))
     )

@@ -1,0 +1,79 @@
+"""Structured Streaming surface for the event log — SURVEY.md §2.10.
+
+The reference writes its PREMIS event log in batch; the engine's
+events table doubles as a streaming source: file-based readStream +
+watermark + tumbling-window aggregation. `run_available_now` drains
+everything currently in the source into a memory sink (deterministic,
+test-friendly) and returns the batch result.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# ts is TIMESTAMP(NANOS) in the driver parquet; under the session's
+# nanosAsLong it surfaces as long and is converted after the scan.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def hourly_rollup_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """readStream → watermark(ts) → tumbling 1h window per event_type.
+
+    The watermark bounds state: windows older than max(event time) -
+    watermark are finalized and evicted — late rows beyond it drop,
+    which is the streaming contract the batch oracle can't express.
+    """
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(source_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def run_available_now(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Drain the stream with Trigger.AvailableNow into a memory sink
+    and return the materialized batch DataFrame."""
+    name = f"mem_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,278 @@
+"""Unit/golden tests for the operator library (SURVEY.md §5 test plan:
+single-operator asserts + round-trips, mirroring the reference's
+tests/test_rdf_resource.py / test_util.py / test_identifiers.py style).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from razulibs_spark.functions.scalars import (
+    date_type_classify,
+    full_extension,
+    filename_stem,
+    normalize_path,
+    parse_rd_coord,
+    razu_filename,
+    razu_s3_key,
+    razu_uid,
+    razu_uri,
+    wkt_bbox_polygon,
+)
+from razulibs_spark.operators import events as ev
+from razulibs_spark.operators import rdf
+from razulibs_spark.operators.ids import dense_ids, dense_ids_global_window
+from razulibs_spark.operators.manifest import (
+    incremental_sync_plan,
+    manifest_from_directory,
+    manifest_from_json_map,
+    manifest_to_json_map,
+    validate_manifest,
+)
+from razulibs_spark.sources.rdf_io import (
+    TURTLE_HEADER,
+    read_ntriples,
+    turtle_text,
+    write_ntriples,
+)
+
+
+# -- scalars (reference golden expectations: tests/test_util.py,
+# tests/test_identifiers.py) ------------------------------------------------
+
+
+def test_date_type_classify(spark):
+    df = spark.createDataFrame(
+        [("1984-07-24",), ("1984",), ("5-7-1984",), ("circa 1984",)], ["d"]
+    )
+    t, v = date_type_classify(F.col("d"))
+    rows = {r["d"]: (r["t"], r["v"]) for r in df.select("d", t.alias("t"), v.alias("v")).collect()}
+    assert rows["1984-07-24"] == ("xsd:date", "1984-07-24")
+    assert rows["1984"] == ("xsd:gYear", "1984")
+    assert rows["5-7-1984"] == ("xsd:date", "1984-07-05")
+    assert rows["circa 1984"] == ("literal", "circa 1984")
+
+
+def test_extensions_and_identifiers(spark):
+    df = spark.createDataFrame([("archive.tar.gz", 42)], ["name", "oid"])
+    row = df.select(
+        full_extension(F.col("name")).alias("ext"),
+        filename_stem(F.col("name")).alias("stem"),
+        razu_uid(F.col("oid")).alias("uid"),
+        razu_uri(razu_uid(F.col("oid"))).alias("uri"),
+        razu_filename(razu_uid(F.col("oid"))).alias("fn"),
+        razu_s3_key(F.col("oid"), razu_uid(F.col("oid"))).alias("key"),
+    ).first()
+    assert row["ext"] == ".tar.gz"
+    assert row["stem"] == "archive"
+    # golden strings per tests/test_identifiers.py:22-101 fixture shape
+    assert row["uid"] == "NL-WbDRAZU-G0321-661-42"
+    assert row["uri"] == "https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-42"
+    assert row["fn"] == "NL-WbDRAZU-G0321-661-42.meta.json"
+    assert row["key"] == "000/000/NL-WbDRAZU-G0321-661-42"
+    big = spark.createDataFrame([(2_345_678,)], ["oid"]).select(
+        razu_s3_key(F.col("oid"), F.lit("x")).alias("key")
+    ).first()
+    assert big["key"] == "002/345/x"
+
+
+def test_normalize_path_and_coords(spark):
+    df = spark.createDataFrame(
+        [(r"F:\depot\bestanden\sub\f.jpg", "X 136669000 Y 451994996")], ["p", "c"]
+    )
+    x, y = parse_rd_coord(F.col("c"))
+    row = df.select(
+        normalize_path(F.col("p")).alias("np"), x.alias("x"), y.alias("y")
+    ).first()
+    assert row["np"] == "sub/f.jpg"
+    assert row["x"] == pytest.approx(136669.0)
+    assert row["y"] == pytest.approx(451994.996)
+    poly = df.select(
+        wkt_bbox_polygon(F.lit(1.0), F.lit(2.0), F.lit(3.0), F.lit(4.0)).alias("w")
+    ).first()["w"]
+    assert poly == "POLYGON ((1.0 2.0, 3.0 2.0, 3.0 4.0, 1.0 4.0, 1.0 2.0))"
+
+
+# -- dense ids (O1) ---------------------------------------------------------
+
+
+def test_dense_ids_matches_global_window(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderdate"
+    )
+    fast = dense_ids(df, ["o_orderdate", "o_orderkey"], "seq", start=7)
+    slow = dense_ids_global_window(df, ["o_orderdate", "o_orderkey"], "seq", start=7)
+    a = {r["o_orderkey"]: r["seq"] for r in fast.collect()}
+    b = {r["o_orderkey"]: r["seq"] for r in slow.collect()}
+    assert a == b
+    assert min(a.values()) == 7 and max(a.values()) == 6 + df.count()
+
+
+# -- RDF fan-out + serialization round-trip (D1/O2/K2/S4) -------------------
+
+
+def test_entity_fanout_and_ntriples_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "Houten", None), (2, 'quo"te\nline', 9)], ["oid", "naam", "omvang"]
+    )
+    triples = rdf.entity_to_triples(
+        df,
+        razu_uri(razu_uid(F.col("oid"))),
+        [
+            rdf.PropertyMap("rdf:type", F.lit("ldto:Serie"), "uri"),
+            rdf.PropertyMap("ldto:naam", F.col("naam"), lang="nl"),
+            rdf.PropertyMap("ldto:omvang", F.col("omvang"), datatype="xsd:integer"),
+        ],
+    )
+    rows = triples.collect()
+    # null-valued property dropped (P3 optional-field semantics)
+    assert len(rows) == 5
+    path = os.path.join(str(tmp_path), "out.nt")
+    write_ntriples(triples, path)
+    back = read_ntriples(spark, path)
+    orig = {tuple(r) for r in triples.collect()}
+    parsed = {tuple(r) for r in back.collect()}
+    assert orig == parsed
+    ttl = turtle_text(triples)
+    assert ttl.startswith("@prefix") and "ldto:naam" in ttl
+    assert TURTLE_HEADER.count("@prefix") == 11
+
+
+def test_triple_pattern_and_graph_union(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["oid", "v"])
+    t1 = rdf.entity_to_triples(
+        df, F.concat(F.lit("urn:"), F.col("oid").cast("string")),
+        [rdf.PropertyMap("p:v", F.col("v"))],
+    )
+    u = rdf.graph_union(t1, t1)  # rdflib semantics: union dedups
+    assert u.count() == t1.count()
+    m = rdf.triple_pattern(u, s="urn:1", p="p:v")
+    assert [r["o"] for r in m.collect()] == ["a"]
+
+
+# -- manifest (S6/S7/J4/J5/K3) ----------------------------------------------
+
+
+@pytest.fixture()
+def payload_dir(tmp_path):
+    d = tmp_path / "bestanden"
+    d.mkdir()
+    (d / "a.jpg").write_bytes(b"aaa")
+    (d / "b.tar.gz").write_bytes(b"bbbb")
+    sub = d / "sub"
+    sub.mkdir()
+    (sub / "c.txt").write_bytes(b"c")
+    return str(tmp_path)
+
+
+def test_manifest_scan_validate_sync(spark, payload_dir):
+    m = manifest_from_directory(spark, payload_dir).cache()
+    rows = {r["filename"]: r for r in m.collect()}
+    assert set(rows) == {"a.jpg", "b.tar.gz", "sub/c.txt"}
+    assert rows["a.jpg"]["md5hash"] == "47bce5c74f589f4867dbd57e9ca9f808"
+    assert rows["b.tar.gz"]["file_extension"] == ".tar.gz"
+    assert rows["sub/c.txt"]["file_size"] == 1
+
+    # tamper one entry + drop another → reconcile buckets (J4)
+    tampered = m.withColumn(
+        "md5hash",
+        F.when(F.col("filename") == "a.jpg", F.lit("deadbeef")).otherwise(
+            F.col("md5hash")
+        ),
+    ).filter(F.col("filename") != "sub/c.txt")
+    buckets = {
+        r["filename"]: r["status"]
+        for r in validate_manifest(tampered, m).collect()
+    }
+    assert buckets == {"a.jpg": "mismatch", "b.tar.gz": "ok", "sub/c.txt": "extra"}
+
+    # J5: what must sync from fs into the tampered manifest's store
+    todo = {r["filename"] for r in incremental_sync_plan(m, tampered).collect()}
+    assert todo == {"a.jpg", "sub/c.txt"}
+
+    # K3/S7 round-trip through the JSON object map
+    js = manifest_to_json_map(m)
+    back = manifest_from_json_map(spark, js)
+    assert {r["filename"]: r["md5hash"] for r in back.collect()} == {
+        k: v["md5hash"] for k, v in rows.items()
+    }
+
+
+# -- events (D6/S8/P6) ------------------------------------------------------
+
+
+def test_event_builders_and_lock(spark):
+    subjects = spark.createDataFrame([("urn:a",), ("urn:b",)], ["uri"])
+    log = ev.build_events(subjects, "uri", "mem", actor="urn:actor", description="Metadata object created.")
+    rows = sorted(log.collect(), key=lambda r: r["event_id"])
+    assert [r["event_id"] for r in rows] == [1, 2]
+    assert rows[0]["subjects"] == ["urn:a"] and rows[0]["event_type"] == "mem"
+    assert not ev.is_locked(log)
+    assert ev.max_event_id(log) == 2
+
+    lock = ev.build_events(subjects.limit(1), "uri", "ine", actor="urn:actor", id_offset=2)
+    full = log.unionByName(lock)
+    assert ev.is_locked(full)
+    assert ev.max_event_id(full) == 3
+    with pytest.raises(ValueError):
+        ev.build_events(subjects, "uri", "zzz", actor="x")
+
+
+def test_fixity_events(spark, payload_dir):
+    m = manifest_from_directory(spark, payload_dir).cache()
+    tampered = m.withColumn(
+        "md5hash",
+        F.when(F.col("filename") == "a.jpg", F.lit("deadbeef")).otherwise(F.col("md5hash")),
+    )
+    fx = ev.fixity_check_events(tampered, m, actor="urn:actor")
+    out = {r["subjects"][0]: r["outcome"] for r in fx.collect()}
+    assert out["a.jpg"] == "fail"
+    assert out["b.tar.gz"] == "suc"
+
+
+# -- multimodal plumbing ----------------------------------------------------
+
+
+def test_multimodal_features(spark, sf_dir):
+    from razulibs_spark.operators.multimodal import (
+        attach_media_columns,
+        decode_image,
+        extract_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = attach_media_columns(docs)
+    feats = extract_features(media).collect()
+    assert len(feats) == 20
+    byid = {r["doc_id"]: r for r in feats}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    import hashlib
+
+    some = next(iter(src))
+    assert byid[some]["n_bytes"] == len(src[some].encode())
+    assert byid[some]["payload_md5"] == hashlib.md5(src[some].encode()).hexdigest()
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8")
+
+
+# -- streaming vs batch consistency -----------------------------------------
+
+
+def test_streaming_rollup_matches_batch(spark, sf_dir):
+    from razulibs_spark.streaming.events_stream import (
+        hourly_rollup_stream,
+        run_available_now,
+    )
+    from razulibs_spark import queries as Q
+
+    stream_out = run_available_now(hourly_rollup_stream(spark, sf_dir), spark)
+    batch = Q.QUERIES["events_hourly_rollup"](spark, sf_dir)
+    s = {
+        (r["window_start"], r["event_type"]): r["n"] for r in stream_out.collect()
+    }
+    b = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
+    assert s == b
