@@ -1094,3 +1094,281 @@ def d6_premis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         actor="https://data.razu.nl/id/actor/razu",
         description="Metadata object created.",
     )
+
+
+# ---------------------------------------------------------------------------
+# Remaining §2 coverage: P4/P8, U2, A2, F4/F6/F9/F11-F12/F14/F17
+# ---------------------------------------------------------------------------
+
+_P4_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s, min(o) AS first_o
+FROM triples WHERE p = 'ldto:status'
+GROUP BY s
+"""
+
+
+@query("p4_triple_first_value", _P4_SQL)
+def p4_triple_first_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 triple-pattern (s,p,?) → first object value
+    (razu/meta_resource.py:224-232); "first" made deterministic as the
+    min — the engine form of rdflib's arbitrary-first semantics."""
+    from razulibs_spark.operators.rdf import triple_pattern
+
+    triples = o2_entity_fanout(spark, sf_dir)
+    return (
+        triple_pattern(triples.select("s", "p", F.col("o"), F.lit("uri").alias("o_type")), p="ldto:status")
+        .groupBy("s")
+        .agg(F.min("o").alias("first_o"))
+    )
+
+
+_P8_SQL = """
+WITH m AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderdate END AS md5date
+  FROM orders)
+SELECT o_orderkey, md5date
+FROM m
+WHERE md5date >= TIMESTAMP '1998-01-01' OR md5date IS NULL
+"""
+
+
+@query("p8_date_filter_nullkeep", _P8_SQL)
+def p8_date_filter_nullkeep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 closure-based date filter keeping nulls
+    (razu/edepot.py:73-85: entries without a checksum date pass)."""
+    o = T(spark, sf_dir, "orders")
+    m = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None)).otherwise(
+            F.col("o_orderdate")
+        ).alias("md5date"),
+    )
+    return m.filter(
+        (F.col("md5date") >= F.lit("1998-01-01").cast("timestamp"))
+        | F.col("md5date").isNull()
+    )
+
+
+_U2_SQL = """
+SELECT DISTINCT o_orderkey, o_orderstatus FROM (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 3 = 0)
+"""
+
+
+@query("u2_graph_union_dedup", _U2_SQL)
+def u2_graph_union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2 graph union (razu/rdf_resource.py:25-28): rdflib `+=` dedups
+    identical triples ⇒ union().distinct()."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    a = o.filter(F.col("o_orderkey") % 2 == 0)
+    b = o.filter(F.col("o_orderkey") % 3 == 0)
+    return a.unionByName(b).distinct()
+
+
+_A2_SQL = """
+SELECT least((SELECT min(o_orderdate) FROM orders),
+             (SELECT min(l_shipdate) FROM lineitem)) AS ingestion_start
+"""
+
+
+@query("a2_min_across_runs", _A2_SQL)
+def a2_min_across_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 min across tool runs (razu/sip.py:79-81):
+    least() over independent aggregates."""
+    o = T(spark, sf_dir, "orders").agg(F.min("o_orderdate").alias("_a"))
+    li = T(spark, sf_dir, "lineitem").agg(F.min("l_shipdate").alias("_b"))
+    return o.crossJoin(li).select(
+        F.least(F.col("_a"), F.col("_b")).alias("ingestion_start")
+    )
+
+
+_F4_SQL = """
+WITH u AS (
+  SELECT o_orderkey,
+         'NL-WbDRAZU-G0321-661-' || CAST(o_orderkey AS VARCHAR) AS uid
+  FROM orders)
+SELECT o_orderkey, uid,
+       split_part(uid, '-', 3) AS source_id,
+       split_part(uid, '-', 4) AS archive_id,
+       CAST(split_part(uid, '-', 5) AS BIGINT) AS object_id
+FROM u
+"""
+
+
+@query("f4_extract_id_parts", _F4_SQL)
+def f4_extract_id_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 positional dash-token extraction after the NL-WbDRAZU prefix
+    (razu/util.py:73-107, razu/identifiers.py:88-121)."""
+    o = T(spark, sf_dir, "orders")
+    uid = razu_uid(F.col("o_orderkey"))
+    d = o.select("o_orderkey", uid.alias("uid"))
+    return d.select(
+        "o_orderkey",
+        "uid",
+        F.split_part(F.col("uid"), F.lit("-"), F.lit(3)).alias("source_id"),
+        F.split_part(F.col("uid"), F.lit("-"), F.lit(4)).alias("archive_id"),
+        F.split_part(F.col("uid"), F.lit("-"), F.lit(5)).cast("long").alias("object_id"),
+    )
+
+
+_F6_SQL = r"""
+WITH p AS (
+  SELECT o_orderkey,
+         'F:\depot\bestanden\sub' || CAST(o_orderkey % 10 AS VARCHAR)
+         || '\f' || CAST(o_orderkey AS VARCHAR) || '.jpg' AS raw_path
+  FROM orders)
+SELECT o_orderkey, raw_path,
+       regexp_extract(replace(raw_path, '\', '/'), '.*bestanden/(.*)$', 1) AS rel_path
+FROM p
+"""
+
+
+@query("f6_normalize_path", _F6_SQL)
+def f6_normalize_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 normalize_path (razu/util.py:128-153): backslash→slash,
+    relativize to the `bestanden/` segment."""
+    from razulibs_spark.functions.scalars import normalize_path
+
+    o = T(spark, sf_dir, "orders")
+    raw = F.concat(
+        F.lit(r"F:\depot\bestanden\sub"),
+        (F.col("o_orderkey") % 10).cast("string"),
+        F.lit(r"\f"),
+        F.col("o_orderkey").cast("string"),
+        F.lit(".jpg"),
+    )
+    d = o.select("o_orderkey", raw.alias("raw_path"))
+    return d.select(
+        "o_orderkey", "raw_path", normalize_path(F.col("raw_path")).alias("rel_path")
+    )
+
+
+_F9_SQL = """
+SELECT o_orderkey,
+       CAST(1984 + o_orderkey % 30 AS VARCHAR) || '_' ||
+       lpad(CAST(1 + o_orderkey % 5 AS VARCHAR), 2, '0') || '_' ||
+       lpad(CAST(o_orderkey % 999 AS VARCHAR), 3, '0') || '.jpg' AS bestandsnaam
+FROM orders
+"""
+
+
+@query("f9_compose_filename", _F9_SQL)
+def f9_compose_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9 maak_bestandsnaam `{jaar}_{nn:02d}_{nnn:03d}.jpg`
+    (demo/csv_luchtfotos/extra.py:46-54)."""
+    o = T(spark, sf_dir, "orders")
+    name = F.concat(
+        (1984 + F.col("o_orderkey") % 30).cast("string"),
+        F.lit("_"),
+        F.lpad((1 + F.col("o_orderkey") % 5).cast("string"), 2, "0"),
+        F.lit("_"),
+        F.lpad((F.col("o_orderkey") % 999).cast("string"), 3, "0"),
+        F.lit(".jpg"),
+    )
+    return o.select("o_orderkey", name.alias("bestandsnaam"))
+
+
+_F12_SQL = """
+WITH c AS (
+  SELECT o_orderkey,
+         'X ' || CAST(136669000 + o_orderkey % 1000 AS VARCHAR)
+         || ' Y ' || CAST(451994996 - o_orderkey % 1000 AS VARCHAR) AS coord
+  FROM orders),
+ parsed AS (
+  SELECT o_orderkey, coord,
+         CAST(CAST(split_part(coord, ' ', 2) AS DOUBLE) / 1000.0 AS DECIMAL(12,3)) AS x,
+         CAST(CAST(split_part(coord, ' ', 4) AS DOUBLE) / 1000.0 AS DECIMAL(12,3)) AS y
+  FROM c)
+SELECT o_orderkey, coord,
+       'POLYGON ((' ||
+       CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+       CAST(x + 0.686 AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || ', ' ||
+       CAST(x + 0.686 AS VARCHAR) || ' ' || CAST(y + 0.686 AS VARCHAR) || ', ' ||
+       CAST(x AS VARCHAR) || ' ' || CAST(y + 0.686 AS VARCHAR) || ', ' ||
+       CAST(x AS VARCHAR) || ' ' || CAST(y AS VARCHAR) || '))' AS wkt
+FROM parsed
+"""
+
+
+@query("f12_wkt_bbox", _F12_SQL)
+def f12_wkt_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11/F12 RD-coordinate parse + WKT bbox polygon
+    (demo/csv_luchtfotos/extra.py:14-18,29-40). Coordinates are carried
+    as decimal(12,3) so the string form is engine-identical."""
+    from razulibs_spark.functions.scalars import parse_rd_coord, wkt_bbox_polygon
+
+    o = T(spark, sf_dir, "orders")
+    coord = F.concat(
+        F.lit("X "),
+        (136669000 + F.col("o_orderkey") % 1000).cast("string"),
+        F.lit(" Y "),
+        (451994996 - F.col("o_orderkey") % 1000).cast("string"),
+    )
+    d = o.select("o_orderkey", coord.alias("coord"))
+    x, y = parse_rd_coord(F.col("coord"))
+    xd = x.cast("decimal(12,3)")
+    yd = y.cast("decimal(12,3)")
+    return d.select(
+        "o_orderkey",
+        "coord",
+        wkt_bbox_polygon(xd, yd, (xd + F.lit(0.686)).cast("decimal(13,3)"),
+                         (yd + F.lit(0.686)).cast("decimal(13,3)")).alias("wkt"),
+    )
+
+
+_F14_SQL = """
+SELECT p_partkey,
+       CAST(coalesce(CASE WHEN p_partkey % 5 = 0 THEN NULL ELSE p_size END, 0) AS BIGINT) AS size_filled
+FROM part
+"""
+
+
+@query("f14_null_to_zero", _F14_SQL)
+def f14_null_to_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 fillna(0).astype(int) on SIZE (csv2rdf.py:56)."""
+    p = T(spark, sf_dir, "part")
+    nullable = F.when(F.col("p_partkey") % 5 == 0, F.lit(None)).otherwise(F.col("p_size"))
+    return p.select(
+        "p_partkey",
+        F.coalesce(nullable, F.lit(0)).cast("long").alias("size_filled"),
+    )
+
+
+_F17_SQL = """
+WITH f AS (
+  SELECT o_orderkey,
+         CASE CAST(o_orderkey % 4 AS INTEGER)
+           WHEN 0 THEN '.gz' WHEN 1 THEN '.json' WHEN 2 THEN '.jpg' ELSE '' END AS ext
+  FROM orders)
+SELECT o_orderkey, ext,
+       CASE ext WHEN '.jpg' THEN 'image/jpeg'
+                WHEN '.json' THEN 'application/json'
+                WHEN '.gz' THEN 'application/gzip'
+                ELSE 'application/octet-stream' END AS mime_type
+FROM f
+"""
+
+
+@query("f17_mime_guess", _F17_SQL)
+def f17_mime_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17 MIME guess with octet-stream default
+    (razu/s3storage.py:167-169) as a literal lookup map."""
+    o = T(spark, sf_dir, "orders")
+    ext = (
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(".gz"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit(".json"))
+        .when(F.col("o_orderkey") % 4 == 2, F.lit(".jpg"))
+        .otherwise(F.lit(""))
+    )
+    d = o.select("o_orderkey", ext.alias("ext"))
+    mime = (
+        F.when(F.col("ext") == ".jpg", F.lit("image/jpeg"))
+        .when(F.col("ext") == ".json", F.lit("application/json"))
+        .when(F.col("ext") == ".gz", F.lit("application/gzip"))
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return d.select("o_orderkey", "ext", mime.alias("mime_type"))
