@@ -1372,3 +1372,258 @@ def f17_mime_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("application/octet-stream"))
     )
     return d.select("o_orderkey", "ext", mime.alias("mime_type"))
+
+
+# ---------------------------------------------------------------------------
+# §2 closers: P5 pivot, J7 verification, A4 buckets, F5, F16, T3, S7,
+# K2/S4 round-trip
+# ---------------------------------------------------------------------------
+
+
+def _o2_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-schema (TRIPLE_SCHEMA) variant of the O2 fan-out, for
+    queries that need o_type/o_datatype/o_lang."""
+    o = T(spark, sf_dir, "orders")
+    uid = razu_uid(F.col("o_orderkey"))
+    return entity_to_triples(
+        o,
+        razu_uri(uid),
+        [
+            PropertyMap("rdf:type", F.lit("ldto:Informatieobject"), "uri"),
+            PropertyMap("ldto:identificatie", uid),
+            PropertyMap("ldto:status", F.col("o_orderstatus")),
+            PropertyMap("ldto:totalPrice", F.col("o_totalprice").cast("decimal(18,2)"),
+                        datatype="http://www.w3.org/2001/XMLSchema#decimal"),
+            PropertyMap("ldto:orderDate", F.col("o_orderdate").cast("date"),
+                        datatype="http://www.w3.org/2001/XMLSchema#date"),
+        ],
+    )
+
+
+_P5_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s,
+       max(CASE WHEN p = 'ldto:status' THEN o END) AS status,
+       max(CASE WHEN p = 'ldto:totalPrice' THEN o END) AS total_price,
+       max(CASE WHEN p = 'ldto:orderDate' THEN o END) AS order_date
+FROM triples
+GROUP BY s
+HAVING max(CASE WHEN p = 'rdf:type' AND o = 'ldto:Informatieobject' THEN 1 END) = 1
+"""
+
+
+@query("p5_subject_type_pivot", _P5_SQL)
+def p5_subject_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 subject-by-type filter + per-property pivot (cpr.py:31-43:
+    graph.subjects(RDF.type, T) then graph.value per property).
+    One shuffle: conditional aggregates instead of N self-joins."""
+    t = o2_entity_fanout(spark, sf_dir)
+    first = lambda pred: F.max(F.when(F.col("p") == pred, F.col("o")))
+    return (
+        t.groupBy("s")
+        .agg(
+            first("ldto:status").alias("status"),
+            first("ldto:totalPrice").alias("total_price"),
+            first("ldto:orderDate").alias("order_date"),
+            F.max(
+                F.when(
+                    (F.col("p") == "rdf:type")
+                    & (F.col("o") == "ldto:Informatieobject"),
+                    F.lit(1),
+                )
+            ).alias("_is_type"),
+        )
+        .filter(F.col("_is_type") == 1)
+        .drop("_is_type")
+    )
+
+
+_J7_SQL = """
+WITH manifest AS (
+  SELECT p_name AS filename, md5(p_name) AS local_md5 FROM part),
+ listing AS (
+  SELECT p_name AS filename,
+         CASE WHEN p_partkey % 10 = 0 THEN md5(p_name || 'x')
+              WHEN p_partkey % 10 = 1 THEN md5(p_name) || '-2'
+              ELSE md5(p_name) END AS etag
+  FROM part WHERE p_partkey % 10 <> 2)
+SELECT m.filename,
+       CASE WHEN l.etag IS NULL THEN 'missing_remote'
+            WHEN l.etag LIKE '%-%' THEN 'multipart_recheck'
+            WHEN l.etag = m.local_md5 THEN 'verified'
+            ELSE 'mismatch' END AS status
+FROM manifest m LEFT JOIN listing l ON m.filename = l.filename
+"""
+
+
+@query("j7_upload_verification", _J7_SQL)
+def j7_upload_verification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 upload-verification join (razu/edepot.py:257-269,
+    razu/s3storage.py:219-255): manifest MD5 vs S3 ETag in one join
+    over one LIST, multipart ETags ('-' marker) routed to a recheck
+    bucket instead of a per-file download on the hot path."""
+    p = T(spark, sf_dir, "part")
+    manifest = p.select(F.col("p_name").alias("filename"),
+                        F.md5("p_name").alias("local_md5"))
+    listing = (
+        p.filter(F.col("p_partkey") % 10 != 2)
+        .select(
+            F.col("p_name").alias("filename"),
+            F.when(F.col("p_partkey") % 10 == 0, F.md5(F.concat(F.col("p_name"), F.lit("x"))))
+            .when(F.col("p_partkey") % 10 == 1, F.concat(F.md5("p_name"), F.lit("-2")))
+            .otherwise(F.md5("p_name"))
+            .alias("etag"),
+        )
+    )
+    joined = manifest.join(listing, "filename", "left")
+    status = (
+        F.when(F.col("etag").isNull(), F.lit("missing_remote"))
+        .when(F.col("etag").contains("-"), F.lit("multipart_recheck"))
+        .when(F.col("etag") == F.col("local_md5"), F.lit("verified"))
+        .otherwise(F.lit("mismatch"))
+    )
+    return joined.select("filename", status.alias("status"))
+
+
+_A4_SQL = f"""
+WITH statuses AS ({_J7_SQL})
+SELECT status, COUNT(*) AS n FROM statuses GROUP BY status
+"""
+
+
+@query("a4_outcome_buckets", _A4_SQL)
+def a4_outcome_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 per-outcome counters (razu/edepot.py:124-147,223-250):
+    driver-side counters become one groupBy over the J7 statuses."""
+    return j7_upload_verification(spark, sf_dir).groupBy("status").agg(
+        F.count("*").alias("n")
+    )
+
+
+_F5_SQL = """
+WITH f AS (
+  SELECT p_partkey, 'NL-WbDRAZU-G0321-661-' || CAST(p_partkey AS VARCHAR)
+         || '.meta.json' AS filename
+  FROM part)
+SELECT p_partkey, filename, split_part(filename, '.', 1) AS stem
+FROM f
+"""
+
+
+@query("f5_filename_stem", _F5_SQL)
+def f5_filename_stem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 filename_without_extensions — cut at first dot
+    (razu/util.py:109-126)."""
+    p = T(spark, sf_dir, "part")
+    fname = F.concat(razu_uid(F.col("p_partkey")), F.lit(".meta.json"))
+    d = p.select("p_partkey", fname.alias("filename"))
+    return d.select("p_partkey", "filename",
+                    filename_stem(F.col("filename")).alias("stem"))
+
+
+_F16_SQL = """
+WITH v AS (
+  SELECT p_partkey, 'Dataset Luchtfoto''s/' || p_name || ': nr '
+         || CAST(p_partkey AS VARCHAR) AS meta_value
+  FROM part)
+SELECT p_partkey, meta_value,
+       replace(replace(replace(replace(meta_value,
+         '''', '%27'), '/', '%2F'), ':', '%3A'), ' ', '+') AS encoded
+FROM v
+"""
+
+
+@query("f16_url_encode", _F16_SQL)
+def f16_url_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16 URL-encode S3 metadata values (razu/s3storage.py:480-493:
+    urllib.parse.quote). Spark's url_encode is
+    application/x-www-form-urlencoded (java.net.URLEncoder); the
+    oracle mirrors it for the chars present in the fixture values."""
+    p = T(spark, sf_dir, "part")
+    val = F.concat(F.lit("Dataset Luchtfoto's/"), F.col("p_name"),
+                   F.lit(": nr "), F.col("p_partkey").cast("string"))
+    d = p.select("p_partkey", val.alias("meta_value"))
+    return d.select("p_partkey", "meta_value",
+                    F.url_encode(F.col("meta_value")).alias("encoded"))
+
+
+_T3_SQL = """
+SELECT c_mktsegment, c_custkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS BIGINT) AS rnk
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+@query("t3_sorted_diff", _T3_SQL)
+def t3_sorted_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 sorted set-difference output (compare_manifest_to_s3.py:16-17):
+    customers-without-orders anti-join, ranked *within* a partition key
+    (segment) so the sort parallelizes — no global window."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    diff = c.join(o.select(F.col("o_custkey").alias("c_custkey")), "c_custkey", "left_anti")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_custkey")
+    return diff.select(
+        "c_mktsegment", "c_custkey", F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
+_S7_SQL = """
+SELECT p_name AS filename,
+       md5(p_name) AS md5hash,
+       CAST(p_size AS BIGINT) AS file_size
+FROM part
+"""
+
+
+@query("s7_manifest_map_scan", _S7_SQL)
+def s7_manifest_map_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 manifest JSON scan (razu/manifest.py:175-183): the on-disk
+    form is ONE JSON object map {filename: {md5hash,...}}; engine form
+    is from_json(MapType) + explode(map) — here round-tripped through
+    to_json to prove both directions."""
+    from pyspark.sql.types import LongType, MapType, StringType, StructField, StructType
+
+    p = T(spark, sf_dir, "part")
+    entry_schema = MapType(
+        StringType(),
+        StructType([
+            StructField("md5hash", StringType()),
+            StructField("file_size", LongType()),
+        ]),
+    )
+    json_col = F.to_json(
+        F.create_map(
+            F.col("p_name"),
+            F.struct(
+                F.md5("p_name").alias("md5hash"),
+                F.col("p_size").cast("long").alias("file_size"),
+            ),
+        )
+    )
+    parsed = p.select(F.from_json(json_col, entry_schema).alias("m"))
+    return parsed.select(F.explode("m").alias("filename", "entry")).select(
+        "filename",
+        F.col("entry.md5hash").alias("md5hash"),
+        F.col("entry.file_size").alias("file_size"),
+    )
+
+
+_K2_RT_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s, p, o FROM triples
+"""
+
+
+@query("k2_ntriples_roundtrip", _K2_RT_SQL)
+def k2_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 sink + S4 source round-trip (razu/sip.py:42-49,
+    razu/turtle.py:6-32): serialize the O2 triples to N-Triples text,
+    parse back, and return (s,p,o) — the oracle checks the round trip
+    is lossless. Both directions are per-line, shuffle-free."""
+    from razulibs_spark.sources.rdf_io import read_ntriples, write_ntriples
+
+    path = "/root/repo/.scratch/ntriples_rt"
+    write_ntriples(_o2_triples_full(spark, sf_dir), path)
+    return read_ntriples(spark, path).select("s", "p", "o")
