@@ -49,12 +49,17 @@ TRIPLE_SCHEMA = StructType(
 
 @dataclass(frozen=True)
 class PropertyMap:
-    """One predicate mapping for the entity→triples fan-out."""
+    """One predicate mapping for the entity→triples fan-out.
+
+    `datatype` may be a Column for per-row datatypes (the date_type
+    semantics of razu/util.py:9-30 tag each value xsd:date vs
+    xsd:gYear depending on its lexical form).
+    """
 
     predicate: str
     value: Column
     o_type: str = "literal"  # 'uri' | 'bnode' | 'literal'
-    datatype: str | None = None
+    datatype: str | Column | None = None
     lang: str | None = None
 
 
@@ -78,7 +83,9 @@ def entity_to_triples(df: DataFrame, subject: Column, props: list[PropertyMap]) 
             F.lit(p.predicate).alias("p"),
             p.value.cast("string").alias("o"),
             F.lit(p.o_type).alias("o_type"),
-            F.lit(p.datatype).cast("string").alias("o_datatype"),
+            (
+                p.datatype if isinstance(p.datatype, Column) else F.lit(p.datatype)
+            ).cast("string").alias("o_datatype"),
             F.lit(p.lang).cast("string").alias("o_lang"),
         )
         for p in props
