@@ -69,22 +69,41 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Pairwise n-gram Jaccard similarity ≥ threshold.
 
-    |A∩B| via a self-join on the shingle key, |A∪B| = n1 + n2 - common.
-    If `candidates` (d1, d2) is given (e.g. from LSH banding), the
-    intersection join is restricted to those pairs — the scale path.
+    |A∪B| = n1 + n2 - |A∩B|. Two intersection strategies:
+
+    - No `candidates` (brute-force baseline): self-join on the shingle
+      key — cost is Σ over shingles of df², bounded by shingle
+      cardinality, the highest-cardinality key available.
+    - With `candidates` (d1, d2) from LSH banding: candidate-DRIVEN
+      intersection — expand each pair by d1's shingles, then inner-join
+      on (d2, shingle). Cost scales with Σ over candidate pairs of
+      |A|, never with the O(n²) co-shingled pair space; this is what
+      makes LSH pay off at 100 TB. (A semi-join filter *after* a full
+      self-join would still materialize every co-shingled pair.)
     """
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    common = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
-        .groupBy("d1", "d2")
-        .agg(F.count("*").alias("common"))
-    )
-    if candidates is not None:
-        common = common.join(candidates, on=["d1", "d2"], how="left_semi")
+    if candidates is None:
+        a = shingles.alias("a")
+        b = shingles.alias("b")
+        common = (
+            a.join(b, on="shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("common"))
+        )
+    else:
+        common = (
+            candidates.join(
+                shingles.select(F.col("doc_id").alias("d1"), "shingle"), "d1"
+            )
+            .join(
+                shingles.select(F.col("doc_id").alias("d2"), "shingle"),
+                ["d2", "shingle"],
+            )
+            .groupBy("d1", "d2")
+            .agg(F.count("*").alias("common"))
+        )
     n1 = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
     jac = F.round(
