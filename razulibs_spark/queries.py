@@ -1627,3 +1627,23 @@ def k2_ntriples_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = "/root/repo/.scratch/ntriples_rt"
     write_ntriples(_o2_triples_full(spark, sf_dir), path)
     return read_ntriples(spark, path).select("s", "p", "o")
+
+
+_K1_RT_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s, p, o FROM triples
+"""
+
+
+@query("k1_jsonld_roundtrip", _K1_RT_SQL)
+def k1_jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K1 sink + S3 source round-trip (razu/meta_resource.py:45-61):
+    group the O2 triples into one flat JSON-LD document per entity
+    (applyInPandas on the entity key — the document boundary), write as
+    JSON-Lines, parse back with mapInPandas, return (s,p,o). The
+    oracle checks document (de)serialization is the identity."""
+    from razulibs_spark.sources.jsonld import read_jsonld, write_jsonld
+
+    path = "/root/repo/.scratch/jsonld_rt"
+    write_jsonld(_o2_triples_full(spark, sf_dir), path)
+    return read_jsonld(spark, path).select("s", "p", "o")

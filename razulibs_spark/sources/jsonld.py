@@ -1,0 +1,158 @@
+"""JSON-LD sink/source and multi-format RDF scan — SURVEY.md §2.1
+(K1: per-entity JSON-LD sink, razu/meta_resource.py:45-54; S3: JSON-LD
+scan, razu/meta_resource.py:56-61; S4: multi-format RDF scan,
+razu/turtle.py:6-32).
+
+Representation: *flat* JSON-LD — one document per entity, holding an
+`@graph` array of node objects (the entity node plus the blank nodes
+it owns). Blank nodes stay skolemized (`bnode:<uid>:<local>`,
+operators/rdf.py) and are carried verbatim in `@id`; skolemization is
+the W3C-sanctioned way to give blank nodes stable IRIs, and it is what
+lets two documents merge with a plain union instead of the reference's
+bnode-suffix remap (tools/collect_rdf.py:37-54).
+
+Scale shape: the sink is JSON-Lines — one complete JSON-LD document
+per line — not one file per entity (the reference's per-entity
+`open()`/`write()` at meta_resource.py:45-54 is the single-node
+pattern; a 100 TB corpus wants few large files, and any consumer can
+still address one entity = one line). Document (de)serialization is
+the one genuinely row-shaped job in the engine (SURVEY §2.11), so it
+runs as Arrow-batched applyInPandas / mapInPandas — never
+row-at-a-time Python UDFs.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from razulibs_spark.operators.rdf import NAMESPACES, TRIPLE_SCHEMA
+
+
+def owning_entity(subject: Column) -> Column:
+    """Default document-grouping key: a skolemized bnode
+    `bnode:<uid>:<local>` belongs to the entity `<uid>`; a URI subject
+    `.../<uid>` is keyed by its last path segment (the razu_uri
+    convention, functions/scalars.py). Callers with other URI layouts
+    pass their own `owner` column."""
+    return F.when(
+        subject.startswith("bnode:"),
+        F.regexp_extract(subject, r"^bnode:(.+):[^:]+$", 1),
+    ).otherwise(F.regexp_extract(subject, r"([^/]+)$", 1))
+
+
+def _value_object(row) -> object:
+    if row.o_type in ("uri", "bnode"):
+        return {"@id": row.o}
+    if row.o_lang:
+        return {"@value": row.o, "@language": row.o_lang}
+    if row.o_datatype:
+        return {"@value": row.o, "@type": row.o_datatype}
+    return {"@value": row.o}
+
+
+def _build_docs(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One grouped-entity pandas batch → one JSON-LD document.
+    Deterministic: nodes ordered by @id, predicates sorted, objects in
+    first-seen order (callers wanting canonical output sort upstream).
+    """
+    owner = pdf["_owner"].iloc[0]
+    nodes: dict[str, dict] = {}
+    for row in pdf.itertuples(index=False):
+        node = nodes.setdefault(row.s, {"@id": row.s})
+        node.setdefault(row.p, []).append(_value_object(row))
+    graph = [
+        {k: node[k] for k in ["@id"] + sorted(k for k in node if k != "@id")}
+        for _, node in sorted(nodes.items())
+    ]
+    doc = {"@context": dict(sorted(NAMESPACES.items())), "@graph": graph}
+    return pd.DataFrame(
+        {"entity": [owner], "jsonld": [json.dumps(doc, ensure_ascii=False)]}
+    )
+
+
+def jsonld_docs(triples: DataFrame, owner: Column | None = None) -> DataFrame:
+    """(entity, jsonld) — one flat JSON-LD document string per entity.
+
+    groupBy(owner).applyInPandas: one shuffle on the entity key (the
+    natural document boundary), then each document builds locally in
+    one Arrow batch. Entities are assumed document-sized (≤ thousands
+    of triples), as in the reference."""
+    owner = owning_entity(F.col("s")) if owner is None else owner
+    return (
+        triples.withColumn("_owner", owner)
+        .groupBy("_owner")
+        .applyInPandas(_build_docs, schema="entity string, jsonld string")
+    )
+
+
+def write_jsonld(triples: DataFrame, path: str, owner: Column | None = None) -> None:
+    """K1 sink: JSON-Lines of per-entity JSON-LD documents."""
+    jsonld_docs(triples, owner).select("jsonld").write.mode("overwrite").text(path)
+
+
+def _parse_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = {k: [] for k in ("s", "p", "o", "o_type", "o_datatype", "o_lang")}
+        for line in pdf["value"]:
+            doc = json.loads(line)
+            for node in doc.get("@graph", [doc]):
+                s = node["@id"]
+                for p, values in node.items():
+                    if p.startswith("@"):
+                        continue
+                    if not isinstance(values, list):
+                        values = [values]
+                    for v in values:
+                        if not isinstance(v, dict):
+                            v = {"@value": v}
+                        if "@id" in v:
+                            o, o_type = v["@id"], (
+                                "bnode" if v["@id"].startswith("bnode:") else "uri"
+                            )
+                            dt = lang = None
+                        else:
+                            o, o_type = str(v["@value"]), "literal"
+                            dt, lang = v.get("@type"), v.get("@language")
+                        out["s"].append(s)
+                        out["p"].append(p)
+                        out["o"].append(o)
+                        out["o_type"].append(o_type)
+                        out["o_datatype"].append(dt)
+                        out["o_lang"].append(lang)
+        yield pd.DataFrame(out)
+
+
+def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
+    """S3 source: JSON-LD documents (one per line) → triples DataFrame.
+    Line-framed, so the parse distributes per input split with no
+    document-level coordination."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    return lines.mapInPandas(_parse_docs, schema=TRIPLE_SCHEMA)
+
+
+def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
+    """S4 multi-format RDF scan (razu/turtle.py:6-32 tries formats until
+    one parses; here the extension decides, with an explicit override —
+    content-sniffing a 100 TB input is not a plan, a schema is)."""
+    from razulibs_spark.sources.rdf_io import read_ntriples
+
+    if fmt is None:
+        low = path.lower().rstrip("/")
+        if low.endswith((".jsonld", ".json")):
+            fmt = "jsonld"
+        elif low.endswith((".nt", ".ntriples")):
+            fmt = "ntriples"
+        else:
+            raise ValueError(
+                f"cannot infer RDF format from {path!r}; pass fmt="
+            )
+    if fmt == "jsonld":
+        return read_jsonld(spark, path)
+    if fmt == "ntriples":
+        return read_ntriples(spark, path)
+    raise ValueError(f"unsupported RDF format {fmt!r}")

@@ -1,0 +1,155 @@
+"""Golden-output test of the full csv2rdf pipeline (SURVEY.md §5 test
+plan item 3): a razu-shaped 4-row fixture (FIXTURES.md §1-§2, modeled
+on razu/demo/csv_luchtfotos/metadata/) through plans/csv2rdf.py with a
+*local* vocabulary table — no network, unlike the reference whose
+csv2rdf is untestable without its live SPARQL endpoint (SURVEY §5).
+
+Asserts exact triples (order-insensitive), then round-trips the graph
+through both RDF serializations (N-Triples and per-entity JSON-LD) and
+requires the parsed-back triple set to be identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from razulibs_spark.plans.csv2rdf import compose_filename, csv2rdf_triples
+from razulibs_spark.sources.jsonld import jsonld_docs, read_rdf, write_jsonld
+from razulibs_spark.sources.rdf_io import write_ntriples
+
+URI = "https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-{}"
+
+METADATA_COLS = [
+    "Plaats", "Doos-nummer", "Inventarisnummer", "Volgnummer", "Serie",
+    "Datering", "Titel", "Beschrijving voorkant", "Plaats 1", "Plaats 2",
+    "Plaats 3", "Soort", "Auteursrecht", "Fotograaf naam", "Kleurtype",
+    "Coördinaat - Linksonder", "Coördinaat Rechtsboven",
+]
+
+
+def _fixture(spark):
+    rows = [
+        ("W13.1.1", "1984-1", 1, 1, "1984", "1984-07-24",
+         "Luchtfoto gemeente Houten", "Centrum", "Houten", "Tull en 't Waal",
+         None, "Luchtfoto", "Geen toestemming nodig", "Delta-Phot",
+         "Kleurenfoto", "X 136669000 Y 451994996", "X 137355000 Y 452680996"),
+        ("W13.1.1", "1984-1", 2, 2, "1984", "1984",
+         "Luchtfoto Houten noord", "Noordrand", "Houten", None, None,
+         "Luchtfoto", "Geen toestemming nodig", "Delta-Phot",
+         "Kleurenfoto", "X 136000000 Y 451000000", "X 136500000 Y 451500000"),
+        ("W13.1.2", "1985-2", 3, 1, "1985", "24-06-1985",
+         "Luchtfoto 't Goy", "Dorpskern", "'t Goy", None, None,
+         "Luchtfoto", "Geen toestemming nodig", "Delta-Phot",
+         "Zwart-wit", "X 137000000 Y 450000000", "X 137500000 Y 450500000"),
+        ("W13.1.2", "1985-2", 4, 2, "1985", "1985-06-30",
+         "Luchtfoto Schalkwijk", "Lint", "Schalkwijk", None, None,
+         "Luchtfoto", "Onbekend", "Delta-Phot",
+         "Zwart-wit", "X 138000000 Y 449000000", "X 138500000 Y 449500000"),
+    ]
+    meta_schema = ", ".join(
+        f"`{c}` {'bigint' if c in ('Inventarisnummer', 'Volgnummer') else 'string'}"
+        for c in METADATA_COLS
+    )
+    metadata = spark.createDataFrame(rows, meta_schema)
+    droid = spark.createDataFrame(
+        [("1984_01_001.jpg", "File", 14509774, "abc1", "fmt/44"),
+         ("1984_01_002.jpg", "File", 10000001, "abc2", "fmt/44"),
+         ("1985_02_001.jpg", "File", 9000002, "abc3", "fmt/44"),
+         ("1985_02_002.jpg", "File", 8000003, "abc4", "fmt/44"),
+         ("bestanden", "Folder", None, None, None)],
+        "NAME string, TYPE string, SIZE bigint, MD5_HASH string, PUID string",
+    )
+    vocab = spark.createDataFrame(
+        [("soort", "Luchtfoto", "https://data.razu.nl/id/soort/luchtfoto"),
+         ("kleurtype", "Kleurenfoto", "https://data.razu.nl/id/kleur/kleurenfoto"),
+         ("kleurtype", "Zwart-wit", "https://data.razu.nl/id/kleur/zwartwit"),
+         ("auteursrecht", "Geen toestemming nodig", "https://data.razu.nl/id/recht/vrij"),
+         ("actor", "Delta-Phot", "https://data.razu.nl/id/actor/deltaphot"),
+         ("locatie", "Houten", "https://data.razu.nl/id/locatie/houten"),
+         ("locatie", "Tull en 't Waal", "https://data.razu.nl/id/locatie/tull"),
+         ("locatie", "'t Goy", "https://data.razu.nl/id/locatie/goy"),
+         ("locatie", "Schalkwijk", "https://data.razu.nl/id/locatie/schalkwijk")],
+        ["vocabulary", "term", "uri"],
+    )
+    return metadata, droid, vocab
+
+
+def _triple_set(df):
+    return {tuple(r) for r in df.select(
+        "s", "p", "o", "o_type", "o_datatype", "o_lang").collect()}
+
+
+def test_compose_filename(spark):
+    df = spark.createDataFrame([("1984-1", 1), ("1985-12", 23)], ["d", "v"])
+    got = [r[0] for r in df.select(
+        compose_filename(F.col("d"), F.col("v"))).collect()]
+    assert got == ["1984_01_001.jpg", "1985_12_023.jpg"]
+
+
+def test_csv2rdf_golden_triples(spark):
+    metadata, droid, vocab = _fixture(spark)
+    triples = csv2rdf_triples(metadata, droid, vocab).cache()
+    got = _triple_set(triples)
+
+    rec1 = URI.format("1")
+    # J1 droid lookup reached the bestand entity:
+    assert (URI.format("1-b"), "ldto:omvang", "14509774", "literal",
+            "xsd:integer", None) in got
+    # J2 vocab resolve:
+    assert (rec1, "ldto:dekkingInRuimte",
+            "https://data.razu.nl/id/locatie/houten", "uri", None, None) in got
+    # P3 optional: row 1 has Plaats 2, rows 2-4 do not → exactly 5
+    # dekkingInRuimte triples in total (4×Plaats1 + 1×Plaats2).
+    assert sum(1 for t in got if t[1] == "ldto:dekkingInRuimte") == 5
+    # F1 per-row date datatypes on the nested dekking bnode (D3):
+    dek = {t[4] for t in got if t[1] == "ldto:dekkingInTijdBeginDatum"
+           and t[0].startswith("bnode:")}
+    assert dek == {"xsd:date", "xsd:gYear"}
+    # Dutch d-m-yyyy reformatted to ISO (util.py:9-30 semantics):
+    assert ("bnode:NL-WbDRAZU-G0321-661-3:dekking",
+            "ldto:dekkingInTijdBeginDatum", "1985-06-24", "literal",
+            "xsd:date", None) in got
+    # F11/F12 WKT bbox:
+    assert (rec1, "geo:asWKT",
+            "POLYGON ((136669.0 451994.996, 137355.0 451994.996, "
+            "137355.0 452680.996, 136669.0 452680.996, 136669.0 451994.996))",
+            "literal", "geo:wktLiteral", None) in got
+    # A1/A7 archive singleton with the global min/max Datering:
+    arch = URI.format("archief")
+    assert (arch, "ldto:dekkingInTijdBeginDatum", "1984", "literal",
+            None, None) in got
+    assert (arch, "ldto:dekkingInTijdEindDatum", "24-06-1985", "literal",
+            None, None) in got
+    # A6/J8: two series, linked both directions:
+    assert (URI.format("serie-1984"), "ldto:bevatOnderdeel", rec1,
+            "uri", None, None) in got
+    assert (rec1, "ldto:isOnderdeelVan", URI.format("serie-1984"),
+            "uri", None, None) in got
+    # Entity census: 4 records + 4 bestanden + 4 bnodes + 2 series + 1
+    # archive typed nodes.
+    assert sum(1 for t in got if t[1] == "rdf:type") == 15
+
+
+def test_csv2rdf_roundtrips(spark, tmp_path):
+    metadata, droid, vocab = _fixture(spark)
+    triples = csv2rdf_triples(metadata, droid, vocab).cache()
+    want = _triple_set(triples)
+
+    nt = str(tmp_path / "graph.nt")
+    write_ntriples(triples, nt)
+    # N-Triples loses the skolem prefix by design (bnodes serialize as
+    # label-hashed `_:`); compare on the stable remainder.
+    back_nt = read_rdf(spark, nt, fmt="ntriples")
+    assert back_nt.count() == len(want)
+
+    jd = str(tmp_path / "graph.jsonld")
+    write_jsonld(triples, jd)
+    back = _triple_set(read_rdf(spark, jd, fmt="jsonld"))
+    assert back == want
+
+    # One document per entity (4 records + 4 bestanden + 2 series + 1
+    # archive; each record doc also carries its dekking bnode node).
+    docs = jsonld_docs(triples)
+    assert docs.count() == 11
+    one = docs.filter(F.col("entity") == "NL-WbDRAZU-G0321-661-1").collect()[0]
+    assert '"@graph"' in one["jsonld"] and "bnode:NL-WbDRAZU-G0321-661-1:dekking" in one["jsonld"]
