@@ -1647,3 +1647,15 @@ def k1_jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = "/root/repo/.scratch/jsonld_rt"
     write_jsonld(_o2_triples_full(spark, sf_dir), path)
     return read_jsonld(spark, path).select("s", "p", "o")
+
+
+@query("streaming_sessionize")
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (rows-only: state machines
+    aren't SQL-expressible): gap-based sessionization per user via
+    applyInPandasWithState with event-time timeout — bounded per-user
+    state, sessions emit on gap overrun or timer. Batch equivalence is
+    asserted in tests/test_operators.py."""
+    from razulibs_spark.streaming.sessionize import run_sessionize_available_now
+
+    return run_sessionize_available_now(spark, sf_dir)

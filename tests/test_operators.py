@@ -276,3 +276,37 @@ def test_streaming_rollup_matches_batch(spark, sf_dir):
     }
     b = {(r["window_start"], r["event_type"]): r["n"] for r in batch.collect()}
     assert s == b
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir):
+    """The stateful applyInPandasWithState sessionizer emits exactly
+    the batch plan's closed sessions. A session closes two ways: a
+    same-user event overruns the gap (mid-stream), or the event-time
+    timer fires once the watermark passes session_end + gap — so each
+    user's final session emits iff it is at least one gap older than
+    the stream's max event time; otherwise it stays open in state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from razulibs_spark.streaming.sessionize import (
+        GAP_US,
+        run_sessionize_available_now,
+    )
+    from razulibs_spark import queries as Q
+
+    streamed = run_sessionize_available_now(spark, sf_dir)
+    batch = Q.QUERIES["events_sessionize"](spark, sf_dir)
+    max_us = Q.T(spark, sf_dir, "events").agg(
+        F.max(F.unix_micros("ts"))).collect()[0][0]
+    last = Window.partitionBy("user_id")
+    closed = (
+        batch.withColumn("_max_seq", F.max("session_seq").over(last))
+        .filter(
+            (F.col("session_seq") < F.col("_max_seq"))
+            | (F.unix_micros("session_end") + GAP_US < max_us)
+        )
+    )
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"],
+                     r["n_events"], round(r["sum_value"], 4))
+    s = sorted(key(r) for r in streamed.collect())
+    b = sorted(key(r) for r in closed.collect())
+    assert len(s) > 0 and s == b
