@@ -173,3 +173,47 @@ def DEC_SUM_SQL(expr: str, alias: str, scale: int = 4) -> str:
         f"CAST(SUM(CAST(FLOOR(({expr}) * {m} + 0.5) AS BIGINT)) AS DOUBLE)"
         f" / {m}.0 AS {alias}"
     )
+
+
+# ---------------------------------------------------------------------------
+# F10 — RD (EPSG:28992) → WGS84 (EPSG:4326) coordinate transform.
+# Reference: demo/csv_luchtfotos/extra.py:10,23-25 wraps pyproj per
+# row. Here the transform is the published Schreutelkamp & Strang van
+# Hees approximation polynomials (±1 m, "Benaderingsformules voor de
+# transformatie tussen RD- en WGS84-kaartcoördinaten", Geodesia 2001)
+# as pure Column expressions — JVM whole-stage codegen, no Python
+# boundary, no pyproj dependency. For survey-grade accuracy swap in a
+# pyproj pandas_udf; the call signature is identical.
+# ---------------------------------------------------------------------------
+
+_RD_X0, _RD_Y0 = 155_000.0, 463_000.0
+_PHI0, _LAM0 = 52.15517440, 5.38720621
+
+_K_COEFFS = [  # (p, q, K_pq) for latitude seconds
+    (0, 1, 3235.65389), (2, 0, -32.58297), (0, 2, -0.24750),
+    (2, 1, -0.84978), (0, 3, -0.06550), (2, 2, -0.01709),
+    (1, 0, -0.00738), (4, 0, 0.00530), (2, 3, -0.00039),
+    (4, 1, 0.00033), (1, 1, -0.00012),
+]
+_L_COEFFS = [  # (p, q, L_pq) for longitude seconds
+    (1, 0, 5260.52916), (1, 1, 105.94684), (1, 2, 2.45656),
+    (3, 0, -0.81885), (1, 3, 0.05594), (3, 1, -0.05607),
+    (0, 1, 0.01199), (3, 2, -0.00256), (1, 4, 0.00128),
+    (0, 2, 0.00022), (2, 0, -0.00022), (5, 0, 0.00026),
+]
+
+
+def rd_to_wgs84(x: Column, y: Column) -> tuple[Column, Column]:
+    """(RD x, RD y) metres → (lat, lon) WGS84 degrees (F10)."""
+    dx = (x - F.lit(_RD_X0)) * 1e-5
+    dy = (y - F.lit(_RD_Y0)) * 1e-5
+
+    def poly(coeffs):
+        total = F.lit(0.0)
+        for p, q, c in coeffs:
+            total = total + F.lit(c) * F.pow(dx, F.lit(p)) * F.pow(dy, F.lit(q))
+        return total
+
+    lat = F.lit(_PHI0) + poly(_K_COEFFS) / 3600.0
+    lon = F.lit(_LAM0) + poly(_L_COEFFS) / 3600.0
+    return lat, lon

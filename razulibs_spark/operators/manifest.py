@@ -120,3 +120,45 @@ def manifest_from_json_map(spark: SparkSession, text: str) -> DataFrame:
         )
     schema = StructType([f for f in MANIFEST_SCHEMA if f.name not in ("md5date", "last_modified")])
     return spark.createDataFrame(rows, schema=schema)
+
+
+def sync_to_local_store(plan: DataFrame, source_root: str, dest_root: str) -> int:
+    """K6/K7 executor-side copy sink (razu/sip.py:157-166,
+    tools/sip2localstorage.py:130-189): materialize an
+    incremental_sync_plan by copying each `filename` from
+    `source_root` to `dest_root`, per partition — the decision of
+    *what* to copy is the J5 anti-join, never a per-file stat probe.
+    Returns the number of files copied (accumulator, A4-style)."""
+    import os
+    import shutil
+
+    n = plan.sparkSession.sparkContext.accumulator(0)
+
+    def copy(rows) -> None:
+        for row in rows:
+            src = os.path.join(source_root, row["filename"])
+            dst = os.path.join(dest_root, row["filename"])
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+            n.add(1)
+
+    plan.select("filename").foreachPartition(copy)
+    return n.value
+
+
+# F20 — tool signature extraction (razu/application_registry.py:49-70):
+# regex over `droid -v` / `clamscan --version` style output. Runs on
+# the driver (one subprocess per tool per run), its result joined into
+# event rows as a literal column.
+_TOOL_SIG_PATTERNS = {
+    "droid": r"(\d+\.\d+(?:\.\d+)?)",
+    "clamscan": r"ClamAV (\d+\.\d+(?:\.\d+)?)",
+}
+
+
+def extract_tool_signature(tool: str, version_output: str) -> str | None:
+    import re
+
+    m = re.search(_TOOL_SIG_PATTERNS.get(tool, r"(\d+\.\d+(?:\.\d+)?)"),
+                  version_output)
+    return m.group(1) if m else None

@@ -310,3 +310,54 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     s = sorted(key(r) for r in streamed.collect())
     b = sorted(key(r) for r in closed.collect())
     assert len(s) > 0 and s == b
+
+
+def test_rd_to_wgs84(spark):
+    """F10 golden points from the Schreutelkamp & Strang van Hees
+    paper: Amersfoort OLV tower (the RD origin) and Amsterdam
+    Westertoren, within the published ±1 m (~1e-5 deg) bound."""
+    from razulibs_spark.functions.scalars import rd_to_wgs84
+
+    df = spark.createDataFrame(
+        [(155000.0, 463000.0, 52.15517440, 5.38720621),
+         (120700.723, 487525.501, 52.37453253, 4.88352559)],
+        "x double, y double, lat_exp double, lon_exp double",
+    )
+    lat, lon = rd_to_wgs84(F.col("x"), F.col("y"))
+    rows = df.select(lat.alias("lat"), lon.alias("lon"), "lat_exp", "lon_exp").collect()
+    for r in rows:
+        assert abs(r["lat"] - r["lat_exp"]) < 2e-5
+        assert abs(r["lon"] - r["lon_exp"]) < 2e-5
+
+
+def test_sync_to_local_store(spark, tmp_path):
+    """K6/K7: the J5 plan drives an executor-side copy; a second sync
+    against the updated target copies nothing."""
+    from razulibs_spark.operators.manifest import (
+        incremental_sync_plan,
+        sync_to_local_store,
+    )
+
+    src = tmp_path / "sip"
+    dst = tmp_path / "edepot"
+    (src / "bestanden").mkdir(parents=True)
+    for i in range(4):
+        (src / "bestanden" / f"f{i}.txt").write_text(f"payload-{i}")
+    mk = lambda rows: spark.createDataFrame(rows, "filename string, md5hash string")
+    source = mk([(f"bestanden/f{i}.txt", f"h{i}") for i in range(4)])
+    target = mk([("bestanden/f0.txt", "h0"), ("bestanden/f1.txt", "STALE")])
+
+    plan = incremental_sync_plan(source, target)
+    assert sync_to_local_store(plan, str(src), str(dst)) == 3  # f1 changed, f2/f3 new
+    assert sorted(p.name for p in (dst / "bestanden").iterdir()) == [
+        "f1.txt", "f2.txt", "f3.txt"]
+    assert sync_to_local_store(incremental_sync_plan(source, source),
+                               str(src), str(dst)) == 0
+
+
+def test_extract_tool_signature():
+    from razulibs_spark.operators.manifest import extract_tool_signature
+
+    assert extract_tool_signature("droid", "DROID 6.5.2\nSig file v109") == "6.5.2"
+    assert extract_tool_signature("clamscan", "ClamAV 0.103.8/27072") == "0.103.8"
+    assert extract_tool_signature("droid", "no digits here") is None
