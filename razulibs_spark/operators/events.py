@@ -136,3 +136,57 @@ def fixity_check_events(
         F.lit(None).cast("string").alias("generated"),
         F.lit("Fixity check").alias("description"),
     )
+
+
+def events_to_triples(events: DataFrame, base_uri: str) -> DataFrame:
+    """K4/D6: the event log as PREMIS RDF triples — feed to
+    sources.jsonld.write_jsonld (eventlog JSON-LD sink,
+    preservation_events.py:61-68) or rdf_io.write_ntriples.
+
+    Event subjects are `{base}-e{N}` (preservation_events.py:90-92);
+    scalar properties fan out via entity_to_triples, the subjects
+    array via explode — one premis:object link per related object
+    (eror roles). All narrow transformations, no shuffle."""
+    from razulibs_spark.operators.rdf import PropertyMap, entity_to_triples, graph_union
+
+    ev = events.withColumn(
+        "_uri", F.concat(F.lit(base_uri + "-e"), F.col("event_id").cast("string"))
+    )
+    scalar = entity_to_triples(
+        ev,
+        F.col("_uri"),
+        [
+            PropertyMap("rdf:type", F.lit("premis:Event"), "uri"),
+            PropertyMap(
+                "premis:eventType",
+                F.concat(
+                    F.lit("http://id.loc.gov/vocabulary/preservation/eventType/"),
+                    F.col("event_type"),
+                ),
+                "uri",
+            ),
+            PropertyMap(
+                "premis:outcome",
+                F.concat(
+                    F.lit("http://id.loc.gov/vocabulary/preservation/eventOutcome/"),
+                    F.col("outcome"),
+                ),
+                "uri",
+            ),
+            PropertyMap("premis:note", F.col("outcome_note")),
+            PropertyMap("prov:wasAssociatedWith", F.col("implemented_by")),
+            PropertyMap("prov:endedAtTime", F.date_format(
+                F.col("ended_at"), "yyyy-MM-dd'T'HH:mm:ssXXX"),
+                datatype="xsd:dateTime"),
+            PropertyMap("premis:outcomeNote", F.col("description")),
+        ],
+    )
+    objects = ev.select(
+        F.col("_uri").alias("s"),
+        F.lit("premis:object").alias("p"),
+        F.explode("subjects").alias("o"),
+        F.lit("uri").alias("o_type"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    return graph_union(scalar, objects)

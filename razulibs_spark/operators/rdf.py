@@ -117,3 +117,18 @@ def triple_pattern(triples: DataFrame, s=None, p=None, o=None) -> DataFrame:
         if val is not None:
             out = out.filter(F.col(col_name) == val)
     return out
+
+
+def valid_triples(triples: DataFrame) -> DataFrame:
+    """P10 invalid-triple filter (tools/collect_rdf.py:122-132): drop
+    rows whose node kinds are malformed — null/empty subject or
+    predicate, unknown o_type, empty uri/bnode objects. With the
+    TRIPLE_SCHEMA most invalid states are unrepresentable; this guards
+    externally parsed input (S3/S4)."""
+    nonempty = lambda c: F.col(c).isNotNull() & (F.length(F.trim(F.col(c))) > 0)
+    return triples.filter(
+        nonempty("s")
+        & nonempty("p")
+        & F.col("o_type").isin("uri", "bnode", "literal")
+        & (F.col("o_type").isin("literal") | nonempty("o"))
+    )

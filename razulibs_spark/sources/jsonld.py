@@ -24,6 +24,7 @@ row-at-a-time Python UDFs.
 from __future__ import annotations
 
 import json
+import os
 from typing import Iterator
 
 import pandas as pd
@@ -156,3 +157,53 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     if fmt == "ntriples":
         return read_ntriples(spark, path)
     raise ValueError(f"unsupported RDF format {fmt!r}")
+
+
+def write_jsonld_per_entity(triples: DataFrame, directory: str,
+                            suffix: str = ".meta.json",
+                            owner: Column | None = None) -> int:
+    """The reference's exact one-file-per-entity layout
+    (meta_resource.py:45-54: `{uid}.meta.json`). Driver-side by
+    design — demo/SIP scale only; the distributed sink is
+    write_jsonld (JSON-Lines). Returns the number of files written."""
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    rows = jsonld_docs(triples, owner).collect()
+    for row in rows:
+        with open(os.path.join(directory, row["entity"] + suffix), "w") as fh:
+            fh.write(row["jsonld"] + "\n")
+    return len(rows)
+
+
+def scan_sip_dir(spark: SparkSession, directory: str,
+                 suffix: str = ".meta.json") -> DataFrame:
+    """S5 directory scan → resource set (razu/sip.py:186-196):
+    glob `*.meta.json`, extract the entity id from the filename with
+    input_file_name + regexp_extract, parse each document to triples.
+    Returns triples plus an `entity_id` column."""
+    lines = (
+        spark.read.text(os.path.join(directory, "*" + suffix))
+        .withColumn(
+            "entity_id",
+            F.regexp_extract(
+                F.input_file_name(), r"([^/]+)" + suffix.replace(".", r"\.") + "$", 1
+            ),
+        )
+        .filter(F.length(F.trim("value")) > 0)
+    )
+    parsed_schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in TRIPLE_SCHEMA.fields
+    ) + ", entity_id string"
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            frames = []
+            for _, row in pdf.iterrows():
+                one = next(_parse_docs(iter([pd.DataFrame({"value": [row["value"]]})])))
+                one["entity_id"] = row["entity_id"]
+                frames.append(one)
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {c: [] for c in list(TRIPLE_SCHEMA.names) + ["entity_id"]})
+
+    return lines.mapInPandas(parse, schema=parsed_schema)
