@@ -75,14 +75,14 @@ def jaccard_pairs(
       key — cost is Σ over shingles of df², bounded by shingle
       cardinality, the highest-cardinality key available.
     - With `candidates` (d1, d2) from LSH banding: candidate-DRIVEN
-      intersection — expand each pair by d1's shingles, then inner-join
-      on (d2, shingle). Cost scales with Σ over candidate pairs of
-      |A|, never with the O(n²) co-shingled pair space; this is what
-      makes LSH pay off at 100 TB. (A semi-join filter *after* a full
-      self-join would still materialize every co-shingled pair.)
+      set intersection — per-doc shingle sets + array_intersect per
+      candidate pair. Cost scales with the candidate pairs, never the
+      O(n²) co-shingled pair space; this is what makes LSH pay off at
+      100 TB. (A semi-join filter *after* a full self-join would still
+      materialize every co-shingled pair.)
     """
-    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
     if candidates is None:
+        counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
         a = shingles.alias("a")
         b = shingles.alias("b")
         common = (
@@ -93,16 +93,22 @@ def jaccard_pairs(
             .agg(F.count("*").alias("common"))
         )
     else:
-        common = (
-            candidates.join(
-                shingles.select(F.col("doc_id").alias("d1"), "shingle"), "d1"
-            )
-            .join(
-                shingles.select(F.col("doc_id").alias("d2"), "shingle"),
-                ["d2", "shingle"],
-            )
-            .groupBy("d1", "d2")
-            .agg(F.count("*").alias("common"))
+        # Per-doc shingle sets: groupBy(doc_id) reuses the upstream
+        # doc_id partitioning (word_shingles repartitions once), so
+        # this is shuffle-free; candidate pairs are tiny next to the
+        # corpus and broadcast onto the sets. |A∩B| = array_intersect
+        # per pair — no shingle-level shuffle at all on the LSH path.
+        sets = shingles.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+        a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+        b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+        pairs = a.join(F.broadcast(candidates), "d1").join(b, "d2")
+        jac = F.round(
+            F.size(F.array_intersect("sh1", "sh2"))
+            / (F.size("sh1") + F.size("sh2") - F.size(F.array_intersect("sh1", "sh2"))),
+            6,
+        ).alias("jaccard")
+        return (
+            pairs.select("d1", "d2", jac).filter(F.col("jaccard") >= threshold)
         )
     n1 = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
@@ -135,16 +141,28 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature and emit distinct candidate pairs whose band
     key collides in any band. The join key is (band_id, band_hash) —
-    a 2^128 space, so collisions are true LSH candidates."""
-    bands = None
-    for bnd in range(n_bands):
-        cols = [F.col(f"sig{bnd * rows_per_band + r}") for r in range(rows_per_band)]
-        part = signatures.select(
-            "doc_id",
+    a 2^128 space, so collisions are true LSH candidates.
+
+    Bands are one explode over an array<struct> built in the same
+    projection — NOT a 4-way union of selects, which would make the
+    self-join below re-run the signature aggregation once per band per
+    side. With identical subplans on both sides, AQE reuses the
+    shuffle (ReusedExchange) instead of recomputing."""
+    band_structs = [
+        F.struct(
             F.lit(bnd).alias("band_id"),
-            F.md5(F.concat(*cols)).alias("band_hash"),
+            F.md5(
+                F.concat(*[
+                    F.col(f"sig{bnd * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ])
+            ).alias("band_hash"),
         )
-        bands = part if bands is None else bands.unionByName(part)
+        for bnd in range(n_bands)
+    ]
+    bands = signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
