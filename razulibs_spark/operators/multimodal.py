@@ -99,3 +99,42 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
 
     n = media.sparkSession.sparkContext.defaultParallelism
     return media.repartition(n, "doc_id").mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("frame_idx", LongType(), False),
+        StructField("frame_md5", StringType(), True),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
+    """Frame-sampling stage (video path of the multimodal north star):
+    one input payload fans out to every `every`-th frame. Real frame
+    extraction needs a video library (stubbed, like decode_image); the
+    deterministic fake treats each 1 KiB payload slice as one frame and
+    hashes the sampled slices. The Spark shape is the real one: a
+    mapInPandas generator whose output batch is LONGER than its input
+    (UDTF-shaped fan-out), partitioned by doc_id upstream."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_frames = max(1, len(payload) // 1024)
+                for i in range(0, n_frames, every):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(payload[i * 1024:(i + 1) * 1024]).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
+                                "frame_md5": hashes})
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+    return media.repartition(n, "doc_id").mapInPandas(batches, schema=FRAME_SCHEMA)

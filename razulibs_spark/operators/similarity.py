@@ -128,3 +128,45 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "centroid_id")
     )
+
+
+def ivf_topk(
+    embeddings: DataFrame, assignments: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """IVF-bucketed ANN top-k — the scale path: each query searches
+    only its own IVF bucket (assignments from ivf_assign), so the
+    per-query candidate set shrinks by ~the bucket count and the
+    compare never touches the full corpus.
+
+    The query side is small by construction → broadcast; the corpus
+    streams with its assignment joined in. Recall is approximate
+    (bucket-boundary neighbors are missed) — that is the documented
+    IVF trade; raise nprobe by unioning more buckets per query."""
+    v = _with_vec(embeddings, "vec_id", "vv", "vn").join(assignments, "vec_id")
+    q = (
+        v.join(queries.select("vec_id"), "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"), F.col("centroid_id"),
+            F.col("vv").alias("qv"), F.col("vn").alias("qn"),
+        )
+    )
+    c = v.select(
+        F.col("vec_id").alias("neighbor_id"), "centroid_id",
+        F.col("vv").alias("cv"), F.col("vn").alias("cn"),
+    ).repartition(_parallelism(embeddings))
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", F.round("_cos", 6).alias("cosine"))
+    )

@@ -1659,3 +1659,40 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from razulibs_spark.streaming.sessionize import run_sessionize_available_now
 
     return run_sessionize_available_now(spark, sf_dir)
+
+
+_IVF_TOPK_SQL = _EMB_CTE + """
+, cent AS (SELECT * FROM e WHERE vec_id < 4)
+, s0 AS (SELECT e.vec_id, cent.vec_id AS centroid_id,
+                list_cosine_similarity(e.v, cent.v) AS cos
+         FROM e, cent)
+, r0 AS (SELECT vec_id, centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, centroid_id) AS rn
+         FROM s0)
+, assign AS (SELECT vec_id, centroid_id FROM r0 WHERE rn = 1)
+, q AS (SELECT a.vec_id, a.centroid_id, e.v
+        FROM assign a JOIN e USING (vec_id) WHERE a.vec_id < 10)
+, c AS (SELECT a.vec_id, a.centroid_id, e.v FROM assign a JOIN e USING (vec_id))
+, scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cos
+             FROM q JOIN c ON q.centroid_id = c.centroid_id
+                          AND c.vec_id <> q.vec_id)
+, ranked AS (SELECT query_id, neighbor_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM scored)
+SELECT query_id, neighbor_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("sim_ivf_topk", _IVF_TOPK_SQL)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN search end-to-end (the scale path next to the
+    sim_cosine_topk brute-force baseline): assign every vector to its
+    nearest centroid, then each query ranks only its own bucket —
+    broadcast queries, corpus streams, per-bucket compare."""
+    e = T(spark, sf_dir, "embeddings")
+    assign = similarity.ivf_assign(e, e.filter(F.col("vec_id") < 4))
+    return similarity.ivf_topk(e, assign, e.filter(F.col("vec_id") < 10), k=5)

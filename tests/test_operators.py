@@ -361,3 +361,23 @@ def test_extract_tool_signature():
     assert extract_tool_signature("droid", "DROID 6.5.2\nSig file v109") == "6.5.2"
     assert extract_tool_signature("clamscan", "ClamAV 0.103.8/27072") == "0.103.8"
     assert extract_tool_signature("droid", "no digits here") is None
+
+
+def test_sample_frames(spark, sf_dir):
+    """Multimodal frame-sample fan-out: deterministic frame count and
+    hashes from the payload bytes."""
+    from razulibs_spark.operators.multimodal import attach_media_columns, sample_frames
+    from razulibs_spark import queries as Q
+
+    media = attach_media_columns(
+        Q.T(spark, sf_dir, "documents").limit(50))
+    frames = sample_frames(media, every=2)
+    rows = frames.collect()
+    assert len(rows) > 0
+    import hashlib
+    payloads = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    for r in rows[:20]:
+        p = payloads[r["doc_id"]]
+        assert r["frame_idx"] % 2 == 0
+        want = hashlib.md5(p[r["frame_idx"] * 1024:(r["frame_idx"] + 1) * 1024]).hexdigest()
+        assert r["frame_md5"] == want
