@@ -87,3 +87,37 @@ def top_k(df: DataFrame, k: int, order: list[Column]) -> DataFrame:
         .limit(k)
         .withColumn("rnk", F.row_number().over(w))
     )
+
+
+# Reference predicate preference order (concept_resolver.py:91-99: the
+# SPARQL alternation skos:prefLabel|schema:name|rdfs:label|skos:altLabel|
+# schema:identifier|skos:notation with LIMIT 1).
+LABEL_PREFERENCE = ["prefLabel", "name", "label", "altLabel", "identifier",
+                    "notation"]
+
+
+def multilabel_resolve(
+    facts: DataFrame, term_col: str, vocab_labels: DataFrame
+) -> DataFrame:
+    """J2 multi-predicate term resolution (concept_resolver.py:86-100):
+    `vocab_labels` is the unpivoted label dimension (uri, predicate,
+    value); a term matching several label predicates resolves through
+    the reference's preference order, made deterministic with
+    row_number()==1 (the LIMIT 1 analog) tie-broken on uri.
+
+    The rank-and-pick runs on the dimension (small) BEFORE the fact
+    join, so the fact side sees one row per term and broadcast-joins —
+    per-row SPARQL with lru_cache becomes a map-side hash probe."""
+    from pyspark.sql.window import Window
+
+    pref = F.array(*[F.lit(p) for p in LABEL_PREFERENCE])
+    w = Window.partitionBy("value").orderBy(
+        F.array_position(pref, F.col("predicate")).asc(), F.col("uri")
+    )
+    best = (
+        vocab_labels.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(F.col("value").alias(term_col), "uri",
+                F.col("predicate").alias("matched_predicate"))
+    )
+    return facts.join(F.broadcast(best), term_col, "left")

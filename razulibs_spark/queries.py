@@ -1696,3 +1696,64 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = T(spark, sf_dir, "embeddings")
     assign = similarity.ivf_assign(e, e.filter(F.col("vec_id") < 4))
     return similarity.ivf_topk(e, assign, e.filter(F.col("vec_id") < 10), k=5)
+
+
+_J2M_SQL = """
+WITH labels AS (
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR) AS uri,
+         'name' AS predicate, n_name AS value FROM nation
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), 'label',
+         lower(n_name) FROM nation
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), 'altLabel',
+         lower(n_name) FROM nation
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR), 'notation',
+         CAST(n_nationkey AS VARCHAR) FROM nation),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY value
+    ORDER BY CASE predicate WHEN 'prefLabel' THEN 1 WHEN 'name' THEN 2
+                            WHEN 'label' THEN 3 WHEN 'altLabel' THEN 4
+                            WHEN 'identifier' THEN 5 ELSE 6 END, uri) AS r
+  FROM labels),
+best AS (SELECT value, uri, predicate AS matched_predicate
+         FROM ranked WHERE r = 1),
+facts AS (
+  SELECT c_custkey,
+         CASE CAST(c_custkey % 3 AS INT)
+           WHEN 0 THEN n_name
+           WHEN 1 THEN lower(n_name)
+           ELSE CAST(c_nationkey AS VARCHAR) END AS term
+  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+SELECT c_custkey, term, uri, matched_predicate
+FROM facts LEFT JOIN best ON term = value
+"""
+
+
+@query("j2_multilabel_resolve", _J2M_SQL)
+def j2_multilabel_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 multi-predicate vocabulary resolution with the reference's
+    label preference order (concept_resolver.py:86-100): the unpivoted
+    label dim ranks predicate matches per term, then broadcast-joins
+    the facts — LIMIT 1 as row_number()==1, never per-row HTTP."""
+    n = T(spark, sf_dir, "nation")
+    uri = F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))
+    mk = lambda pred, val: n.select(
+        uri.alias("uri"), F.lit(pred).alias("predicate"), val.alias("value"))
+    labels = (
+        mk("name", F.col("n_name"))
+        .unionByName(mk("label", F.lower("n_name")))
+        .unionByName(mk("altLabel", F.lower("n_name")))
+        .unionByName(mk("notation", F.col("n_nationkey").cast("string")))
+    )
+    c = T(spark, sf_dir, "customer")
+    facts = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("n_name"))
+        .when(F.col("c_custkey") % 3 == 1, F.lower("n_name"))
+        .otherwise(F.col("c_nationkey").cast("string"))
+        .alias("term"),
+    )
+    return relational.multilabel_resolve(facts, "term", labels)
