@@ -40,6 +40,7 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_scores",
     "sim_cosine_topk",
+    "sim_ivf_topk",
     "sim_embedding_neardup",
     "sim_ivf_assign",
 ]

@@ -132,3 +132,66 @@ def valid_triples(triples: DataFrame) -> DataFrame:
         & F.col("o_type").isin("uri", "bnode", "literal")
         & (F.col("o_type").isin("literal") | nonempty("o"))
     )
+
+
+# Prefix expansion set: the 11 bound namespaces plus the core W3C
+# prefixes rdflib binds implicitly (rdf/rdfs/xsd/skos appear in
+# reference predicates and datatypes).
+EXPANSIONS = {
+    **NAMESPACES,
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+}
+
+
+def expand_prefixed(col: Column) -> Column:
+    """`ldto:naam` → full URI; absolute URIs and unknown prefixes pass
+    through. Engine-internal triples use compact names (cheaper to
+    store and shuffle); expansion happens at the serialization edge so
+    emitted N-Triples/JSON-LD are standards-valid."""
+    out = None
+    for k, ns in EXPANSIONS.items():
+        cond = col.startswith(f"{k}:")
+        val = F.concat(F.lit(ns), F.substring(col, len(k) + 2, 1_000_000))
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(col)
+
+
+def compact_prefixed(col: Column) -> Column:
+    """Inverse of expand_prefixed: longest-namespace-first compaction
+    back to prefixed names."""
+    out = None
+    for k, ns in sorted(EXPANSIONS.items(), key=lambda kv: -len(kv[1])):
+        cond = col.startswith(ns)
+        val = F.concat(F.lit(k + ":"), F.substring(col, len(ns) + 1, 1_000_000))
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(col)
+
+
+def expand_triples(triples: DataFrame) -> DataFrame:
+    """Expand s/p/o_datatype (and uri-typed objects) to absolute URIs
+    for standards-valid serialization."""
+    return triples.select(
+        expand_prefixed(F.col("s")).alias("s"),
+        expand_prefixed(F.col("p")).alias("p"),
+        F.when(F.col("o_type") == "uri", expand_prefixed(F.col("o")))
+        .otherwise(F.col("o")).alias("o"),
+        F.col("o_type"),
+        expand_prefixed(F.col("o_datatype")).alias("o_datatype"),
+        F.col("o_lang"),
+    )
+
+
+def compact_triples(triples: DataFrame) -> DataFrame:
+    """Inverse of expand_triples."""
+    return triples.select(
+        compact_prefixed(F.col("s")).alias("s"),
+        compact_prefixed(F.col("p")).alias("p"),
+        F.when(F.col("o_type") == "uri", compact_prefixed(F.col("o")))
+        .otherwise(F.col("o")).alias("o"),
+        F.col("o_type"),
+        compact_prefixed(F.col("o_datatype")).alias("o_datatype"),
+        F.col("o_lang"),
+    )

@@ -122,11 +122,15 @@ def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
         "centroid_id",
         (dot(F.col("vv"), F.col("cv")) / (F.col("vn") * F.col("cn"))).alias("_cos"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("_cos").desc(), F.col("centroid_id"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "centroid_id")
+    # argmax as a max_by hash aggregate — no per-vector window sort.
+    # The ordering struct carries -centroid_id so ties on cosine break
+    # toward the smallest centroid, identical to ORDER BY cos DESC,
+    # centroid_id ASC in the oracle.
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("centroid_id"),
+            F.struct(F.col("_cos"), (-F.col("centroid_id")).alias("nc")),
+        ).alias("centroid_id")
     )
 
 

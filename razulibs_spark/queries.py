@@ -1694,7 +1694,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearest centroid, then each query ranks only its own bucket —
     broadcast queries, corpus streams, per-bucket compare."""
     e = T(spark, sf_dir, "embeddings")
-    assign = similarity.ivf_assign(e, e.filter(F.col("vec_id") < 4))
+    # The assignment table feeds both sides of the bucket join —
+    # persist it so the centroid scoring runs once, not per side.
+    assign = similarity.ivf_assign(e, e.filter(F.col("vec_id") < 4)).persist()
     return similarity.ivf_topk(e, assign, e.filter(F.col("vec_id") < 10), k=5)
 
 

@@ -212,3 +212,25 @@ def test_csv_sources_feed_pipeline(spark, tmp_path):
     want = _triple_set(csv2rdf_triples(metadata, droid, vocab))
     got = _triple_set(csv2rdf_triples(m2, d2, vocab))
     assert got == want
+
+
+def test_prefix_expansion_roundtrip_and_valid_ntriples(spark, tmp_path):
+    """compact∘expand is the identity on the pipeline's graph, and the
+    expanded serialization is standards-valid N-Triples (every IRI
+    absolute — no prefixed names inside angle brackets)."""
+    from razulibs_spark.operators.rdf import compact_triples, expand_triples
+
+    metadata, droid, vocab = _fixture(spark)
+    triples = csv2rdf_triples(metadata, droid, vocab).cache()
+    want = _triple_set(triples)
+    assert _triple_set(compact_triples(expand_triples(triples))) == want
+
+    nt = str(tmp_path / "valid.nt")
+    write_ntriples(expand_triples(triples), nt)
+    import glob
+    text = "".join(open(p).read() for p in glob.glob(nt + "/part-*"))
+    assert "<ldto:" not in text and "<rdf:" not in text and "<geo:" not in text
+    assert "<https://data.razu.nl/def/ldto/naam>" in text
+    assert "^^<http://www.w3.org/2001/XMLSchema#date>" in text
+    back = read_rdf(spark, nt, fmt="ntriples")
+    assert back.count() == len(want)

@@ -1,0 +1,89 @@
+"""Property-based tests (hypothesis) — beyond the reference's test
+strategy (SURVEY.md §5 notes it has none): serialization round-trips
+and scalar-function invariants over generated inputs, executed in one
+Spark job per property run (inputs batched into a single DataFrame).
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
+from razulibs_spark.sources.rdf_io import ntriples_line, read_ntriples
+
+# Literals including the escape-relevant characters.
+literal_text = st.text(
+    alphabet=st.characters(
+        codec="utf-8", categories=("L", "N", "P", "Zs"),
+        include_characters='"\\\n\r\t',
+    ),
+    min_size=0, max_size=60,
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(literal_text, min_size=1, max_size=30))
+def test_ntriples_literal_escape_roundtrip(spark, texts):
+    """Serialize literals containing quotes/backslashes/newlines/tabs
+    to N-Triples lines and parse back: values survive exactly."""
+    rows = [
+        (f"https://ex.org/s{i}", "https://ex.org/p", t, "literal", None, None)
+        for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    lines = df.select(ntriples_line().alias("value"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        lines.write.mode("overwrite").text(d)
+        parsed = read_ntriples(spark, d)
+        got = sorted((r["s"], r["o"]) for r in parsed.collect())
+    want = sorted((s, o) for s, _, o, _, _, _ in rows)
+    assert got == want
+
+
+import datetime
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.dates(min_value=datetime.date(1000, 1, 1)),
+                min_size=1, max_size=40))
+def test_date_type_classify_iso_dates(spark, dates):
+    """Every ISO yyyy-mm-dd string classifies xsd:date and passes
+    through unchanged; its d-m-yyyy Dutch form classifies xsd:date and
+    normalizes to the same ISO string (util.py:9-30 semantics)."""
+    from razulibs_spark.functions.scalars import date_type_classify
+
+    rows = [(d.isoformat(), f"{d.day}-{d.month}-{d.year}") for d in dates]
+    df = spark.createDataFrame(rows, "iso string, dmy string")
+    t_iso, v_iso = date_type_classify(F.col("iso"))
+    t_dmy, v_dmy = date_type_classify(F.col("dmy"))
+    out = df.select(t_iso.alias("ti"), v_iso.alias("vi"),
+                    t_dmy.alias("td"), v_dmy.alias("vd"), "iso").collect()
+    for r in out:
+        assert r["ti"] == "xsd:date" and r["vi"] == r["iso"]
+        assert r["td"] == "xsd:date" and r["vd"] == r["iso"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="utf-8", categories=("L", "N")),
+    min_size=1, max_size=20), min_size=1, max_size=30))
+def test_prefix_compact_expand_inverse(spark, locals_):
+    """compact(expand(x)) == x for any prefixed name over the bound
+    namespaces."""
+    from razulibs_spark.operators.rdf import (
+        EXPANSIONS,
+        compact_prefixed,
+        expand_prefixed,
+    )
+
+    prefixes = sorted(EXPANSIONS)
+    rows = [(f"{prefixes[i % len(prefixes)]}:{name}",)
+            for i, name in enumerate(locals_)]
+    df = spark.createDataFrame(rows, "name string")
+    out = df.select(
+        "name", compact_prefixed(expand_prefixed(F.col("name"))).alias("rt")
+    ).collect()
+    for r in out:
+        assert r["rt"] == r["name"], (r["name"], r["rt"])
