@@ -30,8 +30,14 @@ def dense_ids(
     """Assign dense ids 'start, start+1, …' in the total order given by
     order_cols (must be a total order — include a unique tie-break)."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    parted = df.repartitionByRange(n, *[F.col(c) for c in order_cols]).withColumn(
-        "_pid", F.spark_partition_id()
+    # persist() pins ONE materialization of the range partitioning:
+    # repartitionByRange SAMPLES its bounds per job, so without the
+    # pin the counts job and the numbering job could see different
+    # partition boundaries and the offsets would misalign.
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
     # One count per partition — tiny driver collect, then broadcast back.
     counts = (

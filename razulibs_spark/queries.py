@@ -1046,10 +1046,24 @@ def sim_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("multimodal_features")
+_MM_SQL = """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/jpeg'
+            WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS media_format,
+       CAST(LEAST(n_chars % 1024 + 16, 256) AS BIGINT) AS thumb_width,
+       CAST((LEAST(n_chars % 1024 + 16, 256) * 9) // 16 AS BIGINT) AS thumb_height
+FROM documents
+"""
+
+
+@query("multimodal_features", _MM_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media columns + Arrow-batched mapInPandas feature
-    extraction (decode stubbed — see operators/multimodal.py)."""
+    extraction (decode stubbed — see operators/multimodal.py). The
+    fake features are deterministic functions of the payload bytes, so
+    even this Python-boundary pipeline is oracle-checked."""
     from razulibs_spark.operators.multimodal import attach_media_columns, extract_features
 
     docs = T(spark, sf_dir, "documents")
@@ -1080,19 +1094,39 @@ def s6_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("filename", "md5hash", "file_size", "file_extension")
 
 
-@query("d6_premis_events")
+_D6_SQL = """
+SELECT CAST(ROW_NUMBER() OVER (
+         ORDER BY 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-'
+                  || CAST(o_orderkey AS VARCHAR)) AS BIGINT) AS event_id,
+       'mem' AS event_type,
+       'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-'
+         || CAST(o_orderkey AS VARCHAR) AS subject,
+       'https://data.razu.nl/id/actor/razu' AS implemented_by,
+       'suc' AS outcome,
+       'Metadata object created.' AS description
+FROM orders
+"""
+
+
+@query("d6_premis_events", _D6_SQL)
 def d6_premis_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D6 PREMIS event generation: one `mem` (metadata modification)
     event per order entity with dense ids (O1 two-phase scheme).
-    Timestamps are batch-stamped (current_timestamp) — rows-only."""
+    Timestamps are batch-stamped (current_timestamp, F18) and dropped
+    at this projection so the remainder is oracle-checkable."""
     from razulibs_spark.operators.events import build_events
 
     o = T(spark, sf_dir, "orders")
     subjects = o.select(razu_uri(razu_uid(F.col("o_orderkey"))).alias("uri"))
-    return build_events(
+    ev = build_events(
         subjects, "uri", "mem",
         actor="https://data.razu.nl/id/actor/razu",
         description="Metadata object created.",
+    )
+    return ev.select(
+        "event_id", "event_type",
+        F.explode("subjects").alias("subject"),
+        "implemented_by", "outcome", "description",
     )
 
 
