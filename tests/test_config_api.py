@@ -1,0 +1,141 @@
+"""Config / identifiers / run-info API tests, mirroring the
+reference's tests/test_config.py:17-61 (load, singleton, immutability,
+missing-attr, required keys) and tests/test_identifiers.py:22-101
+(golden strings) — no Spark session needed.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from razulibs_spark import config as C
+
+
+@pytest.fixture(autouse=True)
+def fresh_singleton():
+    C.reset()
+    yield
+    C.reset()
+
+
+def test_settings_yaml_load_and_attrs(tmp_path):
+    p = tmp_path / "config.yaml"
+    p.write_text("archive_creator_id: G0321\narchive_id: '661'\nsip_dir: /tmp/sip\n")
+    s = C.Settings.from_yaml(str(p))
+    assert s.archive_creator_id == "G0321"
+    assert s.archive_id == "661"
+    with pytest.raises(AttributeError):
+        _ = s.nonexistent
+
+
+def test_settings_immutability_and_require():
+    s = C.Settings(a=1)
+    with pytest.raises(ValueError):
+        s.a = 2
+    with pytest.raises(ValueError):
+        s.add_properties(a=3)
+    s.b = 2
+    assert s.as_dict() == {"a": 1, "b": 2}
+    s.require("a", "b")
+    with pytest.raises(AttributeError):
+        s.require("a", "missing_key")
+
+
+def test_singleton_semantics():
+    one = C.initialize(archive_id="661")
+    again = C.initialize(archive_id="IGNORED")  # re-init returns existing
+    assert one is again and C.get_instance().archive_id == "661"
+
+
+def test_identifier_golden_strings():
+    uid = C.make_uid(137)
+    assert uid == "NL-WbDRAZU-G0321-661-137"
+    assert C.make_uri(uid) == (
+        "https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-137")
+    assert C.make_filename(uid) == "NL-WbDRAZU-G0321-661-137.meta.json"
+    assert C.make_s3_key(1_234_567, uid) == "001/234/NL-WbDRAZU-G0321-661-137"
+    assert C.extract_object_id("NL-WbDRAZU-G0321-661-137.meta.json") == "137"
+    with pytest.raises(ValueError):
+        C.extract_object_id("garbage")
+
+
+def test_identifiers_agree_with_column_twins(spark):
+    """Driver-side strings and the Column expressions render the same
+    templates (functions/scalars.py)."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.functions.scalars import (
+        razu_filename,
+        razu_s3_key,
+        razu_uid,
+        razu_uri,
+    )
+
+    df = spark.createDataFrame([(137,), (1_234_567,)], "object_id long")
+    uid = razu_uid(F.col("object_id").cast("string"))
+    rows = df.select(
+        "object_id", uid.alias("uid"), razu_uri(uid).alias("uri"),
+        razu_filename(uid).alias("fn"),
+        razu_s3_key(F.col("object_id"), uid).alias("key"),
+    ).collect()
+    for r in rows:
+        u = C.make_uid(r["object_id"])
+        assert r["uid"] == u
+        assert r["uri"] == C.make_uri(u)
+        assert r["fn"] == C.make_filename(u)
+        assert r["key"] == C.make_s3_key(r["object_id"], u)
+
+
+def test_run_info_roundtrip(tmp_path):
+    ri = C.RunInfo(str(tmp_path), "droid", name="DROID", uri="https://ex.org/droid")
+    ri.register_start()
+    ri.register_end()
+    ri.save(result="ok")
+    back = C.RunInfo(str(tmp_path), "droid")
+    assert back.name == "DROID" and back.uri == "https://ex.org/droid"
+    assert back.start_time and back.end_time >= back.start_time
+
+
+def test_vocab_from_file_and_fake_sparql(spark, tmp_path):
+    """D7 vocabulary materialization: local JSON map and an injected
+    SPARQL transport both yield broadcastable dimensions; the SPARQL
+    result unpivots to the multilabel shape."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators.relational import multilabel_resolve
+    from razulibs_spark.sources.vocab import vocab_from_file, vocab_from_sparql
+
+    p = tmp_path / "vocab.json"
+    p.write_text(_json.dumps(
+        {"locatie": {"Houten": "urn:loc:houten", "Schalkwijk": "urn:loc:schalkwijk"}}))
+    dim = vocab_from_file(spark, str(p))
+    assert sorted((r["term"], r["uri"]) for r in dim.collect()) == [
+        ("Houten", "urn:loc:houten"), ("Schalkwijk", "urn:loc:schalkwijk")]
+
+    def fake_transport(endpoint, query):
+        assert "skos:prefLabel" in query
+        return {"results": {"bindings": [
+            {"uri": {"value": "urn:loc:houten"},
+             "predicate": {"value": "http://www.w3.org/2004/02/skos/core#prefLabel"},
+             "term": {"value": "Houten"}},
+            {"uri": {"value": "urn:loc:houten"},
+             "predicate": {"value": "http://www.w3.org/2004/02/skos/core#altLabel"},
+             "term": {"value": "houten"}},
+        ]}}
+
+    labels = vocab_from_sparql(spark, "locatie", "https://example.org/sparql",
+                               transport=fake_transport)
+    got = {(r["term"], r["predicate"]) for r in labels.collect()}
+    assert got == {("Houten", "prefLabel"), ("houten", "altLabel")}
+
+    facts = spark.createDataFrame([("Houten",), ("houten",), ("elders",)],
+                                  "term string")
+    resolved = multilabel_resolve(
+        facts, "term", labels.select("uri", "predicate", F.col("term").alias("value")))
+    by_term = {r["term"]: (r["uri"], r["matched_predicate"])
+               for r in resolved.collect()}
+    assert by_term["Houten"] == ("urn:loc:houten", "prefLabel")
+    assert by_term["houten"] == ("urn:loc:houten", "altLabel")
+    assert by_term["elders"] == (None, None)
