@@ -1,0 +1,99 @@
+"""SIP assembly with provenance — SURVEY.md §3.2 (razu/sip.py:73-184):
+metadata documents + checksum manifest + PREMIS event log + lock, as
+one orchestration over the operator library.
+
+Reference shape: per-resource `save()` + per-file MD5 + a deferred
+lambda queue resolving event subjects late (preservation_events.py:
+44-59). Engine shape: the deferred queue disappears — every events
+frame is a lazy plan built against the FINAL metadata/manifest frames,
+so "subjects reflect final state" holds by construction; checksums
+come from one binaryFile scan of what was actually written (S6), not
+per-file hashing; the lock is the P6 predicate gating mutating calls.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from razulibs_spark.operators import events as ev
+from razulibs_spark.operators.manifest import (
+    manifest_from_directory,
+    manifest_to_json_map,
+)
+from razulibs_spark.sources.jsonld import write_jsonld_per_entity
+from razulibs_spark.sources.rdf_io import write_ntriples
+
+
+class SipLockedError(RuntimeError):
+    """Mutation attempted after ingestion_end (decorators.py:12-15)."""
+
+
+def assemble_sip(
+    spark: SparkSession,
+    triples: DataFrame,
+    sip_dir: str,
+    actor: str = "https://data.razu.nl/id/actor/razu",
+    event_base: str = "https://data.razu.nl/id/event/sip",
+) -> dict:
+    """Write metadata documents, build the manifest from what landed on
+    disk, emit the PREMIS provenance in dependency order, and lock.
+
+    Returns {'manifest': DataFrame, 'events': DataFrame,
+    'n_documents': int}. Raises SipLockedError when the directory's
+    event log already carries ingestion_end (O6 lock gate)."""
+    eventlog_path = os.path.join(sip_dir, "eventlog.nt")
+    if os.path.exists(eventlog_path):
+        prior = _read_eventlog(spark, eventlog_path)
+        if ev.is_locked(prior):
+            raise SipLockedError(f"SIP at {sip_dir} is locked (ingestion_end)")
+
+    # K1: one .meta.json per entity.
+    n_docs = write_jsonld_per_entity(triples, sip_dir)
+
+    # S6/F7: manifest from ONE distributed scan of the written files.
+    manifest = manifest_from_directory(spark, sip_dir, base_segment=sip_dir.rstrip("/") + "/").filter(
+        F.col("filename").endswith(".meta.json")
+    ).persist()
+
+    # Events in dependency order (ids dense across the groups, S8/A3):
+    # ingestion_start → one mem per document → one fix per manifest
+    # entry → ingestion_end. Built AFTER the manifest frame exists, so
+    # subjects are final-state — the deferred-queue semantics for free.
+    start_ev = ev.build_events(
+        spark.createDataFrame([(sip_dir,)], "uri string"), "uri",
+        "ins", actor=actor, description="Ingestion started.")
+    mem_ev = ev.build_events(
+        manifest.select(F.col("filename").alias("uri")), "uri",
+        "mem", actor=actor, description="Metadata object created.",
+        id_offset=1)
+    n_files = manifest.count()
+    fix_ev = ev.fixity_check_events(
+        manifest, manifest_from_directory(spark, sip_dir, base_segment=sip_dir.rstrip("/") + "/"),
+        actor=actor, id_offset=1 + n_files)
+    end_ev = ev.build_events(
+        spark.createDataFrame([(sip_dir,)], "uri string"), "uri",
+        "ine", actor=actor, description="Ingestion ended.",
+        id_offset=1 + 2 * n_files)
+    events = (
+        start_ev.unionByName(mem_ev).unionByName(fix_ev).unionByName(end_ev)
+    ).persist()
+
+    # K3 + K4 sinks: byte-compatible manifest map, eventlog as RDF.
+    with open(os.path.join(sip_dir, "manifest.json"), "w", encoding="utf-8") as fh:
+        fh.write(manifest_to_json_map(manifest))
+    write_ntriples(ev.events_to_triples(events, event_base),
+                   eventlog_path)
+    return {"manifest": manifest, "events": events, "n_documents": n_docs}
+
+
+def _read_eventlog(spark: SparkSession, path: str) -> DataFrame:
+    """S8: recover the event frame (type codes) from the RDF log."""
+    from razulibs_spark.sources.rdf_io import read_ntriples
+
+    t = read_ntriples(spark, path)
+    return t.filter(F.col("p") == "premis:eventType").select(
+        F.element_at(F.split(F.col("o"), "/"), -1).alias("event_type")
+    )

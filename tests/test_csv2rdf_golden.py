@@ -234,3 +234,39 @@ def test_prefix_expansion_roundtrip_and_valid_ntriples(spark, tmp_path):
     assert "^^<http://www.w3.org/2001/XMLSchema#date>" in text
     back = read_rdf(spark, nt, fmt="ntriples")
     assert back.count() == len(want)
+
+
+def test_sip_assembly_and_lock(spark, tmp_path):
+    """SURVEY §3.2 end-to-end: documents + manifest from the written
+    bytes + provenance in dependency order + lock; a second assembly
+    against the locked SIP raises (O6)."""
+    import pytest
+
+    from razulibs_spark.plans.sip import SipLockedError, assemble_sip
+
+    metadata, droid, vocab = _fixture(spark)
+    triples = csv2rdf_triples(metadata, droid, vocab)
+    sip = str(tmp_path / "sip")
+    out = assemble_sip(spark, triples, sip)
+
+    assert out["n_documents"] == 11
+    manifest = out["manifest"]
+    assert manifest.count() == 11
+    # Manifest checksums describe the bytes actually on disk:
+    import hashlib
+    row = manifest.filter(
+        F.col("filename") == "NL-WbDRAZU-G0321-661-1.meta.json").collect()[0]
+    with open(f"{sip}/NL-WbDRAZU-G0321-661-1.meta.json", "rb") as fh:
+        assert row["md5hash"] == hashlib.md5(fh.read()).hexdigest()
+    # Provenance: ins + 11 mem + 11 fix (all 'suc') + ine, dense ids.
+    ev = out["events"]
+    by_type = {r["event_type"]: r["n"] for r in
+               ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()}
+    assert by_type == {"ins": 1, "mem": 11, "fix": 11, "ine": 1}
+    assert ev.filter(F.col("event_type") == "fix")
+    assert ev.filter(F.col("outcome") != "suc").count() == 0
+    ids = sorted(r["event_id"] for r in ev.select("event_id").collect())
+    assert ids == list(range(1, 25))
+    # O6: the terminal ingestion_end locks the SIP.
+    with pytest.raises(SipLockedError):
+        assemble_sip(spark, triples, sip)
