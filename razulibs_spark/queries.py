@@ -1683,6 +1683,29 @@ def k1_jsonld_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonld(spark, path).select("s", "p", "o")
 
 
+_K2_TTL_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s, p, o FROM triples
+"""
+
+
+@query("k2_turtle_roundtrip", _K2_TTL_SQL)
+def k2_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 sink + S4 source round-trip for Turtle (razu/turtle.py:6-32
+    tries turtle first): expand prefixed names to standards-valid
+    URIs, write distributed Turtle (each part file a self-contained
+    document with its @prefix header), parse back per-line, compact —
+    the oracle checks the full cycle is the identity. Write and read
+    are both narrow (no shuffle); the only driver work is collecting
+    the handful of @prefix declarations."""
+    from razulibs_spark.operators.rdf import compact_triples, expand_triples
+    from razulibs_spark.sources.rdf_io import read_turtle, write_turtle
+
+    path = "/root/repo/.scratch/turtle_rt"
+    write_turtle(expand_triples(_o2_triples_full(spark, sf_dir)), path)
+    return compact_triples(read_turtle(spark, path)).select("s", "p", "o")
+
+
 @query("streaming_sessionize")
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (rows-only: state machines

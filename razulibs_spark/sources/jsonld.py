@@ -140,7 +140,9 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
     """S4 multi-format RDF scan (razu/turtle.py:6-32 tries formats until
     one parses; here the extension decides, with an explicit override —
     content-sniffing a 100 TB input is not a plan, a schema is)."""
-    from razulibs_spark.sources.rdf_io import read_ntriples
+    from razulibs_spark.sources.rdf_io import (
+        read_nquads, read_ntriples, read_turtle,
+    )
 
     if fmt is None:
         low = path.lower().rstrip("/")
@@ -148,6 +150,10 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
             fmt = "jsonld"
         elif low.endswith((".nt", ".ntriples")):
             fmt = "ntriples"
+        elif low.endswith((".ttl", ".turtle", ".n3")):
+            fmt = "turtle"
+        elif low.endswith((".nq", ".nquads")):
+            fmt = "nquads"
         else:
             raise ValueError(
                 f"cannot infer RDF format from {path!r}; pass fmt="
@@ -156,6 +162,10 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return read_jsonld(spark, path)
     if fmt == "ntriples":
         return read_ntriples(spark, path)
+    if fmt in ("turtle", "n3"):
+        return read_turtle(spark, path)
+    if fmt == "nquads":
+        return read_nquads(spark, path).drop("g")
     raise ValueError(f"unsupported RDF format {fmt!r}")
 
 

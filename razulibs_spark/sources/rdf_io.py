@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from razulibs_spark.operators.rdf import NAMESPACES, TRIPLE_SCHEMA
+from razulibs_spark.operators.rdf import EXPANSIONS, NAMESPACES, TRIPLE_SCHEMA
 
 
 def _escape_literal(col: Column) -> Column:
@@ -99,6 +99,217 @@ def read_ntriples(spark, path: str) -> DataFrame:
         .alias("o_type"),
         F.when(raw["o_dt_m"] != "", raw["o_dt_m"]).alias("o_datatype"),
         F.when(raw["o_lang_m"] != "", raw["o_lang_m"]).alias("o_lang"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Turtle (S4/K2) — line-oriented subset: one triple per line terminated
+# by ` .`, prefixed names, `a`, typed/tagged literals. No `;`/`,`
+# continuations or multi-line literals — exactly what write_turtle
+# emits, and the common shape of machine-generated Turtle. The
+# reference parses Turtle via rdflib (razu/turtle.py:6-32); rdflib is
+# deliberately absent here, and a driver-side parse would not scale —
+# this subset parses per line, so it distributes like N-Triples.
+
+# Every prefix the writer may compact with is declared in the header,
+# so each part file is a self-contained valid Turtle document and the
+# reader can re-expand without out-of-band state.
+TURTLE_FULL_HEADER = "".join(
+    f"@prefix {k}: <{v}> .\n" for k, v in sorted(EXPANSIONS.items())
+)
+
+# Local part of a prefixed name we are willing to emit (conservative
+# PN_LOCAL subset); anything else stays a full <IRI>.
+_PN_LOCAL_RE = r"^[A-Za-z0-9_][A-Za-z0-9_.\-]*$"
+
+
+def _compactable(col: Column) -> Column:
+    """Prefixed-name form of an absolute URI when the local part is
+    safe to emit, else null."""
+    out = None
+    for k, ns in sorted(EXPANSIONS.items(), key=lambda kv: -len(kv[1])):
+        local = F.substring(col, len(ns) + 1, 1_000_000)
+        cond = col.startswith(ns) & local.rlike(_PN_LOCAL_RE)
+        val = F.concat(F.lit(k + ":"), local)
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return out.otherwise(F.lit(None).cast("string"))
+
+
+def _turtle_uri(col: Column) -> Column:
+    return F.coalesce(
+        _compactable(col), F.concat(F.lit("<"), col, F.lit(">"))
+    )
+
+
+def turtle_line() -> Column:
+    """Format one triple row as a Turtle line (pure expressions):
+    prefixed names where compactable, `a` for rdf:type, N-Triples
+    escapes for literals."""
+    s, p, o = F.col("s"), F.col("p"), F.col("o")
+    subj = F.when(s.startswith("bnode:"), F.concat(F.lit("_:"), F.md5(s))).otherwise(
+        _turtle_uri(s)
+    )
+    rdf_type = EXPANSIONS["rdf"] + "type"
+    pred = F.when(p == rdf_type, F.lit("a")).otherwise(_turtle_uri(p))
+    lit_body = F.concat(F.lit('"'), _escape_literal(o), F.lit('"'))
+    obj = (
+        F.when(F.col("o_type") == "uri", _turtle_uri(o))
+        .when(F.col("o_type") == "bnode", F.concat(F.lit("_:"), F.md5(o)))
+        .when(F.col("o_lang").isNotNull(), F.concat(lit_body, F.lit("@"), F.col("o_lang")))
+        .when(
+            F.col("o_datatype").isNotNull(),
+            F.concat(lit_body, F.lit("^^"), _turtle_uri(F.col("o_datatype"))),
+        )
+        .otherwise(lit_body)
+    )
+    return F.concat_ws(" ", subj, pred, obj, F.lit("."))
+
+
+def write_turtle(triples: DataFrame, path: str) -> None:
+    """K2 sink, distributed Turtle: each partition becomes one part
+    file that is a complete Turtle document (prefix header + lines) —
+    append-merge friendly, and `cat part-*` is itself valid Turtle
+    because repeated @prefix declarations are legal."""
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    header = TURTLE_FULL_HEADER.rstrip("\n").split("\n")
+    lines = triples.select(turtle_line().alias("value"))
+
+    def prepend(rows):
+        first = True
+        for row in rows:
+            if first:
+                yield from header
+                first = False
+            yield row["value"]
+
+    lines.rdd.mapPartitions(prepend).saveAsTextFile(path)
+
+
+# Turtle term alternations. Group map (regexp_extract indices):
+# subject: 1 <uri> | 2 _:bnode | 3 pname
+# predicate: 4 <uri> | 5 pname | 6 'a'
+# object: 7 <uri> | 8 _:bnode | 9 "literal" (10 @lang | 11 ^^<uri> |
+#         12 ^^pname) | 13 pname
+_PNAME = r'[A-Za-z][\w\-]*:[^\s<>"]+'
+_TTL_RE = (
+    rf'^(?:<([^>]*)>|(_:\S+)|({_PNAME}))\s+'
+    rf'(?:<([^>]*)>|({_PNAME})|(a))\s+'
+    rf'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+    rf'(?:@([A-Za-z\-]+)|\^\^<([^>]*)>|\^\^({_PNAME}))?|({_PNAME}))\s*\.\s*$'
+)
+
+
+def _expand_with(col: Column, pmap: dict[str, str]) -> Column:
+    """Dynamic prefixed-name expansion using the @prefix map collected
+    from the document header (the distributed analog of rdflib's
+    namespace manager)."""
+    out = None
+    for k, ns in pmap.items():
+        cond = col.startswith(k + ":")
+        val = F.concat(F.lit(ns), F.substring(col, len(k) + 2, 1_000_000))
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    return col if out is None else out.otherwise(col)
+
+
+def read_turtle(spark, path: str) -> DataFrame:
+    """S4 source: line-oriented Turtle subset → triples DataFrame.
+
+    @prefix declarations are dimension-sized (a handful per document)
+    — collected once on the driver to build the expansion map; triple
+    lines parse per-line with one regex, fully distributed."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    decls = (
+        lines.filter(F.col("value").startswith("@prefix"))
+        .select(
+            F.regexp_extract("value", r"@prefix\s+([A-Za-z][\w\-]*):", 1).alias("k"),
+            F.regexp_extract("value", r"<([^>]*)>", 1).alias("ns"),
+        )
+        .distinct()
+        .collect()
+    )
+    pmap = {r["k"]: r["ns"] for r in decls if r["k"]}
+    body = lines.filter(
+        ~F.col("value").startswith("@prefix") & ~F.col("value").startswith("#")
+    )
+    g = lambda i: F.regexp_extract("value", _TTL_RE, i)
+    raw = body.select(
+        g(1).alias("s_uri"), g(2).alias("s_bnode"), g(3).alias("s_pn"),
+        g(4).alias("p_uri"), g(5).alias("p_pn"), g(6).alias("p_a"),
+        g(7).alias("o_uri"), g(8).alias("o_bnode"), g(9).alias("o_lit"),
+        g(10).alias("o_lang_m"), g(11).alias("o_dt_uri"), g(12).alias("o_dt_pn"),
+        g(13).alias("o_pn"),
+    )
+    o_lit = raw["o_lit"]
+    for esc, rep in (('\\\\n', '\n'), ('\\\\r', '\r'), ('\\\\t', '\t'), ('\\\\"', '"'), ('\\\\\\\\', '\\\\')):
+        o_lit = F.regexp_replace(o_lit, esc, rep)
+    rdf_type = EXPANSIONS["rdf"] + "type"
+    is_obj_uri = (raw["o_uri"] != "") | (raw["o_pn"] != "")
+    return raw.select(
+        F.when(raw["s_uri"] != "", raw["s_uri"])
+        .when(raw["s_bnode"] != "", raw["s_bnode"])
+        .otherwise(_expand_with(raw["s_pn"], pmap))
+        .alias("s"),
+        F.when(raw["p_a"] != "", F.lit(rdf_type))
+        .when(raw["p_uri"] != "", raw["p_uri"])
+        .otherwise(_expand_with(raw["p_pn"], pmap))
+        .alias("p"),
+        F.when(raw["o_uri"] != "", raw["o_uri"])
+        .when(raw["o_pn"] != "", _expand_with(raw["o_pn"], pmap))
+        .when(raw["o_bnode"] != "", raw["o_bnode"])
+        .otherwise(o_lit)
+        .alias("o"),
+        F.when(is_obj_uri, F.lit("uri"))
+        .when(raw["o_bnode"] != "", F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("o_type"),
+        F.when(raw["o_dt_uri"] != "", raw["o_dt_uri"])
+        .when(raw["o_dt_pn"] != "", _expand_with(raw["o_dt_pn"], pmap))
+        .alias("o_datatype"),
+        F.when(raw["o_lang_m"] != "", raw["o_lang_m"]).alias("o_lang"),
+    )
+
+
+# N-Quads (S4): N-Triples + optional graph label as 4th term.
+_NQ_RE = (
+    r'^(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+'
+    r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+    r'(?:@([A-Za-z\-]+)|\^\^<([^>]*)>)?)'
+    r'(?:\s+(?:<([^>]*)>|(_:\S+)))?\s*\.\s*$'
+)
+
+
+def read_nquads(spark, path: str) -> DataFrame:
+    """S4 source: N-Quads → triples DataFrame + nullable `g` graph
+    column (null = default graph)."""
+    lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    g = lambda i: F.regexp_extract("value", _NQ_RE, i)
+    raw = lines.select(
+        g(1).alias("s_uri"), g(2).alias("s_bnode"), g(3).alias("p"),
+        g(4).alias("o_uri"), g(5).alias("o_bnode"), g(6).alias("o_lit"),
+        g(7).alias("o_lang_m"), g(8).alias("o_dt_m"),
+        g(9).alias("g_uri"), g(10).alias("g_bnode"),
+    )
+    o_lit = raw["o_lit"]
+    for esc, rep in (('\\\\n', '\n'), ('\\\\r', '\r'), ('\\\\t', '\t'), ('\\\\"', '"'), ('\\\\\\\\', '\\\\')):
+        o_lit = F.regexp_replace(o_lit, esc, rep)
+    return raw.select(
+        F.when(raw["s_uri"] != "", raw["s_uri"]).otherwise(raw["s_bnode"]).alias("s"),
+        F.col("p"),
+        F.when(raw["o_uri"] != "", raw["o_uri"])
+        .when(raw["o_bnode"] != "", raw["o_bnode"])
+        .otherwise(o_lit)
+        .alias("o"),
+        F.when(raw["o_uri"] != "", F.lit("uri"))
+        .when(raw["o_bnode"] != "", F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+        .alias("o_type"),
+        F.when(raw["o_dt_m"] != "", raw["o_dt_m"]).alias("o_datatype"),
+        F.when(raw["o_lang_m"] != "", raw["o_lang_m"]).alias("o_lang"),
+        F.when(raw["g_uri"] != "", raw["g_uri"])
+        .when(raw["g_bnode"] != "", raw["g_bnode"])
+        .alias("g"),
     )
 
 

@@ -33,11 +33,15 @@ from razulibs_spark.operators.manifest import (
     manifest_to_json_map,
     validate_manifest,
 )
+from razulibs_spark.sources.jsonld import read_rdf
 from razulibs_spark.sources.rdf_io import (
     TURTLE_HEADER,
+    read_nquads,
     read_ntriples,
+    read_turtle,
     turtle_text,
     write_ntriples,
+    write_turtle,
 )
 
 
@@ -140,6 +144,60 @@ def test_entity_fanout_and_ntriples_roundtrip(spark, tmp_path):
     ttl = turtle_text(triples)
     assert ttl.startswith("@prefix") and "ldto:naam" in ttl
     assert TURTLE_HEADER.count("@prefix") == 11
+
+
+def test_turtle_roundtrip_distributed(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "Houten", None), (2, 'quo"te\nline', 9)], ["oid", "naam", "omvang"]
+    )
+    triples = rdf.entity_to_triples(
+        df,
+        razu_uri(razu_uid(F.col("oid"))),
+        [
+            rdf.PropertyMap("rdf:type", F.lit("ldto:Serie"), "uri"),
+            rdf.PropertyMap("ldto:naam", F.col("naam"), lang="nl"),
+            rdf.PropertyMap("ldto:omvang", F.col("omvang"), datatype="xsd:integer"),
+        ],
+    )
+    path = os.path.join(str(tmp_path), "out.ttl")
+    expanded = rdf.expand_triples(triples)
+    write_turtle(expanded, path)
+    # every non-empty part file is itself a complete Turtle document
+    parts = [p for p in os.listdir(path) if p.startswith("part-")]
+    assert parts
+    nonempty = [
+        p for p in parts if os.path.getsize(os.path.join(path, p)) > 0
+    ]
+    assert nonempty
+    for p in nonempty:
+        assert open(os.path.join(path, p)).readline().startswith("@prefix")
+    # rdf:type compacts to the `a` keyword
+    body = "".join(open(os.path.join(path, p)).read() for p in parts)
+    assert " a ldto:Serie ." in body and "ldto:naam" in body
+    back = read_turtle(spark, path)
+    assert {tuple(r) for r in back.collect()} == {
+        tuple(r) for r in expanded.collect()
+    }
+    # compaction undoes expansion exactly
+    orig = {tuple(r) for r in triples.collect()}
+    assert {tuple(r) for r in rdf.compact_triples(back).collect()} == orig
+    # read_rdf dispatches on the .ttl extension
+    assert read_rdf(spark, path).count() == back.count()
+
+
+def test_nquads_parse(spark, tmp_path):
+    nq = tmp_path / "data.nq"
+    nq.write_text(
+        '<urn:s1> <urn:p> "v" <urn:g1> .\n'
+        '<urn:s2> <urn:p> <urn:o> .\n'
+        '<urn:s3> <urn:p> "1984"^^<http://www.w3.org/2001/XMLSchema#gYear> <urn:g2> .\n'
+    )
+    rows = {r["s"]: r for r in read_nquads(spark, str(nq)).collect()}
+    assert rows["urn:s1"]["g"] == "urn:g1" and rows["urn:s1"]["o_type"] == "literal"
+    assert rows["urn:s2"]["g"] is None and rows["urn:s2"]["o_type"] == "uri"
+    assert rows["urn:s3"]["o_datatype"].endswith("gYear")
+    # read_rdf drops the graph column for the canonical schema
+    assert "g" not in read_rdf(spark, str(nq)).columns
 
 
 def test_triple_pattern_and_graph_union(spark):
