@@ -83,7 +83,12 @@ def csv2rdf_triples(metadata: DataFrame, droid: DataFrame,
         F.col("NAME"), F.col("SIZE"), F.col("MD5_HASH"), F.col("PUID"),
     )
     m = metadata.withColumn(
-        "filename", compose_filename(F.col("`Doos-nummer`"), F.col("Volgnummer"))
+        # The volgnummer argument is Inventarisnummer, not the CSV's
+        # `Volgnummer` column (csv2rdf.py:207 passes
+        # row['Inventarisnummer'] to maak_bestandsnaam) — verified
+        # against the demo droid inventory in
+        # tests/test_reference_demo.py.
+        "filename", compose_filename(F.col("`Doos-nummer`"), F.col("Inventarisnummer"))
     )
     # J1: droid is tool output over the payload set — dimension-sized
     # next to a 100 TB fact table, so broadcast.

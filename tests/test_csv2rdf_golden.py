@@ -54,8 +54,8 @@ def _fixture(spark):
     droid = spark.createDataFrame(
         [("1984_01_001.jpg", "File", 14509774, "abc1", "fmt/44"),
          ("1984_01_002.jpg", "File", 10000001, "abc2", "fmt/44"),
-         ("1985_02_001.jpg", "File", 9000002, "abc3", "fmt/44"),
-         ("1985_02_002.jpg", "File", 8000003, "abc4", "fmt/44"),
+         ("1985_02_003.jpg", "File", 9000002, "abc3", "fmt/44"),
+         ("1985_02_004.jpg", "File", 8000003, "abc4", "fmt/44"),
          ("bestanden", "Folder", None, None, None)],
         "NAME string, TYPE string, SIZE bigint, MD5_HASH string, PUID string",
     )
