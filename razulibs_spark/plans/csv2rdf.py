@@ -79,8 +79,11 @@ def csv2rdf_triples(metadata: DataFrame, droid: DataFrame,
       dekkingInTijd blank-node child (D3 nesting),
     - one bestand per row (:210-227) from the DROID lookup join (J1).
     """
+    lm = (F.col("LAST_MODIFIED") if "LAST_MODIFIED" in droid.columns
+          else F.lit(None).cast("string"))
     droid_files = droid.filter(F.col("TYPE") == "File").select(
         F.col("NAME"), F.col("SIZE"), F.col("MD5_HASH"), F.col("PUID"),
+        lm.alias("LAST_MODIFIED"),
     )
     m = metadata.withColumn(
         # The volgnummer argument is Inventarisnummer, not the CSV's
@@ -113,7 +116,11 @@ def csv2rdf_triples(metadata: DataFrame, droid: DataFrame,
     bestand_uid = razu_uid(F.concat(F.col("Inventarisnummer").cast("string"), F.lit("-b")))
     serie_uid = razu_uid(F.concat(F.lit("serie-"), F.col("Serie")))
     archive_uid = razu_uid(F.lit(archive_name))
-    m = m.withColumn("_record_uid", record_uid).withColumn("_dekking", skolemize(record_uid, F.lit("dekking")))
+    m = (
+        m.withColumn("_record_uid", record_uid)
+        .withColumn("_bestand_uid", bestand_uid)
+        .withColumn("_dekking", skolemize(record_uid, F.lit("dekking")))
+    )
 
     record_triples = entity_to_triples(
         m,
@@ -150,19 +157,46 @@ def csv2rdf_triples(metadata: DataFrame, droid: DataFrame,
             PropertyMap("ldto:dekkingInTijdType", F.lit("Vervaardiging")),
         ],
     )
+    # The checksum is a nested ChecksumGegevens structure
+    # (csv2rdf.py:214-219), skolemized like the dekking bnode; the
+    # checksum datum is the DROID-recorded LAST_MODIFIED (the reference
+    # stamps the droid file's mtime, csv2rdf.py:57).
+    m = m.withColumn("_checksum", skolemize(bestand_uid, F.lit("checksum")))
+    file_ext = F.substring_index(F.col("filename"), ".", -1)
     bestand_triples = entity_to_triples(
         m,
         razu_uri(bestand_uid),
         [
             PropertyMap(RDF_TYPE, F.lit("ldto:Bestand"), "uri"),
             PropertyMap("ldto:naam", F.col("filename")),
+            PropertyMap("premis:originalName", F.col("filename")),
             PropertyMap("ldto:omvang", F.coalesce(F.col("SIZE"), F.lit(0)).cast("long"),
                         datatype="xsd:integer"),
-            PropertyMap("ldto:checksumWaarde", F.col("MD5_HASH")),
+            PropertyMap("ldto:checksum", F.col("_checksum"), "bnode"),
             PropertyMap("ldto:bestandsformaat",
                         F.concat(F.lit("https://www.nationalarchives.gov.uk/PRONOM/"),
                                  F.col("PUID")), "uri"),
+            # URLBestand (csv2rdf.py:222-226): CDN url from uid +
+            # format extension (the reference resolves the extension
+            # from the PUID vocabulary; the filename extension is the
+            # hermetic equivalent).
+            PropertyMap("ldto:URLBestand",
+                        F.concat(F.lit("https://g0321.opslag.razu.nl/"),
+                                 F.col("_bestand_uid"), F.lit("."), file_ext),
+                        datatype="xsd:anyURI"),
             PropertyMap("ldto:isRepresentatieVan", razu_uri(F.col("_record_uid")), "uri"),
+        ],
+    )
+    checksum_triples = entity_to_triples(
+        m,
+        F.col("_checksum"),
+        [
+            PropertyMap(RDF_TYPE, F.lit("ldto:ChecksumGegevens"), "uri"),
+            PropertyMap("ldto:checksumAlgoritme",
+                        F.lit("https://data.razu.nl/id/algoritme/md5"), "uri"),
+            PropertyMap("ldto:checksumDatum", F.col("LAST_MODIFIED"),
+                        datatype="xsd:dateTime"),
+            PropertyMap("ldto:checksumWaarde", F.col("MD5_HASH")),
         ],
     )
 
@@ -207,6 +241,6 @@ def csv2rdf_triples(metadata: DataFrame, droid: DataFrame,
     )
 
     return graph_union(
-        record_triples, dekking_triples, bestand_triples,
+        record_triples, dekking_triples, bestand_triples, checksum_triples,
         serie_triples, serie_child_links, archive_triples,
     )

@@ -125,9 +125,9 @@ def test_csv2rdf_golden_triples(spark):
             "uri", None, None) in got
     assert (rec1, "ldto:isOnderdeelVan", URI.format("serie-1984"),
             "uri", None, None) in got
-    # Entity census: 4 records + 4 bestanden + 4 bnodes + 2 series + 1
-    # archive typed nodes.
-    assert sum(1 for t in got if t[1] == "rdf:type") == 15
+    # Entity census: 4 records + 4 bestanden + 4 dekking bnodes +
+    # 4 checksum bnodes + 2 series + 1 archive typed nodes.
+    assert sum(1 for t in got if t[1] == "rdf:type") == 19
 
 
 def test_csv2rdf_roundtrips(spark, tmp_path):

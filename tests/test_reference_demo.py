@@ -92,13 +92,13 @@ def test_demo_full_pipeline(spark):
     triples = csv2rdf_triples(metadata, droid, vocab).cache()
 
     # Entity census: 3 records + 3 bestanden + 3 dekking bnodes +
-    # 2 series (1984, 2000) + 1 archive.
+    # 3 checksum bnodes + 2 series (1984, 2000) + 1 archive.
     types = (
         triples.filter(F.col("p") == "rdf:type")
         .groupBy("o").count().collect()
     )
     by_type = {r["o"]: r["count"] for r in types}
-    assert sum(by_type.values()) == 12
+    assert sum(by_type.values()) == 15
     assert (
         triples.filter(F.col("p") == "rdf:type")
         .filter(F.col("s").contains("serie")).count() == 2
