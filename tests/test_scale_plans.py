@@ -1,0 +1,93 @@
+"""Physical-plan regression tests — the scale posture of SCALE.md,
+enforced. Each test asserts properties of the *optimized plan*, not
+results: filters reach the parquet scan, dimension joins broadcast,
+top-k compiles to TakeOrderedAndProject (per-partition heap, not a
+global sort), and hot paths stay inside whole-stage codegen. A
+refactor that silently turns a broadcast join into a sort-merge join
+or drops a pushdown fails here at sf0.001 in seconds — long before it
+costs hours at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from razulibs_spark import queries as Q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q1_pushdown_and_pruning(spark):
+    plan = _plan(Q.q1_pricing_summary(spark, SF))
+    # The shipdate filter reaches the parquet scan…
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:200]
+    # …and column pruning keeps the fat columns out of the scan.
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert "l_comment" not in read_schema
+    # Aggregation is partial→final (map-side combine), one shuffle.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_j1_dimension_join_broadcasts(spark):
+    plan = _plan(Q.j1_lookup_join(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_all_joins_broadcast_all_filters_pushed(spark):
+    plan = _plan(Q.q3_shipping_priority(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:300]
+
+
+def test_t1_topk_is_heap_not_global_sort(spark):
+    plan = _plan(Q.t1_topk_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # No Exchange SinglePartition before the limit — the heap merges
+    # per-partition results on the driver instead.
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_o2_fanout_stays_in_codegen_no_shuffle(spark):
+    plan = _plan(Q.o2_entity_fanout(spark, SF))
+    # explode-based fan-out is a narrow op: no exchange anywhere.
+    assert "Exchange" not in plan
+    assert "codegen id" in plan
+    # and no Python boundary on the hot path.
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vocab_resolve_broadcasts(spark):
+    plan = _plan(Q.j2_vocab_resolve(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_dedup_partial_aggregates(spark):
+    plan = _plan(Q.dedup_exact(spark, SF))
+    # partial→final: the shuffle carries one row per distinct hash.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_flagship_no_python_udf_on_hot_path(spark):
+    from razulibs_spark.plans.flagship import flagship_triples
+
+    plan = _plan(flagship_triples(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ivf_assign_is_hash_aggregate_not_window(spark):
+    plan = _plan(Q.sim_ivf_assign(spark, SF))
+    # argmax via max_by hash aggregate — a per-vector window sort
+    # would show up as Window + Sort over the full corpus.
+    assert "Window" not in plan
