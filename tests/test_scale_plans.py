@@ -91,3 +91,33 @@ def test_ivf_assign_is_hash_aggregate_not_window(spark):
     # argmax via max_by hash aggregate — a per-vector window sort
     # would show up as Window + Sort over the full corpus.
     assert "Window" not in plan
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Co-located storage: both sides bucketed+sorted on the join key →
+    the join plans with zero Exchange and zero Sort (the write-time
+    shuffle is amortized over every subsequent join)."""
+    from razulibs_spark.sources.bucketed import co_located_join, save_bucketed
+
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdemo LOCATION '{tmp_path}'")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        save_bucketed(orders.withColumnRenamed("o_orderkey", "okey"),
+                      "bdemo.orders_b", "okey", buckets=8)
+        save_bucketed(lineitem.withColumnRenamed("l_orderkey", "okey"),
+                      "bdemo.lineitem_b", "okey", buckets=8)
+        joined = co_located_join(spark, "bdemo.lineitem_b", "bdemo.orders_b", "okey")
+        plan = _plan(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+        # one file per bucket (save_bucketed pre-repartitions)
+        assert "SelectedBucketsCount: 8 out of 8" in plan
+        # and the result is actually correct
+        assert joined.count() == lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
