@@ -270,3 +270,48 @@ def test_sip_assembly_and_lock(spark, tmp_path):
     # O6: the terminal ingestion_end locks the SIP.
     with pytest.raises(SipLockedError):
         assemble_sip(spark, triples, sip)
+
+
+def test_collect_rdf_lifecycle(spark, tmp_path):
+    """§3 runner-up entry point (tools/collect_rdf.py:63-136): JSON-LD
+    files → demote invalid xsd:integer → drop malformed → union →
+    Turtle; the parsed-back Turtle equals the collected graph."""
+    from razulibs_spark.plans.collect_rdf import (
+        collect_rdf,
+        collect_rdf_to_turtle,
+        demote_invalid_integers,
+        invalid_integer_report,
+    )
+    from razulibs_spark.sources.rdf_io import read_turtle
+
+    metadata, droid, vocab = _fixture(spark)
+    triples = csv2rdf_triples(metadata, droid, vocab)
+    a = str(tmp_path / "a.jsonld")
+    b = str(tmp_path / "b.jsonld")
+    write_jsonld(triples, a)
+    # second input: one good triple plus a poisoned integer literal
+    bad = spark.createDataFrame(
+        [("urn:x", "ldto:omvang", "12 MB", "literal",
+          "http://www.w3.org/2001/XMLSchema#integer", None),
+         ("urn:x", "ldto:naam", "x", "literal", None, None)],
+        "s string, p string, o string, o_type string, "
+        "o_datatype string, o_lang string",
+    )
+    write_jsonld(bad, b)
+
+    # the report surfaces offenders pre-demotion, capped at 10 (T4)
+    assert invalid_integer_report(bad).count() == 1
+
+    got = collect_rdf(spark, a, b).cache()
+    # demotion kept the triple but dropped the datatype (P11)
+    demoted = got.filter((F.col("s") == "urn:x") & (F.col("p") == "ldto:omvang"))
+    assert demoted.count() == 1 and demoted.first()["o_datatype"] is None
+    # after demotion both rows survive the demote step
+    assert demote_invalid_integers(bad).count() == 2
+    # union folded both inputs; every csv2rdf triple survived
+    assert got.count() == len(_triple_set(triples)) + 2
+
+    out = str(tmp_path / "combined.ttl")
+    collect_rdf_to_turtle(spark, out, a, b)
+    back = read_turtle(spark, out)
+    assert back.count() == got.count()
