@@ -173,6 +173,54 @@ def lsh_candidate_pairs(
     )
 
 
+def minhash_lsh_ml(
+    documents: DataFrame,
+    threshold: float,
+    k: int = 3,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup pairs via spark.ml's MinHashLSH ``approxSimilarityJoin``
+    — the built-in counterpart of the hand-rolled banding pipeline
+    above (SURVEY §2.11 maps dedup to ``ml.feature.MinHashLSH``).
+
+    Shingles hash into a ``num_features``-dim binary vector
+    (HashingTF); Jaccard is computed on the hashed sets, so collisions
+    can only *raise* similarity (colliding shingles shrink the union) —
+    every true pair ≥ threshold is therefore reachable, and the fixed
+    seed makes the candidate generation deterministic. The hand-rolled
+    path stays the default: its md5 banding is engine-portable (DuckDB
+    oracle-matched), while this one is rows-only verifiable.
+
+    Returns (d1, d2, jaccard) with d1 < d2, jaccard = 1 - JaccardDistance.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = word_shingles(documents, k=k)
+    docs = sh.groupBy("doc_id").agg(F.collect_list("shingle").alias("sh"))
+    tf = HashingTF(
+        inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
+    )
+    vecs = tf.transform(docs).select("doc_id", "features")
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = lsh.fit(vecs)
+    pairs = model.approxSimilarityJoin(
+        vecs, vecs, 1.0 - threshold, distCol="dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("d1"),
+            F.col("datasetB.doc_id").alias("d2"),
+            F.round(1.0 - F.col("dist"), 6).alias("jaccard"),
+        )
+    )
+
+
 def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over distinct words: per word take the first bits/4 hex
     chars of md5(word) as the bit source; each bit contributes ±1 to

@@ -872,6 +872,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(sh, 0.2, candidates=cand)
 
 
+@query("dedup_minhash_lsh_ml")
+def dedup_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """spark.ml MinHashLSH approxSimilarityJoin variant (rows-only:
+    Jaccard over HashingTF-hashed shingle sets isn't reproducible in
+    DuckDB; seeded, so deterministic). Recall vs the exact path is
+    asserted in tests/test_operators.py::test_minhash_lsh_ml_recall."""
+    return dedup.minhash_lsh_ml(T(spark, sf_dir, "documents"), threshold=0.2)
+
+
 def _simhash_sql(bits: int = 16) -> str:
     nibs = ", ".join(
         f"instr('0123456789abcdef', substr(h, {i + 1}, 1)) - 1 AS nib{i}"

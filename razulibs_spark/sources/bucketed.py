@@ -50,3 +50,18 @@ def co_located_join(spark: SparkSession, left: str, right: str,
     output partitioning and plans the join with no shuffle on either
     side."""
     return spark.table(left).join(spark.table(right), key, how)
+
+
+def save_partitioned(df: DataFrame, path: str, *keys: str) -> None:
+    """Hive-style partitioned layout on low-cardinality keys — the
+    manifest keys `(source, dataset)` (razu/manifest.py:53-54) are the
+    natural choice: every incremental sync, fixity check, or ingest
+    touches one dataset, and partition pruning turns those scans into
+    directory lookups that never read the other 99.99% of a 100 TB
+    store. Keys must be low-cardinality (thousands, not millions —
+    one directory each); high-cardinality keys belong in bucketBy.
+
+    Plan evidence: tests/test_scale_plans.py::test_partition_pruning
+    asserts a filtered scan reads only the matching partition
+    directories (PartitionFilters in the scan node)."""
+    df.write.mode("overwrite").partitionBy(*keys).parquet(path)

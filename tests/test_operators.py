@@ -439,3 +439,30 @@ def test_sample_frames(spark, sf_dir):
         assert r["frame_idx"] % 2 == 0
         want = hashlib.md5(p[r["frame_idx"] * 1024:(r["frame_idx"] + 1) * 1024]).hexdigest()
         assert r["frame_md5"] == want
+
+
+def test_minhash_lsh_ml_recall(spark):
+    """The spark.ml MinHashLSH path finds every pair the exact n-gram
+    Jaccard finds (HashingTF collisions only raise similarity; OR-
+    amplified candidate generation with fixed seed is deterministic),
+    and its hashed-space jaccard never under-reports the exact one."""
+    from razulibs_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_ml,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in jaccard_pairs(word_shingles(docs), 0.2).collect()
+    }
+    ml = {
+        (r["d1"], r["d2"]): r["jaccard"]
+        for r in minhash_lsh_ml(docs, threshold=0.2).collect()
+    }
+    assert exact, "fixture should contain near-dup pairs"
+    missed = set(exact) - set(ml)
+    assert not missed
+    for pair, j in exact.items():
+        assert ml[pair] >= j - 1e-6

@@ -121,3 +121,33 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP DATABASE IF EXISTS bdemo CASCADE")
+
+
+def test_partition_pruning(spark, tmp_path):
+    """Hive-partitioned manifest layout on (source, dataset): a
+    dataset-filtered read prunes to the matching directories — the
+    scan's PartitionFilters carries the predicate and the data filters
+    list stays empty (nothing evaluated row-by-row)."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.sources.bucketed import save_partitioned
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .withColumn("source", F.lit("G0321"))
+        .withColumn("dataset", (F.col("doc_id") % 4).cast("string"))
+    )
+    root = str(tmp_path / "manifest_store")
+    save_partitioned(docs, root, "source", "dataset")
+
+    pruned = spark.read.parquet(root).filter(
+        (F.col("source") == "G0321") & (F.col("dataset") == "2")
+    )
+    plan = _plan(pruned)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:300]
+    assert "dataset" in pf and "source" in pf
+    # the predicate resolved entirely at directory level: no row-level
+    # Filter node survives in the plan.
+    assert "(2) Filter" not in plan and "* Filter" not in plan
+    assert pruned.count() == docs.filter(F.col("dataset") == "2").count()
