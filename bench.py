@@ -43,6 +43,11 @@ HEADLINE = [
     "sim_ivf_topk",
     "sim_embedding_neardup",
     "sim_ivf_assign",
+    "j_asof_join",
+    "j_range_join_binned",
+    "q5_regional_revenue",
+    "q18_large_orders",
+    "pipeline_corpus_prep",
 ]
 
 

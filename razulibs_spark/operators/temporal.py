@@ -1,0 +1,116 @@
+"""Temporal join operators the reference lacks and Spark has no
+physical operator for: as-of join and binned range join.
+
+SURVEY.md §2.3 notes razulibs has no range/as-of joins; these are the
+engine extensions for event-log analytics (D6-shaped tables) built as
+compositions of existing DataFrame ops — no Python row loop, no
+cartesian product, one shuffle each.
+
+As-of join: the classic sort-based formulation. Union both sides with
+a side marker, sort within each key partition by (time, side), and
+carry the most recent right-side payload forward with
+``last(ignorenulls)`` over an unbounded-preceding row frame. Cost is
+identical to a sort-merge join on the key (one Exchange + per-key
+sort); per-key skew is bounded by that key's own row count, never by
+a cross-product.
+
+Binned range join: a point-in-interval join with no equality key
+would plan as BroadcastNestedLoopJoin (a cross product refined by the
+range predicate) — quadratic at scale. Instead each interval explodes
+into the fixed-width bins it overlaps and each point maps to exactly
+one bin, turning the range predicate into an equi-join on the bin id
+(shuffle-partitionable, AQE-skew-splittable) refined by the exact
+predicate. Every (point, interval) match lands in exactly one bin, so
+no dedup pass is needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+_T = "_asof_t"
+_SIDE = "_asof_side"
+_LPAY = "_asof_left"
+_RPAY = "_asof_right"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str | None = None,
+    right_prefix: str = "matched_",
+    inclusive: bool = True,
+) -> DataFrame:
+    """Left as-of join: for each left row, the most recent right row
+    (per `on` key) with right_time <= left_time (strictly < when
+    ``inclusive=False``). Unmatched left rows keep nulls — the same
+    semantics as DuckDB's ``ASOF LEFT JOIN ... ON l.t >= r.t``.
+
+    Output: every left column, plus each right column (except the key)
+    prefixed with ``right_prefix``.
+    """
+    rt = right_time or left_time
+    r_cols = [c for c in right.columns if c != on]
+    # At equal timestamps the right row must be visible iff inclusive:
+    # sort right before left (0 < 1) for inclusive, after for strict.
+    l_side, r_side = (1, 0) if inclusive else (0, 1)
+
+    lhs = left.select(
+        F.col(on),
+        F.col(left_time).alias(_T),
+        F.lit(l_side).alias(_SIDE),
+        F.struct(*[F.col(c) for c in left.columns]).alias(_LPAY),
+    )
+    rhs = right.select(
+        F.col(on),
+        F.col(rt).alias(_T),
+        F.lit(r_side).alias(_SIDE),
+        F.struct(*[F.col(c) for c in r_cols]).alias(_RPAY),
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(_T, _SIDE)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(_RPAY, F.last(_RPAY, ignorenulls=True).over(w))
+
+    out = carried.filter(F.col(_SIDE) == l_side).select(
+        *[F.col(f"{_LPAY}.{c}").alias(c) for c in left.columns],
+        *[F.col(f"{_RPAY}.{c}").alias(f"{right_prefix}{c}") for c in r_cols],
+    )
+    return out
+
+
+def range_join_binned(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: float,
+) -> DataFrame:
+    """Point-in-interval join (lo inclusive, hi exclusive) as an
+    equi-join on fixed-width bin ids.
+
+    ``bin_width`` should be on the order of the median interval width:
+    each interval produces ``(hi-lo)/bin_width (+1)`` bin rows, each
+    point exactly one. Matches are found only in the point's own bin,
+    so the equi-join plus the exact refine predicate is complete and
+    duplicate-free.
+    """
+    bin_id = lambda c: F.floor(c / F.lit(float(bin_width))).cast("long")  # noqa: E731
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(bin_id(F.col(lo_col)), bin_id(F.col(hi_col)))),
+    )
+    pt = points.withColumn("_bin", bin_id(F.col(point_col)))
+    joined = pt.join(iv, "_bin").filter(
+        (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    )
+    return joined.drop("_bin")

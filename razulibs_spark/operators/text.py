@@ -76,6 +76,52 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def corpus_prep(
+    documents: DataFrame, min_quality: float = 0.2
+) -> DataFrame:
+    """Training-corpus preparation pipeline: quality scoring +
+    language-ID agreement filter + exact dedup, composed in ONE scan.
+
+    Everything is inlined into a single projection (no self-joins on
+    doc_id), so at 100 TB the plan is: scan → filter (pushed) → one
+    shuffle on the content hash for the keep-first dedup window.
+    Keeps the lowest doc_id per md5(text) among docs whose predicted
+    language agrees with the label and whose quality clears the bar.
+    """
+    from pyspark.sql.window import Window
+
+    n_words = F.size(F.split(F.col("text"), " "))
+    c_en = count_words_in("text", LANG_MARKERS["en"])
+    c_es = count_words_in("text", LANG_MARKERS["es"])
+    c_de = count_words_in("text", LANG_MARKERS["de"])
+    predicted = (
+        F.when((c_en >= c_es) & (c_en >= c_de), F.lit("en"))
+        .when(c_es >= c_de, F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+    quality = F.round(
+        (F.lit(1.0) - c_en / n_words) * F.least(F.lit(1.0), n_words / F.lit(100.0)),
+        6,
+    )
+    enriched = documents.select(
+        "doc_id",
+        predicted.alias("predicted_lang"),
+        n_words.cast("long").alias("n_words"),
+        quality.alias("quality_score"),
+        F.md5("text").alias("content_hash"),
+        F.col("lang").alias("_label"),
+    ).filter(
+        (F.col("quality_score") >= F.lit(min_quality))
+        & (F.col("predicted_lang") == F.col("_label"))
+    )
+    w = Window.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        enriched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_label")
+    )
+
+
 def fingerprints(shingles: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint: the minimum md5 over the
     doc's k-gram shingles (1-hash MinHash / winnowing-lite) plus the

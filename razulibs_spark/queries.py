@@ -29,7 +29,7 @@ from razulibs_spark.functions.scalars import (
     razu_uid,
     razu_uri,
 )
-from razulibs_spark.operators import dedup, relational, similarity, text
+from razulibs_spark.operators import dedup, relational, similarity, temporal, text
 from razulibs_spark.operators.rdf import PropertyMap, entity_to_triples
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1825,3 +1825,279 @@ def j2_multilabel_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("term"),
     )
     return relational.multilabel_resolve(facts, "term", labels)
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins — engine extensions (SURVEY §2.3 notes razulibs has
+# no as-of/range joins; event-log analytics over D6-shaped tables
+# need both). Implementations in operators/temporal.py.
+# ---------------------------------------------------------------------------
+
+_ASOF_SQL = """
+SELECT l.event_id, l.user_id,
+       l.ts AS purchase_ts, l.value AS purchase_value,
+       r.ts AS last_click_ts, r.value AS last_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts >= r.ts
+"""
+
+
+@query("j_asof_join", _ASOF_SQL)
+def j_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    click at-or-before it. Sort-based (union + side marker + carried
+    last-value window): one shuffle on user_id, no cross product —
+    the cost profile of a sort-merge join at any scale."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("last_click_ts"),
+        F.col("value").alias("last_click_value"),
+    )
+    return temporal.asof_join(
+        purchases, clicks, on="user_id", left_time="purchase_ts",
+        right_time="last_click_ts", right_prefix="",
+    )
+
+
+_BANDS = [
+    ("tiny", 0.0, 1.0),
+    ("small", 1.0, 5.0),
+    ("mid", 5.0, 20.0),
+    ("large", 20.0, 75.0),
+    ("xl", 75.0, 200.0),
+    ("huge", 200.0, 500.0),
+]
+
+_RANGE_SQL = f"""
+SELECT band, COUNT(*) AS n_events,
+       {DEC_SUM_SQL('value', 'sum_value', 2)}
+FROM events
+JOIN (VALUES {', '.join(repr(b) for b in _BANDS)}) AS bands(band, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY band
+"""
+
+
+@query("j_range_join_binned", _RANGE_SQL)
+def j_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join as a binned equi-join (25-wide bins):
+    avoids the BroadcastNestedLoopJoin cross product a bare range
+    predicate plans to, staying shuffle-partitionable at scale."""
+    ev = T(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    joined = temporal.range_join_binned(
+        ev, bands, point_col="value", lo_col="lo", hi_col="hi", bin_width=25.0
+    )
+    return joined.groupBy("band").agg(
+        F.count("*").alias("n_events"),
+        dec_sum(F.col("value"), "sum_value", 2),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-way analytic joins + grouping extensions (§2.3/§2.4 breadth:
+# the shapes Catalyst must plan well at 100 TB — dim broadcasts,
+# semi-join reduction, partial/final rollup aggregation).
+# ---------------------------------------------------------------------------
+
+_Q5_SQL = f"""
+SELECT n_name, {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+@query("q5_regional_revenue", _Q5_SQL)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. Facts (lineitem⋈orders) shuffle on
+    the orderkey once; customer arrives via its own key; nation/region
+    broadcast so the region filter prunes before any wide shuffle."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region")
+    o_f = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(o_f, li.l_orderkey == o_f.o_orderkey)
+        .join(c, o_f.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+              n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+_Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       {DEC_SUM_SQL('l_quantity', 'sum_qty', 2)}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 300)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q18_large_orders", _Q18_SQL)
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: semi-join reduction (the HAVING subquery
+    shrinks lineitem before the 3-way join) then deterministic top-k
+    via TakeOrderedAndProject — never a global sort."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_sq"))
+        .filter(F.col("_sq") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dec_sum(F.col("l_quantity"), "sum_qty", 2))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+_ROLLUP_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       {DEC_SUM_SQL('l_quantity', 'sum_qty', 2)}, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+@query("a_rollup_pricing", _ROLLUP_SQL)
+def a_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (SURVEY §2.4 'free with Spark' — shown
+    here): one pass computes all three grouping levels with partial
+    aggregation map-side; GROUPING() disambiguates the total rows."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            dec_sum(F.col("l_quantity"), "sum_qty", 2),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag", "g_status", "sum_qty", "n_rows",
+        )
+    )
+
+
+_DISTINCT_SQL = """
+SELECT COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+"""
+
+
+@query("a_distinct_count", _DISTINCT_SQL)
+def a_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column distinct count (Catalyst expands to a
+    two-stage partial/final plan automatically)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query("a_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def a_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale path —
+    constant memory per group vs the exact expansion. Accuracy bound
+    asserted against the exact counts in tests/test_temporal.py."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", 0.02).alias("n_supps_approx"),
+    )
+
+
+_CORPUS_PREP_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(string_split(text, ' ')) AS n_words,
+         len([w for w in string_split(text, ' ') if w = 'the' OR w = 'a']) AS c_en,
+         len([w for w in string_split(text, ' ') if w = 'data' OR w = 'value']) AS c_es,
+         len([w for w in string_split(text, ' ') if w = 'query' OR w = 'join']) AS c_de
+  FROM documents),
+enriched AS (
+  SELECT doc_id,
+         CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+              WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS predicted_lang,
+         CAST(n_words AS BIGINT) AS n_words,
+         round((1.0 - c_en / n_words) * least(1.0, n_words / 100.0), 6) AS quality_score,
+         md5(text) AS content_hash,
+         lang
+  FROM scored)
+SELECT doc_id, predicted_lang, n_words, quality_score, content_hash
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM enriched
+      WHERE quality_score >= 0.2 AND predicted_lang = lang)
+WHERE rn = 1
+"""
+
+
+@query("pipeline_corpus_prep", _CORPUS_PREP_SQL)
+def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus prep: quality scoring + language-ID
+    agreement + exact dedup composed in ONE scan (operators/text.py:
+    corpus_prep) — scan → pushed filter → one shuffle on the content
+    hash. The shape every 100 TB corpus pass reduces to."""
+    return text.corpus_prep(T(spark, sf_dir, "documents"))
+
+
+@query("streaming_dedup")  # stateful streaming: rows-only check
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 + north-star dedup: dropDuplicatesWithinWatermark over
+    the events stream — bounded dedup state (watermark-evicted), the
+    at-least-once ingestion guard for append-only corpora."""
+    from razulibs_spark.streaming.dedup_stream import (
+        dedup_stream,
+        run_append_available_now,
+    )
+
+    return run_append_available_now(dedup_stream(spark, sf_dir), spark)

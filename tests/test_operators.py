@@ -466,3 +466,34 @@ def test_minhash_lsh_ml_recall(spark):
     assert not missed
     for pair, j in exact.items():
         assert ml[pair] >= j - 1e-6
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir):
+    """dropDuplicatesWithinWatermark on the static events source must
+    equal a batch dedup on event_id (no late data in one file)."""
+    from razulibs_spark import queries as Q
+
+    streamed = Q.QUERIES["streaming_dedup"](spark, sf_dir)
+    batch = Q.T(spark, sf_dir, "events").dropDuplicates(["event_id"])
+    assert streamed.count() == batch.count()
+    assert streamed.select("event_id").distinct().count() == streamed.count()
+
+
+def test_corpus_prep_composition(spark, sf_dir):
+    """corpus_prep == quality+langid filters then keep-first dedup,
+    cross-checked against the standalone operators it composes."""
+    from razulibs_spark import queries as Q
+    from razulibs_spark.operators import text as T_
+
+    docs = Q.T(spark, sf_dir, "documents")
+    out = T_.corpus_prep(docs)
+    q = T_.quality_scores(docs).select("doc_id", "quality_score")
+    l = T_.language_id(docs).filter("is_match").select("doc_id")
+    expected_pool = q.filter("quality_score >= 0.2").join(l, "doc_id")
+    got_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    pool_ids = {r["doc_id"] for r in expected_pool.collect()}
+    assert got_ids <= pool_ids
+    # every surviving hash appears exactly once and is the min doc_id
+    from pyspark.sql import functions as F
+    dup = out.groupBy("content_hash").count().filter("count > 1").count()
+    assert dup == 0

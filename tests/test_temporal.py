@@ -1,0 +1,121 @@
+"""As-of join, binned range join, grouping/distinct extensions
+(operators/temporal.py; queries j_asof_join, j_range_join_binned,
+q5/q18 shapes, a_rollup_pricing, a_*_distinct)."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from razulibs_spark import queries as Q
+from razulibs_spark.operators import temporal
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), "p1"),
+            (1, _ts("2024-01-01T12:00:00"), "p2"),
+            (2, _ts("2024-01-01T09:00:00"), "p3"),  # no prior right row
+        ],
+        "k long, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T09:30:00"), 10.0),
+            (1, _ts("2024-01-01T11:00:00"), 20.0),
+            (2, _ts("2024-01-01T09:30:00"), 30.0),  # after left's only row
+        ],
+        "k long, rt timestamp, v double",
+    )
+    out = temporal.asof_join(
+        left, right, on="k", left_time="t", right_time="rt"
+    ).orderBy("name")
+    rows = {r["name"]: (r["matched_rt"], r["matched_v"]) for r in out.collect()}
+    assert rows["p1"] == (_ts("2024-01-01T09:30:00"), 10.0)
+    assert rows["p2"] == (_ts("2024-01-01T11:00:00"), 20.0)
+    assert rows["p3"] == (None, None)
+
+
+def test_asof_join_inclusive_vs_strict(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p")], "k long, t timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), 1.0),
+         (1, _ts("2024-01-01T09:00:00"), 2.0)],
+        "k long, rt timestamp, v double",
+    )
+    incl = temporal.asof_join(left, right, on="k", left_time="t", right_time="rt")
+    strict = temporal.asof_join(
+        left, right, on="k", left_time="t", right_time="rt", inclusive=False
+    )
+    assert incl.collect()[0]["matched_v"] == 1.0  # equal ts visible
+    assert strict.collect()[0]["matched_v"] == 2.0  # equal ts excluded
+
+
+def test_range_join_binned_matches_naive(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id", "value")
+    bands = spark.createDataFrame(Q._BANDS, "band string, lo double, hi double")
+    binned = temporal.range_join_binned(
+        ev, bands, point_col="value", lo_col="lo", hi_col="hi", bin_width=25.0
+    ).select("event_id", "band")
+    naive = ev.join(
+        bands, (ev.value >= bands.lo) & (ev.value < bands.hi)
+    ).select("event_id", "band")
+    assert binned.exceptAll(naive).count() == 0
+    assert naive.exceptAll(binned).count() == 0
+    # each point matches at most one band -> no dup pairs
+    assert binned.count() == binned.distinct().count()
+
+
+def test_range_join_binned_plans_hash_join_not_nested_loop(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    bands = spark.createDataFrame(Q._BANDS, "band string, lo double, hi double")
+    plan = temporal.range_join_binned(
+        ev, bands, "value", "lo", "hi", 25.0
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_exchange_on_key(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = temporal.asof_join(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click").withColumnRenamed("ts", "cts"),
+        on="user_id", left_time="ts", right_time="cts",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # sort-based formulation: no join operator at all, one shuffle
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_q18_topk_never_global_sorts(spark, sf_dir):
+    plan = (
+        Q.QUERIES["q18_large_orders"](spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_approx_distinct_within_bound(spark, sf_dir):
+    exact = Q.QUERIES["a_distinct_count"](spark, sf_dir).collect()[0]
+    approx = Q.QUERIES["a_approx_distinct"](spark, sf_dir).collect()[0]
+    assert abs(approx["n_parts_approx"] - exact["n_parts"]) <= 0.05 * exact["n_parts"]
+    assert abs(approx["n_supps_approx"] - exact["n_supps"]) <= 0.05 * exact["n_supps"]
+
+
+def test_rollup_levels_consistent(spark, sf_dir):
+    rows = Q.QUERIES["a_rollup_pricing"](spark, sf_dir).collect()
+    total = [r for r in rows if r["g_flag"] == 1 and r["g_status"] == 1]
+    leaves = [r for r in rows if r["g_flag"] == 0 and r["g_status"] == 0]
+    mids = [r for r in rows if r["g_flag"] == 0 and r["g_status"] == 1]
+    assert len(total) == 1
+    assert total[0]["n_rows"] == sum(r["n_rows"] for r in leaves)
+    assert total[0]["n_rows"] == sum(r["n_rows"] for r in mids)
