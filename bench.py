@@ -48,6 +48,7 @@ HEADLINE = [
     "q5_regional_revenue",
     "q18_large_orders",
     "pipeline_corpus_prep",
+    "sim_rp_lsh_neardup",
 ]
 
 

@@ -101,6 +101,92 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     return media.repartition(n, "doc_id").mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_format", StringType(), True),
+        StructField("out_width", LongType(), True),
+        StructField("out_height", LongType(), True),
+        StructField("resized_md5", StringType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, box: int = 256) -> DataFrame:
+    """Image-resize stage: aspect-fit each image into a box×box square
+    (integer floor arithmetic — deterministic and oracle-expressible).
+    The pixel resample itself needs the stubbed decode (decode_image);
+    the fake keeps md5(payload) as the stand-in for the resized bytes.
+    Non-image rows are filtered before the Python boundary so the
+    Arrow transfer only carries the rows the stage will touch."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            w = pdf["declared_width"].astype("int64")
+            h = pdf["declared_height"].astype("int64")
+            landscape = w >= h
+            out_w = landscape * box + (~landscape) * (w * box // h)
+            out_h = landscape * (h * box // w) + (~landscape) * box
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_format": pdf["media_format"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "resized_md5": pdf["payload"].map(
+                        lambda b: hashlib.md5(b).hexdigest() if b is not None else None
+                    ),
+                }
+            )
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+    images = media.filter(F.col("media_format").startswith("image/"))
+    return images.repartition(n, "doc_id").mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
+CHUNK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("chunk_idx", LongType(), False),
+        StructField("chunk_md5", StringType(), True),
+    ]
+)
+
+
+def chunk_audio(media: DataFrame, chunk_bytes: int = 128) -> DataFrame:
+    """Audio-chunking stage (audio path of the multimodal north star):
+    fixed-size payload windows, one output row per chunk — the same
+    UDTF-shaped mapInPandas fan-out as sample_frames, restricted to
+    audio rows before the Python boundary. Real sample-accurate
+    chunking needs the stubbed decode; the deterministic fake hashes
+    byte windows."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                n_chunks = (len(payload) + chunk_bytes - 1) // chunk_bytes
+                for i in range(n_chunks):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(
+                            payload[i * chunk_bytes:(i + 1) * chunk_bytes]
+                        ).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "chunk_idx": idxs, "chunk_md5": hashes}
+            )
+
+    n = media.sparkSession.sparkContext.defaultParallelism
+    audio = media.filter(F.col("media_format").startswith("audio/"))
+    return audio.repartition(n, "doc_id").mapInPandas(batches, schema=CHUNK_SCHEMA)
+
+
 FRAME_SCHEMA = StructType(
     [
         StructField("doc_id", LongType(), False),

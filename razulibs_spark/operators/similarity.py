@@ -109,6 +109,84 @@ def near_duplicate_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def rp_lsh_neardup(
+    embeddings: DataFrame,
+    threshold: float,
+    n_bands: int = 12,
+    band_bits: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Random-hyperplane (signed random projection) LSH near-dup — the
+    scale path that replaces the O(N²/2) brute-force half-matrix of
+    :func:`near_duplicate_pairs`.
+
+    sign(v · h) per seeded hyperplane gives a SimHash bit; bits are
+    grouped into ``n_bands`` bands of ``band_bits``; vectors sharing
+    any band key become candidates (equi-join on the band key — hash-
+    partitionable, never a cross product); candidates are verified
+    with the exact cosine, so precision is 1.0 and only recall is
+    approximate. With P(bit agree) = 1 - θ/π, recall per pair is
+    1-(1-p^r)^b — tune bands/bits to the target threshold.
+
+    The hyperplane matrix is tiny (n_planes × dim) and enters the plan
+    as a literal array — constant-folded, no broadcast join needed.
+    """
+    import numpy as np
+
+    dim = len(embeddings.select("embedding").first()[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_bits, dim))
+    planes_col = F.array(
+        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
+    )
+
+    v = _with_vec(embeddings, "vec_id", "v").repartition(_parallelism(embeddings))
+    sig = F.transform(
+        planes_col, lambda p: (dot(F.col("v"), p) >= 0).cast("int")
+    )
+    banded = (
+        v.withColumn("_sig", sig)
+        .select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.aggregate(
+                                F.slice("_sig", i * band_bits + 1, band_bits),
+                                F.lit(0),
+                                lambda acc, x: acc * 2 + x,
+                            ).alias("key"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bk"),
+        )
+        .select("vec_id", "bk.band", "bk.key")
+    )
+    lhs = banded.select(
+        F.col("vec_id").alias("v1"), "band", "key"
+    )
+    rhs = banded.select(F.col("vec_id").alias("v2"), "band", "key")
+    candidates = (
+        lhs.join(rhs, ["band", "key"])
+        .filter(F.col("v1") < F.col("v2"))
+        .select("v1", "v2")
+        .distinct()
+    )
+    a = _with_vec(embeddings, "v1", "av", "an")
+    b = _with_vec(embeddings, "v2", "bv", "bn")
+    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
+    return (
+        candidates.join(a, "v1")
+        .join(b, "v2")
+        .select("v1", "v2", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_assign(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     """IVF-style bucket assignment: each vector goes to its most
     cosine-similar centroid (broadcast the small centroid set, argmax

@@ -2101,3 +2101,64 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_append_available_now(dedup_stream(spark, sf_dir), spark)
+
+
+@query("sim_rp_lsh_neardup")  # rows-only: seeded hyperplanes, recall tested
+def sim_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup (threshold 0.4): banded SimHash
+    buckets → equi-join candidates → exact-cosine verify. Precision
+    1.0 by construction; recall vs the brute-force half-matrix is
+    asserted in tests/test_temporal.py."""
+    return similarity.rp_lsh_neardup(T(spark, sf_dir, "embeddings"), 0.4)
+
+
+_MM_MEDIA_CTE = """
+WITH m AS (
+  SELECT doc_id, text,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/jpeg'
+              WHEN 1 THEN 'image/png' ELSE 'audio/wav' END AS media_format,
+         CAST(n_chars % 1024 + 16 AS BIGINT) AS w,
+         CAST(n_chars % 768 + 16 AS BIGINT) AS h
+  FROM documents)
+"""
+
+_MM_RESIZE_SQL = _MM_MEDIA_CTE + """
+SELECT doc_id, media_format,
+       CAST(CASE WHEN w >= h THEN 256 ELSE w * 256 // h END AS BIGINT) AS out_width,
+       CAST(CASE WHEN w >= h THEN h * 256 // w ELSE 256 END AS BIGINT) AS out_height,
+       md5(text) AS resized_md5
+FROM m WHERE media_format LIKE 'image/%'
+"""
+
+
+@query("multimodal_resize", _MM_RESIZE_SQL)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage: aspect-fit integer arithmetic through the
+    Arrow mapInPandas boundary (operators/multimodal.py:resize_images);
+    non-image rows filtered before the Python transfer. The md5 is the
+    stand-in for resized bytes (decode stubbed per environment)."""
+    from razulibs_spark.operators.multimodal import attach_media_columns, resize_images
+
+    return resize_images(attach_media_columns(T(spark, sf_dir, "documents")))
+
+
+_MM_CHUNK_SQL = _MM_MEDIA_CTE + """
+, a AS (SELECT doc_id, text, length(text) AS n FROM m
+        WHERE media_format LIKE 'audio/%'),
+c AS (SELECT doc_id, n, text,
+             UNNEST(generate_series(0, CAST(ceil(n / 128.0) AS BIGINT) - 1)) AS chunk_idx
+      FROM a)
+SELECT doc_id, chunk_idx,
+       md5(substring(text, CAST(chunk_idx * 128 + 1 AS INT), 128)) AS chunk_md5
+FROM c
+"""
+
+
+@query("multimodal_chunk_audio", _MM_CHUNK_SQL)
+def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-chunking fan-out (UDTF-shaped mapInPandas): one row per
+    128-byte payload window, audio rows only. ASCII payloads make the
+    byte-window md5 SQL-expressible (substring == byte slice)."""
+    from razulibs_spark.operators.multimodal import attach_media_columns, chunk_audio
+
+    return chunk_audio(attach_media_columns(T(spark, sf_dir, "documents")))

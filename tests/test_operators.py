@@ -497,3 +497,31 @@ def test_corpus_prep_composition(spark, sf_dir):
     from pyspark.sql import functions as F
     dup = out.groupBy("content_hash").count().filter("count > 1").count()
     assert dup == 0
+
+
+def test_multimodal_resize_and_chunk(spark, sf_dir):
+    """Resize touches only image rows; chunk fan-out covers every
+    audio byte window exactly once."""
+    from razulibs_spark.operators.multimodal import (
+        attach_media_columns,
+        chunk_audio,
+        resize_images,
+    )
+    from razulibs_spark import queries as Q
+    from pyspark.sql import functions as F
+
+    media = attach_media_columns(Q.T(spark, sf_dir, "documents"))
+    resized = resize_images(media)
+    assert resized.filter(~F.col("media_format").startswith("image/")).count() == 0
+    bad = resized.filter(
+        (F.col("out_width") > 256) | (F.col("out_height") > 256)
+        | ((F.col("out_width") < 256) & (F.col("out_height") < 256))
+    )
+    assert bad.count() == 0  # aspect-fit: long edge pinned to the box
+
+    chunks = chunk_audio(media)
+    n_audio = media.filter(F.col("media_format").startswith("audio/")).count()
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("chunk_idx").alias("mx"))
+    assert per_doc.count() == n_audio
+    assert per_doc.filter(F.col("n") != F.col("mx") + 1).count() == 0

@@ -119,3 +119,24 @@ def test_rollup_levels_consistent(spark, sf_dir):
     assert len(total) == 1
     assert total[0]["n_rows"] == sum(r["n_rows"] for r in leaves)
     assert total[0]["n_rows"] == sum(r["n_rows"] for r in mids)
+
+
+def test_rp_lsh_neardup_recall_and_precision(spark, sf_dir):
+    """RP-LSH candidates verified exactly -> precision 1.0 (subset of
+    brute force); banding (12 bands x 3 bits) must recover most
+    true pairs at threshold 0.4."""
+    from razulibs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["v1"], r["v2"])
+        for r in similarity.near_duplicate_pairs(emb, 0.4).collect()
+    }
+    lsh = {
+        (r["v1"], r["v2"])
+        for r in similarity.rp_lsh_neardup(emb, 0.4).collect()
+    }
+    assert lsh <= exact  # exact verify => no false positives
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} below floor"
