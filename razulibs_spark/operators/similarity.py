@@ -128,52 +128,54 @@ def rp_lsh_neardup(
     approximate. With P(bit agree) = 1 - θ/π, recall per pair is
     1-(1-p^r)^b — tune bands/bits to the target threshold.
 
-    The hyperplane matrix is tiny (n_planes × dim) and enters the plan
-    as a literal array — constant-folded, no broadcast join needed.
+    The signature stage is ONE Arrow-batched pandas UDF doing a dense
+    (batch × dim) @ (dim × n_planes) matmul + bit-packing — the one
+    place where a vectorized Python kernel beats Catalyst expressions
+    (higher-order-function dot products are interpreted per element,
+    ~96 planes × dim ops per row of object churn). The hyperplane
+    matrix ships in the UDF closure (n_planes × dim doubles, tiny).
     """
     import numpy as np
+    import pandas as pd
 
     dim = len(embeddings.select("embedding").first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * band_bits, dim))
-    planes_col = F.array(
-        *[F.array(*[F.lit(float(x)) for x in row]) for row in planes]
-    )
+    pow2 = 1 << np.arange(band_bits - 1, -1, -1)
 
-    v = _with_vec(embeddings, "vec_id", "v").repartition(_parallelism(embeddings))
-    sig = F.transform(
-        planes_col, lambda p: (dot(F.col("v"), p) >= 0).cast("int")
+    def _band_keys(embs):
+        m = np.vstack(embs.to_numpy()).astype(np.float64)
+        bits = (m @ planes.T) >= 0.0
+        keys = bits.reshape(len(m), n_bands, band_bits) @ pow2
+        return pd.Series(list(keys.astype(np.int64)))
+
+    # plain-function wrap: `from __future__ import annotations`
+    # stringifies hints, which pandas_udf's hint inference rejects
+    _band_keys.__annotations__ = {"embs": pd.Series, "return": pd.Series}
+    band_keys = F.pandas_udf(_band_keys, "array<long>")
+
+    v = embeddings.select("vec_id", "embedding").repartition(
+        _parallelism(embeddings)
     )
-    banded = (
-        v.withColumn("_sig", sig)
-        .select(
-            "vec_id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(i).alias("band"),
-                            F.aggregate(
-                                F.slice("_sig", i * band_bits + 1, band_bits),
-                                F.lit(0),
-                                lambda acc, x: acc * 2 + x,
-                            ).alias("key"),
-                        )
-                        for i in range(n_bands)
-                    ]
-                )
-            ).alias("bk"),
-        )
-        .select("vec_id", "bk.band", "bk.key")
+    banded = v.select(
+        "vec_id", F.posexplode(band_keys("embedding")).alias("band", "key")
     )
-    lhs = banded.select(
-        F.col("vec_id").alias("v1"), "band", "key"
+    # Pairs are generated inside each bucket from ONE grouped pass
+    # (collect_list + pairwise HOF) instead of a self-join: the UDF
+    # and the shuffle run once, not once per join side. Bucket sizes
+    # are the LSH-bounded quantity, so the m·(m-1)/2 expansion is the
+    # candidate count itself — no hidden blow-up.
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(least(x, y) AS v1, greatest(x, y) AS v2))))"
     )
-    rhs = banded.select(F.col("vec_id").alias("v2"), "band", "key")
     candidates = (
-        lhs.join(rhs, ["band", "key"])
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2")
+        banded.groupBy("band", "key")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.v1", "p.v2")
         .distinct()
     )
     a = _with_vec(embeddings, "v1", "av", "an")

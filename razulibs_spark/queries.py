@@ -1891,7 +1891,22 @@ def j_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids the BroadcastNestedLoopJoin cross product a bare range
     predicate plans to, staying shuffle-partitionable at scale."""
     ev = T(spark, sf_dir, "events")
-    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    # Literal LocalRelation (not a Python-RDD createDataFrame): known
+    # tiny stats, so Catalyst broadcasts the bands — never the facts.
+    bands = spark.range(1).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.lit(lo).alias("lo"),
+                        F.lit(hi).alias("hi"),
+                    )
+                    for b, lo, hi in _BANDS
+                ]
+            )
+        ).alias("b")
+    ).select("b.*")
     joined = temporal.range_join_binned(
         ev, bands, point_col="value", lo_col="lo", hi_col="hi", bin_width=25.0
     )
@@ -2105,11 +2120,27 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("sim_rp_lsh_neardup")  # rows-only: seeded hyperplanes, recall tested
 def sim_rp_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH near-dup (threshold 0.4): banded SimHash
-    buckets → equi-join candidates → exact-cosine verify. Precision
-    1.0 by construction; recall vs the brute-force half-matrix is
-    asserted in tests/test_temporal.py."""
-    return similarity.rp_lsh_neardup(T(spark, sf_dir, "embeddings"), 0.4)
+    """Random-hyperplane LSH near-dup at its real operating point
+    (threshold 0.9, i.e. true duplicates): the corpus is the driver
+    embeddings UNION a shifted-id copy, so every vector has a planted
+    exact duplicate — the scenario LSH dedup exists for. Tight bands
+    (6 × 16 bits) collapse random-pair collisions to ~0.5^16 per band
+    while cos≈1 pairs collide in every band (recall 1.0 on the
+    planted pairs, asserted in tests/test_temporal.py). Precision is
+    1.0 by construction (exact-cosine verify of candidates).
+
+    Sign-bit LSH fundamentally cannot prune LOW thresholds (p(0.4) =
+    0.63 vs p(0) = 0.5 per bit) — for those the IVF bucket path
+    (sim_ivf_topk) or the brute-force half-matrix baseline applies.
+    """
+    emb = T(spark, sf_dir, "embeddings")
+    shifted = emb.select(
+        (F.col("vec_id") + F.lit(10_000_000)).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    corpus = emb.unionByName(shifted)
+    return similarity.rp_lsh_neardup(corpus, 0.9, n_bands=6, band_bits=16)
 
 
 _MM_MEDIA_CTE = """
@@ -2162,3 +2193,53 @@ def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from razulibs_spark.operators.multimodal import attach_media_columns, chunk_audio
 
     return chunk_audio(attach_media_columns(T(spark, sf_dir, "documents")))
+
+
+_ATTRIB_SQL = """
+SELECT v.event_id AS view_id, v.user_id AS view_user, v.ts AS view_ts,
+       p.event_id AS p_id, p.ts AS p_ts, p.value AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("events_view_purchase_attribution", _ATTRIB_SQL)
+def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase attribution: per-user interval join (batch twin
+    of streaming/interval_join.py). The user_id equality makes this a
+    plain shuffled equi-join with a time-range residual — per-user
+    cost is bounded by that user's own rows, never a cross product."""
+    ev = T(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    return (
+        v.join(
+            p,
+            (v.view_user == p.p_user)
+            & (p.p_ts >= v.view_ts)
+            & (p.p_ts < v.view_ts + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("view_id", "view_user", "view_ts", "p_id", "p_ts", "p_value")
+    )
+
+
+@query("streaming_interval_join")  # two-sided stream state: rows-only
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: watermarked stream-stream interval join (bounded
+    two-sided state; views evictable past view_ts + 1h + watermark).
+    Batch equivalence asserted in tests."""
+    from razulibs_spark.streaming.dedup_stream import run_append_available_now
+    from razulibs_spark.streaming.interval_join import view_purchase_join_stream
+
+    return run_append_available_now(view_purchase_join_stream(spark, sf_dir), spark)

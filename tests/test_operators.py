@@ -525,3 +525,15 @@ def test_multimodal_resize_and_chunk(spark, sf_dir):
         F.count("*").alias("n"), F.max("chunk_idx").alias("mx"))
     assert per_doc.count() == n_audio
     assert per_doc.filter(F.col("n") != F.col("mx") + 1).count() == 0
+
+
+def test_streaming_interval_join_matches_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join must emit exactly
+    the batch attribution pairs (static source, no late data)."""
+    from razulibs_spark import queries as Q
+
+    streamed = Q.QUERIES["streaming_interval_join"](spark, sf_dir)
+    batch = Q.QUERIES["events_view_purchase_attribution"](spark, sf_dir)
+    s = {(r["view_id"], r["p_id"]) for r in streamed.collect()}
+    b = {(r["view_id"], r["p_id"]) for r in batch.collect()}
+    assert s == b and len(s) > 0

