@@ -2243,3 +2243,62 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from razulibs_spark.streaming.interval_join import view_purchase_join_stream
 
     return run_append_available_now(view_purchase_join_stream(spark, sf_dir), spark)
+
+
+# ---------------------------------------------------------------------------
+# §2.5 window breadth — keyed analytic windows (every window below is
+# partitioned by a natural key; no global windows outside o1).
+# ---------------------------------------------------------------------------
+
+_WRT_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))
+            OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       / 100.0 AS running_total,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) AS order_seq
+FROM orders
+"""
+
+
+@query("w_running_total", _WRT_SQL)
+def w_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running order total + sequence number: cumulative
+    window over (custkey) — one shuffle on the partition key, per-key
+    sort, fixed-point sum for cross-engine determinism."""
+    o = T(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (
+            F.sum(cents).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double") / 100.0
+        ).alias("running_total"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+_WLAG_SQL = """
+SELECT event_id, user_id, ts,
+       CAST(date_diff('microseconds',
+                      LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                      ts) AS BIGINT) AS gap_us,
+       LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         AS next_event_type
+FROM events
+"""
+
+
+@query("w_lag_lead_gaps", _WLAG_SQL)
+def w_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap (lag) and next-event peek (lead) —
+    the building blocks of sessionization, as plain keyed windows."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id", "user_id", "ts",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )

@@ -138,3 +138,15 @@ def test_rp_lsh_neardup_recall_and_precision(spark, sf_dir):
     # candidate pruning actually prunes: output stays near the planted
     # count (no random-pair flood)
     assert len(pairs) < 3 * n
+
+
+def test_window_queries_are_keyed(spark, sf_dir):
+    """Both §2.5 window queries must partition by their natural key —
+    never a global (single-partition) window."""
+    for name, key in [("w_running_total", "o_custkey"),
+                      ("w_lag_lead_gaps", "user_id")]:
+        plan = (
+            Q.QUERIES[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert f"hashpartitioning({key}" in plan, name
