@@ -62,6 +62,19 @@ def main() -> None:
     # Warm the JVM/codegen paths once so per-query numbers measure the
     # engine, not first-run class loading.
     flagship_triples(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # Warm the Arrow/pandas-UDF worker pool too (first pandas-UDF job
+    # otherwise pays Python worker spin-up inside its measurement).
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+
+    def _warm(s: "pd.Series") -> "pd.Series":
+        return s
+
+    _warm.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    warm_udf = F.pandas_udf(_warm, "long")
+    spark.range(10_000).select(warm_udf("id").alias("x")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     times: dict[str, float] = {}
     t_flag = time.time()

@@ -2302,3 +2302,37 @@ def w_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+_CUBE_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(o_orderpriority) AS g_prio,
+       COUNT(*) AS n_rows, {DEC_SUM_SQL('l_extendedprice', 'sum_price')}
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY CUBE (l_returnflag, o_orderpriority)
+"""
+
+
+@query("a_cube_price", _CUBE_SQL)
+def a_cube_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over (returnflag × orderpriority) after a fact join:
+    all four grouping levels in one pass (Catalyst expands + partial-
+    aggregates map-side; the shuffle carries group rows, not facts)."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .cube("l_returnflag", "o_orderpriority")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("o_orderpriority").alias("g_prio"),
+            F.count("*").alias("n_rows"),
+            dec_sum(F.col("l_extendedprice"), "sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "g_flag", "g_prio", "n_rows", "sum_price",
+        )
+    )

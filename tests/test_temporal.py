@@ -150,3 +150,14 @@ def test_window_queries_are_keyed(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert f"hashpartitioning({key}" in plan, name
+
+
+def test_cube_levels_consistent(spark, sf_dir):
+    rows = Q.QUERIES["a_cube_price"](spark, sf_dir).collect()
+    total = [r for r in rows if r["g_flag"] == 1 and r["g_prio"] == 1]
+    leaves = [r for r in rows if r["g_flag"] == 0 and r["g_prio"] == 0]
+    by_flag = [r for r in rows if r["g_flag"] == 0 and r["g_prio"] == 1]
+    by_prio = [r for r in rows if r["g_flag"] == 1 and r["g_prio"] == 0]
+    assert len(total) == 1
+    for grp in (leaves, by_flag, by_prio):
+        assert total[0]["n_rows"] == sum(r["n_rows"] for r in grp)
