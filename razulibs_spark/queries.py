@@ -2336,3 +2336,17 @@ def a_cube_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_flag", "g_prio", "n_rows", "sum_price",
         )
     )
+
+
+@query("dedup_jaccard_prefix_filter", _NGRAM_SQL)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3-gram Jaccard ≥ 0.5 via prefix filtering (AllPairs):
+    identical output to dedup_ngram_jaccard (same oracle SQL), but the
+    pair join touches only each doc's rarest |A|−ceil(t·|A|)+1
+    shingles — so high-df shingles that dominate the brute-force
+    join's Σ df² can never enter the pair join. Lexicographic order
+    here (the driver corpus has near-uniform shingle df, so the
+    df-ordering join would cost more than it saves — measured; real
+    heavy-tailed text flips that, order="frequency")."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
+    return dedup.prefix_filter_pairs(sh, 0.5, order="lexicographic")

@@ -161,3 +161,19 @@ def test_cube_levels_consistent(spark, sf_dir):
     assert len(total) == 1
     for grp in (leaves, by_flag, by_prio):
         assert total[0]["n_rows"] == sum(r["n_rows"] for r in grp)
+
+
+def test_prefix_filter_jaccard_is_exact(spark, sf_dir):
+    """Prefix filtering is lossless: both orderings must equal the
+    brute-force shingle self-join output exactly."""
+    from razulibs_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.word_shingles(docs).persist()
+    brute = {(r["d1"], r["d2"]) for r in dedup.jaccard_pairs(sh, 0.5).collect()}
+    for order in ("frequency", "lexicographic"):
+        pf = {
+            (r["d1"], r["d2"])
+            for r in dedup.prefix_filter_pairs(sh, 0.5, order=order).collect()
+        }
+        assert pf == brute, order
