@@ -44,11 +44,18 @@ def asof_join(
     right_time: str | None = None,
     right_prefix: str = "matched_",
     inclusive: bool = True,
+    tolerance: str | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, the most recent right row
     (per `on` key) with right_time <= left_time (strictly < when
     ``inclusive=False``). Unmatched left rows keep nulls — the same
     semantics as DuckDB's ``ASOF LEFT JOIN ... ON l.t >= r.t``.
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"1 hour"``) nulls the
+    match when it is older than left_time − tolerance — pandas
+    ``merge_asof(tolerance=...)`` semantics, applied as a plain
+    post-projection (the carried match is already at hand, so the
+    bound costs no extra pass).
 
     Output: every left column, plus each right column (except the key)
     prefixed with ``right_prefix``.
@@ -79,6 +86,19 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(_RPAY, F.last(_RPAY, ignorenulls=True).over(w))
+    if tolerance is not None:
+        matched_t = F.col(f"{_RPAY}.{rt}") if rt in r_cols else None
+        if matched_t is None:
+            raise ValueError(
+                "tolerance requires right_time to be a right-side column"
+            )
+        carried = carried.withColumn(
+            _RPAY,
+            F.when(
+                matched_t >= F.col(_T) - F.expr(f"INTERVAL {tolerance}"),
+                F.col(_RPAY),
+            ),
+        )
 
     out = carried.filter(F.col(_SIDE) == l_side).select(
         *[F.col(f"{_LPAY}.{c}").alias(c) for c in left.columns],

@@ -2350,3 +2350,34 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     heavy-tailed text flips that, order="frequency")."""
     sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
     return dedup.prefix_filter_pairs(sh, 0.5, order="lexicographic")
+
+
+_ENRICH_SQL = """
+SELECT event_id, user_id, ts, event_type, value, n_name
+FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+"""
+
+
+@query("events_enriched_nation", _ENRICH_SQL)
+def events_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension enrichment (J2 vocabulary-broadcast shape on the
+    events fact): broadcast hash join, zero fact-side shuffle."""
+    ev = T(spark, sf_dir, "events")
+    n = T(spark, sf_dir, "nation")
+    return ev.withColumn("_nkey", (F.col("user_id") % 25).cast("int")).join(
+        F.broadcast(n), F.col("_nkey") == n.n_nationkey
+    ).select("event_id", "user_id", "ts", "event_type", "value", "n_name")
+
+
+@query("streaming_enrich")  # stream-static join: rows-only
+def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: stream-static broadcast enrichment — the reference's
+    per-row vocabulary HTTP lookup as a stateless streaming join
+    (dimension broadcast per micro-batch, stream never shuffles)."""
+    from razulibs_spark.streaming.dedup_stream import run_append_available_now
+    from razulibs_spark.streaming.enrich import enriched_events_stream
+
+    dim = T(spark, sf_dir, "nation")
+    return run_append_available_now(
+        enriched_events_stream(spark, sf_dir, dim), spark
+    )

@@ -537,3 +537,13 @@ def test_streaming_interval_join_matches_batch(spark, sf_dir):
     s = {(r["view_id"], r["p_id"]) for r in streamed.collect()}
     b = {(r["view_id"], r["p_id"]) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_streaming_enrich_matches_batch(spark, sf_dir):
+    from razulibs_spark import queries as Q
+
+    streamed = Q.QUERIES["streaming_enrich"](spark, sf_dir)
+    batch = Q.QUERIES["events_enriched_nation"](spark, sf_dir)
+    s = {(r["event_id"], r["n_name"]) for r in streamed.collect()}
+    b = {(r["event_id"], r["n_name"]) for r in batch.collect()}
+    assert s == b and len(s) > 0

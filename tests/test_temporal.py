@@ -177,3 +177,20 @@ def test_prefix_filter_jaccard_is_exact(spark, sf_dir):
             for r in dedup.prefix_filter_pairs(sh, 0.5, order=order).collect()
         }
         assert pf == brute, order
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p")], "k long, t timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T08:00:00"), 2.0)], "k long, rt timestamp, v double"
+    )
+    loose = temporal.asof_join(
+        left, right, on="k", left_time="t", right_time="rt", tolerance="3 hour"
+    )
+    tight = temporal.asof_join(
+        left, right, on="k", left_time="t", right_time="rt", tolerance="1 hour"
+    )
+    assert loose.collect()[0]["matched_v"] == 2.0
+    assert tight.collect()[0]["matched_v"] is None  # match older than bound
