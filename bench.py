@@ -49,6 +49,10 @@ HEADLINE = [
     "q18_large_orders",
     "pipeline_corpus_prep",
     "sim_rp_lsh_neardup",
+    "a_cube_price",
+    "w_running_total",
+    "w_lag_lead_gaps",
+    "events_enriched_nation",
 ]
 
 
