@@ -45,6 +45,7 @@ def asof_join(
     right_prefix: str = "matched_",
     inclusive: bool = True,
     tolerance: str | None = None,
+    right_tiebreak: list[str] | None = None,
 ) -> DataFrame:
     """Left as-of join: for each left row, the most recent right row
     (per `on` key) with right_time <= left_time (strictly < when
@@ -57,6 +58,11 @@ def asof_join(
     post-projection (the carried match is already at hand, so the
     bound costs no extra pass).
 
+    When multiple right rows share the same (key, time), the carried
+    match among them is otherwise arbitrary — pass ``right_tiebreak``
+    (right column names, ascending; the LAST row in that order wins)
+    to pin it deterministically.
+
     Output: every left column, plus each right column (except the key)
     prefixed with ``right_prefix``.
     """
@@ -66,23 +72,27 @@ def asof_join(
     # sort right before left (0 < 1) for inclusive, after for strict.
     l_side, r_side = (1, 0) if inclusive else (0, 1)
 
+    tb = right_tiebreak or []
+    null_tb = [F.lit(None).cast(right.schema[c].dataType.simpleString()) for c in tb]
     lhs = left.select(
         F.col(on),
         F.col(left_time).alias(_T),
         F.lit(l_side).alias(_SIDE),
+        *[c.alias(f"_tb_{name}") for c, name in zip(null_tb, tb)],
         F.struct(*[F.col(c) for c in left.columns]).alias(_LPAY),
     )
     rhs = right.select(
         F.col(on),
         F.col(rt).alias(_T),
         F.lit(r_side).alias(_SIDE),
+        *[F.col(c).alias(f"_tb_{c}") for c in tb],
         F.struct(*[F.col(c) for c in r_cols]).alias(_RPAY),
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
     w = (
         Window.partitionBy(on)
-        .orderBy(_T, _SIDE)
+        .orderBy(_T, _SIDE, *[F.col(f"_tb_{c}").asc_nulls_last() for c in tb])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(_RPAY, F.last(_RPAY, ignorenulls=True).over(w))

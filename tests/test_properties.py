@@ -87,3 +87,57 @@ def test_prefix_compact_expand_inverse(spark, locals_):
     ).collect()
     for r in out:
         assert r["rt"] == r["name"], (r["name"], r["rt"])
+
+
+asof_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # time (seconds)
+        st.integers(min_value=0, max_value=999),    # payload
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(asof_rows, asof_rows)
+def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
+    """asof_join over generated keyed event sets must agree with
+    pandas.merge_asof (backward, inclusive) — the de-facto reference
+    semantics. Right-side duplicate timestamps are collapsed to the
+    max payload first (both engines' tie choice is otherwise
+    unspecified)."""
+    import pandas as pd
+
+    from razulibs_spark.operators.temporal import asof_join
+
+    lpdf = pd.DataFrame(lrows, columns=["k", "t", "lv"]).drop_duplicates(
+        ["k", "t"]
+    )
+    rpdf = (
+        pd.DataFrame(rrows, columns=["k", "t", "rv"])
+        .groupby(["k", "t"], as_index=False)["rv"].max()
+    )
+    lpdf["ts"] = pd.to_datetime(lpdf["t"], unit="s")
+    rpdf["rts"] = pd.to_datetime(rpdf["t"], unit="s")
+    expected = pd.merge_asof(
+        lpdf.sort_values(["ts", "k"]).reset_index(drop=True),
+        rpdf.sort_values(["rts", "k"]).reset_index(drop=True),
+        left_on="ts", right_on="rts", by="k", direction="backward",
+    )
+    exp = {
+        (r.k, r.ts): (None if pd.isna(r.rv) else int(r.rv))
+        for r in expected.itertuples()
+    }
+
+    left = spark.createDataFrame(
+        lpdf[["k", "ts", "lv"]], "k long, ts timestamp, lv long"
+    )
+    right = spark.createDataFrame(
+        rpdf[["k", "rts", "rv"]], "k long, rts timestamp, rv long"
+    )
+    out = asof_join(left, right, on="k", left_time="ts", right_time="rts")
+    got = {
+        (r["k"], pd.Timestamp(r["ts"])): r["matched_rv"] for r in out.collect()
+    }
+    assert got == exp

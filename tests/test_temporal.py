@@ -194,3 +194,20 @@ def test_asof_join_tolerance(spark):
     )
     assert loose.collect()[0]["matched_v"] == 2.0
     assert tight.collect()[0]["matched_v"] is None  # match older than bound
+
+
+def test_asof_join_right_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "p")], "k long, t timestamp, name string"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T09:00:00"), 5.0),
+         (1, _ts("2024-01-01T09:00:00"), 9.0),
+         (1, _ts("2024-01-01T09:00:00"), 1.0)],
+        "k long, rt timestamp, v double",
+    )
+    out = temporal.asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        right_tiebreak=["v"],
+    )
+    assert out.collect()[0]["matched_v"] == 9.0  # last in ascending v order
