@@ -123,6 +123,67 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Min-label connected components over a near-dup pair graph —
+    the canonicalization step every dedup pipeline ends with (pairs →
+    clusters → one keeper per cluster).
+
+    Iterative min-label propagation on DataFrames: symmetrize the
+    edges, then repeatedly set label(v) = min(label(v), min over
+    neighbours' labels) until a fixpoint. Iterations needed = graph
+    diameter — near-dup clusters are small and dense, so single
+    digits in practice (``max_iter`` caps adversarial chains; the
+    large-star/small-star algorithm is the published alternative when
+    diameters are genuinely large). Each iteration is one shuffle on
+    the node id; the frontier is checkpointed via ``localCheckpoint``
+    to keep lineage from growing per iteration.
+
+    nodes: one column ``doc_id``; edges: ``(d1, d2)`` undirected.
+    Returns ``(doc_id, component)`` with component = min doc_id
+    reachable.
+    """
+    sym = (
+        edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col("doc_id"), F.col("doc_id").alias("component")
+    ).persist()
+    for _ in range(max_iter):
+        neighbour_min = (
+            sym.join(labels, sym.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("component").alias("_nmin"))
+        )
+        new_labels = (
+            labels.join(neighbour_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("_nmin", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
 def prefix_filter_pairs(
     shingles: DataFrame, threshold: float, order: str = "frequency"
 ) -> DataFrame:

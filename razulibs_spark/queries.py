@@ -2381,3 +2381,38 @@ def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_append_available_now(
         enriched_events_stream(spark, sf_dir, dim), spark
     )
+
+
+_CLUSTER_SQL = ("WITH RECURSIVE " + _SHINGLE_CTE.strip()[len("WITH "):]) + _JACCARD_CTES + """
+, ex AS (SELECT mn AS d1, doc_id AS d2
+         FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS mn
+               FROM documents)
+         WHERE mn < doc_id)
+, edges AS (SELECT d1, d2 FROM jac WHERE jaccard >= 0.5
+            UNION SELECT d1, d2 FROM ex)
+, sym AS (SELECT d1 AS s, d2 AS d FROM edges
+          UNION SELECT d2, d1 FROM edges)
+, cc AS (SELECT doc_id AS node, doc_id AS label FROM documents
+         UNION
+         SELECT sym.d, cc.label FROM cc JOIN sym ON cc.node = sym.s)
+SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node
+"""
+
+
+@query("dedup_cluster_canonical", _CLUSTER_SQL)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: exact-dup pairs ∪ Jaccard≥0.5 pairs
+    form an undirected graph; every document gets its component's
+    minimum doc_id as canonical id (iterative min-label propagation,
+    operators/dedup.py:connected_components — one shuffle per round,
+    rounds = cluster diameter). Oracle: DuckDB recursive CTE over the
+    identical edge set."""
+    docs = T(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    ex = docs.select(
+        F.min("doc_id").over(w).alias("d1"), F.col("doc_id").alias("d2")
+    ).filter(F.col("d1") < F.col("d2"))
+    sh = dedup.word_shingles(docs).persist()
+    jac = dedup.jaccard_pairs(sh, 0.5).select("d1", "d2")
+    edges = ex.union(jac)
+    return dedup.connected_components(docs.select("doc_id"), edges)

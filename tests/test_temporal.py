@@ -211,3 +211,24 @@ def test_asof_join_right_tiebreak(spark):
         right_tiebreak=["v"],
     )
     assert out.collect()[0]["matched_v"] == 9.0  # last in ascending v order
+
+
+def test_connected_components_properties(spark, sf_dir):
+    """Every edge's endpoints share a component; every component id is
+    the minimum member; labels cover all nodes exactly once."""
+    from razulibs_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.word_shingles(docs).persist()
+    edges = dedup.jaccard_pairs(sh, 0.5).select("d1", "d2")
+    cc = dedup.connected_components(docs.select("doc_id"), edges).toPandas()
+    lab = dict(zip(cc.doc_id, cc.component))
+    assert len(lab) == docs.count()
+    for r in edges.collect():
+        assert lab[r["d1"]] == lab[r["d2"]]
+    import collections
+    members = collections.defaultdict(list)
+    for d, c in lab.items():
+        members[c].append(d)
+    for c, ms in members.items():
+        assert c == min(ms)
