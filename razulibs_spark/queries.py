@@ -2416,3 +2416,41 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = dedup.jaccard_pairs(sh, 0.5).select("d1", "d2")
     edges = ex.union(jac)
     return dedup.connected_components(docs.select("doc_id"), edges)
+
+
+_CLUSTER_BEST_SQL = _CLUSTER_SQL.replace(
+    "SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node",
+    """, comp AS (SELECT node AS doc_id, min(label) AS component FROM cc GROUP BY node),
+q AS (SELECT doc_id,
+        round((1.0 - len([x for x in string_split(text, ' ') if x = 'the' OR x = 'a'])
+                     / len(string_split(text, ' ')))
+              * least(1.0, len(string_split(text, ' ')) / 100.0), 6) AS quality_score
+      FROM documents)
+SELECT component,
+       CAST(COUNT(*) AS BIGINT) AS cluster_size,
+       first(doc_id ORDER BY quality_score DESC, doc_id ASC) AS keeper_doc_id,
+       MAX(quality_score) AS keeper_quality
+FROM comp JOIN q USING (doc_id)
+GROUP BY component""")
+
+
+@query("pipeline_cluster_best", _CLUSTER_BEST_SQL)
+def pipeline_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone dedup pipeline: near-dup graph → connected components
+    → keep the HIGHEST-QUALITY document per cluster (arg-max as a
+    max_by hash aggregate, quality ties broken by lowest doc_id). One
+    grouped pass after the component labels — the full
+    pairs→clusters→keepers flow a 100 TB corpus dedup runs."""
+    comp = dedup_cluster_canonical(spark, sf_dir)
+    q = text.quality_scores(T(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    joined = comp.join(q, "doc_id")
+    return joined.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size"),
+        F.max_by(
+            F.col("doc_id"),
+            F.struct(F.col("quality_score"), (-F.col("doc_id")).alias("nd")),
+        ).alias("keeper_doc_id"),
+        F.max("quality_score").alias("keeper_quality"),
+    )

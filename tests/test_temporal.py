@@ -232,3 +232,30 @@ def test_connected_components_properties(spark, sf_dir):
         members[c].append(d)
     for c, ms in members.items():
         assert c == min(ms)
+
+
+def test_pipeline_cluster_best_invariants(spark, sf_dir):
+    """Keeper is a member of its own cluster, carries the cluster-max
+    quality, quality ties resolve to the LOWEST doc_id, and cluster
+    sizes partition the corpus exactly."""
+    from razulibs_spark.operators import text
+    from razulibs_spark.queries import dedup_cluster_canonical, pipeline_cluster_best
+
+    comp = dedup_cluster_canonical(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = {r["doc_id"]: r["quality_score"]
+         for r in text.quality_scores(docs).select("doc_id", "quality_score").collect()}
+    best = pipeline_cluster_best(spark, sf_dir).toPandas()
+
+    assert best.cluster_size.sum() == len(comp)
+    lab = dict(zip(comp.doc_id, comp.component))
+    import collections
+    members = collections.defaultdict(list)
+    for d, c in lab.items():
+        members[c].append(d)
+    for r in best.itertuples():
+        ms = members[r.component]
+        assert r.keeper_doc_id in ms
+        top = max(q[m] for m in ms)
+        assert r.keeper_quality == top
+        assert r.keeper_doc_id == min(m for m in ms if q[m] == top)
