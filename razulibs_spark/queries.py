@@ -2195,6 +2195,31 @@ def multimodal_chunk_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_audio(attach_media_columns(T(spark, sf_dir, "documents")))
 
 
+_MM_FRAMES_SQL = _MM_MEDIA_CTE + """
+, f AS (SELECT doc_id, text,
+               greatest(1, length(text) // 1024) AS n_frames
+        FROM m)
+SELECT doc_id,
+       UNNEST(generate_series(0, n_frames - 1, 10)) AS frame_idx,
+       md5(substring(text,
+                     CAST(UNNEST(generate_series(0, n_frames - 1, 10)) * 1024 + 1 AS INT),
+                     1024)) AS frame_md5
+FROM f
+"""
+
+
+@query("multimodal_sample_frames", _MM_FRAMES_SQL)
+def multimodal_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling fan-out (operators/multimodal.py:
+    sample_frames): every 10th 1 KiB payload slice stands in for the
+    stubbed frame decode — the output batch is LONGER than the input
+    (UDTF shape), partitioned by doc_id before the Arrow boundary.
+    ASCII payloads make the slice md5 SQL-expressible."""
+    from razulibs_spark.operators.multimodal import attach_media_columns, sample_frames
+
+    return sample_frames(attach_media_columns(T(spark, sf_dir, "documents")))
+
+
 _ATTRIB_SQL = """
 SELECT v.event_id AS view_id, v.user_id AS view_user, v.ts AS view_ts,
        p.event_id AS p_id, p.ts AS p_ts, p.value AS p_value
