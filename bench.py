@@ -53,6 +53,11 @@ HEADLINE = [
     "w_running_total",
     "w_lag_lead_gaps",
     "events_enriched_nation",
+    "split_train_test",
+    "quality_percentile_filter",
+    "text_tfidf_topterms",
+    "contamination_ngram",
+    "dedup_incremental",
 ]
 
 

@@ -40,6 +40,30 @@ def exact_dedup_groups(documents: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup(
+    documents: DataFrame, is_batch, key: str = "doc_id"
+) -> DataFrame:
+    """Incremental exact dedup: admit only the rows of the new batch
+    whose content hash is absent from the existing corpus, keeping one
+    canonical (min-key) row per distinct new content.
+
+    The corpus side is reduced to DISTINCT hashes before the anti-join
+    (no payload shuffled); at 100 TB the corpus hash set is the
+    persisted dedup index a daily-ingest pipeline maintains — this
+    plan is exactly "probe the index, keep the misses".
+    """
+    hashed = documents.select(
+        F.col(key), F.md5(F.col("text")).alias("content_md5"), is_batch.alias("_b")
+    )
+    corpus = hashed.filter(~F.col("_b")).select("content_md5").distinct()
+    batch = hashed.filter(F.col("_b")).drop("_b")
+    return (
+        batch.join(corpus, "content_md5", "left_anti")
+        .groupBy("content_md5")
+        .agg(F.min(key).alias(key), F.count("*").alias("n_in_batch"))
+    )
+
+
 def word_shingles(documents: DataFrame, k: int = 3) -> DataFrame:
     """Distinct (doc_id, shingle) pairs of word k-grams.
 

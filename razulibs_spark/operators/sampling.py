@@ -1,0 +1,81 @@
+"""Deterministic sampling / splitting operators for training-data
+pipelines (BASELINE.json north star — data management a 100 TB corpus
+pipeline needs).
+
+Everything here is *hash-derived*, never RNG-derived: at cluster scale
+a sample must be (a) reproducible across runs and engines, (b)
+independent of partitioning/row order, and (c) computable without any
+shuffle — a pure projection the optimizer can pipeline into the scan.
+`rand(seed)` fails (a)+(b) on Spark (seed is per-partition), so we use
+a Knuth multiplicative hash over the stable key in exact BIGINT
+arithmetic, which any engine reproduces bit-for-bit.
+
+At 100 TB: these are narrow map-side transforms — no shuffle, no
+driver state; the split column can feed `partitionBy` at write time so
+each split lands in its own directory tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Knuth's 2^32 golden-ratio multiplier; exact in int64 for keys < ~4e9.
+_KNUTH = 2654435761
+_MOD = 4294967296  # 2^32
+
+
+def bucket_of(key: Column, salt: int = 0, buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): multiplicative hash in
+    exact 64-bit integer arithmetic (engine-portable, order-stable)."""
+    h = ((key + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    return (h % F.lit(buckets)).cast("int")
+
+
+def bucket_sql(key: str, salt: int = 0, buckets: int = 100) -> str:
+    """The DuckDB-equivalent expression for :func:`bucket_of`."""
+    return f"CAST((({key} + {salt}) * {_KNUTH}) % {_MOD} % {buckets} AS INT)"
+
+
+def hash_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: int = 0,
+) -> DataFrame:
+    """Deterministic train/val/test split: bucket the key into 100
+    cells, carve [0,train), [train,train+val), [train+val,100).
+
+    A pure projection — Catalyst pipelines it into the scan; writing
+    with ``partitionBy('split')`` gives per-split datasets without a
+    shuffle (round-robin file assignment only).
+    """
+    b = bucket_of(F.col(key), salt=salt)
+    split = (
+        F.when(b < train_pct, F.lit("train"))
+        .when(b < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, int],
+    stratum: str = "lang",
+    key: str = "doc_id",
+    default_pct: int = 100,
+    salt: int = 1,
+) -> DataFrame:
+    """Deterministic stratified downsample: keep a row when its hash
+    bucket falls below the stratum's percentage (e.g. downsample the
+    dominant language of a crawl to balance a training mix).
+
+    Map-side only: the per-stratum rate is a CASE expression, the
+    predicate is pushed into the scan — no shuffle, no RNG.
+    """
+    rate = F.lit(default_pct)
+    for value, pct in sorted(rates.items()):
+        rate = F.when(F.col(stratum) == value, F.lit(pct)).otherwise(rate)
+    return df.filter(bucket_of(F.col(key), salt=salt) < rate)

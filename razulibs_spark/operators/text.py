@@ -122,6 +122,89 @@ def corpus_prep(
     )
 
 
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document top-k terms by TF-IDF with a deterministic
+    (score DESC, term ASC) tie-break.
+
+    tf = term count / doc length; idf = ln(N_docs / df). One explode,
+    two aggregations keyed on `doc_id` (the second on `term`), the
+    1-row corpus count broadcast — at 100 TB the term-df aggregate is
+    the only wide shuffle and it is combiner-friendly (partial counts
+    map-side). Scores are rounded to 6 decimals so the DuckDB oracle
+    string-compares cleanly (identical IEEE inputs → identical
+    doubles → identical round)."""
+    from pyspark.sql.window import Window
+
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = words.groupBy("doc_id", "term").agg(F.count("*").alias("tf_cnt"))
+    doc_len = words.groupBy("doc_id").agg(F.count("*").alias("doc_len"))
+    df_ = words.distinct().groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = documents.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(doc_len, "doc_id")
+        .join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tf_cnt") / F.col("doc_len"))
+                * F.log(F.col("n_docs") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+def ngram_contamination(
+    documents: DataFrame, eval_source: str = "src19", k: int = 3
+) -> DataFrame:
+    """Test-set contamination check: for each document of the held-out
+    source, the fraction of its word-k-gram shingles that appear
+    anywhere in the training split (every other source).
+
+    The train side is reduced to DISTINCT shingles before the join —
+    the join key is the shingle itself (high cardinality, well
+    distributed), and the probe is a LEFT SEMI join so no train
+    payload is carried. At 100 TB this is the standard
+    eval-decontamination sweep: one shuffle on shingle, one on doc_id.
+    """
+    from razulibs_spark.operators.dedup import word_shingles
+
+    is_eval = F.col("source") == eval_source
+    eval_sh = word_shingles(documents.filter(is_eval), k=k)
+    train_sh = (
+        word_shingles(documents.filter(~is_eval), k=k)
+        .select("shingle")
+        .distinct()
+    )
+    totals = eval_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        eval_sh.join(train_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0)).alias("n_contaminated"),
+            F.round(
+                F.coalesce(F.col("n_contaminated"), F.lit(0)) / F.col("n_shingles"),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
 def fingerprints(shingles: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint: the minimum md5 over the
     doc's k-gram shingles (1-hash MinHash / winnowing-lite) plus the

@@ -29,7 +29,14 @@ from razulibs_spark.functions.scalars import (
     razu_uid,
     razu_uri,
 )
-from razulibs_spark.operators import dedup, relational, similarity, temporal, text
+from razulibs_spark.operators import (
+    dedup,
+    relational,
+    sampling,
+    similarity,
+    temporal,
+    text,
+)
 from razulibs_spark.operators.rdf import PropertyMap, entity_to_triples
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -2479,3 +2486,172 @@ def pipeline_cluster_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("keeper_doc_id"),
         F.max("quality_score").alias("keeper_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star: training-data management — deterministic splits/samples,
+# TF-IDF, incremental dedup, eval-contamination sweep, length profile
+# ---------------------------------------------------------------------------
+
+_SPLIT_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+FROM (SELECT doc_id, lang, {sampling.bucket_sql('doc_id')} AS b FROM documents)
+"""
+
+
+@query("split_train_test", _SPLIT_SQL)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via multiplicative
+    key hashing (operators/sampling.py): reproducible across runs,
+    engines and partitionings; a pure map-side projection whose
+    `split` column can drive partitionBy at write time."""
+    return sampling.hash_split(T(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "split"
+    )
+
+
+_STRAT_SQL = f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang, {sampling.bucket_sql('doc_id', salt=1)} AS b FROM documents)
+WHERE b < CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50 ELSE 100 END
+"""
+
+
+@query("sample_stratified", _STRAT_SQL)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample (balance a crawl's language
+    mix: keep 10% of en, 50% of de, all the rest) — hash-bucket
+    predicate pushed into the scan, no RNG, no shuffle."""
+    return sampling.stratified_sample(
+        T(spark, sf_dir, "documents"), rates={"en": 10, "de": 50}
+    ).select("doc_id", "lang")
+
+
+_TFIDF_SQL = """
+WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf_cnt FROM words GROUP BY 1, 2),
+ dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM words GROUP BY 1),
+ dfreq AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term FROM words) GROUP BY 1),
+ n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+ scored AS (SELECT tf.doc_id, tf.term,
+                   round((tf.tf_cnt / dl.doc_len) * ln(n.n_docs / dfreq.df), 6) AS tfidf
+            FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term), n),
+ ranked AS (SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term) AS rnk
+            FROM scored)
+SELECT doc_id, term, tfidf, rnk FROM ranked WHERE rnk <= 3
+"""
+
+
+@query("text_tfidf_topterms", _TFIDF_SQL)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (operators/text.py): one
+    explode, combiner-friendly term-df aggregate, broadcast 1-row
+    corpus count, per-doc rank window."""
+    return text.tfidf_top_terms(T(spark, sf_dir, "documents"), k=3)
+
+
+_PCTL_SQL = """
+WITH r AS (SELECT doc_id, lang, n_chars,
+                  PERCENT_RANK() OVER (PARTITION BY lang
+                                       ORDER BY n_chars, doc_id) AS pr
+           FROM documents)
+SELECT doc_id, lang, n_chars, round(pr, 6) AS pct_rank
+FROM r WHERE pr >= 0.25
+"""
+
+
+@query("quality_percentile_filter", _PCTL_SQL)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality gate: drop the bottom quartile of each
+    language by length (the distribution-relative filter a corpus
+    cleaner uses instead of a fixed threshold). percent_rank =
+    (rank-1)/(n-1) is exact rational arithmetic — engine-portable;
+    partitioned by `lang` so no global sort."""
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    pr = F.percent_rank().over(w)
+    return (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars", pr.alias("_pr"))
+        .filter(F.col("_pr") >= 0.25)
+        .select("doc_id", "lang", "n_chars", F.round("_pr", 6).alias("pct_rank"))
+    )
+
+
+_HIST_SQL = """
+SELECT CAST(FLOOR(n_chars / 100.0) AS BIGINT) * 100 AS bucket_start,
+       COUNT(*) AS n_docs,
+       MIN(n_chars) AS min_chars,
+       MAX(n_chars) AS max_chars,
+       round(AVG(n_chars), 6) AS avg_chars
+FROM documents GROUP BY 1
+"""
+
+
+@query("length_histogram", _HIST_SQL)
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) — the profile
+    pass that precedes length-based quality filtering. Integer sums
+    stay exact in doubles, so avg is engine-deterministic."""
+    docs = T(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / F.lit(100.0)).cast("long") * 100).alias(
+        "bucket_start"
+    )
+    return docs.groupBy(bucket).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+_INCR_SQL = """
+WITH h AS (SELECT doc_id, md5(text) AS content_md5, length(source) = 5 AS b
+           FROM documents),
+ corpus AS (SELECT DISTINCT content_md5 FROM h WHERE NOT b),
+ batch AS (SELECT doc_id, content_md5 FROM h WHERE b)
+SELECT content_md5, MIN(doc_id) AS doc_id, COUNT(*) AS n_in_batch
+FROM batch
+WHERE content_md5 NOT IN (SELECT content_md5 FROM corpus)
+GROUP BY content_md5
+"""
+
+
+@query("dedup_incremental", _INCR_SQL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: new-batch docs (sources src10..src19) whose
+    content hash is absent from the standing corpus (src0..src9) —
+    anti-join against the distinct-hash dedup index, then keep-first
+    within the batch (operators/dedup.py:incremental_dedup)."""
+    return dedup.incremental_dedup(
+        T(spark, sf_dir, "documents"), F.length("source") == 5
+    )
+
+
+_CONTAM_SQL = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ ds AS (SELECT DISTINCT doc_id, source, s AS shingle FROM (
+   SELECT doc_id, source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in generate_series(1, len(ws) - 2)]) AS s
+   FROM w WHERE len(ws) >= 3)),
+ ev AS (SELECT doc_id, shingle FROM ds WHERE source = 'src19'),
+ tr AS (SELECT DISTINCT shingle FROM ds WHERE source <> 'src19'),
+ tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM ev GROUP BY 1),
+ hit AS (SELECT doc_id, COUNT(*) AS n_contaminated
+         FROM ev WHERE shingle IN (SELECT shingle FROM tr) GROUP BY 1)
+SELECT t.doc_id, t.n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       round(COALESCE(h.n_contaminated, 0) / t.n_shingles, 6) AS contamination_ratio
+FROM tot t LEFT JOIN hit h USING (doc_id)
+"""
+
+
+@query("contamination_ngram", _CONTAM_SQL)
+def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination sweep: per held-out doc (source
+    src19), the fraction of its 3-gram shingles found anywhere in the
+    training sources — LEFT SEMI probe against the distinct train
+    shingle set (operators/text.py:ngram_contamination)."""
+    return text.ngram_contamination(T(spark, sf_dir, "documents"))

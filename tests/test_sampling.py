@@ -1,0 +1,83 @@
+"""Invariant tests for the training-data-management operators:
+deterministic splits/samples (operators/sampling.py), TF-IDF,
+contamination sweep, incremental dedup."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from razulibs_spark import tables
+from razulibs_spark.operators import dedup, sampling, text
+
+
+def test_hash_split_partition_independent(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    a = sampling.hash_split(docs).select("doc_id", "split")
+    b = sampling.hash_split(docs.repartition(7, "lang")).select("doc_id", "split")
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+    # every doc assigned exactly once; all three splits non-empty at sf≥0.001
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    # 80/10/10 target within a loose tolerance (hash uniformity)
+    total = sum(counts.values())
+    assert 0.6 < counts["train"] / total < 0.95
+
+
+def test_stratified_sample_is_deterministic_subset(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    s1 = sampling.stratified_sample(docs, rates={"en": 10, "de": 50})
+    s2 = sampling.stratified_sample(docs.repartition(5), rates={"en": 10, "de": 50})
+    assert s1.select("doc_id").subtract(s2.select("doc_id")).count() == 0
+    assert s1.count() == s2.count()
+    # kept set is a subset, and en is sampled below its full count
+    n_en_all = docs.filter(F.col("lang") == "en").count()
+    n_en_kept = s1.filter(F.col("lang") == "en").count()
+    assert n_en_kept < n_en_all
+    # non-rated strata are kept in full
+    for lang in ("es", "fr", "zh"):
+        assert (
+            s1.filter(F.col("lang") == lang).count()
+            == docs.filter(F.col("lang") == lang).count()
+        )
+
+
+def test_tfidf_top_terms_shape(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    top = text.tfidf_top_terms(docs, k=3)
+    per_doc = top.groupBy("doc_id").agg(
+        F.count("*").alias("n"), F.max("rnk").alias("mx")
+    )
+    bad = per_doc.filter((F.col("n") > 3) | (F.col("mx") > 3)).count()
+    assert bad == 0
+    # rank-1 term carries the max tfidf of its doc
+    r1 = top.filter(F.col("rnk") == 1).select("doc_id", F.col("tfidf").alias("t1"))
+    mx = top.groupBy("doc_id").agg(F.max("tfidf").alias("mx"))
+    assert r1.join(mx, "doc_id").filter(F.col("t1") != F.col("mx")).count() == 0
+
+
+def test_contamination_bounds(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    c = text.ngram_contamination(docs)
+    assert c.count() == docs.filter(F.col("source") == "src19").count()
+    assert (
+        c.filter(
+            (F.col("contamination_ratio") < 0)
+            | (F.col("contamination_ratio") > 1)
+            | (F.col("n_contaminated") > F.col("n_shingles"))
+        ).count()
+        == 0
+    )
+
+
+def test_incremental_dedup_excludes_corpus(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    out = dedup.incremental_dedup(docs, F.length("source") == 5)
+    corpus_hashes = (
+        docs.filter(F.length("source") == 4)
+        .select(F.md5("text").alias("content_md5"))
+        .distinct()
+    )
+    assert out.join(corpus_hashes, "content_md5", "inner").count() == 0
+    # one row per distinct admitted content
+    assert out.groupBy("content_md5").count().filter("count > 1").count() == 0
