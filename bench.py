@@ -58,6 +58,13 @@ HEADLINE = [
     "text_tfidf_topterms",
     "contamination_ngram",
     "dedup_incremental",
+    "q7_nation_volume",
+    "q9_product_profit",
+    "q13_order_distribution",
+    "q22_dormant_accounts",
+    "j_salted_skew_join",
+    "a_grouping_sets",
+    "a_exact_quantiles",
 ]
 
 

@@ -121,3 +121,35 @@ def multilabel_resolve(
                 F.col("predicate").alias("matched_predicate"))
     )
     return facts.join(F.broadcast(best), term_col, "left")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating salted join: replicate the (small) build side
+    once per salt, scatter each probe row to a deterministic salt, and
+    join on (key, salt).
+
+    The cure for the classic 100 TB failure mode: a shuffle join on a
+    low-cardinality / heavy-hitter key concentrates each hot key in
+    ONE reducer task. Salting fans every key out over `n_salts`
+    reducers at the cost of replicating the build side ×n_salts —
+    correct because each probe row still meets exactly the build rows
+    of its own (key, salt) cell. Result ≡ the unsalted join, which is
+    what the DuckDB oracle checks. (AQE's skew-join split handles
+    moderate skew automatically; explicit salting is the portable fix
+    when one key dominates a partition beyond what splitting solves.)
+    """
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    salted_fact = fact.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)).cast("int")
+    )
+    return salted_fact.join(
+        salted_dim.hint("shuffle_hash"), [key, "_salt"], how
+    ).drop("_salt")

@@ -2655,3 +2655,306 @@ def contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     training sources — LEFT SEMI probe against the distinct train
     shingle set (operators/text.py:ngram_contamination)."""
     return text.ngram_contamination(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Analytic breadth: TPC-H Q7/Q9/Q13/Q16/Q22 shapes, grouping sets,
+# exact quantiles, salted skew join
+# ---------------------------------------------------------------------------
+
+_Q7_SQL = f"""
+SELECT supp_nation, cust_nation, l_year,
+       {DEC_SUM_SQL('volume', 'revenue')}
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("q7_nation_volume", _Q7_SQL)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (bilateral trade volume). The pair disjunction
+    can't be pushed through the joins by the optimizer, so we prune
+    manually: supplier AND customer are pre-filtered to the two
+    nations before the fact joins — at 100 TB that turns both join
+    build sides into slivers and lets the lineitem scan keep only
+    matching suppkeys via the broadcast."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = T(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("s_nationkey"),
+                             F.col("n_name").alias("supp_nation"))),
+        "s_nationkey",
+    )
+    c = T(spark, sf_dir, "customer").join(
+        F.broadcast(n.select(F.col("n_nationkey").alias("c_nationkey"),
+                             F.col("n_name").alias("cust_nation"))),
+        "c_nationkey",
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+_Q9_SQL = f"""
+SELECT n_name, o_year, {DEC_SUM_SQL('amount', 'profit')}
+FROM (SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1 AS amount
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%red%')
+GROUP BY n_name, o_year
+"""
+
+
+@query("q9_product_profit", _Q9_SQL)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by nation × year). The selective part
+    filter rides the broadcast into the lineitem scan (dynamic
+    filtering via the broadcast hash join); supplier→nation resolves
+    the group key without touching the fact shuffle."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = T(spark, sf_dir, "supplier")
+    o = T(spark, sf_dir, "orders")
+    n = T(spark, sf_dir, "nation")
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(dec_sum(amount, "profit"))
+    )
+
+
+_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+@query("q13_order_distribution", _Q13_SQL)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): outer join
+    with a join-side predicate (NOT a post-filter — null-extended rows
+    must survive), two-level aggregation; the second groupBy runs on
+    the already-tiny distinct-count domain."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size IN (1, 2, 3, 4, 5)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_parts", _Q16_SQL)
+def q16_supplier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: NOT-IN as a LEFT ANTI join against the
+    excluded-supplier sliver (set-at-a-time, no per-row subquery),
+    selective dimension broadcast, then count-distinct per group
+    (two-phase: partial distinct map-side under AQE)."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 2, 3, 4, 5)
+    )
+    bad_supp = (
+        T(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+_Q22_SQL = f"""
+WITH a AS (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+                    / (COUNT(*) * 10000.0) AS avg_bal
+           FROM customer WHERE c_acctbal > 0),
+ urgent AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+SELECT CAST(c_custkey % 10 AS BIGINT) AS code,
+       COUNT(*) AS numcust,
+       {DEC_SUM_SQL('c_acctbal', 'totacctbal')}
+FROM customer, a
+WHERE c_acctbal > avg_bal
+  AND c_custkey NOT IN (SELECT o_custkey FROM urgent)
+GROUP BY code
+"""
+
+
+@query("q22_dormant_accounts", _Q22_SQL)
+def q22_dormant_accounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar aggregate threshold (computed in
+    fixed-point so the cutoff is engine-deterministic) broadcast over
+    the fact, anti-join against customers with urgent orders, grouped
+    account rollup."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.floor(F.col("c_acctbal") * 10000 + F.lit(0.5)).cast("long"))
+                / (F.count("*") * F.lit(10000.0))
+            ).alias("avg_bal")
+        )
+    )
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
+        .groupBy((F.col("c_custkey") % 10).cast("long").alias("code"))
+        .agg(
+            F.count("*").alias("numcust"),
+            dec_sum(F.col("c_acctbal"), "totacctbal"),
+        )
+    )
+
+
+_GSETS_SQL = f"""
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       GROUPING(l_returnflag) AS g_flag, GROUPING(l_linestatus) AS g_status,
+       {DEC_SUM_SQL('l_extendedprice', 'sum_price')}, COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+"""
+
+
+@query("a_grouping_sets", _GSETS_SQL)
+def a_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (the non-hierarchical sibling of
+    rollup/cube): one pass, partial aggregation per set, GROUPING()
+    flags disambiguate NULL-as-ALL rows."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_linestatus"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            dec_sum(F.col("l_extendedprice"), "sum_price"),
+            F.count("*").alias("n_rows"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "g_flag", "g_status", "sum_price", "n_rows",
+        )
+    )
+
+
+_QUANT_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 6) AS p25,
+       round(quantile_cont(l_quantity, 0.50), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.75), 6) AS p75,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("a_exact_quantiles", _QUANT_SQL)
+def a_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped quantiles (linear interpolation at rank
+    (n-1)·q — the same definition Spark `percentile` and DuckDB
+    `quantile_cont` share). The exact path sorts per group; the
+    approximate sibling for 100 TB is `a_approx_distinct`-style
+    `percentile_approx` (GK sketch, mergeable map-side)."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(l_quantity, 0.50)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.75)"), 6).alias("p75"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+_SALTED_SQL = f"""
+SELECT label, {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN (VALUES ('A', 'flag_A'), ('N', 'flag_N'), ('R', 'flag_R'))
+     AS dim(flag, label)
+  ON l_returnflag = dim.flag
+GROUP BY label
+"""
+
+
+@query("j_salted_skew_join", _SALTED_SQL)
+def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigating salted join (operators/relational.py:
+    salted_join): lineitem joined to a 3-row dimension on
+    l_returnflag — the pathological 3-distinct-value key that would
+    pin an unsalted shuffle join to 3 reducer tasks. Salting ×16
+    spreads each hot key over 16 tasks; the result is provably the
+    plain join, which the oracle checks."""
+    li = T(spark, sf_dir, "lineitem")
+    dim = spark.createDataFrame(
+        [("A", "flag_A"), ("N", "flag_N"), ("R", "flag_R")],
+        "l_returnflag string, label string",
+    )
+    joined = relational.salted_join(li, dim, "l_returnflag", n_salts=16)
+    return joined.groupBy("label").agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_items"),
+    )

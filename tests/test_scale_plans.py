@@ -151,3 +151,36 @@ def test_partition_pruning(spark, tmp_path):
     # Filter node survives in the plan.
     assert "(2) Filter" not in plan and "* Filter" not in plan
     assert pruned.count() == docs.filter(F.col("dataset") == "2").count()
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    plan = _plan(Q.j_salted_skew_join(spark, SF))
+    # The salted key pair is the join key — no broadcast (that would
+    # defeat the demo) and no nested loop.
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "_salt" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q7_prunes_nations_before_fact_joins(spark):
+    plan = _plan(Q.q7_nation_volume(spark, SF))
+    # Both fact-side dimension joins broadcast; the nation pair filter
+    # reached the nation scan (manual disjunction pruning).
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "n_name" in plan.split("PushedFilters")[1][:400] or "NATION_" in plan
+
+
+def test_q16_anti_join_not_subquery_loop(spark):
+    plan = _plan(Q.q16_supplier_parts(spark, SF))
+    assert "LeftAnti" in plan
+    # part dimension broadcast with its filters pushed to the scan
+    assert "BroadcastHashJoin" in plan
+    assert "p_size" in plan.split("PushedFilters", 2)[-1][:600] or "p_brand" in plan
+
+
+def test_grouping_sets_single_pass(spark):
+    plan = _plan(Q.a_grouping_sets(spark, SF))
+    # Expand feeds ONE aggregation pipeline (partial+final), not one
+    # job per grouping set.
+    assert "Expand" in plan
+    assert plan.count("HashAggregate") >= 2
