@@ -65,6 +65,9 @@ HEADLINE = [
     "j_salted_skew_join",
     "a_grouping_sets",
     "a_exact_quantiles",
+    "pack_sequences",
+    "sim_label_centroids",
+    "sim_knn_classify",
 ]
 
 

@@ -289,3 +289,66 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("_cos", 6).alias("cosine"))
     )
+
+
+def label_centroids(embeddings: DataFrame, scale: int = 6) -> DataFrame:
+    """Per-label centroid, one row per (label, dimension): posexplode
+    the vectors, fixed-point mean per cell so the result is summation-
+    order-independent (exact BIGINT sums) and engine-portable.
+
+    At 100 TB this is the k-means update step: one combiner-friendly
+    hash aggregate keyed (label, pos) — partial sums map-side, the
+    shuffle carries n_labels × dim rows only. Returning the exploded
+    (label, pos, value) layout avoids re-assembling arrays (the next
+    IVF/assign step consumes it exploded anyway).
+    """
+    m = 10 ** scale
+    cell = embeddings.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("pos", "val")
+    )
+    return cell.groupBy("label", "pos").agg(
+        (
+            F.sum(F.floor(F.col("val") * m + F.lit(0.5)).cast("long"))
+            / (F.count("*") * F.lit(float(m)))
+        ).alias("centroid"),
+        F.count("*").alias("n_vectors"),
+    )
+
+
+def knn_classify(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """k-NN majority-vote classification of the query vectors against
+    the labeled corpus: brute-force top-k (cosine) → neighbor labels →
+    arg-max vote with a deterministic (votes DESC, label ASC)
+    tie-break. The vote is a tiny aggregate on top of the top-k plan;
+    the corpus labels ride the existing broadcast."""
+    from pyspark.sql.window import Window
+
+    topk = cosine_topk(embeddings, queries, k=k)
+    labels = embeddings.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("n_label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "n_label")
+        .agg(F.count("*").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("n_label")
+    )
+    winner = (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("query_id", F.col("n_label").alias("predicted_label"), "n_votes")
+    )
+    truth = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return winner.join(truth, "query_id").select(
+        "query_id",
+        "predicted_label",
+        "n_votes",
+        "true_label",
+        (F.col("predicted_label") == F.col("true_label")).alias("is_match"),
+    )

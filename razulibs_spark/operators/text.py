@@ -213,3 +213,38 @@ def fingerprints(shingles: DataFrame) -> DataFrame:
         F.min(F.md5(F.col("shingle"))).alias("fingerprint"),
         F.count("*").alias("n_shingles"),
     )
+
+
+def pack_sequences(
+    documents: DataFrame, ctx_len: int = 512, part_col: str = "lang"
+) -> DataFrame:
+    """Concat-and-chop sequence packing (LM-pretraining layout): within
+    each partition column value, documents are concatenated in doc_id
+    order and chopped into fixed `ctx_len`-token context windows; each
+    doc gets the bin it starts in and its token offset inside that bin.
+
+    Pure integer window arithmetic — the cumulative sum is partitioned
+    by `part_col` (never a global sort), so at 100 TB each language/
+    shard packs independently; the bin id can drive a repartition so
+    each training shard is written by one task.
+    """
+    from pyspark.sql.window import Window
+
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("long")
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return (
+        documents.select("doc_id", part_col, n_tokens.alias("n_tokens"))
+        .select("doc_id", part_col, "n_tokens", start)
+        .select(
+            "doc_id",
+            part_col,
+            "n_tokens",
+            F.floor(F.col("start_tok") / ctx_len).cast("long").alias("bin_id"),
+            (F.col("start_tok") % ctx_len).cast("long").alias("bin_offset"),
+        )
+    )

@@ -2958,3 +2958,87 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star: sequence packing, k-means-step centroids, k-NN vote
+# ---------------------------------------------------------------------------
+
+_PACK_SQL = """
+WITH t AS (SELECT doc_id, lang,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+ c AS (SELECT doc_id, lang, n_tokens,
+              SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                - n_tokens AS start_tok
+       FROM t)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(start_tok / 512) AS BIGINT) AS bin_id,
+       CAST(start_tok % 512 AS BIGINT) AS bin_offset
+FROM c
+"""
+
+
+@query("pack_sequences", _PACK_SQL)
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop sequence packing into 512-token context windows
+    per language (operators/text.py:pack_sequences) — the LM-pretraining
+    shard layout; cumulative sums partitioned by lang, never global."""
+    return text.pack_sequences(T(spark, sf_dir, "documents"), ctx_len=512)
+
+
+_CENT_SQL = """
+WITH cell AS (SELECT label,
+                     generate_subscripts(embedding, 1) - 1 AS pos,
+                     CAST(unnest(embedding) AS DOUBLE) AS val
+              FROM embeddings)
+SELECT label, pos,
+       CAST(SUM(CAST(FLOOR(val * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / (COUNT(*) * 1000000.0) AS centroid,
+       COUNT(*) AS n_vectors
+FROM cell GROUP BY label, pos
+"""
+
+
+@query("sim_label_centroids", _CENT_SQL)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids, one row per (label, dim) — the k-means
+    update step as a combiner-friendly hash aggregate; fixed-point
+    sums make the mean summation-order-independent
+    (operators/similarity.py:label_centroids)."""
+    return similarity.label_centroids(T(spark, sf_dir, "embeddings"))
+
+
+_KNN_SQL = _EMB_CTE + """
+, lab AS (SELECT vec_id, label FROM embeddings)
+, q AS (SELECT * FROM e WHERE vec_id < 10)
+, scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cos
+             FROM q, e c WHERE c.vec_id <> q.vec_id)
+, ranked AS (SELECT query_id, neighbor_id,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM scored)
+, votes AS (SELECT query_id, l.label AS n_label, COUNT(*) AS n_votes
+            FROM ranked JOIN lab l ON neighbor_id = l.vec_id
+            WHERE rnk <= 5 GROUP BY query_id, l.label)
+, winner AS (SELECT query_id, n_label, n_votes,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY n_votes DESC, n_label) AS r
+             FROM votes)
+SELECT w.query_id, w.n_label AS predicted_label, w.n_votes,
+       lab.label AS true_label,
+       w.n_label = lab.label AS is_match
+FROM winner w JOIN lab ON w.query_id = lab.vec_id
+WHERE w.r = 1
+"""
+
+
+@query("sim_knn_classify", _KNN_SQL)
+def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification of the 10 query vectors
+    (operators/similarity.py:knn_classify): brute-force top-5 cosine →
+    label vote with deterministic tie-break, compared to the true
+    label."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.knn_classify(e, e.filter(F.col("vec_id") < 10), k=5)

@@ -81,3 +81,53 @@ def test_incremental_dedup_excludes_corpus(spark, sf_dir):
     assert out.join(corpus_hashes, "content_md5", "inner").count() == 0
     # one row per distinct admitted content
     assert out.groupBy("content_md5").count().filter("count > 1").count() == 0
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    packed = text.pack_sequences(docs, ctx_len=512)
+    assert packed.count() == docs.count()
+    assert packed.filter(
+        (F.col("bin_offset") < 0) | (F.col("bin_offset") >= 512)
+    ).count() == 0
+    # reconstruct: start = bin_id*512 + offset must be the cumsum of
+    # preceding docs within the language
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    chk = packed.withColumn(
+        "_expected_start",
+        F.coalesce(
+            F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).filter(F.col("bin_id") * 512 + F.col("bin_offset") != F.col("_expected_start"))
+    assert chk.count() == 0
+
+
+def test_label_centroids_bounds(spark, sf_dir):
+    from razulibs_spark.operators import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    cent = similarity.label_centroids(emb)
+    dim = len(emb.select("embedding").first()[0])
+    n_labels = emb.select("label").distinct().count()
+    assert cent.count() == dim * n_labels
+    # each label's cell count equals its vector count
+    per_label = emb.groupBy("label").count()
+    bad = (
+        cent.join(per_label, "label")
+        .filter(F.col("n_vectors") != F.col("count"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_knn_classify_one_winner_per_query(spark, sf_dir):
+    from razulibs_spark.operators import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = similarity.knn_classify(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    assert out.count() == 10
+    assert out.groupBy("query_id").count().filter("count > 1").count() == 0
+    assert out.filter((F.col("n_votes") < 1) | (F.col("n_votes") > 5)).count() == 0
