@@ -195,3 +195,29 @@ def compact_triples(triples: DataFrame) -> DataFrame:
         compact_prefixed(F.col("o_datatype")).alias("o_datatype"),
         F.col("o_lang"),
     )
+
+
+def bgp_match(triples: DataFrame, patterns: list[tuple]) -> DataFrame:
+    """Basic-graph-pattern match over the triples DataFrame — the
+    SPARQL surface of the reference (concept_resolver.py:65-76 issues
+    per-row SPARQL SELECTs; here the graph IS a DataFrame and a BGP
+    is a chain of self-joins on the shared subject).
+
+    `patterns` is a list of (predicate, object_or_None, var_or_None):
+    a bound object filters; a var projects the object under that
+    column name. All patterns share the subject variable.
+
+    Scale: each pattern is a predicate-filtered slice of the triples
+    table — with predicate-partitioned storage every slice is a
+    partition-pruned scan; the self-joins are equi-joins on `s`, so
+    pre-partitioning the triples by `s` makes the whole BGP
+    co-located (zero-shuffle under bucketing, see SCALE.md).
+    """
+    out = None
+    for pred, obj, var in patterns:
+        sel = triples.filter(F.col("p") == pred)
+        if obj is not None:
+            sel = sel.filter(F.col("o") == obj)
+        sel = sel.select("s", *((F.col("o").alias(var),) if var else ()))
+        out = sel if out is None else out.join(sel, "s")
+    return out

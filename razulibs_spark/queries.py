@@ -3042,3 +3042,51 @@ def sim_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     label."""
     e = T(spark, sf_dir, "embeddings")
     return similarity.knn_classify(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+_BGP_SQL = """
+WITH u AS (
+  SELECT *, 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-'
+            || CAST(o_orderkey AS VARCHAR) AS uri
+  FROM orders),
+ t AS (
+  SELECT uri AS s, 'rdf:type' AS p, 'ldto:Informatieobject' AS o FROM u
+  UNION ALL
+  SELECT uri, 'ldto:status', o_orderstatus FROM u
+  UNION ALL
+  SELECT uri, 'ldto:totalPrice', CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) FROM u)
+SELECT m1.s, m3.o AS total_price
+FROM      (SELECT s FROM t WHERE p = 'rdf:type' AND o = 'ldto:Informatieobject') m1
+JOIN      (SELECT s FROM t WHERE p = 'ldto:status' AND o = 'F') m2 ON m1.s = m2.s
+JOIN      (SELECT s, o FROM t WHERE p = 'ldto:totalPrice') m3 ON m1.s = m3.s
+"""
+
+
+@query("rdf_bgp_match", _BGP_SQL)
+def rdf_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-shaped BGP over the triples DataFrame
+    (operators/rdf.py:bgp_match): { ?s rdf:type ldto:Informatieobject ;
+    ldto:status "F" ; ldto:totalPrice ?total_price } — the reference's
+    per-row SPARQL SELECT (concept_resolver.py:65-76) as set-at-a-time
+    self-joins on the subject."""
+    from razulibs_spark.operators.rdf import bgp_match
+
+    o = T(spark, sf_dir, "orders")
+    uid = razu_uid(F.col("o_orderkey"))
+    triples = entity_to_triples(
+        o,
+        razu_uri(uid),
+        [
+            PropertyMap("rdf:type", F.lit("ldto:Informatieobject"), "uri"),
+            PropertyMap("ldto:status", F.col("o_orderstatus")),
+            PropertyMap("ldto:totalPrice", F.col("o_totalprice").cast("decimal(18,2)")),
+        ],
+    ).select("s", "p", "o")
+    return bgp_match(
+        triples,
+        [
+            ("rdf:type", "ldto:Informatieobject", None),
+            ("ldto:status", "F", None),
+            ("ldto:totalPrice", None, "total_price"),
+        ],
+    )

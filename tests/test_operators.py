@@ -547,3 +547,31 @@ def test_streaming_enrich_matches_batch(spark, sf_dir):
     s = {(r["event_id"], r["n_name"]) for r in streamed.collect()}
     b = {(r["event_id"], r["n_name"]) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_bgp_match_binds_and_filters(spark):
+    from razulibs_spark.operators.rdf import bgp_match
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "rdf:type", "T"),
+            ("s1", "name", "alpha"),
+            ("s1", "size", "10"),
+            ("s2", "rdf:type", "T"),
+            ("s2", "name", "beta"),
+            ("s3", "name", "gamma"),  # no type → excluded
+        ],
+        "s string, p string, o string",
+    )
+    out = bgp_match(
+        triples,
+        [("rdf:type", "T", None), ("name", None, "name")],
+    )
+    rows = {(r["s"], r["name"]) for r in out.collect()}
+    assert rows == {("s1", "alpha"), ("s2", "beta")}
+    # bound-object pattern filters
+    out2 = bgp_match(
+        triples,
+        [("name", "alpha", None), ("size", None, "size")],
+    )
+    assert [(r["s"], r["size"]) for r in out2.collect()] == [("s1", "10")]
