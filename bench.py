@@ -95,16 +95,27 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Fault isolation: one broken query must never zero the artifact —
+    # failures are recorded per-query and the JSON line always prints.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     t_flag = time.time()
-    flagship_triples(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    times["flagship_rdf_pipeline"] = round(time.time() - t_flag, 3)
+    try:
+        flagship_triples(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        times["flagship_rdf_pipeline"] = round(time.time() - t_flag, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["flagship_rdf_pipeline"] = f"{type(exc).__name__}: {exc}"[:300]
 
     for name in HEADLINE:
-        fn = Q.QUERIES[name]
         t0 = time.time()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.time() - t0, 3)
+        try:
+            fn = Q.QUERIES[name]
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            times[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     total = round(sum(times.values()), 3)
     print(
@@ -114,6 +125,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "errors": errors,
                 "sf": sf,
             }
         )

@@ -722,7 +722,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by user (parallel, no global window)."""
     e = T(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # timestampdiff accepts TIMESTAMP_NTZ (unix_micros does not);
+    # strictly-greater than one day in microseconds, as the oracle.
+    gap_us = F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+                    "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
     is_new = F.when(
         F.lag("ts").over(w).isNull() | (gap_us > 86_400_000_000), F.lit(1)
     ).otherwise(F.lit(0))
@@ -2331,7 +2334,10 @@ def w_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "event_id", "user_id", "ts",
-        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+        # NTZ-safe microsecond gap (unix_micros rejects TIMESTAMP_NTZ)
+        F.expr("timestampdiff(MICROSECOND, lag(ts) OVER "
+               "(PARTITION BY user_id ORDER BY ts, event_id), ts)")
+        .alias("gap_us"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
 

@@ -38,8 +38,5 @@ def get_spark(app_name: str = "razulibs-spark", cpus: int | None = None) -> Spar
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # TIMESTAMP(NANOS) parquet columns (events.ts) read as long;
-        # tables.load converts them back to timestamps losslessly.
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .getOrCreate()
     )

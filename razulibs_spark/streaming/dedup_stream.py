@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from razulibs_spark.streaming.events_stream import EVENTS_STREAM_SCHEMA
+from razulibs_spark.streaming.events_stream import read_events_stream
 
 
 def dedup_stream(
@@ -27,10 +27,7 @@ def dedup_stream(
     watermark moves past its event time.
     """
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_stream(spark, source_dir)
     )
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from razulibs_spark.streaming.events_stream import EVENTS_STREAM_SCHEMA
+from razulibs_spark.streaming.events_stream import read_events_stream
 
 
 def enriched_events_stream(
@@ -24,10 +24,7 @@ def enriched_events_stream(
     dimension key (user_id % 25 — the driver tables carry no user dim,
     so the mapping is synthesized deterministically)."""
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_stream(spark, source_dir)
         .withColumn("_nkey", (F.col("user_id") % 25).cast("int"))
     )
     return stream.join(

@@ -19,21 +19,39 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
-    TimestampType,
+    TimestampNTZType,
 )
 
-# ts is TIMESTAMP(NANOS) in the driver parquet; under the session's
-# nanosAsLong it surfaces as long and is converted after the scan.
+# ts is timestamp[us] without timezone in the driver parquet — read it
+# as TIMESTAMP_NTZ, exactly as the batch loader (tables.load) sees it,
+# so streaming windows line up with batch oracles bit-for-bit.
 EVENTS_STREAM_SCHEMA = StructType(
     [
         StructField("event_id", LongType(), True),
-        StructField("ts", LongType(), True),
+        StructField("ts", TimestampNTZType(), True),
         StructField("user_id", LongType(), True),
         StructField("event_type", StringType(), True),
         StructField("value", DoubleType(), True),
         StructField("props", StringType(), True),
     ]
 )
+
+
+def read_events_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-based readStream over the events parquet — the single
+    source shared by every streaming operator in this package.
+
+    The parquet column is TIMESTAMP_NTZ, but Spark's event-time
+    watermark only accepts TIMESTAMP (LTZ), so `ts` is cast once here;
+    with the session timezone pinned to UTC the cast is a pure
+    reinterpretation (identical wall-clock instants to the batch
+    loader's NTZ values)."""
+    return (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(source_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
 
 
 def hourly_rollup_stream(
@@ -45,12 +63,7 @@ def hourly_rollup_stream(
     watermark are finalized and evicted — late rows beyond it drop,
     which is the streaming contract the batch oracle can't express.
     """
-    stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_events_stream(spark, source_dir)
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")

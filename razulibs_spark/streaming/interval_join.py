@@ -14,15 +14,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from razulibs_spark.streaming.events_stream import EVENTS_STREAM_SCHEMA
+from razulibs_spark.streaming.events_stream import read_events_stream
 
 
 def _typed_stream(spark: SparkSession, source_dir: str, event_type: str, prefix: str):
     s = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        read_events_stream(spark, source_dir)
         .filter(F.col("event_type") == event_type)
     )
     return s.select(

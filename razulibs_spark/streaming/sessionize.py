@@ -24,14 +24,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from razulibs_spark.streaming.events_stream import EVENTS_STREAM_SCHEMA
+from razulibs_spark.streaming.events_stream import read_events_stream
 
 GAP_US = 86_400_000_000  # 1 day, matching the batch query
 _SCALE = 10_000  # dec_sum fixed-point scale (scalars.py)
 
 OUTPUT_SCHEMA = (
-    "user_id bigint, n_events bigint, session_start timestamp, "
-    "session_end timestamp, sum_value double"
+    "user_id bigint, n_events bigint, session_start timestamp_ntz, "
+    "session_end timestamp_ntz, sum_value double"
 )
 STATE_SCHEMA = "start bigint, last bigint, n bigint, sv bigint"
 
@@ -82,11 +82,10 @@ def sessionize_stream(
 ) -> DataFrame:
     """readStream(events) → watermark → per-user stateful sessionizer."""
     stream = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(source_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withColumn("ts_us", F.unix_micros("ts"))
+        read_events_stream(spark, source_dir)
+        # NTZ → epoch micros: the session tz is UTC, so the LTZ cast is
+        # a pure reinterpretation (unix_micros rejects NTZ directly).
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
     )
     return (
         stream.withWatermark("ts", watermark)

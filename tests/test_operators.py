@@ -354,13 +354,14 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir):
     streamed = run_sessionize_available_now(spark, sf_dir)
     batch = Q.QUERIES["events_sessionize"](spark, sf_dir)
     max_us = Q.T(spark, sf_dir, "events").agg(
-        F.max(F.unix_micros("ts"))).collect()[0][0]
+        F.max(F.unix_micros(F.col("ts").cast("timestamp")))).collect()[0][0]
     last = Window.partitionBy("user_id")
     closed = (
         batch.withColumn("_max_seq", F.max("session_seq").over(last))
         .filter(
             (F.col("session_seq") < F.col("_max_seq"))
-            | (F.unix_micros("session_end") + GAP_US < max_us)
+            | (F.unix_micros(F.col("session_end").cast("timestamp")) + GAP_US
+               < max_us)
         )
     )
     key = lambda r: (r["user_id"], r["session_start"], r["session_end"],
