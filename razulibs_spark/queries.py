@@ -827,16 +827,35 @@ _NGRAM_SQL = _SHINGLE_CTE + _JACCARD_CTES + """
 SELECT d1, d2, jaccard FROM jac WHERE jaccard >= 0.5
 """
 
+_NGRAM_MAX_DF = 100
 
-@query("dedup_ngram_jaccard", _NGRAM_SQL)
+_NGRAM_CAPPED_SQL = _SHINGLE_CTE + _JACCARD_CTES + f"""
+, df AS (SELECT shingle, COUNT(*) AS df FROM ds GROUP BY shingle)
+, rare AS (SELECT ds.doc_id, ds.shingle
+           FROM ds JOIN df ON ds.shingle = df.shingle
+           WHERE df.df <= {_NGRAM_MAX_DF})
+, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM rare a JOIN rare b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+SELECT j.d1, j.d2, j.jaccard
+FROM jac j JOIN cand c ON j.d1 = c.d1 AND j.d2 = c.d2
+WHERE j.jaccard >= 0.5
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_CAPPED_SQL)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection: word-3-gram Jaccard ≥ 0.5 over all pairs
-    sharing a shingle (the shuffle key is the shingle — high
-    cardinality, well distributed). The shingle table feeds the count
-    aggregate and both sides of the pair join, so it is persisted
-    rather than re-exploded per consumer."""
+    """Near-dup detection: word-3-gram Jaccard ≥ 0.5, candidates from
+    the df-capped co-shingle join (df ≤ 100 — the stop-shingle filter
+    every web-dedup pipeline applies so a hot trigram can't make the
+    self-join quadratic), Jaccard computed exactly per candidate.
+    Uncapped brute force survives as `jaccard_pairs(sh, t)` for the
+    exactness tests; `dedup_jaccard_prefix_filter` is the lossless
+    scale path. The shingle table feeds the df aggregate, candidate
+    join, and per-doc set aggregate → persisted once."""
     sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
-    return dedup.jaccard_pairs(sh, 0.5)
+    cand = dedup.df_capped_candidates(sh, _NGRAM_MAX_DF)
+    return dedup.jaccard_pairs(sh, 0.5, candidates=cand)
 
 
 def _minhash_sql() -> str:

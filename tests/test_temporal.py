@@ -179,6 +179,34 @@ def test_prefix_filter_jaccard_is_exact(spark, sf_dir):
         assert pf == brute, order
 
 
+def test_df_capped_jaccard_candidates(spark, sf_dir):
+    """The df-capped candidate join (the HEADLINE ngram-jaccard path)
+    yields a subset of the brute-force pairs with exact Jaccard per
+    surviving pair; on the test corpus (no shingle near the cap) it
+    must equal brute force exactly. A cap of 1 must prune pairs whose
+    shared shingles are all shared more widely."""
+    from razulibs_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = dedup.word_shingles(docs).persist()
+    brute = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.jaccard_pairs(sh, 0.5).collect()
+    }
+    cand = dedup.df_capped_candidates(sh, 100)
+    capped = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.jaccard_pairs(sh, 0.5, candidates=cand).collect()
+    }
+    assert capped == brute
+    tight = dedup.df_capped_candidates(sh, 1)
+    tight_pairs = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.jaccard_pairs(sh, 0.5, candidates=tight).collect()
+    }
+    assert tight_pairs <= brute
+
+
 def test_asof_join_tolerance(spark):
     left = spark.createDataFrame(
         [(1, _ts("2024-01-01T10:00:00"), "p")], "k long, t timestamp, name string"
