@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 N_MINHASH = 12
 N_BANDS = 4
@@ -115,6 +116,72 @@ def df_capped_candidates(shingles: DataFrame, max_df: int) -> DataFrame:
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+    )
+
+
+def df_capped_jaccard(
+    shingles: DataFrame, threshold: float, max_df: int
+) -> DataFrame:
+    """Df-capped near-dup pairs with EXACT Jaccard — the headline
+    plan behind ``dedup_ngram_jaccard``.
+
+    Same semantics as ``df_capped_candidates`` + exact verify
+    (candidates must share ≥1 shingle with df ≤ max_df), but a
+    count-based physical plan: the rare-shingle self-join produces the
+    candidate pairs AND their rare-intersection counts in one pass
+    (map-side partial counts, join bounded at |shingles|·max_df); the
+    few hot shingles (df > max_df) are folded in as tiny per-doc
+    arrays (≤ #distinct hot shingles each) via array_intersect, so
+    common = rare_common + hot_common is the full intersection. The
+    set-based alternative (collect full shingle sets per candidate
+    doc) shuffles every candidate doc's whole shingle set — measured
+    3× slower at sf0.1 where the cap barely prunes, and strictly more
+    data at any scale. Hot-set joins are left to AQE: at web scale
+    every doc carries stop-shingles, so the hot_sets side is NOT
+    force-broadcast.
+    """
+    # df per shingle as an unordered window count — annotates in one
+    # shuffle instead of a groupBy + join back on the shingle key.
+    ann = shingles.withColumn(
+        "_df", F.count("*").over(Window.partitionBy("shingle"))
+    )
+    rare = ann.filter(F.col("_df") <= max_df).select("doc_id", "shingle")
+    hot = ann.filter(F.col("_df") > max_df).select("doc_id", "shingle")
+    counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = rare.alias("a")
+    b = rare.alias("b")
+    rare_common = (
+        a.join(b, on="shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("rc"))
+    )
+    hot_sets = hot.groupBy("doc_id").agg(F.collect_set("shingle").alias("hs"))
+    h1 = hot_sets.select(F.col("doc_id").alias("d1"), F.col("hs").alias("h1"))
+    h2 = hot_sets.select(F.col("doc_id").alias("d2"), F.col("hs").alias("h2"))
+    empty = F.array().cast("array<string>")
+    joined = (
+        rare_common.join(h1, "d1", "left")
+        .join(h2, "d2", "left")
+        .withColumn(
+            "common",
+            F.col("rc")
+            + F.size(
+                F.array_intersect(F.coalesce("h1", empty), F.coalesce("h2", empty))
+            ),
+        )
+    )
+    n1 = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
+    n2 = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    jac = F.round(
+        F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6
+    ).alias("jaccard")
+    return (
+        joined.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", jac)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 

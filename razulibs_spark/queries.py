@@ -851,11 +851,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join quadratic), Jaccard computed exactly per candidate.
     Uncapped brute force survives as `jaccard_pairs(sh, t)` for the
     exactness tests; `dedup_jaccard_prefix_filter` is the lossless
-    scale path. The shingle table feeds the df aggregate, candidate
-    join, and per-doc set aggregate → persisted once."""
+    scale path. The shingle table feeds the df window, pair join, and
+    count aggregate → persisted once."""
     sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
-    cand = dedup.df_capped_candidates(sh, _NGRAM_MAX_DF)
-    return dedup.jaccard_pairs(sh, 0.5, candidates=cand)
+    return dedup.df_capped_jaccard(sh, 0.5, _NGRAM_MAX_DF)
 
 
 def _minhash_sql() -> str:
@@ -2972,11 +2971,18 @@ def j_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     l_returnflag — the pathological 3-distinct-value key that would
     pin an unsalted shuffle join to 3 reducer tasks. Salting ×16
     spreads each hot key over 16 tasks; the result is provably the
-    plain join, which the oracle checks."""
-    li = T(spark, sf_dir, "lineitem")
-    dim = spark.createDataFrame(
-        [("A", "flag_A"), ("N", "flag_N"), ("R", "flag_R")],
-        "l_returnflag string, label string",
+    plain join, which the oracle checks. The fact side is projected
+    to the 3 needed columns BEFORE salting — the salt hash and the
+    (key, salt) shuffle then carry 3 columns, not lineitem's 16."""
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    # SQL VALUES, not createDataFrame: a JVM-local relation skips the
+    # Python->RDD serialization machinery (measured ~1.5 s of one-time
+    # session spin-up that would land inside this query's timing).
+    dim = spark.sql(
+        "SELECT * FROM VALUES ('A','flag_A'),('N','flag_N'),('R','flag_R')"
+        " AS t(l_returnflag, label)"
     )
     joined = relational.salted_join(li, dim, "l_returnflag", n_salts=16)
     return joined.groupBy("label").agg(

@@ -199,10 +199,14 @@ def test_df_capped_jaccard_candidates(spark, sf_dir):
         for r in dedup.jaccard_pairs(sh, 0.5, candidates=cand).collect()
     }
     assert capped == brute
-    tight = dedup.df_capped_candidates(sh, 1)
+    fused = {
+        (r["d1"], r["d2"], r["jaccard"])
+        for r in dedup.df_capped_jaccard(sh, 0.5, 100).collect()
+    }
+    assert fused == brute
     tight_pairs = {
         (r["d1"], r["d2"], r["jaccard"])
-        for r in dedup.jaccard_pairs(sh, 0.5, candidates=tight).collect()
+        for r in dedup.df_capped_jaccard(sh, 0.5, 1).collect()
     }
     assert tight_pairs <= brute
 
