@@ -216,12 +216,25 @@ def jaccard_pairs(
             .agg(F.count("*").alias("common"))
         )
     else:
-        # Per-doc shingle sets: groupBy(doc_id) reuses the upstream
-        # doc_id partitioning (word_shingles repartitions once), so
-        # this is shuffle-free; candidate pairs are tiny next to the
-        # corpus and broadcast onto the sets. |A∩B| = array_intersect
-        # per pair — no shingle-level shuffle at all on the LSH path.
-        sets = shingles.groupBy("doc_id").agg(F.collect_set("shingle").alias("sh"))
+        # Per-doc shingle sets, built ONLY for docs that appear in a
+        # candidate pair: the broadcast semi-join on candidate ids
+        # keeps the collect_set from shuffling every doc's full
+        # shingle set when candidates are sparse (at 100 TB the
+        # no-filter version is a full-corpus set materialization).
+        # Callers should persist `candidates` — it is traversed for
+        # the id set and again for the pair join. |A∩B| =
+        # array_intersect per pair — no shingle-level shuffle on the
+        # candidate path.
+        ids = (
+            candidates.select(F.col("d1").alias("doc_id"))
+            .union(candidates.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        sets = (
+            shingles.join(F.broadcast(ids), "doc_id")
+            .groupBy("doc_id")
+            .agg(F.collect_set("shingle").alias("sh"))
+        )
         a = sets.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
         b = sets.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
         pairs = a.join(F.broadcast(candidates), "d1").join(b, "d2")
@@ -358,6 +371,7 @@ def prefix_filter_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
+        .persist()
     )
     return jaccard_pairs(shingles, threshold, candidates=candidates)
 

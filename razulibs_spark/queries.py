@@ -896,7 +896,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the O(n²) pair space. Shingles feed four consumers (signatures,
     counts, two join sides) → persisted once."""
     sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
-    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh))
+    # Candidates persisted: the signature aggregate is a full-corpus
+    # pass and feeds both the candidate-id semi-join and the pair join.
+    cand = dedup.lsh_candidate_pairs(dedup.minhash_signatures(sh)).persist()
     return dedup.jaccard_pairs(sh, 0.2, candidates=cand)
 
 
