@@ -576,3 +576,37 @@ def test_bgp_match_binds_and_filters(spark):
         [("name", "alpha", None), ("size", None, "size")],
     )
     assert [(r["s"], r["size"]) for r in out2.collect()] == [("s1", "10")]
+
+
+def test_progress_observation_counts(spark, payload_dir):
+    """O8: the reference's per-file verification tallies
+    (razu/manifest.py:195-221) as Spark observation metrics — counted
+    on the same pass as the consuming action, no extra scan."""
+    from razulibs_spark.operators.progress import (
+        observe_counts,
+        validate_manifest_with_progress,
+    )
+
+    m = manifest_from_directory(spark, payload_dir).cache()
+    tampered = m.withColumn(
+        "md5hash",
+        F.when(F.col("filename") == "a.jpg", F.lit("deadbeef")).otherwise(
+            F.col("md5hash")
+        ),
+    ).filter(F.col("filename") != "sub/c.txt")
+    df, obs = validate_manifest_with_progress(tampered, m)
+    assert df.count() == 3
+    got = obs.get
+    assert got == {
+        "n_rows": 3,
+        "missing_files": 0,
+        "checksum_mismatch": 1,
+        "extra_files": 1,
+        "ok": 1,
+    }
+
+    df2, obs2 = observe_counts(
+        m, "scan", big=F.col("file_size") > 1, jpg=F.col("filename").endswith(".jpg")
+    )
+    df2.write.format("noop").mode("overwrite").save()
+    assert obs2.get == {"n_rows": 3, "big": 2, "jpg": 1}
