@@ -68,6 +68,11 @@ HEADLINE = [
     "pack_sequences",
     "sim_label_centroids",
     "sim_knn_classify",
+    "q6_forecast_revenue",
+    "q8_market_share",
+    "q10_returned_items",
+    "q21_waiting_suppliers",
+    "q2_mincost_supplier",
 ]
 
 

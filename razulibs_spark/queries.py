@@ -3123,3 +3123,601 @@ def rdf_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("ldto:totalPrice", None, "total_price"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth, round 3: the remaining classic shapes (Q2/Q4/Q6/Q8/
+# Q10/Q11/Q12/Q14/Q15/Q17/Q19/Q20/Q21), adapted to the driver tables
+# (no partsupp/commitdate/shipmode — the supply relation is derived
+# from lineitem where needed, exactly as Q16 was adapted earlier).
+# ---------------------------------------------------------------------------
+
+_Q6_SQL = f"""
+SELECT {DEC_SUM_SQL('l_extendedprice * l_discount', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q6_forecast_revenue", _Q6_SQL)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — every predicate pushes
+    to the parquet scan, partial agg map-side, one scalar row out."""
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dec_sum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q4_order_priority", _Q4_SQL)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders with at least
+    one lineitem shipped >90 days after order date (the driver tables
+    carry no commit/receipt dates), counted per priority. The semi
+    join keeps only the order key — no lineitem payload shuffles."""
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).withColumn("_cut", F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o._cut),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+_Q8_SQL = f"""
+WITH v AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       round(
+         (CAST(SUM(CASE WHEN supp_nation = 'NATION_7'
+                        THEN CAST(FLOOR(volume * 10000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS DOUBLE) / 10000.0)
+         / (CAST(SUM(CAST(FLOOR(volume * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+            / 10000.0),
+         6) AS mkt_share
+FROM v GROUP BY o_year
+"""
+
+
+@query("q8_market_share", _Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's trade volume
+    per year. Six joins — every dimension side broadcasts; the only
+    shuffle is the final small groupBy on year. Both numerator and
+    denominator accumulate in fixed point so the ratio is
+    engine-deterministic."""
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    c = T(spark, sf_dir, "customer")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.alias("n1")
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    v = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1.n_nationkey"))
+        .join(F.broadcast(r), F.col("n1.n_regionkey") == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    fx = F.floor(F.col("volume") * 10000 + F.lit(0.5)).cast("long")
+    return v.groupBy("o_year").agg(
+        F.round(
+            (F.sum(F.when(F.col("supp_nation") == "NATION_7", fx).otherwise(F.lit(0)))
+             / F.lit(10000.0))
+            / (F.sum(fx) / F.lit(10000.0)),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+_Q10_SQL = f"""
+WITH rev AS (
+  SELECT c_custkey, c_name, c_acctbal, n_name,
+         {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'revenue')}
+  FROM customer
+  JOIN orders   ON c_custkey = o_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01'
+    AND l_returnflag = 'R'
+  GROUP BY c_custkey, c_name, c_acctbal, n_name
+)
+SELECT c_custkey, c_name, c_acctbal, n_name, revenue, rnk
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rnk
+      FROM rev)
+WHERE rnk <= 20
+"""
+
+
+@query("q10_returned_items", _Q10_SQL)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: revenue lost to returns per customer, top 20 —
+    join + agg + TakeOrderedAndProject (no global sort)."""
+    c = T(spark, sf_dir, "customer")
+    o = T(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = T(spark, sf_dir, "nation")
+    rev = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+    return relational.top_k(
+        rev, 20, [F.col("revenue").desc(), F.col("c_custkey")]
+    )
+
+
+_Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey, {DEC_SUM_SQL('l_extendedprice', 'value')}
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+),
+tot AS (
+  SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 10000.0 * 0.001 AS cutoff
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+)
+SELECT l_partkey, value FROM pv, tot WHERE value > cutoff
+"""
+
+
+@query("q11_important_parts", _Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (no partsupp: supply value derived from one
+    nation's lineitems): per-part value vs a scalar fraction-of-total
+    cutoff — the scalar aggregates once and broadcasts over the
+    grouped rows; both sums are fixed-point so the cutoff comparison
+    is engine-deterministic."""
+    li = T(spark, sf_dir, "lineitem")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    base = li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey).join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    pv = base.groupBy("l_partkey").agg(dec_sum(F.col("l_extendedprice"), "value"))
+    tot = base.agg(
+        (
+            F.sum(F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5)).cast("long"))
+            / F.lit(10000.0)
+            * F.lit(0.001)
+        ).alias("cutoff")
+    )
+    return (
+        pv.join(F.broadcast(tot))
+        .filter(F.col("value") > F.col("cutoff"))
+        .select("l_partkey", "value")
+    )
+
+
+_Q12_SQL = """
+SELECT l_linestatus AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_linestatus
+"""
+
+
+@query("q12_priority_by_linestatus", _Q12_SQL)
+def q12_priority_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (l_linestatus stands in for the absent
+    l_shipmode): conditional counts per status after a fact-fact
+    join — the filter prunes lineitem at the scan, and the join key
+    is the high-cardinality order key."""
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_linestatus").alias("ship_mode"))
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+_Q14_SQL = """
+WITH j AS (
+  SELECT p_type, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+)
+SELECT round(
+         100.0 * (CAST(SUM(CASE WHEN p_type = 'PROMO'
+                          THEN CAST(FLOOR(v * 10000 + 0.5) AS BIGINT)
+                          ELSE 0 END) AS DOUBLE) / 10000.0)
+         / (CAST(SUM(CAST(FLOOR(v * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0),
+         6) AS promo_revenue_pct
+FROM j
+"""
+
+
+@query("q14_promo_effect", _Q14_SQL)
+def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo share of monthly revenue — broadcast part
+    dim, one scalar aggregate, fixed-point num/denominator."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    v = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    fx = F.floor(v * 10000 + F.lit(0.5)).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * (F.sum(F.when(F.col("p_type") == "PROMO", fx).otherwise(F.lit(0)))
+                   / F.lit(10000.0))
+                / (F.sum(fx) / F.lit(10000.0)),
+                6,
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+_Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'total_revenue')}
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN rev ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+@query("q15_top_supplier", _Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: quarterly revenue per supplier, keep the max —
+    the scalar max broadcasts back over the grouped rows (no window,
+    no second scan of lineitem); fixed-point revenue makes the
+    equality comparison engine-safe."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    ).persist()
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    s = T(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .join(F.broadcast(mx), F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_Q17_SQL = """
+WITH avgq AS (
+  SELECT l_partkey AS ap, 0.2 * AVG(l_quantity) AS aq
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT round(CAST(SUM(CAST(FLOOR(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 10000.0 / 7.0, 4) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN avgq ON ap = l_partkey
+WHERE p_brand = 'Brand#1' AND l_quantity < aq
+"""
+
+
+@query("q17_small_qty_revenue", _Q17_SQL)
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: lineitems under 20% of their part's average
+    quantity. The per-part average is a grouped aggregate joined back
+    on the part key (Catalyst broadcasts it — parts are tiny next to
+    lineitem); quantity sums of small integers are exact doubles, so
+    the 0.2·avg cutoff is engine-deterministic."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    avgq = li.groupBy(F.col("l_partkey").alias("ap")).agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("aq")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(avgq, li.l_partkey == avgq.ap)
+        .filter(F.col("l_quantity") < F.col("aq"))
+        .agg(
+            F.round(
+                F.sum(F.floor(F.col("l_extendedprice") * 10000 + F.lit(0.5))
+                      .cast("long"))
+                / F.lit(10000.0) / F.lit(7.0),
+                4,
+            ).alias("avg_yearly")
+        )
+    )
+
+
+_Q19_SQL = f"""
+SELECT {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'revenue')},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q19_brand_size_revenue", _Q19_SQL)
+def q19_brand_size_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: disjunctive brand/size/quantity predicates over the
+    part join — the per-side conjuncts (quantity ranges, size ranges)
+    are derivable by Catalyst as scan filters; the residual OR
+    evaluates post-join in codegen."""
+    li = T(spark, sf_dir, "lineitem")
+    p = T(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return j.filter(cond).agg(
+        dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+_Q20_SQL = """
+WITH sup_part AS (
+  SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey, l_partkey
+),
+red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+JOIN sup_part ON s_suppkey = l_suppkey
+JOIN red ON l_partkey = p_partkey
+WHERE qty > 50
+"""
+
+
+@query("q20_promotion_suppliers", _Q20_SQL)
+def q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (supply derived from shipped lineitems — no
+    partsupp in the driver tables): suppliers who moved >50 units of
+    any 'red%' part in 1996. Grouped fact aggregate, then two
+    broadcast joins; quantity sums of small ints are exact."""
+    li = T(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    sup_part = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    red = T(spark, sf_dir, "part").filter(F.col("p_name").like("red%")).select(
+        "p_partkey"
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        s.join(sup_part, s.s_suppkey == sup_part.l_suppkey)
+        .join(F.broadcast(red), sup_part.l_partkey == red.p_partkey)
+        .filter(F.col("qty") > 50)
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
+
+
+_Q21_SQL = """
+WITH per AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+),
+agg AS (
+  SELECT l_orderkey, COUNT(*) AS n_supp,
+         CAST(SUM(late) AS BIGINT) AS n_late,
+         MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM per GROUP BY l_orderkey
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM agg JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp >= 2 AND n_late = 1
+GROUP BY s_name
+"""
+
+
+@query("q21_waiting_suppliers", _Q21_SQL)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole late supplier on multi-supplier
+    finalized orders (lateness = shipped >60 days after order date —
+    no receipt/commit dates in the driver tables). The classic
+    EXISTS/NOT-EXISTS pair collapses into one grouped pass per
+    (order, supplier) and one per order — two hash aggregates instead
+    of two correlated self-joins against lineitem."""
+    o = T(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    per = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    agg = per.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").cast("long").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    s = T(spark, sf_dir, "supplier")
+    return (
+        agg.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("late_supp") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+_Q2_SQL = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+target AS (SELECT p_partkey, p_name FROM part
+           WHERE p_size = 10 AND p_type = 'LARGE'),
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cand AS (
+  SELECT p_partkey, p_name, s_name, s_acctbal, n_name, cost
+  FROM target
+  JOIN supply ON l_partkey = p_partkey
+  JOIN eu ON l_suppkey = s_suppkey
+),
+best AS (SELECT p_partkey AS bp, MIN(cost) AS min_cost
+         FROM cand GROUP BY p_partkey)
+SELECT p_partkey, p_name, s_name, s_acctbal, n_name,
+       round(cost, 6) AS cost
+FROM cand JOIN best ON p_partkey = bp AND cost = min_cost
+"""
+
+
+@query("q2_mincost_supplier", _Q2_SQL)
+def q2_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (supply costs derived from lineitem unit
+    prices — no partsupp): cheapest European supplier per qualifying
+    part, via grouped-min + join-back (the distributed argmin: no
+    window over the whole supply relation). Unit cost is a single
+    IEEE division, bit-identical across engines."""
+    li = T(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    target = T(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "LARGE")
+    ).select("p_partkey", "p_name")
+    s = T(spark, sf_dir, "supplier")
+    n = T(spark, sf_dir, "nation")
+    r = T(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cand = (
+        supply.join(F.broadcast(target), supply.l_partkey == target.p_partkey)
+        .join(F.broadcast(eu), supply.l_suppkey == eu.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "s_acctbal", "n_name", "cost")
+        .persist()
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        cand.join(
+            F.broadcast(best),
+            (cand.p_partkey == best.bp) & (cand.cost == best.min_cost),
+        )
+        .select(
+            "p_partkey", "p_name", "s_name", "s_acctbal", "n_name",
+            F.round("cost", 6).alias("cost"),
+        )
+    )
