@@ -248,3 +248,77 @@ def pack_sequences(
             (F.col("start_tok") % ctx_len).cast("long").alias("bin_offset"),
         )
     )
+
+
+def repetition_stats(documents: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-word
+    ratio, most-frequent-word fraction, and top-bigram fraction —
+    the standard filters against degenerate/boilerplate text in
+    pretraining pipelines (Rae et al. 2021 §A1.1).
+
+    Pure Catalyst: one explode per signal family, two hash aggregates
+    keyed by doc_id (map-side combined; the doc_id key distributes
+    perfectly). No collect, no UDF.
+    """
+    words = documents.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    word_counts = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    word_agg = word_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_word_count"),
+    )
+    bigram_expr = (
+        "transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i+1]))"
+    )
+    bigrams = (
+        documents.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select("doc_id", F.explode(F.expr(bigram_expr)).alias("bg"))
+    )
+    bigram_counts = bigrams.groupBy("doc_id", "bg").agg(F.count("*").alias("c"))
+    bigram_agg = bigram_counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram_count")
+    )
+    return (
+        word_agg.join(bigram_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.round(F.col("n_distinct") / F.col("n_words"), 6).alias(
+                "distinct_ratio"
+            ),
+            F.round(F.col("top_word_count") / F.col("n_words"), 6).alias(
+                "top_word_frac"
+            ),
+            F.round(
+                F.coalesce(F.col("top_bigram_count") / F.col("n_bigrams"), F.lit(0.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing pass: redact emails and IPv4 literals, report
+    per-doc match counts. Both patterns are RE2-safe (no backrefs),
+    so Spark's Java regex and external engines agree; the redaction
+    runs in whole-stage codegen — no UDF on the hot path.
+    """
+    email_n = F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)).cast("long")
+    scrubbed1 = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    ip_n = F.regexp_count(scrubbed1, F.lit(PII_IPV4_RE)).cast("long")
+    scrubbed = F.regexp_replace(scrubbed1, PII_IPV4_RE, "<IP>")
+    return documents.select(
+        "doc_id",
+        email_n.alias("n_emails"),
+        ip_n.alias("n_ips"),
+        scrubbed.alias("scrubbed_text"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )

@@ -3721,3 +3721,124 @@ def q2_mincost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cost", 6).alias("cost"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# North-star round 3: repetition-based quality filtering (Gopher rules)
+# and PII scrubbing — the two standard pretraining-pipeline passes not
+# yet covered.
+# ---------------------------------------------------------------------------
+
+_REP_CTES = """
+WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+ wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w),
+ wa AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               MAX(c) AS top_word_count
+        FROM wc GROUP BY doc_id),
+ ws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ bg AS (SELECT doc_id,
+               unnest([ws[i] || ' ' || ws[i+1]
+                       for i in generate_series(1, len(ws) - 1)]) AS bg
+        FROM ws WHERE len(ws) >= 2),
+ bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, bg),
+ ba AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_count
+        FROM bc GROUP BY doc_id),
+ rep AS (
+   SELECT wa.doc_id, n_words, n_distinct,
+          round(n_distinct / CAST(n_words AS DOUBLE), 6) AS distinct_ratio,
+          round(top_word_count / CAST(n_words AS DOUBLE), 6) AS top_word_frac,
+          round(COALESCE(top_bigram_count / CAST(n_bigrams AS DOUBLE), 0.0), 6)
+            AS top_bigram_frac
+   FROM wa LEFT JOIN ba ON wa.doc_id = ba.doc_id)
+"""
+
+_REP_SQL = _REP_CTES + """
+SELECT doc_id, n_words, n_distinct, distinct_ratio, top_word_frac,
+       top_bigram_frac
+FROM rep
+"""
+
+
+@query("text_repetition_stats", _REP_SQL)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (distinct-word ratio, top-word
+    fraction, top-bigram fraction) per document — two hash aggregates
+    keyed by doc_id, map-side combined, no UDF."""
+    return text.repetition_stats(T(spark, sf_dir, "documents"))
+
+
+_GOPHER_SQL = _REP_CTES + """
+SELECT doc_id, n_words, distinct_ratio, top_word_frac, top_bigram_frac
+FROM rep
+WHERE n_words BETWEEN 50 AND 100000
+  AND distinct_ratio >= 0.2
+  AND top_word_frac <= 0.2
+  AND top_bigram_frac <= 0.18
+"""
+
+
+@query("quality_gopher_filter", _GOPHER_SQL)
+def quality_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate as one filter over the repetition
+    signals: word-count bounds + repetition thresholds (Rae et al.
+    2021 §A1.1 values, adapted to the corpus). Composes the stats
+    operator — the filter costs nothing extra on top of the
+    aggregates."""
+    rep = text.repetition_stats(T(spark, sf_dir, "documents"))
+    return rep.filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("distinct_ratio") >= 0.2)
+        & (F.col("top_word_frac") <= 0.2)
+        & (F.col("top_bigram_frac") <= 0.18)
+    ).select(
+        "doc_id", "n_words", "distinct_ratio", "top_word_frac", "top_bigram_frac"
+    )
+
+
+_PII_SQL = """
+WITH injected AS (
+  SELECT doc_id,
+         'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 10.0.0.'
+           || CAST(doc_id % 256 AS VARCHAR) || ' ' || text AS text
+  FROM documents
+),
+s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g')
+           AS t1
+  FROM injected
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t1,
+            '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS BIGINT) AS n_ips,
+       regexp_replace(t1, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IP>', 'g')
+         AS scrubbed_text,
+       CAST(length(regexp_replace(t1, '\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+            '<IP>', 'g')) AS BIGINT) AS scrubbed_len
+FROM s1
+"""
+
+
+@query("text_pii_scrub", _PII_SQL)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing pass (emails + IPv4 → placeholder tokens, with
+    per-doc match counts). The corpus is synthetic word-stream text,
+    so deterministic PII derived from doc_id is injected first — the
+    scrubber then provably removes it (counts are 1/1 per doc and the
+    oracle reproduces the redaction byte-for-byte). All regex work is
+    RE2-safe and stays in whole-stage codegen."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
+    )
+    return text.pii_scrub(docs)
