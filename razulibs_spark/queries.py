@@ -3842,3 +3842,34 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("text"),
     )
     return text.pii_scrub(docs)
+
+
+# ---------------------------------------------------------------------------
+# ANSI-SQL facade: one portable SQL text serving as BOTH the Spark
+# query (spark.sql via sql.run_sql) and the DuckDB oracle, verbatim.
+# ---------------------------------------------------------------------------
+
+_ADHOC_SQL = f"""
+SELECT r_name,
+       COUNT(*) AS n_items,
+       {DEC_SUM_SQL('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+@query("sql_adhoc_region_revenue", _ADHOC_SQL)
+def sql_adhoc_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL facade end-to-end: the ORACLE string itself is executed
+    by Spark SQL over the registered temp views — proving the engine
+    accepts the same ANSI text the oracle runs, with identical
+    results (Catalyst still broadcasts the dims and partial-aggregates
+    map-side; declarative SQL and the DataFrame API compile to the
+    same plans)."""
+    from razulibs_spark import sql as sql_facade
+
+    return sql_facade.run_sql(spark, sf_dir, _ADHOC_SQL)

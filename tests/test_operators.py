@@ -610,3 +610,28 @@ def test_progress_observation_counts(spark, payload_dir):
     )
     df2.write.format("noop").mode("overwrite").save()
     assert obs2.get == {"n_rows": 3, "big": 2, "jpg": 1}
+
+
+def test_streaming_idempotent_upsert_sink(spark, sf_dir, tmp_path):
+    """foreachBatch idempotent upsert: draining the same source twice
+    (a replay) leaves the target with exactly one row per event_id —
+    the exactly-once contract a restart must preserve."""
+    from razulibs_spark.streaming.idempotent_sink import stream_upsert_events
+
+    target = str(tmp_path / "events_target")
+    q = stream_upsert_events(spark, sf_dir, target)
+    q.awaitTermination()
+    first = spark.read.parquet(target)
+    n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert first.count() == n_src
+    # replay the whole source (fresh stream, same data): no duplicates
+    q2 = stream_upsert_events(spark, sf_dir, target)
+    q2.awaitTermination()
+    again = spark.read.parquet(target)
+    assert again.count() == n_src
+    assert again.select("event_id").distinct().count() == n_src
+    # value columns survive the rewrite intact
+    s = spark.read.parquet(f"{sf_dir}/events.parquet").agg(
+        F.sum("value")).collect()[0][0]
+    t = again.agg(F.sum("value")).collect()[0][0]
+    assert abs(s - t) < 1e-6
