@@ -3873,3 +3873,98 @@ def sql_adhoc_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from razulibs_spark import sql as sql_facade
 
     return sql_facade.run_sql(spark, sf_dir, _ADHOC_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis + embedding quantization (round-3 north-star tail)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view
+           FROM events WHERE event_type = 'view' GROUP BY user_id),
+ c AS (SELECT e.user_id, MIN(ts) AS t_click
+       FROM events e JOIN v ON e.user_id = v.user_id
+       WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id),
+ p AS (SELECT e.user_id, MIN(ts) AS t_purchase
+       FROM events e JOIN c ON e.user_id = c.user_id
+       WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_view_click,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_view_click_purchase
+"""
+
+
+@query("events_funnel", _FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (view → later click → later purchase)
+    per user, reduced to stage counts. Each stage is a grouped MIN
+    joined to the previous stage's users — three keyed aggregates on
+    user_id (map-side combined, re-usable partitioning), never a
+    per-user sort of full histories."""
+    e = T(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    nv = v.agg(F.count("*").alias("n_view"))
+    nc = c.agg(F.count("*").alias("n_view_click"))
+    np_ = p.agg(F.count("*").alias("n_view_click_purchase"))
+    return nv.crossJoin(nc).crossJoin(np_)
+
+
+_QUANT_SQL = """
+WITH b AS (
+  SELECT vec_id,
+         list_min([CAST(x AS DOUBLE) for x in embedding]) AS lo,
+         list_max([CAST(x AS DOUBLE) for x in embedding]) AS hi
+  FROM embeddings
+),
+q AS (
+  SELECT e.vec_id, lo, hi,
+         CASE WHEN hi = lo THEN 1.0 ELSE (hi - lo) / 255.0 END AS scale
+  FROM embeddings e JOIN b ON e.vec_id = b.vec_id
+)
+SELECT q.vec_id,
+       round(lo, 6) AS zero_point,
+       round(scale, 6) AS scale,
+       [CAST(LEAST(255, FLOOR((CAST(x AS DOUBLE) - lo) / scale + 0.5)) AS BIGINT)
+        for x in e.embedding] AS q8
+FROM q JOIN embeddings e ON q.vec_id = e.vec_id
+"""
+
+
+@query("sim_quantize_int8", _QUANT_SQL)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine uint8 quantization (the storage/bandwidth
+    step before ANN at 100 TB: 4 bytes/dim → 1): per-row min/max via
+    array HOFs, then one transform — all whole-stage codegen, no
+    shuffle at all (narrow op)."""
+    e = T(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    lo = F.array_min(vec)
+    hi = F.array_max(vec)
+    scale = F.when(hi == lo, F.lit(1.0)).otherwise((hi - lo) / F.lit(255.0))
+    q8 = F.transform(
+        vec,
+        lambda x: F.least(
+            F.lit(255), F.floor((x - lo) / scale + F.lit(0.5))
+        ).cast("long"),
+    )
+    return e.select(
+        "vec_id",
+        F.round(lo, 6).alias("zero_point"),
+        F.round(scale, 6).alias("scale"),
+        q8.alias("q8"),
+    )
