@@ -3973,3 +3973,79 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 6).alias("scale"),
         F.concat_ws(",", F.transform(q8, lambda x: x.cast("string"))).alias("q8"),
     )
+
+
+# ---------------------------------------------------------------------------
+# The full corpus-prep composition: Gopher gate → PII scrub → exact
+# dedup (keep canonical) → deterministic split — the pipeline a
+# pretraining-data user actually ships, as ONE declarative plan.
+# ---------------------------------------------------------------------------
+
+_FULL_PREP_SQL = _REP_CTES + f"""
+, kept AS (
+  SELECT doc_id FROM rep
+  WHERE n_words BETWEEN 50 AND 100000
+    AND distinct_ratio >= 0.2
+    AND top_word_frac <= 0.2
+    AND top_bigram_frac <= 0.18
+),
+scrubbed AS (
+  SELECT d.doc_id, d.lang,
+         regexp_replace(d.text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '<EMAIL>', 'g')
+           AS text
+  FROM documents d JOIN kept ON d.doc_id = kept.doc_id
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+  FROM scrubbed GROUP BY md5(text)
+)
+SELECT s.doc_id, s.lang, c.n_copies,
+       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END
+         AS split
+FROM canon c
+JOIN scrubbed s ON c.doc_id = s.doc_id
+JOIN (SELECT doc_id, {sampling.bucket_sql('doc_id')} AS b FROM documents) bk
+  ON s.doc_id = bk.doc_id
+"""
+
+
+@query("pipeline_full_prep", _FULL_PREP_SQL)
+def pipeline_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data prep in one declarative plan: Gopher
+    repetition gate → PII scrub → exact dedup keeping the canonical
+    (min-id) copy → deterministic hash split. Catalyst fuses the
+    scrub + hash into the post-filter projection; the only shuffles
+    are the two doc-keyed aggregates (repetition stats, dedup
+    groupBy) — nothing quadratic anywhere, 100 TB-shaped end to
+    end."""
+    docs = T(spark, sf_dir, "documents")
+    rep = text.repetition_stats(docs)
+    kept_ids = rep.filter(
+        (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+        & (F.col("distinct_ratio") >= 0.2)
+        & (F.col("top_word_frac") <= 0.2)
+        & (F.col("top_bigram_frac") <= 0.18)
+    ).select("doc_id")
+    scrubbed = (
+        docs.join(kept_ids, "doc_id")
+        .select(
+            "doc_id", "lang",
+            F.regexp_replace(
+                F.col("text"),
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+                "<EMAIL>",
+            ).alias("text"),
+        )
+    )
+    canon = (
+        scrubbed.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count("*").alias("n_copies"))
+        .select("doc_id", "n_copies")
+    )
+    split = sampling.hash_split(docs).select("doc_id", "split")
+    return (
+        canon.join(scrubbed, "doc_id")
+        .join(split, "doc_id")
+        .select("doc_id", "lang", "n_copies", "split")
+    )
