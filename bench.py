@@ -73,6 +73,9 @@ HEADLINE = [
     "q10_returned_items",
     "q21_waiting_suppliers",
     "q2_mincost_supplier",
+    "pipeline_full_prep",
+    "events_funnel",
+    "sim_quantize_int8",
 ]
 
 
