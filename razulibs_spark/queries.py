@@ -4049,3 +4049,18 @@ def pipeline_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(split, "doc_id")
         .select("doc_id", "lang", "n_copies", "split")
     )
+
+
+@query("streaming_session_window")
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session-window streaming aggregation (rows-only:
+    streaming trigger semantics aren't SQL-expressible):
+    F.session_window merges events within the 24h gap engine-side —
+    no Python state function. Exact equivalence with the batch
+    lag+running-sum sessionizer is asserted in
+    tests/test_operators.py::test_streaming_session_window_matches_batch."""
+    from razulibs_spark.streaming.sessionize import (
+        run_session_window_available_now,
+    )
+
+    return run_session_window_available_now(spark, sf_dir)

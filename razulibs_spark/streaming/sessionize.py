@@ -116,3 +116,61 @@ def run_sessionize_available_now(spark: SparkSession, source_dir: str) -> DataFr
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def session_window_stream(
+    spark: SparkSession, source_dir: str, gap: str = "24 hours",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """The BUILT-IN alternative to the custom stateful sessionizer:
+    ``F.session_window`` merges events within ``gap`` into one growing
+    window natively (state handled by the engine's streaming session
+    operator — no Python state function, no per-group pandas
+    round-trip). Same gap semantics as the batch lag+running-sum plan:
+    a new session starts exactly when the inter-event gap exceeds
+    ``gap``; equivalence is pinned in tests.
+
+    Prefer this operator when the per-session output is aggregate-
+    shaped (counts/sums/min/max); drop to applyInPandasWithState only
+    for custom per-event state machines the aggregate API can't
+    express.
+    """
+    from razulibs_spark.streaming.events_stream import read_events_stream
+
+    stream = read_events_stream(spark, source_dir)
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(
+                F.floor(F.col("value") * _SCALE + F.lit(0.5)).cast("long")
+            ).alias("_sv"),
+        )
+        .select(
+            "user_id", "n_events", "session_start", "session_end",
+            (F.col("_sv") / _SCALE).alias("sum_value"),
+        )
+    )
+
+
+def run_session_window_available_now(
+    spark: SparkSession, source_dir: str
+) -> DataFrame:
+    """Drain the native session-window aggregation (complete mode via
+    availableNow into a memory sink) and return the batch result."""
+    import uuid
+
+    name = f"sw_{uuid.uuid4().hex[:8]}"
+    q = (
+        session_window_stream(spark, source_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

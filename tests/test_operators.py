@@ -635,3 +635,21 @@ def test_streaming_idempotent_upsert_sink(spark, sf_dir, tmp_path):
         F.sum("value")).collect()[0][0]
     t = again.agg(F.sum("value")).collect()[0][0]
     assert abs(s - t) < 1e-6
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    """The built-in F.session_window sessionizer must produce exactly
+    the batch lag+running-sum sessions (same 1-day gap): same
+    (user, start, end, count, fixed-point sum) set."""
+    from razulibs_spark.streaming.sessionize import (
+        run_session_window_available_now,
+    )
+    from razulibs_spark import queries as Q
+
+    streamed = run_session_window_available_now(spark, sf_dir)
+    batch = Q.QUERIES["events_sessionize"](spark, sf_dir)
+    key = lambda r: (r["user_id"], r["session_start"], r["session_end"],
+                     r["n_events"], round(r["sum_value"], 4))
+    s = sorted(key(r) for r in streamed.collect())
+    b = sorted(key(r) for r in batch.collect())
+    assert len(s) > 0 and s == b
