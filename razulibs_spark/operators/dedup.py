@@ -141,23 +141,40 @@ def df_capped_jaccard(
     force-broadcast.
     """
     # df per shingle as an unordered window count — annotates in one
-    # shuffle instead of a groupBy + join back on the shingle key.
+    # shuffle instead of a groupBy + join back on the shingle key, and
+    # keeps HOT shingles as rows (a posting-list groupBy over an
+    # uncapped shingle would build one array per stop-shingle with df
+    # entries — gigabytes for a universal shingle at web scale).
     ann = shingles.withColumn(
         "_df", F.count("*").over(Window.partitionBy("shingle"))
     )
     rare = ann.filter(F.col("_df") <= max_df).select("doc_id", "shingle")
-    hot = ann.filter(F.col("_df") > max_df).select("doc_id", "shingle")
     counts = shingles.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = rare.alias("a")
-    b = rare.alias("b")
+    # Rare-pair generation from bounded posting lists (arrays ≤ max_df
+    # by construction), pairs via one HOF expansion — a single grouped
+    # pass instead of a self-join that traverses `rare` twice. The
+    # groupBy reuses the window's shingle partitioning (no reshuffle).
+    posts = (
+        rare.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(least(x, y) AS d1, greatest(x, y) AS d2))))"
+    )
     rare_common = (
-        a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        posts.select(F.explode(pair_expr).alias("p"))
+        .select("p.d1", "p.d2")
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("rc"))
     )
-    hot_sets = hot.groupBy("doc_id").agg(F.collect_set("shingle").alias("hs"))
+    hot_sets = (
+        ann.filter(F.col("_df") > max_df)
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("hs"))
+    )
     h1 = hot_sets.select(F.col("doc_id").alias("d1"), F.col("hs").alias("h1"))
     h2 = hot_sets.select(F.col("doc_id").alias("d2"), F.col("hs").alias("h2"))
     empty = F.array().cast("array<string>")
