@@ -42,11 +42,10 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a6_distinct_groups",
     "a6w_group_change_detect", "d6_premis_events", "dedup_exact",
     "dedup_minhash_lsh", "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
-    "dedup_simhash", "events_hourly_rollup", "events_sessionize",
-    "f12_wkt_bbox", "f13_split_explode", "f14_null_to_zero",
-    "f19_json_extract", "f1_date_type_classify",
-    "f21_integer_validation", "f2_full_extension",
-    "f4_extract_id_parts", "f6_normalize_path",
+    "dedup_simhash", "events_hourly_rollup", "f12_wkt_bbox",
+    "f13_split_explode", "f14_null_to_zero", "f19_json_extract",
+    "f1_date_type_classify", "f21_integer_validation",
+    "f2_full_extension", "f4_extract_id_parts", "f6_normalize_path",
     "f8_identifier_templating", "f9_compose_filename", "j1_lookup_join",
     "j2_vocab_resolve", "j4_manifest_reconcile", "j5_changed_or_new",
     "j6_set_diff", "j8_hierarchy_links", "multimodal_features",

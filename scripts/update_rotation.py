@@ -1,0 +1,62 @@
+"""Regenerate __spark_entry__._PREVIOUSLY_VERIFIED from every
+CORRECTNESS_r*.json in the repo root.
+
+The driver verifies only the first 50 ``queries()`` entries per round;
+``__spark_entry__.queries()`` orders not-yet-verified entries first so
+the window rotates across rounds. Run this at the START of a round
+(after the previous round's CORRECTNESS artifact lands) to fold newly
+green names into the frozen set:
+
+    python scripts/update_rotation.py && git diff __spark_entry__.py
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import textwrap
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    verified: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        for name, row in data.items():
+            # count green rows AND rows-only checks (err='no_oracle'
+            # with a recorded row count) as "has been in the window";
+            # genuinely errored rows stay unverified so they re-enter
+            # the window first after a fix.
+            if not isinstance(row, dict):
+                continue
+            err = row.get("err")
+            if not err or (err == "no_oracle" and row.get("spark_rows") is not None):
+                verified.add(name)
+    names = ", ".join(f'"{n}"' for n in sorted(verified))
+    body = textwrap.fill(
+        names, width=72, initial_indent="    ", subsequent_indent="    "
+    )
+    literal = f"_PREVIOUSLY_VERIFIED = frozenset({{\n{body},\n}})"
+
+    entry_path = os.path.join(ROOT, "__spark_entry__.py")
+    with open(entry_path) as f:
+        src = f.read()
+    new_src, n = re.subn(
+        r"_PREVIOUSLY_VERIFIED = frozenset\(\{.*?\}\)",
+        literal,
+        src,
+        flags=re.S,
+    )
+    if n != 1:
+        raise SystemExit("could not find _PREVIOUSLY_VERIFIED block")
+    with open(entry_path, "w") as f:
+        f.write(new_src)
+    print(f"folded {len(verified)} verified names into __spark_entry__.py")
+
+
+if __name__ == "__main__":
+    main()
