@@ -859,7 +859,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sql() -> str:
     sigs = ",\n   ".join(
-        f"min(md5('{h}:' || shingle)) AS sig{h}" for h in range(dedup.N_MINHASH)
+        f"min(substr(md5('{h // 4}:' || shingle), {1 + 8 * (h % 4)}, 8))"
+        f" AS sig{h}"
+        for h in range(dedup.N_MINHASH)
     )
     bands = "\n  UNION ALL\n".join(
         "  SELECT doc_id, {b} AS band_id, md5(sig{i0} || sig{i1} || sig{i2}) AS band_hash FROM sigs".format(
