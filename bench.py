@@ -124,6 +124,11 @@ def main() -> None:
             times[name] = round(time.time() - t0, 3)
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            # queries persist intermediates for their own multi-consumer
+            # plans; drop them so 50+ queries don't accumulate cache
+            # and each timing stands alone.
+            spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

@@ -3926,7 +3926,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nv.crossJoin(nc).crossJoin(np_)
 
 
-_QUANT_SQL = """
+_QUANT8_SQL = """
 WITH b AS (
   SELECT vec_id,
          list_min([CAST(x AS DOUBLE) for x in embedding]) AS lo,
@@ -3948,7 +3948,7 @@ FROM q JOIN embeddings e ON q.vec_id = e.vec_id
 """
 
 
-@query("sim_quantize_int8", _QUANT_SQL)
+@query("sim_quantize_int8", _QUANT8_SQL)
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector affine uint8 quantization (the storage/bandwidth
     step before ANN at 100 TB: 4 bytes/dim → 1): per-row min/max via
@@ -4066,3 +4066,21 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_session_window_available_now(spark, sf_dir)
+
+
+@query("a_approx_quantiles")  # rows-only: t-digest estimates are engine-specific
+def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile over grouped lineitem prices — the 100 TB
+    quantile path (bounded sketch memory per group vs the exact
+    per-group sort of a_exact_quantiles). Error bound vs the exact
+    percentiles is asserted in tests/test_temporal.py."""
+    li = T(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10_000)
+        .alias("approx_pcts")
+    ).select(
+        "l_returnflag",
+        F.col("approx_pcts")[0].alias("p25"),
+        F.col("approx_pcts")[1].alias("p50"),
+        F.col("approx_pcts")[2].alias("p75"),
+    )

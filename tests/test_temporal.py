@@ -291,3 +291,20 @@ def test_pipeline_cluster_best_invariants(spark, sf_dir):
         top = max(q[m] for m in ms)
         assert r.keeper_quality == top
         assert r.keeper_doc_id == min(m for m in ms if q[m] == top)
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """approx_percentile must land within 1% relative error of the
+    exact grouped percentiles at the test scale."""
+    from razulibs_spark import queries as Q
+
+    approx = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
+              for r in Q.QUERIES["a_approx_quantiles"](spark, sf_dir).collect()}
+    exact_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
+        "l_returnflag"
+    ).agg(
+        F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("p")
+    )
+    for r in exact_df.collect():
+        for a, e in zip(approx[r["l_returnflag"]], r["p"]):
+            assert abs(a - e) / e < 0.01, (r["l_returnflag"], a, e)
