@@ -184,46 +184,3 @@ def test_grouping_sets_single_pass(spark):
     # job per grouping set.
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
-
-
-def test_bucketed_join_has_no_shuffle(spark, tmp_path):
-    """Bucketed-by-join-key tables join with ZERO shuffle Exchange:
-    the write-time bucketing replaces the per-query shuffle — the
-    core storage-layout optimization for repeated 100 TB fact-fact
-    joins."""
-    from pyspark.sql import functions as F
-
-    from razulibs_spark.sinks.bucketed import colocated_join, write_bucketed
-
-    o = spark.read.parquet(f"{SF}/orders.parquet")
-    li = spark.read.parquet(f"{SF}/lineitem.parquet").withColumnRenamed(
-        "l_orderkey", "o_orderkey"
-    )
-    write_bucketed(o, "b_orders", "o_orderkey", n_buckets=8)
-    write_bucketed(li, "b_lineitem", "o_orderkey", n_buckets=8)
-    # At sf0.001 the planner would just broadcast the tiny side (and
-    # rightly skip bucketing); disable auto-broadcast to exercise the
-    # layout the way a fact-fact join at scale would hit it.
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        joined = colocated_join(spark, "b_orders", "b_lineitem", "o_orderkey")
-        n = joined.count()
-        assert n == li.count()  # every lineitem has its order
-        plan = _plan(joined)
-        # both sides scan bucket-aligned: no shuffle Exchange at all
-        assert "hashpartitioning" not in plan, plan
-        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
-        assert "Bucketed: true" in plan
-        # sanity: the unbucketed equivalent DOES shuffle
-        plain = o.join(li, "o_orderkey")
-        assert "hashpartitioning" in _plan(plain)
-        # bucket-key aggregation is exchange-free too
-        agg = spark.table("b_lineitem").groupBy("o_orderkey").agg(
-            F.count("*").alias("n")
-        )
-        assert "hashpartitioning" not in _plan(agg)
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE IF EXISTS b_orders")
-        spark.sql("DROP TABLE IF EXISTS b_lineitem")
