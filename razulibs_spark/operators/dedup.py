@@ -416,6 +416,32 @@ def minhash_signatures(shingles: DataFrame, n_hashes: int = N_MINHASH) -> DataFr
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
+def band_table(
+    signatures: DataFrame,
+    n_bands: int = N_BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) rows from a signature table — one
+    explode over an array<struct> built in the same projection (not a
+    per-band union of selects, which would recompute the signature
+    aggregate once per band per consumer)."""
+    band_structs = [
+        F.struct(
+            F.lit(bnd).alias("band_id"),
+            F.md5(
+                F.concat(*[
+                    F.col(f"sig{bnd * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ])
+            ).alias("band_hash"),
+        )
+        for bnd in range(n_bands)
+    ]
+    return signatures.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", "bb.band_id", "bb.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = N_BANDS,
@@ -430,21 +456,7 @@ def lsh_candidate_pairs(
     self-join below re-run the signature aggregation once per band per
     side. With identical subplans on both sides, AQE reuses the
     shuffle (ReusedExchange) instead of recomputing."""
-    band_structs = [
-        F.struct(
-            F.lit(bnd).alias("band_id"),
-            F.md5(
-                F.concat(*[
-                    F.col(f"sig{bnd * rows_per_band + r}")
-                    for r in range(rows_per_band)
-                ])
-            ).alias("band_hash"),
-        )
-        for bnd in range(n_bands)
-    ]
-    bands = signatures.select(
-        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", "bb.band_id", "bb.band_hash")
+    bands = band_table(signatures, n_bands, rows_per_band)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -536,3 +548,78 @@ def simhash(documents: DataFrame, bits: int = 16) -> DataFrame:
         term = F.when(F.col(f"s{j}") >= 0, F.lit(2 ** j)).otherwise(F.lit(0))
         value = term if value is None else value + term
     return sums.select("doc_id", value.cast("long").alias("simhash"))
+
+
+def minhash_incremental(
+    corpus: DataFrame, batch: DataFrame, threshold: float, k: int = 3
+) -> DataFrame:
+    """Incremental NEAR-dup admission: probe each new-batch document
+    against the standing corpus's LSH band index and verify candidates
+    with exact Jaccard — the daily-ingest shape where the corpus index
+    is a persisted table and only the new batch is shingled fresh.
+
+    Scale posture: the corpus side reduces to its band index
+    (n_bands rows per doc — at 100 TB this is the precomputed,
+    incrementally-maintained table); the batch is small by definition.
+    The band join shuffles on (band_id, band_hash) — 2^128 key space,
+    perfectly distributed; verification touches only candidate docs'
+    shingle sets on either side. Nothing scans corpus text.
+
+    Returns one row per batch doc: (doc_id, is_dup, matched_doc_id,
+    jaccard) with the best corpus match (max jaccard, min doc_id tie).
+    """
+    sh_c = word_shingles(corpus, k=k).persist()
+    sh_b = word_shingles(batch, k=k).persist()
+    bands_c = band_table(minhash_signatures(sh_c)).select(
+        F.col("doc_id").alias("d_corpus"), "band_id", "band_hash"
+    )
+    bands_b = band_table(minhash_signatures(sh_b)).select(
+        F.col("doc_id").alias("d_new"), "band_id", "band_hash"
+    )
+    cand = (
+        bands_b.join(bands_c, ["band_id", "band_hash"])
+        .select("d_new", "d_corpus")
+        .distinct()
+        .persist()
+    )
+    sets_b = (
+        sh_b.join(F.broadcast(cand.select(F.col("d_new").alias("doc_id")).distinct()),
+                  "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .select(F.col("doc_id").alias("d_new"), F.col("sh").alias("sh1"))
+    )
+    sets_c = (
+        sh_c.join(F.broadcast(cand.select(F.col("d_corpus").alias("doc_id")).distinct()),
+                  "doc_id")
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("sh"))
+        .select(F.col("doc_id").alias("d_corpus"), F.col("sh").alias("sh2"))
+    )
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = F.round(
+        inter / (F.size("sh1") + F.size("sh2") - inter), 6
+    ).alias("jaccard")
+    pairs = (
+        cand.join(sets_b, "d_new")
+        .join(sets_c, "d_corpus")
+        .select("d_new", "d_corpus", jac)
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = pairs.groupBy("d_new").agg(
+        F.max_by(
+            F.col("d_corpus"),
+            F.struct(F.col("jaccard"), (-F.col("d_corpus")).alias("nd")),
+        ).alias("matched_doc_id"),
+        F.max("jaccard").alias("jaccard"),
+    )
+    return (
+        batch.select("doc_id")
+        .join(best, batch.doc_id == best.d_new, "left")
+        .select(
+            "doc_id",
+            F.col("matched_doc_id").isNotNull().alias("is_dup"),
+            "matched_doc_id",
+            "jaccard",
+        )
+    )

@@ -4084,3 +4084,77 @@ def a_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("approx_pcts")[1].alias("p50"),
         F.col("approx_pcts")[2].alias("p75"),
     )
+
+
+def _minhash_incr_sql(threshold: float = 0.2) -> str:
+    sigs = ",\n   ".join(
+        f"min(substr(md5('{h // 4}:' || shingle), {1 + 8 * (h % 4)}, 8))"
+        f" AS sig{h}"
+        for h in range(dedup.N_MINHASH)
+    )
+    def bands(src: str) -> str:
+        return "\n  UNION ALL\n".join(
+            "  SELECT doc_id, {b} AS band_id, "
+            "md5(sig{i0} || sig{i1} || sig{i2}) AS band_hash FROM {src}".format(
+                b=b, i0=3 * b, i1=3 * b + 1, i2=3 * b + 2, src=src
+            )
+            for b in range(dedup.N_BANDS)
+        )
+    return f"""
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ ds AS (SELECT DISTINCT doc_id, source, s AS shingle FROM (
+   SELECT doc_id, source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in generate_series(1, len(ws) - 2)]) AS s
+   FROM w WHERE len(ws) >= 3)),
+ shc AS (SELECT doc_id, shingle FROM ds WHERE length(source) = 4),
+ shb AS (SELECT doc_id, shingle FROM ds WHERE length(source) = 5),
+ sigc AS (SELECT doc_id,
+   {sigs}
+   FROM shc GROUP BY doc_id),
+ sigb AS (SELECT doc_id,
+   {sigs}
+   FROM shb GROUP BY doc_id),
+ bandc AS (
+{bands('sigc')}
+ ),
+ bandb AS (
+{bands('sigb')}
+ ),
+ cand AS (SELECT DISTINCT b.doc_id AS d_new, c.doc_id AS d_corpus
+          FROM bandb b JOIN bandc c
+            ON b.band_id = c.band_id AND b.band_hash = c.band_hash),
+ nb AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY doc_id),
+ nc AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+ com AS (SELECT cand.d_new, cand.d_corpus, COUNT(*) AS common
+         FROM cand
+         JOIN shb ON shb.doc_id = cand.d_new
+         JOIN shc ON shc.doc_id = cand.d_corpus
+                 AND shc.shingle = shb.shingle
+         GROUP BY cand.d_new, cand.d_corpus),
+ jac AS (SELECT d_new, d_corpus,
+                round(common / (nb.n + nc.n - common), 6) AS jaccard
+         FROM com JOIN nb ON d_new = nb.doc_id JOIN nc ON d_corpus = nc.doc_id),
+ best AS (SELECT d_new, d_corpus AS matched_doc_id, jaccard,
+                 ROW_NUMBER() OVER (PARTITION BY d_new
+                                    ORDER BY jaccard DESC, d_corpus) AS rn
+          FROM jac WHERE jaccard >= {threshold})
+SELECT d.doc_id,
+       best.matched_doc_id IS NOT NULL AS is_dup,
+       best.matched_doc_id, best.jaccard
+FROM (SELECT doc_id FROM documents WHERE length(source) = 5) d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) best ON d.doc_id = best.d_new
+"""
+
+
+@query("dedup_minhash_incremental", _minhash_incr_sql())
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup admission (the daily-ingest scale shape):
+    new-batch docs (src10..src19) probe the standing corpus's
+    (src0..src9) LSH band index; band-collision candidates get exact
+    Jaccard verification and each batch doc reports its best corpus
+    match. At 100 TB the corpus band index is a persisted,
+    incrementally-maintained table — corpus text is never rescanned."""
+    docs = T(spark, sf_dir, "documents")
+    corpus = docs.filter(F.length("source") == 4)
+    batch = docs.filter(F.length("source") == 5)
+    return dedup.minhash_incremental(corpus, batch, threshold=0.2)
