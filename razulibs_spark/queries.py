@@ -4158,3 +4158,39 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.length("source") == 4)
     batch = docs.filter(F.length("source") == 5)
     return dedup.minhash_incremental(corpus, batch, threshold=0.2)
+
+
+def _zorder_sql(bits: int = 16) -> str:
+    terms = " | ".join(
+        f"(((CAST(xb AS BIGINT) >> {i}) & 1) << {2 * i})"
+        f" | (((CAST(yb AS BIGINT) >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    )
+    return f"""
+WITH b AS (
+  SELECT event_id,
+         CAST(user_id % 1024 AS BIGINT) AS xb,
+         CAST(CAST(FLOOR(value) AS BIGINT) % 1024 AS BIGINT) AS yb
+  FROM events
+)
+SELECT event_id, xb, yb, CAST({terms} AS BIGINT) AS z
+FROM b
+"""
+
+
+@query("o_zorder_key", _zorder_sql())
+def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order interleave of two bucketized event dimensions —
+    the write-time clustering key that makes min/max row-group stats
+    prune on EITHER column (the OPTIMIZE ZORDER trick as a plain
+    deterministic column). Pure JVM bit arithmetic, narrow op."""
+    from razulibs_spark.operators.maintenance import z_order_key
+
+    e = T(spark, sf_dir, "events")
+    xb = (F.col("user_id") % 1024).cast("long")
+    yb = (F.floor(F.col("value")).cast("long") % 1024).cast("long")
+    return e.select(
+        "event_id", xb.alias("xb"), yb.alias("yb"),
+        z_order_key(F.col("user_id") % 1024,
+                    F.floor(F.col("value")).cast("long") % 1024).alias("z"),
+    )

