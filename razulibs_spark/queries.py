@@ -4194,3 +4194,21 @@ def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         z_order_key(F.col("user_id") % 1024,
                     F.floor(F.col("value")).cast("long") % 1024).alias("z"),
     )
+
+
+@query("streaming_interval_join_outer")
+def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer watermarked stream-stream join (rows-only: trigger
+    semantics aren't SQL-expressible): unmatched views emit
+    null-extended rows once the watermark proves no purchase can
+    still arrive — the state-eviction contract outer joins add. Match
+    + null-row correctness vs batch is asserted in
+    tests/test_operators.py."""
+    from razulibs_spark.streaming.dedup_stream import run_append_available_now
+    from razulibs_spark.streaming.interval_join import (
+        view_purchase_left_outer_stream,
+    )
+
+    return run_append_available_now(
+        view_purchase_left_outer_stream(spark, sf_dir), spark
+    )

@@ -47,3 +47,33 @@ def view_purchase_join_stream(
         & (F.col("p_ts") >= F.col("view_ts"))
         & (F.col("p_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("view_id", "view_user", "view_ts", "p_id", "p_ts", "p_value")
+
+
+def view_purchase_left_outer_stream(
+    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """LEFT OUTER variant: every view emits — joined rows as matches
+    arrive, unmatched views with NULL purchase columns once the
+    watermark passes view_ts + 1 hour (no purchase can still match,
+    so the engine evicts the buffered view AND emits the null row).
+    This is the state-eviction contract outer stream-stream joins add
+    on top of inner ones: the null result is itself watermark-gated.
+
+    Under availableNow the final watermark stops at max(event time) -
+    watermark, so views newer than that remain buffered and emit
+    nothing — the batch-equivalence test accounts for exactly that
+    horizon.
+    """
+    views = _typed_stream(spark, source_dir, "view", "view").withWatermark(
+        "view_ts", watermark
+    )
+    purchases = _typed_stream(spark, source_dir, "purchase", "p").withWatermark(
+        "p_ts", watermark
+    )
+    return views.join(
+        purchases,
+        (F.col("view_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("view_ts"))
+        & (F.col("p_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("view_id", "view_user", "view_ts", "p_id", "p_ts", "p_value")

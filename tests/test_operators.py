@@ -688,3 +688,51 @@ def test_z_order_key_locality(spark):
     assert rows[(2, 2)] == 12 and rows[(7, 7)] == 63
     # bijective over the 8x8 grid
     assert len(set(rows.values())) == 64
+
+
+def test_streaming_left_outer_interval_join_matches_batch(spark, sf_dir):
+    """Left-outer stream-stream join: inner matches identical to the
+    batch join; null-extended rows appear exactly for unmatched views
+    old enough that the final watermark proved no match can arrive
+    (view_ts + 1h join window + 2h watermark <= max event time)."""
+    from razulibs_spark.streaming.dedup_stream import run_append_available_now
+    from razulibs_spark.streaming.interval_join import (
+        view_purchase_left_outer_stream,
+    )
+
+    streamed = run_append_available_now(
+        view_purchase_left_outer_stream(spark, sf_dir), spark
+    ).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("view_user"),
+        F.col("ts").alias("view_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"))
+    inner = views.join(
+        purchases,
+        (F.col("view_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("view_ts"))
+        & (F.col("p_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    got_matched = sorted((r["view_id"], r["p_id"]) for r in streamed
+                         if r["p_id"] is not None)
+    want_matched = sorted((r["view_id"], r["p_id"]) for r in inner.collect())
+    assert got_matched == want_matched
+    # null rows: unmatched views old enough to be provably closed
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    import datetime
+    horizon = max_ts - datetime.timedelta(hours=3)  # 1h window + 2h watermark
+    matched_ids = {v for v, _ in want_matched}
+    closed_unmatched = {
+        r["view_id"] for r in views.collect()
+        if r["view_id"] not in matched_ids and r["view_ts"] <= horizon
+    }
+    got_nulls = {r["view_id"] for r in streamed if r["p_id"] is None}
+    # every provably-closed unmatched view must have emitted a null row
+    assert closed_unmatched <= got_nulls
+    # and no null row for a view that actually has a match
+    assert not (got_nulls & matched_ids)
