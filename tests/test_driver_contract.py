@@ -1,0 +1,63 @@
+"""Guards on the driver contract in __spark_entry__.py: the rotation
+must never lose queries, and the 50-entry correctness window must be
+spent on entries that benefit from driver verification."""
+
+from __future__ import annotations
+
+import importlib
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+_entry = importlib.import_module("__spark_entry__")
+from razulibs_spark import queries as Q  # noqa: E402
+
+
+def test_rotation_preserves_registry():
+    ordered = list(_entry.queries())
+    assert set(ordered) == set(Q.QUERIES), "rotation lost/invented entries"
+    assert len(ordered) == len(Q.QUERIES)
+
+
+def test_window_prioritizes_unverified_oracle_entries():
+    ordered = list(_entry.queries())
+    window = ordered[:50]
+    pv = _entry._PREVIOUSLY_VERIFIED
+    # every fresh oracle-backed entry ranks before any fresh rows-only
+    # entry, which ranks before any previously-verified entry
+    ranks = []
+    for name in ordered:
+        if name not in pv and name in Q.ORACLES:
+            ranks.append(0)
+        elif name not in pv:
+            ranks.append(1)
+        else:
+            ranks.append(2)
+    assert ranks == sorted(ranks), "rotation ordering violated"
+    # the window is not wasted on already-verified entries while
+    # unverified oracle-backed entries exist outside it
+    outside_fresh = [n for n in ordered[50:] if n not in pv and n in Q.ORACLES]
+    inside_seen = [n for n in window if n in pv]
+    assert not (outside_fresh and inside_seen), (
+        "window wastes slots on verified entries"
+    )
+
+
+def test_every_query_name_is_stable_identifier():
+    for name in Q.QUERIES:
+        assert name.replace("_", "").isalnum(), name
+
+
+def test_oracles_reference_only_known_tables():
+    """Oracle SQL must only read the driver-registered views."""
+    import re
+
+    known = {"region", "nation", "customer", "supplier", "part", "orders",
+             "lineitem", "events", "documents", "embeddings"}
+    for name, sql in Q.ORACLES.items():
+        for m in re.finditer(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql,
+                             re.IGNORECASE):
+            tbl = m.group(1).lower()
+            # CTE names and aliases are fine; flag only clearly-unknown
+            # parquet-like names
+            assert not tbl.endswith(".parquet"), (name, tbl)
