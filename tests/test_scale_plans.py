@@ -184,3 +184,43 @@ def test_grouping_sets_single_pass(spark):
     # job per grouping set.
     assert "Expand" in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_new_tpch_shapes_degrade_to_smj_not_nested_loop(spark):
+    """With broadcast disabled (simulating dimensions too large to
+    broadcast at 100x), the round-3 TPC-H shapes must degrade to
+    sort-merge/shuffled-hash joins on their equi-keys — never a
+    BroadcastNestedLoopJoin or cartesian product."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ["q8_market_share", "q10_returned_items",
+                     "q12_priority_by_linestatus", "q21_waiting_suppliers",
+                     "q17_small_qty_revenue"]:
+            plan = _plan(Q.QUERIES[name](spark, SF))
+            assert "BroadcastNestedLoopJoin" not in plan, name
+            assert "CartesianProduct" not in plan, name
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, name
+        # q2 explicitly broadcasts its selectivity-bounded sides
+        # (filtered parts, filtered suppliers, per-part minima) — hints
+        # legitimately override the threshold; just never a nested loop.
+        plan = _plan(Q.QUERIES["q2_mincost_supplier"](spark, SF))
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_scalar_cutoff_joins_stay_broadcast_even_when_disabled(spark):
+    """The scalar-aggregate cutoffs (q11 total, q15 max) are 1-row
+    subqueries the queries explicitly broadcast — they must stay
+    broadcast-shaped regardless of the threshold config (a 1-row
+    nested-loop join is correct and O(n))."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name in ["q11_important_parts", "q15_top_supplier"]:
+            plan = _plan(Q.QUERIES[name](spark, SF))
+            assert "Broadcast" in plan, name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
