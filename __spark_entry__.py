@@ -39,29 +39,67 @@ def entry(spark: SparkSession) -> DataFrame:
 # this verifies the whole registry; local pytest parity covers all
 # entries every round regardless of the window.
 _PREVIOUSLY_VERIFIED = frozenset({
-    "a1_global_minmax", "a2_min_across_runs", "a6_distinct_groups",
-    "a6w_group_change_detect", "d6_premis_events", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
-    "dedup_simhash", "events_hourly_rollup", "f12_wkt_bbox",
-    "f13_split_explode", "f14_null_to_zero", "f19_json_extract",
+    "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
+    "a6_distinct_groups", "a6w_group_change_detect", "a_cube_price",
+    "a_distinct_count", "a_exact_quantiles", "a_grouping_sets",
+    "a_rollup_pricing", "contamination_ngram", "d6_premis_events",
+    "dedup_cluster_canonical", "dedup_exact", "dedup_incremental",
+    "dedup_jaccard_prefix_filter", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_ml", "dedup_ngram_jaccard", "dedup_simhash",
+    "events_enriched_nation", "events_hourly_rollup",
+    "events_sessionize", "events_view_purchase_attribution",
+    "f12_wkt_bbox", "f13_split_explode", "f14_null_to_zero",
+    "f16_url_encode", "f17_mime_guess", "f19_json_extract",
     "f1_date_type_classify", "f21_integer_validation",
-    "f2_full_extension", "f4_extract_id_parts", "f6_normalize_path",
-    "f8_identifier_templating", "f9_compose_filename", "j1_lookup_join",
+    "f2_full_extension", "f4_extract_id_parts", "f5_filename_stem",
+    "f6_normalize_path", "f8_identifier_templating",
+    "f9_compose_filename", "j1_lookup_join", "j2_multilabel_resolve",
     "j2_vocab_resolve", "j4_manifest_reconcile", "j5_changed_or_new",
-    "j6_set_diff", "j8_hierarchy_links", "multimodal_features",
-    "o1_sequential_ids", "o2_entity_fanout", "p4_triple_first_value",
-    "p6_lock_predicate", "p8_date_filter_nullkeep",
-    "q1_pricing_summary", "q3_shipping_priority", "s6_manifest_scan",
-    "s8_eventlog_maxid", "sim_cosine_topk", "sim_embedding_neardup",
-    "sim_ivf_assign", "streaming_hourly_rollup", "t1_topk_orders",
+    "j6_set_diff", "j7_upload_verification", "j8_hierarchy_links",
+    "j_asof_join", "j_range_join_binned", "j_salted_skew_join",
+    "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
+    "k2_turtle_roundtrip", "length_histogram", "multimodal_chunk_audio",
+    "multimodal_features", "multimodal_resize",
+    "multimodal_sample_frames", "o1_sequential_ids", "o2_entity_fanout",
+    "p4_triple_first_value", "p5_subject_type_pivot",
+    "p6_lock_predicate", "p8_date_filter_nullkeep", "pack_sequences",
+    "pipeline_cluster_best", "pipeline_corpus_prep",
+    "q13_order_distribution", "q16_supplier_parts", "q18_large_orders",
+    "q1_pricing_summary", "q22_dormant_accounts",
+    "q3_shipping_priority", "q5_regional_revenue", "q7_nation_volume",
+    "q9_product_profit", "quality_percentile_filter",
+    "s6_manifest_scan", "s7_manifest_map_scan", "s8_eventlog_maxid",
+    "sample_stratified", "sim_cosine_topk", "sim_embedding_neardup",
+    "sim_ivf_assign", "sim_ivf_topk", "sim_knn_classify",
+    "sim_label_centroids", "split_train_test",
+    "streaming_hourly_rollup", "t1_topk_orders", "t3_sorted_diff",
     "text_fingerprints", "text_language_id", "text_quality_scores",
-    "text_token_stats", "u2_graph_union_dedup", "u4_upsert_by_key",
+    "text_tfidf_topterms", "text_token_stats", "u2_graph_union_dedup",
+    "u4_upsert_by_key", "w_lag_lead_gaps", "w_running_total",
 })
+
+
+def _round_counter() -> int:
+    """Deterministic per-round value: the number of CORRECTNESS
+    artifacts the driver has produced so far. Used to rotate which
+    previously-verified entries re-enter the 50-entry window once all
+    fresh entries fit, so regressions in old greens are eventually
+    re-caught by the driver (not only by local pytest parity)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    return len(glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2, ordered so
-    the driver's correctness window reaches not-yet-verified entries."""
+    the driver's correctness window reaches not-yet-verified entries.
+
+    Window slots left over after all fresh entries are seated go to a
+    rotating sample of previously-verified entries (keyed by round
+    counter) so old greens get periodically re-verified."""
+    import hashlib
+
     fresh_oracle, fresh_rows_only, seen = [], [], []
     for name in _q.QUERIES:
         if name in _PREVIOUSLY_VERIFIED:
@@ -70,6 +108,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fresh_oracle.append(name)
         else:
             fresh_rows_only.append(name)
+    rnd = _round_counter()
+    seen.sort(
+        key=lambda n: hashlib.md5(f"{rnd}:{n}".encode()).hexdigest()
+    )
     ordered = fresh_oracle + fresh_rows_only + seen
     return {name: _q.QUERIES[name] for name in ordered}
 
