@@ -4212,3 +4212,93 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_append_available_now(
         view_purchase_left_outer_stream(spark, sf_dir), spark
     )
+
+
+# ---------------------------------------------------------------------------
+# Flagship hash oracle — the csv2rdf lifecycle (SURVEY §3.1) as a
+# driver-verifiable query instead of a rows>0 smoke check.
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = """
+WITH enriched AS (
+  SELECT l.l_shipdate, p.p_brand
+  FROM lineitem l
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN nation n ON CAST(l.l_suppkey % 25 AS INT) = n.n_nationkey
+),
+series AS (
+  SELECT p_brand,
+         COUNT(*) AS n_members,
+         MIN(l_shipdate) AS earliest,
+         MAX(l_shipdate) AS latest
+  FROM enriched
+  GROUP BY p_brand
+),
+serie_subj AS (
+  SELECT 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-'
+           || replace(p_brand, '#', '-') AS s,
+         p_brand, n_members, earliest, latest
+  FROM series
+),
+archive AS (
+  SELECT MIN(l_shipdate) AS earliest, MAX(l_shipdate) AS latest,
+         COUNT(*) AS n_items
+  FROM lineitem
+),
+triples AS (
+  SELECT s, 'rdf:type' AS p, 'ldto:Serie' AS o, 'uri' AS o_type,
+         CAST(NULL AS VARCHAR) AS o_datatype, CAST(NULL AS VARCHAR) AS o_lang
+  FROM serie_subj
+  UNION ALL
+  SELECT s, 'ldto:naam', p_brand, 'literal', NULL, NULL FROM serie_subj
+  UNION ALL
+  SELECT s, 'ldto:omvang', CAST(n_members AS VARCHAR), 'literal',
+         'xsd:integer', NULL
+  FROM serie_subj
+  UNION ALL
+  SELECT s, 'ldto:dekkingInTijdBegin', CAST(CAST(earliest AS DATE) AS VARCHAR),
+         'literal', 'xsd:date', NULL
+  FROM serie_subj
+  UNION ALL
+  SELECT s, 'ldto:dekkingInTijdEind', CAST(CAST(latest AS DATE) AS VARCHAR),
+         'literal', 'xsd:date', NULL
+  FROM serie_subj
+  UNION ALL
+  SELECT 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-archief',
+         'rdf:type', 'ldto:Archief', 'uri', NULL, NULL
+  FROM archive
+  UNION ALL
+  SELECT 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-archief',
+         'ldto:naam', 'spark-graft flagship archive', 'literal', NULL, NULL
+  FROM archive
+  UNION ALL
+  SELECT 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-archief',
+         'ldto:dekkingInTijdBegin', CAST(CAST(earliest AS DATE) AS VARCHAR),
+         'literal', 'xsd:date', NULL
+  FROM archive
+  UNION ALL
+  SELECT 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-archief',
+         'ldto:dekkingInTijdEind', CAST(CAST(latest AS DATE) AS VARCHAR),
+         'literal', 'xsd:date', NULL
+  FROM archive
+  UNION ALL
+  SELECT 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-archief',
+         'ldto:omvang', CAST(n_items AS VARCHAR), 'literal', 'xsd:integer',
+         NULL
+  FROM archive
+)
+SELECT DISTINCT s, p, o, o_type, o_datatype, o_lang FROM triples
+"""
+
+
+@query("flagship_triples_oracle", _FLAGSHIP_SQL)
+def flagship_triples_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship csv2rdf pipeline (plans/flagship.py; reference
+    csv2rdf.py:23-261) with a full value-hash oracle: scan -> broadcast
+    dimension joins (J1/J2) -> per-serie and global aggregates (A1/A6/
+    A7) -> entity->triples fan-out (O2) -> graph union (U2). The oracle
+    mirrors every triple, so the centerpiece lifecycle is hash-verified
+    end-to-end, not just smoke-checked."""
+    from razulibs_spark.plans.flagship import flagship_triples
+
+    return flagship_triples(spark, sf_dir)
