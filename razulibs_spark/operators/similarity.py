@@ -144,6 +144,127 @@ def near_duplicate_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     )
 
 
+def blocked_exact_neardup(
+    embeddings: DataFrame, threshold: float, block_size: int = 512
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup as a blocked block-pair grid —
+    the scale-shaped replacement for :func:`near_duplicate_pairs`'s
+    unbounded ``crossJoin``.
+
+    Why not LSH/IVF for an *exact* headline: at threshold 0.4 the
+    near-dup pairs can sit arbitrarily close to the threshold (the
+    test corpus plants them at cos 0.400-0.43, i.e. 65 degrees apart),
+    and measured multi-probe IVF recall on that data only reaches 1.0
+    when the candidate count exceeds the brute-force pair count
+    (K=16..128, P=2..8 all lose: e.g. K=32/P=8 gives recall 0.998 with
+    2x the brute pairs). Exact low-threshold all-pairs is
+    Omega(N^2) compares on unstructured vectors; what CAN be fixed is
+    the execution shape, which is what this operator does:
+
+    - vectors are hashed into ``ceil(N / block_size)`` blocks; the
+      B*(B+1)/2 block-pair grid is generated with ``sequence`` +
+      ``explode`` (narrow ops — no CartesianProduct / BNLJ node ever
+      enters the plan) and each grid row picks up its two member
+      arrays via two broadcast-able equi-joins;
+    - each task compares ONE block pair with a dense float64
+      (m x d) @ (d x m) BLAS matmul in an Arrow ``mapInPandas`` — the
+      O(pairs) inner loop runs at SIMD speed instead of one
+      interpreted HOF fold per pair;
+    - per-task memory is bounded by 2*block_size vectors + a
+      block_size^2 score tile regardless of N, and the B^2/2 tasks
+      spread across the cluster (the repartition between the two
+      explodes keeps the grid itself distributed at large B).
+
+    The UDF emits pairs above ``threshold - 1e-6``; the authoritative
+    6-decimal round + threshold filter happens JVM-side with
+    ``F.round`` so boundary semantics stay identical to the brute
+    plan and the DuckDB oracle.
+    """
+    import math
+
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    n = embeddings.count()
+    n_blocks = max(1, math.ceil(n / block_size))
+
+    vecs = embeddings.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("b"),
+    )
+    blocks = vecs.groupBy("b").agg(
+        F.collect_list(F.struct("vec_id", "v")).alias("vs")
+    )
+
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("b1"))
+        .repartition(_parallelism(embeddings))
+        .select(
+            "b1",
+            F.explode(
+                F.sequence(F.col("b1"), F.lit(n_blocks - 1))
+            ).alias("b2"),
+        )
+    )
+    joined = (
+        grid.join(blocks.select(F.col("b").alias("b1"), F.col("vs").alias("vs1")), "b1")
+        .join(blocks.select(F.col("b").alias("b2"), F.col("vs").alias("vs2")), "b2")
+        .select("b1", "b2", "vs1", "vs2")
+    )
+
+    pre_cut = threshold - 1e-6
+
+    def _compare(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out_v1, out_v2, out_cos = [], [], []
+            for b1, b2, vs1, vs2 in zip(
+                pdf["b1"], pdf["b2"], pdf["vs1"], pdf["vs2"]
+            ):
+                ids1 = np.fromiter((r["vec_id"] for r in vs1), dtype=np.int64)
+                m1 = np.vstack([r["v"] for r in vs1]).astype(np.float64)
+                n1 = np.sqrt(np.einsum("ij,ij->i", m1, m1))
+                if b1 == b2:
+                    ids2, m2, n2 = ids1, m1, n1
+                else:
+                    ids2 = np.fromiter((r["vec_id"] for r in vs2), dtype=np.int64)
+                    m2 = np.vstack([r["v"] for r in vs2]).astype(np.float64)
+                    n2 = np.sqrt(np.einsum("ij,ij->i", m2, m2))
+                # dot / (|a|*|b|), not pre-normalized rows: same
+                # operation order as the HOF/oracle cosine, so the
+                # 6-decimal round sees the same float64 value.
+                scores = (m1 @ m2.T) / np.outer(n1, n2)
+                ii, jj = np.where(scores >= pre_cut)
+                if b1 == b2:
+                    keep = ids1[ii] < ids2[jj]
+                else:
+                    keep = np.ones(len(ii), dtype=bool)
+                ii, jj = ii[keep], jj[keep]
+                a, c = ids1[ii], ids2[jj]
+                out_v1.append(np.minimum(a, c))
+                out_v2.append(np.maximum(a, c))
+                out_cos.append(scores[ii, jj])
+            if out_v1:
+                yield pd.DataFrame(
+                    {
+                        "v1": np.concatenate(out_v1),
+                        "v2": np.concatenate(out_v2),
+                        "cosine_raw": np.concatenate(out_cos),
+                    }
+                )
+
+    raw = joined.mapInPandas(
+        _compare, "v1 long, v2 long, cosine_raw double"
+    )
+    return (
+        raw.select("v1", "v2", F.round("cosine_raw", 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def rp_lsh_neardup(
     embeddings: DataFrame,
     threshold: float,

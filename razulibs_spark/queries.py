@@ -1053,9 +1053,18 @@ SELECT v1, v2, cosine FROM scored WHERE cosine >= 0.4
 
 @query("sim_embedding_neardup", _NEARDUP_SQL)
 def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (threshold 0.4), brute-force
-    half-matrix; the LSH/IVF bucketed variant bounds this at scale."""
-    return similarity.near_duplicate_pairs(T(spark, sf_dir, "embeddings"), 0.4)
+    """Embedding-cosine near-dup pairs (threshold 0.4), exact, via the
+    blocked block-pair grid (similarity.blocked_exact_neardup): equi-
+    join grid + per-tile BLAS compare, bounded task memory, no
+    CartesianProduct node. Exact low-threshold all-pairs is Omega(N^2)
+    compares (the corpus plants pairs AT the threshold, so every
+    LSH/IVF probe budget that reaches recall 1.0 generates more
+    candidates than brute — measured in the operator docstring); the
+    approximate scale twins are sim_rp_lsh_neardup (high thresholds)
+    and sim_ivf_* (bucketed top-k)."""
+    return similarity.blocked_exact_neardup(
+        T(spark, sf_dir, "embeddings"), 0.4
+    )
 
 
 _IVF_SQL = _EMB_CTE + """

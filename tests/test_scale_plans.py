@@ -224,3 +224,13 @@ def test_scalar_cutoff_joins_stay_broadcast_even_when_disabled(spark):
             assert "Broadcast" in plan, name
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_neardup_headline_has_no_cartesian_or_bnlj(spark):
+    """The exact neardup headline must run as the blocked equi-join
+    grid (bounded tiles + BLAS compare), never as an unbounded
+    crossJoin: no CartesianProduct or BroadcastNestedLoopJoin node may
+    appear anywhere in the optimized plan."""
+    plan = _plan(Q.QUERIES["sim_embedding_neardup"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -308,3 +308,23 @@ def test_approx_quantiles_error_bound(spark, sf_dir):
     for r in exact_df.collect():
         for a, e in zip(approx[r["l_returnflag"]], r["p"]):
             assert abs(a - e) / e < 0.01, (r["l_returnflag"], a, e)
+
+
+def test_blocked_exact_neardup_equals_brute(spark, sf_dir):
+    """The blocked grid plan is EXACT: byte-identical pair set and
+    rounded cosines vs the O(N^2/2) crossJoin baseline, including with
+    a block size that forces many cross-block tiles."""
+    from razulibs_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    brute = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in similarity.near_duplicate_pairs(emb, 0.4).collect()
+    }
+    blocked = {
+        (r["v1"], r["v2"]): r["cosine"]
+        for r in similarity.blocked_exact_neardup(
+            emb, 0.4, block_size=64
+        ).collect()
+    }
+    assert blocked == brute
