@@ -69,6 +69,15 @@ def filename_stem(name: Column) -> Column:
     return F.split_part(name, F.lit("."), F.lit(1))
 
 
+def mtime_iso(ts: Column) -> Column:
+    """F3 — file mtime → ISO-8601 string (razu/manifest.py:262 via
+    razu/util.py: datetime.fromtimestamp(...).isoformat()). Always
+    emits 6 fractional digits (the reference's isoformat drops a zero
+    micros field; a fixed width keeps the column sortable and
+    engine-portable)."""
+    return F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+
 # ---------------------------------------------------------------------------
 # F6 — normalize_path. Reference: razu/util.py:128-153 — backslash→slash,
 # relativize to a base dir or to the `bestanden/` segment.

@@ -4311,3 +4311,256 @@ def flagship_triples_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from razulibs_spark.plans.flagship import flagship_triples
 
     return flagship_triples(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 §2 stragglers: P7, P9, P10, F3, F20, O7 as oracle-backed
+# queries (previously pytest-only).
+# ---------------------------------------------------------------------------
+
+_P7_SQL = """
+WITH named AS (
+  SELECT doc_id,
+         'NL-WbDRAZU-G0321-661-' || CAST(doc_id AS VARCHAR) ||
+         CASE CAST(doc_id % 3 AS INT)
+              WHEN 0 THEN '.meta.json'
+              WHEN 1 THEN '.premis.json'
+              ELSE '.bin' END AS filename
+  FROM documents
+)
+SELECT doc_id, filename,
+       regexp_extract(filename, '([^/]+)\\.meta\\.json$', 1) AS entity_id
+FROM named
+WHERE filename LIKE '%.meta.json'
+"""
+
+
+@query("p7_suffix_scan_filter", _P7_SQL)
+def p7_suffix_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 suffix predicate (razu/sip.py:186-196): keep only the
+    `*.meta.json` resources out of a mixed file population and pull
+    the entity id back out of the name — the same endswith filter +
+    regexp_extract pair scan_sip_dir applies to a directory listing,
+    here over composed names so it is hash-checkable."""
+    d = T(spark, sf_dir, "documents")
+    filename = F.concat(
+        razu_uid(F.col("doc_id")),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".meta.json"))
+        .when(F.col("doc_id") % 3 == 1, F.lit(".premis.json"))
+        .otherwise(F.lit(".bin")),
+    )
+    return (
+        d.select("doc_id", filename.alias("filename"))
+        .filter(F.col("filename").endswith(".meta.json"))
+        .withColumn(
+            "entity_id",
+            F.regexp_extract(F.col("filename"), r"([^/]+)\.meta\.json$", 1),
+        )
+    )
+
+
+_P9_SQL = """
+WITH manifest AS (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS key,
+         CAST(n_chars AS BIGINT) AS file_size
+  FROM documents
+),
+listing AS (
+  SELECT source || '/' || CAST(doc_id AS VARCHAR) AS key
+  FROM documents WHERE doc_id % 3 = 0
+)
+SELECT key, file_size FROM manifest
+WHERE key NOT IN (SELECT key FROM listing)
+"""
+
+
+@query("p9_only_if_new", _P9_SQL)
+def p9_only_if_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 only-if-new upload predicate (edepot.py:137-142): the
+    reference HEADs every key before upload; the set-at-a-time form is
+    one left-anti join of the manifest against the bucket listing —
+    the same join upload_from_manifest (sinks/object_store.py:155-188)
+    plans before shipping bytes."""
+    d = T(spark, sf_dir, "documents")
+    key = F.concat_ws("/", F.col("source"), F.col("doc_id").cast("string"))
+    manifest = d.select(
+        key.alias("key"), F.col("n_chars").cast("long").alias("file_size")
+    )
+    listing = d.filter(F.col("doc_id") % 3 == 0).select(key.alias("key"))
+    return manifest.join(listing, "key", "left_anti")
+
+
+_P10_SQL = """
+WITH t AS (
+  SELECT CASE WHEN doc_id % 7 = 0 THEN '  '
+              ELSE 'https://data.razu.nl/id/object/' || CAST(doc_id AS VARCHAR)
+         END AS s,
+         CASE WHEN doc_id % 11 = 0 THEN NULL ELSE 'ldto:naam' END AS p,
+         CASE WHEN doc_id % 5 = 0 THEN ''
+              ELSE 'doc-' || CAST(doc_id AS VARCHAR) END AS o,
+         CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'uri' WHEN 1 THEN 'literal'
+              WHEN 2 THEN 'bnode' ELSE 'typo' END AS o_type
+  FROM documents
+)
+SELECT s, p, o, o_type FROM t
+WHERE s IS NOT NULL AND length(trim(s)) > 0
+  AND p IS NOT NULL AND length(trim(p)) > 0
+  AND o_type IN ('uri', 'bnode', 'literal')
+  AND (o_type = 'literal' OR (o IS NOT NULL AND length(trim(o)) > 0))
+"""
+
+
+@query("p10_invalid_triple_filter", _P10_SQL)
+def p10_invalid_triple_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 invalid-triple filter (tools/collect_rdf.py:122-132) run
+    over a corpus with planted malformations: blank subjects, null
+    predicates, unknown node kinds, empty uri/bnode objects. Applies
+    operators.rdf.valid_triples — the guard every externally parsed
+    RDF scan (S3/S4) passes through."""
+    from razulibs_spark.operators.rdf import valid_triples
+
+    d = T(spark, sf_dir, "documents")
+    t = d.select(
+        F.when(F.col("doc_id") % 7 == 0, F.lit("  "))
+        .otherwise(
+            F.concat(
+                F.lit("https://data.razu.nl/id/object/"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+        .alias("s"),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(None).cast("string"))
+        .otherwise(F.lit("ldto:naam"))
+        .alias("p"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("doc-"), F.col("doc_id").cast("string")))
+        .alias("o"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("uri"))
+        .when(F.col("doc_id") % 4 == 1, F.lit("literal"))
+        .when(F.col("doc_id") % 4 == 2, F.lit("bnode"))
+        .otherwise(F.lit("typo"))
+        .alias("o_type"),
+    )
+    return valid_triples(t)
+
+
+_F3_SQL = """
+SELECT event_id, strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS mtime_iso
+FROM events
+"""
+
+
+@query("f3_mtime_iso", _F3_SQL)
+def f3_mtime_iso(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 mtime → ISO-8601 (razu/manifest.py:262): the manifest stamps
+    each file's modification time as an isoformat string; here the
+    event timestamps stand in for mtimes, formatted JVM-side with
+    functions.scalars.mtime_iso (fixed 6-digit micros)."""
+    from razulibs_spark.functions.scalars import mtime_iso
+
+    e = T(spark, sf_dir, "events")
+    return e.select("event_id", mtime_iso(F.col("ts")).alias("mtime_iso"))
+
+
+_F20_SQL = r"""
+WITH runs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'droid' ELSE 'clamscan' END AS tool,
+         CASE WHEN doc_id % 2 = 0
+              THEN 'DROID ' || CAST(doc_id % 9 AS VARCHAR) || '.'
+                   || CAST(n_chars % 10 AS VARCHAR)
+              ELSE 'ClamAV ' || CAST(doc_id % 9 AS VARCHAR) || '.'
+                   || CAST(n_chars % 10 AS VARCHAR) || '.'
+                   || CAST(doc_id % 7 AS VARCHAR) || '/27000/Tue Aug 11'
+         END AS version_output
+  FROM documents
+)
+SELECT doc_id, tool, version_output,
+       CASE WHEN tool = 'droid'
+            THEN regexp_extract(version_output, '(\d+\.\d+(?:\.\d+)?)', 1)
+            ELSE regexp_extract(version_output, 'ClamAV (\d+\.\d+(?:\.\d+)?)', 1)
+       END AS signature
+FROM runs
+"""
+
+
+@query("f20_tool_signature", _F20_SQL)
+def f20_tool_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20 tool-signature extraction (razu/application_registry.py:
+    49-70): pull the semantic version out of `droid -v` / `clamscan
+    --version` style output with the registry's regexes
+    (operators.manifest._TOOL_SIG_PATTERNS), applied as a vectorized
+    regexp_extract over a synthesized tool-run table."""
+    from razulibs_spark.operators.manifest import _TOOL_SIG_PATTERNS
+
+    d = T(spark, sf_dir, "documents")
+    ver = F.concat(
+        (F.col("doc_id") % 9).cast("string"), F.lit("."),
+        (F.col("n_chars") % 10).cast("string"),
+    )
+    runs = d.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.lit("droid"))
+        .otherwise(F.lit("clamscan"))
+        .alias("tool"),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.concat(F.lit("DROID "), ver)
+        )
+        .otherwise(
+            F.concat(
+                F.lit("ClamAV "), ver, F.lit("."),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("/27000/Tue Aug 11"),
+            )
+        )
+        .alias("version_output"),
+    )
+    return runs.withColumn(
+        "signature",
+        F.when(
+            F.col("tool") == "droid",
+            F.regexp_extract(
+                F.col("version_output"), _TOOL_SIG_PATTERNS["droid"], 1
+            ),
+        ).otherwise(
+            F.regexp_extract(
+                F.col("version_output"), _TOOL_SIG_PATTERNS["clamscan"], 1
+            )
+        ),
+    )
+
+
+_O7_SQL = """
+WITH ranked AS (
+  SELECT event_type, event_id,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST((rn - 1) // 1000 AS BIGINT) AS batch_id,
+       COUNT(*) AS n_keys
+FROM ranked
+GROUP BY event_type, CAST((rn - 1) // 1000 AS BIGINT)
+"""
+
+
+@query("o7_delete_batches", _O7_SQL)
+def o7_delete_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O7 1000-key batching (s3storage.py delete_objects cap;
+    sinks/object_store.py:190-221): assign every key its delete-batch
+    index within its partition group and count per batch — every batch
+    but the last must hold exactly 1000 keys. The rank is per
+    event_type, so the window sort parallelizes (no global window)."""
+    e = T(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    return (
+        e.select(
+            "event_type", F.row_number().over(w).alias("rn")
+        )
+        .select(
+            "event_type",
+            F.floor((F.col("rn") - 1) / 1000).cast("long").alias("batch_id"),
+        )
+        .groupBy("event_type", "batch_id")
+        .agg(F.count("*").alias("n_keys"))
+    )
