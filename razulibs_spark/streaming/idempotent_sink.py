@@ -27,7 +27,22 @@ def upsert_batch(
 ) -> None:
     """Idempotently merge one micro-batch into a bucket-partitioned
     parquet target: read the touched buckets, anti-join out the
-    incoming keys, union the batch, rewrite those buckets only."""
+    incoming keys, union the batch, rewrite those buckets only.
+
+    Crash posture: the merged buckets are written to a staging
+    directory FIRST (so the job never reads from the path it is
+    overwriting, and a mid-job failure leaves the target untouched),
+    then each touched bucket directory is swapped in with a filesystem
+    rename. A crash between renames leaves every bucket either fully
+    old or fully new — and replaying the micro-batch (which streaming
+    restart does) re-merges and re-swaps, converging to the correct
+    state. Renames go through the Hadoop FileSystem API, so the
+    atomic-per-bucket claim holds on local FS and HDFS; on object
+    stores without atomic rename the sink degrades to
+    at-least-once-per-bucket during the swap window and a
+    transactional table format (MERGE in Delta/Iceberg) is the right
+    sink instead.
+    """
     spark = batch.sparkSession
     # int cast: the partition column reads back as int, and union
     # requires matching types across the two sides.
@@ -49,13 +64,27 @@ def upsert_batch(
         merged = existing.unionByName(withb, allowMissingColumns=False)
     except AnalysisException:  # first batch: target does not exist yet
         merged = withb
+
+    staging = target_path.rstrip("/") + "_staging"
     (
         merged.repartition("_bucket")
         .write.mode("overwrite")
         .partitionBy("_bucket")
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(target_path)
+        .parquet(staging)
     )
+
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(target_path).getFileSystem(conf)
+    fs.mkdirs(hpath(target_path))
+    for b in touched:
+        src = hpath(f"{staging}/_bucket={b}")
+        dst = hpath(f"{target_path}/_bucket={b}")
+        if fs.exists(dst):
+            fs.delete(dst, True)
+        fs.rename(src, dst)
+    fs.delete(hpath(staging), True)
 
 
 def stream_upsert_events(

@@ -49,15 +49,32 @@ def test_every_query_name_is_stable_identifier():
 
 
 def test_oracles_reference_only_known_tables():
-    """Oracle SQL must only read the driver-registered views."""
+    """Oracle SQL must only read the driver-registered views: every
+    FROM/JOIN target must be a registered view or a name the SQL
+    itself defines (CTE or subquery alias) — a typo'd or stray table
+    name fails here instead of erroring in the driver's DuckDB run."""
     import re
 
     known = {"region", "nation", "customer", "supplier", "part", "orders",
              "lineitem", "events", "documents", "embeddings"}
     for name, sql in Q.ORACLES.items():
-        for m in re.finditer(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", sql,
+        # EXTRACT(unit FROM expr) is not a table reference
+        scan = re.sub(r"EXTRACT\s*\(\s*\w+\s+FROM\b", "EXTRACT(", sql,
+                      flags=re.IGNORECASE)
+        # CTEs (incl. nested) and parenthesized-subquery aliases
+        local = {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\b([a-z_][a-z0-9_]*)\s+AS\s*\(", scan, re.IGNORECASE
+            )
+        }
+        local |= {
+            m.group(1).lower()
+            for m in re.finditer(
+                r"\)\s+(?:AS\s+)?([a-z_][a-z0-9_]*)", scan, re.IGNORECASE
+            )
+        }
+        for m in re.finditer(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", scan,
                              re.IGNORECASE):
             tbl = m.group(1).lower()
-            # CTE names and aliases are fine; flag only clearly-unknown
-            # parquet-like names
-            assert not tbl.endswith(".parquet"), (name, tbl)
+            assert tbl in known or tbl in local, (name, tbl)
