@@ -284,6 +284,14 @@ def rp_lsh_neardup(
     approximate. With P(bit agree) = 1 - θ/π, recall per pair is
     1-(1-p^r)^b — tune bands/bits to the target threshold.
 
+    Measured recall with the default 12x3 banding on pairs planted
+    just above each threshold (tests/test_temporal.py::
+    test_rp_lsh_neardup_recall_at_mid_thresholds, 200 pairs, theory
+    in parens): 0.5 → 0.990 (0.988), 0.6 → 0.995 (0.995), 0.7 →
+    1.000 (0.999), 0.8 → 1.000 (1.000), exact dups → 1.0. Below ~0.5
+    the miss rate grows (0.4 → ~0.97) — route exact low-threshold
+    jobs to blocked_exact_neardup instead.
+
     The signature stage is ONE Arrow-batched pandas UDF doing a dense
     (batch × dim) @ (dim × n_planes) matmul + bit-packing — the one
     place where a vectorized Python kernel beats Catalyst expressions
