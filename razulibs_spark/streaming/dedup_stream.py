@@ -34,18 +34,39 @@ def dedup_stream(
     )
 
 
-def run_append_available_now(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_append_available_now(
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Drain an append-mode stream with Trigger.AvailableNow into a
-    memory sink and return the materialized batch DataFrame."""
+    memory sink and return the materialized batch DataFrame.
+
+    ``state_partitions`` sizes the stateful-operator partitioning
+    (stream-stream join buffers, dedup state): every micro-batch runs
+    one state-store task per partition per stateful operator, so a
+    too-wide default is pure overhead (measured on the outer interval
+    join drain at sf0.1: 13.0 s at 32 partitions vs 3.1 s at 8 — the
+    state fits trivially). On a cluster, size it to state volume /
+    ~200 MB per store, NOT to the batch shuffle width; it is fixed at
+    the first checkpoint, which is why it is a knob here and not a
+    constant. ``None`` keeps the session's shuffle width.
+    """
     import uuid
 
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)

@@ -77,16 +77,31 @@ def hourly_rollup_stream(
     )
 
 
-def run_available_now(streaming_df: DataFrame, spark: SparkSession) -> DataFrame:
+def run_available_now(
+    streaming_df: DataFrame,
+    spark: SparkSession,
+    state_partitions: int | None = 8,
+) -> DataFrame:
     """Drain the stream with Trigger.AvailableNow into a memory sink
-    and return the materialized batch DataFrame."""
+    and return the materialized batch DataFrame.
+
+    ``state_partitions`` sizes stateful-operator partitioning — see
+    dedup_stream.run_append_available_now for the measured rationale;
+    it is fixed at the first checkpoint, so it must be set before the
+    query starts."""
     name = f"mem_{uuid.uuid4().hex[:8]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
