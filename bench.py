@@ -111,6 +111,10 @@ R04_ADDITIONS = [
     "f3_mtime_iso",
     "f20_tool_signature",
     "o7_delete_batches",
+    "dedup_containment",
+    "dedup_semantic_clusters",
+    "mixture_sample",
+    "events_retention_cohorts",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -119,26 +119,25 @@ def df_capped_candidates(shingles: DataFrame, max_df: int) -> DataFrame:
     )
 
 
-def df_capped_jaccard(
-    shingles: DataFrame, threshold: float, max_df: int
-) -> DataFrame:
-    """Df-capped near-dup pairs with EXACT Jaccard — the headline
-    plan behind ``dedup_ngram_jaccard``.
+def pair_common_counts(shingles: DataFrame, max_df: int) -> DataFrame:
+    """(d1, d2, common, n1, n2) for every candidate pair sharing ≥1
+    shingle with document frequency ≤ ``max_df`` — `common` is the
+    EXACT full intersection size, `n1`/`n2` the docs' shingle counts.
 
-    Same semantics as ``df_capped_candidates`` + exact verify
-    (candidates must share ≥1 shingle with df ≤ max_df), but a
-    count-based physical plan: the rare-shingle self-join produces the
-    candidate pairs AND their rare-intersection counts in one pass
-    (map-side partial counts, join bounded at |shingles|·max_df); the
-    few hot shingles (df > max_df) are folded in as tiny per-doc
-    arrays (≤ #distinct hot shingles each) via array_intersect, so
-    common = rare_common + hot_common is the full intersection. The
-    set-based alternative (collect full shingle sets per candidate
-    doc) shuffles every candidate doc's whole shingle set — measured
-    3× slower at sf0.1 where the cap barely prunes, and strictly more
-    data at any scale. Hot-set joins are left to AQE: at web scale
-    every doc carries stop-shingles, so the hot_sets side is NOT
-    force-broadcast.
+    This is the shared count-based physical plan behind
+    :func:`df_capped_jaccard` and :func:`containment_pairs` (they
+    differ only in the final score): the rare-shingle posting lists
+    produce the candidate pairs AND their rare-intersection counts in
+    one pass (map-side partial counts, join bounded at
+    |shingles|·max_df); the few hot shingles (df > max_df) are folded
+    in as tiny per-doc arrays (≤ #distinct hot shingles each) via
+    array_intersect, so common = rare_common + hot_common is the full
+    intersection. The set-based alternative (collect full shingle
+    sets per candidate doc) shuffles every candidate doc's whole
+    shingle set — measured 3× slower at sf0.1 where the cap barely
+    prunes, and strictly more data at any scale. Hot-set joins are
+    left to AQE: at web scale every doc carries stop-shingles, so the
+    hot_sets side is NOT force-broadcast.
     """
     # df per shingle as an unordered window count — annotates in one
     # shuffle instead of a groupBy + join back on the shingle key, and
@@ -191,14 +190,61 @@ def df_capped_jaccard(
     )
     n1 = counts.select(F.col("doc_id").alias("d1"), F.col("n").alias("n1"))
     n2 = counts.select(F.col("doc_id").alias("d2"), F.col("n").alias("n2"))
+    return (
+        joined.join(n1, "d1")
+        .join(n2, "d2")
+        .select("d1", "d2", "common", "n1", "n2")
+    )
+
+
+def df_capped_jaccard(
+    shingles: DataFrame, threshold: float, max_df: int
+) -> DataFrame:
+    """Df-capped near-dup pairs with EXACT Jaccard ≥ threshold — the
+    headline plan behind ``dedup_ngram_jaccard``. Candidates and
+    intersection counts come from :func:`pair_common_counts`; the cap
+    bounds the pair join, the score is uncapped-exact."""
+    pc = pair_common_counts(shingles, max_df)
     jac = F.round(
         F.col("common") / (F.col("n1") + F.col("n2") - F.col("common")), 6
     ).alias("jaccard")
     return (
-        joined.join(n1, "d1")
-        .join(n2, "d2")
-        .select("d1", "d2", jac)
-        .filter(F.col("jaccard") >= threshold)
+        pc.select("d1", "d2", jac).filter(F.col("jaccard") >= threshold)
+    )
+
+
+def containment_pairs(
+    shingles: DataFrame, threshold: float, max_df: int
+) -> DataFrame:
+    """Doc-in-doc detection: shingle CONTAINMENT ≥ threshold.
+
+    Broder containment C(A,B) = |A∩B| / |A| is the asymmetric twin of
+    Jaccard: a 100-word boilerplate notice pasted inside a 10k-word
+    page scores J ≈ 0.01 (invisible to Jaccard dedup) but C = 1.0 from
+    the small side. Web-corpus pipelines use it to drop wholly-
+    contained documents (quote pages, syndicated snippets, templated
+    wrappers) that survive symmetric near-dup passes. The reported
+    score is max(C(A,B), C(B,A)) = common / min(n1, n2), with
+    ``contained`` naming the doc whose shingle set is covered (ties →
+    the larger doc_id, the later arrival in ingest order).
+
+    Physical plan is exactly :func:`pair_common_counts` — df-capped
+    posting-list pair generation, exact intersection via hot-shingle
+    fold — so cost is bounded at |shingles|·max_df like the Jaccard
+    headline; only the final projection differs.
+    """
+    pc = pair_common_counts(shingles, max_df)
+    cont = F.round(
+        F.col("common") / F.least(F.col("n1"), F.col("n2")), 6
+    ).alias("containment")
+    contained = (
+        F.when(F.col("n1") < F.col("n2"), F.col("d1"))
+        .otherwise(F.col("d2"))
+        .alias("contained")
+    )
+    return (
+        pc.select("d1", "d2", cont, contained)
+        .filter(F.col("containment") >= threshold)
     )
 
 

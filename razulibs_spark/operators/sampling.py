@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Knuth's 2^32 golden-ratio multiplier; exact in int64 for keys < ~4e9.
 _KNUTH = 2654435761
@@ -79,3 +80,61 @@ def stratified_sample(
     for value, pct in sorted(rates.items()):
         rate = F.when(F.col(stratum) == value, F.lit(pct)).otherwise(rate)
     return df.filter(bucket_of(F.col(key), salt=salt) < rate)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    key: str = "doc_id",
+    salt: int = 2,
+) -> DataFrame:
+    """Target-mixture resampling: downsample each source so the kept
+    corpus approaches the requested mixture proportions at the largest
+    size the minority sources allow.
+
+    Training-data curation fixes a mixture (web 50%, books 30%, code
+    20%) rather than per-source rates: the achievable total is
+    T = min over sources of n_s / p_s (the most-constraining source is
+    kept whole), and every other source is hash-thinned to rate
+    T·p_s / n_s. Sources absent from ``weights`` are dropped. The
+    acceptance test is the same Knuth multiplicative hash as
+    :func:`bucket_of` at 2³² granularity — reproducible across runs,
+    engines, and partitionings, so the sample is a deterministic SET,
+    not an expected fraction of a shuffled order.
+
+    Scale shape: one tiny per-source count aggregate (broadcast back),
+    then a map-side filter — the corpus itself is never shuffled. The
+    per-source kept count is binomial around T·p_s (hash-thinning, not
+    exact rank cutting); an exact-count variant would need a
+    per-source ROW_NUMBER window over the hash — a full sort per
+    source for a mixture that training runs only ever specify
+    approximately.
+    """
+    spark_weights = F.create_map(
+        *[x for s, p in sorted(weights.items()) for x in (F.lit(s), F.lit(p))]
+    )
+    annotated = df.withColumn("_p", spark_weights[F.col(source_col)]).filter(
+        F.col("_p").isNotNull()
+    )
+    per_source = annotated.groupBy(source_col, "_p").agg(
+        F.count("*").alias("_n")
+    )
+    cutoffs = (
+        per_source.withColumn(
+            "_t", F.min(F.col("_n") / F.col("_p")).over(Window.partitionBy())
+        )
+        .withColumn(
+            "_cutoff",
+            F.floor(F.col("_t") * F.col("_p") / F.col("_n") * F.lit(_MOD))
+            .cast("long"),
+        )
+        .select(source_col, "_cutoff")
+    )
+    h = ((F.col(key) + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    return (
+        annotated.drop("_p")
+        .join(F.broadcast(cutoffs), source_col)
+        .filter(h < F.col("_cutoff"))
+        .drop("_cutoff")
+    )

@@ -265,6 +265,41 @@ def blocked_exact_neardup(
     )
 
 
+def semantic_star_clusters(
+    embeddings: DataFrame, threshold: float
+) -> DataFrame:
+    """Semantic dedup cluster assignment: every vector labelled with
+    the smallest vec_id among its cosine-≥-threshold neighbourhood
+    (itself included) — one-round star clustering over the exact
+    near-dup graph.
+
+    Semantic dedup (SemDeDup-style) needs a *cluster representative*
+    per document, not a pair list: keep the representative, drop the
+    rest. Full connected components is iterative (and its chained
+    clusters put unrelated docs together); the star assignment is a
+    single aggregation over the edge list — deterministic, one pass,
+    and the standard choice when edges already mean "near-duplicate".
+
+    Plan: exact pairs from :func:`blocked_exact_neardup` (equi-join
+    block grid, no CartesianProduct), symmetrized with a union (narrow),
+    then ONE min-aggregate keyed on vec_id. At 100 TB the edge list is
+    sparse (near-dup graphs are), so the aggregate's shuffle carries
+    edges, not the corpus; isolated vectors ride the identity branch
+    straight through the same aggregate.
+    """
+    pairs = blocked_exact_neardup(embeddings, threshold).select("v1", "v2")
+    edges = (
+        pairs.select(F.col("v1").alias("vec_id"), F.col("v2").alias("nbr"))
+        .union(pairs.select(F.col("v2").alias("vec_id"), F.col("v1").alias("nbr")))
+        .union(
+            embeddings.select(
+                "vec_id", F.col("vec_id").alias("nbr")
+            )
+        )
+    )
+    return edges.groupBy("vec_id").agg(F.min("nbr").alias("cluster_rep"))
+
+
 def rp_lsh_neardup(
     embeddings: DataFrame,
     threshold: float,

@@ -4564,3 +4564,144 @@ def o7_delete_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "batch_id")
         .agg(F.count("*").alias("n_keys"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 4 additions: doc-in-doc containment, semantic dedup clusters,
+# mixture resampling, retention cohorts — the curation passes a training
+# corpus runs after near-dup removal.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_MAX_DF = 100
+
+_CONTAINMENT_SQL = _SHINGLE_CTE + f"""
+, n AS (SELECT doc_id, COUNT(*) AS n FROM ds GROUP BY doc_id)
+, df AS (SELECT shingle, COUNT(*) AS df FROM ds GROUP BY shingle)
+, rare AS (SELECT ds.doc_id, ds.shingle
+           FROM ds JOIN df ON ds.shingle = df.shingle
+           WHERE df.df <= {_CONTAIN_MAX_DF})
+, cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+           FROM rare a JOIN rare b
+             ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+, common AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS common
+             FROM ds a JOIN ds b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+, scored AS (SELECT c.d1, c.d2,
+                    round(c.common / least(n1.n, n2.n), 6) AS containment,
+                    CASE WHEN n1.n < n2.n THEN c.d1 ELSE c.d2 END AS contained
+             FROM common c
+             JOIN cand ON c.d1 = cand.d1 AND c.d2 = cand.d2
+             JOIN n n1 ON c.d1 = n1.doc_id
+             JOIN n n2 ON c.d2 = n2.doc_id)
+SELECT d1, d2, containment, contained FROM scored WHERE containment >= 0.6
+"""
+
+
+@query("dedup_containment", _CONTAINMENT_SQL)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-in-doc containment ≥ 0.6 (Broder containment — the
+    asymmetric twin of `dedup_ngram_jaccard`): catches a small doc
+    wholly pasted inside a large one, which symmetric Jaccard scores
+    near zero. Same df-capped count-based physical plan
+    (dedup.pair_common_counts), different final score; the shingle
+    table feeds the df window, pair join and count aggregate once."""
+    sh = dedup.word_shingles(T(spark, sf_dir, "documents")).persist()
+    return dedup.containment_pairs(sh, 0.6, _CONTAIN_MAX_DF)
+
+
+_SEMANTIC_CLUSTERS_SQL = _EMB_CTE + """
+, scored AS (SELECT a.vec_id AS v1, b.vec_id AS v2
+             FROM e a, e b WHERE a.vec_id < b.vec_id
+               AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+, edges AS (SELECT v1 AS vec_id, v2 AS nbr FROM scored
+            UNION ALL SELECT v2 AS vec_id, v1 AS nbr FROM scored
+            UNION ALL SELECT vec_id, vec_id AS nbr FROM e)
+SELECT vec_id, MIN(nbr) AS cluster_rep FROM edges GROUP BY vec_id
+"""
+
+
+@query("dedup_semantic_clusters", _SEMANTIC_CLUSTERS_SQL)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup assignment (SemDeDup shape): one-round star
+    clustering over the exact cosine-≥-0.4 near-dup graph — every
+    vector labelled with the min vec_id of its neighbourhood, keep one
+    row per cluster_rep downstream. Pairs come from the blocked
+    equi-join grid (no CartesianProduct); the assignment is a single
+    min-aggregate over the sparse edge list + identity rows."""
+    return similarity.semantic_star_clusters(
+        T(spark, sf_dir, "embeddings"), 0.4
+    )
+
+
+_MIXTURE_SQL = """
+WITH w(source, p) AS (VALUES ('src0', 0.3), ('src1', 0.2), ('src2', 0.2),
+                             ('src3', 0.2), ('src4', 0.1)),
+ ns AS (SELECT d.source, w.p, COUNT(*) AS n
+        FROM documents d JOIN w ON d.source = w.source
+        GROUP BY d.source, w.p),
+ t AS (SELECT MIN(n / p) AS t FROM ns),
+ cut AS (SELECT source, CAST(floor(t.t * p / n * 4294967296) AS BIGINT) AS cutoff
+         FROM ns, t)
+SELECT d.doc_id, d.source, d.lang, d.n_chars
+FROM documents d JOIN cut ON d.source = cut.source
+WHERE ((d.doc_id + 2) * 2654435761) % 4294967296 < cut.cutoff
+"""
+
+
+@query("mixture_sample", _MIXTURE_SQL)
+def mixture_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mixture resampling (sampling.mixture_sample): downsample
+    sources to a 30/20/20/20/10 mixture at the largest total the
+    most-constraining source allows; unlisted sources are dropped.
+    Hash-deterministic acceptance — one tiny counts aggregate
+    broadcast back, then a map-side filter; the corpus never
+    shuffles."""
+    d = T(spark, sf_dir, "documents")
+    out = sampling.mixture_sample(
+        d, {"src0": 0.3, "src1": 0.2, "src2": 0.2, "src3": 0.2, "src4": 0.1}
+    )
+    return out.select("doc_id", "source", "lang", "n_chars")
+
+
+_RETENTION_SQL = """
+WITH first AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+               FROM events GROUP BY user_id),
+ activity AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+              FROM events)
+SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+       CAST(date_diff('day', f.cohort_week, a.active_week) // 7 AS INT)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM activity a JOIN first f ON a.user_id = f.user_id
+GROUP BY 1, 2
+"""
+
+
+@query("events_retention_cohorts", _RETENTION_SQL)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by first-activity week,
+    counted at each week offset they return — the classic engagement
+    triangle. Both aggregates key on user_id, so the cohort join
+    reuses the distinct-activity shuffle partitioning (co-partitioned
+    join, no extra exchange); the final rollup shuffles only
+    (cohort, offset) pairs. At 100 TB the per-user tables are the
+    user-dimension size, not the event-log size."""
+    e = T(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.col("active_week"), F.col("cohort_week")) / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )

@@ -65,7 +65,9 @@ def test_oracles_reference_only_known_tables():
         local = {
             m.group(1).lower()
             for m in re.finditer(
-                r"\b([a-z_][a-z0-9_]*)\s+AS\s*\(", scan, re.IGNORECASE
+                r"\b([a-z_][a-z0-9_]*)\s*(?:\([a-z0-9_,\s]*\))?\s+AS\s*\(",
+                scan,
+                re.IGNORECASE,
             )
         }
         local |= {

@@ -131,3 +131,70 @@ def test_knn_classify_one_winner_per_query(spark, sf_dir):
     assert out.count() == 10
     assert out.groupBy("query_id").count().filter("count > 1").count() == 0
     assert out.filter((F.col("n_votes") < 1) | (F.col("n_votes") > 5)).count() == 0
+
+
+def test_containment_catches_doc_in_doc(spark):
+    """A small doc pasted verbatim inside a big one: containment = 1.0
+    while Jaccard is far below any dedup threshold."""
+    from razulibs_spark.operators import dedup
+
+    small = "alpha beta gamma delta epsilon"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, small), (2, filler + " " + small), (3, "unrelated text entirely here")],
+        "doc_id long, text string",
+    )
+    sh = dedup.word_shingles(docs)
+    cont = {
+        (r.d1, r.d2): (r.containment, r.contained)
+        for r in dedup.containment_pairs(sh, 0.9, max_df=100).collect()
+    }
+    assert (1, 2) in cont
+    score, contained = cont[(1, 2)]
+    assert score == 1.0 and contained == 1
+    jac = dedup.jaccard_pairs(sh, 0.0).filter("d1 = 1 AND d2 = 2").collect()
+    assert jac and jac[0].jaccard < 0.1  # symmetric score misses it
+
+
+def test_mixture_sample_hits_target_proportions(spark, sf_dir):
+    from razulibs_spark import tables
+    from razulibs_spark.operators.sampling import mixture_sample
+
+    d = tables.load(spark, "/root/testdata/sf0.01", "documents")
+    weights = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    from pyspark.sql import functions as F
+
+    out = mixture_sample(d, weights)
+    counts = {r.source: r.n for r in out.groupBy("source")
+              .agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(weights)
+    total = sum(counts.values())
+    # hash thinning is binomial around the target; 25-per-source data
+    # gives wide tolerance
+    for s, p in weights.items():
+        assert abs(counts.get(s, 0) / total - p) < 0.15, (s, counts)
+    # the most-constraining source is kept whole (rate 1.0)
+    base = {r.source: r.n for r in d.groupBy("source")
+            .agg(F.count("*").alias("n")).collect()}
+    tight = min(base[s] / p for s, p in weights.items())
+    keeper = [s for s, p in weights.items() if base[s] / p == tight][0]
+    assert counts[keeper] == base[keeper]
+    # deterministic: second run returns the identical set
+    again = mixture_sample(d, weights)
+    assert out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0
+
+
+def test_semantic_star_assigns_min_rep(spark):
+    from razulibs_spark.operators.similarity import semantic_star_clusters
+
+    # vectors 10/11/12 identical (cos 1.0); 20 isolated
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (11, [1.0, 0.0, 0.0]),
+        (12, [2.0, 0.0, 0.0]),
+        (20, [0.0, 1.0, 0.0]),
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    rep = {r.vec_id: r.cluster_rep
+           for r in semantic_star_clusters(e, 0.9).collect()}
+    assert rep == {10: 10, 11: 10, 12: 10, 20: 20}
