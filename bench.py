@@ -115,6 +115,7 @@ R04_ADDITIONS = [
     "dedup_semantic_clusters",
     "mixture_sample",
     "events_retention_cohorts",
+    "sim_pq_topk",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -4705,3 +4705,15 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct("user_id").alias("n_users"))
     )
+
+
+@query("sim_pq_topk")  # rows-only: PQ shortlist recall < 1.0 by design
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-5 for 10 query vectors (similarity.pq_topk): corpus
+    compressed to 8 subspace codes, ADC scoring via per-query lookup
+    tables in one Arrow pass with local-topk emission, exact cosine
+    re-rank of the 50-candidate shortlist. The approximate twin of
+    sim_cosine_topk — no oracle by contract (quantization recall is
+    sub-1.0; tests/test_sampling.py pins recall ≥ 0.9 vs exact)."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.pq_topk(e, e.filter(F.col("vec_id") < 10), k=5)

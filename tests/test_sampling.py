@@ -198,3 +198,21 @@ def test_semantic_star_assigns_min_rep(spark):
     rep = {r.vec_id: r.cluster_rep
            for r in semantic_star_clusters(e, 0.9).collect()}
     assert rep == {10: 10, 11: 10, 12: 10, 20: 20}
+
+
+def test_pq_topk_recall_vs_exact(spark):
+    """PQ-ADC shortlist + exact re-rank recovers ≥ 0.9 of the exact
+    top-5 at 500 vectors / default params, and is deterministic."""
+    from razulibs_spark import tables
+    from razulibs_spark.operators.similarity import cosine_topk, pq_topk
+
+    e = tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in pq_topk(e, q, k=5).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, recall
+    again = {(r.query_id, r.neighbor_id) for r in pq_topk(e, q, k=5).collect()}
+    assert approx == again
