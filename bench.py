@@ -116,6 +116,13 @@ R04_ADDITIONS = [
     "mixture_sample",
     "events_retention_cohorts",
     "sim_pq_topk",
+    "w_rolling_stats",
+    "events_markov",
+    "events_rfm",
+    "o_scd2_history",
+    "t_grouped_topk",
+    "text_chunk_dedup",
+    "dedup_edit_distance",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -1,0 +1,272 @@
+"""Behavioral-analytics operators over event logs: rolling window
+statistics, next-event transition counts, RFM segmentation, and SCD
+type-2 history reconstruction.
+
+The reference has no window functions at all (SURVEY.md §2.5 — its
+only order-dependent behaviors are id assignment and serie-change
+detection), so this module is north-star surface: the operators a
+training-data / product-analytics pipeline runs over a 100 TB event
+log. All of them are single-shuffle shapes:
+
+- every window partitions by ``user_id`` and orders by
+  ``(ts, event_id)`` — one hash Exchange on user_id, a per-partition
+  sort bounded by that user's history, never a global sort;
+- rolling sums go through the scaled-long trick
+  (``floor(value*10^s + 0.5)`` summed as BIGINT) so the frame
+  aggregate is exact integer arithmetic — bit-identical across
+  engines and across partitionings, immune to float reassociation;
+- RFM's ntile scoring orders by ``(metric, user_id)`` so bucket
+  boundaries are deterministic under ties.
+
+At 100 TB the per-user tables these reduce to are user-dimension
+sized; the window operators' state is one user's rows, which AQE can
+skew-split only between users — a pathological single user is the one
+shape that needs an upstream sessionize/truncate, which
+``events.sessionize`` provides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _scaled_long(col: Column, scale: int) -> Column:
+    m = 10**scale
+    return F.floor(col * m + F.lit(0.5)).cast("long")
+
+
+def rolling_stats(
+    events: DataFrame, n_prev: int = 4, scale: int = 4
+) -> DataFrame:
+    """Per-user rolling statistics over the current + ``n_prev``
+    preceding events ordered by ``(ts, event_id)``: count, min, max,
+    and an exact decimal-scaled mean of ``value``.
+
+    The mean divides a BIGINT frame sum by ``count * 10^scale`` so the
+    only float op is one final division — deterministic regardless of
+    frame evaluation order (Spark's running accumulation vs DuckDB's
+    segment tree).
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-n_prev, Window.currentRow)
+    )
+    m = 10**scale
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_window"),
+        F.round(F.min("value").over(w), 6).alias("min_value"),
+        F.round(F.max("value").over(w), 6).alias("max_value"),
+        (
+            F.sum(_scaled_long(F.col("value"), scale)).over(w)
+            / (F.count("*").over(w) * F.lit(float(m)))
+        ).alias("avg_value"),
+    )
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order transition counts: for each user's event stream
+    ordered by ``(ts, event_id)``, count (event_type → next
+    event_type) pairs across the whole log; end-of-stream transitions
+    (lead is null) are dropped.
+
+    One Exchange on user_id for the lead window, then a map-side
+    combinable count on the (from, to) pair — the |types|² output is
+    tiny at any corpus size.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.select(
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+
+
+def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
+    """RFM segmentation: per user, Recency (days since the user's last
+    event, measured from the corpus max timestamp), Frequency (event
+    count) and Monetary (exact decimal sum of purchase values), each
+    scored 1..``buckets`` with NTILE over a deterministic
+    ``(metric, user_id)`` ordering, concatenated into a segment code
+    (``"444"`` = best).
+
+    The per-user aggregate is one shuffle on user_id; the corpus max
+    ts is a 1-row broadcast. The three NTILEs run through
+    :func:`ntile_scalable` (two-phase range-partition rank — a
+    parallel sort per metric), so even a 100M-row user dimension never
+    funnels through an ``Exchange SinglePartition``; output is
+    bucket-for-bucket identical to ``ntile().over(Window.orderBy())``.
+    Higher score = better, so recency ranks by ``-recency_days``
+    (fewest days since last event → highest bucket).
+    """
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.count("*").alias("frequency"),
+        (
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    _scaled_long(F.col("value"), 4),
+                ).otherwise(F.lit(0))
+            )
+            / 10000.0
+        ).alias("monetary"),
+    )
+    corpus_max = events.agg(F.max("ts").alias("corpus_max_ts"))
+    scored = per_user.join(F.broadcast(corpus_max)).withColumn(
+        "recency_days",
+        F.datediff(F.col("corpus_max_ts"), F.col("last_ts")),
+    )
+    scored = scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        F.round("monetary", 4).alias("monetary"),
+    )
+    scored = ntile_scalable(
+        scored,
+        [(-F.col("recency_days")).cast("long"), F.col("user_id")],
+        buckets,
+        "r_score",
+    )
+    scored = ntile_scalable(
+        scored, [F.col("frequency"), F.col("user_id")], buckets, "f_score"
+    )
+    scored = ntile_scalable(
+        scored, [F.col("monetary"), F.col("user_id")], buckets, "m_score"
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )
+
+
+def scd2_history(events: DataFrame) -> DataFrame:
+    """SCD type-2 reconstruction from a change log: collapse each
+    user's event stream (ordered by ``ts, event_id``) into runs of
+    consecutive identical ``event_type`` and emit one history row per
+    run with ``valid_from`` / ``valid_to`` (null = current) and an
+    ``is_current`` flag — the gaps-and-islands shape every dimension
+    build over a 100 TB CDC feed reduces to.
+
+    Island detection is lag + a running sum of change flags (both on
+    the same user_id window, one Exchange reused); the per-run
+    aggregate keys on (user_id, run) so it reuses the partitioning
+    too. valid_to is the *next run's* valid_from, picked up with one
+    more lead on the already-partitioned run table.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_chg"),
+    ).withColumn(
+        "run_id",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = flagged.groupBy("user_id", "run_id").agg(
+        # all event_type values within a run are identical by
+        # construction; MIN picks one deterministically (F.first on a
+        # grouped, unsorted run is engine-order-dependent)
+        F.min("event_type").alias("state"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    rw = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        F.col("run_id").cast("int").alias("version"),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(rw).alias("valid_to"),
+        "n_events",
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+def grouped_topk(
+    df: DataFrame,
+    part_cols: list[str],
+    order_by: list[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group: row_number over a per-group window.
+
+    Unlike a global ``ORDER BY ... LIMIT`` (which Spark plans as
+    TakeOrderedAndProject through the driver), per-group top-k stays
+    fully distributed: one hash Exchange on the group columns, then a
+    per-partition sort whose run length is the group size. Callers
+    must include a unique tiebreaker in ``order_by`` for deterministic
+    output.
+    """
+    w = Window.partitionBy(*part_cols).orderBy(*order_by)
+    return (
+        df.withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= k)
+    )
+
+
+def ntile_scalable(
+    df: DataFrame,
+    order_cols: list[Column] | list[str],
+    buckets: int,
+    alias: str,
+) -> DataFrame:
+    """NTILE without the single-partition exchange: global rank via the
+    two-phase range-partition scheme (ids.dense_ids — parallel sort,
+    per-partition counts broadcast back), then the exact SQL NTILE
+    bucket formula (first ``n % b`` buckets get ``n // b + 1`` rows)
+    applied as a map-side expression against a 1-row broadcast count.
+
+    ``order_cols`` must be a total order (include a unique tiebreak) —
+    same determinism contract as NTILE itself under ties. Output: the
+    input rows plus an ``alias`` int column identical to
+    ``ntile(buckets).over(Window.orderBy(*order_cols))``.
+    """
+    from razulibs_spark.operators.ids import dense_ids
+
+    names = []
+    tmp = df
+    for i, c in enumerate(order_cols):
+        if isinstance(c, str):
+            names.append(c)
+        else:
+            nm = f"_nt_ord_{i}"
+            tmp = tmp.withColumn(nm, c)
+            names.append(nm)
+    ranked = dense_ids(tmp, names, "_nt_rank", start=1)
+    total = ranked.agg(F.count("*").alias("_nt_n"))
+    r = F.col("_nt_rank")
+    n = F.col("_nt_n")
+    b = F.lit(buckets)
+    q = F.floor(n / b)
+    m = n % b
+    bucket = F.when(
+        r <= m * (q + 1), F.lit(1) + F.floor((r - 1) / (q + 1))
+    ).otherwise(F.lit(1) + m + F.floor((r - 1 - m * (q + 1)) / q))
+    out = (
+        ranked.join(F.broadcast(total))
+        .withColumn(alias, bucket.cast("int"))
+        .drop("_nt_rank", "_nt_n")
+    )
+    return out.drop(*[c for c in out.columns if c.startswith("_nt_ord_")])

@@ -669,3 +669,60 @@ def minhash_incremental(
             "jaccard",
         )
     )
+
+
+def edit_distance_pairs(
+    documents: DataFrame,
+    length_bucket: int = 8,
+    rel_threshold: float = 0.2,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """Fuzzy dedup by character edit distance: report doc pairs whose
+    Levenshtein distance is at most ``rel_threshold`` of the longer
+    text, candidates blocked on (lang, floor(n_chars/length_bucket)).
+
+    Blocking rationale: Levenshtein is O(len²) per pair and admits no
+    map-side sketch, so the only scalable shape is equi-join blocking
+    that bounds BOTH the candidate count and the per-pair cost. Two
+    texts with |len(a) − len(b)| > d have distance > d, so same-bucket
+    blocking is a principled (if boundary-lossy — a pair straddling a
+    bucket edge is missed, documented contract) candidate filter.
+    The verify predicate runs JVM-side (``F.levenshtein`` in codegen,
+    same classic-DP definition as DuckDB/Postgres ``levenshtein``).
+
+    ``max_block``: blocks larger than this are dropped entirely (a
+    degenerate block — thousands of same-language same-length docs —
+    is boilerplate, better handled by exact/minhash dedup upstream);
+    the cap bounds the self-join at |docs|·max_block like the df-cap
+    in :func:`pair_common_counts`.
+    """
+    blocked = documents.select(
+        "doc_id",
+        "text",
+        "lang",
+        F.floor(F.col("n_chars") / length_bucket).alias("_lb"),
+    )
+    sizes = blocked.groupBy("lang", "_lb").agg(F.count("*").alias("_bn"))
+    b = blocked.join(
+        F.broadcast(sizes.filter(F.col("_bn") <= max_block)),
+        ["lang", "_lb"],
+    )
+    left = b.select(
+        "lang", "_lb", F.col("doc_id").alias("doc_id_1"),
+        F.col("text").alias("_t1"),
+    )
+    right = b.select(
+        "lang", "_lb", F.col("doc_id").alias("doc_id_2"),
+        F.col("text").alias("_t2"),
+    )
+    dist = F.levenshtein("_t1", "_t2")
+    return (
+        left.join(right, ["lang", "_lb"])
+        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
+        .withColumn("edit_distance", dist.cast("long"))
+        .filter(
+            F.col("edit_distance")
+            <= rel_threshold * F.greatest(F.length("_t1"), F.length("_t2"))
+        )
+        .select("doc_id_1", "doc_id_2", "lang", "edit_distance")
+    )

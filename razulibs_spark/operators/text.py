@@ -322,3 +322,46 @@ def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
         scrubbed.alias("scrubbed_text"),
         F.length(scrubbed).cast("long").alias("scrubbed_len"),
     )
+
+
+def chunk_dedup(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
+    """Corpus-wide duplicate-span detection at sub-document
+    granularity (the paragraph-dedup pass of web-corpus pipelines,
+    done over fixed-size token chunks because the synthetic corpus has
+    no paragraph breaks): split each doc into consecutive
+    ``chunk_tokens``-token chunks, mark every chunk whose exact text
+    already occurred earlier in corpus order (doc_id, then chunk
+    index), and report per-doc totals plus the distinct-duplicate-span
+    count.
+
+    Shape: one narrow explode (slice fan-out via ``sequence`` — no
+    UDF), one Exchange on the chunk text for the first-occurrence
+    window, then a re-aggregate on doc_id. Chunk-text cardinality is
+    the dedup key — the highest-cardinality key in the corpus — so
+    the shuffle is skew-free except for genuinely viral spans, which
+    AQE splits. Per-doc state is one window row; nothing collects.
+    """
+    from pyspark.sql.window import Window
+
+    chunks = documents.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(split(text, ' ')) "
+                f"/ {chunk_tokens}) as int) - 1), "
+                f"i -> array_join(slice(split(text, ' '), "
+                f"i * {chunk_tokens} + 1, {chunk_tokens}), ' '))"
+            )
+        ).alias("chunk_idx", "chunk_text"),
+    )
+    first_w = Window.partitionBy("chunk_text").orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn(
+        "is_dup", F.row_number().over(first_w) > 1
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_chunks"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dup_chunks"),
+        F.count_distinct(
+            F.when(F.col("is_dup"), F.col("chunk_text"))
+        ).alias("n_dup_spans"),
+    )

@@ -30,6 +30,7 @@ from razulibs_spark.functions.scalars import (
     razu_uri,
 )
 from razulibs_spark.operators import (
+    analytics,
     dedup,
     relational,
     sampling,
@@ -4717,3 +4718,209 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     sub-1.0; tests/test_sampling.py pins recall ≥ 0.9 vs exact)."""
     e = T(spark, sf_dir, "embeddings")
     return similarity.pq_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+# ---------------------------------------------------------------------------
+# Round-4 behavioral analytics: rolling windows, transitions, RFM,
+# SCD2, per-group top-k (operators/analytics.py) + sub-document and
+# fuzzy dedup families (text.chunk_dedup, dedup.edit_distance_pairs)
+# ---------------------------------------------------------------------------
+
+_ROLLING_SQL = """
+SELECT event_id, user_id, ts,
+       COUNT(*) OVER w AS n_window,
+       round(MIN(value) OVER w, 6) AS min_value,
+       round(MAX(value) OVER w, 6) AS max_value,
+       SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w
+         / (COUNT(*) OVER w * 10000.0) AS avg_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
+@query("w_rolling_stats", _ROLLING_SQL)
+def w_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling 5-row stats (analytics.rolling_stats): one
+    Exchange on user_id, per-user sort, exact scaled-long frame sums
+    so the mean is bit-identical across engines."""
+    return analytics.rolling_stats(T(spark, sf_dir, "events"), n_prev=4)
+
+
+_MARKOV_SQL = """
+WITH s AS (
+  SELECT event_type AS from_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events)
+SELECT from_type, to_type, COUNT(*) AS n_transitions
+FROM s WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+"""
+
+
+@query("events_markov", _MARKOV_SQL)
+def events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event-type transition matrix
+    (analytics.markov_transitions): lead window on user_id, then a
+    map-side-combinable count on the (from, to) pair."""
+    return analytics.markov_transitions(T(spark, sf_dir, "events"))
+
+
+_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id, MAX(ts) AS last_ts, COUNT(*) AS frequency,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)
+                  ELSE 0 END) / 10000.0 AS monetary
+  FROM events GROUP BY user_id),
+ scored AS (
+  SELECT user_id,
+         CAST(date_diff('day', CAST(last_ts AS DATE),
+                        (SELECT CAST(MAX(ts) AS DATE) FROM events)) AS INT)
+           AS recency_days,
+         frequency, monetary
+  FROM per_user)
+SELECT user_id, recency_days, frequency, round(monetary, 4) AS monetary,
+       CAST(NTILE(4) OVER (ORDER BY recency_days DESC, user_id) AS INT)
+         AS r_score,
+       CAST(NTILE(4) OVER (ORDER BY frequency, user_id) AS INT) AS f_score,
+       CAST(NTILE(4) OVER (ORDER BY monetary, user_id) AS INT) AS m_score,
+       CAST(NTILE(4) OVER (ORDER BY recency_days DESC, user_id) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY frequency, user_id) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY monetary, user_id) AS VARCHAR)
+         AS rfm_segment
+FROM scored
+"""
+
+
+@query("events_rfm", _RFM_SQL)
+def events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (analytics.rfm_segments): user-dimension-sized
+    NTILE scoring after one keyed aggregate; deterministic bucket
+    boundaries via (metric, user_id) ordering."""
+    return analytics.rfm_segments(T(spark, sf_dir, "events"))
+
+
+_SCD2_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ numbered AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS run_id
+  FROM flagged),
+ runs AS (
+  SELECT user_id, run_id, MIN(event_type) AS state,
+         MIN(ts) AS valid_from, COUNT(*) AS n_events
+  FROM numbered GROUP BY user_id, run_id)
+SELECT user_id, CAST(run_id AS INT) AS version, state, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+         AS valid_to,
+       n_events,
+       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY run_id)
+          IS NULL) AS is_current
+FROM runs
+"""
+
+
+@query("o_scd2_history", _SCD2_SQL)
+def o_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build from the event change log
+    (analytics.scd2_history): gaps-and-islands run detection with one
+    reused user_id Exchange; runs table is change-cardinality sized."""
+    return analytics.scd2_history(T(spark, sf_dir, "events"))
+
+
+_GTOPK_SQL = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice DESC, o_orderkey)
+              AS INT) AS rank_in_group
+  FROM orders)
+SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group
+FROM ranked WHERE rank_in_group <= 3
+"""
+
+
+@query("t_grouped_topk", _GTOPK_SQL)
+def t_grouped_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority class
+    (analytics.grouped_topk): fully distributed per-group top-k — no
+    TakeOrderedAndProject through the driver, sort run length bounded
+    by group size."""
+    o = T(spark, sf_dir, "orders")
+    return analytics.grouped_topk(
+        o.select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        ["o_orderpriority"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        k=3,
+    )
+
+
+_CHUNKDEDUP_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+ idx AS (SELECT doc_id, t,
+                unnest(range(0, CAST(ceil(len(t) / 4.0) AS BIGINT))) AS i
+         FROM toks),
+ chunks AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(list_slice(t, i * 4 + 1, i * 4 + 4), ' ')
+           AS chunk_text
+  FROM idx),
+ marked AS (
+  SELECT doc_id, chunk_text,
+         ROW_NUMBER() OVER (PARTITION BY chunk_text
+                            ORDER BY doc_id, chunk_idx) > 1 AS is_dup
+  FROM chunks)
+SELECT doc_id, COUNT(*) AS n_chunks,
+       CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       COUNT(DISTINCT CASE WHEN is_dup THEN chunk_text END) AS n_dup_spans
+FROM marked GROUP BY doc_id
+"""
+
+
+@query("text_chunk_dedup", _CHUNKDEDUP_SQL)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document duplicate-span detection over 4-token chunks
+    (text.chunk_dedup): narrow slice fan-out, first-occurrence window
+    keyed on chunk text, per-doc re-aggregate. 4-token spans because
+    the synthetic corpus's tiny vocabulary only repeats at that
+    granularity; real corpora use paragraph-sized chunks."""
+    return text.chunk_dedup(T(spark, sf_dir, "documents"), chunk_tokens=4)
+
+
+_EDITDIST_SQL = """
+WITH b AS (
+  SELECT doc_id, text, lang,
+         CAST(FLOOR(n_chars / 8) AS BIGINT) AS lb
+  FROM documents),
+ sz AS (SELECT lang, lb, COUNT(*) AS bn FROM b GROUP BY lang, lb),
+ bb AS (SELECT b.* FROM b JOIN sz USING (lang, lb) WHERE bn <= 10000)
+SELECT a.doc_id AS doc_id_1, c.doc_id AS doc_id_2, a.lang,
+       CAST(levenshtein(a.text, c.text) AS BIGINT) AS edit_distance
+FROM bb a JOIN bb c
+  ON a.lang = c.lang AND a.lb = c.lb AND a.doc_id < c.doc_id
+WHERE levenshtein(a.text, c.text)
+        <= 0.2 * greatest(length(a.text), length(c.text))
+"""
+
+
+@query("dedup_edit_distance", _EDITDIST_SQL)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup by blocked Levenshtein (dedup.edit_distance_pairs):
+    (lang, length-bucket) equi-join candidates with a block-size cap,
+    JVM-side codegen distance verify."""
+    return dedup.edit_distance_pairs(
+        T(spark, sf_dir, "documents"),
+        length_bucket=8,
+        rel_threshold=0.2,
+        max_block=10_000,
+    )

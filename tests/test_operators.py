@@ -736,3 +736,32 @@ def test_streaming_left_outer_interval_join_matches_batch(spark, sf_dir):
     assert closed_unmatched <= got_nulls
     # and no null row for a view that actually has a match
     assert not (got_nulls & matched_ids)
+
+
+def test_ntile_scalable_matches_native_ntile(spark):
+    """ntile_scalable == ntile().over(global window), bucket for
+    bucket, across bucket counts that divide and don't divide n."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from razulibs_spark.operators.analytics import ntile_scalable
+
+    df = spark.range(97).select(
+        F.col("id"),
+        ((F.col("id") * 37) % 13).alias("metric"),
+    )
+    for b in (2, 4, 5, 10):
+        got = {
+            r["id"]: r["nt"]
+            for r in ntile_scalable(
+                df, [F.col("metric"), F.col("id")], b, "nt"
+            ).collect()
+        }
+        want = {
+            r["id"]: r["nt"]
+            for r in df.withColumn(
+                "nt",
+                F.ntile(b).over(Window.orderBy("metric", "id")),
+            ).collect()
+        }
+        assert got == want, b

@@ -234,3 +234,49 @@ def test_neardup_headline_has_no_cartesian_or_bnlj(spark):
     plan = _plan(Q.QUERIES["sim_embedding_neardup"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_analytics_windows_single_exchange_per_key(spark):
+    """Rolling stats / SCD2: the user_id windows plan as one hash
+    Exchange on user_id (reused by the chained windows), never an
+    Exchange SinglePartition (a global sort would serialize the whole
+    event log through one task)."""
+    for name in ("w_rolling_stats", "o_scd2_history", "events_markov"):
+        plan = _plan(Q.QUERIES[name](spark, SF))
+        assert "Exchange SinglePartition" not in plan, name
+        assert "hashpartitioning(user_id" in plan, name
+
+
+def test_grouped_topk_is_distributed_not_driver_heap(spark):
+    """Per-group top-k stays a partitioned window sort — no
+    TakeOrderedAndProject (driver heap) and no single-partition
+    exchange; sort run length is bounded by group size."""
+    plan = _plan(Q.QUERIES["t_grouped_topk"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(o_orderpriority" in plan
+
+
+def test_edit_distance_dedup_is_blocked_equi_join(spark):
+    """Fuzzy Levenshtein dedup: candidates come from an equi-join on
+    (lang, length-bucket) — never a cartesian/BNLJ — and the
+    block-size cap join broadcasts."""
+    plan = _plan(Q.QUERIES["dedup_edit_distance"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_chunk_dedup_no_udf_no_single_partition(spark):
+    """Chunk dedup: slice fan-out is pure codegen (no Python UDF /
+    mapInPandas on the path) and the first-occurrence window hashes
+    on chunk_text."""
+    plan = _plan(Q.QUERIES["text_chunk_dedup"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_rfm_ntile_no_single_partition_exchange(spark):
+    """RFM's three NTILEs go through the two-phase rank scheme — no
+    global-window Exchange SinglePartition anywhere in the plan."""
+    plan = _plan(Q.QUERIES["events_rfm"](spark, SF))
+    assert "Exchange SinglePartition" not in plan
