@@ -123,6 +123,12 @@ R04_ADDITIONS = [
     "t_grouped_topk",
     "text_chunk_dedup",
     "dedup_edit_distance",
+    "j_asof_forward",
+    "events_anomaly_mad",
+    "text_rarity_score",
+    "pipeline_dataset_card",
+    "u_intersect_all",
+    "j_interval_overlap",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -695,12 +695,31 @@ def edit_distance_pairs(
     is boilerplate, better handled by exact/minhash dedup upstream);
     the cap bounds the self-join at |docs|·max_block like the df-cap
     in :func:`pair_common_counts`.
+
+    Two lossless accelerations keep the O(len²) DP off the hot path
+    (together ~40× on the bench: 44 s → ~1 s at sf0.1):
+
+    - **histogram lower bound**: per doc, a 27-bin a..z+space character
+      histogram computed once in codegen; one edit changes at most two
+      bins by one each, so ``ceil(L1(h_a, h_b) / 2) ≤ levenshtein``.
+      Pairs whose bound exceeds the threshold are pruned with cheap
+      integer array math — no DP. Counting only a char subset keeps the
+      bound sound (L1 over a subset ≤ total L1).
+    - **banded DP**: survivors verify with the threshold form
+      ``levenshtein(a, b, k)`` (−1 when distance > k), which runs the
+      banded O(len·k) algorithm with early abort instead of the full
+      O(len²) table.
     """
     blocked = documents.select(
         "doc_id",
         "text",
         "lang",
         F.floor(F.col("n_chars") / length_bucket).alias("_lb"),
+        # a..z + space histogram: chr 97..122 then 32
+        F.expr(
+            "transform(concat(sequence(97, 122), array(32)), "
+            "c -> length(text) - length(replace(text, char(c), '')))"
+        ).alias("_hist"),
     )
     sizes = blocked.groupBy("lang", "_lb").agg(F.count("*").alias("_bn"))
     b = blocked.join(
@@ -709,20 +728,39 @@ def edit_distance_pairs(
     )
     left = b.select(
         "lang", "_lb", F.col("doc_id").alias("doc_id_1"),
-        F.col("text").alias("_t1"),
+        F.col("text").alias("_t1"), F.col("_hist").alias("_h1"),
     )
     right = b.select(
         "lang", "_lb", F.col("doc_id").alias("doc_id_2"),
-        F.col("text").alias("_t2"),
+        F.col("text").alias("_t2"), F.col("_hist").alias("_h2"),
     )
-    dist = F.levenshtein("_t1", "_t2")
+    thr = F.floor(
+        rel_threshold * F.greatest(F.length("_t1"), F.length("_t2"))
+    ).cast("int")
+    l1 = F.expr(
+        "aggregate(zip_with(_h1, _h2, (x, y) -> abs(x - y)), "
+        "0, (acc, x) -> acc + x)"
+    )
+    banded = F.expr(
+        f"levenshtein(_t1, _t2, cast(floor({rel_threshold} * "
+        "greatest(length(_t1), length(_t2))) as int))"
+    )
+    # Catalyst inlines every post-join predicate (the l1 prefilter AND
+    # the banded DP) into the join condition, so the verify runs where
+    # the join runs. When the block side broadcasts (always at test
+    # SFs — the corpus is one parquet split), the stream side's
+    # partitioning IS the join's parallelism: round-robin it across
+    # the cluster first or the whole DP grinds through one task.
+    # (At 100 TB the join degrades to a shuffle join on (lang, _lb)
+    # and AQE skew-splits hot blocks; the repartition is then a no-op
+    # rebalance of the cheap side.)
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    left = left.repartition(par)
     return (
         left.join(right, ["lang", "_lb"])
         .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .withColumn("edit_distance", dist.cast("long"))
-        .filter(
-            F.col("edit_distance")
-            <= rel_threshold * F.greatest(F.length("_t1"), F.length("_t2"))
-        )
+        .filter(l1 <= 2 * thr)
+        .withColumn("edit_distance", banded.cast("long"))
+        .filter(F.col("edit_distance") >= 0)
         .select("doc_id_1", "doc_id_2", "lang", "edit_distance")
     )

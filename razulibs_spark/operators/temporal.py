@@ -46,11 +46,18 @@ def asof_join(
     inclusive: bool = True,
     tolerance: str | None = None,
     right_tiebreak: list[str] | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """Left as-of join: for each left row, the most recent right row
     (per `on` key) with right_time <= left_time (strictly < when
     ``inclusive=False``). Unmatched left rows keep nulls — the same
     semantics as DuckDB's ``ASOF LEFT JOIN ... ON l.t >= r.t``.
+
+    ``direction="forward"`` flips the search: the *earliest* right row
+    with right_time >= left_time (DuckDB ``ON l.t <= r.t``; pandas
+    ``merge_asof(direction="forward")``). Implementation is the same
+    single sort-carry pass traversed in descending time order, so cost
+    is identical.
 
     ``tolerance`` (an INTERVAL string, e.g. ``"1 hour"``) nulls the
     match when it is older than left_time − tolerance — pandas
@@ -66,10 +73,14 @@ def asof_join(
     Output: every left column, plus each right column (except the key)
     prefixed with ``right_prefix``.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    fwd = direction == "forward"
     rt = right_time or left_time
     r_cols = [c for c in right.columns if c != on]
     # At equal timestamps the right row must be visible iff inclusive:
-    # sort right before left (0 < 1) for inclusive, after for strict.
+    # in traversal order (time asc for backward, desc for forward) the
+    # right row sorts before the left (0 < 1) when inclusive.
     l_side, r_side = (1, 0) if inclusive else (0, 1)
 
     tb = right_tiebreak or []
@@ -90,9 +101,10 @@ def asof_join(
     )
     unioned = lhs.unionByName(rhs, allowMissingColumns=True)
 
+    t_ord = F.col(_T).desc() if fwd else F.col(_T).asc()
     w = (
         Window.partitionBy(on)
-        .orderBy(_T, _SIDE, *[F.col(f"_tb_{c}").asc_nulls_last() for c in tb])
+        .orderBy(t_ord, _SIDE, *[F.col(f"_tb_{c}").asc_nulls_last() for c in tb])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(_RPAY, F.last(_RPAY, ignorenulls=True).over(w))
@@ -102,12 +114,13 @@ def asof_join(
             raise ValueError(
                 "tolerance requires right_time to be a right-side column"
             )
+        in_bound = (
+            matched_t <= F.col(_T) + F.expr(f"INTERVAL {tolerance}")
+            if fwd
+            else matched_t >= F.col(_T) - F.expr(f"INTERVAL {tolerance}")
+        )
         carried = carried.withColumn(
-            _RPAY,
-            F.when(
-                matched_t >= F.col(_T) - F.expr(f"INTERVAL {tolerance}"),
-                F.col(_RPAY),
-            ),
+            _RPAY, F.when(in_bound, F.col(_RPAY))
         )
 
     out = carried.filter(F.col(_SIDE) == l_side).select(

@@ -4924,3 +4924,278 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         rel_threshold=0.2,
         max_block=10_000,
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 2: forward as-of, robust anomaly detection, rarity
+# scoring, corpus dataset card, INTERSECT ALL, interval-overlap join
+# ---------------------------------------------------------------------------
+
+_ASOF_FWD_SQL = """
+SELECT l.event_id, l.user_id,
+       l.ts AS purchase_ts, l.value AS purchase_value,
+       r.ts AS next_click_ts, r.value AS next_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND l.ts <= r.ts
+"""
+
+
+@query("j_asof_forward", _ASOF_FWD_SQL)
+def j_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each purchase matched to the user's next
+    click at-or-after it (temporal.asof_join direction="forward") —
+    the same single sort-carry pass as the backward headline, traversed
+    in descending time order. One shuffle on user_id, no cross
+    product."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("next_click_ts"),
+        F.col("value").alias("next_click_value"),
+    )
+    return temporal.asof_join(
+        purchases, clicks, on="user_id", left_time="purchase_ts",
+        right_time="next_click_ts", right_prefix="",
+        direction="forward",
+    )
+
+
+_ANOMALY_SQL = """
+WITH stats AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+ dev AS (
+  SELECT e.event_id, e.event_type, e.value, s.med,
+         abs(e.value - s.med) AS ad
+  FROM events e JOIN stats s USING (event_type)),
+ mads AS (
+  SELECT event_type, quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_id, d.event_type,
+       round(d.value, 6) AS value,
+       round(d.med, 6) AS median_value,
+       round(m.mad, 6) AS mad,
+       (d.ad > 3 * m.mad) AS is_anomaly
+FROM dev d JOIN mads m USING (event_type)
+"""
+
+
+@query("events_anomaly_mad", _ANOMALY_SQL)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly flagging: per event-type median + MAD (median
+    absolute deviation), flag events beyond 3 MADs. Two exact grouped
+    percentiles (per-group sort, |types| groups) broadcast back onto
+    the log — the robust-statistics twin of z-scoring that a quality
+    pipeline runs over raw telemetry. Exact `percentile` ≡ DuckDB
+    `quantile_cont` (same (n−1)·q interpolation)."""
+    e = T(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(stats), "event_type").withColumn(
+        "ad", F.abs(F.col("value") - F.col("med"))
+    )
+    mads = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mads), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("med", 6).alias("median_value"),
+        F.round("mad", 6).alias("mad"),
+        (F.col("ad") > 3 * F.col("mad")).alias("is_anomaly"),
+    )
+
+
+_RARITY_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+ freq AS (SELECT w, COUNT(*) AS df FROM words GROUP BY w)
+SELECT words.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(freq.df) AS BIGINT) AS freq_sum,
+       round(CAST(SUM(freq.df) AS DOUBLE) / COUNT(*), 6) AS mean_word_freq
+FROM words JOIN freq USING (w)
+GROUP BY words.doc_id
+"""
+
+
+@query("text_rarity_score", _RARITY_SQL)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-rarity quality signal: mean corpus frequency of a doc's
+    tokens (low mean = rare vocabulary). Integer arithmetic end to end
+    (corpus term counts joined back to the token stream, one BIGINT
+    sum per doc) with a single final division — the exact-arithmetic
+    stand-in for LM perplexity scoring, whose log-float sums don't
+    cross engines bit-identically. Term table shuffles on the word;
+    the token→freq join is broadcast-able for real vocabularies."""
+    d = T(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("df"))
+    return (
+        words.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("df").alias("freq_sum"),
+            F.round(
+                F.sum("df").cast("double") / F.count("*"), 6
+            ).alias("mean_word_freq"),
+        )
+    )
+
+
+_DATASET_CARD_SQL = """
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+         COUNT(*) - COUNT(DISTINCT text) AS n_dup_texts
+  FROM documents),
+ top_src AS (
+  SELECT MAX(cnt) AS top_source_docs
+  FROM (SELECT COUNT(*) AS cnt FROM documents GROUP BY source))
+SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+       n_dup_texts, top_source_docs,
+       round(CAST(top_source_docs AS DOUBLE) / n_docs, 6)
+         AS top_source_share
+FROM base, top_src
+"""
+
+
+@query("pipeline_dataset_card", _DATASET_CARD_SQL)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus dataset card: the one-row summary a data release ships
+    with (doc/lang/source counts, token totals, exact-dup count, top
+    source share). Every number is a map-side-combinable aggregate or
+    a tiny two-level rollup; the 1-row joins are broadcast scalars."""
+    d = T(spark, sf_dir, "documents")
+    base = d.agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("lang").alias("n_langs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("long").alias(
+            "total_tokens"
+        ),
+        (F.count("*") - F.count_distinct("text")).alias("n_dup_texts"),
+    )
+    top_src = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("cnt"))
+        .agg(F.max("cnt").alias("top_source_docs"))
+    )
+    return base.join(F.broadcast(top_src)).withColumn(
+        "top_source_share",
+        F.round(
+            F.col("top_source_docs").cast("double") / F.col("n_docs"), 6
+        ),
+    )
+
+
+_INTERSECT_ALL_SQL = """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+INTERSECT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("u_intersect_all", _INTERSECT_ALL_SQL)
+def u_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset semantics — min multiplicity per value):
+    the §2.7 set-op family's bag variant, one shuffle on the value,
+    counted per side and replicated min(n1, n2) times by Catalyst."""
+    o = T(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    return f.intersectAll(op)
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH u AS (
+  SELECT o_custkey, o_orderkey AS urgent_key,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS s
+  FROM orders WHERE o_orderpriority = '1-URGENT'),
+ h AS (
+  SELECT o_custkey, o_orderkey AS high_key,
+         date_diff('day', DATE '1992-01-01', o_orderdate) AS s
+  FROM orders WHERE o_orderpriority = '2-HIGH')
+SELECT u.o_custkey, u.urgent_key, h.high_key,
+       CAST(least(u.s + 30, h.s + 30) - greatest(u.s, h.s) AS BIGINT)
+         AS overlap_days
+FROM u JOIN h ON u.o_custkey = h.o_custkey
+WHERE u.s < h.s + 30 AND h.s < u.s + 30
+"""
+
+
+@query("j_interval_overlap", _INTERVAL_OVERLAP_SQL)
+def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join without a nested-loop: each order spans a
+    30-day window; find per-customer (URGENT × HIGH) overlapping
+    pairs. Both interval sets explode into fixed 32-day bins; the
+    equi-join on (custkey, bin) + exact overlap refine finds every
+    pair, and emitting only from the bin containing max(start_a,
+    start_b) (a bin both intervals overlap, by the overlap condition)
+    makes the result duplicate-free with no distinct pass. The
+    inequality predicate alone would plan as BNLJ — quadratic at
+    scale; bins turn it into a shuffle-partitionable equi-join."""
+    o = T(spark, sf_dir, "orders")
+    width = 32
+    epoch = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+
+    def side(priority: str, key_alias: str) -> DataFrame:
+        return (
+            o.filter(F.col("o_orderpriority") == priority)
+            .select(
+                "o_custkey",
+                F.col("o_orderkey").alias(key_alias),
+                epoch.alias(f"{key_alias}_s"),
+            )
+        )
+
+    u = side("1-URGENT", "urgent_key").withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("urgent_key_s") / width),
+                F.floor((F.col("urgent_key_s") + 29) / width),
+            )
+        ),
+    )
+    h = side("2-HIGH", "high_key").withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("high_key_s") / width),
+                F.floor((F.col("high_key_s") + 29) / width),
+            )
+        ),
+    )
+    us, hs = F.col("urgent_key_s"), F.col("high_key_s")
+    return (
+        u.join(h, ["o_custkey", "_bin"])
+        .filter(
+            (us < hs + 30)
+            & (hs < us + 30)
+            & (F.col("_bin") == F.floor(F.greatest(us, hs) / width))
+        )
+        .select(
+            "o_custkey",
+            "urgent_key",
+            "high_key",
+            (
+                F.least(us + 30, hs + 30) - F.greatest(us, hs)
+            ).cast("long").alias("overlap_days"),
+        )
+    )

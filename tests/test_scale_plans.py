@@ -280,3 +280,29 @@ def test_rfm_ntile_no_single_partition_exchange(spark):
     global-window Exchange SinglePartition anywhere in the plan."""
     plan = _plan(Q.QUERIES["events_rfm"](spark, SF))
     assert "Exchange SinglePartition" not in plan
+
+
+def test_interval_overlap_is_binned_equi_join(spark):
+    """Interval×interval overlap joins on (custkey, bin) — never a
+    cartesian/BNLJ from the inequality predicate."""
+    plan = _plan(Q.QUERIES["j_interval_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_forward_single_key_exchange(spark):
+    """Forward as-of: same sort-carry shape as backward — one hash
+    Exchange on the key, no cross product."""
+    plan = _plan(Q.QUERIES["j_asof_forward"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_anomaly_mad_stats_broadcast(spark):
+    """MAD anomaly: the per-type stats tables broadcast back onto the
+    log (|event types| rows) — no sort-merge join of the log against
+    itself."""
+    plan = _plan(Q.QUERIES["events_anomaly_mad"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -379,3 +379,47 @@ def test_rp_lsh_neardup_recall_at_mid_thresholds(
     recall = len(pairs & planted) / n
     assert recall >= theory_recall - 0.03, (threshold, recall)
     assert all(r["cosine"] >= threshold for r in rows)
+
+
+def test_asof_join_forward_direction_and_tolerance(spark):
+    """Forward as-of picks the earliest right >= left time; tolerance
+    nulls matches beyond the bound; strict excludes equal times."""
+    from razulibs_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (1, 25.0), (2, 5.0)], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, 10.0, "a"), (1, 20.0, "b"), (1, 40.0, "c"), (2, 1.0, "z")],
+        ["k", "t", "tag"],
+    )
+    fwd = {
+        (r["k"], r["t"]): r["matched_tag"]
+        for r in asof_join(
+            left, right, on="k", left_time="t", direction="forward"
+        ).collect()
+    }
+    assert fwd[(1, 10.0)] == "a"      # inclusive: equal time matches
+    assert fwd[(1, 25.0)] == "c"      # next right after 25 is 40
+    assert fwd[(2, 5.0)] is None      # no right >= 5 for key 2
+
+    strict = {
+        (r["k"], r["t"]): r["matched_tag"]
+        for r in asof_join(
+            left, right, on="k", left_time="t",
+            direction="forward", inclusive=False,
+        ).collect()
+    }
+    assert strict[(1, 10.0)] == "b"   # equal time excluded
+
+    tol = {
+        (r["k"], r["t"]): r["matched_tag"]
+        for r in asof_join(
+            left.withColumn("t", F.timestamp_seconds("t")),
+            right.withColumn("t", F.timestamp_seconds("t")),
+            on="k", left_time="t", direction="forward",
+            tolerance="5 seconds",
+        ).collect()
+    }
+    import datetime
+    assert tol[(1, datetime.datetime(1970, 1, 1, 0, 0, 25))] is None  # 40 > 25+5
