@@ -756,11 +756,18 @@ def edit_distance_pairs(
     # rebalance of the cheap side.)
     par = documents.sparkSession.sparkContext.defaultParallelism
     left = left.repartition(par)
+    # One combined conjunction, cheapest-first: Catalyst keeps conjunct
+    # order inside a single And chain, and a split .filter sequence got
+    # reordered so the O(len·k) DP ran before the O(1) id comparison —
+    # doubling the DP work (each unordered pair evaluated both ways).
+    keep = (
+        (F.col("doc_id_1") < F.col("doc_id_2"))
+        & (l1 <= 2 * thr)
+        & (banded >= 0)
+    )
     return (
         left.join(right, ["lang", "_lb"])
-        .filter(F.col("doc_id_1") < F.col("doc_id_2"))
-        .filter(l1 <= 2 * thr)
+        .filter(keep)
         .withColumn("edit_distance", banded.cast("long"))
-        .filter(F.col("edit_distance") >= 0)
         .select("doc_id_1", "doc_id_2", "lang", "edit_distance")
     )

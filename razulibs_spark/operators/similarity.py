@@ -80,7 +80,19 @@ def cosine(a: Column, b: Column) -> Column:
 
 
 def _parallelism(df: DataFrame) -> int:
-    return df.sparkSession.sparkContext.defaultParallelism
+    """Fan-out width for Arrow passes over ``df``: capped at the
+    cluster's defaultParallelism (the scale regime — a 100 TB scan has
+    orders of magnitude more splits than cores, so the cap binds), but
+    proportional to the actual input split count when the source is
+    tiny. Repartitioning a one-split table to 32 partitions costs a
+    Python worker spin-up (pandas/numpy import) per partition per pass
+    — for a few thousand rows that overhead IS the runtime."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        splits = df.rdd.getNumPartitions()
+    except Exception:
+        return par
+    return max(1, min(par, splits * 4))
 
 
 def _with_vec(
