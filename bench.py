@@ -129,6 +129,12 @@ R04_ADDITIONS = [
     "pipeline_dataset_card",
     "u_intersect_all",
     "j_interval_overlap",
+    "contamination_bloom",
+    "a_heavy_hitters",
+    "o_analyze_stats",
+    "sim_ivfpq_topk",
+    "text_bpe_pair_counts",
+    "text_bpe_merges",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -270,3 +270,68 @@ def ntile_scalable(
         .drop("_nt_rank", "_nt_n")
     )
     return out.drop(*[c for c in out.columns if c.startswith("_nt_ord_")])
+
+
+def heavy_hitters(
+    items: DataFrame, key_col: str, k: int = 1000
+) -> DataFrame:
+    """EXACT φ-heavy hitters — every key whose count exceeds n/``k`` —
+    without shuffling the full key stream.
+
+    Phase 1 runs a Misra-Gries summary (≤ ``k`` counters) inside each
+    partition via one Arrow pass: per batch a vectorized value_counts
+    merges into the counter dict; when it overflows, every counter
+    drops by the (k+1)-th largest value and non-positive ones are
+    evicted. MG's guarantee makes the union of per-partition keys a
+    certain superset of the global heavy hitters: total decrement per
+    partition is < n_p/k (each eviction round removes ≥ (k+1)·dec
+    mass, and removed mass cannot exceed inserted mass n_p), so a key
+    with local count > n_p/k survives locally — and by pigeonhole any
+    key with GLOBAL count > n/k exceeds n_p/k in at least one
+    partition. False negatives are impossible.
+
+    Phase 2 exact-recounts only the candidates (broadcast LEFT SEMI —
+    ≤ k keys per partition regardless of key cardinality) and filters
+    by the exact global threshold, removing phase-1 false positives.
+
+    At 100 TB this is the skew-diagnosis / vocabulary-pruning
+    primitive: the full groupBy would shuffle every row by key; here
+    the shuffle carries only candidate-key rows. Output: (key, n,
+    share) for keys with n > total/k.
+    """
+    import pandas as pd
+
+    src = items.select(F.col(key_col).alias("key"))
+
+    def _mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for key, c in pdf["key"].value_counts().items():
+                counters[key] = counters.get(key, 0) + int(c)
+            if len(counters) > k:
+                vals = sorted(counters.values(), reverse=True)
+                dec = vals[k]  # (k+1)-th largest
+                counters = {
+                    key: n - dec for key, n in counters.items() if n > dec
+                }
+        yield pd.DataFrame({"key": list(counters.keys())})
+
+    candidates = (
+        src.mapInPandas(_mg, f"key {items.schema[key_col].dataType.simpleString()}")
+        .distinct()
+    )
+    counts = (
+        src.join(F.broadcast(candidates), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("n"))
+    )
+    total = src.agg(F.count("*").alias("_total"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n") > F.col("_total") / F.lit(k))
+        .select(
+            F.col("key").alias(key_col),
+            "n",
+            F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        )
+    )

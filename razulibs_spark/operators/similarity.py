@@ -755,6 +755,15 @@ def pq_topk(
         .filter(F.col("_r") <= shortlist)
         .select("query_id", "neighbor_id")
     )
+    return _exact_rerank(short, embeddings, queries, k)
+
+
+def _exact_rerank(
+    short: DataFrame, embeddings: DataFrame, queries: DataFrame, k: int
+) -> DataFrame:
+    """Exact-cosine re-rank of a (query_id, neighbor_id) shortlist:
+    joins raw vectors back in (shortlist-sized, never corpus-sized),
+    broadcast query side, deterministic (cos DESC, id ASC) top-k."""
     c = _with_vec(embeddings, "neighbor_id", "cv", "cn")
     q = _with_vec(queries, "query_id", "qv", "qn")
     rer = (
@@ -776,3 +785,117 @@ def pq_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", F.round("_cos", 6).alias("cosine"))
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    n_codes: int = 64,
+    shortlist: int = 100,
+    books=None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the composed billion-vector serving
+    shape (the layout FAISS's IVFADC and every large ANN service use):
+    a coarse quantizer prunes the corpus to each query's ``nprobe``
+    nearest centroid buckets, PQ-ADC scores only the codes inside the
+    probed buckets (m table lookups per candidate, raw vectors never
+    touched), and the top-``shortlist`` survivors get exact cosine
+    re-ranking.
+
+    Execution: bucket probe is an equi-join of the code table against
+    the broadcast (query_id, centroid_id) probe list — per-bucket
+    fan-out, never corpus × queries; the ADC Arrow pass emits each
+    batch's local top-shortlist per query so the downstream shuffle is
+    shortlist-bounded. Cost per query ~ corpus/n_buckets · nprobe code
+    lookups vs pq_topk's full-corpus scan and ivf_topk's full-vector
+    arithmetic. Recall < 1.0 by design (bucket boundary + quantization
+    loss); raise nprobe / shortlist to trade speed for recall.
+    """
+    import numpy as np
+
+    if books is None:
+        books = pq_train_codebooks(embeddings, m=m, k=n_codes)
+    m_, _, dsub = books.shape
+    codes = pq_encode(embeddings, books).join(
+        ivf_assign(embeddings, centroids), "vec_id"
+    )
+
+    # top-nprobe centroids per query: tiny × tiny, computed JVM-side
+    cq = _with_vec(centroids, "centroid_id", "cv", "cn")
+    qv = _with_vec(queries, "query_id", "qv", "qn")
+    w_p = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("centroid_id")
+    )
+    probes = (
+        qv.crossJoin(F.broadcast(cq))
+        .select(
+            "query_id", "centroid_id",
+            (vec_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_cos"),
+        )
+        .withColumn("_r", F.row_number().over(w_p))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+
+    q_rows = (
+        queries.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        .collect()
+    )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    q_mat = np.vstack([r.v for r in q_rows]).astype(np.float64)
+    q_mat /= np.maximum(np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-12)
+    luts = np.stack(
+        [q_mat[:, j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m_)],
+        axis=1,
+    )  # (nq, m, n_codes)
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((q_ids, luts))
+
+    cand = codes.join(F.broadcast(probes), "centroid_id").select(
+        "query_id", "vec_id", "codes"
+    )
+
+    def _adc(batches):
+        import pandas as pd
+
+        ids, lut = bc.value
+        qpos = {int(q): i for i, q in enumerate(ids)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
+            qidx = pdf["query_id"].map(qpos).to_numpy()
+            score = np.zeros(len(pdf))
+            for j in range(lut.shape[1]):
+                score += lut[qidx, j, cmat[:, j]]
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf["vec_id"].to_numpy(),
+                    "approx": score,
+                }
+            )
+            # local top-shortlist per query bounds the shuffle
+            out = (
+                out.sort_values(["query_id", "approx"], ascending=[True, False])
+                .groupby("query_id", sort=False)
+                .head(shortlist)
+            )
+            yield out
+
+    local = cand.mapInPandas(
+        _adc, "query_id long, neighbor_id long, approx double"
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    w_s = Window.partitionBy("query_id").orderBy(
+        F.col("approx").desc(), F.col("neighbor_id")
+    )
+    short = (
+        local.withColumn("_r", F.row_number().over(w_s))
+        .filter(F.col("_r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    return _exact_rerank(short, embeddings, queries, k)

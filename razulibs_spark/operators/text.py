@@ -205,6 +205,86 @@ def ngram_contamination(
     )
 
 
+def bloom_leak_report(
+    documents: DataFrame,
+    eval_source: str = "src19",
+    k: int = 3,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Leaked-shingle report: every train-set word-k-gram that also
+    appears in the held-out eval source, with the count of eval docs
+    containing it — the shingle-level inverse of
+    :func:`ngram_contamination`'s per-doc ratio.
+
+    The membership test is accelerated by an explicit distributed
+    Bloom bitmap — the materialized, reusable form of Spark's runtime
+    bloom-filter join (`spark.sql.optimizer.runtime.bloomFilter.*`):
+
+    - **build**: each DISTINCT train shingle sets ``n_hashes`` bit
+      positions (seeded xxhash64 mod m_bits); positions fold into
+      64-bit words with a grouped BIT_OR, so the bitmap is a
+      ``(word_idx, bits)`` table of ≤ m_bits/64 rows regardless of
+      corpus size. Built once, it serves any number of probe passes.
+    - **probe**: each eval shingle checks its ``n_hashes`` bits via
+      broadcast hash joins against the bitmap — zero shuffle of the
+      probe side. Only bloom-positive shingles (true hits plus a
+      ~(n/m_bits)^n_hashes false-positive sliver) continue.
+    - **verify**: an exact LEFT SEMI join removes false positives.
+      False negatives are impossible, so the result is EXACT — the
+      oracle is the plain IN-subquery SQL.
+
+    Vs the direct semi-join, which shuffles BOTH full shingle sides on
+    the shingle key: here only the contaminated fraction of the eval
+    side reaches the shuffle. At 100 TB size ``m_bits`` ~10× the
+    distinct train-shingle count (2^33 bits = 1 GiB, still broadcast-
+    able) and reuse the bitmap across eval sets.
+    """
+    from razulibs_spark.operators.dedup import word_shingles
+
+    is_eval = F.col("source") == eval_source
+    train = (
+        word_shingles(documents.filter(~is_eval), k=k)
+        .select("shingle")
+        .distinct()
+    )
+
+    def _positions(col: Column) -> list[Column]:
+        return [
+            F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m_bits))
+            for i in range(n_hashes)
+        ]
+
+    bitmap = (
+        train.select(F.explode(F.array(*_positions(F.col("shingle")))).alias("pos"))
+        .select(
+            (F.col("pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(pos % 64 as int))").alias("bitval"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bitval").alias("bits"))
+    )
+
+    probe = word_shingles(documents.filter(is_eval), k=k)
+    for i, p in enumerate(_positions(F.col("shingle"))):
+        bm = bitmap.select(
+            F.col("word_idx").alias(f"_w{i}"), F.col("bits").alias(f"_bits{i}")
+        )
+        probe = (
+            probe.withColumn(f"_w{i}", (p / 64).cast("long"))
+            .withColumn(f"_b{i}", (p % 64).cast("int"))
+            # inner join: a word no train shingle touched = bit unset
+            .join(F.broadcast(bm), f"_w{i}")
+            .filter(F.expr(f"(shiftright(_bits{i}, _b{i}) & 1L) = 1L"))
+            .drop(f"_w{i}", f"_b{i}", f"_bits{i}")
+        )
+    return (
+        probe.join(train, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_eval_docs"))
+    )
+
+
 def fingerprints(shingles: DataFrame) -> DataFrame:
     """Rolling-hash document fingerprint: the minimum md5 over the
     doc's k-gram shingles (1-hash MinHash / winnowing-lite) plus the
@@ -365,3 +445,110 @@ def chunk_dedup(documents: DataFrame, chunk_tokens: int = 10) -> DataFrame:
             F.when(F.col("is_dup"), F.col("chunk_text"))
         ).alias("n_dup_spans"),
     )
+
+
+def word_symbol_table(documents: DataFrame) -> DataFrame:
+    """(word, wc, syms) table for BPE training: whitespace words with
+    corpus counts, each word split into single-character symbols.
+
+    This one groupBy is the ONLY corpus-sized shuffle in BPE training:
+    every merge round after it runs over the vocabulary-sized word
+    table (millions of rows against a 100 TB corpus) — the word-count
+    compression every industrial BPE trainer applies.
+    """
+    return (
+        documents.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("wc"))
+        .withColumn("syms", F.expr("filter(split(word, ''), s -> s <> '')"))
+    )
+
+
+def bpe_pair_counts(symtab: DataFrame) -> DataFrame:
+    """Corpus-weighted adjacent-symbol-pair counts — the argmax input
+    of one BPE merge round. Narrow fan-out (transform + explode over
+    the symbol arrays) then a partial/final SUM keyed by pair."""
+    return (
+        symtab.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(syms) - 2),"
+                    " i -> concat(syms[i], ' ', syms[i+1]))"
+                )
+            ).alias("pair"),
+            "wc",
+        )
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+    )
+
+
+def bpe_apply_merge(symtab: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply one BPE merge (a, b) → ab to every word's symbol array:
+    a left-to-right greedy fold as a pure Catalyst ``aggregate`` HOF
+    (merge the leftmost occurrence, continue scanning after it —
+    standard BPE application order). No Python, no shuffle."""
+
+    def lit(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+    merged = lit(a + b)
+    expr = (
+        "aggregate(syms, cast(array() as array<string>), "
+        f"(acc, s) -> if(size(acc) > 0 and element_at(acc, -1) = {lit(a)} "
+        f"and s = {lit(b)}, "
+        f"concat(slice(acc, 1, size(acc) - 1), array({merged})), "
+        "concat(acc, array(s))))"
+    )
+    return symtab.withColumn("syms", F.expr(expr))
+
+
+def bpe_train(
+    documents: DataFrame, n_merges: int = 10
+) -> list[tuple[int, str, str, int]]:
+    """BPE vocabulary induction: ``n_merges`` rounds of (count pairs →
+    take the most frequent → merge it everywhere). Returns the learned
+    merge table [(rank, pair, merged, count)].
+
+    Deterministic: ties break (count DESC, pair ASC). Each round is
+    one job over the vocabulary-sized word table — a 1-row argmax
+    collect (TakeOrdered, no global sort) plus a narrow HOF rewrite;
+    the table is re-persisted every round so plan depth stays O(1)
+    instead of accumulating ``n_merges`` nested aggregates.
+    """
+    symtab = word_symbol_table(documents).persist()
+    n_vocab = symtab.count()
+    # Merge rounds run over the vocab table — size their parallelism
+    # to IT, not to the corpus scan: a 31-word toy vocab should not
+    # schedule 32 tasks × 2 jobs × n_merges (measured 9.4 s → 3.6 s at
+    # sf0.1), while a 5M-word real vocab still fans out fully.
+    par = documents.sparkSession.sparkContext.defaultParallelism
+    width = max(1, min(par, -(-n_vocab // 50_000)))
+    if width < par:
+        resized = symtab.repartition(width).persist()
+        resized.count()
+        symtab.unpersist()
+        symtab = resized
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            top = (
+                bpe_pair_counts(symtab)
+                .orderBy(F.col("n").desc(), F.col("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            pair, n = top[0].pair, top[0].n
+            a, b = pair.split(" ", 1)
+            merges.append((rank, pair, a + b, n))
+            nxt = bpe_apply_merge(symtab, a, b).persist()
+            nxt.count()
+            symtab.unpersist()
+            symtab = nxt
+    finally:
+        symtab.unpersist()
+    return merges

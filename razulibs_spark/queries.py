@@ -5199,3 +5199,167 @@ def j_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("long").alias("overlap_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 batch 3: sketch-accelerated exact operators (Bloom membership,
+# Misra-Gries heavy hitters), ANALYZE-style column stats, IVF-PQ ANN
+# ---------------------------------------------------------------------------
+
+_BLOOM_LEAK_SQL = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ ds AS (SELECT DISTINCT doc_id, source, s AS shingle FROM (
+   SELECT doc_id, source, unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                                  for i in generate_series(1, len(ws) - 2)]) AS s
+   FROM w WHERE len(ws) >= 3)),
+ ev AS (SELECT doc_id, shingle FROM ds WHERE source = 'src19'),
+ tr AS (SELECT DISTINCT shingle FROM ds WHERE source <> 'src19')
+SELECT shingle, COUNT(*) AS n_eval_docs
+FROM ev WHERE shingle IN (SELECT shingle FROM tr)
+GROUP BY shingle
+"""
+
+
+@query("contamination_bloom", _BLOOM_LEAK_SQL)
+def contamination_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-level leak report via an explicit distributed Bloom
+    bitmap (text.bloom_leak_report): bitmap built once over distinct
+    train shingles with grouped BIT_OR, eval side probed with
+    broadcast joins (zero probe-side shuffle), exact LEFT SEMI verify
+    removes false positives — result is exact, the bloom phase is a
+    lossless prefilter. The materialized form of Spark's runtime
+    bloom-filter join."""
+    return text.bloom_leak_report(T(spark, sf_dir, "documents"), k=3)
+
+
+_HEAVY_HITTERS_SQL = """
+WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+ s AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram
+       FROM w, unnest(range(1, len(ws))) r(i) WHERE len(ws) >= 2),
+ t AS (SELECT COUNT(*) AS total FROM s),
+ c AS (SELECT bigram, COUNT(*) AS n FROM s GROUP BY 1)
+SELECT bigram, n, round(n / total, 6) AS share
+FROM c, t WHERE n > total / 800.0
+"""
+
+
+@query("a_heavy_hitters", _HEAVY_HITTERS_SQL)
+def a_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact φ-heavy hitters over the corpus bigram stream
+    (analytics.heavy_hitters): per-partition Misra-Gries candidate
+    summaries (bounded memory, guaranteed superset), broadcast-semi
+    exact recount, exact global threshold — the skew-diagnosis /
+    vocabulary-pruning primitive that never shuffles the full key
+    stream."""
+    d = T(spark, sf_dir, "documents")
+    bigrams = (
+        d.select(F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i], w[i+1]))"
+                )
+            ).alias("bigram")
+        )
+    )
+    return analytics.heavy_hitters(bigrams, "bigram", k=800)
+
+
+_ANALYZE_SQL = """
+WITH s AS (SELECT
+  COUNT(*) AS n_rows,
+  COUNT(l_orderkey) AS nn1, COUNT(DISTINCT l_orderkey) AS ndv1,
+    CAST(MIN(l_orderkey) AS VARCHAR) AS mn1, CAST(MAX(l_orderkey) AS VARCHAR) AS mx1,
+  COUNT(l_linenumber) AS nn2, COUNT(DISTINCT l_linenumber) AS ndv2,
+    CAST(MIN(l_linenumber) AS VARCHAR) AS mn2, CAST(MAX(l_linenumber) AS VARCHAR) AS mx2,
+  COUNT(l_returnflag) AS nn3, COUNT(DISTINCT l_returnflag) AS ndv3,
+    CAST(MIN(l_returnflag) AS VARCHAR) AS mn3, CAST(MAX(l_returnflag) AS VARCHAR) AS mx3,
+  COUNT(l_linestatus) AS nn4, COUNT(DISTINCT l_linestatus) AS ndv4,
+    CAST(MIN(l_linestatus) AS VARCHAR) AS mn4, CAST(MAX(l_linestatus) AS VARCHAR) AS mx4,
+  COUNT(l_shipdate) AS nn5, COUNT(DISTINCT CAST(l_shipdate AS DATE)) AS ndv5,
+    CAST(MIN(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mn5,
+    CAST(MAX(CAST(l_shipdate AS DATE)) AS VARCHAR) AS mx5
+  FROM lineitem)
+SELECT 'l_orderkey' AS column_name, n_rows, nn1 AS n_nonnull,
+       n_rows - nn1 AS n_null, ndv1 AS ndv, mn1 AS min_value, mx1 AS max_value FROM s
+UNION ALL SELECT 'l_linenumber', n_rows, nn2, n_rows - nn2, ndv2, mn2, mx2 FROM s
+UNION ALL SELECT 'l_returnflag', n_rows, nn3, n_rows - nn3, ndv3, mn3, mx3 FROM s
+UNION ALL SELECT 'l_linestatus', n_rows, nn4, n_rows - nn4, ndv4, mn4, mx4 FROM s
+UNION ALL SELECT 'l_shipdate', n_rows, nn5, n_rows - nn5, ndv5, mn5, mx5 FROM s
+"""
+
+
+@query("o_analyze_stats", _ANALYZE_SQL)
+def o_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style per-column CBO statistics in one aggregation job
+    (maintenance.column_stats): row count, non-null count, exact NDV,
+    native-typed min/max cast to string after aggregating, unpivoted
+    to one row per column with stack() — no per-column scans."""
+    from razulibs_spark.operators import maintenance
+
+    li = T(spark, sf_dir, "lineitem").withColumn(
+        "l_shipdate", F.col("l_shipdate").cast("date")
+    )
+    return maintenance.column_stats(
+        li,
+        ["l_orderkey", "l_linenumber", "l_returnflag",
+         "l_linestatus", "l_shipdate"],
+    )
+
+
+@query("sim_ivfpq_topk")  # rows-only: IVF bucket + PQ quantization recall < 1.0
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-5 for 10 query vectors (similarity.ivfpq_topk): the
+    composed billion-vector serving shape — coarse quantizer prunes to
+    nprobe buckets, PQ-ADC scores only probed codes, exact cosine
+    re-ranks the shortlist. No oracle by contract (bucket-boundary +
+    quantization recall < 1.0; pytest pins recall vs exact)."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.ivfpq_topk(
+        e,
+        e.filter(F.col("vec_id") < 4),
+        e.filter(F.col("vec_id") < 10),
+        k=5,
+        nprobe=2,
+    )
+
+
+_BPE_PAIRS_SQL = """
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+ wc AS (SELECT word, COUNT(*) AS wc FROM w WHERE len(word) > 0 GROUP BY 1),
+ p AS (SELECT substring(word, i, 1) || ' ' || substring(word, i + 1, 1) AS pair,
+              wc
+       FROM wc, unnest(range(1, len(word))) r(i))
+SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@query("text_bpe_pair_counts", _BPE_PAIRS_SQL)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge round's argmax input (text.bpe_pair_counts): the
+    20 most frequent adjacent character pairs, corpus-weighted via the
+    word-count table — the vocabulary-sized reduction every industrial
+    BPE trainer runs on (the corpus is shuffled exactly once, by
+    word)."""
+    symtab = text.word_symbol_table(T(spark, sf_dir, "documents"))
+    return (
+        text.bpe_pair_counts(symtab)
+        .orderBy(F.col("n").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+@query("text_bpe_merges")  # rows-only: iterative driver-loop algorithm
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned BPE merge table, 8 rounds (text.bpe_train): count pairs
+    → 1-row argmax collect → HOF merge rewrite, each round over the
+    vocabulary-sized word table. Deterministic (count DESC, pair ASC
+    tie-break); pytest pins equivalence with a pure-Python reference
+    BPE trainer. No oracle by contract (iterative algorithm)."""
+    merges = text.bpe_train(T(spark, sf_dir, "documents"), n_merges=8)
+    return spark.createDataFrame(
+        merges, "rank int, pair string, merged string, n long"
+    )

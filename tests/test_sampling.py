@@ -216,3 +216,125 @@ def test_pq_topk_recall_vs_exact(spark):
     assert recall >= 0.9, recall
     again = {(r.query_id, r.neighbor_id) for r in pq_topk(e, q, k=5).collect()}
     assert approx == again
+
+
+def test_ivfpq_topk_recall_vs_exact(spark):
+    """IVF-PQ (nprobe=2 of 4 buckets) still recovers ≥ 0.8 of the
+    exact top-5 — bucket-boundary loss stacks on quantization loss —
+    and every returned neighbor is a real corpus vector."""
+    from razulibs_spark import tables
+    from razulibs_spark.operators.similarity import cosine_topk, ivfpq_topk
+
+    e = tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    q = e.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(e, q, k=5).collect()
+    }
+    approx = ivfpq_topk(e, e.filter("vec_id < 4"), q, k=5, nprobe=2).collect()
+    assert len(approx) == 50
+    recall = len(exact & {(r.query_id, r.neighbor_id) for r in approx}) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_heavy_hitters_exact_vs_groupby(spark):
+    """MG candidates + exact recount equals the full groupBy answer on
+    a skewed multi-partition stream, even with k smaller than the key
+    cardinality (forcing MG evictions)."""
+    from razulibs_spark.operators.analytics import heavy_hitters
+
+    rows = (
+        [("hot",)] * 400 + [("warm",)] * 120
+        + [(f"cold{i}",) for i in range(480)]
+    )
+    df = spark.createDataFrame(rows, "key string").repartition(7)
+    got = {
+        (r.key, r.n) for r in heavy_hitters(df, "key", k=10).collect()
+    }
+    assert got == {("hot", 400), ("warm", 120)}  # n/k = 100
+
+
+def test_bloom_leak_report_matches_exact_semi(spark, sf_dir):
+    """Bloom prefilter is lossless: report equals the plain exact
+    semi-join computed without the bitmap, and the bitmap stays within
+    its m_bits/64 word budget."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark import tables
+    from razulibs_spark.operators.dedup import word_shingles
+    from razulibs_spark.operators.text import bloom_leak_report
+
+    docs = tables.load(spark, sf_dir, "documents")
+    got = {
+        (r.shingle, r.n_eval_docs)
+        for r in bloom_leak_report(docs, m_bits=1 << 16).collect()
+    }
+    is_eval = F.col("source") == "src19"
+    train = word_shingles(docs.filter(~is_eval)).select("shingle").distinct()
+    expect = {
+        (r.shingle, r.n_eval_docs)
+        for r in word_shingles(docs.filter(is_eval))
+        .join(train, "shingle", "left_semi")
+        .groupBy("shingle")
+        .agg(F.count("*").alias("n_eval_docs"))
+        .collect()
+    }
+    assert got == expect
+
+
+def test_column_stats_values(spark, sf_dir):
+    """One-pass ANALYZE agrees with per-column exact queries."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark import tables
+    from razulibs_spark.operators.maintenance import column_stats
+
+    li = tables.load(spark, sf_dir, "lineitem")
+    out = {r.column_name: r for r in column_stats(
+        li, ["l_orderkey", "l_returnflag"]).collect()}
+    n = li.count()
+    for c in ["l_orderkey", "l_returnflag"]:
+        row = out[c]
+        assert row.n_rows == n
+        assert row.n_null == n - row.n_nonnull
+        assert row.ndv == li.select(c).distinct().count()
+        assert row.min_value == str(li.agg(F.min(c)).first()[0])
+        assert row.max_value == str(li.agg(F.max(c)).first()[0])
+
+
+def test_bpe_train_matches_pure_python(spark, sf_dir):
+    """Distributed BPE training (word-count table + HOF merge rewrite)
+    learns the identical merge sequence as a direct pure-Python BPE
+    trainer over the same corpus."""
+    from collections import Counter
+
+    from razulibs_spark import tables
+    from razulibs_spark.operators.text import bpe_train
+
+    docs = tables.load(spark, sf_dir, "documents")
+    got = bpe_train(docs, n_merges=6)
+
+    wc = Counter()
+    for r in docs.select("text").collect():
+        for w in r.text.split(" "):
+            if w:
+                wc[w] += 1
+    syms = {w: list(w) for w in wc}
+    expect = []
+    for rank in range(6):
+        pc = Counter()
+        for w, s in syms.items():
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += wc[w]
+        if not pc:
+            break
+        (a, b), n = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, f"{a} {b}", a + b, n))
+        for w, s in syms.items():
+            out = []
+            for t in s:
+                if out and out[-1] == a and t == b:
+                    out[-1] = a + b
+                else:
+                    out.append(t)
+            syms[w] = out
+    assert got == expect

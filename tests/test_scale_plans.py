@@ -306,3 +306,33 @@ def test_anomaly_mad_stats_broadcast(spark):
     plan = _plan(Q.QUERIES["events_anomaly_mad"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_probe_side_broadcast_no_cartesian(spark):
+    """Bloom leak report: every bit-probe is a broadcast hash join of
+    the eval stream against the tiny bitmap table — no cartesian and
+    no sort-merge of the probe side before the final semi verify."""
+    plan = _plan(Q.QUERIES["contamination_bloom"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # n_hashes probes
+
+
+def test_heavy_hitters_recount_is_semi_join_partial_agg(spark):
+    """Heavy hitters: the exact recount filters through a broadcast
+    LEFT SEMI against the MG candidates and aggregates partial→final;
+    the full stream is never hash-exchanged unfiltered."""
+    plan = _plan(Q.QUERIES["a_heavy_hitters"](spark, SF))
+    assert "LeftSemi" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_column_stats_no_expand(spark):
+    """ANALYZE stats: per-column branches must NOT plan through the
+    Expand operator (the multi-distinct row-duplication path — 6x
+    slower measured); each branch is a plain partial/final agg over a
+    single-column pruned scan."""
+    plan = _plan(Q.QUERIES["o_analyze_stats"](spark, SF))
+    assert "Expand" not in plan
+    assert plan.count("HashAggregate") >= 2
