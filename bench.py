@@ -135,6 +135,8 @@ R04_ADDITIONS = [
     "sim_ivfpq_topk",
     "text_bpe_pair_counts",
     "text_bpe_merges",
+    "events_rolling_dau",
+    "dedup_cross_source",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -335,3 +335,30 @@ def heavy_hitters(
             F.round(F.col("n") / F.col("_total"), 6).alias("share"),
         )
     )
+
+
+def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
+    """DAU + rolling distinct active users (WAU for window=7) per
+    activity day — the canonical product-analytics engagement metric.
+
+    Rolling COUNT(DISTINCT) admits no frame aggregate (sets don't
+    subtract), so the exact shape is a bounded fan-out: the DISTINCT
+    (day, user) table — users × days sized, tiny next to the event
+    log — explodes each row onto the ``window_days`` window-end days
+    it contributes to, then one partial/final distinct-count per day.
+    Two shuffles total (the dedup and the per-day count), both keyed
+    on well-distributed columns; the ×window_days expansion happens
+    AFTER the per-day dedup, never on the raw log.
+    """
+    d = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count("*").alias("dau"))
+    fan = d.select(
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {window_days - 1}))")
+        ).alias("day"),
+        "user_id",
+    )
+    wau = fan.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+    return dau.join(wau, "day").select("day", "dau", "wau")

@@ -771,3 +771,33 @@ def edit_distance_pairs(
         .withColumn("edit_distance", banded.cast("long"))
         .select("doc_id_1", "doc_id_2", "lang", "edit_distance")
     )
+
+
+def cross_source_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Near-dup content shared ACROSS sources: group the 1-hash MinHash
+    fingerprint (min md5 shingle per doc) and keep fingerprints seen
+    in ≥ 2 distinct sources — the train/eval overlap and syndicated-
+    content report a multi-source corpus needs before mixing.
+
+    Cost: the shingle fingerprint aggregate (keyed on doc_id, reusing
+    the shingle pass every dedup op shares) + one doc_id join to carry
+    the source + one fingerprint-keyed aggregate. Sources per group
+    are emitted as a sorted comma-joined string (engine-portable,
+    no array-representation skew between Spark and the oracle).
+    """
+    from razulibs_spark.operators.text import fingerprints
+
+    fp = fingerprints(word_shingles(documents, k=k))
+    return (
+        fp.join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("source").alias("n_sources"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.array_join(F.sort_array(F.collect_set("source")), ",").alias(
+                "sources"
+            ),
+        )
+        .filter(F.col("n_sources") >= 2)
+    )

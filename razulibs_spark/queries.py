@@ -5363,3 +5363,48 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, n long"
     )
+
+
+_ROLLING_DAU_SQL = """
+WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+ dau AS (SELECT day, COUNT(*) AS dau FROM d GROUP BY 1),
+ f AS (SELECT CAST(day + INTERVAL (i) DAY AS DATE) AS day, user_id
+       FROM d, unnest(range(0, 7)) r(i)),
+ wau AS (SELECT day, COUNT(DISTINCT user_id) AS wau FROM f GROUP BY 1)
+SELECT day, dau, wau FROM dau JOIN wau USING (day)
+"""
+
+
+@query("events_rolling_dau", _ROLLING_DAU_SQL)
+def events_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU + exact 7-day rolling distinct actives per activity day
+    (analytics.rolling_active_users): rolling COUNT(DISTINCT) has no
+    frame aggregate, so the exact shape fans the deduped (day, user)
+    table onto its 7 window-end days and distinct-counts per day —
+    the x7 expansion happens after the dedup, never on the raw log."""
+    return analytics.rolling_active_users(
+        T(spark, sf_dir, "events"), window_days=7
+    )
+
+
+_CROSS_SOURCE_SQL = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ s AS (SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+       FROM w, unnest(range(1, len(ws) - 1)) r(i) WHERE len(ws) >= 3),
+ fp AS (SELECT doc_id, source, MIN(md5(sh)) AS fingerprint FROM s GROUP BY 1, 2)
+SELECT fingerprint, COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       MIN(doc_id) AS first_doc_id,
+       string_agg(DISTINCT source, ',' ORDER BY source) AS sources
+FROM fp GROUP BY 1 HAVING COUNT(DISTINCT source) >= 2
+"""
+
+
+@query("dedup_cross_source", _CROSS_SOURCE_SQL)
+def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup fingerprints shared across ≥2 sources
+    (dedup.cross_source_fingerprints): the train/eval-overlap and
+    syndicated-content report to run before mixing a multi-source
+    corpus — MinHash fingerprint aggregate, one doc_id join for the
+    source, one fingerprint-keyed rollup."""
+    return dedup.cross_source_fingerprints(T(spark, sf_dir, "documents"))

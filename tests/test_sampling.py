@@ -338,3 +338,32 @@ def test_bpe_train_matches_pure_python(spark, sf_dir):
                     out.append(t)
             syms[w] = out
     assert got == expect
+
+
+def test_rolling_dau_wau_bounds(spark, sf_dir):
+    """WAU >= DAU every day, and single-day WAU equals DAU when the
+    window is 1."""
+    from razulibs_spark import tables
+    from razulibs_spark.operators.analytics import rolling_active_users
+
+    ev = tables.load(spark, sf_dir, "events")
+    r7 = rolling_active_users(ev, window_days=7).collect()
+    assert r7 and all(r.wau >= r.dau for r in r7)
+    r1 = rolling_active_users(ev, window_days=1).collect()
+    assert all(r.wau == r.dau for r in r1)
+
+
+def test_cross_source_fingerprints_span_sources(spark, sf_dir):
+    """Every reported fingerprint names >= 2 sources and the sorted
+    source list length equals n_sources."""
+    from razulibs_spark import tables
+    from razulibs_spark.operators.dedup import cross_source_fingerprints
+
+    docs = tables.load(spark, sf_dir, "documents")
+    rows = cross_source_fingerprints(docs).collect()
+    assert rows
+    for r in rows:
+        srcs = r.sources.split(",")
+        assert r.n_sources >= 2
+        assert len(srcs) == r.n_sources == len(set(srcs))
+        assert srcs == sorted(srcs)
