@@ -153,3 +153,37 @@ def salted_join(
     return salted_fact.join(
         salted_dim.hint("shuffle_hash"), [key, "_salt"], how
     ).drop("_salt")
+
+
+def cdc_apply(
+    changes: DataFrame,
+    key: str,
+    order: list[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Apply a change-data-capture log to produce the current
+    snapshot: the lakehouse MERGE / compaction primitive. Each key's
+    changes are ordered by the (unique) ``order`` columns; the final
+    state is the payload of the last change, keys whose last change is
+    a ``delete`` tombstone vanish, and ``n_ops`` records the change
+    count that folded into each surviving row.
+
+    Execution: ONE hash aggregate on the key — ``max_by`` over the
+    order struct picks the latest change with map-side partial
+    aggregation (each upstream partition reduces to ≤ one candidate
+    per key before the shuffle), so a 100 TB change log with a hot key
+    never sorts per key and never concentrates raw changes in one
+    reducer. This is the batch shape of streaming upsert compaction
+    (streaming/idempotent_sink.py) and the tombstone-aware variant of
+    upsert_by_key above.
+    """
+    payload = [c for c in changes.columns if c not in (key,)]
+    ordk = F.struct(*[F.col(c) for c in order])
+    latest = changes.groupBy(key).agg(
+        F.max_by(F.struct(*payload), ordk).alias("_last"),
+        F.count("*").alias("n_ops"),
+    )
+    return latest.filter(
+        F.col(f"_last.{op_col}") != F.lit(delete_op)
+    ).select(key, "_last.*", "n_ops")

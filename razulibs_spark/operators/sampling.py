@@ -138,3 +138,62 @@ def mixture_sample(
         .filter(h < F.col("_cutoff"))
         .drop("_cutoff")
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_tokens: int,
+    group_col: str = "lang",
+    tokens_col: str = "n_chars",
+    key: str = "doc_id",
+    salt: int = 3,
+) -> DataFrame:
+    """Temperature-based mixture re-balancing at T=2 (α=0.5): sample
+    each group at a rate proportional to sqrt(group token mass), the
+    standard multilingual / multi-domain flattening used when training
+    mixes would otherwise be dominated by the largest sources.
+
+    Group g with ``tok_g`` tokens gets weight w_g = √tok_g / Σ√tok_h
+    and keep-rate min(1, budget·w_g / tok_g): small groups are kept
+    whole, large groups are thinned toward the α-powered share of the
+    token ``budget``. α is fixed at 0.5 because IEEE-754 sqrt is
+    correctly rounded — every engine computes bit-identical weights
+    (arbitrary pow(x, α) is not, so cross-engine cutoffs could differ
+    by one hash cell). The √tok values are scaled to exact BIGINTs
+    before the normalizing sum, keeping the whole rate computation
+    summation-order independent.
+
+    Scale shape: one tiny per-group aggregate (groups ≈ languages or
+    sources, thousands at most), broadcast back, then the same
+    map-side Knuth-hash acceptance filter as :func:`mixture_sample` —
+    the corpus is never shuffled. Output adds the per-group keep-rate
+    so the sampled set is self-describing.
+    """
+    per_group = df.groupBy(group_col).agg(
+        F.sum(tokens_col).alias("_tok")
+    )
+    scaled_sqrt = F.floor(F.sqrt(F.col("_tok")) * F.lit(10**6) + F.lit(0.5))
+    cutoffs = (
+        per_group.withColumn("_st", scaled_sqrt.cast("long"))
+        .withColumn(
+            "_denom", F.sum("_st").over(Window.partitionBy())
+        )
+        .withColumn(
+            "_rate",
+            F.least(
+                F.lit(1.0),
+                (F.lit(budget_tokens) * F.col("_st"))
+                / (F.col("_denom") * F.col("_tok")),
+            ),
+        )
+        .withColumn(
+            "_cutoff", F.floor(F.col("_rate") * F.lit(_MOD)).cast("long")
+        )
+        .select(group_col, F.round("_rate", 6).alias("keep_rate"), "_cutoff")
+    )
+    h = ((F.col(key) + F.lit(salt)) * F.lit(_KNUTH)) % F.lit(_MOD)
+    return (
+        df.join(F.broadcast(cutoffs), group_col)
+        .filter(h < F.col("_cutoff"))
+        .drop("_cutoff")
+    )

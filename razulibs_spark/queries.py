@@ -5408,3 +5408,81 @@ def dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — MinHash fingerprint aggregate, one doc_id join for the
     source, one fingerprint-keyed rollup."""
     return dedup.cross_source_fingerprints(T(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Round-4 (cont.): temperature mixing, CDC compaction, LM scoring,
+# filter cascade, decontaminated splits, skew profiling, JL projection
+# ---------------------------------------------------------------------------
+
+_TEMPMIX_SQL = """
+WITH g AS (SELECT lang, SUM(n_chars) AS tok FROM documents GROUP BY 1),
+ s AS (SELECT lang, tok,
+              CAST(floor(sqrt(tok) * 1000000 + 0.5) AS BIGINT) AS st
+       FROM g),
+ c AS (SELECT lang, tok, st, SUM(st) OVER () AS denom FROM s),
+ r AS (SELECT lang,
+              LEAST(CAST(1.0 AS DOUBLE), (150000 * st) / (denom * tok))
+                AS rate
+       FROM c),
+ k AS (SELECT lang, round(rate, 6) AS keep_rate,
+              CAST(floor(rate * 4294967296) AS BIGINT) AS cutoff
+       FROM r)
+SELECT d.lang, d.doc_id, d.text, d.source, d.n_chars, k.keep_rate
+FROM documents d JOIN k USING (lang)
+WHERE ((d.doc_id + 3) * 2654435761) % 4294967296 < cutoff
+"""
+
+
+@query("sample_temperature_mix", _TEMPMIX_SQL)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.5 temperature re-balancing of the corpus language mix to a
+    150k-token budget (sampling.temperature_mix): sqrt-weighted group
+    rates (IEEE sqrt — the one power engines compute bit-identically),
+    exact scaled-BIGINT normalization, then the map-side Knuth-hash
+    acceptance filter — the corpus itself is never shuffled."""
+    return sampling.temperature_mix(
+        T(spark, sf_dir, "documents"), budget_tokens=150_000
+    )
+
+
+_CDC_SQL = """
+WITH ch AS (
+  SELECT user_id, ts, event_id,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         value
+  FROM events),
+ r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_ops
+  FROM ch)
+SELECT user_id, ts, event_id, op, value, n_ops
+FROM r WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+@query("o_cdc_apply", _CDC_SQL)
+def o_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log → current snapshot (relational.cdc_apply): the event
+    stream read as insert/update/delete changes per user, compacted to
+    each user's latest state with tombstoned keys dropped. One
+    map-side-combinable max_by aggregate — no per-key sort, no window,
+    hot keys reduce before the shuffle."""
+    ev = T(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", F.lit("insert"))
+        .when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("op"),
+        "value",
+    )
+    return relational.cdc_apply(
+        changes, key="user_id", order=["ts", "event_id"]
+    )

@@ -367,3 +367,56 @@ def test_cross_source_fingerprints_span_sources(spark, sf_dir):
         assert r.n_sources >= 2
         assert len(srcs) == r.n_sources == len(set(srcs))
         assert srcs == sorted(srcs)
+
+
+def test_temperature_mix_flattens_toward_sqrt_weights(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    # Tight budget: every group thinned, none kept whole.
+    mixed = sampling.temperature_mix(docs, budget_tokens=30_000)
+    assert 0 < mixed.count() < docs.count()
+    # Deterministic set, independent of partitioning.
+    again = sampling.temperature_mix(
+        docs.repartition(7, "source"), budget_tokens=30_000
+    )
+    assert mixed.select("doc_id").subtract(again.select("doc_id")).count() == 0
+    assert mixed.count() == again.count()
+    # keep_rate is group-constant and within (0, 1]; with α=0.5 the
+    # LARGEST group gets the SMALLEST keep-rate (flattening).
+    rates = {
+        r["lang"]: (r["keep_rate"], r["tok"])
+        for r in mixed.groupBy("lang")
+        .agg(F.first("keep_rate").alias("keep_rate"), F.sum("n_chars").alias("_k"))
+        .join(
+            docs.groupBy("lang").agg(F.sum("n_chars").alias("tok")), "lang"
+        )
+        .collect()
+    }
+    assert all(0 < rate <= 1 for rate, _ in rates.values())
+    biggest = max(rates.items(), key=lambda kv: kv[1][1])[0]
+    smallest_rate = min(rates.items(), key=lambda kv: kv[1][0])[0]
+    assert biggest == smallest_rate
+    # Generous budget: every group kept whole (rate clamps at 1).
+    assert (
+        sampling.temperature_mix(docs, budget_tokens=10**9).count()
+        == docs.count()
+    )
+
+
+def test_cdc_apply_tombstones_and_latest_state(spark):
+    from razulibs_spark.operators import relational
+
+    rows = [
+        # key 1: insert → update  => survives with the update payload
+        (1, 1, "insert", 10.0),
+        (1, 2, "update", 20.0),
+        # key 2: insert → delete  => tombstoned away
+        (2, 3, "insert", 1.0),
+        (2, 4, "delete", 0.0),
+        # key 3: delete → insert (out-of-order arrival, later seq wins)
+        (3, 6, "insert", 7.0),
+        (3, 5, "delete", 0.0),
+    ]
+    ch = spark.createDataFrame(rows, "k long, seq long, op string, value double")
+    out = relational.cdc_apply(ch, key="k", order=["seq"])
+    got = {r["k"]: (r["op"], r["value"], r["n_ops"]) for r in out.collect()}
+    assert got == {1: ("update", 20.0, 2), 3: ("insert", 7.0, 2)}
