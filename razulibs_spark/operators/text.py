@@ -552,3 +552,39 @@ def bpe_train(
     finally:
         symtab.unpersist()
     return merges
+
+
+def filter_funnel(df: DataFrame, stages: list) -> DataFrame:
+    """Sequential filter-cascade attribution: for an ordered list of
+    ``(name, predicate)`` stages, report how many rows enter, drop at,
+    and survive each stage — the debugging report every multi-stage
+    corpus cleaning pipeline needs before anyone trusts its yield.
+
+    Execution: ONE aggregation pass — stage i's survivor count is the
+    conditional sum of the conjunction of predicates 1..i, so the
+    whole funnel is a single map-side-combinable agg over one scan (no
+    per-stage jobs, no materialized intermediates). The stage rows are
+    then exploded from the 1-row aggregate, which is stage-count
+    sized.
+    """
+    aggs = [F.count("*").alias("_n0")]
+    cum = None
+    for i, (_, pred) in enumerate(stages, 1):
+        cum = pred if cum is None else (cum & pred)
+        aggs.append(
+            F.sum(F.when(cum, F.lit(1)).otherwise(F.lit(0))).alias(f"_n{i}")
+        )
+    row = df.agg(*aggs)
+    per_stage = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage_no"),
+                F.lit(name).alias("stage"),
+                F.col(f"_n{i-1}").alias("n_in"),
+                (F.col(f"_n{i-1}") - F.col(f"_n{i}")).alias("n_dropped"),
+                F.col(f"_n{i}").alias("n_out"),
+            )
+            for i, (name, _) in enumerate(stages, 1)
+        ]
+    )
+    return row.select(F.explode(per_stage).alias("s")).select("s.*")

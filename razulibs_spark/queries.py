@@ -5486,3 +5486,99 @@ def o_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return relational.cdc_apply(
         changes, key="user_id", order=["ts", "event_id"]
     )
+
+
+_FUNNEL_SQL = _REP_CTES + """,
+ agg AS (
+  SELECT COUNT(*) AS n0,
+    CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000
+              AND distinct_ratio >= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+    CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000
+              AND distinct_ratio >= 0.2
+              AND top_word_frac <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+    CAST(SUM(CASE WHEN n_words BETWEEN 50 AND 100000
+              AND distinct_ratio >= 0.2
+              AND top_word_frac <= 0.2
+              AND top_bigram_frac <= 0.18 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM rep)
+SELECT 1 AS stage_no, 'word_count' AS stage,
+       n0 AS n_in, n0 - n1 AS n_dropped, n1 AS n_out FROM agg
+UNION ALL SELECT 2, 'distinct_ratio', n1, n1 - n2, n2 FROM agg
+UNION ALL SELECT 3, 'top_word_frac', n2, n2 - n3, n3 FROM agg
+UNION ALL SELECT 4, 'top_bigram_frac', n3, n3 - n4, n4 FROM agg
+"""
+
+
+@query("quality_filter_funnel", _FUNNEL_SQL)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage attrition report for the Gopher quality cascade
+    (text.filter_funnel): survivor counts for each cumulative
+    conjunction computed in ONE map-side-combinable aggregation over
+    one scan of the repetition signals — the yield-debugging view of
+    quality_gopher_filter, at no extra pass."""
+    rep = text.repetition_stats(T(spark, sf_dir, "documents"))
+    return text.filter_funnel(
+        rep,
+        [
+            ("word_count",
+             (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)),
+            ("distinct_ratio", F.col("distinct_ratio") >= 0.2),
+            ("top_word_frac", F.col("top_word_frac") <= 0.2),
+            ("top_bigram_frac", F.col("top_bigram_frac") <= 0.18),
+        ],
+    )
+
+
+_DECON_SPLIT_SQL = """
+WITH b AS (SELECT doc_id, lang, source, text,
+                  CAST(((doc_id + 0) * 2654435761) % 4294967296 % 100 AS INT)
+                    AS bk
+           FROM documents),
+ lab AS (SELECT doc_id, lang, source, text,
+                CASE WHEN bk < 80 THEN 'train'
+                     WHEN bk < 90 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM b),
+ w AS (SELECT doc_id, split, string_split(text, ' ') AS ws
+       FROM lab WHERE split IN ('train', 'test')),
+ sh AS (SELECT DISTINCT doc_id, split, s AS shingle FROM (
+   SELECT doc_id, split,
+          unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' '
+                  || ws[i+3] || ' ' || ws[i+4]
+                  for i in generate_series(1, len(ws) - 4)]) AS s
+   FROM w WHERE len(ws) >= 5)),
+ te AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+ bad AS (SELECT DISTINCT doc_id FROM sh WHERE split = 'train'
+         AND shingle IN (SELECT shingle FROM te))
+SELECT doc_id, lang, source FROM lab
+WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
+@query("pipeline_decon_split", _DECON_SPLIT_SQL)
+def pipeline_decon_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontaminated train split: deterministic 80/10/10 hash split,
+    then every train doc sharing any 5-gram shingle with the test
+    split is evicted (word_shingles → LEFT SEMI hit-list → LEFT ANTI
+    eviction). The composition every serious pretraining pipeline runs
+    so the test split stays a test split — two shingle-keyed shuffles,
+    corpus never re-shuffled."""
+    from razulibs_spark.operators import dedup as _dedup
+
+    lab = sampling.hash_split(T(spark, sf_dir, "documents"))
+    train = lab.filter(F.col("split") == "train")
+    test = lab.filter(F.col("split") == "test")
+    test_sh = (
+        _dedup.word_shingles(test, k=5).select("shingle").distinct()
+    )
+    bad = (
+        _dedup.word_shingles(train, k=5)
+        .join(test_sh, "shingle", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    return train.join(bad, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

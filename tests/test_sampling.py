@@ -420,3 +420,51 @@ def test_cdc_apply_tombstones_and_latest_state(spark):
     out = relational.cdc_apply(ch, key="k", order=["seq"])
     got = {r["k"]: (r["op"], r["value"], r["n_ops"]) for r in out.collect()}
     assert got == {1: ("update", 20.0, 2), 3: ("insert", 7.0, 2)}
+
+
+def test_filter_funnel_invariants(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    out = text.filter_funnel(
+        docs,
+        [
+            ("nonempty", F.col("n_chars") > 0),
+            ("short", F.col("n_chars") < 800),
+            ("en_only", F.col("lang") == "en"),
+        ],
+    ).orderBy("stage_no").collect()
+    assert [r["stage"] for r in out] == ["nonempty", "short", "en_only"]
+    total = docs.count()
+    assert out[0]["n_in"] == total
+    for i, r in enumerate(out):
+        assert r["n_in"] - r["n_dropped"] == r["n_out"]
+        if i > 0:
+            assert r["n_in"] == out[i - 1]["n_out"]  # strictly sequential
+    # last survivor count equals the direct conjunction count
+    direct = docs.filter(
+        (F.col("n_chars") > 0) & (F.col("n_chars") < 800)
+        & (F.col("lang") == "en")
+    ).count()
+    assert out[-1]["n_out"] == direct
+
+
+def test_decon_split_evicts_test_overlap(spark, sf_dir):
+    from razulibs_spark.queries import QUERIES
+
+    kept = QUERIES["pipeline_decon_split"](spark, sf_dir)
+    docs = tables.load(spark, sf_dir, "documents")
+    lab = sampling.hash_split(docs)
+    n_train = lab.filter(F.col("split") == "train").count()
+    assert 0 < kept.count() <= n_train
+    # no kept train doc shares a 5-shingle with the test split
+    from razulibs_spark.operators import dedup
+
+    test_sh = dedup.word_shingles(
+        lab.filter(F.col("split") == "test"), k=5
+    ).select("shingle").distinct()
+    kept_docs = lab.join(kept.select("doc_id"), "doc_id", "left_semi")
+    overlap = (
+        dedup.word_shingles(kept_docs, k=5)
+        .join(test_sh, "shingle", "left_semi")
+        .count()
+    )
+    assert overlap == 0
