@@ -108,3 +108,55 @@ def column_stats(df: DataFrame, cols: list[str]) -> DataFrame:
         )
 
     return reduce(lambda a, b: a.unionAll(b), [branch(c) for c in cols])
+
+
+def skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    n_top: int = 5,
+    target_partitions: int = 32,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnosis: per-key counts reduced to the
+    n_top heaviest keys, each annotated with its share of the table,
+    the global key cardinality, and the skew factor — how many times
+    the hottest key overflows an average shuffle partition at
+    ``target_partitions`` — plus the salt fan-out that would level it
+    (the n_salts to hand to relational.salted_join).
+
+    Execution: one map-side-combinable count aggregate (the only pass
+    over the data), a 1-row global rollup broadcast back, and a
+    TakeOrdered top-n on the key-cardinality-sized count table. This
+    is the profiling step to run BEFORE a 100 TB join on a suspect
+    key: it costs one aggregate and tells you whether AQE skew-split
+    will cope or the join needs explicit salting.
+    """
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    counts = df.select(key.alias("key")).groupBy("key").agg(
+        F.count("*").alias("n")
+    )
+    totals = counts.agg(
+        F.sum("n").alias("total_rows"),
+        F.count("*").alias("n_keys"),
+        F.max("n").alias("max_n"),
+    )
+    annotated = totals.select(
+        "total_rows",
+        "n_keys",
+        F.round(
+            F.col("max_n") * F.lit(float(target_partitions)) / F.col("total_rows"),
+            6,
+        ).alias("skew_factor"),
+        F.ceil(
+            F.col("max_n") * F.lit(float(target_partitions)) / F.col("total_rows")
+        ).cast("long").alias("suggested_salts"),
+    )
+    top = counts.orderBy(F.col("n").desc(), F.col("key")).limit(n_top)
+    return top.crossJoin(F.broadcast(annotated)).select(
+        "key",
+        "n",
+        F.round(F.col("n") / F.col("total_rows").cast("double"), 6).alias("share"),
+        "total_rows",
+        "n_keys",
+        "skew_factor",
+        "suggested_salts",
+    )

@@ -899,3 +899,75 @@ def ivfpq_topk(
         .select("query_id", "neighbor_id")
     )
     return _exact_rerank(short, embeddings, queries, k)
+
+
+def projection_signs(in_dim: int, out_dim: int) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for :func:`random_projection`:
+    sign(j, i) = +1 iff the first hex digit of md5("i_j") is even.
+    Hash-derived, not RNG-derived, for the same reason as
+    operators/sampling.py — any engine (or the DuckDB oracle)
+    regenerates the identical matrix from the formula alone."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{i}_{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    embeddings: DataFrame,
+    in_dim: int = 64,
+    out_dim: int = 16,
+    scale: int = 10**6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: reduce each
+    embedding to ``out_dim`` dims via y_j = Σ_i v_i·s_ji / √in_dim
+    with a hash-derived ±1 matrix (Achlioptas 2003's database-friendly
+    projection) — the standard cheap first stage before clustering or
+    ANN when 100 TB of float vectors won't fit the index budget.
+
+    Execution: a pure narrow projection — the sign matrix is a literal
+    in the plan (out_dim·in_dim ints), each output dim is one
+    zip_with/aggregate HOF chain over the vector, no UDF, no shuffle,
+    no driver state; Catalyst pipelines it straight into the scan.
+    Per-element products are scaled to exact BIGINTs before the fold
+    so the result is bit-identical regardless of evaluation order.
+    Output is long-form (vec_id, dim, value) ready for a groupBy or a
+    re-pivot to arrays.
+    """
+    signs = projection_signs(in_dim, out_dim)
+    v = as_double(F.col("embedding"))
+    dims = []
+    for j in range(out_dim):
+        srow = F.array(*[F.lit(s) for s in signs[j]])
+        contrib = F.zip_with(
+            v,
+            srow,
+            lambda a, s: F.floor(a * s * F.lit(scale) + F.lit(0.5)).cast(
+                "long"
+            ),
+        )
+        dims.append(
+            F.aggregate(
+                contrib, F.lit(0).cast("long"), lambda acc, x: acc + x
+            )
+        )
+    import math
+
+    # No final round(): t / norm on exact operands is bit-identical in
+    # every engine, while round-to-6 hits exact x.xxxxxx5 boundaries
+    # (t/8e6 terminates in decimal) where Spark rounds the shortest
+    # string repr and other engines round the binary value.
+    norm = math.sqrt(in_dim) * scale
+    return embeddings.select(
+        "vec_id", F.posexplode(F.array(*dims)).alias("dim", "t")
+    ).select(
+        "vec_id",
+        F.col("dim").cast("int").alias("dim"),
+        (F.col("t") / F.lit(norm)).alias("value"),
+    )

@@ -588,3 +588,79 @@ def filter_funnel(df: DataFrame, stages: list) -> DataFrame:
         ]
     )
     return row.select(F.explode(per_stage).alias("s")).select("s.*")
+
+
+def lm_bigram_score(
+    documents: DataFrame,
+    eval_source: str = "src19",
+    text_col: str = "text",
+    log_scale: int = 10**5,
+) -> DataFrame:
+    """Count-based bigram-LM quality scoring: train add-1-smoothed
+    bigram statistics on every source except ``eval_source``, then
+    score each held-out document by its average negative log
+    transition likelihood (perplexity = exp(avg_nll)) and its OOV
+    prefix rate — the classic cheap-LM filter used to rank crawl text
+    before an expensive model ever sees it.
+
+    P(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V), with V the train
+    unigram vocabulary. Execution: two map-side-combinable count
+    aggregates keyed by well-distributed word keys, one 1-row scalar
+    (V) broadcast join, two LEFT broadcast-or-shuffle joins from the
+    eval bigrams to the count tables, one doc-keyed rollup. Nothing
+    driver-side, nothing quadratic; hot prefix keys ("the") reduce
+    map-side before the shuffle.
+
+    Determinism: each log-probability is scaled to an exact BIGINT
+    before the per-doc sum, so the aggregate is summation-order
+    independent; ln() itself may differ between engines by ≤1 ulp on
+    isolated inputs, which the 1e-5 grid absorbs (a boundary hit needs
+    the true value within ~1e-16 of a grid edge).
+    """
+    is_eval = F.col("source") == eval_source
+    toks = documents.select(
+        "doc_id", "source", F.split(F.col(text_col), " ").alias("ws")
+    )
+    bigrams = toks.filter(F.size("ws") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(ws) - 2),"
+                " i -> struct(ws[i] AS w1, ws[i+1] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "source", "b.w1", "b.w2")
+    train_bg = bigrams.filter(~is_eval)
+    c2 = train_bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = train_bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = (
+        toks.filter(~is_eval)
+        .select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").alias("v"))
+    )
+    p = (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(1)) / (
+        F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")
+    ).cast("double")
+    scored = (
+        bigrams.filter(is_eval)
+        .join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(F.log(p) * F.lit(log_scale) + F.lit(0.5))
+            .cast("long")
+            .alias("t"),
+            F.when(F.col("c1").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            -F.sum("t") / (F.lit(float(log_scale)) * F.count("*")), 4
+        ).alias("avg_nll"),
+        F.round(
+            F.sum("oov").cast("double") / F.count("*"), 6
+        ).alias("oov_rate"),
+    )

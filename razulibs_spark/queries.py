@@ -5582,3 +5582,103 @@ def pipeline_decon_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(bad, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+_LM_SQL = """
+WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+ bg AS (SELECT doc_id, source, ws[i] AS w1, ws[i+1] AS w2
+        FROM w, unnest(range(1, len(ws))) r(i) WHERE len(ws) >= 2),
+ c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE source <> 'src19'
+        GROUP BY 1, 2),
+ c1 AS (SELECT w1, COUNT(*) AS c1 FROM bg WHERE source <> 'src19'
+        GROUP BY 1),
+ v AS (SELECT COUNT(DISTINCT wd) AS v
+       FROM (SELECT unnest(ws) AS wd FROM w WHERE source <> 'src19')),
+ sc AS (SELECT b.doc_id,
+               CAST(floor(ln((COALESCE(c2.c2, 0) + 1)
+                             / CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))
+                          * 100000 + 0.5) AS BIGINT) AS t,
+               CASE WHEN c1.c1 IS NULL THEN 1 ELSE 0 END AS oov
+        FROM bg b
+        LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+        LEFT JOIN c1 ON b.w1 = c1.w1
+        CROSS JOIN v
+        WHERE b.source = 'src19')
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       round(CAST(-SUM(t) AS DOUBLE)
+             / (CAST(100000.0 AS DOUBLE) * COUNT(*)), 4) AS avg_nll,
+       round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+FROM sc GROUP BY doc_id
+"""
+
+
+@query("text_lm_score", _LM_SQL)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scores for the held-out source
+    (text.lm_bigram_score): add-1-smoothed transition likelihoods
+    trained on every other source, per-doc average NLL + OOV-prefix
+    rate — two word-keyed count aggregates, one scalar broadcast, two
+    LEFT probes, one doc rollup; log terms folded as exact scaled
+    BIGINTs so the aggregate is summation-order independent."""
+    return text.lm_bigram_score(T(spark, sf_dir, "documents"))
+
+
+_RP_SQL = """
+WITH sgn AS (SELECT i, j,
+        CASE WHEN strpos('02468ace',
+               substr(md5(CAST(i AS VARCHAR) || '_' || CAST(j AS VARCHAR)),
+                      1, 1)) > 0
+             THEN 1 ELSE -1 END AS s
+      FROM unnest(range(0, 64)) a(i), unnest(range(0, 16)) b(j)),
+ el AS (SELECT vec_id, i - 1 AS i, CAST(embedding[i] AS DOUBLE) AS v
+        FROM embeddings, unnest(range(1, 65)) r(i)),
+ t AS (SELECT vec_id, j, CAST(floor(v * s * 1000000 + 0.5) AS BIGINT) AS t
+       FROM el JOIN sgn USING (i))
+SELECT vec_id, CAST(j AS INT) AS dim,
+       CAST(SUM(t) AS DOUBLE) / CAST(8000000.0 AS DOUBLE) AS value
+FROM t GROUP BY vec_id, j
+"""
+
+
+@query("sim_random_projection", _RP_SQL)
+def sim_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-derived ±1 Johnson-Lindenstrauss projection 64→16 dims
+    (similarity.random_projection): the sign matrix is a plan literal,
+    each output dim an exact scaled-BIGINT zip_with/aggregate fold —
+    a pure narrow projection with no shuffle and no UDF, the cheap
+    first stage before clustering or ANN at index-budget scale."""
+    return similarity.random_projection(
+        T(spark, sf_dir, "embeddings"), in_dim=64, out_dim=16
+    )
+
+
+_SKEW_SQL = """
+WITH c AS (SELECT event_type AS key, COUNT(*) AS n FROM events GROUP BY 1),
+ g AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows, COUNT(*) AS n_keys,
+              MAX(n) AS max_n
+       FROM c),
+ a AS (SELECT total_rows, n_keys,
+              round(max_n * CAST(32.0 AS DOUBLE) / total_rows, 6)
+                AS skew_factor,
+              CAST(ceil(max_n * CAST(32.0 AS DOUBLE) / total_rows) AS BIGINT)
+                AS suggested_salts
+       FROM g)
+SELECT key, n, round(CAST(n AS DOUBLE) / total_rows, 6) AS share,
+       total_rows, n_keys, skew_factor, suggested_salts
+FROM (SELECT key, n FROM c ORDER BY n DESC, key LIMIT 5) t, a
+"""
+
+
+@query("o_skew_profile", _SKEW_SQL)
+def o_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis on the event-type key
+    (maintenance.skew_profile): heaviest keys with table share, global
+    key cardinality, skew factor vs 32 target partitions, and the
+    salt fan-out that would level the hottest key — one count
+    aggregate over the data, everything else key-cardinality sized."""
+    from razulibs_spark.operators import maintenance
+
+    return maintenance.skew_profile(
+        T(spark, sf_dir, "events"), ["event_type"], n_top=5,
+        target_partitions=32,
+    )

@@ -468,3 +468,67 @@ def test_decon_split_evicts_test_overlap(spark, sf_dir):
         .count()
     )
     assert overlap == 0
+
+
+def test_lm_bigram_score_hand_computed(spark):
+    rows = [
+        (1, "src1", "a b a b"),
+        (2, "src2", "b a"),
+        (3, "src19", "a b c"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = text.lm_bigram_score(docs).collect()
+    assert len(out) == 1
+    r = out[0]
+    # train: c2(a,b)=2, c2(b,a)=2, c1(a)=2, c1(b)=2, V=2
+    # eval "a b c": p(a,b)=(2+1)/(2+2)=0.75, p(b,c)=(0+1)/(2+2)=0.25
+    import math
+
+    t1 = math.floor(math.log(0.75) * 1e5 + 0.5)
+    t2 = math.floor(math.log(0.25) * 1e5 + 0.5)
+    assert r["n_bigrams"] == 2
+    assert r["avg_nll"] == round(-(t1 + t2) / (1e5 * 2), 4)
+    assert r["oov_rate"] == 0.0
+
+
+def test_random_projection_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from razulibs_spark.operators import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings").limit(20)
+    got = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in similarity.random_projection(emb).collect()
+    }
+    signs = np.array(similarity.projection_signs(64, 16))  # (16, 64)
+    for row in emb.collect():
+        v = np.array(row["embedding"], dtype=np.float64)
+        scaled = np.floor(v[None, :] * signs * 1e6 + 0.5).sum(axis=1)
+        want = scaled / 8e6
+        for j in range(16):
+            assert got[(row["vec_id"], j)] == want[j]
+
+
+def test_skew_profile_values(spark, sf_dir):
+    from razulibs_spark.operators import maintenance
+
+    ev = tables.load(spark, sf_dir, "events")
+    prof = maintenance.skew_profile(ev, ["event_type"], n_top=3).collect()
+    counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(counts.values())
+    assert len(prof) == 3
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert sorted((r["key"], r["n"]) for r in prof) == sorted(top)
+    import math
+
+    expected_skew = max(counts.values()) * 32.0 / total
+    for r in prof:
+        assert r["total_rows"] == total
+        assert r["n_keys"] == len(counts)
+        assert abs(r["skew_factor"] - round(expected_skew, 6)) < 1e-9
+        assert r["suggested_salts"] == math.ceil(expected_skew)
+        assert r["suggested_salts"] >= 1
