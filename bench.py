@@ -137,6 +137,17 @@ R04_ADDITIONS = [
     "text_bpe_merges",
     "events_rolling_dau",
     "dedup_cross_source",
+    # Round-4 continuation: mixing/CDC/LM/graph/tokenizer families.
+    "sample_temperature_mix",
+    "o_cdc_apply",
+    "quality_filter_funnel",
+    "pipeline_decon_split",
+    "text_lm_score",
+    "sim_random_projection",
+    "o_skew_profile",
+    "a_grouped_ols",
+    "graph_pagerank",
+    "text_bpe_encode",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

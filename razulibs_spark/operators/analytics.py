@@ -362,3 +362,55 @@ def rolling_active_users(events: DataFrame, window_days: int = 7) -> DataFrame:
     )
     wau = fan.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
     return dau.join(wau, "day").select("day", "dau", "wau")
+
+
+def grouped_ols(
+    df: DataFrame,
+    group_cols: list[str],
+    x: Column,
+    y: Column,
+    y_scale: int = 10**4,
+) -> DataFrame:
+    """Per-group ordinary-least-squares line fit from sufficient
+    statistics: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n — the map-side-combinable way to fit millions of
+    tiny per-key models in ONE aggregation pass (no per-group solver,
+    no iteration, no collect).
+
+    ``x`` must be integral (e.g. a day index); ``y`` is fixed-point
+    scaled to exact BIGINTs, so every sufficient statistic is an exact
+    integer and the slope/intercept doubles are bit-identical across
+    engines and partitionings. Groups with a degenerate x-variance
+    report NULL slope/intercept.
+    """
+    xs = x.cast("long")
+    ys = F.floor(y * F.lit(y_scale) + F.lit(0.5)).cast("long")
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(xs).alias("sx"),
+        F.sum(ys).alias("sy"),
+        F.sum(xs * ys).alias("sxy"),
+        F.sum(xs * xs).alias("sxx"),
+    )
+    # n·Σxy etc. overflow int64 on billion-row groups: take the
+    # products in decimal(38,0) (exact, the int128 twin of DuckDB's
+    # HUGEINT) and only then drop to double for the division.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    det = (
+        dec(agg["n"]) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
+    )
+    num = (
+        dec(agg["n"]) * dec(F.col("sxy")) - dec(F.col("sx")) * dec(F.col("sy"))
+    )
+    slope_scaled = F.when(
+        det != F.lit(0), num.cast("double") / det.cast("double")
+    )
+    intercept_scaled = (
+        F.col("sy") - slope_scaled * F.col("sx")
+    ) / F.col("n").cast("double")
+    return agg.select(
+        *group_cols,
+        "n",
+        F.round(slope_scaled / F.lit(float(y_scale)), 6).alias("slope"),
+        F.round(intercept_scaled / F.lit(float(y_scale)), 6).alias("intercept"),
+    )

@@ -664,3 +664,56 @@ def lm_bigram_score(
             F.sum("oov").cast("double") / F.count("*"), 6
         ).alias("oov_rate"),
     )
+
+
+def bpe_encode(
+    documents: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+) -> DataFrame:
+    """Apply a learned BPE merge table to the corpus and report
+    per-document tokenization stats: character count, whitespace word
+    count, BPE token count, and fertility (tokens per word) — the
+    tokenizer-efficiency report run on every corpus before a training
+    budget is committed.
+
+    Execution mirrors training's word-count compression: encode each
+    DISTINCT word once (the merge list applied as ``len(merges)``
+    chained Catalyst HOF rewrites inside ONE projection over the
+    vocabulary-sized table — no per-merge jobs), then map documents to
+    per-word token counts with a broadcast-or-shuffle join and one
+    doc-keyed sum. The corpus is never rewritten symbol-by-symbol.
+    """
+    vocab = word_symbol_table(documents)
+    for _, pair, _, _ in merges:
+        a, b = pair.split(" ", 1)
+        vocab = bpe_apply_merge(vocab, a, b)
+    word_tokens = vocab.select(
+        "word", F.size("syms").alias("word_tokens")
+    )
+    doc_words = (
+        documents.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+        )
+        .filter(F.length("word") > 0)
+    )
+    per_doc = (
+        doc_words.join(word_tokens, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("word_tokens").alias("n_tokens"),
+        )
+    )
+    return (
+        documents.select("doc_id", F.length("text").alias("n_chars"))
+        .join(per_doc, "doc_id")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_words",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens") / F.col("n_words").cast("double"), 6
+            ).alias("fertility"),
+        )
+    )

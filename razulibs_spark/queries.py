@@ -5682,3 +5682,74 @@ def o_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         T(spark, sf_dir, "events"), ["event_type"], n_top=5,
         target_partitions=32,
     )
+
+
+_OLS_SQL = """
+WITH s AS (SELECT event_type,
+                  CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                       AS BIGINT) AS x,
+                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS ys
+           FROM events),
+ a AS (SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(ys) AS sy,
+              SUM(x * ys) AS sxy, SUM(x * x) AS sxx
+       FROM s GROUP BY 1),
+ b AS (SELECT event_type, n, sx, sy,
+              CASE WHEN n * sxx - sx * sx <> 0
+                   THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                        / CAST(n * sxx - sx * sx AS DOUBLE)
+              END AS ss
+       FROM a)
+SELECT event_type, n,
+       round(ss / CAST(10000.0 AS DOUBLE), 6) AS slope,
+       round(((sy - ss * sx) / CAST(n AS DOUBLE))
+             / CAST(10000.0 AS DOUBLE), 6) AS intercept
+FROM b
+"""
+
+
+@query("a_grouped_ols", _OLS_SQL)
+def a_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS trend of value over day index
+    (analytics.grouped_ols): millions of per-key line fits from
+    sufficient statistics in ONE map-side-combinable aggregation —
+    exact BIGINT sums, exact decimal(38,0) cross-products (the int128
+    twin of DuckDB's HUGEINT), doubles only at the final division."""
+    ev = T(spark, sf_dir, "events")
+    return analytics.grouped_ols(
+        ev,
+        ["event_type"],
+        x=F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")),
+        y=F.col("value"),
+    )
+
+
+@query("graph_pagerank")  # rows-only: iterative algorithm by contract
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the per-user item-transition graph
+    (operators/graph.py): items are the event props 'k' values, edges
+    are time-ordered item→next-item transitions (linear in the log —
+    never the quadratic co-occurrence projection), 10 damped
+    iterations of broadcast-rank join + dst-keyed sum with proper
+    dangling-mass redistribution. No oracle by contract (iterative);
+    pytest pins parity against a pure-Python reference."""
+    from razulibs_spark.operators import graph
+
+    ev = T(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object(F.col("props"), "$.k")
+    )
+    edges = graph.transition_edges(ev, "item")
+    return graph.pagerank(edges, damping=0.85, iters=10)
+
+
+@query("text_bpe_encode")  # rows-only: applies the iterative merge table
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-efficiency report (text.bpe_encode): the 8-merge BPE
+    table learned by text.bpe_train applied to the corpus — each
+    DISTINCT word encoded once via chained Catalyst HOF rewrites, then
+    per-doc token counts and fertility through one word join + one
+    doc rollup. No oracle by contract (the merge table is the output
+    of an iterative trainer); pytest pins the segmentation against a
+    pure-Python BPE encoder."""
+    docs = T(spark, sf_dir, "documents")
+    merges = text.bpe_train(docs, n_merges=8)
+    return text.bpe_encode(docs, merges)

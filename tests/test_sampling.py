@@ -532,3 +532,101 @@ def test_skew_profile_values(spark, sf_dir):
         assert abs(r["skew_factor"] - round(expected_skew, 6)) < 1e-9
         assert r["suggested_salts"] == math.ceil(expected_skew)
         assert r["suggested_salts"] >= 1
+
+
+def test_grouped_ols_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from razulibs_spark.operators import analytics
+
+    ev = tables.load(spark, sf_dir, "events")
+    got = {
+        r["event_type"]: (r["n"], r["slope"], r["intercept"])
+        for r in analytics.grouped_ols(
+            ev,
+            ["event_type"],
+            x=F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")),
+            y=F.col("value"),
+        ).collect()
+    }
+    rows = ev.select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).alias("x"),
+        "value",
+    ).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["x"], round(r["value"] * 1e4) / 1e4)
+        )
+    for etype, pts in by_type.items():
+        xs = np.array([p[0] for p in pts], dtype=np.float64)
+        ys = np.array([p[1] for p in pts], dtype=np.float64)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        n, got_slope, got_intercept = got[etype]
+        assert n == len(pts)
+        assert abs(got_slope - slope) < 1e-4
+        assert abs(got_intercept - intercept) < 1e-3
+
+
+def test_pagerank_matches_pure_python(spark):
+    from razulibs_spark.operators import graph
+
+    edges_rows = [
+        ("a", "b", 2), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1),
+        ("d", "a", 1),  # d has no in-edges; e below is dangling
+        ("a", "e", 1),
+    ]
+    edges = spark.createDataFrame(
+        edges_rows, "src string, dst string, weight long"
+    )
+    got = {r["node"]: r["rank"] for r in graph.pagerank(edges, iters=12).collect()}
+
+    nodes = sorted({s for s, _, _ in edges_rows} | {d for _, d, _ in edges_rows})
+    out_w = {}
+    for s, _, w in edges_rows:
+        out_w[s] = out_w.get(s, 0) + w
+    ranks = {v: 1.0 / len(nodes) for v in nodes}
+    d = 0.85
+    for _ in range(12):
+        dangling = sum(r for v, r in ranks.items() if v not in out_w)
+        contrib = {v: 0.0 for v in nodes}
+        for s, t, w in edges_rows:
+            contrib[t] += ranks[s] * w / out_w[s]
+        ranks = {
+            v: (1 - d) / len(nodes)
+            + d * (contrib[v] + dangling / len(nodes))
+            for v in nodes
+        }
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - ranks[v]) < 1e-7
+    # rank mass is conserved
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_bpe_encode_matches_pure_python(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents").limit(40)
+    merges = text.bpe_train(docs, n_merges=6)
+    out = {r["doc_id"]: r for r in text.bpe_encode(docs, merges).collect()}
+
+    def encode(word: str) -> int:
+        syms = list(word)
+        for _, pair, merged, _ in merges:
+            a, b = pair.split(" ", 1)
+            i, acc = 0, []
+            for s in syms:
+                if acc and acc[-1] == a and s == b:
+                    acc[-1] = merged
+                else:
+                    acc.append(s)
+            syms = acc
+        return len(syms)
+
+    for row in docs.collect():
+        words = [w for w in row["text"].split(" ") if w]
+        want_tokens = sum(encode(w) for w in words)
+        r = out[row["doc_id"]]
+        assert r["n_words"] == len(words)
+        assert r["n_tokens"] == want_tokens
+        assert r["fertility"] == round(want_tokens / len(words), 6)
