@@ -169,12 +169,13 @@ def cdc_apply(
     a ``delete`` tombstone vanish, and ``n_ops`` records the change
     count that folded into each surviving row.
 
-    Execution: ONE hash aggregate on the key — ``max_by`` over the
-    order struct picks the latest change with map-side partial
+    Execution: ONE two-phase aggregate on the key — ``max_by`` over
+    the order struct picks the latest change with map-side partial
     aggregation (each upstream partition reduces to ≤ one candidate
-    per key before the shuffle), so a 100 TB change log with a hot key
-    never sorts per key and never concentrates raw changes in one
-    reducer. This is the batch shape of streaming upsert compaction
+    per key before the shuffle; Spark compiles the struct ``max_by``
+    to a sort-based partial/final aggregate), so a 100 TB change log
+    with a hot key never needs a window and never concentrates raw
+    changes in one reducer. This is the batch shape of streaming upsert compaction
     (streaming/idempotent_sink.py) and the tombstone-aware variant of
     upsert_by_key above.
     """

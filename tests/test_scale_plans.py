@@ -336,3 +336,63 @@ def test_column_stats_no_expand(spark):
     plan = _plan(Q.QUERIES["o_analyze_stats"](spark, SF))
     assert "Expand" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_temperature_mix_is_broadcast_filter_no_corpus_shuffle(spark):
+    plan = _plan(Q.sample_temperature_mix(spark, SF))
+    # Rate table broadcasts back onto the corpus; the corpus itself is
+    # never exchanged for the acceptance filter.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cdc_apply_is_partial_final_aggregate_no_window(spark):
+    plan = _plan(Q.o_cdc_apply(spark, SF))
+    # max_by(struct) compiles to a two-phase (partial→final) sort-based
+    # aggregate — each partition still reduces to ≤1 candidate per key
+    # before the shuffle; no window, no single-partition funnel.
+    assert "Window" not in plan
+    assert (
+        plan.count("HashAggregate")
+        + plan.count("ObjectHashAggregate")
+        + plan.count("SortAggregate")
+        >= 2
+    )
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_filter_funnel_is_one_scan_one_aggregate(spark):
+    plan = _plan(Q.quality_filter_funnel(spark, SF))
+    # One corpus scan per repetition-signal branch (word + bigram)
+    # feeds the whole funnel: every stage is a conditional sum in the
+    # same aggregate, not a job per stage. (The formatted plan string
+    # can render a node twice under AQE, hence <= 4.)
+    assert 1 <= plan.count("Scan parquet") <= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_random_projection_is_pure_narrow_projection(spark):
+    plan = _plan(Q.sim_random_projection(spark, SF))
+    # No shuffle, no UDF: the sign matrix is a plan literal and the
+    # folds are Catalyst HOFs pipelined into the scan.
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lm_score_counts_reduce_before_probe_joins(spark):
+    plan = _plan(Q.text_lm_score(spark, SF))
+    # Train count tables partial-aggregate before their shuffles, and
+    # the scalar vocab size joins as a broadcast, never a cartesian
+    # blowup of the eval side.
+    assert plan.count("HashAggregate") >= 4
+    assert "CartesianProduct" not in plan
+    # Exactly one nested-loop join shape: the 1-row scalar V
+    # broadcast. (The formatted string may render the node twice.)
+    assert 1 <= plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_decon_split_probe_and_evict_are_hash_joins(spark):
+    plan = _plan(Q.pipeline_decon_split(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
