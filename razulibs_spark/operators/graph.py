@@ -55,44 +55,72 @@ def pagerank(
     rank' = (1-d)/N + d·(Σ_in rank·w/out_w + dangling_mass/N).
 
     Per iteration: one broadcast join of the (node-sized) rank vector
-    onto the (src-partitioned, persisted) edge table, one dst-keyed
-    sum with map-side partial aggregation, one 1-row dangling-mass
-    aggregate. The driver holds two scalars (N, dangling mass), never
-    a vector. Deterministic: contributions are rational doubles summed
-    through Spark's aggregate — parity is pinned against a pure-Python
-    reference in tests (rank sums preserved to 1e-9 per iteration).
+    onto the (src-partitioned, persisted) edge-share table, one
+    dst-keyed sum with map-side partial aggregation, and the dangling
+    mass folded in as a broadcast 1-row aggregate — exactly ONE action
+    per iteration, no driver collects inside the loop. Every static
+    table (nodes, edge shares, dangling flags) is persisted once
+    before the loop, and loop parallelism is sized to the data (a
+    100-node toy graph must not schedule 32 tasks × jobs × iters;
+    a billion-edge graph still fans out fully). Deterministic:
+    contributions are rational doubles summed through Spark's
+    aggregate — parity is pinned against a pure-Python reference in
+    tests (rank mass conserved to 1e-6).
     """
+    spark = edges.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
+    # Edge share table computed once, persisted: the only edge-sized
+    # state; partitioned by src so the per-iteration broadcast join
+    # never reshuffles it.
+    shares = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+    )
+    n_edges = shares.count()
+    e_width = max(1, min(par, -(-n_edges // 500_000)))
+    shares = shares.repartition(e_width, "src").persist()
+    shares.count()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
     n = nodes.count()
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # Edge share table computed once, persisted: the only edge-sized
-    # state; partitioned by src so the per-iteration broadcast join
-    # never reshuffles it.
-    shares = (
-        edges.join(out_w, "src")
-        .select(
-            "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+    n_width = max(1, min(par, -(-n // 50_000)))
+    # is_dangling is static: precompute it on the node table so the
+    # per-iteration dangling mass is a conditional sum, not an
+    # anti-join.
+    nodes = (
+        nodes.join(
+            out_w.select(F.col("src").alias("node"), F.lit(False).alias("_d")),
+            "node",
+            "left",
         )
+        .select("node", F.coalesce(F.col("_d"), F.lit(True)).alias("dangling"))
+        .repartition(n_width, "node")
         .persist()
     )
-    shares.count()
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).persist()
-    ranks.count()
-    has_out = out_w.select(F.col("src").alias("node"))
+    nodes.count()
+    # Each iteration references `ranks` twice (dangling mass +
+    # contributions): without lineage truncation the logical plan
+    # doubles per round and Catalyst analysis goes exponential.
+    # localCheckpoint materializes the iterate AND cuts the plan, so
+    # every round analyzes a constant-depth tree.
+    ranks = nodes.select(
+        "node", "dangling", F.lit(1.0 / n).alias("rank")
+    ).localCheckpoint(eager=True)
     try:
         for _ in range(iters):
-            dangling = (
-                ranks.join(has_out, "node", "left_anti")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("m"))
-                .collect()[0]["m"]
+            dangling_mass = ranks.agg(
+                F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0))
+                .alias("_dm")
             )
             contrib = (
                 shares.join(
-                    F.broadcast(ranks.withColumnRenamed("node", "src")), "src"
+                    F.broadcast(
+                        ranks.select(F.col("node").alias("src"), "rank")
+                    ),
+                    "src",
                 )
                 .groupBy("dst")
                 .agg(F.sum(F.col("share") * F.col("rank")).alias("in_rank"))
@@ -101,20 +129,21 @@ def pagerank(
                 nodes.join(
                     contrib.withColumnRenamed("dst", "node"), "node", "left"
                 )
+                .crossJoin(F.broadcast(dangling_mass))
                 .select(
                     "node",
+                    "dangling",
                     (
                         F.lit((1.0 - damping) / n)
                         + F.lit(damping)
                         * (
                             F.coalesce(F.col("in_rank"), F.lit(0.0))
-                            + F.lit(dangling / n)
+                            + F.col("_dm") / F.lit(float(n))
                         )
                     ).alias("rank"),
                 )
-                .persist()
+                .localCheckpoint(eager=True)
             )
-            new_ranks.count()
             ranks.unpersist()
             ranks = new_ranks
         return ranks.select(
@@ -122,3 +151,4 @@ def pagerank(
         )
     finally:
         shares.unpersist()
+        nodes.unpersist()
