@@ -131,18 +131,28 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
         "recency_days",
         "frequency",
         F.round("monetary", 4).alias("monetary"),
-    )
+    ).persist()
+    # The user dimension is orders of magnitude smaller than the event
+    # log: size the three range-sorts to IT (loop-width pattern — a
+    # 1k-user table must not schedule 3 × defaultParallelism-task
+    # stage chains; a 100M-user table still fans out fully).
+    n_users = scored.count()
+    par = events.sparkSession.sparkContext.defaultParallelism
+    width = max(1, min(par, -(-n_users // 50_000)))
     scored = ntile_scalable(
         scored,
         [(-F.col("recency_days")).cast("long"), F.col("user_id")],
         buckets,
         "r_score",
+        n_parts=width,
     )
     scored = ntile_scalable(
-        scored, [F.col("frequency"), F.col("user_id")], buckets, "f_score"
+        scored, [F.col("frequency"), F.col("user_id")], buckets, "f_score",
+        n_parts=width,
     )
     scored = ntile_scalable(
-        scored, [F.col("monetary"), F.col("user_id")], buckets, "m_score"
+        scored, [F.col("monetary"), F.col("user_id")], buckets, "m_score",
+        n_parts=width,
     )
     return scored.withColumn(
         "rfm_segment",
@@ -231,6 +241,7 @@ def ntile_scalable(
     order_cols: list[Column] | list[str],
     buckets: int,
     alias: str,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """NTILE without the single-partition exchange: global rank via the
     two-phase range-partition scheme (ids.dense_ids — parallel sort,
@@ -254,7 +265,7 @@ def ntile_scalable(
             nm = f"_nt_ord_{i}"
             tmp = tmp.withColumn(nm, c)
             names.append(nm)
-    ranked = dense_ids(tmp, names, "_nt_rank", start=1)
+    ranked = dense_ids(tmp, names, "_nt_rank", start=1, n_parts=n_parts)
     total = ranked.agg(F.count("*").alias("_nt_n"))
     r = F.col("_nt_rank")
     n = F.col("_nt_n")

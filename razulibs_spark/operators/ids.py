@@ -25,11 +25,20 @@ from pyspark.sql.window import Window
 
 
 def dense_ids(
-    df: DataFrame, order_cols: list[str], id_col: str, start: int = 1
+    df: DataFrame,
+    order_cols: list[str],
+    id_col: str,
+    start: int = 1,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Assign dense ids 'start, start+1, …' in the total order given by
-    order_cols (must be a total order — include a unique tie-break)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
+    order_cols (must be a total order — include a unique tie-break).
+
+    ``n_parts`` overrides the range-partition fan-out: callers that
+    know the input is dimension-sized (e.g. ntile_scalable over a
+    per-user aggregate) pass a small width so a 1k-row sort doesn't
+    schedule defaultParallelism tasks across three stages."""
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
     # persist() pins ONE materialization of the range partitioning:
     # repartitionByRange SAMPLES its bounds per job, so without the
     # pin the counts job and the numbering job could see different
