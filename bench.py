@@ -148,6 +148,8 @@ R04_ADDITIONS = [
     "a_grouped_ols",
     "graph_pagerank",
     "text_bpe_encode",
+    "text_novelty_ratio",
+    "events_funnel_windowed",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

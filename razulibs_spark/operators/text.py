@@ -717,3 +717,40 @@ def bpe_encode(
             ).alias("fertility"),
         )
     )
+
+
+def novelty_ratio(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document novelty: the fraction of a doc's word-k-gram
+    shingles whose FIRST corpus occurrence (min doc_id) is this doc —
+    the redundancy curve of a growing corpus. Appending near-identical
+    scrapes drives novelty toward 0; curation dashboards watch this to
+    decide when another crawl snapshot stops adding information.
+
+    Two shingle-keyed shuffles (first-owner aggregate, ownership
+    probe), one doc rollup — the same scale shape as the
+    decontamination sweep; nothing quadratic, hot shingles reduce
+    map-side in the MIN aggregate.
+    """
+    from razulibs_spark.operators.dedup import word_shingles
+
+    sh = word_shingles(documents, k=k)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.when(F.col("first_doc") == F.col("doc_id"), F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    return (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty_ratio"),
+        )
+    )

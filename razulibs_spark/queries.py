@@ -5753,3 +5753,87 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = T(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=8)
     return text.bpe_encode(docs, merges)
+
+
+_NOVELTY_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s
+        FROM w, unnest(range(1, len(ws) - 1)) r(i) WHERE len(ws) >= 3),
+ fo AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY 1)
+SELECT sh.doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(SUM(CASE WHEN fo.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+FROM sh JOIN fo ON sh.s = fo.s GROUP BY 1
+"""
+
+
+@query("text_novelty_ratio", _NOVELTY_SQL)
+def text_novelty_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus redundancy curve input (text.novelty_ratio): per doc,
+    the fraction of its 3-gram shingles first seen in it — MIN
+    first-owner aggregate + ownership probe, both shingle-keyed, then
+    one doc rollup. The metric that says when another crawl snapshot
+    stops adding information."""
+    return text.novelty_ratio(T(spark, sf_dir, "documents"))
+
+
+_WFUNNEL_SQL = """
+WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+ c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+       FROM events e JOIN v USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > v.t_view
+         AND e.ts <= v.t_view + INTERVAL 1 HOUR
+       GROUP BY 1),
+ p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+       FROM events e JOIN c USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+         AND e.ts <= c.t_click + INTERVAL 1 HOUR
+       GROUP BY 1)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       p.t_purchase IS NOT NULL AS converted
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
+@query("events_funnel_windowed", _WFUNNEL_SQL)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel: earliest view → earliest click within
+    1 h of it → earliest purchase within 1 h of that, per user, with
+    non-converters kept (LEFT joins). Same three keyed MIN aggregates
+    as events_funnel — the window constraint is a filter on the joined
+    stage, never a per-user sort of full histories."""
+    e = T(spark, sf_dir, "events")
+    hour = F.expr("INTERVAL 1 HOUR")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + hour)
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("t_click"))
+            & (F.col("ts") <= F.col("t_click") + hour)
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id", "t_view", "t_click", "t_purchase",
+            F.col("t_purchase").isNotNull().alias("converted"),
+        )
+    )

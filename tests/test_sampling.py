@@ -630,3 +630,50 @@ def test_bpe_encode_matches_pure_python(spark, sf_dir):
         assert r["n_words"] == len(words)
         assert r["n_tokens"] == want_tokens
         assert r["fertility"] == round(want_tokens / len(words), 6)
+
+
+def test_novelty_ratio_invariants(spark, sf_dir):
+    docs = tables.load(spark, sf_dir, "documents")
+    out = text.novelty_ratio(docs)
+    assert out.filter(
+        (F.col("novelty_ratio") < 0) | (F.col("novelty_ratio") > 1)
+        | (F.col("n_novel") > F.col("n_shingles"))
+    ).count() == 0
+    # total novel shingles across docs == distinct shingles in corpus
+    # (every shingle is novel in exactly one doc: its first owner)
+    total_novel = out.agg(F.sum("n_novel")).collect()[0][0]
+    distinct_sh = dedup.word_shingles(docs).select("shingle").distinct().count()
+    assert total_novel == distinct_sh
+    # the lowest doc_id with shingles is all-novel by construction
+    first = out.orderBy("doc_id").first()
+    assert first["novelty_ratio"] == 1.0
+
+
+def test_windowed_funnel_constraints(spark, sf_dir):
+    from razulibs_spark.queries import QUERIES
+
+    out = QUERIES["events_funnel_windowed"](spark, sf_dir)
+    bad = out.filter(
+        (
+            F.col("t_click").isNotNull()
+            & (
+                (F.col("t_click") <= F.col("t_view"))
+                | (F.col("t_click") > F.col("t_view") + F.expr("INTERVAL 1 HOUR"))
+            )
+        )
+        | (
+            F.col("t_purchase").isNotNull()
+            & (
+                F.col("t_click").isNull()
+                | (F.col("t_purchase") <= F.col("t_click"))
+                | (F.col("t_purchase") > F.col("t_click") + F.expr("INTERVAL 1 HOUR"))
+            )
+        )
+        | (F.col("converted") != F.col("t_purchase").isNotNull())
+    ).count()
+    assert bad == 0
+    # funnel narrows: converters <= clickers <= viewers
+    n_v = out.count()
+    n_c = out.filter(F.col("t_click").isNotNull()).count()
+    n_p = out.filter("converted").count()
+    assert n_p <= n_c <= n_v
