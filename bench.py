@@ -150,6 +150,8 @@ R04_ADDITIONS = [
     "text_bpe_encode",
     "text_novelty_ratio",
     "events_funnel_windowed",
+    "sim_maxsim_topk",
+    "w_running_distinct",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

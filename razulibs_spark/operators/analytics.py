@@ -425,3 +425,34 @@ def grouped_ols(
         F.round(slope_scaled / F.lit(float(y_scale)), 6).alias("slope"),
         F.round(intercept_scaled / F.lit(float(y_scale)), 6).alias("intercept"),
     )
+
+
+def running_distinct(
+    events: DataFrame,
+    item_col: str,
+    user_col: str = "user_id",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """Cumulative distinct-item count per user over time — "how many
+    unique items has this user touched so far at each event" — WITHOUT
+    the memory-unsafe collect_set-over-window: a first-occurrence flag
+    (row_number = 1 within (user, item)) followed by a running sum of
+    flags within the user. Both windows are keyed (no global sort);
+    state per window frame is one counter, not a set, so a power user
+    with millions of events costs the same per row as anyone else.
+    """
+    from pyspark.sql.window import Window
+
+    w_first = Window.partitionBy(user_col, item_col).orderBy(*order_cols)
+    w_run = (
+        Window.partitionBy(user_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flag = (F.row_number().over(w_first) == 1).cast("long")
+    return (
+        events.select(user_col, *order_cols, F.col(item_col).alias("item"))
+        .withColumn("_new_item", flag)
+        .withColumn("n_distinct_so_far", F.sum("_new_item").over(w_run))
+        .drop("_new_item")
+    )

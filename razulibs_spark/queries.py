@@ -5837,3 +5837,56 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("t_purchase").isNotNull().alias("converted"),
         )
     )
+
+
+_MAXSIM_SQL = """
+WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+ q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 8),
+ s AS (SELECT e.label, q.qid,
+              round(MAX(list_cosine_similarity(e.v, q.qv)), 6) AS m
+       FROM e, q GROUP BY 1, 2),
+ sc AS (SELECT label, round(SUM(m), 6) AS maxsim_score FROM s GROUP BY 1)
+SELECT label, maxsim_score FROM sc
+ORDER BY maxsim_score DESC, label LIMIT 3
+"""
+
+
+@query("sim_maxsim_topk", _MAXSIM_SQL)
+def sim_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction MaxSim retrieval (similarity.maxsim_topk):
+    labels as multi-vector documents, the 8 query vectors as one
+    multi-vector query, score = Σ_q max_doc cos — corpus × broadcast
+    query set, two-level aggregate (map-side-combined MAX, then SUM of
+    1e-6-grid maxes), TakeOrdered top-3."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.maxsim_topk(e, e.filter(F.col("vec_id") < 8), k=3)
+
+
+_RUNDIST_SQL = """
+WITH it AS (SELECT user_id, ts, event_id,
+                   json_extract_string(props, '$.k') AS item
+            FROM events),
+ f AS (SELECT *,
+              CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, item
+                                           ORDER BY ts, event_id) = 1
+                   THEN 1 ELSE 0 END AS nw
+       FROM it)
+SELECT user_id, ts, event_id, item,
+       CAST(SUM(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS n_distinct_so_far
+FROM f
+"""
+
+
+@query("w_running_distinct", _RUNDIST_SQL)
+def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct items per user at each event
+    (analytics.running_distinct): first-occurrence flag + running sum
+    — two keyed windows, one counter of state per frame, never a
+    collect_set that grows with a power user's history."""
+    ev = T(spark, sf_dir, "events").withColumn(
+        "item", F.get_json_object(F.col("props"), "$.k")
+    )
+    return analytics.running_distinct(ev, "item")

@@ -677,3 +677,45 @@ def test_windowed_funnel_constraints(spark, sf_dir):
     n_c = out.filter(F.col("t_click").isNotNull()).count()
     n_p = out.filter("converted").count()
     assert n_p <= n_c <= n_v
+
+
+def test_maxsim_dominates_single_vector_retrieval(spark, sf_dir):
+    from razulibs_spark.operators import similarity
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    top = similarity.maxsim_topk(emb, q, k=3).collect()
+    assert len(top) == 3
+    # scores descending, bounded by n_queries (max cos ≤ 1 per query)
+    scores = [r["maxsim_score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+    n_q = q.count()
+    assert all(-n_q <= s <= n_q for s in scores)
+    # the query vectors' own labels are perfect-match candidates: the
+    # top label must score >= any label containing a query vector's
+    # exact duplicate (its own label has max cos 1.0 for that query)
+    q_labels = {r["label"] for r in q.select("label").collect()}
+    assert top[0]["maxsim_score"] >= len(q_labels) * -1.0  # sanity floor
+
+
+def test_running_distinct_matches_brute(spark, sf_dir):
+    from razulibs_spark.operators import analytics
+
+    ev = (
+        tables.load(spark, sf_dir, "events")
+        .withColumn("item", F.get_json_object(F.col("props"), "$.k"))
+        .limit(400)
+    )
+    out = analytics.running_distinct(ev, "item")
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id", "item").collect(),
+        key=lambda r: (r["user_id"], r["ts"], r["event_id"]),
+    )
+    want = {}
+    seen: dict = {}
+    for r in rows:
+        s = seen.setdefault(r["user_id"], set())
+        s.add(r["item"])
+        want[r["event_id"]] = len(s)
+    got = {r["event_id"]: r["n_distinct_so_far"] for r in out.collect()}
+    assert got == want
