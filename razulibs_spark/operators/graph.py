@@ -86,6 +86,11 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        shares.unpersist()
+        return nodes.select(
+            "node", F.lit(0.0).alias("rank")
+        )
     n_width = max(1, min(par, -(-n // 50_000)))
     # is_dangling is static: precompute it on the node table so the
     # per-iteration dangling mass is a conditional sum, not an
