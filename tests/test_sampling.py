@@ -691,11 +691,25 @@ def test_maxsim_dominates_single_vector_retrieval(spark, sf_dir):
     assert scores == sorted(scores, reverse=True)
     n_q = q.count()
     assert all(-n_q <= s <= n_q for s in scores)
-    # the query vectors' own labels are perfect-match candidates: the
-    # top label must score >= any label containing a query vector's
-    # exact duplicate (its own label has max cos 1.0 for that query)
-    q_labels = {r["label"] for r in q.select("label").collect()}
-    assert top[0]["maxsim_score"] >= len(q_labels) * -1.0  # sanity floor
+    # brute-check the winner: recompute every label's MaxSim in numpy
+    import numpy as np
+
+    rows = emb.select("label", "embedding").collect()
+    qrows = q.select("embedding").collect()
+    qm = np.array([r["embedding"] for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    by_label: dict = {}
+    for r in rows:
+        v = np.array(r["embedding"], dtype=np.float64)
+        v /= np.linalg.norm(v)
+        by_label.setdefault(r["label"], []).append(v)
+    want = {
+        lab: round(sum(round(max(qv @ v for v in vs), 6) for qv in qm), 6)
+        for lab, vs in by_label.items()
+    }
+    best_label = min(sorted(want), key=lambda k: (-want[k], k))
+    assert top[0]["label"] == best_label
+    assert abs(top[0]["maxsim_score"] - want[best_label]) < 1e-5
 
 
 def test_running_distinct_matches_brute(spark, sf_dir):
