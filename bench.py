@@ -152,6 +152,8 @@ R04_ADDITIONS = [
     "events_funnel_windowed",
     "sim_maxsim_topk",
     "w_running_distinct",
+    "eval_confusion_matrix",
+    "events_bounce_rate",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -456,3 +456,38 @@ def running_distinct(
         .withColumn("n_distinct_so_far", F.sum("_new_item").over(w_run))
         .drop("_new_item")
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Gap-based sessionization, parameterized by gap: lag + running
+    sum of new-session flags, both on the same user_id window (one
+    Exchange reused), then a per-(user, session) rollup that reuses
+    the partitioning too. The batch twin of the streaming session
+    window; the 100 TB shape is one shuffle on user_id total.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select("user_id", "event_id", "ts", is_new.alias("_new"))
+        .withColumn("session_seq", F.sum("_new").over(wsum))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )

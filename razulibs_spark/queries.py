@@ -5890,3 +5890,90 @@ def w_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item", F.get_json_object(F.col("props"), "$.k")
     )
     return analytics.running_distinct(ev, "item")
+
+
+_CONFUSION_SQL = """
+WITH c AS (SELECT doc_id, lang,
+   len([w for w in string_split(text, ' ') if w = 'the' OR w = 'a']) AS c_en,
+   len([w for w in string_split(text, ' ') if w = 'data' OR w = 'value']) AS c_es,
+   len([w for w in string_split(text, ' ') if w = 'query' OR w = 'join']) AS c_de
+ FROM documents),
+ p AS (SELECT lang AS labeled_lang,
+              CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+                   WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS predicted_lang
+       FROM c),
+ m AS (SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+       FROM p GROUP BY 1, 2),
+ t AS (SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_labeled
+       FROM m GROUP BY 1)
+SELECT m.labeled_lang, m.predicted_lang, m.n, t.n_labeled,
+       round(CAST(m.n AS DOUBLE) / t.n_labeled, 6) AS frac
+FROM m JOIN t USING (labeled_lang)
+"""
+
+
+@query("eval_confusion_matrix", _CONFUSION_SQL)
+def eval_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix vs the gold lang column
+    (evaluation.confusion_matrix over text.language_id): per-(label,
+    prediction) counts + per-label recall fractions — two count
+    aggregates bounded by the class-vocabulary square, the
+    model-quality report a classifying pipeline publishes about
+    itself."""
+    from razulibs_spark.operators import evaluation
+
+    preds = text.language_id(T(spark, sf_dir, "documents"))
+    return evaluation.confusion_matrix(
+        preds, "labeled_lang", "predicted_lang"
+    )
+
+
+_BOUNCE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged),
+ s AS (SELECT user_id, seq, COUNT(*) AS n_events, MIN(ts) AS session_start
+       FROM sess GROUP BY 1, 2)
+SELECT CAST(session_start AS DATE) AS day,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate
+FROM s GROUP BY 1
+"""
+
+
+@query("events_bounce_rate", _BOUNCE_SQL)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate over 1-hour-gap sessions
+    (analytics.sessionize): single-event sessions / sessions per
+    session-start day — the sessionize rollup plus one day-keyed
+    aggregate."""
+    sess = analytics.sessionize(
+        T(spark, sf_dir, "events"), gap_us=3_600_000_000
+    )
+    bounced = F.when(F.col("n_events") == 1, F.lit(1)).otherwise(F.lit(0))
+    return (
+        sess.select(
+            F.col("session_start").cast("date").alias("day"),
+            bounced.alias("_b"),
+        )
+        .groupBy("day")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.sum("_b").alias("n_bounces"),
+            F.round(
+                F.sum("_b").cast("double") / F.count("*"), 6
+            ).alias("bounce_rate"),
+        )
+    )

@@ -733,3 +733,42 @@ def test_running_distinct_matches_brute(spark, sf_dir):
         want[r["event_id"]] = len(s)
     got = {r["event_id"]: r["n_distinct_so_far"] for r in out.collect()}
     assert got == want
+
+
+def test_confusion_matrix_sums_and_diagonal(spark, sf_dir):
+    from razulibs_spark.operators import evaluation
+
+    preds = text.language_id(tables.load(spark, sf_dir, "documents"))
+    m = evaluation.confusion_matrix(preds, "labeled_lang", "predicted_lang")
+    rows = m.collect()
+    # per-label fractions sum to 1 and counts sum to the table size
+    total = sum(r["n"] for r in rows)
+    assert total == preds.count()
+    per_label: dict = {}
+    for r in rows:
+        per_label.setdefault(r["labeled_lang"], []).append(r)
+    for lab, rs in per_label.items():
+        assert all(r["n_labeled"] == sum(x["n"] for x in rs) for r in rs)
+        assert abs(sum(r["frac"] for r in rs) - 1.0) < 1e-4
+    # diagonal frac equals the per-class accuracy of the heuristic
+    acc = preds.filter(F.col("labeled_lang") == F.col("predicted_lang"))
+    for lab, n in [(r["labeled_lang"], r["n"]) for r in
+                   acc.groupBy("labeled_lang").agg(F.count("*").alias("n")).collect()]:
+        diag = [r for r in per_label[lab]
+                if r["predicted_lang"] == lab][0]
+        assert diag["n"] == n
+
+
+def test_bounce_rate_bounds_and_session_totals(spark, sf_dir):
+    from razulibs_spark.operators import analytics
+    from razulibs_spark.queries import QUERIES
+
+    out = QUERIES["events_bounce_rate"](spark, sf_dir)
+    assert out.filter(
+        (F.col("bounce_rate") < 0) | (F.col("bounce_rate") > 1)
+        | (F.col("n_bounces") > F.col("n_sessions"))
+    ).count() == 0
+    sess = analytics.sessionize(
+        tables.load(spark, sf_dir, "events"), gap_us=3_600_000_000
+    )
+    assert out.agg(F.sum("n_sessions")).collect()[0][0] == sess.count()
