@@ -396,17 +396,19 @@ def grouped_ols(
     """
     xs = x.cast("long")
     ys = F.floor(y * F.lit(y_scale) + F.lit(0.5)).cast("long")
+    # The per-row products fit int64 easily, but their SUMS don't on
+    # billion-row groups (Σ x·ys ~ 1e10·1e9 rows = 1e19 > 2^63): sum
+    # the cross-term addends in decimal(38,0) — exact, the int128 twin
+    # of DuckDB's HUGEINT SUM — as well as taking the later n·Σ
+    # products there.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     agg = df.groupBy(*group_cols).agg(
         F.count("*").alias("n"),
         F.sum(xs).alias("sx"),
         F.sum(ys).alias("sy"),
-        F.sum(xs * ys).alias("sxy"),
-        F.sum(xs * xs).alias("sxx"),
+        F.sum(dec(xs * ys)).alias("sxy"),
+        F.sum(dec(xs * xs)).alias("sxx"),
     )
-    # n·Σxy etc. overflow int64 on billion-row groups: take the
-    # products in decimal(38,0) (exact, the int128 twin of DuckDB's
-    # HUGEINT) and only then drop to double for the division.
-    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     det = (
         dec(agg["n"]) * dec(F.col("sxx")) - dec(F.col("sx")) * dec(F.col("sx"))
     )
@@ -443,7 +445,10 @@ def running_distinct(
     """
     from pyspark.sql.window import Window
 
-    w_first = Window.partitionBy(user_col, item_col).orderBy(*order_cols)
+    # Windows are built against the post-rename "item" column so any
+    # source column name works.
+    base = events.select(user_col, *order_cols, F.col(item_col).alias("item"))
+    w_first = Window.partitionBy(user_col, "item").orderBy(*order_cols)
     w_run = (
         Window.partitionBy(user_col)
         .orderBy(*order_cols)
@@ -451,8 +456,7 @@ def running_distinct(
     )
     flag = (F.row_number().over(w_first) == 1).cast("long")
     return (
-        events.select(user_col, *order_cols, F.col(item_col).alias("item"))
-        .withColumn("_new_item", flag)
+        base.withColumn("_new_item", flag)
         .withColumn("n_distinct_so_far", F.sum("_new_item").over(w_run))
         .drop("_new_item")
     )
@@ -469,12 +473,15 @@ def sessionize(
     window; the 100 TB shape is one shuffle on user_id total.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.expr(
-        "timestampdiff(MICROSECOND, lag(ts) OVER "
-        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    # Single window spec: the lag is materialized once as a column and
+    # the gap derives from IT — no second hand-written OVER clause that
+    # could silently drift from `w`.
+    lagged = events.select(
+        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("_lag_ts")
     )
+    gap = F.expr("timestampdiff(MICROSECOND, _lag_ts, ts)")
     is_new = F.when(
-        F.lag("ts").over(w).isNull() | (gap > F.lit(gap_us)), F.lit(1)
+        F.col("_lag_ts").isNull() | (gap > F.lit(gap_us)), F.lit(1)
     ).otherwise(F.lit(0))
     wsum = (
         Window.partitionBy("user_id")
@@ -482,7 +489,7 @@ def sessionize(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        events.select("user_id", "event_id", "ts", is_new.alias("_new"))
+        lagged.select("user_id", "event_id", "ts", is_new.alias("_new"))
         .withColumn("session_seq", F.sum("_new").over(wsum))
         .groupBy("user_id", "session_seq")
         .agg(

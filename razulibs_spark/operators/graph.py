@@ -40,6 +40,11 @@ def transition_edges(
     w = Window.partitionBy(user_col).orderBy(*order_cols)
     pairs = (
         events.select(user_col, *order_cols, F.col(item_col).alias("src"))
+        # NULL items (e.g. a missing JSON key) would otherwise inject
+        # a NULL node whose out-edges the null-rejecting joins in
+        # pagerank silently drop — exclude them from the stream before
+        # transitions are formed.
+        .filter(F.col("src").isNotNull())
         .withColumn("dst", F.lead("src").over(w))
         .filter(F.col("dst").isNotNull())
     )
@@ -69,26 +74,38 @@ def pagerank(
     """
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
+    # Width sizing reads only edges.count() (a cheap count-star scan —
+    # the share join is NOT executed for it; every inner-join row
+    # survives by construction, so the counts are equal).
+    n_edges = edges.count()
+    e_width = max(1, min(par, -(-n_edges // 500_000)))
     out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
     # Edge share table computed once, persisted: the only edge-sized
     # state; partitioned by src so the per-iteration broadcast join
-    # never reshuffles it.
-    shares = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+    # never reshuffles it. Materialized by the first iteration's
+    # action — no separate pre-count pass over the join.
+    shares = (
+        edges.join(out_w, "src")
+        .select(
+            "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
+        )
+        .repartition(e_width, "src")
+        .persist()
     )
-    n_edges = shares.count()
-    e_width = max(1, min(par, -(-n_edges // 500_000)))
-    shares = shares.repartition(e_width, "src").persist()
-    shares.count()
-    nodes = (
+    # Node table: persist the raw distinct BEFORE counting so the
+    # union+distinct executes once (the count materializes the cache
+    # the dangling-flag join below reuses).
+    nodes_raw = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
-    n = nodes.count()
+    n = nodes_raw.count()
     if n == 0:
         shares.unpersist()
-        return nodes.select(
+        nodes_raw.unpersist()
+        return nodes_raw.select(
             "node", F.lit(0.0).alias("rank")
         )
     n_width = max(1, min(par, -(-n // 50_000)))
@@ -96,7 +113,7 @@ def pagerank(
     # per-iteration dangling mass is a conditional sum, not an
     # anti-join.
     nodes = (
-        nodes.join(
+        nodes_raw.join(
             out_w.select(F.col("src").alias("node"), F.lit(False).alias("_d")),
             "node",
             "left",
@@ -106,6 +123,7 @@ def pagerank(
         .persist()
     )
     nodes.count()
+    nodes_raw.unpersist()
     # Each iteration references `ranks` twice (dangling mass +
     # contributions): without lineage truncation the logical plan
     # doubles per round and Catalyst analysis goes exponential.
@@ -149,7 +167,12 @@ def pagerank(
                 )
                 .localCheckpoint(eager=True)
             )
-            ranks.unpersist()
+            # No explicit unpersist: Dataset.unpersist is a no-op on a
+            # localCheckpoint'ed frame (its blocks live outside the
+            # CacheManager). Dropping the reference lets Spark's
+            # ContextCleaner reclaim the superseded node-sized RDD
+            # blocks asynchronously; at most O(1) stale vectors are
+            # in flight at a time.
             ranks = new_ranks
         return ranks.select(
             "node", F.round(F.col("rank"), 8).alias("rank")

@@ -130,7 +130,20 @@ def skew_profile(
     key: it costs one aggregate and tells you whether AQE skew-split
     will cope or the join needs explicit salting.
     """
-    key = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    if len(key_cols) == 1:
+        # Single-column keys keep their native NULL: concat_ws would
+        # collapse NULL to '' and merge it with the empty-string key.
+        key = F.col(key_cols[0]).cast("string")
+    else:
+        # Multi-column keys mark NULL components explicitly so
+        # ('a', NULL) and ('a', '') stay distinct keys.
+        key = F.concat_ws(
+            "|",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("<NULL>"))
+                for c in key_cols
+            ],
+        )
     counts = df.select(key.alias("key")).groupBy("key").agg(
         F.count("*").alias("n")
     )

@@ -173,6 +173,11 @@ def temperature_mix(
         F.sum(tokens_col).alias("_tok")
     )
     scaled_sqrt = F.floor(F.sqrt(F.col("_tok")) * F.lit(10**6) + F.lit(0.5))
+    # budget·_st and _denom·_tok overflow int64 on real corpora
+    # (_denom·_tok ≥ 1e6·tok^1.5 passes 2^63 at ~4.4e8 tokens): take
+    # both products in decimal(38,0) — exact, the int128 twin of the
+    # oracle's HUGEINT — and drop to double only for the division.
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     cutoffs = (
         per_group.withColumn("_st", scaled_sqrt.cast("long"))
         .withColumn(
@@ -182,8 +187,8 @@ def temperature_mix(
             "_rate",
             F.least(
                 F.lit(1.0),
-                (F.lit(budget_tokens) * F.col("_st"))
-                / (F.col("_denom") * F.col("_tok")),
+                (dec(F.lit(budget_tokens)) * dec(F.col("_st"))).cast("double")
+                / (dec(F.col("_denom")) * dec(F.col("_tok"))).cast("double"),
             ),
         )
         .withColumn(

@@ -706,12 +706,15 @@ def bpe_encode(
     )
     return (
         documents.select("doc_id", F.length("text").alias("n_chars"))
-        .join(per_doc, "doc_id")
+        # LEFT join: a doc with no non-empty words still gets a report
+        # row (0 words / 0 tokens, NULL fertility) instead of silently
+        # vanishing from corpus-level fertility roll-ups.
+        .join(per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_chars",
-            "n_words",
-            "n_tokens",
+            F.coalesce(F.col("n_words"), F.lit(0)).alias("n_words"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
             F.round(
                 F.col("n_tokens") / F.col("n_words").cast("double"), 6
             ).alias("fertility"),

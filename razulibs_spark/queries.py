@@ -5422,7 +5422,9 @@ WITH g AS (SELECT lang, SUM(n_chars) AS tok FROM documents GROUP BY 1),
        FROM g),
  c AS (SELECT lang, tok, st, SUM(st) OVER () AS denom FROM s),
  r AS (SELECT lang,
-              LEAST(CAST(1.0 AS DOUBLE), (150000 * st) / (denom * tok))
+              LEAST(CAST(1.0 AS DOUBLE),
+                    CAST(CAST(150000 AS HUGEINT) * st AS DOUBLE)
+                    / CAST(CAST(denom AS HUGEINT) * tok AS DOUBLE))
                 AS rate
        FROM c),
  k AS (SELECT lang, round(rate, 6) AS keep_rate,

@@ -772,3 +772,17 @@ def test_bounce_rate_bounds_and_session_totals(spark, sf_dir):
         tables.load(spark, sf_dir, "events"), gap_us=3_600_000_000
     )
     assert out.agg(F.sum("n_sessions")).collect()[0][0] == sess.count()
+
+
+def test_running_distinct_accepts_any_item_column_name(spark):
+    from razulibs_spark.operators import analytics
+
+    ev = spark.createDataFrame(
+        [(1, 1, 1, "x"), (1, 2, 2, "y"), (1, 3, 3, "x")],
+        "user_id long, ts long, event_id long, sku string",
+    )
+    out = analytics.running_distinct(
+        ev, "sku", order_cols=("ts", "event_id")
+    ).orderBy("event_id").collect()
+    assert [r["n_distinct_so_far"] for r in out] == [1, 2, 2]
+    assert out[0]["item"] == "x"
