@@ -154,6 +154,19 @@ R04_ADDITIONS = [
     "w_running_distinct",
     "eval_confusion_matrix",
     "events_bounce_rate",
+    # Round-4 session 3: evaluation & distribution-statistics family.
+    "eval_auc_ovr",
+    "eval_cohens_kappa",
+    "eval_calibration",
+    "eval_retrieval_pr",
+    "stats_chi_square",
+    "stats_embedding_dims",
+    "stats_ks_drift",
+    "j_resample_ffill",
+    "events_copurchase_pairs",
+    "a_grouped_zscore",
+    "stats_group_gini",
+    "text_vocab_coverage",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

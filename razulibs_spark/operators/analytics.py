@@ -498,3 +498,94 @@ def sessionize(
             F.max("ts").alias("session_end"),
         )
     )
+
+
+def cooccurrence_pairs(
+    df: DataFrame,
+    basket_cols: list[str],
+    item_col: str,
+    k: int = 20,
+    max_basket: int = 50,
+) -> DataFrame:
+    """Top-k co-occurring item pairs across baskets (market-basket /
+    co-view mining): distinct items per basket, within-basket ordered
+    pairs (a < b), one pair-keyed count, deterministic top-k.
+
+    The quadratic is bounded by design: baskets larger than
+    ``max_basket`` are dropped (the standard cap in co-occurrence
+    mining — a 10k-item basket contributes 50M meaningless pairs), so
+    the self-join on the basket key emits at most C(max_basket, 2)
+    rows per basket.  The final top-k compiles to
+    TakeOrderedAndProject (per-partition heaps), never a global sort.
+    NULL items are excluded (a NULL can't name a product).
+    """
+    baskets = (
+        df.filter(F.col(item_col).isNotNull())
+        .select(*basket_cols, item_col)
+        .distinct()
+    )
+    sized = baskets.groupBy(*basket_cols).agg(
+        F.count("*").alias("_nb")
+    )
+    kept = baskets.join(
+        sized.filter(F.col("_nb") <= max_basket).select(*basket_cols),
+        basket_cols,
+    )
+    a = kept.select(*basket_cols, F.col(item_col).alias("item_a"))
+    b = kept.select(*basket_cols, F.col(item_col).alias("item_b"))
+    pairs = a.join(b, basket_cols).filter(
+        F.col("item_a") < F.col("item_b")
+    )
+    counts = pairs.groupBy("item_a", "item_b").agg(
+        F.count("*").alias("n_baskets")
+    )
+    return counts.orderBy(
+        F.col("n_baskets").desc(), "item_a", "item_b"
+    ).limit(k)
+
+
+def grouped_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    id_cols: list[str],
+    scale: int = 10000,
+) -> DataFrame:
+    """Per-group z-score normalization of a metric column — the
+    feature-standardization pass of a training pipeline, computed so
+    the output is bit-stable across engines and partitionings.
+
+    Values are fixed-point scaled (``floor(x·scale + 0.5)``) so the
+    group moments are EXACT integer sums (decimal(38,0) — float sums
+    are partition-order-dependent and can never hash-match an oracle).
+    Population variance comes from the sufficient statistics
+    ((n·Σs² − (Σs)²)/n²); sqrt is the one transcendental that IEEE
+    guarantees correctly rounded, so z = (s − μ)/σ is deterministic.
+    One map-side-combinable aggregate per group + one broadcast join
+    back; no windows.
+    """
+    s = F.floor(F.col(val_col) * scale + F.lit(0.5)).cast("long")
+    scaled = df.select(*id_cols, *group_cols, s.alias("_s"))
+    stats = scaled.groupBy(*group_cols).agg(
+        F.count("*").alias("_n"),
+        F.sum(F.col("_s").cast("decimal(38,0)")).alias("_sum"),
+        F.sum(
+            F.col("_s").cast("decimal(38,0)") * F.col("_s")
+        ).alias("_sumsq"),
+    )
+    n_d = F.col("_n").cast("double")
+    mean = F.col("_sum").cast("double") / n_d
+    var = (
+        F.col("_n") * F.col("_sumsq") - F.col("_sum") * F.col("_sum")
+    ).cast("double") / (n_d * n_d)
+    enriched = scaled.join(F.broadcast(stats), group_cols)
+    z = (F.col("_s").cast("double") - mean) / F.sqrt(var)
+    # Zero-variance groups have no meaningful z — emit NULL rather
+    # than letting 0/0 produce a NaN (whose BIGINT cast differs
+    # between engines).
+    z_guarded = F.when(var > 0, F.floor(F.lit(1000000.0) * z)).cast(
+        "long"
+    )
+    return enriched.select(
+        *id_cols, *group_cols, z_guarded.alias("z_micro")
+    )

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from razulibs_spark.operators.stats import range_cumsum
+
 
 def confusion_matrix(
     df: DataFrame, label_col: str, pred_col: str
@@ -33,4 +35,208 @@ def confusion_matrix(
         F.round(F.col("n").cast("double") / F.col("n_labeled"), 6).alias(
             "frac"
         ),
+    )
+
+
+def auc_ovr(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """One-vs-rest ROC AUC per class via the tie-corrected Mann-Whitney
+    rank-sum — the ranking-quality metric for every scorer a pipeline
+    runs (quality gates, dedup verdicts, classifier heads).
+
+    AUC_c = (S2_c - n_pos·(n_pos+1)) / (2·n_pos·n_neg), where S2_c is
+    the sum over class-c rows of twice their tie-averaged global rank.
+    The global ranking is computed ONCE for all classes from the
+    score-histogram prefix sum (two-tier ``range_cumsum`` — no
+    single-partition window), then each class needs only one keyed
+    aggregation.  Rank sums use decimal(38,0) (int128, the engine twin
+    of an oracle's HUGEINT) so S2 ~ 2N² cannot wrap int64; doubles
+    appear only in the final division of exact operands.
+    """
+    rows = df.filter(
+        F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    hist = rows.groupBy(score_col).agg(F.count("*").alias("cnt"))
+    hist = range_cumsum(hist, [score_col], ["cnt"], ["below"], n_parts)
+    # 2 × tie-averaged rank of every row sharing this score value.
+    hist = hist.select(
+        score_col,
+        (2 * F.col("below") + F.col("cnt") + 1).alias("r2"),
+    )
+    m = rows.groupBy(score_col, label_col).agg(F.count("*").alias("n"))
+    per = (
+        m.join(hist, score_col)
+        .groupBy(label_col)
+        .agg(
+            F.sum(
+                F.col("n").cast("decimal(38,0)") * F.col("r2")
+            ).alias("s2"),
+            F.sum("n").alias("n_pos"),
+        )
+    )
+    total = rows.groupBy().agg(F.count("*").alias("n_total"))
+    per = per.crossJoin(F.broadcast(total)).withColumn(
+        "n_neg", F.col("n_total") - F.col("n_pos")
+    )
+    num = F.col("s2") - (
+        F.col("n_pos").cast("decimal(38,0)") * (F.col("n_pos") + 1)
+    )
+    den = (
+        F.lit(2).cast("decimal(38,0)") * F.col("n_pos") * F.col("n_neg")
+    )
+    return per.select(
+        label_col,
+        "n_pos",
+        "n_neg",
+        F.round(num.cast("double") / den.cast("double"), 6).alias("auc"),
+    )
+
+
+def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa agreement between two labelers (model vs gold,
+    model vs model) as a single-row report: N, observed-agreement
+    numerator, chance-agreement numerator, and kappa.
+
+    kappa = (N·Σdiag - Σ_c rt_c·ct_c) / (N² - Σ_c rt_c·ct_c) — all
+    integer until the final division.  Everything after the one
+    (a,b)-keyed count is bounded by the class vocabulary.
+    """
+    m = df.groupBy(a_col, b_col).agg(F.count("*").alias("n"))
+    row_t = m.groupBy(a_col).agg(F.sum("n").alias("rt"))
+    col_t = m.groupBy(b_col).agg(F.sum("n").alias("ct"))
+    # Chance agreement pairs row/col marginals of the SAME class.
+    pe = (
+        row_t.join(col_t, F.col(a_col) == F.col(b_col))
+        .groupBy()
+        .agg(F.sum(F.col("rt") * F.col("ct")).alias("pe_num"))
+    )
+    po = m.filter(F.col(a_col) == F.col(b_col)).groupBy().agg(
+        F.sum("n").alias("po_num")
+    )
+    n_t = m.groupBy().agg(F.sum("n").alias("n"))
+    one = n_t.crossJoin(F.broadcast(po)).crossJoin(F.broadcast(pe))
+    return one.select(
+        "n",
+        "po_num",
+        "pe_num",
+        F.round(
+            (F.col("n") * F.col("po_num") - F.col("pe_num")).cast("double")
+            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
+            6,
+        ).alias("kappa"),
+    )
+
+
+def calibration_bins(
+    df: DataFrame,
+    permille_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic scorer: group the
+    permille-quantized predicted probability (0..999 — real pipelines
+    bin anyway, and integer scores keep every aggregate exact) into
+    ``n_bins`` equal bins; per bin report count, positives, exact mean
+    predicted probability, and empirical positive rate.
+
+    One map-side-combinable aggregate keyed by bin; integer sums, with
+    doubles only in the two final divisions of exact operands.
+    """
+    width = 1000 // n_bins
+    b = df.select(
+        (F.col(permille_col).cast("long") / width).cast("long").alias("bin"),
+        F.col(permille_col).cast("long").alias("pm"),
+        F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    return b.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("n_pos"),
+        F.round(
+            F.sum("pm").cast("double") / (F.count("*") * 1000).cast("double"),
+            6,
+        ).alias("mean_pred"),
+        F.round(F.sum("y").cast("double") / F.count("*").cast("double"), 6)
+        .alias("pos_rate"),
+    )
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    labels: DataFrame,
+    query_id_col: str,
+    neighbor_id_col: str,
+    rank_col: str,
+    id_col: str,
+    label_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-query retrieval quality — precision@k, recall@k, and
+    reciprocal rank of the first relevant hit — for a top-k result
+    table judged against ground-truth labels (relevant = same label as
+    the query item, excluding the item itself).
+
+    Two keyed label-resolution joins over the (queries × k)-sized
+    result table, one class-sized relevance-count join; nothing scales
+    with the corpus beyond the label lookup itself.  Recall and RR are
+    emitted as exact-operand micro floors (hits·1e6/n_relevant is one
+    IEEE division of exact integers), so they hash-match an oracle.
+    """
+    q_lab = labels.select(
+        F.col(id_col).alias(query_id_col),
+        F.col(label_col).alias("_qlab"),
+    )
+    n_lab = labels.select(
+        F.col(id_col).alias(neighbor_id_col),
+        F.col(label_col).alias("_nlab"),
+    )
+    joined = (
+        results.join(q_lab, query_id_col)
+        .join(n_lab, neighbor_id_col)
+        .withColumn(
+            "_rel",
+            F.when(F.col("_qlab") == F.col("_nlab"), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+    )
+    per_q = joined.groupBy(query_id_col, "_qlab").agg(
+        F.sum("_rel").alias("hits"),
+        F.min(
+            F.when(F.col("_rel") == 1, F.col(rank_col))
+        ).alias("first_rel_rank"),
+    )
+    # Corpus-side relevant counts per label (minus the query itself).
+    rel_counts = labels.groupBy(label_col).agg(
+        (F.count("*") - 1).alias("n_relevant")
+    )
+    out = per_q.join(
+        F.broadcast(rel_counts),
+        per_q["_qlab"] == rel_counts[label_col],
+    )
+    return out.select(
+        query_id_col,
+        "hits",
+        "n_relevant",
+        F.round(F.col("hits").cast("double") / F.lit(float(k)), 6).alias(
+            "p_at_k"
+        ),
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.col("hits").cast("double")
+                / F.col("n_relevant").cast("double")
+            )
+        )
+        .cast("long")
+        .alias("recall_micro"),
+        "first_rel_rank",
+        F.floor(
+            F.lit(1000000.0) / F.col("first_rel_rank").cast("double")
+        )
+        .cast("long")
+        .alias("rr_micro"),
     )

@@ -1,0 +1,261 @@
+"""Distribution statistics and drift detection over corpus-scale data.
+
+A 100 TB training-data pipeline ships statistical monitors alongside
+the transforms: has the value distribution of a feed drifted between
+two sources (KS test), are two categorical columns associated
+(chi-square), what are the per-dimension moments of the embedding
+matrix (feature-scaling stats)?  Everything here reduces to count /
+integer-sum aggregates plus at most one *two-tier* global cumulative
+sum — no single-partition global windows, no floating-point sums (sum
+order is partition-dependent, so float sums can never hash-match an
+oracle; we sum exactly in scaled integers instead).
+
+Scale shapes:
+- ``range_cumsum`` — prefix sums over a total order via
+  range-repartition + per-partition subtotal broadcast (same two-tier
+  scheme as operators/ids.dense_ids); driver traffic is one integer
+  per partition.
+- ``ks_drift`` — one shuffle to group by value, one two-tier cumsum,
+  one scalar aggregate.
+- ``chi_square_cells`` — output bounded by the category square, all
+  map-side combinable counts.
+- ``embedding_dim_stats`` — posexplode fan-out (rows × dims) into a
+  dim-keyed aggregate; sums are exact micro-scaled BIGINTs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def range_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    val_cols: list[str],
+    out_cols: list[str],
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sums of each of ``val_cols`` in the total order
+    given by ``order_cols`` (must be a total order over rows — include
+    a tie-break if values repeat), without a single-partition window.
+
+    Two-tier scheme: range-repartition on the order key (parallel
+    sort), sum each value column per partition, collect the tiny per-
+    partition subtotal table to the driver, turn it into exclusive
+    offsets, broadcast it back, and add intra-partition running sums.
+    The only global data movement besides the range shuffle is one
+    integer per (partition, value column); all requested prefix sums
+    share the single range shuffle.
+    """
+    n = n_parts or df.sparkSession.sparkContext.defaultParallelism
+    # Pin ONE materialization of the range partitioning:
+    # repartitionByRange samples bounds per job, so the subtotal job
+    # and the cumsum job must see identical partition boundaries.
+    parted = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    subtotals = (
+        parted.groupBy("_pid")
+        .agg(*[F.sum(v).alias(v) for v in val_cols])
+        .orderBy("_pid")
+        .collect()
+    )
+    offsets, acc = [], [0] * len(val_cols)
+    for r in subtotals:
+        offsets.append((r["_pid"], *acc))
+        acc = [a + r[v] for a, v in zip(acc, val_cols)]
+    off_names = [f"_off_{i}" for i in range(len(val_cols))]
+    offsets_df = df.sparkSession.createDataFrame(
+        offsets, ["_pid", *off_names]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = parted.join(F.broadcast(offsets_df), "_pid")
+    for v, o, off in zip(val_cols, out_cols, off_names):
+        intra = F.coalesce(F.sum(v).over(w), F.lit(0))
+        out = out.withColumn(o, (intra + F.col(off)).cast("long"))
+    return out.drop("_pid", *off_names)
+
+
+def ks_drift(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the ``value_col``
+    distributions of two groups — the drift monitor a pipeline runs
+    between two feeds / two snapshots of the same feed.
+
+    D = max_v |F_a(v) - F_b(v)| is computed exactly in integers:
+    |c_a(v)·n_b - c_b(v)·n_a| / (n_a·n_b), maximized over the merged
+    distinct values.  One groupBy(value) shuffle, one two-tier cumsum
+    (``range_cumsum``), one scalar aggregate; the division to a double
+    happens once on exact operands, so the result is bit-stable across
+    engines.
+    """
+    filtered = df.filter(F.col(group_col).isin(group_a, group_b)).filter(
+        F.col(value_col).isNotNull()
+    )
+    counts = filtered.groupBy(value_col).agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ca"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0))
+        ).alias("cb"),
+    )
+    cum = range_cumsum(
+        counts, [value_col], ["ca", "cb"], ["ca_before", "cb_before"], n_parts
+    )
+    cum = cum.select(
+        (F.col("ca_before") + F.col("ca")).alias("fa"),
+        (F.col("cb_before") + F.col("cb")).alias("fb"),
+    )
+    totals = filtered.groupBy().agg(
+        F.sum(
+            F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0))
+        ).alias("na"),
+        F.sum(
+            F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0))
+        ).alias("nb"),
+    )
+    # 1-row totals: broadcast scalar join, O(n) not a CartesianProduct.
+    # Cross-multiplied CDF counts are cast to double BEFORE the
+    # product: fa·nb can reach N², which wraps int64 at corpus scale,
+    # while the IEEE double chain is overflow-free and bit-identical
+    # across engines (max and floor of identical doubles agree).
+    diff = cum.crossJoin(F.broadcast(totals)).select(
+        F.abs(
+            F.col("fa").cast("double") * F.col("nb").cast("double")
+            - F.col("fb").cast("double") * F.col("na").cast("double")
+        ).alias("d_num"),
+        "na",
+        "nb",
+    )
+    return diff.groupBy("na", "nb").agg(
+        F.max("d_num").alias("d_num")
+    ).select(
+        "na",
+        "nb",
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                F.col("d_num")
+                / (
+                    F.col("na").cast("double")
+                    * F.col("nb").cast("double")
+                )
+            )
+        )
+        .cast("long")
+        .alias("ks_micro"),
+    )
+
+
+def chi_square_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """Chi-square association report between two categorical columns:
+    per-cell observed count, expected count (micro-scaled), and cell
+    contribution (milli-scaled).  Output is bounded by the category
+    square; every input-sized step is a map-side-combinable count.
+
+    Expected/contribution go through exact-integer operands into IEEE
+    double arithmetic with a final ``floor`` — no float sums, no
+    ``round`` (both engines compute the identical doubles, so the
+    floors agree bit-for-bit).
+    """
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("o"))
+    row_t = cells.groupBy(a_col).agg(F.sum("o").alias("rt"))
+    col_t = cells.groupBy(b_col).agg(F.sum("o").alias("ct"))
+    n_t = cells.groupBy().agg(F.sum("o").alias("n"))
+    # rt·ct wraps int64 at corpus scale — cast to double first; the
+    # IEEE chain is deterministic so the floored outputs still match.
+    e = (
+        F.col("rt").cast("double") * F.col("ct").cast("double")
+    ) / F.col("n").cast("double")
+    contrib = (
+        (F.col("o").cast("double") - e)
+        * (F.col("o").cast("double") - e)
+        / e
+    )
+    return (
+        cells.join(row_t, a_col)
+        .join(col_t, b_col)
+        .crossJoin(F.broadcast(n_t))
+        .select(
+            a_col,
+            b_col,
+            "o",
+            F.floor(F.lit(1000000.0) * e).cast("long").alias("e_micro"),
+            F.floor(F.lit(1000.0) * contrib).cast("long").alias(
+                "contrib_milli"
+            ),
+        )
+    )
+
+
+def embedding_dim_stats(
+    df: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Per-dimension feature-scaling statistics of an embedding
+    column: count, nulls excluded, exact micro-scaled sum, min, max.
+
+    posexplode fans rows × dims into a dim-keyed aggregate (map-side
+    combinable, output bounded by the dimensionality).  The sum is
+    exact: float -> double is exact, double·1e6 of a 24-bit mantissa is
+    exact (44 bits < 53), floor of an exact product is deterministic,
+    and BIGINT sums are order-independent — so the stats hash-match an
+    oracle, which a float SUM never could.
+    """
+    exploded = df.select(
+        F.posexplode(F.col(vec_col)).alias("pos", "val")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    return exploded.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum(F.floor(F.col("val") * F.lit(1000000.0)).cast("long")).alias(
+            "sum_micro"
+        ),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
+
+
+def group_gini(df: DataFrame, group_col: str, label_col: str) -> DataFrame:
+    """Per-group Gini impurity of a label distribution — the
+    class-balance audit a pipeline publishes per source/shard (the
+    log-free twin of entropy: exactly rational, so it hash-matches an
+    oracle where ln never could).
+
+    gini = 1 − Σ_c (n_c/n)² = (n² − Σ_c n_c²)/n², computed from one
+    (group, label)-keyed count; squares in decimal(38,0) (int128, the
+    engine twin of an oracle's HUGEINT) so n_c² cannot wrap int64 at
+    corpus scale.  Doubles appear only in the final division of exact
+    operands.
+    """
+    m = df.groupBy(group_col, label_col).agg(F.count("*").alias("c"))
+    per = m.groupBy(group_col).agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sq"),
+    )
+    n_dec = F.col("n").cast("decimal(38,0)")
+    return per.select(
+        group_col,
+        "n",
+        F.round(
+            (n_dec * F.col("n") - F.col("sq")).cast("double")
+            / (n_dec * F.col("n")).cast("double"),
+            6,
+        ).alias("gini"),
+    )

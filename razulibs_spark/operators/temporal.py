@@ -157,3 +157,72 @@ def range_join_binned(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
     )
     return joined.drop("_bin")
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    step: str = "1 hour",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Per-key time-grid resampling with forward fill — the gap-filling
+    pass that turns an irregular event log into the regular series a
+    feature pipeline or dashboard consumes.
+
+    Per key: truncate the key's observed [min, max] span to the grid,
+    explode one row per grid step (``sequence`` — a built-in array
+    fan-out, no Python), attach the last observation inside each step
+    (row_number over a (key, bucket)-partitioned window), and carry
+    values across empty buckets with ``last(ignorenulls)`` over the
+    key-partitioned order.  Every window is keyed — no single-partition
+    sort; grid size per key is span/step, independent of event count.
+
+    ``step`` must be a literal interval accepted by date_trunc-style
+    bucketing ('1 hour', '1 day').
+    """
+    unit = "hour" if "hour" in step else "day"
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    order = [F.col(ts_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w_pick = Window.partitionBy(key_col, "_bucket").orderBy(
+        *[c.desc() for c in order]
+    )
+    obs = (
+        df.withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(w_pick))
+        .filter(F.col("_rn") == 1)
+        .select(key_col, "_bucket", F.col(val_col).alias("_obs"))
+    )
+    grid = (
+        df.groupBy(key_col)
+        .agg(
+            F.date_trunc(unit, F.min(ts_col)).alias("_lo"),
+            F.date_trunc(unit, F.max(ts_col)).alias("_hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence(
+                    F.col("_lo"),
+                    F.col("_hi"),
+                    F.expr(f"INTERVAL {step}"),
+                )
+            ).alias("_bucket"),
+        )
+    )
+    w_fill = (
+        Window.partitionBy(key_col)
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, [key_col, "_bucket"], "left")
+        .select(
+            F.col(key_col),
+            F.col("_bucket").alias("bucket"),
+            F.last("_obs", ignorenulls=True).over(w_fill).alias(val_col),
+        )
+    )

@@ -757,3 +757,55 @@ def novelty_ratio(documents: DataFrame, k: int = 3) -> DataFrame:
             ).alias("novelty_ratio"),
         )
     )
+
+
+def vocab_coverage(
+    documents: DataFrame, top_n: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Per-source coverage of the global top-N token vocabulary — the
+    tokenizer-sizing report: what fraction of each source's token
+    mass would an N-entry vocab cover (everything else becomes UNK)?
+
+    One token-keyed global count, a deterministic top-N
+    (TakeOrderedAndProject — count-desc with the token string as
+    tie-break), then a broadcast semi-probe of the token stream and a
+    source-keyed integer aggregate.  Coverage is emitted as a
+    micro-floored exact division, bit-stable across engines.
+    """
+    toks = documents.select(
+        "source",
+        F.explode(F.split(F.col(text_col), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "tok")
+        .limit(top_n)
+        .select("tok")
+    )
+    marked = toks.join(
+        F.broadcast(vocab).withColumn("_inv", F.lit(1)), "tok", "left"
+    )
+    return (
+        marked.groupBy("source")
+        .agg(
+            F.count("*").alias("total_tokens"),
+            F.sum(F.coalesce(F.col("_inv"), F.lit(0))).alias(
+                "covered_tokens"
+            ),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "covered_tokens",
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.col("covered_tokens").cast("double")
+                    / F.col("total_tokens").cast("double")
+                )
+            )
+            .cast("long")
+            .alias("coverage_micro"),
+        )
+    )

@@ -32,9 +32,11 @@ from razulibs_spark.functions.scalars import (
 from razulibs_spark.operators import (
     analytics,
     dedup,
+    evaluation,
     relational,
     sampling,
     similarity,
+    stats,
     temporal,
     text,
 )
@@ -5979,3 +5981,431 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bounce_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation & distribution-statistics family (operators/evaluation.py,
+# operators/stats.py): AUC, kappa, calibration, retrieval P@k/MRR,
+# chi-square association, KS drift, embedding feature stats — the
+# metrics a 100 TB data pipeline publishes about its own models and
+# feeds.
+# ---------------------------------------------------------------------------
+
+_AUC_SQL = """
+WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) AS score, label
+           FROM embeddings
+           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+ h AS (SELECT score, COUNT(*) AS cnt FROM r GROUP BY 1),
+ h2 AS (SELECT score,
+               2 * COALESCE(SUM(cnt) OVER (ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + cnt + 1 AS r2
+        FROM h),
+ m AS (SELECT score, label, COUNT(*) AS n FROM r GROUP BY 1, 2),
+ per AS (SELECT label, SUM(CAST(n AS HUGEINT) * r2) AS s2,
+                CAST(SUM(n) AS BIGINT) AS n_pos
+         FROM m JOIN h2 USING (score) GROUP BY 1),
+ t AS (SELECT COUNT(*) AS n_total FROM r)
+SELECT label, n_pos, CAST(n_total - n_pos AS BIGINT) AS n_neg,
+       round(CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+             / CAST(2 * CAST(n_pos AS HUGEINT) * (n_total - n_pos)
+                    AS DOUBLE), 6) AS auc
+FROM per, t
+"""
+
+
+@query("eval_auc_ovr", _AUC_SQL)
+def eval_auc_ovr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest ROC AUC per embedding class with the first
+    component as the score (evaluation.auc_ovr): tie-corrected
+    Mann-Whitney from ONE global score histogram prefix-sum (two-tier
+    range_cumsum — no single-partition window), then one keyed
+    aggregation per class; rank sums in decimal(38,0) so 2N² cannot
+    wrap int64."""
+    e = T(spark, sf_dir, "embeddings")
+    scored = e.select(
+        F.col("embedding")[0].cast("double").alias("score"), "label"
+    )
+    return evaluation.auc_ovr(scored, "score", "label", n_parts=8)
+
+
+_LANGPRED_CTE = """
+WITH c AS (SELECT doc_id, lang,
+   len([w for w in string_split(text, ' ') if w = 'the' OR w = 'a']) AS c_en,
+   len([w for w in string_split(text, ' ') if w = 'data' OR w = 'value']) AS c_es,
+   len([w for w in string_split(text, ' ') if w = 'query' OR w = 'join']) AS c_de
+ FROM documents),
+ p AS (SELECT lang AS labeled_lang,
+              CASE WHEN c_en >= c_es AND c_en >= c_de THEN 'en'
+                   WHEN c_es >= c_de THEN 'es' ELSE 'de' END AS predicted_lang
+       FROM c)
+"""
+
+_KAPPA_SQL = _LANGPRED_CTE + """
+, m AS (SELECT labeled_lang AS a, predicted_lang AS b, COUNT(*) AS n
+        FROM p GROUP BY 1, 2),
+ rt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rt FROM m GROUP BY 1),
+ ct AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ct FROM m GROUP BY 1),
+ pe AS (SELECT CAST(SUM(rt.rt * ct.ct) AS BIGINT) AS pe_num
+        FROM rt JOIN ct ON rt.a = ct.b),
+ po AS (SELECT CAST(SUM(n) AS BIGINT) AS po_num FROM m WHERE a = b),
+ nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM m)
+SELECT n, po_num, pe_num,
+       round(CAST(n * po_num - pe_num AS DOUBLE)
+             / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+FROM nt, po, pe
+"""
+
+
+@query("eval_cohens_kappa", _KAPPA_SQL)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the language-ID heuristic and the gold
+    lang column (evaluation.cohens_kappa): chance-corrected agreement
+    from one (label, prediction)-keyed count — integer arithmetic
+    until the final division, output bounded by the class square."""
+    preds = text.language_id(T(spark, sf_dir, "documents"))
+    return evaluation.cohens_kappa(preds, "labeled_lang", "predicted_lang")
+
+
+_CALIB_SQL = """
+WITH b AS (SELECT (n_chars * 37) % 1000 AS pm,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           FROM documents)
+SELECT pm // 100 AS bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+       round(CAST(SUM(pm) AS DOUBLE) / CAST(COUNT(*) * 1000 AS DOUBLE), 6)
+         AS mean_pred,
+       round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS pos_rate
+FROM b GROUP BY 1
+"""
+
+
+@query("eval_calibration", _CALIB_SQL)
+def eval_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins for a permille-quantized pseudo
+    probability vs the lang='en' label (evaluation.calibration_bins):
+    one map-side-combinable bin-keyed aggregate; integer sums, doubles
+    only in the two final divisions."""
+    d = T(spark, sf_dir, "documents")
+    scored = d.select(
+        ((F.col("n_chars") * 37) % 1000).alias("pm"),
+        (F.col("lang") == "en").alias("is_en"),
+    )
+    return evaluation.calibration_bins(scored, "pm", "is_en", n_bins=10)
+
+
+_RETRIEVAL_SQL = _EMB_CTE + """
+, q AS (SELECT * FROM e WHERE vec_id < 10)
+, scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    list_cosine_similarity(q.v, c.v) AS cos
+             FROM q, e c WHERE c.vec_id <> q.vec_id)
+, ranked AS (SELECT query_id, neighbor_id, cos,
+                    ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cos DESC, neighbor_id) AS rnk
+             FROM scored)
+, res AS (SELECT query_id, neighbor_id, rnk FROM ranked WHERE rnk <= 5)
+, lab AS (SELECT vec_id, label FROM embeddings)
+, j AS (SELECT r.query_id, r.rnk,
+               CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS rel,
+               ql.label AS qlab
+        FROM res r
+        JOIN lab ql ON r.query_id = ql.vec_id
+        JOIN lab nl ON r.neighbor_id = nl.vec_id)
+, perq AS (SELECT query_id, qlab, CAST(SUM(rel) AS BIGINT) AS hits,
+                  MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel_rank
+           FROM j GROUP BY 1, 2)
+, rc AS (SELECT label, COUNT(*) - 1 AS n_relevant FROM lab GROUP BY 1)
+SELECT query_id, hits, CAST(n_relevant AS BIGINT) AS n_relevant,
+       round(CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS p_at_k,
+       CAST(floor(CAST(1000000 AS DOUBLE)
+                  * (CAST(hits AS DOUBLE) / CAST(n_relevant AS DOUBLE)))
+            AS BIGINT) AS recall_micro,
+       first_rel_rank,
+       CAST(floor(CAST(1000000 AS DOUBLE)
+                  / CAST(first_rel_rank AS DOUBLE)) AS BIGINT) AS rr_micro
+FROM perq JOIN rc ON perq.qlab = rc.label
+"""
+
+
+@query("eval_retrieval_pr", _RETRIEVAL_SQL)
+def eval_retrieval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query retrieval quality of brute cosine top-5 judged by
+    label agreement (evaluation.retrieval_metrics over
+    similarity.cosine_topk): precision@5, recall@5 (micro-floored
+    exact division), and first-relevant reciprocal rank — two keyed
+    label joins over the (queries × k) result table, one broadcast
+    class-sized relevance-count join."""
+    e = T(spark, sf_dir, "embeddings")
+    res = similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+    return evaluation.retrieval_metrics(
+        res.select("query_id", "neighbor_id", "rnk"),
+        e.select("vec_id", "label"),
+        "query_id",
+        "neighbor_id",
+        "rnk",
+        "vec_id",
+        "label",
+        k=5,
+    )
+
+
+_CHI2_SQL = """
+WITH cells AS (SELECT lang, source, COUNT(*) AS o
+               FROM documents GROUP BY 1, 2),
+ rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+ ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+ nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+ x AS (SELECT cells.lang, cells.source, o,
+              (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+                / CAST(n AS DOUBLE) AS e
+       FROM cells JOIN rt USING (lang) JOIN ct USING (source), nt)
+SELECT lang, source, o,
+       CAST(floor(CAST(1000000 AS DOUBLE) * e) AS BIGINT) AS e_micro,
+       CAST(floor(CAST(1000 AS DOUBLE)
+                  * ((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e))
+            AS BIGINT) AS contrib_milli
+FROM x
+"""
+
+
+@query("stats_chi_square", _CHI2_SQL)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square association cells between document lang and source
+    (stats.chi_square_cells): observed vs expected counts and
+    per-cell contribution, output bounded by the category square,
+    every input-sized step a map-side-combinable count; double
+    products avoid the rt·ct int64 wrap at corpus scale."""
+    return stats.chi_square_cells(
+        T(spark, sf_dir, "documents"), "lang", "source"
+    )
+
+
+_DIMSTATS_SQL = """
+WITH x AS (SELECT unnest(range(1, len(embedding) + 1)) AS dim,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings)
+SELECT dim, COUNT(*) AS n,
+       CAST(SUM(CAST(floor(val * CAST(1000000 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS sum_micro,
+       MIN(val) AS min_val, MAX(val) AS max_val
+FROM x GROUP BY 1
+"""
+
+
+@query("stats_embedding_dims", _DIMSTATS_SQL)
+def stats_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature-scaling stats of the embedding matrix
+    (stats.embedding_dim_stats): posexplode into a dim-keyed
+    aggregate; sums are exact micro-scaled BIGINTs (float·1e6 of a
+    24-bit mantissa is exact, so the order-independent integer sum
+    hash-matches where a float SUM never could)."""
+    return stats.embedding_dim_stats(
+        T(spark, sf_dir, "embeddings"), "embedding"
+    )
+
+
+_KS_SQL = """
+WITH f AS (SELECT value, event_type FROM events
+           WHERE event_type IN ('click', 'purchase')
+             AND value IS NOT NULL),
+ c AS (SELECT value,
+              CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS ca,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS cb
+       FROM f GROUP BY 1),
+ cum AS (SELECT SUM(ca) OVER w AS fa, SUM(cb) OVER w AS fb
+         FROM c WINDOW w AS (ORDER BY value ROWS UNBOUNDED PRECEDING)),
+ t AS (SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS na,
+              CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS nb
+       FROM f),
+ d AS (SELECT abs(CAST(fa AS DOUBLE) * CAST(nb AS DOUBLE)
+                  - CAST(fb AS DOUBLE) * CAST(na AS DOUBLE)) AS d_num,
+              na, nb
+       FROM cum, t)
+SELECT na, nb,
+       CAST(floor(CAST(1000000 AS DOUBLE)
+                  * (MAX(d_num) / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))))
+            AS BIGINT) AS ks_micro
+FROM d GROUP BY na, nb
+"""
+
+
+@query("stats_ks_drift", _KS_SQL)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift between click and purchase
+    value distributions (stats.ks_drift): exact integer CDF counts
+    via ONE two-tier range_cumsum (no single-partition window),
+    cross-multiplied in deterministic doubles, one scalar max — the
+    monitor a pipeline runs between two feeds or two snapshots."""
+    return stats.ks_drift(
+        T(spark, sf_dir, "events"),
+        "value",
+        "event_type",
+        "click",
+        "purchase",
+        n_parts=8,
+    )
+
+
+_RESAMPLE_SQL = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+ o1 AS (SELECT user_id, bucket, value FROM obs WHERE rn = 1),
+ span AS (SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                 date_trunc('hour', max(ts)) AS hi
+          FROM events GROUP BY 1),
+ grid AS (SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+          FROM span)
+SELECT g.user_id, g.bucket,
+       last_value(o1.value IGNORE NULLS)
+         OVER (PARTITION BY g.user_id ORDER BY g.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+FROM grid g LEFT JOIN o1
+  ON g.user_id = o1.user_id AND g.bucket = o1.bucket
+"""
+
+
+@query("j_resample_ffill", _RESAMPLE_SQL)
+def j_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user hourly resampling with forward fill
+    (temporal.resample_ffill): sequence() grid fan-out per key span,
+    last-observation pick via a (key, bucket)-partitioned window,
+    gap carry with last(ignorenulls) over the key partition — every
+    window keyed, grid size span/step independent of event count."""
+    return temporal.resample_ffill(
+        T(spark, sf_dir, "events"),
+        "user_id",
+        "ts",
+        "value",
+        step="1 hour",
+        tiebreak_col="event_id",
+    )
+
+
+_COPURCHASE_SQL = """
+WITH t AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d,
+                  json_extract_string(props, '$.k') AS item
+           FROM events
+           WHERE json_extract_string(props, '$.k') IS NOT NULL),
+ sz AS (SELECT user_id, d FROM t GROUP BY 1, 2 HAVING COUNT(*) <= 50),
+ kept AS (SELECT t.* FROM t JOIN sz USING (user_id, d)),
+ pairs AS (SELECT a.item AS item_a, b.item AS item_b
+           FROM kept a JOIN kept b
+             ON a.user_id = b.user_id AND a.d = b.d AND a.item < b.item),
+ c AS (SELECT item_a, item_b, COUNT(*) AS n_baskets
+       FROM pairs GROUP BY 1, 2)
+SELECT * FROM c ORDER BY n_baskets DESC, item_a, item_b LIMIT 20
+"""
+
+
+@query("events_copurchase_pairs", _COPURCHASE_SQL)
+def events_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-occurring item pairs across (user, day) baskets
+    (analytics.cooccurrence_pairs): the quadratic is bounded by the
+    max-basket cap (oversize baskets dropped, the standard
+    market-basket guard), pair generation is a basket-keyed equi
+    self-join, and the final top-k is a TakeOrderedAndProject heap
+    with a deterministic (count desc, pair) order."""
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.get_json_object(F.col("props"), "$.k").alias("item"),
+    )
+    return analytics.cooccurrence_pairs(
+        ev, ["user_id", "d"], "item", k=20, max_basket=50
+    )
+
+
+_ZSCORE_SQL = """
+WITH s AS (SELECT event_id, event_type,
+                  CAST(floor(value * 10000 + 0.5) AS BIGINT) AS sv
+           FROM events),
+ st AS (SELECT event_type, COUNT(*) AS n, SUM(sv) AS ssum,
+               SUM(CAST(sv AS HUGEINT) * sv) AS ssq
+        FROM s GROUP BY 1),
+ j AS (SELECT s.event_id, s.event_type, sv, n, ssum, ssq
+       FROM s JOIN st USING (event_type))
+SELECT event_id, event_type,
+  CASE WHEN CAST(n * ssq - ssum * ssum AS DOUBLE)
+            / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) > 0
+    THEN CAST(floor(CAST(1000000 AS DOUBLE)
+              * ((CAST(sv AS DOUBLE) - CAST(ssum AS DOUBLE) / CAST(n AS DOUBLE))
+                 / sqrt(CAST(n * ssq - ssum * ssum AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))))
+              AS BIGINT)
+  END AS z_micro
+FROM j
+"""
+
+
+@query("a_grouped_zscore", _ZSCORE_SQL)
+def a_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score standardization of value
+    (analytics.grouped_zscore): exact fixed-point moments in
+    decimal(38,0) (no order-dependent float sums), variance from
+    sufficient statistics, sqrt as the one correctly-rounded
+    transcendental — one map-side aggregate + one broadcast join, no
+    windows; zero-variance groups yield NULL, not NaN."""
+    return analytics.grouped_zscore(
+        T(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        ["event_id"],
+        scale=10000,
+    )
+
+
+_GINI_SQL = """
+WITH m AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
+ per AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                SUM(CAST(c AS HUGEINT) * c) AS sq
+         FROM m GROUP BY 1)
+SELECT source, n,
+       round(CAST(CAST(n AS HUGEINT) * n - sq AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS gini
+FROM per
+"""
+
+
+@query("stats_group_gini", _GINI_SQL)
+def stats_group_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Gini impurity of the language distribution
+    (stats.group_gini): the class-balance audit per shard — exactly
+    rational (the log-free twin of entropy), decimal(38,0) squares,
+    output bounded by the source vocabulary."""
+    return stats.group_gini(T(spark, sf_dir, "documents"), "source", "lang")
+
+
+_VOCABCOV_SQL = """
+WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+ t2 AS (SELECT source, tok FROM toks WHERE tok <> ''),
+ cnt AS (SELECT tok, COUNT(*) AS cnt FROM t2 GROUP BY 1),
+ vocab AS (SELECT tok FROM cnt ORDER BY cnt DESC, tok LIMIT 50),
+ marked AS (SELECT t2.source,
+                   CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END AS inv
+            FROM t2 LEFT JOIN vocab v USING (tok))
+SELECT source, COUNT(*) AS total_tokens,
+       CAST(SUM(inv) AS BIGINT) AS covered_tokens,
+       CAST(floor(CAST(1000000 AS DOUBLE)
+                  * (CAST(SUM(inv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)))
+            AS BIGINT) AS coverage_micro
+FROM marked GROUP BY 1
+"""
+
+
+@query("text_vocab_coverage", _VOCABCOV_SQL)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source coverage of the global top-50 token vocabulary
+    (text.vocab_coverage): the tokenizer-sizing report — one global
+    token count, a deterministic TakeOrderedAndProject top-N
+    (count desc, token tie-break), a broadcast vocab probe, and a
+    source-keyed integer aggregate with micro-floored coverage."""
+    return text.vocab_coverage(T(spark, sf_dir, "documents"), top_n=50)

@@ -1,0 +1,466 @@
+"""Semantic cross-checks for the evaluation / distribution-statistics
+family: every metric is recomputed brute-force in numpy/pandas on a
+small sample and compared exactly, plus physical-plan guards (no
+CartesianProduct, two-tier cumsum instead of single-partition global
+windows).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from razulibs_spark.operators import evaluation, stats
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+# ---------------------------------------------------------------------------
+# range_cumsum
+# ---------------------------------------------------------------------------
+
+
+def test_range_cumsum_matches_pandas(spark):
+    rng = np.random.RandomState(7)
+    pdf = pd.DataFrame(
+        {"k": rng.permutation(997), "v": rng.randint(0, 50, 997)}
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        stats.range_cumsum(df, ["k"], ["v"], ["before"], n_parts=7)
+        .toPandas()
+        .sort_values("k", ignore_index=True)
+    )
+    expect = pdf.sort_values("k", ignore_index=True)
+    expect["before"] = expect["v"].cumsum().shift(1, fill_value=0)
+    assert (out["before"].to_numpy() == expect["before"].to_numpy()).all()
+
+
+def test_range_cumsum_multi_col_single_shuffle(spark):
+    pdf = pd.DataFrame({"k": range(100), "a": [1] * 100, "b": [2] * 100})
+    df = spark.createDataFrame(pdf)
+    out = stats.range_cumsum(
+        df, ["k"], ["a", "b"], ["ca", "cb"], n_parts=4
+    )
+    plan = _plan(out)
+    # Both prefix sums ride ONE range shuffle.
+    assert plan.count("rangepartitioning") <= 1
+    row = out.filter(F.col("k") == 99).collect()[0]
+    assert row["ca"] == 99 and row["cb"] == 198
+
+
+# ---------------------------------------------------------------------------
+# AUC
+# ---------------------------------------------------------------------------
+
+
+def _brute_auc(scores, labels, cls):
+    pos = sorted(s for s, l in zip(scores, labels) if l == cls)
+    neg = sorted(s for s, l in zip(scores, labels) if l != cls)
+    wins = 0.0
+    for p in pos:
+        for n in neg:
+            if p > n:
+                wins += 1.0
+            elif p == n:
+                wins += 0.5
+    return wins / (len(pos) * len(neg))
+
+
+def test_auc_ovr_matches_brute(spark):
+    rng = np.random.RandomState(3)
+    scores = rng.randint(0, 40, 300).astype(float)  # many ties
+    labels = rng.randint(0, 3, 300)
+    df = spark.createDataFrame(
+        pd.DataFrame({"score": scores, "label": labels})
+    )
+    out = {
+        r["label"]: r
+        for r in evaluation.auc_ovr(df, "score", "label", n_parts=5).collect()
+    }
+    for cls in (0, 1, 2):
+        expect = _brute_auc(scores, labels, cls)
+        assert out[cls]["n_pos"] == int((labels == cls).sum())
+        assert math.isclose(out[cls]["auc"], round(expect, 6), abs_tol=1e-9)
+
+
+def test_auc_perfect_and_random_extremes(spark):
+    # Perfectly separating score -> AUC 1.0 for the high class.
+    pdf = pd.DataFrame(
+        {"score": [1.0, 2.0, 3.0, 10.0, 11.0, 12.0],
+         "label": [0, 0, 0, 1, 1, 1]}
+    )
+    out = {
+        r["label"]: r["auc"]
+        for r in evaluation.auc_ovr(
+            spark.createDataFrame(pdf), "score", "label", n_parts=2
+        ).collect()
+    }
+    assert out[1] == 1.0 and out[0] == 0.0
+
+
+def test_auc_plan_no_cartesian_no_global_window(spark):
+    from razulibs_spark import queries as Q
+
+    plan = _plan(Q.eval_auc_ovr(spark, SF))
+    assert "CartesianProduct" not in plan
+    # The only windows are partitioned by _pid (two-tier cumsum); a
+    # bare `Window [... ORDER BY score]` with an empty partition spec
+    # would funnel the histogram through one task.
+    for frag in plan.split("Arguments: ")[1:]:
+        head = frag.split("\n")[0]
+        if "windowspecdefinition" in head:
+            assert "_pid" in head
+
+
+# ---------------------------------------------------------------------------
+# Cohen's kappa
+# ---------------------------------------------------------------------------
+
+
+def test_cohens_kappa_matches_brute(spark):
+    rng = np.random.RandomState(11)
+    a = rng.randint(0, 4, 500)
+    noise = rng.randint(0, 4, 500)
+    b = np.where(rng.rand(500) < 0.6, a, noise)
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": a.astype(str), "b": b.astype(str)})
+    )
+    row = evaluation.cohens_kappa(df, "a", "b").collect()[0]
+    n = 500
+    po = float((a == b).sum()) / n
+    pe = sum(
+        float((a == int(c)).sum()) * float((b == int(c)).sum())
+        for c in range(4)
+    ) / (n * n)
+    expect = (po - pe) / (1 - pe)
+    assert row["n"] == n
+    assert math.isclose(row["kappa"], round(expect, 6), abs_tol=1e-6)
+
+
+def test_kappa_perfect_agreement(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"a": ["x", "y", "z"] * 10, "b": ["x", "y", "z"] * 10})
+    )
+    assert evaluation.cohens_kappa(df, "a", "b").collect()[0]["kappa"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# Calibration
+# ---------------------------------------------------------------------------
+
+
+def test_calibration_bins_exact(spark):
+    pdf = pd.DataFrame(
+        {"pm": [50, 149, 150, 850, 999, 950],
+         "y": [False, True, False, True, True, False]}
+    )
+    out = {
+        r["bin"]: r
+        for r in evaluation.calibration_bins(
+            spark.createDataFrame(pdf), "pm", "y", n_bins=10
+        ).collect()
+    }
+    assert out[0]["n"] == 1 and out[0]["n_pos"] == 0
+    assert out[0]["mean_pred"] == 0.05
+    assert out[1]["n"] == 2 and out[1]["n_pos"] == 1
+    assert out[1]["mean_pred"] == round((149 + 150) / 2000, 6)
+    assert out[9]["n"] == 2 and out[9]["n_pos"] == 1
+    assert out[8]["n"] == 1 and out[8]["mean_pred"] == 0.85
+
+
+# ---------------------------------------------------------------------------
+# Retrieval metrics
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_metrics_hand_case(spark):
+    results = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "query_id": [1, 1, 1, 2, 2, 2],
+                "neighbor_id": [10, 11, 12, 10, 11, 12],
+                "rnk": [1, 2, 3, 1, 2, 3],
+            }
+        )
+    )
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [1, 2, 10, 11, 12], "label": [7, 8, 8, 7, 7]}
+        )
+    )
+    out = {
+        r["query_id"]: r
+        for r in evaluation.retrieval_metrics(
+            results, labels, "query_id", "neighbor_id", "rnk",
+            "vec_id", "label", k=3
+        ).collect()
+    }
+    # query 1 (label 7): relevant neighbors 11,12 at ranks 2,3; corpus
+    # has 3 label-7 vectors, minus self = 2 relevant.
+    assert out[1]["hits"] == 2 and out[1]["first_rel_rank"] == 2
+    assert out[1]["p_at_k"] == round(2 / 3, 6)
+    assert out[1]["recall_micro"] == 1000000
+    assert out[1]["rr_micro"] == 500000
+    # query 2 (label 8): only neighbor 10 matches, at rank 1.
+    assert out[2]["hits"] == 1 and out[2]["rr_micro"] == 1000000
+    assert out[2]["n_relevant"] == 1
+
+
+def test_retrieval_no_relevant_gives_null_rank(spark):
+    results = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1], "neighbor_id": [10], "rnk": [1]})
+    )
+    labels = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 10, 11], "label": [5, 6, 5]})
+    )
+    row = evaluation.retrieval_metrics(
+        results, labels, "query_id", "neighbor_id", "rnk",
+        "vec_id", "label", k=1
+    ).collect()[0]
+    assert row["hits"] == 0
+    assert row["first_rel_rank"] is None and row["rr_micro"] is None
+
+
+# ---------------------------------------------------------------------------
+# Chi-square
+# ---------------------------------------------------------------------------
+
+
+def test_chi_square_cells_match_brute(spark):
+    rng = np.random.RandomState(5)
+    a = rng.choice(list("pqr"), 400)
+    b = rng.choice(list("uv"), 400)
+    df = spark.createDataFrame(pd.DataFrame({"a": a, "b": b}))
+    out = stats.chi_square_cells(df, "a", "b").collect()
+    ct = pd.crosstab(pd.Series(a), pd.Series(b))
+    n = 400
+    for r in out:
+        o = ct.loc[r["a"], r["b"]]
+        e = float(ct.loc[r["a"]].sum()) * float(ct[r["b"]].sum()) / n
+        assert r["o"] == o
+        assert r["e_micro"] == math.floor(1e6 * e)
+        assert r["contrib_milli"] == math.floor(1e3 * (o - e) ** 2 / e)
+
+
+# ---------------------------------------------------------------------------
+# Embedding dim stats
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_dim_stats_brute(spark, sf_dir):
+    from razulibs_spark import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = {
+        r["dim"]: r
+        for r in stats.embedding_dim_stats(emb, "embedding").collect()
+    }
+    mat = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    assert len(out) == mat.shape[1]
+    for d in (1, mat.shape[1]):
+        col = mat[:, d - 1]
+        assert out[d]["n"] == len(col)
+        assert out[d]["min_val"] == col.min()
+        assert out[d]["max_val"] == col.max()
+        assert out[d]["sum_micro"] == int(
+            np.floor(col * 1_000_000.0).sum()
+        )
+
+
+# ---------------------------------------------------------------------------
+# KS drift
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_matches_brute(spark, sf_dir):
+    from razulibs_spark import tables
+
+    ev = tables.load(spark, sf_dir, "events")
+    row = stats.ks_drift(
+        ev, "value", "event_type", "click", "purchase", n_parts=4
+    ).collect()[0]
+    pdf = ev.select("value", "event_type").toPandas()
+    va = np.sort(
+        pdf.loc[pdf.event_type == "click", "value"].dropna().to_numpy()
+    )
+    vb = np.sort(
+        pdf.loc[pdf.event_type == "purchase", "value"].dropna().to_numpy()
+    )
+    allv = np.unique(np.concatenate([va, vb]))
+    fa = np.searchsorted(va, allv, side="right")
+    fb = np.searchsorted(vb, allv, side="right")
+    d = np.abs(
+        fa.astype(float) * len(vb) - fb.astype(float) * len(va)
+    ).max()
+    assert row["na"] == len(va) and row["nb"] == len(vb)
+    assert row["ks_micro"] == math.floor(
+        1e6 * (d / (float(len(va)) * float(len(vb))))
+    )
+
+
+def test_ks_identical_distribution_is_zero(spark):
+    pdf = pd.DataFrame(
+        {"v": list(range(50)) * 2, "g": ["a"] * 50 + ["b"] * 50}
+    )
+    row = stats.ks_drift(
+        spark.createDataFrame(pdf), "v", "g", "a", "b", n_parts=2
+    ).collect()[0]
+    assert row["ks_micro"] == 0
+
+
+def test_ks_plan_no_cartesian(spark):
+    from razulibs_spark import queries as Q
+
+    plan = _plan(Q.stats_ks_drift(spark, SF))
+    assert "CartesianProduct" not in plan
+    for frag in plan.split("Arguments: ")[1:]:
+        head = frag.split("\n")[0]
+        if "windowspecdefinition" in head:
+            assert "_pid" in head
+
+
+# ---------------------------------------------------------------------------
+# Batch 2: resample/ffill, co-occurrence, z-score, gini, vocab coverage
+# ---------------------------------------------------------------------------
+
+
+def test_resample_ffill_hand_case(spark):
+    from razulibs_spark.operators import temporal
+
+    pdf = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:10", "2024-01-01 00:40", "2024-01-01 03:05"]
+            ),
+            "v": [10.0, 20.0, 30.0],
+            "tb": [1, 2, 3],
+        }
+    )
+    out = (
+        temporal.resample_ffill(
+            spark.createDataFrame(pdf), "k", "ts", "v", "1 hour", "tb"
+        )
+        .orderBy("bucket")
+        .collect()
+    )
+    # Grid: 00:00..03:00 inclusive; hour 0 takes the LAST obs (20.0),
+    # hours 1-2 forward-fill, hour 3 observes 30.0.
+    assert [r["v"] for r in out] == [20.0, 20.0, 20.0, 30.0]
+    assert len(out) == 4
+
+
+def test_cooccurrence_pairs_hand_case(spark):
+    from razulibs_spark.operators import analytics
+
+    pdf = pd.DataFrame(
+        {
+            "b": [1, 1, 1, 2, 2, 3, 3, 3],
+            "item": ["x", "y", "z", "x", "y", "x", "y", "x"],
+        }
+    )
+    out = analytics.cooccurrence_pairs(
+        spark.createDataFrame(pdf), ["b"], "item", k=10, max_basket=50
+    ).collect()
+    d = {(r["item_a"], r["item_b"]): r["n_baskets"] for r in out}
+    # (x,y) co-occur in baskets 1,2,3 (dup x in basket 3 dedups).
+    assert d[("x", "y")] == 3
+    assert d[("x", "z")] == 1 and d[("y", "z")] == 1
+    # Ranking: most frequent pair first.
+    assert out[0]["item_a"] == "x" and out[0]["item_b"] == "y"
+
+
+def test_cooccurrence_basket_cap_drops_oversize(spark):
+    from razulibs_spark.operators import analytics
+
+    rows = [(1, f"i{j:02d}") for j in range(10)] + [(2, "a"), (2, "b")]
+    pdf = pd.DataFrame(rows, columns=["b", "item"])
+    out = analytics.cooccurrence_pairs(
+        spark.createDataFrame(pdf), ["b"], "item", k=100, max_basket=5
+    ).collect()
+    assert {(r["item_a"], r["item_b"]) for r in out} == {("a", "b")}
+
+
+def test_grouped_zscore_matches_numpy(spark):
+    from razulibs_spark.operators import analytics
+
+    rng = np.random.RandomState(13)
+    vals = np.round(rng.uniform(0, 100, 400), 2)
+    grp = rng.choice(["g1", "g2"], 400)
+    pdf = pd.DataFrame({"id": range(400), "g": grp, "v": vals})
+    out = {
+        r["id"]: r["z_micro"]
+        for r in analytics.grouped_zscore(
+            spark.createDataFrame(pdf), ["g"], "v", ["id"]
+        ).collect()
+    }
+    sv = np.floor(vals * 10000 + 0.5)
+    for g in ("g1", "g2"):
+        m = grp == g
+        mu, sd = sv[m].mean(), sv[m].std()  # population std
+        for i in np.where(m)[0][:50]:
+            expect = math.floor(1e6 * ((sv[i] - mu) / sd))
+            assert abs(out[i] - expect) <= 1  # numpy mean rounds differently
+
+
+def test_grouped_zscore_zero_variance_null(spark):
+    from razulibs_spark.operators import analytics
+
+    pdf = pd.DataFrame({"id": [1, 2], "g": ["a", "a"], "v": [5.0, 5.0]})
+    out = analytics.grouped_zscore(
+        spark.createDataFrame(pdf), ["g"], "v", ["id"]
+    ).collect()
+    assert all(r["z_micro"] is None for r in out)
+
+
+def test_group_gini_extremes(spark):
+    pdf = pd.DataFrame(
+        {
+            "g": ["pure"] * 4 + ["even"] * 4,
+            "lab": ["a"] * 4 + ["a", "b", "c", "d"],
+        }
+    )
+    out = {
+        r["g"]: r["gini"]
+        for r in stats.group_gini(
+            spark.createDataFrame(pdf), "g", "lab"
+        ).collect()
+    }
+    assert out["pure"] == 0.0
+    assert out["even"] == 0.75
+
+
+def test_vocab_coverage_hand_case(spark):
+    from razulibs_spark.operators import text as T
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["s1", "s1", "s2"],
+            "text": ["a a b", "a c", "b d"],
+        }
+    )
+    out = {
+        r["source"]: r
+        for r in T.vocab_coverage(
+            spark.createDataFrame(pdf), top_n=2
+        ).collect()
+    }
+    # Counts: a=3, b=2, c=1, d=1 -> vocab {a, b}.
+    assert out["s1"]["total_tokens"] == 5
+    assert out["s1"]["covered_tokens"] == 4
+    assert out["s2"]["covered_tokens"] == 1
+    assert out["s2"]["coverage_micro"] == 500000
