@@ -167,6 +167,10 @@ R04_ADDITIONS = [
     "a_grouped_zscore",
     "stats_group_gini",
     "text_vocab_coverage",
+    "events_interarrival_quantiles",
+    "a_corr_matrix",
+    "a_winsorize",
+    "events_changepoint",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -589,3 +589,97 @@ def grouped_zscore(
     return enriched.select(
         *id_cols, *group_cols, z_guarded.alias("z_micro")
     )
+
+
+def interarrival_quantiles(
+    events: DataFrame,
+    group_col: str = "event_type",
+    qs: tuple[int, ...] = (50, 90, 99),
+) -> DataFrame:
+    """Per-group discrete quantiles (percent points, type-1: smallest
+    element with CDF >= q) of the inter-arrival gap between a user's
+    consecutive events of that group — the cadence/latency report of
+    an event feed (median cadence, tail stalls).
+
+    Gaps are exact integer microseconds from a (user, group)-keyed lag
+    window; the quantile picks an ELEMENT (rank ceil(q·n/100) via pure
+    integer arithmetic), never an interpolated float — linear
+    interpolation at rank (n-1)·q differs between engines by an ulp,
+    which at 1e11-microsecond magnitudes no decimal rounding can hide.
+    Shape: one keyed lag window, one (group, gap) count, a group-keyed
+    histogram cumsum (parallel across groups, sized by distinct gap
+    values), and one conditional-min aggregate.
+    """
+    w = Window.partitionBy("user_id", group_col).orderBy("ts", "event_id")
+    gaps = (
+        events.select(
+            "user_id", group_col, "ts", "event_id",
+            F.lag("ts").over(w).alias("_lag_ts"),
+        )
+        .filter(F.col("_lag_ts").isNotNull())
+        .select(
+            group_col,
+            F.expr("timestampdiff(MICROSECOND, _lag_ts, ts)").alias(
+                "gap_us"
+            ),
+        )
+    )
+    hist = gaps.groupBy(group_col, "gap_us").agg(F.count("*").alias("c"))
+    wc = (
+        Window.partitionBy(group_col)
+        .orderBy("gap_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(wc))
+    tot = gaps.groupBy(group_col).agg(F.count("*").alias("n_gaps"))
+    j = cum.join(tot, group_col)
+    aggs = [
+        F.min(
+            F.when(
+                # rank ceil(q·n/100) in exact integer arithmetic.
+                F.col("cum")
+                >= F.expr(f"({q} * n_gaps + 99) div 100"),
+                F.col("gap_us"),
+            )
+        ).alias(f"p{q:02d}")
+        for q in qs
+    ]
+    return j.groupBy(group_col, "n_gaps").agg(*aggs).select(
+        group_col, *[f"p{q:02d}" for q in qs], "n_gaps"
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_cols: list[str],
+    val_col: str,
+    id_cols: list[str],
+    lo_q: float = 0.05,
+    hi_q: float = 0.95,
+) -> DataFrame:
+    """Per-group winsorization (percentile clipping) of a metric —
+    the outlier-capping pass of feature cleaning.
+
+    Two-pass shape that scales: one group-keyed quantile aggregate
+    (bounded output), broadcast back, clamp in a narrow projection.
+    Thresholds are rounded to 6 places BEFORE clamping so both the
+    engine and any oracle clamp against the identical boundary (the
+    unrounded interpolated quantile is the one value the two engines
+    may disagree on by an ulp).
+    """
+    thresholds = df.groupBy(*group_cols).agg(
+        F.round(F.expr(f"percentile({val_col}, {lo_q})"), 6).alias("_lo"),
+        F.round(F.expr(f"percentile({val_col}, {hi_q})"), 6).alias("_hi"),
+    )
+    v = F.col(val_col)
+    clipped = (
+        F.when(v < F.col("_lo"), F.col("_lo"))
+        .when(v > F.col("_hi"), F.col("_hi"))
+        .otherwise(v)
+    )
+    return df.join(F.broadcast(thresholds), group_cols).select(
+        *id_cols,
+        *group_cols,
+        v.alias(val_col),
+        clipped.alias(f"{val_col}_winsorized"),
+    )

@@ -259,3 +259,141 @@ def group_gini(df: DataFrame, group_col: str, label_col: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+def corr_matrix(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+) -> DataFrame:
+    """Pairwise Pearson correlation between activity series (one count
+    series per ``series_col`` value over ``time_col`` buckets) — the
+    co-movement report between feeds that a monitoring pipeline keeps.
+
+    The (bucket × series) count grid is completed with explicit zeros
+    (a missing bucket IS a zero observation — an inner join would
+    silently condition on co-activity), then pairs (a < b) are formed
+    by a bucket-keyed self-join bounded by |series|² per bucket.  All
+    sufficient statistics are exact integer sums; r comes from one
+    deterministic double expression with two correctly-rounded sqrts,
+    emitted micro-floored.
+    """
+    counts = df.groupBy(time_col, series_col).agg(F.count("*").alias("c"))
+    buckets = counts.select(time_col).distinct()
+    series = counts.select(series_col).distinct()
+    grid = buckets.crossJoin(F.broadcast(series))
+    full = grid.join(counts, [time_col, series_col], "left").select(
+        time_col,
+        series_col,
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+    )
+    a = full.select(
+        time_col,
+        F.col(series_col).alias("series_a"),
+        F.col("c").alias("x"),
+    )
+    b = full.select(
+        time_col,
+        F.col(series_col).alias("series_b"),
+        F.col("c").alias("y"),
+    )
+    pairs = a.join(b, time_col).filter(
+        F.col("series_a") < F.col("series_b")
+    )
+    suff = pairs.groupBy("series_a", "series_b").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y")).alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy") - F.col("sx").cast("decimal(38,0)") * F.col("sy")
+    ).cast("double")
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx")
+            - F.col("sx").cast("decimal(38,0)") * F.col("sx")
+        ).cast("double")
+    ) * F.sqrt(
+        (
+            F.col("n") * F.col("syy")
+            - F.col("sy").cast("decimal(38,0)") * F.col("sy")
+        ).cast("double")
+    )
+    # Nearest-micro (+0.5 then floor), not plain floor: a perfect
+    # correlation otherwise lands at 999999 because sqrt(A)*sqrt(B)
+    # exceeds |num| by an ulp.  The chain stays deterministic.
+    r_micro = F.when(
+        den > 0,
+        F.floor(F.lit(1000000.0) * (num / den) + F.lit(0.5)),
+    ).cast("long")
+    return suff.select(
+        "series_a", "series_b", "n", r_micro.alias("r_micro")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    time_col: str,
+    series_col: str,
+) -> DataFrame:
+    """CUSUM changepoint detection per series: the time bucket where
+    the cumulative deviation from the series mean peaks — the "when
+    did this feed change behavior" monitor.
+
+    Exactly integer throughout: with S the series total over m
+    buckets, n·CUSUM_k = m·Σ_{i≤k}x_i − k·S needs no division.  Counts
+    come from one keyed aggregate; the per-series prefix sum runs on
+    the bucket grain (bounded by the time span, not event volume), so
+    a series-keyed window is the right tool; the argmax is one
+    max_by(struct) aggregate — no second sort.
+    """
+    counts = (
+        df.groupBy(series_col, time_col)
+        .agg(F.count("*").alias("x"))
+    )
+    w = (
+        Window.partitionBy(series_col)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wk = Window.partitionBy(series_col).orderBy(time_col)
+    cum = counts.select(
+        series_col,
+        time_col,
+        F.sum("x").over(w).alias("cx"),
+        F.row_number().over(wk).alias("k"),
+    )
+    totals = counts.groupBy(series_col).agg(
+        F.sum("x").alias("s"), F.count("*").alias("m")
+    )
+    scored = cum.join(totals, series_col).select(
+        series_col,
+        time_col,
+        "k",
+        (
+            F.col("m").cast("decimal(38,0)") * F.col("cx")
+            - F.col("k").cast("decimal(38,0)") * F.col("s")
+        ).alias("dev"),
+    )
+    # argmax of (|dev|, earliest bucket on ties) in ONE pass.
+    return scored.groupBy(series_col).agg(
+        F.max_by(
+            F.struct(
+                F.col(time_col).alias("t"), F.abs(F.col("dev")).alias("a")
+            ),
+            F.struct(
+                F.abs(F.col("dev")).alias("a"),
+                # negate the tie-break so EARLIER buckets win the max.
+                (-F.col("k")).alias("rb"),
+            ),
+        ).alias("_best"),
+        F.count("*").alias("n_buckets"),
+    ).select(
+        series_col,
+        F.col("_best.t").alias("change_bucket"),
+        F.col("_best.a").cast("long").alias("peak_dev_scaled"),
+        "n_buckets",
+    )

@@ -6409,3 +6409,153 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (count desc, token tie-break), a broadcast vocab probe, and a
     source-keyed integer aggregate with micro-floored coverage."""
     return text.vocab_coverage(T(spark, sf_dir, "documents"), top_n=50)
+
+
+_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - epoch_us(lag(ts) OVER (
+             PARTITION BY user_id, event_type ORDER BY ts, event_id))
+           AS gap_us
+  FROM events),
+ g2 AS (SELECT event_type, gap_us FROM g WHERE gap_us IS NOT NULL),
+ h AS (SELECT event_type, gap_us, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+ cum AS (SELECT event_type, gap_us,
+                SUM(c) OVER (PARTITION BY event_type ORDER BY gap_us
+                             ROWS UNBOUNDED PRECEDING) AS cum
+         FROM h),
+ t AS (SELECT event_type, COUNT(*) AS n_gaps FROM g2 GROUP BY 1)
+SELECT cum.event_type,
+       CAST(MIN(CASE WHEN cum >= (50 * n_gaps + 99) // 100
+                THEN gap_us END) AS BIGINT) AS p50,
+       CAST(MIN(CASE WHEN cum >= (90 * n_gaps + 99) // 100
+                THEN gap_us END) AS BIGINT) AS p90,
+       CAST(MIN(CASE WHEN cum >= (99 * n_gaps + 99) // 100
+                THEN gap_us END) AS BIGINT) AS p99,
+       n_gaps
+FROM cum JOIN t USING (event_type)
+GROUP BY cum.event_type, n_gaps
+"""
+
+
+@query("events_interarrival_quantiles", _INTERARRIVAL_SQL)
+def events_interarrival_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-type discrete p50/p90/p99 of a user's inter-arrival gap
+    (analytics.interarrival_quantiles): exact integer-microsecond
+    gaps from one (user, type)-keyed lag window, then element-picking
+    type-1 quantiles via a group-keyed histogram cumsum — no float
+    interpolation (engines disagree by an ulp at 1e11 magnitudes), so
+    the report is bit-stable."""
+    return analytics.interarrival_quantiles(T(spark, sf_dir, "events"))
+
+
+_CORR_SQL = """
+WITH counts AS (SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+ buckets AS (SELECT DISTINCT d FROM counts),
+ series AS (SELECT DISTINCT event_type FROM counts),
+ grid AS (SELECT d, event_type FROM buckets, series),
+ full_g AS (SELECT g.d, g.event_type, COALESCE(c.c, 0) AS c
+            FROM grid g LEFT JOIN counts c
+              ON g.d = c.d AND g.event_type = c.event_type),
+ pairs AS (SELECT a.event_type AS series_a, b.event_type AS series_b,
+                  a.c AS x, b.c AS y
+           FROM full_g a JOIN full_g b
+             ON a.d = b.d AND a.event_type < b.event_type),
+ suff AS (SELECT series_a, series_b, COUNT(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM pairs GROUP BY 1, 2)
+SELECT series_a, series_b, n,
+  CASE WHEN sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) > 0
+    THEN CAST(floor(CAST(1000000 AS DOUBLE)
+         * (CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+            / (sqrt(CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+               * sqrt(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE))))
+         + 0.5) AS BIGINT)
+  END AS r_micro
+FROM suff
+"""
+
+
+@query("a_corr_matrix", _CORR_SQL)
+def a_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between per-type daily activity
+    series (stats.corr_matrix): zero-completed (bucket × series)
+    grid, bucket-keyed pair self-join bounded by |series|² per
+    bucket, exact decimal sufficient statistics, one deterministic
+    double expression with correctly-rounded sqrts."""
+    ev = T(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    )
+    return stats.corr_matrix(ev, "d", "event_type")
+
+
+_WINSOR_SQL = """
+WITH th AS (SELECT event_type,
+                   round(quantile_cont(value, 0.05), 6) AS lo,
+                   round(quantile_cont(value, 0.95), 6) AS hi
+            FROM events GROUP BY 1)
+SELECT event_id, e.event_type, value,
+       CASE WHEN value < lo THEN lo
+            WHEN value > hi THEN hi
+            ELSE value END AS value_winsorized
+FROM events e JOIN th USING (event_type)
+"""
+
+
+@query("a_winsorize", _WINSOR_SQL)
+def a_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type p05/p95 winsorization of value (analytics.winsorize):
+    one group-keyed quantile aggregate broadcast back, clamp in a
+    narrow projection — thresholds rounded BEFORE clamping so both
+    engines clip against the identical boundary."""
+    return analytics.winsorize(
+        T(spark, sf_dir, "events"),
+        ["event_type"],
+        "value",
+        ["event_id"],
+        lo_q=0.05,
+        hi_q=0.95,
+    )
+
+
+_CHANGEPOINT_SQL = """
+WITH counts AS (SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS x
+                FROM events GROUP BY 1, 2),
+ cum AS (SELECT event_type, d,
+                SUM(x) OVER (PARTITION BY event_type ORDER BY d
+                             ROWS UNBOUNDED PRECEDING) AS cx,
+                ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d) AS k
+         FROM counts),
+ tot AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS s, COUNT(*) AS m
+         FROM counts GROUP BY 1),
+ sc AS (SELECT c.event_type, d, k,
+               abs(CAST(m AS HUGEINT) * cx - CAST(k AS HUGEINT) * s) AS a
+        FROM cum c JOIN tot t ON c.event_type = t.event_type),
+ r AS (SELECT event_type, d, a,
+              ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY a DESC, k) AS rn,
+              COUNT(*) OVER (PARTITION BY event_type) AS n_buckets
+       FROM sc)
+SELECT event_type, d AS change_bucket, CAST(a AS BIGINT) AS peak_dev_scaled,
+       n_buckets
+FROM r WHERE rn = 1
+"""
+
+
+@query("events_changepoint", _CHANGEPOINT_SQL)
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per event type over daily counts
+    (stats.cusum_changepoint): exactly-integer m·Σx − k·S deviation
+    on the bounded bucket grain, argmax via one max_by(struct) pass
+    — the when-did-this-feed-change monitor."""
+    ev = T(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("d")
+    )
+    return stats.cusum_changepoint(ev, "d", "event_type")

@@ -464,3 +464,107 @@ def test_vocab_coverage_hand_case(spark):
     assert out["s1"]["covered_tokens"] == 4
     assert out["s2"]["covered_tokens"] == 1
     assert out["s2"]["coverage_micro"] == 500000
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: interarrival quantiles, correlation, winsorize, changepoint
+# ---------------------------------------------------------------------------
+
+
+def test_interarrival_gaps_hand_case(spark):
+    from razulibs_spark.operators import analytics
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_type": ["a", "a", "a", "a"],
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:00:10",
+                 "2024-01-01 00:00:40", "2024-01-01 05:00:00"]
+            ),
+        }
+    )
+    row = analytics.interarrival_quantiles(
+        spark.createDataFrame(pdf), "event_type", qs=(50, 99)
+    ).collect()[0]
+    # User 1 gaps: 10s, 30s; user 2 contributes none.  Discrete p50 =
+    # element at rank ceil(0.5*2)=1 -> 10s; p99 -> rank 2 -> 30s.
+    assert row["n_gaps"] == 2
+    assert row["p50"] == 10_000_000
+    assert row["p99"] == 30_000_000
+
+
+def test_corr_matrix_matches_numpy(spark):
+    rng = np.random.RandomState(17)
+    rows = []
+    for d in range(20):
+        for s, lam in (("a", 5), ("b", 9)):
+            for _ in range(rng.poisson(lam)):
+                rows.append((d, s))
+    pdf = pd.DataFrame(rows, columns=["d", "s"])
+    out = stats.corr_matrix(spark.createDataFrame(pdf), "d", "s").collect()
+    assert len(out) == 1
+    ct = pdf.groupby(["d", "s"]).size().unstack(fill_value=0)
+    ct = ct.reindex(range(20), fill_value=0)
+    expect = np.corrcoef(ct["a"], ct["b"])[0, 1]
+    assert abs(out[0]["r_micro"] / 1e6 - expect) < 2e-6
+
+
+def test_corr_matrix_perfect_correlation(spark):
+    rows = []
+    for d in range(5):
+        rows += [(d, "a")] * (d + 1) + [(d, "b")] * (2 * (d + 1))
+    pdf = pd.DataFrame(rows, columns=["d", "s"])
+    out = stats.corr_matrix(spark.createDataFrame(pdf), "d", "s").collect()
+    assert out[0]["r_micro"] == 1000000
+
+
+def test_corr_matrix_zero_fills_missing_buckets(spark):
+    # Series b absent on days 1-2: an inner join would drop those days
+    # and see perfect correlation; zero-fill must not.
+    rows = [(0, "a"), (0, "b"), (1, "a"), (2, "a"), (2, "b")]
+    pdf = pd.DataFrame(rows, columns=["d", "s"])
+    out = stats.corr_matrix(spark.createDataFrame(pdf), "d", "s").collect()
+    assert out[0]["n"] == 3
+
+
+def test_winsorize_clamps_to_rounded_thresholds(spark):
+    from razulibs_spark.operators import analytics
+
+    vals = [float(i) for i in range(1, 101)]
+    pdf = pd.DataFrame(
+        {"id": range(100), "g": ["x"] * 100, "v": vals}
+    )
+    out = analytics.winsorize(
+        spark.createDataFrame(pdf), ["g"], "v", ["id"], 0.05, 0.95
+    ).toPandas()
+    lo = np.percentile(vals, 5)   # same (n-1)q definition
+    hi = np.percentile(vals, 95)
+    assert out["v_winsorized"].min() == round(lo, 6)
+    assert out["v_winsorized"].max() == round(hi, 6)
+    mid = out[(out.v > lo) & (out.v < hi)]
+    assert (mid["v_winsorized"] == mid["v"]).all()
+
+
+def test_cusum_changepoint_detects_level_shift(spark):
+    # 10 buckets at rate 2, then 10 at rate 10: peak deviation at the
+    # shift boundary (bucket 9, the last low-rate bucket).
+    rows = []
+    for d in range(10):
+        rows += [(d, "s")] * 2
+    for d in range(10, 20):
+        rows += [(d, "s")] * 10
+    pdf = pd.DataFrame(rows, columns=["d", "g"])
+    row = stats.cusum_changepoint(
+        spark.createDataFrame(pdf), "d", "g"
+    ).collect()[0]
+    assert row["change_bucket"] == 9
+    assert row["n_buckets"] == 20
+    # Brute CUSUM: m*cum_k - k*S maximized at k=10 (bucket index 9).
+    xs = [2] * 10 + [10] * 10
+    s, m = sum(xs), len(xs)
+    best = max(
+        abs(m * sum(xs[: k + 1]) - (k + 1) * s) for k in range(m)
+    )
+    assert row["peak_dev_scaled"] == best
