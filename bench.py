@@ -171,6 +171,10 @@ R04_ADDITIONS = [
     "a_corr_matrix",
     "a_winsorize",
     "events_changepoint",
+    "eval_ann_agreement",
+    "events_new_returning",
+    "events_weekday_profile",
+    "sim_pca_power",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

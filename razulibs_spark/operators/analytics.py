@@ -683,3 +683,79 @@ def winsorize(
         v.alias(val_col),
         clipped.alias(f"{val_col}_winsorized"),
     )
+
+
+def new_returning(events: DataFrame) -> DataFrame:
+    """Daily new-vs-returning active users — the acquisition/retention
+    split every product-analytics pipeline publishes.
+
+    Two keyed aggregates (per-user first day; per-day distinct
+    actives) and one user-keyed join; a user is "new" on the one day
+    equal to their corpus-wide first day.  All counts exact integers.
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("_first_day")
+    )
+    daily = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    j = daily.join(first, "user_id")
+    is_new = F.when(
+        F.col("day") == F.col("_first_day"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return j.groupBy("day").agg(
+        F.count("*").alias("n_active"),
+        F.sum(is_new).alias("n_new"),
+        (F.count("*") - F.sum(is_new)).alias("n_returning"),
+    )
+
+
+def weekday_profile(events: DataFrame) -> DataFrame:
+    """Per-type weekday seasonality profile: event volume by ISO
+    weekday, normalized into a seasonality index (per-occurring-day
+    rate over the type's overall daily rate, micro-scaled) — the
+    profile a monitoring pipeline checks anomalies against.
+
+    Calendar weighting uses the observed distinct-day calendar (a
+    span ending mid-week has more Mondays than Sundays — dividing by
+    raw counts would bake that skew into the index).  Everything is
+    exact integer counts; the index is one deterministic double
+    expression over them.
+    """
+    dow = (F.weekday(F.col("day")) + 1).alias("dow")  # ISO: Mon=1..Sun=7
+    cal = events.select(F.col("ts").cast("date").alias("day")).distinct()
+    dow_days = cal.select(dow).groupBy("dow").agg(
+        F.count("*").alias("days_with_dow")
+    )
+    by_dow = (
+        events.select(
+            "event_type", F.col("ts").cast("date").alias("day")
+        )
+        .select("event_type", dow)
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n_events"))
+    )
+    totals = events.groupBy("event_type").agg(
+        F.count("*").alias("_n_type")
+    )
+    n_days = cal.groupBy().agg(F.count("*").alias("_n_days"))
+    j = (
+        by_dow.join(F.broadcast(dow_days), "dow")
+        .join(F.broadcast(totals), "event_type")
+        .crossJoin(F.broadcast(n_days))
+    )
+    index = (
+        F.col("n_events").cast("double") * F.col("_n_days").cast("double")
+    ) / (
+        F.col("days_with_dow").cast("double")
+        * F.col("_n_type").cast("double")
+    )
+    return j.select(
+        "event_type",
+        "dow",
+        "n_events",
+        "days_with_dow",
+        F.floor(F.lit(1000000.0) * index + F.lit(0.5))
+        .cast("long")
+        .alias("index_micro"),
+    )

@@ -240,3 +240,35 @@ def retrieval_metrics(
         .cast("long")
         .alias("rr_micro"),
     )
+
+
+def topk_agreement(
+    res_a: DataFrame,
+    res_b: DataFrame,
+    query_col: str,
+    neighbor_col: str,
+    k: int,
+) -> DataFrame:
+    """Per-query overlap between two top-k retrieval results (e.g. the
+    exact brute-force ranking vs the IVF-bucketed ANN) — the recall
+    report that justifies shipping an approximate index at 100 TB.
+
+    One (query, neighbor)-keyed left join over two (queries × k)-sized
+    tables, one query-keyed count; nothing scales with the corpus.
+    """
+    a = res_a.select(query_col, neighbor_col)
+    b = res_b.select(query_col, neighbor_col).withColumn(
+        "_hit", F.lit(1)
+    )
+    per = (
+        a.join(b, [query_col, neighbor_col], "left")
+        .groupBy(query_col)
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"))
+    )
+    return per.select(
+        query_col,
+        "n_overlap",
+        F.round(
+            F.col("n_overlap").cast("double") / F.lit(float(k)), 6
+        ).alias("agreement_at_k"),
+    )

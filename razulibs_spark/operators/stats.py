@@ -397,3 +397,80 @@ def cusum_changepoint(
         F.col("_best.a").cast("long").alias("peak_dev_scaled"),
         "n_buckets",
     )
+
+
+def pca_top_component(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    iters: int = 8,
+) -> DataFrame:
+    """Top principal component of an embedding matrix by distributed
+    power iteration — the first step of whitening / variance auditing
+    over a 100 TB embedding table.
+
+    Each iteration is two corpus passes built from array HOFs and one
+    dim-keyed aggregate: score_i = (x_i - mu)·v per row (zip_with +
+    aggregate, JVM-side), then s = Σ_i score_i·(x_i - mu) via a
+    posexplode sum.  Only a dim-length float vector travels to the
+    driver per iteration (normalized there, re-broadcast as a
+    literal), so the loop state is O(dim), never O(rows) — and because
+    each iterate is rebuilt from literals, the logical plan stays flat
+    (no localCheckpoint needed, unlike self-referential loops).
+    Deterministic all-ones init; float math (rows-only contract — sum
+    order makes eigenvectors engine-specific in the last ulps).
+    """
+    import math as _math
+
+    centered_rows = df.filter(F.col(vec_col).isNotNull()).select(
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double")
+        ).alias("x")
+    )
+    dims = centered_rows.select(
+        F.size("x").alias("d")
+    ).limit(1).collect()
+    dim = dims[0]["d"]
+    mu = (
+        centered_rows.select(
+            F.posexplode("x").alias("pos", "val")
+        )
+        .groupBy("pos")
+        .agg(F.avg("val").alias("m"))
+        .orderBy("pos")
+        .collect()
+    )
+    mu_arr = [r["m"] for r in mu]
+    mu_lit = F.array(*[F.lit(m) for m in mu_arr])
+    centered = centered_rows.select(
+        F.zip_with("x", mu_lit, lambda a, b: a - b).alias("x")
+    ).persist()
+    v = [1.0 / _math.sqrt(dim)] * dim
+    eigenvalue = 0.0
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(c) for c in v])
+        score = F.aggregate(
+            F.zip_with("x", v_lit, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, y: acc + y,
+        )
+        s = (
+            centered.select(
+                score.alias("s"), F.posexplode("x").alias("pos", "val")
+            )
+            .groupBy("pos")
+            .agg(F.sum(F.col("s") * F.col("val")).alias("t"))
+            .orderBy("pos")
+            .collect()
+        )
+        t = [r["t"] for r in s]
+        norm = _math.sqrt(sum(c * c for c in t))
+        if norm == 0.0:
+            break
+        eigenvalue = norm
+        v = [c / norm for c in t]
+    centered.unpersist()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(i + 1, v[i], eigenvalue) for i in range(dim)],
+        ["dim", "loading", "eigenvalue"],
+    )

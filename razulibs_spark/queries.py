@@ -6559,3 +6559,130 @@ def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", F.col("ts").cast("date").alias("d")
     )
     return stats.cusum_changepoint(ev, "d", "event_type")
+
+
+_ANN_AGREE_SQL = _EMB_CTE + """
+, exq AS (SELECT * FROM e WHERE vec_id < 10)
+, exs AS (SELECT exq.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(exq.v, c.v) AS cos
+          FROM exq, e c WHERE c.vec_id <> exq.vec_id)
+, exr AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM exs)
+, ex AS (SELECT query_id, neighbor_id FROM exr WHERE rnk <= 5)
+, cent AS (SELECT * FROM e WHERE vec_id < 4)
+, s0 AS (SELECT e.vec_id, cent.vec_id AS centroid_id,
+                list_cosine_similarity(e.v, cent.v) AS cos
+         FROM e, cent)
+, r0 AS (SELECT vec_id, centroid_id,
+                ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, centroid_id) AS rn
+         FROM s0)
+, assign AS (SELECT vec_id, centroid_id FROM r0 WHERE rn = 1)
+, ivq AS (SELECT a.vec_id, a.centroid_id, e.v
+          FROM assign a JOIN e USING (vec_id) WHERE a.vec_id < 10)
+, ivc AS (SELECT a.vec_id, a.centroid_id, e.v
+          FROM assign a JOIN e USING (vec_id))
+, ivs AS (SELECT ivq.vec_id AS query_id, ivc.vec_id AS neighbor_id,
+                 list_cosine_similarity(ivq.v, ivc.v) AS cos
+          FROM ivq JOIN ivc ON ivq.centroid_id = ivc.centroid_id
+                           AND ivc.vec_id <> ivq.vec_id)
+, ivr AS (SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rnk
+          FROM ivs)
+, iv AS (SELECT query_id, neighbor_id FROM ivr WHERE rnk <= 5)
+SELECT ex.query_id,
+       CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap,
+       round(CAST(SUM(CASE WHEN iv.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(5 AS DOUBLE), 6) AS agreement_at_k
+FROM ex LEFT JOIN iv
+  ON ex.query_id = iv.query_id AND ex.neighbor_id = iv.neighbor_id
+GROUP BY 1
+"""
+
+
+@query("eval_ann_agreement", _ANN_AGREE_SQL)
+def eval_ann_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query top-5 agreement between the exact brute ranking and
+    the IVF-bucketed ANN (evaluation.topk_agreement over
+    similarity.cosine_topk vs similarity.ivf_topk) — the measured
+    recall report that justifies shipping the approximate index at
+    scale. Joins only (queries × k)-sized tables."""
+    e = T(spark, sf_dir, "embeddings")
+    queries_df = e.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(e, queries_df, k=5)
+    assign = similarity.ivf_assign(
+        e, e.filter(F.col("vec_id") < 4)
+    ).persist()
+    ivf = similarity.ivf_topk(e, assign, queries_df, k=5)
+    from razulibs_spark.operators import evaluation as _ev
+
+    return _ev.topk_agreement(exact, ivf, "query_id", "neighbor_id", k=5)
+
+
+_NEW_RETURNING_SQL = """
+WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS fd
+           FROM events GROUP BY 1),
+ daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events)
+SELECT day, COUNT(*) AS n_active,
+       CAST(SUM(CASE WHEN day = fd THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       CAST(COUNT(*) - SUM(CASE WHEN day = fd THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_returning
+FROM daily JOIN f USING (user_id) GROUP BY 1
+"""
+
+
+@query("events_new_returning", _NEW_RETURNING_SQL)
+def events_new_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning active users (analytics.new_returning):
+    per-user first-day aggregate + per-day distinct actives + one
+    user-keyed join — the acquisition/retention split, exact
+    integers throughout."""
+    return analytics.new_returning(T(spark, sf_dir, "events"))
+
+
+_WEEKDAY_SQL = """
+WITH cal AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+ dd AS (SELECT isodow(day) AS dow, COUNT(*) AS days_with_dow
+        FROM cal GROUP BY 1),
+ bd AS (SELECT event_type, isodow(CAST(ts AS DATE)) AS dow,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2),
+ tt AS (SELECT event_type, COUNT(*) AS nt FROM events GROUP BY 1),
+ nd AS (SELECT COUNT(*) AS d FROM cal)
+SELECT event_type, dow, n_events, days_with_dow,
+  CAST(floor(CAST(1000000 AS DOUBLE)
+       * ((CAST(n_events AS DOUBLE) * CAST(d AS DOUBLE))
+          / (CAST(days_with_dow AS DOUBLE) * CAST(nt AS DOUBLE)))
+       + 0.5) AS BIGINT) AS index_micro
+FROM bd JOIN dd USING (dow) JOIN tt USING (event_type), nd
+"""
+
+
+@query("events_weekday_profile", _WEEKDAY_SQL)
+def events_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type ISO-weekday seasonality index
+    (analytics.weekday_profile): per-occurring-day rate over the
+    type's overall daily rate, calendar-weighted by the observed
+    distinct-day calendar (a span ending mid-week has more Mondays
+    than Sundays) — exact integer counts, one deterministic double
+    expression."""
+    return analytics.weekday_profile(T(spark, sf_dir, "events"))
+
+
+@query("sim_pca_power")  # rows-only: iterative float algorithm by contract
+def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding matrix by distributed
+    power iteration (stats.pca_top_component): two corpus passes per
+    iteration built from array HOFs + a dim-keyed aggregate, O(dim)
+    driver traffic per round, plan rebuilt from literals each round so
+    lineage stays flat. Pinned against numpy eigendecomposition in
+    pytest (rows-only: float sum order makes the last ulps
+    engine-specific)."""
+    return stats.pca_top_component(
+        T(spark, sf_dir, "embeddings"), "embedding", iters=8
+    )

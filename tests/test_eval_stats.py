@@ -568,3 +568,98 @@ def test_cusum_changepoint_detects_level_shift(spark):
         abs(m * sum(xs[: k + 1]) - (k + 1) * s) for k in range(m)
     )
     assert row["peak_dev_scaled"] == best
+
+
+# ---------------------------------------------------------------------------
+# Batch 4: ANN agreement, new/returning, weekday profile, power-iter PCA
+# ---------------------------------------------------------------------------
+
+
+def test_topk_agreement_hand_case(spark):
+    a = spark.createDataFrame(
+        pd.DataFrame({"q": [1, 1, 2, 2], "nb": [10, 11, 10, 12]})
+    )
+    b = spark.createDataFrame(
+        pd.DataFrame({"q": [1, 1, 2, 2], "nb": [10, 99, 13, 14]})
+    )
+    out = {
+        r["q"]: r
+        for r in evaluation.topk_agreement(a, b, "q", "nb", k=2).collect()
+    }
+    assert out[1]["n_overlap"] == 1 and out[1]["agreement_at_k"] == 0.5
+    assert out[2]["n_overlap"] == 0 and out[2]["agreement_at_k"] == 0.0
+
+
+def test_new_returning_hand_case(spark):
+    from razulibs_spark.operators import analytics
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 08:00", "2024-01-01 09:00", "2024-01-01 10:00",
+                 "2024-01-02 08:00", "2024-01-02 09:00", "2024-01-02 10:00"]
+            ),
+        }
+    )
+    out = {
+        str(r["day"]): r
+        for r in analytics.new_returning(
+            spark.createDataFrame(pdf)
+        ).collect()
+    }
+    d1, d2 = out["2024-01-01"], out["2024-01-02"]
+    assert d1["n_active"] == 2 and d1["n_new"] == 2 and d1["n_returning"] == 0
+    assert d2["n_active"] == 3 and d2["n_new"] == 1 and d2["n_returning"] == 2
+
+
+def test_weekday_profile_uniform_is_unit_index(spark):
+    from razulibs_spark.operators import analytics
+
+    # 14 consecutive days, exactly one event per day: every weekday
+    # index must be exactly 1.0 (1e6 micro).
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * 14,
+            "ts": pd.to_datetime(
+                [f"2024-01-{d:02d} 12:00" for d in range(1, 15)]
+            ),
+        }
+    )
+    out = analytics.weekday_profile(spark.createDataFrame(pdf)).collect()
+    assert len(out) == 7
+    assert all(r["index_micro"] == 1000000 for r in out)
+    assert all(r["days_with_dow"] == 2 for r in out)
+
+
+def test_pca_power_matches_numpy(spark):
+    # Planted dominant direction (eigengap >> 0 so power iteration
+    # converges; random data has a flat spectrum and an ill-defined
+    # top component).
+    rng = np.random.RandomState(23)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    mat = rng.randn(300, 16) + 6.0 * np.outer(rng.randn(300), direction)
+    emb = spark.createDataFrame(
+        pd.DataFrame({"embedding": [row.tolist() for row in mat]})
+    )
+    out = stats.pca_top_component(emb, "embedding", iters=12).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    c = mat - mat.mean(axis=0)
+    cov = c.T @ c
+    w, vecs = np.linalg.eigh(cov)
+    top = vecs[:, -1]
+    if np.dot(top, v) < 0:
+        top = -top
+    assert np.abs(np.dot(top, v)) > 0.9999
+    assert abs(out[0]["eigenvalue"] - w[-1]) / w[-1] < 1e-4
+
+
+def test_pca_power_smoke_on_testdata(spark, sf_dir):
+    from razulibs_spark import tables
+
+    emb = tables.load(spark, sf_dir, "embeddings")
+    out = stats.pca_top_component(emb, "embedding", iters=3).collect()
+    v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
+    assert len(v) == 64
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
