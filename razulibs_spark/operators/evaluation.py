@@ -61,9 +61,9 @@ def auc_ovr(
         F.col(score_col).isNotNull() & F.col(label_col).isNotNull()
     )
     hist = rows.groupBy(score_col).agg(F.count("*").alias("cnt"))
-    hist = range_cumsum(hist, [score_col], ["cnt"], ["below"], n_parts)
+    hist_cum = range_cumsum(hist, [score_col], ["cnt"], ["below"], n_parts)
     # 2 × tie-averaged rank of every row sharing this score value.
-    hist = hist.select(
+    hist = hist_cum.select(
         score_col,
         (2 * F.col("below") + F.col("cnt") + 1).alias("r2"),
     )
@@ -78,7 +78,9 @@ def auc_ovr(
             F.sum("n").alias("n_pos"),
         )
     )
-    total = rows.groupBy().agg(F.count("*").alias("n_total"))
+    # Total from the cumsum output (whose repartitioned histogram is
+    # persisted inside range_cumsum) — not a second corpus scan.
+    total = hist_cum.groupBy().agg(F.sum("cnt").alias("n_total"))
     per = per.crossJoin(F.broadcast(total)).withColumn(
         "n_neg", F.col("n_total") - F.col("n_pos")
     )
@@ -88,12 +90,16 @@ def auc_ovr(
     den = (
         F.lit(2).cast("decimal(38,0)") * F.col("n_pos") * F.col("n_neg")
     )
-    return per.select(
-        label_col,
-        "n_pos",
-        "n_neg",
-        F.round(num.cast("double") / den.cast("double"), 6).alias("auc"),
+    # Nearest-micro floor, not round(): round(x, 6) diverges between
+    # engines when the exact rational lands on the decimal grid.
+    auc = (
+        F.floor(
+            F.lit(1000000.0) * (num.cast("double") / den.cast("double"))
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
     )
+    return per.select(label_col, "n_pos", "n_neg", auc.alias("auc"))
 
 
 def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
@@ -109,25 +115,39 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     row_t = m.groupBy(a_col).agg(F.sum("n").alias("rt"))
     col_t = m.groupBy(b_col).agg(F.sum("n").alias("ct"))
     # Chance agreement pairs row/col marginals of the SAME class.
+    # decimal(38,0) (int128): rt·ct and n² reach N², which wraps int64
+    # beyond ~3e9 rows.
     pe = (
         row_t.join(col_t, F.col(a_col) == F.col(b_col))
         .groupBy()
-        .agg(F.sum(F.col("rt") * F.col("ct")).alias("pe_num"))
+        .agg(
+            F.sum(
+                F.col("rt").cast("decimal(38,0)") * F.col("ct")
+            ).alias("pe_num")
+        )
     )
     po = m.filter(F.col(a_col) == F.col(b_col)).groupBy().agg(
         F.sum("n").alias("po_num")
     )
     n_t = m.groupBy().agg(F.sum("n").alias("n"))
     one = n_t.crossJoin(F.broadcast(po)).crossJoin(F.broadcast(pe))
+    n_dec = F.col("n").cast("decimal(38,0)")
+    kappa = (
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                (n_dec * F.col("po_num") - F.col("pe_num")).cast("double")
+                / (n_dec * F.col("n") - F.col("pe_num")).cast("double")
+            )
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
+    )
     return one.select(
         "n",
         "po_num",
-        "pe_num",
-        F.round(
-            (F.col("n") * F.col("po_num") - F.col("pe_num")).cast("double")
-            / (F.col("n") * F.col("n") - F.col("pe_num")).cast("double"),
-            6,
-        ).alias("kappa"),
+        F.col("pe_num").cast("long").alias("pe_num"),
+        kappa.alias("kappa"),
     )
 
 
@@ -152,15 +172,18 @@ def calibration_bins(
         F.col(permille_col).cast("long").alias("pm"),
         F.when(F.col(label_col), F.lit(1)).otherwise(F.lit(0)).alias("y"),
     )
+    def _micro(x):
+        return F.floor(F.lit(1000000.0) * x + F.lit(0.5)) / F.lit(1000000.0)
+
     return b.groupBy("bin").agg(
         F.count("*").alias("n"),
         F.sum("y").alias("n_pos"),
-        F.round(
-            F.sum("pm").cast("double") / (F.count("*") * 1000).cast("double"),
-            6,
+        _micro(
+            F.sum("pm").cast("double") / (F.count("*") * 1000).cast("double")
         ).alias("mean_pred"),
-        F.round(F.sum("y").cast("double") / F.count("*").cast("double"), 6)
-        .alias("pos_rate"),
+        _micro(
+            F.sum("y").cast("double") / F.count("*").cast("double")
+        ).alias("pos_rate"),
     )
 
 

@@ -69,8 +69,12 @@ def range_cumsum(
         offsets.append((r["_pid"], *acc))
         acc = [a + r[v] for a, v in zip(acc, val_cols)]
     off_names = [f"_off_{i}" for i in range(len(val_cols))]
+    # Explicit schema: createDataFrame cannot infer types from an
+    # EMPTY offsets list (zero input partitions with rows), and the
+    # empty-input path must return an empty frame, not crash.
     offsets_df = df.sparkSession.createDataFrame(
-        offsets, ["_pid", *off_names]
+        offsets,
+        "_pid int, " + ", ".join(f"{c} long" for c in off_names),
     )
     w = (
         Window.partitionBy("_pid")
@@ -114,20 +118,18 @@ def ks_drift(
             F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0))
         ).alias("cb"),
     )
-    cum = range_cumsum(
+    cum0 = range_cumsum(
         counts, [value_col], ["ca", "cb"], ["ca_before", "cb_before"], n_parts
     )
-    cum = cum.select(
+    cum = cum0.select(
         (F.col("ca_before") + F.col("ca")).alias("fa"),
         (F.col("cb_before") + F.col("cb")).alias("fb"),
     )
-    totals = filtered.groupBy().agg(
-        F.sum(
-            F.when(F.col(group_col) == group_a, F.lit(1)).otherwise(F.lit(0))
-        ).alias("na"),
-        F.sum(
-            F.when(F.col(group_col) == group_b, F.lit(1)).otherwise(F.lit(0))
-        ).alias("nb"),
+    # Totals from the cumsum output (whose repartitioned histogram is
+    # persisted inside range_cumsum) — NOT a second scan of the input
+    # corpus, which at 100 TB would double the query's IO.
+    totals = cum0.groupBy().agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
     )
     # 1-row totals: broadcast scalar join, O(n) not a CartesianProduct.
     # Cross-multiplied CDF counts are cast to double BEFORE the
@@ -173,7 +175,15 @@ def chi_square_cells(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     ``round`` (both engines compute the identical doubles, so the
     floors agree bit-for-bit).
     """
-    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("o"))
+    # NULL categories are excluded UP FRONT: a (NULL, x) cell would
+    # vanish at the equi-joins below while still inflating x's
+    # marginal and the grand total, making every expected count
+    # internally inconsistent.
+    cells = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(a_col, b_col)
+        .agg(F.count("*").alias("o"))
+    )
     row_t = cells.groupBy(a_col).agg(F.sum("o").alias("rt"))
     col_t = cells.groupBy(b_col).agg(F.sum("o").alias("ct"))
     n_t = cells.groupBy().agg(F.sum("o").alias("n"))
@@ -250,15 +260,22 @@ def group_gini(df: DataFrame, group_col: str, label_col: str) -> DataFrame:
         F.sum(F.col("c").cast("decimal(38,0)") * F.col("c")).alias("sq"),
     )
     n_dec = F.col("n").cast("decimal(38,0)")
-    return per.select(
-        group_col,
-        "n",
-        F.round(
-            (n_dec * F.col("n") - F.col("sq")).cast("double")
-            / (n_dec * F.col("n")).cast("double"),
-            6,
-        ).alias("gini"),
+    # Nearest-micro floor, not round(): round(x, 6) of an exactly-
+    # rational value on the decimal grid diverges between engines
+    # (shortest-string vs binary); floor of identical doubles never
+    # does.
+    gini = (
+        F.floor(
+            F.lit(1000000.0)
+            * (
+                (n_dec * F.col("n") - F.col("sq")).cast("double")
+                / (n_dec * F.col("n")).cast("double")
+            )
+            + F.lit(0.5)
+        )
+        / F.lit(1000000.0)
     )
+    return per.select(group_col, "n", gini.alias("gini"))
 
 
 def corr_matrix(
@@ -426,10 +443,30 @@ def pca_top_component(
             F.col(vec_col), lambda x: x.cast("double")
         ).alias("x")
     )
-    dims = centered_rows.select(
-        F.size("x").alias("d")
-    ).limit(1).collect()
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("dim", IntegerType()),
+            StructField("loading", DoubleType()),
+            StructField("eigenvalue", DoubleType()),
+        ]
+    )
+    # Deterministic dimensionality (max over the corpus, not an
+    # arbitrary first row); empty/all-NULL input returns an empty
+    # frame instead of crashing.
+    dims = centered_rows.groupBy().agg(
+        F.max(F.size("x")).alias("d")
+    ).collect()
+    if not dims or dims[0]["d"] is None:
+        return df.sparkSession.createDataFrame([], out_schema)
     dim = dims[0]["d"]
+    centered_rows = centered_rows.filter(F.size("x") == dim)
     mu = (
         centered_rows.select(
             F.posexplode("x").alias("pos", "val")
@@ -471,6 +508,6 @@ def pca_top_component(
     centered.unpersist()
     spark = df.sparkSession
     return spark.createDataFrame(
-        [(i + 1, v[i], eigenvalue) for i in range(dim)],
-        ["dim", "loading", "eigenvalue"],
+        [(i + 1, float(v[i]), float(eigenvalue)) for i in range(dim)],
+        out_schema,
     )

@@ -5994,7 +5994,8 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AUC_SQL = """
 WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) AS score, label
            FROM embeddings
-           WHERE embedding IS NOT NULL AND label IS NOT NULL),
+           WHERE CAST(embedding[1] AS DOUBLE) IS NOT NULL
+             AND label IS NOT NULL),
  h AS (SELECT score, COUNT(*) AS cnt FROM r GROUP BY 1),
  h2 AS (SELECT score,
                2 * COALESCE(SUM(cnt) OVER (ORDER BY score
@@ -6007,9 +6008,11 @@ WITH r AS (SELECT CAST(embedding[1] AS DOUBLE) AS score, label
          FROM m JOIN h2 USING (score) GROUP BY 1),
  t AS (SELECT COUNT(*) AS n_total FROM r)
 SELECT label, n_pos, CAST(n_total - n_pos AS BIGINT) AS n_neg,
-       round(CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
-             / CAST(2 * CAST(n_pos AS HUGEINT) * (n_total - n_pos)
-                    AS DOUBLE), 6) AS auc
+       floor(CAST(1000000 AS DOUBLE)
+             * (CAST(s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1) AS DOUBLE)
+                / CAST(2 * CAST(n_pos AS HUGEINT) * (n_total - n_pos)
+                       AS DOUBLE))
+             + 0.5) / CAST(1000000 AS DOUBLE) AS auc
 FROM per, t
 """
 
@@ -6046,13 +6049,15 @@ _KAPPA_SQL = _LANGPRED_CTE + """
         FROM p GROUP BY 1, 2),
  rt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rt FROM m GROUP BY 1),
  ct AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ct FROM m GROUP BY 1),
- pe AS (SELECT CAST(SUM(rt.rt * ct.ct) AS BIGINT) AS pe_num
+ pe AS (SELECT SUM(CAST(rt.rt AS HUGEINT) * ct.ct) AS pe_num
         FROM rt JOIN ct ON rt.a = ct.b),
  po AS (SELECT CAST(SUM(n) AS BIGINT) AS po_num FROM m WHERE a = b),
  nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM m)
-SELECT n, po_num, pe_num,
-       round(CAST(n * po_num - pe_num AS DOUBLE)
-             / CAST(n * n - pe_num AS DOUBLE), 6) AS kappa
+SELECT n, po_num, CAST(pe_num AS BIGINT) AS pe_num,
+       floor(CAST(1000000 AS DOUBLE)
+             * (CAST(CAST(n AS HUGEINT) * po_num - pe_num AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE))
+             + 0.5) / CAST(1000000 AS DOUBLE) AS kappa
 FROM nt, po, pe
 """
 
@@ -6072,10 +6077,12 @@ WITH b AS (SELECT (n_chars * 37) % 1000 AS pm,
                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
            FROM documents)
 SELECT pm // 100 AS bin, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
-       round(CAST(SUM(pm) AS DOUBLE) / CAST(COUNT(*) * 1000 AS DOUBLE), 6)
-         AS mean_pred,
-       round(CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
-         AS pos_rate
+       floor(CAST(1000000 AS DOUBLE)
+             * (CAST(SUM(pm) AS DOUBLE) / CAST(COUNT(*) * 1000 AS DOUBLE))
+             + 0.5) / CAST(1000000 AS DOUBLE) AS mean_pred,
+       floor(CAST(1000000 AS DOUBLE)
+             * (CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+             + 0.5) / CAST(1000000 AS DOUBLE) AS pos_rate
 FROM b GROUP BY 1
 """
 
@@ -6151,7 +6158,9 @@ def eval_retrieval_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CHI2_SQL = """
 WITH cells AS (SELECT lang, source, COUNT(*) AS o
-               FROM documents GROUP BY 1, 2),
+               FROM documents
+               WHERE lang IS NOT NULL AND source IS NOT NULL
+               GROUP BY 1, 2),
  rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
  ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
  nt AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
@@ -6368,8 +6377,10 @@ WITH m AS (SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2),
                 SUM(CAST(c AS HUGEINT) * c) AS sq
          FROM m GROUP BY 1)
 SELECT source, n,
-       round(CAST(CAST(n AS HUGEINT) * n - sq AS DOUBLE)
-             / CAST(CAST(n AS HUGEINT) * n AS DOUBLE), 6) AS gini
+       floor(CAST(1000000 AS DOUBLE)
+             * (CAST(CAST(n AS HUGEINT) * n - sq AS DOUBLE)
+                / CAST(CAST(n AS HUGEINT) * n AS DOUBLE))
+             + 0.5) / CAST(1000000 AS DOUBLE) AS gini
 FROM per
 """
 
@@ -6619,9 +6630,9 @@ def eval_ann_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, e.filter(F.col("vec_id") < 4)
     ).persist()
     ivf = similarity.ivf_topk(e, assign, queries_df, k=5)
-    from razulibs_spark.operators import evaluation as _ev
-
-    return _ev.topk_agreement(exact, ivf, "query_id", "neighbor_id", k=5)
+    return evaluation.topk_agreement(
+        exact, ivf, "query_id", "neighbor_id", k=5
+    )
 
 
 _NEW_RETURNING_SQL = """

@@ -663,3 +663,42 @@ def test_pca_power_smoke_on_testdata(spark, sf_dir):
     v = np.array([r["loading"] for r in sorted(out, key=lambda r: r["dim"])])
     assert len(v) == 64
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Review-fix regressions: empty inputs, NULL categories
+# ---------------------------------------------------------------------------
+
+
+def test_ks_drift_empty_input_returns_empty(spark):
+    pdf = pd.DataFrame({"v": [1.0], "g": ["other"]})
+    out = stats.ks_drift(
+        spark.createDataFrame(pdf), "v", "g", "a", "b", n_parts=2
+    )
+    assert out.count() == 0
+
+
+def test_range_cumsum_empty_input(spark):
+    pdf = pd.DataFrame({"k": [1], "v": [1]})
+    df = spark.createDataFrame(pdf).filter(F.col("k") > 99)
+    out = stats.range_cumsum(df, ["k"], ["v"], ["c"], n_parts=2)
+    assert out.count() == 0
+
+
+def test_chi_square_excludes_null_categories_consistently(spark):
+    pdf = pd.DataFrame(
+        {"a": ["x", "x", None, "y"], "b": ["u", "v", "u", None]}
+    )
+    out = stats.chi_square_cells(spark.createDataFrame(pdf), "a", "b")
+    rows = out.collect()
+    # Only fully-non-NULL rows participate: (x,u), (x,v).  Marginal
+    # consistency: sum of observed == the n used for expectations.
+    assert sum(r["o"] for r in rows) == 2
+    assert {(r["a"], r["b"]) for r in rows} == {("x", "u"), ("x", "v")}
+
+
+def test_pca_empty_input_returns_empty(spark):
+    pdf = pd.DataFrame({"embedding": [[1.0, 2.0]]})
+    df = spark.createDataFrame(pdf).filter(F.lit(False))
+    out = stats.pca_top_component(df, "embedding", iters=2)
+    assert out.count() == 0
