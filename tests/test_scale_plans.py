@@ -396,3 +396,47 @@ def test_decon_split_probe_and_evict_are_hash_joins(spark):
     plan = _plan(Q.pipeline_decon_split(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_copurchase_topk_is_heap_not_global_sort(spark):
+    plan = _plan(Q.events_copurchase_pairs(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_vocab_probe_broadcasts(spark):
+    plan = _plan(Q.text_vocab_coverage(spark, SF))
+    # The top-N vocab is a heap, and the corpus-side probe against it
+    # is a broadcast join (the vocab is N rows, never shuffled-with).
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_resample_ffill_windows_are_keyed(spark):
+    plan = _plan(Q.j_resample_ffill(spark, SF))
+    for frag in plan.split("Arguments: ")[1:]:
+        head = frag.split("\n")[0]
+        if "windowspecdefinition" in head:
+            assert "user_id" in head
+    assert "CartesianProduct" not in plan
+
+
+def test_grouped_zscore_is_broadcast_join_no_window(spark):
+    plan = _plan(Q.a_grouped_zscore(spark, SF))
+    # Group stats come back via broadcast; the per-row z needs no
+    # window at all.
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_winsorize_threshold_join_broadcasts(spark):
+    plan = _plan(Q.a_winsorize(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "windowspecdefinition" not in plan
+
+
+def test_new_returning_no_cartesian(spark):
+    plan = _plan(Q.events_new_returning(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial/final combine
