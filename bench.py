@@ -175,6 +175,8 @@ R04_ADDITIONS = [
     "events_new_returning",
     "events_weekday_profile",
     "sim_pca_power",
+    "events_cohort_ltv",
+    "events_session_duration_hist",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

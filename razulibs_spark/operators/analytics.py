@@ -759,3 +759,97 @@ def weekday_profile(events: DataFrame) -> DataFrame:
         .cast("long")
         .alias("index_micro"),
     )
+
+
+def cohort_ltv(events: DataFrame, value_scale: int = 4) -> DataFrame:
+    """Cohort LTV curve: users cohorted by their first-activity day;
+    per (cohort, age-in-days) the purchase count, exact fixed-point
+    revenue, running cumulative revenue, and average cumulative value
+    per cohort user — the curve a growth pipeline publishes.
+
+    Revenue is scaled-long exact (no float sums); the running total is
+    a cohort-keyed window whose partition size is bounded by the time
+    span in days, not by event volume.  Cohort sizes ride a broadcast
+    join (the cohort dimension is one row per active day).
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("cohort")
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size")
+    )
+    j = events.select(
+        "user_id",
+        F.col("ts").cast("date").alias("day"),
+        "event_type",
+        "value",
+    ).join(first, "user_id")
+    per_age = (
+        j.withColumn("age", F.datediff(F.col("day"), F.col("cohort")))
+        .groupBy("cohort", "age")
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_purchases"),
+            F.sum(
+                F.when(
+                    F.col("event_type") == "purchase",
+                    _scaled_long(F.col("value"), value_scale),
+                ).otherwise(F.lit(0))
+            ).alias("revenue_scaled"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_age.withColumn(
+        "cum_revenue_scaled", F.sum("revenue_scaled").over(w)
+    )
+    out = cum.join(F.broadcast(sizes), "cohort")
+    ltv = F.floor(
+        F.col("cum_revenue_scaled").cast("double")
+        / F.col("cohort_size").cast("double")
+        + F.lit(0.5)
+    ).cast("long")
+    return out.select(
+        "cohort",
+        "age",
+        "n_purchases",
+        "revenue_scaled",
+        "cum_revenue_scaled",
+        "cohort_size",
+        ltv.alias("ltv_per_user_scaled"),
+    )
+
+
+def session_duration_hist(
+    events: DataFrame, gap_us: int = 3_600_000_000
+) -> DataFrame:
+    """Log2-bucketed histogram of session durations (power-of-two
+    second buckets) — the shape report for tuning session gaps and
+    streaming state timeouts.
+
+    Builds on :func:`sessionize` (one user-keyed shuffle); the log2
+    bucket is ``length(bin(seconds))`` — pure integer/string built-ins
+    on both engines, no transcendental log whose last ulp differs.
+    """
+    sess = sessionize(events, gap_us=gap_us)
+    # Integer division straight from integer microseconds — no float
+    # in the bucketing path at all.
+    dur_s = F.expr(
+        "timestampdiff(MICROSECOND, session_start, session_end)"
+        " div 1000000"
+    )
+    b = sess.select(
+        F.length(F.bin(dur_s)).alias("bucket"),
+        dur_s.alias("dur_s"),
+    )
+    return b.groupBy("bucket").agg(
+        F.count("*").alias("n_sessions"),
+        F.min("dur_s").alias("min_s"),
+        F.max("dur_s").alias("max_s"),
+    )

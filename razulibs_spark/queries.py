@@ -6697,3 +6697,77 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.pca_top_component(
         T(spark, sf_dir, "embeddings"), "embedding", iters=8
     )
+
+
+_LTV_SQL = """
+WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+           FROM events GROUP BY 1),
+ sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM f GROUP BY 1),
+ j AS (SELECT e.user_id, CAST(e.ts AS DATE) AS day, e.event_type,
+              e.value, f.cohort
+       FROM events e JOIN f USING (user_id)),
+ pa AS (SELECT cohort, date_diff('day', cohort, day) AS age,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+               CAST(SUM(CASE WHEN event_type = 'purchase'
+                        THEN CAST(floor(value * 10000 + 0.5) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS revenue_scaled
+       FROM j GROUP BY 1, 2),
+ cum AS (SELECT cohort, age, n_purchases, revenue_scaled,
+                CAST(SUM(revenue_scaled) OVER (
+                    PARTITION BY cohort ORDER BY age
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                  AS cum_revenue_scaled
+         FROM pa)
+SELECT cum.cohort, age, n_purchases, revenue_scaled, cum_revenue_scaled,
+       cohort_size,
+       CAST(floor(CAST(cum_revenue_scaled AS DOUBLE)
+                  / CAST(cohort_size AS DOUBLE) + 0.5) AS BIGINT)
+         AS ltv_per_user_scaled
+FROM cum JOIN sz USING (cohort)
+"""
+
+
+@query("events_cohort_ltv", _LTV_SQL)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve (analytics.cohort_ltv): first-day cohorts,
+    per-(cohort, age) exact fixed-point purchase revenue, running
+    cohort cumulative on a span-bounded keyed window, broadcast
+    cohort sizes, deterministic per-user average."""
+    return analytics.cohort_ltv(T(spark, sf_dir, "events"))
+
+
+_SESSHIST_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged),
+ s AS (SELECT user_id, seq,
+              (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS dur_s
+       FROM sess GROUP BY 1, 2)
+SELECT length(bin(dur_s)) AS bucket, COUNT(*) AS n_sessions,
+       MIN(dur_s) AS min_s, MAX(dur_s) AS max_s
+FROM s GROUP BY 1
+"""
+
+
+@query("events_session_duration_hist", _SESSHIST_SQL)
+def events_session_duration_hist(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Log2-bucketed session-duration histogram
+    (analytics.session_duration_hist over analytics.sessionize):
+    power-of-two second buckets via length(bin(s)) — integer/string
+    built-ins only, no transcendental log — the report for tuning
+    session gaps and streaming state timeouts."""
+    return analytics.session_duration_hist(
+        T(spark, sf_dir, "events"), gap_us=3_600_000_000
+    )

@@ -702,3 +702,67 @@ def test_pca_empty_input_returns_empty(spark):
     df = spark.createDataFrame(pdf).filter(F.lit(False))
     out = stats.pca_top_component(df, "embedding", iters=2)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Batch 5: cohort LTV, session-duration histogram
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_hand_case(spark):
+    from razulibs_spark.operators import analytics
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 1],
+            "event_id": [1, 2, 3, 4],
+            "event_type": ["purchase", "view", "purchase", "purchase"],
+            "value": [10.0, 99.0, 5.0, 2.5],
+            "ts": pd.to_datetime(
+                ["2024-01-01 09:00", "2024-01-02 09:00",
+                 "2024-01-01 10:00", "2024-01-03 09:00"]
+            ),
+        }
+    )
+    out = {
+        (str(r["cohort"]), r["age"]): r
+        for r in analytics.cohort_ltv(spark.createDataFrame(pdf)).collect()
+    }
+    # Both users cohort on 2024-01-01. Age 0: purchases 10.0 + 5.0.
+    a0 = out[("2024-01-01", 0)]
+    assert a0["n_purchases"] == 2
+    assert a0["revenue_scaled"] == 150000
+    assert a0["cohort_size"] == 2
+    assert a0["ltv_per_user_scaled"] == 75000
+    # Age 2: cumulative 10+5+2.5 = 17.5 -> 175000; per user 87500.
+    a2 = out[("2024-01-01", 2)]
+    assert a2["cum_revenue_scaled"] == 175000
+    assert a2["ltv_per_user_scaled"] == 87500
+    # Age 1 (view only) still emits a row with zero revenue.
+    assert out[("2024-01-01", 1)]["n_purchases"] == 0
+
+
+def test_session_duration_hist_buckets(spark):
+    from razulibs_spark.operators import analytics
+
+    # user 1: one 90-second session (bin(90)='1011010', bucket 7);
+    # user 2: one instantaneous session (bucket 1).
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_id": [1, 2, 3],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00:00", "2024-01-01 00:01:30",
+                 "2024-01-01 05:00:00"]
+            ),
+        }
+    )
+    out = {
+        r["bucket"]: r
+        for r in analytics.session_duration_hist(
+            spark.createDataFrame(pdf), gap_us=3_600_000_000
+        ).collect()
+    }
+    assert out[7]["n_sessions"] == 1
+    assert out[7]["min_s"] == 90 and out[7]["max_s"] == 90
+    assert out[1]["n_sessions"] == 1 and out[1]["min_s"] == 0
