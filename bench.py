@@ -177,6 +177,8 @@ R04_ADDITIONS = [
     "sim_pca_power",
     "events_cohort_ltv",
     "events_session_duration_hist",
+    "j_pit_scd2",
+    "events_path_analysis",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -853,3 +853,63 @@ def session_duration_hist(
         F.min("dur_s").alias("min_s"),
         F.max("dur_s").alias("max_s"),
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_us: int = 3_600_000_000,
+    max_steps: int = 5,
+    k: int = 20,
+) -> DataFrame:
+    """Top-k session-opening journeys: the ordered first
+    ``max_steps`` event types of each gap-session, joined into a
+    ``a>b>c`` path string, counted across all sessions — the "top user
+    paths" report of product analytics.
+
+    Same single user-keyed Exchange as :func:`sessionize` (lag flag +
+    running session seq + per-session rank all reuse it); the
+    per-session collect is bounded by ``max_steps`` BEFORE collection
+    (rank filter), so no session can blow up a task.  Path assembly is
+    array_sort over (ts, event_id)-keyed structs — deterministic under
+    ties — and the final top-k compiles to a TakeOrderedAndProject
+    heap.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = events.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.lag("ts").over(w).alias("_lag_ts"),
+    )
+    gap = F.expr("timestampdiff(MICROSECOND, _lag_ts, ts)")
+    is_new = F.when(
+        F.col("_lag_ts").isNull() | (gap > F.lit(gap_us)), F.lit(1)
+    ).otherwise(F.lit(0))
+    wsum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sessioned = lagged.select(
+        "user_id", "event_id", "ts", "event_type", is_new.alias("_new")
+    ).withColumn("seq", F.sum("_new").over(wsum))
+    wr = Window.partitionBy("user_id", "seq").orderBy("ts", "event_id")
+    first_n = sessioned.withColumn(
+        "_rn", F.row_number().over(wr)
+    ).filter(F.col("_rn") <= max_steps)
+    paths = first_n.groupBy("user_id", "seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ts", "event_id", "event_type")
+                    )
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count("*").alias("_n_steps"),
+    )
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    return counts.orderBy(
+        F.col("n_sessions").desc(), "path"
+    ).limit(k)

@@ -6771,3 +6771,113 @@ def events_session_duration_hist(
     return analytics.session_duration_hist(
         T(spark, sf_dir, "events"), gap_us=3_600_000_000
     )
+
+
+_PIT_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+ numbered AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS run_id
+  FROM flagged),
+ runs AS (
+  SELECT user_id, CAST(run_id AS INT) AS version, MIN(event_type) AS state,
+         MIN(ts) AS valid_from
+  FROM numbered GROUP BY user_id, run_id),
+ p AS (SELECT event_id, user_id, ts FROM events
+       WHERE event_type = 'purchase'),
+ j AS (SELECT p.event_id, p.user_id, p.ts, r.state, r.version,
+              ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                 ORDER BY r.valid_from DESC, r.version DESC)
+                AS rn
+       FROM p LEFT JOIN runs r
+         ON p.user_id = r.user_id AND r.valid_from < p.ts)
+SELECT event_id, user_id, ts, state AS pit_state, version AS pit_version
+FROM j WHERE rn = 1 OR rn IS NULL
+"""
+
+
+@query("j_pit_scd2", _PIT_SQL)
+def j_pit_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment of purchases against the SCD2 run
+    history (temporal.asof_join over analytics.scd2_history with
+    inclusive=False): the state each user was in STRICTLY BEFORE the
+    purchase — the fact-to-slowly-changing-dimension join every
+    warehouse pipeline runs, as one sort-carry pass, never a range
+    cross product. First-run purchases keep NULL state."""
+    ev = T(spark, sf_dir, "events")
+    hist = analytics.scd2_history(ev).select(
+        "user_id", "version", "state", "valid_from"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = temporal.asof_join(
+        purchases,
+        hist.select(
+            "user_id",
+            F.col("valid_from").alias("vf"),
+            "state",
+            "version",
+        ),
+        on="user_id",
+        left_time="ts",
+        right_time="vf",
+        right_prefix="pit_",
+        inclusive=False,
+        right_tiebreak=["version"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "pit_state",
+        F.col("pit_version").cast("int").alias("pit_version"),
+    )
+
+
+_PATHS_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged),
+ ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, seq
+                               ORDER BY ts, event_id) AS rn
+  FROM sess),
+ paths AS (
+  SELECT user_id, seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM ranked WHERE rn <= 5 GROUP BY user_id, seq),
+ c AS (SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY 1)
+SELECT path, n_sessions FROM c ORDER BY n_sessions DESC, path LIMIT 20
+"""
+
+
+@query("events_path_analysis", _PATHS_SQL)
+def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 session-opening journeys (analytics.session_paths):
+    first five event types per 1-hour-gap session joined into a
+    'a>b>c' path, counted corpus-wide — rank-filter BEFORE the
+    per-session collect bounds task memory; the top-k is a
+    TakeOrderedAndProject heap with deterministic tie-break."""
+    return analytics.session_paths(
+        T(spark, sf_dir, "events"),
+        gap_us=3_600_000_000,
+        max_steps=5,
+        k=20,
+    )

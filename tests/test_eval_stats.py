@@ -766,3 +766,58 @@ def test_session_duration_hist_buckets(spark):
     assert out[7]["n_sessions"] == 1
     assert out[7]["min_s"] == 90 and out[7]["max_s"] == 90
     assert out[1]["n_sessions"] == 1 and out[1]["min_s"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Batch 6: PIT SCD2 join, session path analysis
+# ---------------------------------------------------------------------------
+
+
+def test_pit_scd2_strictly_before(spark):
+    from razulibs_spark import queries as Q2
+
+    pdf = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "event_type": ["view", "view", "purchase"],
+            "value": [0.0, 0.0, 9.0],
+            "props": ["{}"] * 3,
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 01:00", "2024-01-01 02:00"]
+            ),
+        }
+    )
+    import tempfile, os as _os
+
+    tmp = tempfile.mkdtemp(prefix="pit_")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        _os.path.join(tmp, "events.parquet")
+    )
+    out = Q2.j_pit_scd2(spark, tmp).collect()
+    # The purchase's own run starts AT its ts; strictly-before must
+    # surface the preceding 'view' run, not 'purchase'.
+    assert len(out) == 1
+    assert out[0]["pit_state"] == "view" and out[0]["pit_version"] == 1
+
+
+def test_session_paths_hand_case(spark):
+    from razulibs_spark.operators import analytics
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4, 5],
+            "event_type": ["view", "click", "purchase", "view", "click"],
+            "ts": pd.to_datetime(
+                ["2024-01-01 00:00", "2024-01-01 00:10", "2024-01-01 00:20",
+                 "2024-01-02 00:00", "2024-01-02 00:05"]
+            ),
+        }
+    )
+    out = analytics.session_paths(
+        spark.createDataFrame(pdf), max_steps=2, k=10
+    ).collect()
+    d = {r["path"]: r["n_sessions"] for r in out}
+    # max_steps=2 truncates user 1's session to its first two events.
+    assert d == {"view>click": 2}
