@@ -179,6 +179,8 @@ R04_ADDITIONS = [
     "events_session_duration_hist",
     "j_pit_scd2",
     "events_path_analysis",
+    "o_write_plan",
+    "dedup_lsh_tuning",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

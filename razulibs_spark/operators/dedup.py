@@ -801,3 +801,58 @@ def cross_source_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
         )
         .filter(F.col("n_sources") >= 2)
     )
+
+
+def lsh_s_curve(
+    spark,
+    configs: list[tuple[int, int]] = ((4, 3), (6, 2), (8, 4)),
+    grid_steps: int = 19,
+) -> "DataFrame":
+    """Banded-MinHash S-curve tuning report: for each (bands, rows)
+    configuration, the candidate probability P(s) = 1 − (1 − s^r)^b
+    over a Jaccard-similarity grid — the table an engineer reads to
+    pick LSH parameters before a 100 TB dedup run (where does the
+    curve cross 0.5, how much mass leaks below the target threshold).
+
+    Pure literal fan-out (sequence → explode), no input tables; all
+    powers are expanded by explicit repeated multiplication so the
+    IEEE chain is deterministic and cross-engine stable (pow() with a
+    float exponent is not).  Output is bounded by |configs|·grid.
+    """
+    from pyspark.sql import functions as FF
+
+    grid = spark.range(1, grid_steps + 1).select(
+        FF.col("id").alias("i"),
+        (FF.col("id").cast("double") / FF.lit(float(grid_steps + 1))).alias(
+            "s"
+        ),
+    )
+    parts = []
+    for b, r in configs:
+        # s^r and (1-s^r)^b by left-to-right repeated multiplication —
+        # mirrored textually in the oracle SQL.
+        sr = FF.col("s")
+        for _ in range(r - 1):
+            sr = sr * FF.col("s")
+        q = FF.lit(1.0) - sr
+        qb = q
+        for _ in range(b - 1):
+            qb = qb * q
+        p = FF.lit(1.0) - qb
+        parts.append(
+            grid.select(
+                FF.lit(b).alias("bands"),
+                FF.lit(r).alias("rows_per_band"),
+                FF.col("i"),
+                FF.floor(
+                    FF.lit(1000000.0) * FF.col("s") + FF.lit(0.5)
+                ).cast("long").alias("s_micro"),
+                FF.floor(FF.lit(1000000.0) * p + FF.lit(0.5))
+                .cast("long")
+                .alias("p_candidate_micro"),
+            )
+        )
+    out = parts[0]
+    for x in parts[1:]:
+        out = out.unionByName(x)
+    return out.drop("i")

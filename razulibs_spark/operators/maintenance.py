@@ -173,3 +173,49 @@ def skew_profile(
         "skew_factor",
         "suggested_salts",
     )
+
+
+def write_plan(
+    df: DataFrame,
+    string_cols: list[str],
+    fixed_bytes_per_row: int,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    compression_ratio_pct: int = 300,
+) -> DataFrame:
+    """Write-layout planner: from exact byte accounting of a frame,
+    derive the file count and rows-per-file that hit a target parquet
+    file size — the small-files guard a 100 TB pipeline runs before
+    every large write (a 10k-file shuffle output cripples both the
+    object store and the next scan's planning).
+
+    One map-side-combinable aggregate (octet_length sums are exact
+    BIGINTs); the compression assumption is an explicit integer
+    percentage, so the whole plan is integer arithmetic end-to-end
+    and hash-matches an oracle.  Pair with ``compact_parquet`` to
+    apply the plan.
+    """
+    raw = sum(
+        (F.sum(F.octet_length(F.col(c)).cast("long")) for c in string_cols),
+        F.lit(0).cast("long"),
+    )
+    agg = df.groupBy().agg(
+        F.count("*").alias("n_rows"),
+        (raw + F.count("*") * fixed_bytes_per_row).alias("raw_bytes"),
+    )
+    est = F.expr(f"raw_bytes * 100 div {compression_ratio_pct}")
+    return agg.select(
+        "n_rows",
+        "raw_bytes",
+        est.alias("est_bytes"),
+        F.lit(target_file_bytes).cast("long").alias("target_file_bytes"),
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(
+                f"(raw_bytes * 100 div {compression_ratio_pct}"
+                f" + {target_file_bytes} - 1) div {target_file_bytes}"
+            ),
+        ).alias("n_files"),
+    ).withColumn(
+        "rows_per_file",
+        F.expr("(n_rows + n_files - 1) div n_files"),
+    )

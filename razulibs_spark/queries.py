@@ -6881,3 +6881,78 @@ def events_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_steps=5,
         k=20,
     )
+
+
+_WRITEPLAN_SQL = """
+WITH a AS (SELECT COUNT(*) AS n_rows,
+       CAST(0 + SUM(CAST(strlen(text) AS BIGINT))
+              + SUM(CAST(strlen(lang) AS BIGINT))
+              + SUM(CAST(strlen(source) AS BIGINT))
+              + COUNT(*) * 16 AS BIGINT) AS raw_bytes
+       FROM documents),
+ b AS (SELECT n_rows, raw_bytes,
+              raw_bytes * 100 // 300 AS est_bytes,
+              CAST(134217728 AS BIGINT) AS target_file_bytes,
+              greatest(CAST(1 AS BIGINT),
+                       (raw_bytes * 100 // 300 + 134217728 - 1)
+                         // 134217728) AS n_files
+       FROM a)
+SELECT n_rows, raw_bytes, est_bytes, target_file_bytes, n_files,
+       (n_rows + n_files - 1) // n_files AS rows_per_file
+FROM b
+"""
+
+
+@query("o_write_plan", _WRITEPLAN_SQL)
+def o_write_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-layout plan for the documents table
+    (maintenance.write_plan): exact octet_length byte accounting →
+    target-sized file count and rows-per-file, integer arithmetic
+    end-to-end — the small-files guard run before every large write;
+    compact_parquet applies it."""
+    from razulibs_spark.operators import maintenance
+
+    return maintenance.write_plan(
+        T(spark, sf_dir, "documents"),
+        ["text", "lang", "source"],
+        fixed_bytes_per_row=16,
+    )
+
+
+_SCURVE_SQL = """
+WITH g AS (SELECT i, CAST(i AS DOUBLE) / CAST(20 AS DOUBLE) AS s
+           FROM generate_series(1, 19) t(i)),
+ c1 AS (SELECT 4 AS bands, 3 AS rows_per_band, s,
+               CAST(1 AS DOUBLE) - s * s * s AS q FROM g),
+ p1 AS (SELECT bands, rows_per_band, s,
+               CAST(1 AS DOUBLE) - q * q * q * q AS p FROM c1),
+ c2 AS (SELECT 6 AS bands, 2 AS rows_per_band, s,
+               CAST(1 AS DOUBLE) - s * s AS q FROM g),
+ p2 AS (SELECT bands, rows_per_band, s,
+               CAST(1 AS DOUBLE) - q * q * q * q * q * q AS p FROM c2),
+ c3 AS (SELECT 8 AS bands, 4 AS rows_per_band, s,
+               CAST(1 AS DOUBLE) - s * s * s * s AS q FROM g),
+ p3 AS (SELECT bands, rows_per_band, s,
+               CAST(1 AS DOUBLE) - q * q * q * q * q * q * q * q AS p
+        FROM c3),
+ u AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+       UNION ALL SELECT * FROM p3)
+SELECT bands, rows_per_band,
+       CAST(floor(CAST(1000000 AS DOUBLE) * s + 0.5) AS BIGINT) AS s_micro,
+       CAST(floor(CAST(1000000 AS DOUBLE) * p + 0.5) AS BIGINT)
+         AS p_candidate_micro
+FROM u
+"""
+
+
+@query("dedup_lsh_tuning", _SCURVE_SQL)
+def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-MinHash S-curve tuning table (dedup.lsh_s_curve): the
+    candidate probability 1-(1-s^r)^b over a Jaccard grid for three
+    (bands, rows) configurations — powers expanded by repeated
+    multiplication (pow() with float exponents is not cross-engine
+    stable), pure literal fan-out, output bounded by configs × grid.
+    The parameter-planning step before a corpus-scale LSH dedup."""
+    return dedup.lsh_s_curve(
+        spark, configs=((4, 3), (6, 2), (8, 4)), grid_steps=19
+    )

@@ -821,3 +821,49 @@ def test_session_paths_hand_case(spark):
     d = {r["path"]: r["n_sessions"] for r in out}
     # max_steps=2 truncates user 1's session to its first two events.
     assert d == {"view>click": 2}
+
+
+# ---------------------------------------------------------------------------
+# Batch 7: write plan, LSH S-curve
+# ---------------------------------------------------------------------------
+
+
+def test_write_plan_arithmetic(spark):
+    from razulibs_spark.operators import maintenance
+
+    pdf = pd.DataFrame({"t": ["x" * 100] * 1000})
+    row = maintenance.write_plan(
+        spark.createDataFrame(pdf),
+        ["t"],
+        fixed_bytes_per_row=0,
+        target_file_bytes=10_000,
+        compression_ratio_pct=100,
+    ).collect()[0]
+    assert row["raw_bytes"] == 100_000
+    assert row["est_bytes"] == 100_000
+    assert row["n_files"] == 10
+    assert row["rows_per_file"] == 100
+
+
+def test_write_plan_minimum_one_file(spark):
+    from razulibs_spark.operators import maintenance
+
+    pdf = pd.DataFrame({"t": ["ab"]})
+    row = maintenance.write_plan(
+        spark.createDataFrame(pdf), ["t"], fixed_bytes_per_row=8
+    ).collect()[0]
+    assert row["n_files"] == 1 and row["rows_per_file"] == 1
+
+
+def test_lsh_s_curve_matches_math(spark):
+    from razulibs_spark.operators import dedup as D
+
+    out = D.lsh_s_curve(spark, configs=((4, 3),), grid_steps=19).collect()
+    assert len(out) == 19
+    for r in out:
+        s = r["s_micro"] / 1e6
+        expect = 1 - (1 - s**3) ** 4
+        assert abs(r["p_candidate_micro"] / 1e6 - expect) < 1e-5
+    # Monotone increasing in s.
+    ps = [r["p_candidate_micro"] for r in sorted(out, key=lambda r: r["s_micro"])]
+    assert ps == sorted(ps)
