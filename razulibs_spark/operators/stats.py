@@ -458,14 +458,14 @@ def pca_top_component(
         ]
     )
     # Deterministic dimensionality (max over the corpus, not an
-    # arbitrary first row); empty/all-NULL input returns an empty
-    # frame instead of crashing.
-    dims = centered_rows.groupBy().agg(
-        F.max(F.size("x")).alias("d")
+    # arbitrary first row) and the row count in ONE job; empty /
+    # all-NULL input returns an empty frame instead of crashing.
+    head = centered_rows.groupBy().agg(
+        F.max(F.size("x")).alias("d"), F.count("*").alias("n")
     ).collect()
-    if not dims or dims[0]["d"] is None:
+    if not head or head[0]["d"] is None:
         return df.sparkSession.createDataFrame([], out_schema)
-    dim = dims[0]["d"]
+    dim, n_rows = head[0]["d"], head[0]["n"]
     centered_rows = centered_rows.filter(F.size("x") == dim)
     mu = (
         centered_rows.select(
@@ -478,9 +478,19 @@ def pca_top_component(
     )
     mu_arr = [r["m"] for r in mu]
     mu_lit = F.array(*[F.lit(m) for m in mu_arr])
-    centered = centered_rows.select(
-        F.zip_with("x", mu_lit, lambda a, b: a - b).alias("x")
-    ).persist()
+    # Loop-width pattern: the iterate table is re-read once per
+    # round; size its partitioning to the data (cells/50k, capped at
+    # parallelism) so each of the `iters` rounds schedules a handful
+    # of tasks, not defaultParallelism × iters.
+    sc = df.sparkSession.sparkContext
+    width = max(1, min(sc.defaultParallelism, (n_rows * dim) // 50_000 + 1))
+    centered = (
+        centered_rows.select(
+            F.zip_with("x", mu_lit, lambda a, b: a - b).alias("x")
+        )
+        .repartition(width)
+        .persist()
+    )
     v = [1.0 / _math.sqrt(dim)] * dim
     eigenvalue = 0.0
     for _ in range(iters):

@@ -6695,7 +6695,7 @@ def sim_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     pytest (rows-only: float sum order makes the last ulps
     engine-specific)."""
     return stats.pca_top_component(
-        T(spark, sf_dir, "embeddings"), "embedding", iters=8
+        T(spark, sf_dir, "embeddings"), "embedding", iters=6
     )
 
 
