@@ -181,6 +181,8 @@ R04_ADDITIONS = [
     "events_path_analysis",
     "o_write_plan",
     "dedup_lsh_tuning",
+    "dedup_cluster_sizes",
+    "sim_centroid_shift",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

@@ -856,3 +856,33 @@ def lsh_s_curve(
     for x in parts[1:]:
         out = out.unionByName(x)
     return out.drop("i")
+
+
+def cluster_size_histogram(
+    documents: "DataFrame", text_col: str = "text"
+) -> "DataFrame":
+    """Histogram of exact-duplicate cluster sizes — the shape report a
+    dedup pass publishes (how much of the corpus is singletons vs
+    mega-clusters, and how many rows deduplication will remove).
+
+    Two map-side-combinable count aggregates (hash → cluster size →
+    histogram); output is bounded by the number of distinct cluster
+    sizes.  ``rows_removed`` = (size − 1)·clusters is the exact row
+    reduction the dedup would deliver.
+    """
+    from pyspark.sql import functions as FF
+
+    clusters = documents.groupBy(
+        FF.md5(FF.col(text_col)).alias("h")
+    ).agg(FF.count("*").alias("cluster_size"))
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(FF.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            ((FF.col("cluster_size") - 1) * FF.col("n_clusters")).alias(
+                "rows_removed"
+            ),
+        )
+    )

@@ -521,3 +521,79 @@ def pca_top_component(
         [(i + 1, float(v[i]), float(eigenvalue)) for i in range(dim)],
         out_schema,
     )
+
+
+def centroid_shift(
+    df: DataFrame,
+    vec_col: str,
+    group_col: str,
+    group_a: str,
+    group_b: str,
+) -> DataFrame:
+    """Embedding-space drift between two cohorts: the L2 distance
+    between their mean vectors, from exact micro-scaled per-dimension
+    sums — the embedding twin of ``ks_drift`` (has the representation
+    of feed A moved away from feed B?).
+
+    One posexplode into a (group, dim)-keyed integer aggregate
+    (float·1e6 of a 24-bit mantissa is exact, so the sums are
+    order-independent), one dim-keyed self-align, one scalar reduce;
+    means and the final sqrt are deterministic IEEE on exact operands.
+    """
+    rows = df.filter(
+        F.col(group_col).isin(group_a, group_b)
+        & F.col(vec_col).isNotNull()
+    ).select(
+        group_col,
+        F.posexplode(F.col(vec_col)).alias("pos", "val"),
+    )
+    sums = rows.groupBy(group_col, "pos").agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.floor(F.col("val").cast("double") * F.lit(1000000.0)).cast(
+                "long"
+            )
+        ).alias("s_micro"),
+    )
+    a = sums.filter(F.col(group_col) == group_a).select(
+        "pos",
+        (
+            F.col("s_micro").cast("double")
+            / (F.lit(1000000.0) * F.col("n").cast("double"))
+        ).alias("ma"),
+    )
+    b = sums.filter(F.col(group_col) == group_b).select(
+        "pos",
+        (
+            F.col("s_micro").cast("double")
+            / (F.lit(1000000.0) * F.col("n").cast("double"))
+        ).alias("mb"),
+    )
+    # Per-dimension squared deltas are floored to pico-scaled BIGINTs
+    # BEFORE the reduce: a float SUM's order is partition-dependent
+    # and could never hash-match, while an integer sum is
+    # order-independent and the per-dim floor inputs are identical
+    # doubles on both engines.
+    d = a.join(b, "pos").select(
+        F.floor(
+            (F.col("ma") - F.col("mb"))
+            * (F.col("ma") - F.col("mb"))
+            * F.lit(1e12)
+        )
+        .cast("long")
+        .alias("sq_pico")
+    )
+    return (
+        d.groupBy()
+        .agg(F.sum("sq_pico").alias("ss_pico"))
+        .select(
+            "ss_pico",
+            F.floor(
+                F.lit(1000000.0)
+                * F.sqrt(F.col("ss_pico").cast("double") / F.lit(1e12))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("shift_micro"),
+        )
+    )

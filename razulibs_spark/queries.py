@@ -6956,3 +6956,62 @@ def dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_s_curve(
         spark, configs=((4, 3), (6, 2), (8, 4)), grid_steps=19
     )
+
+
+_CLUSTER_SIZES_SQL = """
+WITH c AS (SELECT md5(text) AS h, COUNT(*) AS cluster_size
+           FROM documents GROUP BY 1)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS rows_removed
+FROM c GROUP BY 1
+"""
+
+
+@query("dedup_cluster_sizes", _CLUSTER_SIZES_SQL)
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram
+    (dedup.cluster_size_histogram): two map-side-combinable counts;
+    rows_removed is the exact row reduction a dedup pass would
+    deliver — the shape report published alongside dedup_exact."""
+    return dedup.cluster_size_histogram(T(spark, sf_dir, "documents"))
+
+
+_CENTROID_SHIFT_SQL = """
+WITH r AS (SELECT label,
+                  unnest(range(1, len(embedding) + 1)) AS pos,
+                  CAST(unnest(embedding) AS DOUBLE) AS val
+           FROM embeddings
+           WHERE label IN (0, 1) AND embedding IS NOT NULL),
+ sums AS (SELECT label, pos, COUNT(*) AS n,
+                 CAST(SUM(CAST(floor(val * CAST(1000000 AS DOUBLE))
+                          AS BIGINT)) AS BIGINT) AS s_micro
+          FROM r GROUP BY 1, 2),
+ a AS (SELECT pos, CAST(s_micro AS DOUBLE)
+                   / (CAST(1000000 AS DOUBLE) * CAST(n AS DOUBLE)) AS ma
+       FROM sums WHERE label = 0),
+ b AS (SELECT pos, CAST(s_micro AS DOUBLE)
+                   / (CAST(1000000 AS DOUBLE) * CAST(n AS DOUBLE)) AS mb
+       FROM sums WHERE label = 1),
+ d AS (SELECT CAST(floor((ma - mb) * (ma - mb) * 1e12) AS BIGINT)
+                AS sq_pico
+       FROM a JOIN b USING (pos))
+SELECT CAST(SUM(sq_pico) AS BIGINT) AS ss_pico,
+       CAST(floor(CAST(1000000 AS DOUBLE)
+                  * sqrt(CAST(SUM(sq_pico) AS DOUBLE)
+                         / CAST(1e12 AS DOUBLE)) + 0.5) AS BIGINT)
+         AS shift_micro
+FROM d
+"""
+
+
+@query("sim_centroid_shift", _CENTROID_SHIFT_SQL)
+def sim_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift between label-0 and label-1 cohorts
+    (stats.centroid_shift): L2 distance between mean vectors from
+    exact micro-scaled per-dimension integer sums — the embedding
+    twin of stats_ks_drift; squared deltas floored to pico BIGINTs
+    before the reduce so the scalar is order-independent."""
+    e = T(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("string").alias("grp"), "embedding"
+    )
+    return stats.centroid_shift(e, "embedding", "grp", "0", "1")

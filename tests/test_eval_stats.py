@@ -867,3 +867,49 @@ def test_lsh_s_curve_matches_math(spark):
     # Monotone increasing in s.
     ps = [r["p_candidate_micro"] for r in sorted(out, key=lambda r: r["s_micro"])]
     assert ps == sorted(ps)
+
+
+# ---------------------------------------------------------------------------
+# Batch 8: cluster sizes, centroid shift
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_size_histogram_planted_dups(spark):
+    from razulibs_spark.operators import dedup as D
+
+    pdf = pd.DataFrame(
+        {"text": ["a"] * 3 + ["b"] * 2 + ["c", "d", "e"]}
+    )
+    out = {
+        r["cluster_size"]: r
+        for r in D.cluster_size_histogram(
+            spark.createDataFrame(pdf)
+        ).collect()
+    }
+    assert out[1]["n_clusters"] == 3 and out[1]["rows_removed"] == 0
+    assert out[2]["n_clusters"] == 1 and out[2]["rows_removed"] == 1
+    assert out[3]["n_clusters"] == 1 and out[3]["rows_removed"] == 2
+
+
+def test_centroid_shift_known_distance(spark):
+    pdf = pd.DataFrame(
+        {
+            "grp": ["a", "a", "b", "b"],
+            "v": [[0.0, 0.0], [2.0, 0.0], [4.0, 3.0], [4.0, 3.0]],
+        }
+    )
+    row = stats.centroid_shift(
+        spark.createDataFrame(pdf), "v", "grp", "a", "b"
+    ).collect()[0]
+    # Means: a=(1,0), b=(4,3) -> shift = sqrt(9+9) = 4.2426...
+    assert abs(row["shift_micro"] / 1e6 - math.sqrt(18)) < 1e-5
+
+
+def test_centroid_shift_identical_groups_zero(spark):
+    pdf = pd.DataFrame(
+        {"grp": ["a", "b"], "v": [[1.5, -2.5], [1.5, -2.5]]}
+    )
+    row = stats.centroid_shift(
+        spark.createDataFrame(pdf), "v", "grp", "a", "b"
+    ).collect()[0]
+    assert row["shift_micro"] == 0
