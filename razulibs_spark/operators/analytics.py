@@ -462,22 +462,28 @@ def running_distinct(
     )
 
 
-def sessionize(
+def session_seq(
     events: DataFrame,
-    gap_us: int = 86_400_000_000,
+    gap_us: int,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Gap-based sessionization, parameterized by gap: lag + running
-    sum of new-session flags, both on the same user_id window (one
-    Exchange reused), then a per-(user, session) rollup that reuses
-    the partitioning too. The batch twin of the streaming session
-    window; the 100 TB shape is one shuffle on user_id total.
+    """Per-event gap-session sequence numbers: lag + running sum of
+    new-session flags, both on the same user_id window (one Exchange
+    reused).  The single shared source of session-boundary semantics —
+    ``sessionize`` aggregates over it and ``session_paths`` ranks
+    within it, so a gap-rule change can never silently diverge
+    between them.
     """
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # Single window spec: the lag is materialized once as a column and
     # the gap derives from IT — no second hand-written OVER clause that
     # could silently drift from `w`.
     lagged = events.select(
-        "user_id", "event_id", "ts", F.lag("ts").over(w).alias("_lag_ts")
+        "user_id",
+        "event_id",
+        "ts",
+        *(carry_cols or []),
+        F.lag("ts").over(w).alias("_lag_ts"),
     )
     gap = F.expr("timestampdiff(MICROSECOND, _lag_ts, ts)")
     is_new = F.when(
@@ -488,9 +494,23 @@ def sessionize(
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    return lagged.select(
+        "user_id", "event_id", "ts", *(carry_cols or []),
+        is_new.alias("_new"),
+    ).withColumn("session_seq", F.sum("_new").over(wsum))
+
+
+def sessionize(
+    events: DataFrame,
+    gap_us: int = 86_400_000_000,
+) -> DataFrame:
+    """Gap-based sessionization, parameterized by gap: the per-event
+    :func:`session_seq` pass, then a per-(user, session) rollup that
+    reuses its partitioning. The batch twin of the streaming session
+    window; the 100 TB shape is one shuffle on user_id total.
+    """
     return (
-        lagged.select("user_id", "event_id", "ts", is_new.alias("_new"))
-        .withColumn("session_seq", F.sum("_new").over(wsum))
+        session_seq(events, gap_us)
         .groupBy("user_id", "session_seq")
         .agg(
             F.count("*").alias("n_events"),
@@ -874,28 +894,14 @@ def session_paths(
     ties — and the final top-k compiles to a TakeOrderedAndProject
     heap.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    lagged = events.select(
-        "user_id", "event_id", "ts", "event_type",
-        F.lag("ts").over(w).alias("_lag_ts"),
+    sessioned = session_seq(events, gap_us, carry_cols=["event_type"])
+    wr = Window.partitionBy("user_id", "session_seq").orderBy(
+        "ts", "event_id"
     )
-    gap = F.expr("timestampdiff(MICROSECOND, _lag_ts, ts)")
-    is_new = F.when(
-        F.col("_lag_ts").isNull() | (gap > F.lit(gap_us)), F.lit(1)
-    ).otherwise(F.lit(0))
-    wsum = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    sessioned = lagged.select(
-        "user_id", "event_id", "ts", "event_type", is_new.alias("_new")
-    ).withColumn("seq", F.sum("_new").over(wsum))
-    wr = Window.partitionBy("user_id", "seq").orderBy("ts", "event_id")
     first_n = sessioned.withColumn(
         "_rn", F.row_number().over(wr)
     ).filter(F.col("_rn") <= max_steps)
-    paths = first_n.groupBy("user_id", "seq").agg(
+    paths = first_n.groupBy("user_id", "session_seq").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
@@ -907,7 +913,6 @@ def session_paths(
             ),
             ">",
         ).alias("path"),
-        F.count("*").alias("_n_steps"),
     )
     counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
     return counts.orderBy(

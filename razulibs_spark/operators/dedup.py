@@ -819,11 +819,8 @@ def lsh_s_curve(
     IEEE chain is deterministic and cross-engine stable (pow() with a
     float exponent is not).  Output is bounded by |configs|·grid.
     """
-    from pyspark.sql import functions as FF
-
     grid = spark.range(1, grid_steps + 1).select(
-        FF.col("id").alias("i"),
-        (FF.col("id").cast("double") / FF.lit(float(grid_steps + 1))).alias(
+        (F.col("id").cast("double") / F.lit(float(grid_steps + 1))).alias(
             "s"
         ),
     )
@@ -831,23 +828,22 @@ def lsh_s_curve(
     for b, r in configs:
         # s^r and (1-s^r)^b by left-to-right repeated multiplication —
         # mirrored textually in the oracle SQL.
-        sr = FF.col("s")
+        sr = F.col("s")
         for _ in range(r - 1):
-            sr = sr * FF.col("s")
-        q = FF.lit(1.0) - sr
+            sr = sr * F.col("s")
+        q = F.lit(1.0) - sr
         qb = q
         for _ in range(b - 1):
             qb = qb * q
-        p = FF.lit(1.0) - qb
+        p = F.lit(1.0) - qb
         parts.append(
             grid.select(
-                FF.lit(b).alias("bands"),
-                FF.lit(r).alias("rows_per_band"),
-                FF.col("i"),
-                FF.floor(
-                    FF.lit(1000000.0) * FF.col("s") + FF.lit(0.5)
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rows_per_band"),
+                F.floor(
+                    F.lit(1000000.0) * F.col("s") + F.lit(0.5)
                 ).cast("long").alias("s_micro"),
-                FF.floor(FF.lit(1000000.0) * p + FF.lit(0.5))
+                F.floor(F.lit(1000000.0) * p + F.lit(0.5))
                 .cast("long")
                 .alias("p_candidate_micro"),
             )
@@ -855,7 +851,7 @@ def lsh_s_curve(
     out = parts[0]
     for x in parts[1:]:
         out = out.unionByName(x)
-    return out.drop("i")
+    return out
 
 
 def cluster_size_histogram(
@@ -870,18 +866,16 @@ def cluster_size_histogram(
     sizes.  ``rows_removed`` = (size − 1)·clusters is the exact row
     reduction the dedup would deliver.
     """
-    from pyspark.sql import functions as FF
-
     clusters = documents.groupBy(
-        FF.md5(FF.col(text_col)).alias("h")
-    ).agg(FF.count("*").alias("cluster_size"))
+        F.md5(F.col(text_col)).alias("h")
+    ).agg(F.count("*").alias("cluster_size"))
     return (
         clusters.groupBy("cluster_size")
-        .agg(FF.count("*").alias("n_clusters"))
+        .agg(F.count("*").alias("n_clusters"))
         .select(
             "cluster_size",
             "n_clusters",
-            ((FF.col("cluster_size") - 1) * FF.col("n_clusters")).alias(
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
                 "rows_removed"
             ),
         )

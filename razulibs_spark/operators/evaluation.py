@@ -111,7 +111,16 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
     integer until the final division.  Everything after the one
     (a,b)-keyed count is bounded by the class vocabulary.
     """
-    m = df.groupBy(a_col, b_col).agg(F.count("*").alias("n"))
+    # Rows with a NULL on either side are excluded UP FRONT: they can
+    # never count as agreement (NULL == NULL is not true) nor join
+    # into the chance term, so keeping them would inflate N while
+    # excluding them from both numerators — the same marginal
+    # inconsistency fixed in chi_square_cells.
+    m = (
+        df.filter(F.col(a_col).isNotNull() & F.col(b_col).isNotNull())
+        .groupBy(a_col, b_col)
+        .agg(F.count("*").alias("n"))
+    )
     row_t = m.groupBy(a_col).agg(F.sum("n").alias("rt"))
     col_t = m.groupBy(b_col).agg(F.sum("n").alias("ct"))
     # Chance agreement pairs row/col marginals of the SAME class.
@@ -143,10 +152,14 @@ def cohens_kappa(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         )
         / F.lit(1000000.0)
     )
+    # pe_num is reported as double, not long: the value is ~N² and a
+    # long cast would overflow at exactly the scale the decimal(38,0)
+    # computation guards against (int->double conversion is correctly
+    # rounded identically on both engines).
     return one.select(
         "n",
         "po_num",
-        F.col("pe_num").cast("long").alias("pe_num"),
+        F.col("pe_num").cast("double").alias("pe_num"),
         kappa.alias("kappa"),
     )
 

@@ -203,19 +203,29 @@ def write_plan(
         (raw + F.count("*") * fixed_bytes_per_row).alias("raw_bytes"),
     )
     est = F.expr(f"raw_bytes * 100 div {compression_ratio_pct}")
-    return agg.select(
-        "n_rows",
-        "raw_bytes",
-        est.alias("est_bytes"),
-        F.lit(target_file_bytes).cast("long").alias("target_file_bytes"),
-        F.greatest(
-            F.lit(1).cast("long"),
-            F.expr(
-                f"(raw_bytes * 100 div {compression_ratio_pct}"
-                f" + {target_file_bytes} - 1) div {target_file_bytes}"
+    # n_files derives from the est_bytes COLUMN, so the compression
+    # model exists in exactly one expression.
+    return (
+        agg.select(
+            "n_rows",
+            "raw_bytes",
+            est.alias("est_bytes"),
+            F.lit(target_file_bytes).cast("long").alias(
+                "target_file_bytes"
             ),
-        ).alias("n_files"),
-    ).withColumn(
-        "rows_per_file",
-        F.expr("(n_rows + n_files - 1) div n_files"),
+        )
+        .withColumn(
+            "n_files",
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(
+                    f"(est_bytes + {target_file_bytes} - 1)"
+                    f" div {target_file_bytes}"
+                ),
+            ),
+        )
+        .withColumn(
+            "rows_per_file",
+            F.expr("(n_rows + n_files - 1) div n_files"),
+        )
     )

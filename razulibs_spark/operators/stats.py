@@ -463,7 +463,7 @@ def pca_top_component(
     head = centered_rows.groupBy().agg(
         F.max(F.size("x")).alias("d"), F.count("*").alias("n")
     ).collect()
-    if not head or head[0]["d"] is None:
+    if not head or head[0]["d"] is None or head[0]["d"] <= 0:
         return df.sparkSession.createDataFrame([], out_schema)
     dim, n_rows = head[0]["d"], head[0]["n"]
     centered_rows = centered_rows.filter(F.size("x") == dim)

@@ -6046,14 +6046,16 @@ WITH c AS (SELECT doc_id, lang,
 
 _KAPPA_SQL = _LANGPRED_CTE + """
 , m AS (SELECT labeled_lang AS a, predicted_lang AS b, COUNT(*) AS n
-        FROM p GROUP BY 1, 2),
+        FROM p
+        WHERE labeled_lang IS NOT NULL AND predicted_lang IS NOT NULL
+        GROUP BY 1, 2),
  rt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS rt FROM m GROUP BY 1),
  ct AS (SELECT b, CAST(SUM(n) AS BIGINT) AS ct FROM m GROUP BY 1),
  pe AS (SELECT SUM(CAST(rt.rt AS HUGEINT) * ct.ct) AS pe_num
         FROM rt JOIN ct ON rt.a = ct.b),
  po AS (SELECT CAST(SUM(n) AS BIGINT) AS po_num FROM m WHERE a = b),
  nt AS (SELECT CAST(SUM(n) AS BIGINT) AS n FROM m)
-SELECT n, po_num, CAST(pe_num AS BIGINT) AS pe_num,
+SELECT n, po_num, CAST(pe_num AS DOUBLE) AS pe_num,
        floor(CAST(1000000 AS DOUBLE)
              * (CAST(CAST(n AS HUGEINT) * po_num - pe_num AS DOUBLE)
                 / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE))

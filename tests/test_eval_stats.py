@@ -913,3 +913,27 @@ def test_centroid_shift_identical_groups_zero(spark):
         spark.createDataFrame(pdf), "v", "grp", "a", "b"
     ).collect()[0]
     assert row["shift_micro"] == 0
+
+
+def test_pca_all_empty_vectors_returns_empty(spark):
+    pdf = pd.DataFrame({"embedding": [[], []]})
+    out = stats.pca_top_component(
+        spark.createDataFrame(
+            pdf, schema="embedding array<double>"
+        ),
+        "embedding",
+        iters=2,
+    )
+    assert out.count() == 0
+
+
+def test_kappa_excludes_null_labels(spark):
+    pdf = pd.DataFrame(
+        {"a": ["x", "x", None, "y"], "b": ["x", None, "x", "y"]}
+    )
+    row = evaluation.cohens_kappa(
+        spark.createDataFrame(pdf), "a", "b"
+    ).collect()[0]
+    # Only the two fully-non-NULL rows count: both agree -> kappa 1.
+    assert row["n"] == 2 and row["po_num"] == 2
+    assert row["kappa"] == 1.0
