@@ -78,7 +78,7 @@ def test_oracles_reference_only_known_tables():
                 r"\)\s+(?:AS\s+)?([a-z_][a-z0-9_]*)", scan, re.IGNORECASE
             )
         }
-        for m in re.finditer(r"(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", scan,
+        for m in re.finditer(r"(?<![a-z0-9_])(?:FROM|JOIN)\s+([a-z_][a-z0-9_]*)", scan,
                              re.IGNORECASE):
             tbl = m.group(1).lower()
             assert tbl in known or tbl in local or tbl in table_functions, (
