@@ -183,6 +183,7 @@ R04_ADDITIONS = [
     "dedup_lsh_tuning",
     "dedup_cluster_sizes",
     "sim_centroid_shift",
+    "events_peak_concurrency",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS

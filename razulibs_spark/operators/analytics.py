@@ -918,3 +918,51 @@ def session_paths(
     return counts.orderBy(
         F.col("n_sessions").desc(), "path"
     ).limit(k)
+
+
+def peak_concurrency(
+    events: DataFrame, gap_us: int = 3_600_000_000
+) -> DataFrame:
+    """Peak concurrent sessions per day, by sweep-line: every session
+    contributes a +1 point at its start and a -1 at its end, the
+    running sum over the global (ts, delta) order is the concurrency
+    level at each boundary instant, and the daily report takes the
+    max of the levels observed that day — the capacity-planning
+    number an event platform publishes.
+
+    The global running sum uses the two-tier ``stats.range_cumsum``
+    (no single-partition window); ordering (ts, delta, user, seq) is
+    a total order with ends (-1) sorting before starts (+1) at equal
+    timestamps, making session ends exclusive.  Levels are sampled at
+    boundary instants, so a day whose peak is entirely carried over
+    from a session straddling midnight reports the level at its first
+    boundary instant of that day.
+    """
+    from razulibs_spark.operators.stats import range_cumsum
+
+    sess = sessionize(events, gap_us=gap_us)
+    starts = sess.select(
+        F.col("session_start").alias("t"),
+        F.lit(1).alias("delta"),
+        "user_id",
+        "session_seq",
+    )
+    ends = sess.select(
+        F.col("session_end").alias("t"),
+        F.lit(-1).alias("delta"),
+        "user_id",
+        "session_seq",
+    )
+    points = starts.unionByName(ends)
+    cum = range_cumsum(
+        points,
+        ["t", "delta", "user_id", "session_seq"],
+        ["delta"],
+        ["before"],
+    )
+    level = (F.col("before") + F.col("delta")).alias("level")
+    return (
+        cum.select(F.col("t").cast("date").alias("day"), level)
+        .groupBy("day")
+        .agg(F.max("level").alias("peak_concurrent"))
+    )

@@ -7017,3 +7017,41 @@ def sim_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("string").alias("grp"), "embedding"
     )
     return stats.centroid_shift(e, "embedding", "grp", "0", "1")
+
+
+_PEAK_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 3600000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seq
+  FROM flagged),
+ s AS (SELECT user_id, seq, MIN(ts) AS session_start, MAX(ts) AS session_end
+       FROM sess GROUP BY 1, 2),
+ pts AS (SELECT session_start AS t, 1 AS delta, user_id, seq FROM s
+         UNION ALL
+         SELECT session_end AS t, -1 AS delta, user_id, seq FROM s),
+ cum AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id, seq
+                                    ROWS UNBOUNDED PRECEDING) AS level
+         FROM pts)
+SELECT CAST(t AS DATE) AS day, CAST(MAX(level) AS BIGINT) AS peak_concurrent
+FROM cum GROUP BY 1
+"""
+
+
+@query("events_peak_concurrency", _PEAK_SQL)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent 1-hour-gap sessions per day
+    (analytics.peak_concurrency): sweep-line +1/-1 boundary points,
+    global running sum via the two-tier range_cumsum (no
+    single-partition window), daily max — the capacity-planning
+    report."""
+    return analytics.peak_concurrency(
+        T(spark, sf_dir, "events"), gap_us=3_600_000_000
+    )

@@ -937,3 +937,26 @@ def test_kappa_excludes_null_labels(spark):
     # Only the two fully-non-NULL rows count: both agree -> kappa 1.
     assert row["n"] == 2 and row["po_num"] == 2
     assert row["kappa"] == 1.0
+
+
+def test_peak_concurrency_hand_case(spark):
+    from razulibs_spark.operators import analytics
+
+    # Three users; sessions (08:00-09:00), (08:30-09:30), (08:45-08:50):
+    # peak 3 concurrent at 08:45; end-exclusive at 09:00 boundary.
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2, 3, 3],
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": pd.to_datetime(
+                ["2024-01-01 08:00", "2024-01-01 09:00",
+                 "2024-01-01 08:30", "2024-01-01 09:30",
+                 "2024-01-01 08:45", "2024-01-01 08:50"]
+            ),
+        }
+    )
+    out = analytics.peak_concurrency(
+        spark.createDataFrame(pdf), gap_us=7_200_000_000
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["peak_concurrent"] == 3
