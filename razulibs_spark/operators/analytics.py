@@ -309,10 +309,18 @@ def heavy_hitters(
     primitive: the full groupBy would shuffle every row by key; here
     the shuffle carries only candidate-key rows. Output: (key, n,
     share) for keys with n > total/k.
+
+    NULL keys (the classic skew culprit) are handled exactly via a
+    side-channel: pandas ``value_counts`` drops NaN and an equi-semi-
+    join never matches NULL, so instead of threading NULL through both
+    phases, the global NULL count rides the same single-row totals
+    aggregate and a NULL row is appended iff it crosses the exact
+    threshold. No false negatives for NULL either.
     """
     import pandas as pd
 
     src = items.select(F.col(key_col).alias("key"))
+    nn = src.filter(F.col("key").isNotNull())
 
     def _mg(batches):
         counters: dict = {}
@@ -327,19 +335,32 @@ def heavy_hitters(
                 }
         yield pd.DataFrame({"key": list(counters.keys())})
 
+    key_type = items.schema[key_col].dataType.simpleString()
     candidates = (
-        src.mapInPandas(_mg, f"key {items.schema[key_col].dataType.simpleString()}")
+        nn.mapInPandas(_mg, f"key {key_type}")
         .distinct()
     )
     counts = (
-        src.join(F.broadcast(candidates), "key", "left_semi")
+        nn.join(F.broadcast(candidates), "key", "left_semi")
         .groupBy("key")
         .agg(F.count("*").alias("n"))
     )
-    total = src.agg(F.count("*").alias("_total"))
+    total = src.agg(
+        F.count("*").alias("_total"),
+        F.count(F.when(F.col("key").isNull(), 1)).alias("_nulls"),
+    )
+    null_hitters = total.filter(
+        F.col("_nulls") > F.col("_total") / F.lit(k)
+    ).select(
+        F.lit(None).cast(key_type).alias("key"),
+        F.col("_nulls").alias("n"),
+        "_total",
+    )
     return (
         counts.join(F.broadcast(total))
         .filter(F.col("n") > F.col("_total") / F.lit(k))
+        .select("key", "n", "_total")
+        .unionByName(null_hitters)
         .select(
             F.col("key").alias(key_col),
             "n",

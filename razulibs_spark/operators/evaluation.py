@@ -260,15 +260,20 @@ def retrieval_metrics(
         F.round(F.col("hits").cast("double") / F.lit(float(k)), 6).alias(
             "p_at_k"
         ),
-        F.floor(
-            F.lit(1000000.0)
-            * (
-                F.col("hits").cast("double")
-                / F.col("n_relevant").cast("double")
-            )
-        )
-        .cast("long")
-        .alias("recall_micro"),
+        # Guard n_relevant=0 (a singleton label: the query is its
+        # label's only member): Spark's non-ANSI x/0 yields NULL but
+        # an IEEE engine (the DuckDB oracle) yields floor(inf) — an
+        # explicit CASE keeps both engines at NULL.
+        F.when(
+            F.col("n_relevant") > 0,
+            F.floor(
+                F.lit(1000000.0)
+                * (
+                    F.col("hits").cast("double")
+                    / F.col("n_relevant").cast("double")
+                )
+            ).cast("long"),
+        ).alias("recall_micro"),
         "first_rel_rank",
         F.floor(
             F.lit(1000000.0) / F.col("first_rel_rank").cast("double")

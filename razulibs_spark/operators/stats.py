@@ -53,10 +53,16 @@ def range_cumsum(
     # Pin ONE materialization of the range partitioning:
     # repartitionByRange samples bounds per job, so the subtotal job
     # and the cumsum job must see identical partition boundaries.
+    # localCheckpoint (not persist): a CacheManager entry would outlive
+    # every caller until an explicit unpersist/clearCache — one leaked
+    # cached dataset per call in long-lived sessions — whereas
+    # checkpoint blocks are dropped by the ContextCleaner as soon as
+    # the returned frame is garbage-collected, and the materialized
+    # blocks pin the sampled range bounds just as hard.
     parted = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     subtotals = (
         parted.groupBy("_pid")

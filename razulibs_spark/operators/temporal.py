@@ -179,10 +179,20 @@ def resample_ffill(
     key-partitioned order.  Every window is keyed — no single-partition
     sort; grid size per key is span/step, independent of event count.
 
-    ``step`` must be a literal interval accepted by date_trunc-style
-    bucketing ('1 hour', '1 day').
+    ``step`` must be exactly '1 hour' or '1 day': the bucket
+    truncation unit and the grid stride are derived together, and any
+    other step (e.g. '2 hours') would silently desynchronize them —
+    observations would miss the grid join and forward-fill would carry
+    stale values. Anything else raises.
     """
-    unit = "hour" if "hour" in step else "day"
+    allowed = {"1 hour": "hour", "1 day": "day"}
+    if step not in allowed:
+        raise ValueError(
+            f"resample_ffill step must be one of {sorted(allowed)}, "
+            f"got {step!r}: the date_trunc bucket unit and the grid "
+            "stride must agree or fills silently go stale"
+        )
+    unit = allowed[step]
     bucket = F.date_trunc(unit, F.col(ts_col))
     order = [F.col(ts_col)] + (
         [F.col(tiebreak_col)] if tiebreak_col else []

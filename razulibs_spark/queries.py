@@ -1805,8 +1805,12 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast queries, corpus streams, per-bucket compare."""
     e = T(spark, sf_dir, "embeddings")
     # The assignment table feeds both sides of the bucket join —
-    # persist it so the centroid scoring runs once, not per side.
-    assign = similarity.ivf_assign(e, e.filter(F.col("vec_id") < 4)).persist()
+    # localCheckpoint (eager) so centroid scoring runs once, not per
+    # side; unlike persist, the blocks are auto-released when the
+    # frame goes out of scope instead of leaking a CacheManager entry.
+    assign = similarity.ivf_assign(
+        e, e.filter(F.col("vec_id") < 4)
+    ).localCheckpoint(eager=True)
     return similarity.ivf_topk(e, assign, e.filter(F.col("vec_id") < 10), k=5)
 
 
@@ -5295,10 +5299,14 @@ UNION ALL SELECT 'l_shipdate', n_rows, nn5, n_rows - nn5, ndv5, mn5, mx5 FROM s
 
 @query("o_analyze_stats", _ANALYZE_SQL)
 def o_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANALYZE-style per-column CBO statistics in one aggregation job
-    (maintenance.column_stats): row count, non-null count, exact NDV,
-    native-typed min/max cast to string after aggregating, unpivoted
-    to one row per column with stack() — no per-column scans."""
+    """ANALYZE-style per-column CBO statistics
+    (maintenance.column_stats): a union of per-column single-DISTINCT
+    aggregate branches — row count, non-null count, exact NDV,
+    native-typed min/max cast to string after aggregating — one
+    column-pruned scan per column. Deliberately NOT one multi-DISTINCT
+    aggregation: Spark plans that through Expand (rows ×
+    n_distinct_aggs before the partial agg), which measured 6× slower
+    than the branch union (see SCALE.md)."""
     from razulibs_spark.operators import maintenance
 
     li = T(spark, sf_dir, "lineitem").withColumn(
@@ -6126,9 +6134,10 @@ _RETRIEVAL_SQL = _EMB_CTE + """
 , rc AS (SELECT label, COUNT(*) - 1 AS n_relevant FROM lab GROUP BY 1)
 SELECT query_id, hits, CAST(n_relevant AS BIGINT) AS n_relevant,
        round(CAST(hits AS DOUBLE) / CAST(5 AS DOUBLE), 6) AS p_at_k,
-       CAST(floor(CAST(1000000 AS DOUBLE)
-                  * (CAST(hits AS DOUBLE) / CAST(n_relevant AS DOUBLE)))
-            AS BIGINT) AS recall_micro,
+       CASE WHEN n_relevant > 0 THEN
+         CAST(floor(CAST(1000000 AS DOUBLE)
+                    * (CAST(hits AS DOUBLE) / CAST(n_relevant AS DOUBLE)))
+              AS BIGINT) END AS recall_micro,
        first_rel_rank,
        CAST(floor(CAST(1000000 AS DOUBLE)
                   / CAST(first_rel_rank AS DOUBLE)) AS BIGINT) AS rr_micro
@@ -6630,7 +6639,7 @@ def eval_ann_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = similarity.cosine_topk(e, queries_df, k=5)
     assign = similarity.ivf_assign(
         e, e.filter(F.col("vec_id") < 4)
-    ).persist()
+    ).localCheckpoint(eager=True)  # auto-released, unlike persist
     ivf = similarity.ivf_topk(e, assign, queries_df, k=5)
     return evaluation.topk_agreement(
         exact, ivf, "query_id", "neighbor_id", k=5

@@ -364,6 +364,40 @@ def test_resample_ffill_hand_case(spark):
     assert len(out) == 4
 
 
+def test_resample_ffill_rejects_unsupported_step(spark):
+    """Steps outside {'1 hour','1 day'} would silently desynchronize
+    the date_trunc bucket from the grid stride — must raise."""
+    import pytest
+
+    from razulibs_spark.operators import temporal
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"k": [1], "ts": pd.to_datetime(["2024-01-01"]), "v": [1.0]}
+        )
+    )
+    for bad in ["2 hours", "30 minutes", "1 week"]:
+        with pytest.raises(ValueError, match="step"):
+            temporal.resample_ffill(df, "k", "ts", "v", bad)
+
+
+def test_retrieval_singleton_label_null_recall(spark):
+    """A query whose label has no other corpus member (n_relevant=0)
+    must yield NULL recall_micro, not a division crash/mismatch."""
+    results = spark.createDataFrame(
+        pd.DataFrame({"query_id": [1], "neighbor_id": [10], "rnk": [1]})
+    )
+    labels = spark.createDataFrame(
+        pd.DataFrame({"vec_id": [1, 10], "label": [5, 6]})
+    )
+    row = evaluation.retrieval_metrics(
+        results, labels, "query_id", "neighbor_id", "rnk",
+        "vec_id", "label", k=1
+    ).collect()[0]
+    assert row["n_relevant"] == 0
+    assert row["recall_micro"] is None
+
+
 def test_cooccurrence_pairs_hand_case(spark):
     from razulibs_spark.operators import analytics
 

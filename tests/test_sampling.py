@@ -253,6 +253,32 @@ def test_heavy_hitters_exact_vs_groupby(spark):
     assert got == {("hot", 400), ("warm", 120)}  # n/k = 100
 
 
+def test_heavy_hitters_null_heavy_key(spark):
+    """A NULL-heavy key (the classic skew culprit) must surface as a
+    heavy hitter: value_counts drops NaN and an equi-semi-join never
+    matches NULL, so NULL rides the exact totals side-channel."""
+    from razulibs_spark.operators.analytics import heavy_hitters
+
+    rows = [(None,)] * 300 + [("hot",)] * 200 + [
+        (f"cold{i}",) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "key string").repartition(5)
+    got = {(r.key, r.n) for r in heavy_hitters(df, "key", k=5).collect()}
+    # n = 600, threshold n/k = 120: NULL (300) and hot (200) qualify.
+    assert got == {(None, 300), ("hot", 200)}
+
+
+def test_heavy_hitters_null_below_threshold_absent(spark):
+    from razulibs_spark.operators.analytics import heavy_hitters
+
+    rows = [(None,)] * 10 + [("hot",)] * 500 + [
+        (f"cold{i}",) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "key string").repartition(3)
+    got = {(r.key, r.n) for r in heavy_hitters(df, "key", k=4).collect()}
+    assert got == {("hot", 500)}  # threshold 150; NULL=10 stays out
+
+
 def test_bloom_leak_report_matches_exact_semi(spark, sf_dir):
     """Bloom prefilter is lossless: report equals the plain exact
     semi-join computed without the bitmap, and the bitmap stays within
