@@ -107,12 +107,30 @@ def _with_vec(
 
 
 def cosine_topk(
-    embeddings: DataFrame, queries: DataFrame, k: int = 5
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_broadcast_queries: int = 100_000,
 ) -> DataFrame:
     """Brute-force top-k: for every query vector, the k most cosine-
     similar non-self vectors. The query side is broadcast (small); the
     corpus side is repartitioned and streams — no shuffle of scores,
-    per-partition heaps via the ranked window on query_id."""
+    per-partition heaps via the ranked window on query_id.
+
+    The broadcast is only safe while the query set is genuinely small:
+    ``max_broadcast_queries`` guards the contract (one cheap
+    column-pruned count of the query side) and raises before Spark
+    would ship an over-limit query matrix to every executor. For large
+    query sets use ``ivf_topk`` (bucketed, both sides stream) or, for
+    all-pairs, ``blocked_exact_neardup``."""
+    n_queries = queries.count()
+    if n_queries > max_broadcast_queries:
+        raise ValueError(
+            f"cosine_topk broadcasts the query set; got {n_queries} "
+            f"queries > max_broadcast_queries={max_broadcast_queries}. "
+            "Use ivf_topk (bucketed ANN) for large query sets, or "
+            "raise the limit explicitly if the executors can hold it."
+        )
     q = _with_vec(queries, "query_id", "qv", "qn")
     c = _with_vec(embeddings, "neighbor_id", "cv", "cn").repartition(
         _parallelism(embeddings)

@@ -440,3 +440,17 @@ def test_new_returning_no_cartesian(spark):
     plan = _plan(Q.events_new_returning(spark, SF))
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # partial/final combine
+
+
+def test_cosine_topk_guards_oversized_query_broadcast(spark, sf_dir):
+    """cosine_topk must refuse to broadcast an over-limit query set
+    (VERDICT r4 item 3): the plan never reaches execution, so no
+    BroadcastExchange of a corpus-sized query matrix can occur."""
+    import pytest
+
+    from razulibs_spark import tables
+    from razulibs_spark.operators.similarity import cosine_topk
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="max_broadcast_queries"):
+        cosine_topk(e, e, k=5, max_broadcast_queries=10)
