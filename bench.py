@@ -268,6 +268,7 @@ R05_ADDITIONS = [
     "a_approx_quantiles",
     "dedup_minhash_incremental",
     "o_zorder_key",
+    "multimodal_decode",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS

@@ -2,11 +2,17 @@
 
 Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct; decode / feature-extract run as Arrow-batched
-`mapInPandas` stages. The actual media decode is STUBBED (the
-image/audio libraries are not in this container): `decode_image`
-raises NotImplementedError, and the pipeline uses a deterministic
-fake feature extractor instead — the Spark-side plumbing (schema,
-partitioning, UDF signature, batch shape) is real and tested.
+`mapInPandas` stages.
+
+Decode status: formats whose containers are parseable with the
+stdlib are REALLY decoded — 24-bit uncompressed BMP and binary P6
+PPM (header parse + per-channel pixel means via numpy), and 16-bit
+PCM WAV (RIFF chunk walk + sample stats). Only the entropy-coded
+formats (JPEG/PNG) remain stubbed (`decode_image` raises — no
+imaging library in this container); `multimodal_decode` reports
+those rows as decoded=false with a reason instead of failing the
+stage, which is also the right production posture for corrupt
+payloads at 100 TB (a poison byte string must never kill the job).
 """
 
 from __future__ import annotations
@@ -18,6 +24,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    BooleanType,
+    DoubleType,
     LongType,
     StringType,
     StructField,
@@ -47,13 +55,139 @@ FEATURE_SCHEMA = StructType(
 
 
 def decode_image(payload: bytes) -> object:
-    """Real media decode — intentionally not implemented in this
-    container (no imaging libraries). The distributed pipeline around
-    it is real; swap this for PIL/opencv on a full cluster image."""
+    """Entropy-coded image decode (JPEG/PNG) — intentionally not
+    implemented in this container (no imaging libraries; the formats
+    need DCT/DEFLATE decoders). BMP/PPM/WAV decode IS implemented
+    below with the stdlib; swap this for PIL/opencv on a full cluster
+    image to extend coverage."""
     raise NotImplementedError(
-        "media decode requires an imaging library not present in this "
-        "environment; the pipeline uses extract_features_stub instead"
+        "JPEG/PNG decode requires an imaging library not present in "
+        "this environment; BMP/PPM/WAV are decoded natively — see "
+        "decode_bmp / decode_ppm / decode_wav"
     )
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """Decode a 24-bit uncompressed BMP (BITMAPINFOHEADER): returns
+    width/height and exact per-channel pixel means. Pure stdlib header
+    parse; the pixel pass is one numpy reshape over the raw rows."""
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = int.from_bytes(payload[10:14], "little")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height_raw = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    comp = int.from_bytes(payload[30:34], "little")
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={comp})")
+    height = abs(height_raw)
+    if width <= 0 or height == 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (width * 3 + 3) // 4 * 4
+    need = off + stride * height
+    if len(payload) < need:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * height, offset=off
+    ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+    # BMP stores BGR; bottom-up iff height_raw > 0 (means only, so
+    # orientation does not matter).
+    means = rows.astype(np.float64).mean(axis=(0, 1))
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": float(means[2]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[0]),
+    }
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary P6 PPM (maxval ≤ 255): header tokens (with
+    comment support) then one numpy pass over the raw RGB triples."""
+    import numpy as np
+
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Tokenize the header: P6, width, height, maxval — whitespace
+    # separated, '#' comments run to end of line.
+    tokens, pos = [], 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos:pos + 1]
+        if c == b"#":
+            nl = payload.find(b"\n", pos)
+            pos = len(payload) if nl < 0 else nl + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end:end + 1].isspace():
+                end += 1
+            tokens.append(payload[pos:end])
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = (int(t) for t in tokens)
+    if maxval > 255 or width <= 0 or height <= 0:
+        raise ValueError("unsupported PPM (16-bit or degenerate)")
+    pos += 1  # single whitespace byte after maxval
+    need = width * height * 3
+    if len(payload) - pos < need:
+        raise ValueError("truncated PPM pixel array")
+    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    means = px.reshape(height, width, 3).astype(np.float64).mean(axis=(0, 1))
+    return {
+        "width": width,
+        "height": height,
+        "mean_r": float(means[0]),
+        "mean_g": float(means[1]),
+        "mean_b": float(means[2]),
+    }
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a 16-bit PCM WAV: RIFF chunk walk (fmt + data), then
+    sample count / peak / RMS over the PCM frames via numpy."""
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or n_channels < 1:
+        raise ValueError(
+            f"unsupported WAV (fmt={audio_fmt}, bits={bits}): only "
+            "16-bit integer PCM decodes without an audio library"
+        )
+    samples = np.frombuffer(data, dtype="<i2")
+    n_samples = len(samples) // n_channels
+    if n_samples == 0:
+        raise ValueError("empty WAV data chunk")
+    x = samples.astype(np.float64)
+    return {
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_samples": n_samples,
+        "peak": float(np.abs(x).max()),
+        "rms": float(np.sqrt((x * x).mean())),
+    }
 
 
 def attach_media_columns(documents: DataFrame) -> DataFrame:
@@ -224,3 +358,221 @@ def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
 
     n = media.sparkSession.sparkContext.defaultParallelism
     return media.repartition(n, "doc_id").mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real decode pipeline (BMP / PPM / WAV natively; JPEG/PNG reported
+# as undecodable rather than stubbed-fake).
+# ---------------------------------------------------------------------------
+
+def encode_bmp(width: int, height: int, rgb_fn) -> bytes:
+    """Build a 24-bit bottom-up BMP from ``rgb_fn(x, y) -> (r, g, b)``.
+    Used by the deterministic media synthesizer and the golden tests —
+    also the proof the decoder round-trips."""
+    stride = (width * 3 + 3) // 4 * 4
+    pixels = bytearray(stride * height)
+    for row in range(height):  # row 0 in the file is the BOTTOM row
+        y = height - 1 - row
+        base = row * stride
+        for x in range(width):
+            r, g, b = rgb_fn(x, y)
+            o = base + x * 3
+            pixels[o] = b & 0xFF
+            pixels[o + 1] = g & 0xFF
+            pixels[o + 2] = r & 0xFF
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + width.to_bytes(4, "little", signed=True)
+        + height.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(pixels).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return bytes(header) + bytes(pixels)
+
+
+def encode_ppm(width: int, height: int, rgb_fn) -> bytes:
+    body = bytearray()
+    for y in range(height):
+        for x in range(width):
+            r, g, b = rgb_fn(x, y)
+            body += bytes((r & 0xFF, g & 0xFF, b & 0xFF))
+    return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
+
+
+def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from integer samples (clamped to int16)."""
+    data = bytearray()
+    for v in samples:
+        data += int(max(-32768, min(32767, v))).to_bytes(
+            2, "little", signed=True
+        )
+    fmt = (
+        (1).to_bytes(2, "little")          # PCM
+        + (1).to_bytes(2, "little")        # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")  # byte rate
+        + (2).to_bytes(2, "little")        # block align
+        + (16).to_bytes(2, "little")       # bits
+    )
+    chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + bytes(data)
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL media payloads from the documents table:
+    doc_id % 4 → BMP / PPM / WAV / PNG-labeled-text (the last
+    exercises the undecodable path). Pixel and sample values are
+    integer functions of (doc_id, x, y) — bit-for-bit reproducible
+    across runs and partitionings. Runs as one Arrow pass; payload
+    sizes are bounded (≤ 24×16 px, ≤ 256 samples) so the stage is
+    narrow and cheap at any corpus size."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_payloads, out_fmts = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                kind = d % 4
+                if kind == 0:
+                    w, h = 8 + d % 17, 6 + d % 11
+                    payload = encode_bmp(
+                        w, h,
+                        lambda x, y, d=d: (
+                            (d + 7 * x) % 256,
+                            (3 * y + d // 5) % 256,
+                            (d ^ (x * y + 1)) % 256,
+                        ),
+                    )
+                    fmt = "image/bmp"
+                elif kind == 1:
+                    w, h = 5 + d % 13, 4 + d % 7
+                    payload = encode_ppm(
+                        w, h,
+                        lambda x, y, d=d: (
+                            (d * 3 + x) % 256,
+                            (d + x * y) % 256,
+                            (5 * y + d // 3) % 256,
+                        ),
+                    )
+                    fmt = "image/x-portable-pixmap"
+                elif kind == 2:
+                    n = 64 + d % 193
+                    period = 8 + d % 23
+                    samples = [
+                        ((i % period) * 2000 - period * 1000)
+                        for i in range(n)
+                    ]
+                    payload = encode_wav(samples, 8000 + (d % 3) * 4000)
+                    fmt = "audio/wav"
+                else:
+                    payload = b"\x89PNG\r\n\x1a\n" + str(d).encode() * 4
+                    fmt = "image/png"
+                out_ids.append(d)
+                out_payloads.append(payload)
+                out_fmts.append(fmt)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "payload": out_payloads,
+                    "media_format": out_fmts,
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("media_format", StringType(), True),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("media_format", StringType(), True),
+        StructField("decoded", BooleanType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+        StructField("sample_rate", LongType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("peak", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("note", StringType(), True),
+    ]
+)
+
+_DECODERS = {
+    "image/bmp": decode_bmp,
+    "image/x-portable-pixmap": decode_ppm,
+    "audio/wav": decode_wav,
+}
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """REAL media decode as an Arrow stage: one mapInPandas pass
+    dispatches each payload to its stdlib decoder (BMP/PPM/WAV) and
+    emits typed stats; formats without an in-container decoder
+    (JPEG/PNG) and corrupt payloads come back decoded=false with the
+    reason — a poison payload must never kill a 100 TB job. Decode is
+    inherently per-payload Python work (the one legitimate UDF hot
+    path); the Arrow boundary is crossed once and the fan-out is
+    split-aware like every other media stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_format"]
+            ):
+                row = {
+                    "doc_id": int(doc_id),
+                    "media_format": fmt,
+                    "decoded": False,
+                    "width": None, "height": None,
+                    "mean_r": None, "mean_g": None, "mean_b": None,
+                    "sample_rate": None, "n_channels": None,
+                    "n_samples": None, "peak": None, "rms": None,
+                    "note": None,
+                }
+                decoder = _DECODERS.get(fmt)
+                if payload is None:
+                    row["note"] = "null payload"
+                elif decoder is None:
+                    row["note"] = (
+                        f"no in-container decoder for {fmt} "
+                        "(needs imaging library)"
+                    )
+                else:
+                    try:
+                        row.update(decoder(bytes(payload)))
+                        row["decoded"] = True
+                    except ValueError as exc:
+                        row["note"] = f"decode failed: {exc}"
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA])
+
+    n_parts = max(
+        1,
+        min(
+            media.sparkSession.sparkContext.defaultParallelism,
+            media.rdd.getNumPartitions() * 4,
+        ),
+    )
+    return media.repartition(n_parts, "doc_id").mapInPandas(
+        batches, schema=DECODE_SCHEMA
+    )

@@ -7064,3 +7064,100 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return analytics.peak_concurrency(
         T(spark, sf_dir, "events"), gap_us=3_600_000_000
     )
+
+
+_MM_DECODE_SQL = """
+WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS kind FROM documents),
+bmp AS (SELECT doc_id, 8 + doc_id % 17 AS w, 6 + doc_id % 11 AS h
+        FROM d WHERE kind = 0),
+bmp_px AS (
+  SELECT b.doc_id, b.w, b.h,
+         (b.doc_id + 7 * xx.x) % 256 AS r,
+         (3 * yy.y + b.doc_id // 5) % 256 AS g,
+         xor(b.doc_id, xx.x * yy.y + 1) % 256 AS bb
+  FROM bmp b, unnest(range(0, b.w)) xx(x), unnest(range(0, b.h)) yy(y)),
+bmp_out AS (
+  SELECT doc_id, 'image/bmp' AS media_format, TRUE AS decoded,
+         CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+         AVG(CAST(r AS DOUBLE)) AS mean_r, AVG(CAST(g AS DOUBLE)) AS mean_g,
+         AVG(CAST(bb AS DOUBLE)) AS mean_b,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
+         CAST(NULL AS VARCHAR) AS note
+  FROM bmp_px GROUP BY doc_id),
+ppm AS (SELECT doc_id, 5 + doc_id % 13 AS w, 4 + doc_id % 7 AS h
+        FROM d WHERE kind = 1),
+ppm_px AS (
+  SELECT p.doc_id, p.w, p.h,
+         (p.doc_id * 3 + xx.x) % 256 AS r,
+         (p.doc_id + xx.x * yy.y) % 256 AS g,
+         (5 * yy.y + p.doc_id // 3) % 256 AS bb
+  FROM ppm p, unnest(range(0, p.w)) xx(x), unnest(range(0, p.h)) yy(y)),
+ppm_out AS (
+  SELECT doc_id, 'image/x-portable-pixmap' AS media_format, TRUE AS decoded,
+         CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+         AVG(CAST(r AS DOUBLE)) AS mean_r, AVG(CAST(g AS DOUBLE)) AS mean_g,
+         AVG(CAST(bb AS DOUBLE)) AS mean_b,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
+         CAST(NULL AS VARCHAR) AS note
+  FROM ppm_px GROUP BY doc_id),
+wav AS (SELECT doc_id, 8000 + (doc_id % 3) * 4000 AS sr,
+               64 + doc_id % 193 AS n, 8 + doc_id % 23 AS p
+        FROM d WHERE kind = 2),
+wav_s AS (
+  SELECT w.doc_id, w.sr, w.n, (ii.i % w.p) * 2000 - w.p * 1000 AS s
+  FROM wav w, unnest(range(0, w.n)) ii(i)),
+wav_out AS (
+  SELECT doc_id, 'audio/wav' AS media_format, TRUE AS decoded,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+         CAST(NULL AS DOUBLE) AS mean_b,
+         CAST(MAX(sr) AS BIGINT) AS sample_rate,
+         CAST(1 AS BIGINT) AS n_channels,
+         CAST(MAX(n) AS BIGINT) AS n_samples,
+         MAX(ABS(CAST(s AS DOUBLE))) AS peak,
+         sqrt(AVG(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS rms,
+         CAST(NULL AS VARCHAR) AS note
+  FROM wav_s GROUP BY doc_id),
+png_out AS (
+  SELECT doc_id, 'image/png' AS media_format, FALSE AS decoded,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+         CAST(NULL AS DOUBLE) AS mean_b,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
+         'no in-container decoder for image/png (needs imaging library)'
+           AS note
+  FROM d WHERE kind = 3)
+SELECT * FROM bmp_out UNION ALL SELECT * FROM ppm_out
+UNION ALL SELECT * FROM wav_out UNION ALL SELECT * FROM png_out
+"""
+
+
+@query("multimodal_decode", _MM_DECODE_SQL)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode (multimodal.decode_media): deterministic BMP /
+    P6-PPM / 16-bit-PCM-WAV payloads are synthesized byte-for-byte from
+    doc_id (multimodal.synthesize_decodable_media), then parsed back by
+    the stdlib decoders — header walk + numpy pixel/sample stats — in
+    one split-aware Arrow pass. PNG rows exercise the honest
+    undecodable path (decoded=false + reason; entropy-coded formats
+    need an imaging library this container lacks). The oracle
+    recomputes every expected stat from the same integer formulas in
+    SQL, so the whole encode→decode roundtrip is hash-verified: all
+    aggregates are exact integer sums (< 2^53) divided once, making
+    the doubles bit-identical across engines."""
+    from razulibs_spark.operators.multimodal import (
+        decode_media,
+        synthesize_decodable_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return decode_media(synthesize_decodable_media(docs))

@@ -765,3 +765,79 @@ def test_ntile_scalable_matches_native_ntile(spark):
             ).collect()
         }
         assert got == want, b
+
+
+def test_media_decoders_golden_roundtrip():
+    """Stdlib decoders recover exact header fields and pixel/sample
+    stats from bytes built by the matching encoders."""
+    from razulibs_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+        encode_bmp,
+        encode_ppm,
+        encode_wav,
+    )
+
+    px = {(0, 0): (10, 20, 30), (1, 0): (40, 50, 60),
+          (0, 1): (70, 80, 90), (1, 1): (100, 110, 120)}
+    bmp = decode_bmp(encode_bmp(2, 2, lambda x, y: px[(x, y)]))
+    assert bmp == {"width": 2, "height": 2,
+                   "mean_r": 55.0, "mean_g": 65.0, "mean_b": 75.0}
+    ppm = decode_ppm(encode_ppm(2, 2, lambda x, y: px[(x, y)]))
+    assert ppm == {"width": 2, "height": 2,
+                   "mean_r": 55.0, "mean_g": 65.0, "mean_b": 75.0}
+    wav = decode_wav(encode_wav([0, 300, -300, 400], 16000))
+    assert wav["sample_rate"] == 16000 and wav["n_channels"] == 1
+    assert wav["n_samples"] == 4 and wav["peak"] == 400.0
+    assert wav["rms"] == (sum(v * v for v in [0, 300, -300, 400]) / 4) ** 0.5
+    # BMP row padding: a 3-wide row (9 bytes) pads to 12 — decoder must
+    # skip the pad bytes.
+    bmp3 = decode_bmp(encode_bmp(3, 1, lambda x, y: (x, 2 * x, 3 * x)))
+    assert bmp3["mean_r"] == 1.0 and bmp3["mean_b"] == 3.0
+
+
+def test_media_decoders_reject_garbage():
+    import pytest as _pytest
+
+    from razulibs_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        decode_wav,
+    )
+
+    for fn in (decode_bmp, decode_ppm, decode_wav):
+        with _pytest.raises(ValueError):
+            fn(b"\x89PNG\r\n\x1a\nnot really media")
+
+
+def test_multimodal_decode_pipeline(spark, sf_dir):
+    """End-to-end Arrow decode stage: every synthesized BMP/PPM/WAV row
+    decodes, every PNG row is reported undecodable with a reason."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark import tables
+    from razulibs_spark.operators.multimodal import (
+        decode_media,
+        synthesize_decodable_media,
+    )
+
+    docs = tables.load(spark, sf_dir, "documents")
+    out = decode_media(synthesize_decodable_media(docs))
+    agg = {
+        r["media_format"]: r
+        for r in out.groupBy("media_format")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("decoded").cast("int")).alias("n_decoded"),
+        )
+        .collect()
+    }
+    assert agg["image/bmp"]["n"] == agg["image/bmp"]["n_decoded"] > 0
+    assert agg["image/x-portable-pixmap"]["n"] == agg[
+        "image/x-portable-pixmap"
+    ]["n_decoded"] > 0
+    assert agg["audio/wav"]["n"] == agg["audio/wav"]["n_decoded"] > 0
+    assert agg["image/png"]["n_decoded"] == 0
+    note = out.filter(~F.col("decoded")).select("note").first()["note"]
+    assert "no in-container decoder" in note
