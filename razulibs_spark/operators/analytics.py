@@ -954,10 +954,14 @@ def peak_concurrency(
     The global running sum uses the two-tier ``stats.range_cumsum``
     (no single-partition window); ordering (ts, delta, user, seq) is
     a total order with ends (-1) sorting before starts (+1) at equal
-    timestamps, making session ends exclusive.  Levels are sampled at
-    boundary instants, so a day whose peak is entirely carried over
-    from a session straddling midnight reports the level at its first
-    boundary instant of that day.
+    timestamps, making session ends exclusive.  Sessions straddling
+    midnight additionally emit a zero-delta PROBE point at every
+    midnight strictly inside the session, so a day whose peak is
+    entirely carried by sessions that span it is still exact: probes
+    (delta 0) sort after ends and before starts at the same instant,
+    which keeps end-exclusivity at the midnight boundary itself. The
+    probe fan-out is bounded by session length in days — negligible
+    next to the event fan-in.
     """
     from razulibs_spark.operators.stats import range_cumsum
 
@@ -974,7 +978,32 @@ def peak_concurrency(
         "user_id",
         "session_seq",
     )
-    points = starts.unionByName(ends)
+    # Zero-delta midnight probes for sessions spanning a day boundary:
+    # sequence() needs start <= stop (start > stop would silently
+    # generate a DESCENDING range), hence the spans-midnight filter.
+    probes = (
+        sess.filter(
+            F.col("session_end").cast("date")
+            > F.col("session_start").cast("date")
+        )
+        .select(
+            F.explode(
+                F.sequence(
+                    F.date_add(F.col("session_start").cast("date"), 1),
+                    F.col("session_end").cast("date"),
+                )
+            ).alias("_day"),
+            "user_id",
+            "session_seq",
+        )
+        .select(
+            F.col("_day").cast("timestamp").alias("t"),
+            F.lit(0).alias("delta"),
+            "user_id",
+            "session_seq",
+        )
+    )
+    points = starts.unionByName(ends).unionByName(probes)
     cum = range_cumsum(
         points,
         ["t", "delta", "user_id", "session_seq"],

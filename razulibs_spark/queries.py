@@ -7045,7 +7045,15 @@ WITH flagged AS (
        FROM sess GROUP BY 1, 2),
  pts AS (SELECT session_start AS t, 1 AS delta, user_id, seq FROM s
          UNION ALL
-         SELECT session_end AS t, -1 AS delta, user_id, seq FROM s),
+         SELECT session_end AS t, -1 AS delta, user_id, seq FROM s
+         UNION ALL
+         -- zero-delta probes at each midnight strictly inside the
+         -- session, so days fully spanned by a session stay exact
+         SELECT CAST(m.d AS TIMESTAMP) AS t, 0 AS delta, user_id, seq
+         FROM s, unnest(range(CAST(session_start AS DATE) + 1,
+                              CAST(session_end AS DATE) + 1,
+                              INTERVAL 1 DAY)) m(d)
+         WHERE CAST(session_end AS DATE) > CAST(session_start AS DATE)),
  cum AS (SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id, seq
                                     ROWS UNBOUNDED PRECEDING) AS level
          FROM pts)

@@ -994,3 +994,37 @@ def test_peak_concurrency_hand_case(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["peak_concurrent"] == 3
+
+
+def test_peak_concurrency_midnight_straddle_exact(spark):
+    """A session spanning 3 days must carry its level onto the middle
+    (boundary-free) day via the zero-delta midnight probes; a session
+    ending exactly AT midnight must not leak into the new day."""
+    from razulibs_spark.operators import analytics
+
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2, 2],
+            "event_id": [1, 2, 3, 4],
+            # User 1: one session Jan 1 23:00 -> Jan 3 01:00 (events
+            # 30 min apart keep the 1h-gap session alive across the
+            # span via a tight event stream — instead simulate with a
+            # huge gap threshold so two events bound one session).
+            "ts": pd.to_datetime(
+                ["2024-01-01 23:00", "2024-01-03 01:00",
+                 # User 2: session ending exactly at midnight Jan 2.
+                 "2024-01-01 22:00", "2024-01-02 00:00"]
+            ),
+        }
+    )
+    out = {
+        str(r["day"]): r["peak_concurrent"]
+        for r in analytics.peak_concurrency(
+            spark.createDataFrame(pdf), gap_us=200 * 3_600_000_000
+        ).collect()
+    }
+    # Jan 1: both sessions open -> 2. Jan 2: only user 1's session is
+    # open ALL day (no boundary point on Jan 2 at all before the fix;
+    # user 2's end at exactly 00:00 is exclusive) -> 1. Jan 3: level 1
+    # until 01:00 end.
+    assert out == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
