@@ -108,6 +108,11 @@ _PREVIOUSLY_VERIFIED = frozenset({
 })
 
 
+# The set the rotation actually orders by: force-refreshed names are
+# treated as never-verified so they re-enter the window.
+_EFFECTIVE_VERIFIED = _PREVIOUSLY_VERIFIED - _ROTATION_FORCE_REFRESH
+
+
 def _round_counter() -> int:
     """Deterministic per-round value: the number of CORRECTNESS
     artifacts the driver has produced so far. Used to rotate which
@@ -131,7 +136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     fresh_oracle, fresh_rows_only, seen = [], [], []
     for name in _q.QUERIES:
-        if name in _PREVIOUSLY_VERIFIED and name not in _ROTATION_FORCE_REFRESH:
+        if name in _EFFECTIVE_VERIFIED:
             seen.append(name)
         elif name in _q.ORACLES:
             fresh_oracle.append(name)

@@ -22,7 +22,7 @@ def test_rotation_preserves_registry():
 def test_window_prioritizes_unverified_oracle_entries():
     ordered = list(_entry.queries())
     window = ordered[:50]
-    pv = _entry._PREVIOUSLY_VERIFIED
+    pv = _entry._EFFECTIVE_VERIFIED
     # every fresh oracle-backed entry ranks before any fresh rows-only
     # entry, which ranks before any previously-verified entry
     ranks = []
