@@ -1469,8 +1469,18 @@ def f17_mime_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _o2_triples_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-schema (TRIPLE_SCHEMA) variant of the O2 fan-out, for
-    queries that need o_type/o_datatype/o_lang."""
-    o = T(spark, sf_dir, "orders")
+    queries that need o_type/o_datatype/o_lang.
+
+    The source is widened BEFORE the fan-out: the downstream
+    roundtrip consumers (JSON-LD / Turtle / N-Triples sinks) chain
+    seconds of per-row string work onto this frame, and a single-split
+    parquet source would otherwise serialize all of it through one
+    task. Widening here moves the (cheap, entity-sized) shuffle ahead
+    of the 5x row fan-out; at cluster scale the scan has more splits
+    than cores and the widen is a no-op."""
+    from razulibs_spark.sources.rdf_io import _widen
+
+    o = _widen(T(spark, sf_dir, "orders"))
     uid = razu_uid(F.col("o_orderkey"))
     return entity_to_triples(
         o,

