@@ -434,7 +434,12 @@ def prefix_filter_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: jaccard_pairs traverses the
+        # candidate table twice (id semi-join + pair join), and
+        # checkpoint blocks are auto-released when the result frame is
+        # collected, where a persist would leak a CacheManager entry
+        # per call in a long-lived session.
+        .localCheckpoint(eager=True)
     )
     return jaccard_pairs(shingles, threshold, candidates=candidates)
 
