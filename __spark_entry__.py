@@ -38,11 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # before rows-only ones), previously-green entries last. Across rounds
 # this verifies the whole registry; local pytest parity covers all
 # entries every round regardless of the window.
-# Round-5 note: three names are deliberately ABSENT from the set below
-# even though they have r01/r02 rows (s6_manifest_scan,
-# streaming_hourly_rollup, dedup_minhash_lsh_ml) — their code was
-# refactored since and VERDICT r4 item 4 asks for fresh driver rows, so
-# they re-enter the window as fresh rows-only entries this round.
+# Names SUBTRACTED from the verified set below (via
+# _EFFECTIVE_VERIFIED) so they re-enter the driver window as fresh
+# entries despite having old rows: their code was refactored since
+# r01/r02 and VERDICT r4 item 4 asks for fresh driver rows.
+# scripts/update_rotation.py clears a name from this set as soon as a
+# newer CORRECTNESS artifact records it again, so stale entries cannot
+# permanently occupy window slots.
 _ROTATION_FORCE_REFRESH = frozenset({
     "s6_manifest_scan", "streaming_hourly_rollup", "dedup_minhash_lsh_ml",
 })

@@ -434,12 +434,14 @@ def prefix_filter_pairs(
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
-        # localCheckpoint, not persist: jaccard_pairs traverses the
-        # candidate table twice (id semi-join + pair join), and
-        # checkpoint blocks are auto-released when the result frame is
-        # collected, where a persist would leak a CacheManager entry
-        # per call in a long-lived session.
-        .localCheckpoint(eager=True)
+        # Lazy persist: jaccard_pairs traverses the candidate table
+        # twice (id semi-join + pair join) inside one job, which only
+        # block caching dedups; an eager checkpoint would execute the
+        # whole prefix join at CONSTRUCTION time and make the blocks
+        # unrecoverable on executor loss. Cache-hygiene contract:
+        # callers running many of these in one long-lived session
+        # should clearCache between queries (the bench does).
+        .persist()
     )
     return jaccard_pairs(shingles, threshold, candidates=candidates)
 

@@ -132,7 +132,16 @@ def decode_ppm(payload: bytes) -> dict:
     width, height, maxval = (int(t) for t in tokens)
     if maxval > 255 or width <= 0 or height <= 0:
         raise ValueError("unsupported PPM (16-bit or degenerate)")
-    pos += 1  # single whitespace byte after maxval
+    # The raster starts after EXACTLY ONE whitespace byte (P6 spec).
+    # Validate it: a non-whitespace byte, a comment, or a CRLF pair
+    # here would silently shift the raster and rotate the channels —
+    # better an honest decode-failed row than wrong means.
+    sep = payload[pos:pos + 1]
+    if not sep.isspace():
+        raise ValueError("PPM: missing whitespace after maxval")
+    if sep == b"\r" and payload[pos + 1:pos + 2] == b"\n":
+        raise ValueError("PPM: ambiguous CRLF separator after maxval")
+    pos += 1
     need = width * height * 3
     if len(payload) - pos < need:
         raise ValueError("truncated PPM pixel array")

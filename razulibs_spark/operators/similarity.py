@@ -118,16 +118,18 @@ def cosine_topk(
     per-partition heaps via the ranked window on query_id.
 
     The broadcast is only safe while the query set is genuinely small:
-    ``max_broadcast_queries`` guards the contract (one cheap
-    column-pruned count of the query side) and raises before Spark
-    would ship an over-limit query matrix to every executor. For large
-    query sets use ``ivf_topk`` (bucketed, both sides stream) or, for
+    ``max_broadcast_queries`` guards the contract with a BOUNDED probe
+    — ``limit(max+1).count()`` short-circuits via CollectLimit after
+    max+1 rows, so an expensive query-side lineage is never fully
+    executed just to be rejected — and raises before Spark would ship
+    an over-limit query matrix to every executor. For large query
+    sets use ``ivf_topk`` (bucketed, both sides stream) or, for
     all-pairs, ``blocked_exact_neardup``."""
-    n_queries = queries.count()
-    if n_queries > max_broadcast_queries:
+    probe = queries.limit(max_broadcast_queries + 1).count()
+    if probe > max_broadcast_queries:
         raise ValueError(
-            f"cosine_topk broadcasts the query set; got {n_queries} "
-            f"queries > max_broadcast_queries={max_broadcast_queries}. "
+            f"cosine_topk broadcasts the query set; it exceeds "
+            f"max_broadcast_queries={max_broadcast_queries}. "
             "Use ivf_topk (bucketed ANN) for large query sets, or "
             "raise the limit explicitly if the executors can hold it."
         )

@@ -58,11 +58,16 @@ def range_cumsum(
     # cached dataset per call in long-lived sessions — whereas
     # checkpoint blocks are dropped by the ContextCleaner as soon as
     # the returned frame is garbage-collected, and the materialized
-    # blocks pin the sampled range bounds just as hard.
+    # blocks pin the sampled range bounds just as hard. LAZY (eager
+    # =False): the subtotal collect below is always the first action,
+    # so it both computes and stores the blocks in one job — an eager
+    # checkpoint would add a third job per call (measured 3x on
+    # events_peak_concurrency, whose upstream sessionize is the
+    # expensive part).
     parted = (
         df.repartitionByRange(n, *[F.col(c) for c in order_cols])
         .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     subtotals = (
         parted.groupBy("_pid")

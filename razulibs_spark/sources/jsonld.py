@@ -102,15 +102,14 @@ def jsonld_docs(triples: DataFrame, owner: Column | None = None) -> DataFrame:
     in the reference — one entity always fits one buffer."""
     owner = owning_entity(F.col("s")) if owner is None else owner
     t = triples.withColumn("_owner", owner)
-    # Width: the owner-hash shuffle happens regardless, so use the
-    # session's tuned shuffle width (AQE coalesces empty buckets) and
-    # never less than one bucket per core — a single-split source must
-    # not serialize the doc-build loop through one task.
-    spark = triples.sparkSession
-    n = max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
-    )
+    # Width: the owner-hash shuffle happens regardless; one bucket per
+    # core is the right width for the CPU-bound doc-build loop — a
+    # single-split source must not serialize it through one task, and
+    # an explicit numPartitions repartition is NOT AQE-coalesced, so
+    # tying it to shuffle.partitions would schedule mostly-empty
+    # Python-worker tasks on small inputs. mapInPandas streams Arrow
+    # batches, so per-partition size does not bound worker memory.
+    n = triples.sparkSession.sparkContext.defaultParallelism
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         carry: pd.DataFrame | None = None

@@ -95,20 +95,28 @@ _NT_RE = (
 # via regexp_replace into a \x01-delimited pack of all groups, which
 # is split and indexed. Non-matching lines keep their original text
 # (no delimiter -> wrong element count), so the guard returns "" for
-# every group exactly as per-group regexp_extract would. Subset
-# limitation (documented): a literal containing a RAW \x01 byte would
-# break the pack; the writers escape-encode all control characters the
-# engine emits, and the parser targets machine-generated documents.
+# every group exactly as per-group regexp_extract would. Lines that
+# already CONTAIN a raw \x01 byte (possible inside a literal — the
+# escape table covers only \n \r \t \" \\) would corrupt the pack,
+# so they take the exact per-group regexp_extract path instead; the
+# contains() test is cheap and such lines are vanishingly rare in
+# machine-generated RDF.
 _SEP = "\x01"
 
 
 def _packed_groups(value, regex: str, n_groups: int):
-    """List of n_groups columns, one regex execution per row."""
+    """List of n_groups columns; one regex execution per row on the
+    fast path, per-group extraction only for \x01-tainted lines."""
     repl = _SEP.join(f"${i}" for i in range(1, n_groups + 1))
     arr = F.split(F.regexp_replace(value, regex, repl), _SEP, -1)
     ok = F.size(arr) == n_groups
+    tainted = value.contains(_SEP)
     return [
-        F.when(ok, F.coalesce(F.get(arr, i), F.lit(""))).otherwise(F.lit(""))
+        F.when(tainted, F.regexp_extract(value, regex, i + 1)).otherwise(
+            F.when(ok, F.coalesce(F.get(arr, i), F.lit(""))).otherwise(
+                F.lit("")
+            )
+        )
         for i in range(n_groups)
     ]
 

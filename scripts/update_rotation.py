@@ -53,6 +53,37 @@ def main() -> None:
     )
     if n != 1:
         raise SystemExit("could not find _PREVIOUSLY_VERIFIED block")
+
+    # Clear force-refresh names once the LATEST artifact has re-recorded
+    # them: a stale _ROTATION_FORCE_REFRESH would keep treating them as
+    # never-verified forever, permanently consuming window slots.
+    latest_paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+    latest = set()
+    if latest_paths:
+        with open(latest_paths[-1]) as f:
+            latest = set(json.load(f))
+    m = re.search(
+        r"_ROTATION_FORCE_REFRESH = frozenset\(\{(.*?)\}\)", new_src, re.S
+    )
+    if m:
+        current = set(re.findall(r'"([^"]+)"', m.group(1)))
+        remaining = sorted(current - latest)
+        if remaining != sorted(current):
+            inner = (
+                "\n    " + ", ".join(f'"{r}"' for r in remaining) + ",\n"
+                if remaining
+                else ""
+            )
+            new_src = (
+                new_src[: m.start()]
+                + f"_ROTATION_FORCE_REFRESH = frozenset({{{inner}}})"
+                + new_src[m.end():]
+            )
+            print(
+                f"cleared {len(current) - len(remaining)} re-recorded "
+                "force-refresh names"
+            )
+
     with open(entry_path, "w") as f:
         f.write(new_src)
     print(f"folded {len(verified)} verified names into __spark_entry__.py")

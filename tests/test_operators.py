@@ -841,3 +841,36 @@ def test_multimodal_decode_pipeline(spark, sf_dir):
     assert agg["image/png"]["n_decoded"] == 0
     note = out.filter(~F.col("decoded")).select("note").first()["note"]
     assert "no in-container decoder" in note
+
+
+def test_ntriples_roundtrip_preserves_sep_byte_literal(spark, tmp_path):
+    """A literal containing a raw \\x01 byte (the internal pack
+    separator) must round-trip exactly via the per-group fallback."""
+    from razulibs_spark.sources.rdf_io import read_ntriples, write_ntriples
+
+    df = spark.createDataFrame(
+        [("urn:s1", "urn:p", "a\x01b", "literal", None, None)],
+        "s string, p string, o string, o_type string, "
+        "o_datatype string, o_lang string",
+    )
+    path = str(tmp_path / "nt_sep")
+    write_ntriples(df, path)
+    out = read_ntriples(spark, path).collect()
+    assert len(out) == 1
+    assert out[0]["o"] == "a\x01b" and out[0]["o_type"] == "literal"
+
+
+def test_ppm_rejects_ambiguous_separator():
+    import pytest as _pytest
+
+    from razulibs_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    good = encode_ppm(1, 1, lambda x, y: (1, 2, 3))
+    # Replace the single \n separator after maxval with \r\n.
+    crlf = good.replace(b"255\n", b"255\r\n")
+    with _pytest.raises(ValueError, match="CRLF"):
+        decode_ppm(crlf)
+    # Missing whitespace entirely.
+    broken = good.replace(b"255\n", b"255")
+    with _pytest.raises(ValueError):
+        decode_ppm(broken)
