@@ -423,15 +423,44 @@ def prefix_filter_pairs(
         toks = F.col("_t")
     n = F.size("_t")
     plen = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    # Carry (set size, 0-based prefix position) through the explode:
+    # the PPJoin-style filters below need both per joined row.
     prefix = per_doc.select(
-        "doc_id",
-        F.explode(F.slice(toks, F.lit(1), plen)).alias("shingle"),
+        F.col("doc_id"),
+        n.alias("_n"),
+        F.posexplode(F.slice(toks, F.lit(1), plen)).alias(
+            "_pos", "shingle"
+        ),
     )
     a = prefix.alias("a")
     b = prefix.alias("b")
+    t = float(threshold)
+    # PPJoin pruning on the joined stream, BEFORE the distinct (the
+    # distinct is the expensive shuffle; on corpora where the prefix
+    # alone barely prunes — near-uniform shingle df — these cut the
+    # candidate set by an order of magnitude). All three are lossless:
+    # - length: J(A,B) >= t forces t·|A| <= |B| (and symmetrically).
+    # - overlap threshold: J >= t  <=>  |A∩B| >= ceil(t/(1+t)·(|A|+|B|)).
+    # - positional: for a common shingle at 0-based sorted positions
+    #   (i, j), |A∩B| <= min(i, j) + min(|A|-i, |B|-j) — commons
+    #   before x stay before x in BOTH sets under the one global
+    #   order, commons from x on are bounded by the shorter tail. A
+    #   qualifying pair has overlap >= alpha, so every ubound passes
+    #   and the pair always survives.
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n"))
+    )
+    ubound = F.least(F.col("a._pos"), F.col("b._pos")) + F.least(
+        F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
+    )
     candidates = (
         a.join(b, on="shingle")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("b._n") >= F.ceil(F.lit(t) * F.col("a._n")))
+            & (F.col("a._n") >= F.ceil(F.lit(t) * F.col("b._n")))
+            & (ubound >= alpha)
+        )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
         .distinct()
         # Lazy persist: jaccard_pairs traverses the candidate table
