@@ -874,3 +874,49 @@ def test_ppm_rejects_ambiguous_separator():
     broken = good.replace(b"255\n", b"255")
     with _pytest.raises(ValueError):
         decode_ppm(broken)
+
+
+def test_jsonld_docs_carry_across_tiny_arrow_batches(spark):
+    """The streaming doc builder must keep an entity's triples
+    together even when Arrow batches split mid-entity: force 7-row
+    batches over 60 entities x 5 triples and compare against the
+    per-entity expectation."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.sources.jsonld import jsonld_docs
+
+    rows = []
+    for e in range(60):
+        for p in range(5):
+            rows.append(
+                (f"https://x.test/e{e:03d}", f"urn:p{p}", f"v{e}:{p}",
+                 "literal", None, None)
+            )
+    df = spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_type string, "
+        "o_datatype string, o_lang string",
+    )
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = {
+            r["entity"]: _json.loads(r["jsonld"])
+            for r in jsonld_docs(df).collect()
+        }
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+    assert len(got) == 60
+    for e in range(60):
+        doc = got[f"e{e:03d}"]
+        nodes = doc["@graph"]
+        assert len(nodes) == 1
+        node = nodes[0]
+        assert node["@id"] == f"https://x.test/e{e:03d}"
+        # All 5 predicates present with their values intact.
+        for p in range(5):
+            assert node[f"urn:p{p}"] == [{"@value": f"v{e}:{p}"}]

@@ -454,3 +454,40 @@ def test_cosine_topk_guards_oversized_query_broadcast(spark, sf_dir):
     e = tables.load(spark, sf_dir, "embeddings")
     with pytest.raises(ValueError, match="max_broadcast_queries"):
         cosine_topk(e, e, k=5, max_broadcast_queries=10)
+
+
+def test_jsonld_docs_single_owner_exchange(spark, sf_dir):
+    """The streaming doc builder shuffles ONCE on the owning entity
+    and crosses the Python boundary ONCE — no per-entity grouping
+    operator, no second Exchange."""
+    from razulibs_spark.queries import _o2_triples_full
+    from razulibs_spark.sources.jsonld import jsonld_docs
+
+    plan = _plan(jsonld_docs(_o2_triples_full(spark, SF)))
+    # Exactly one hash shuffle, keyed on the owning entity (the widen
+    # upstream is RoundRobin and only exists for single-split inputs).
+    assert plan.count("hashpartitioning(") == 1
+    assert "_owner" in plan.split("hashpartitioning(")[1][:40]
+    # One Arrow stage (MapInPandas), not a grouped applyInPandas.
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" in plan
+
+
+def test_multimodal_decode_no_join_no_cartesian(spark):
+    """Synth + decode is two narrow Arrow passes over one scan: no
+    join of any kind can appear in the plan."""
+    plan = _plan(Q.multimodal_decode(spark, SF))
+    for bad in ("CartesianProduct", "SortMergeJoin", "BroadcastNestedLoop"):
+        assert bad not in plan
+
+
+def test_peak_concurrency_single_sessionize(spark):
+    """Boundary points explode from ONE traversal of the session
+    table: exactly one user-keyed window Exchange feeds the point
+    generator (a 3-branch union would show three)."""
+    plan = _plan(Q.events_peak_concurrency(spark, SF))
+    n_user_exchanges = sum(
+        1
+        for seg in plan.split("Exchange hashpartitioning")[1:]
+        if "user_id" in seg[:120]
+    )
+    assert n_user_exchanges <= 1, plan[:2000]
