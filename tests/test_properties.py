@@ -141,3 +141,55 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
         (r["k"], pd.Timestamp(r["ts"])): r["matched_rv"] for r in out.collect()
     }
     assert got == exp
+
+
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_ppm_roundtrip_any_geometry(w, h, seed):
+    """encode->decode recovers exact dimensions and channel means for
+    arbitrary geometries (covers every stride-padding residue)."""
+    from razulibs_spark.operators.multimodal import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp,
+        encode_ppm,
+    )
+
+    def px(x, y):
+        return (
+            (seed + 7 * x + y) % 256,
+            (seed // 3 + x * y) % 256,
+            (seed ^ (x + 5 * y)) % 256,
+        )
+
+    exp_r = sum(px(x, y)[0] for x in range(w) for y in range(h)) / (w * h)
+    exp_g = sum(px(x, y)[1] for x in range(w) for y in range(h)) / (w * h)
+    exp_b = sum(px(x, y)[2] for x in range(w) for y in range(h)) / (w * h)
+    for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
+        out = dec(enc(w, h, px))
+        assert out["width"] == w and out["height"] == h
+        assert out["mean_r"] == exp_r
+        assert out["mean_g"] == exp_g
+        assert out["mean_b"] == exp_b
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=64,
+    ),
+    st.sampled_from([8000, 16000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_any_samples(samples, rate):
+    from razulibs_spark.operators.multimodal import decode_wav, encode_wav
+
+    out = decode_wav(encode_wav(samples, rate))
+    assert out["sample_rate"] == rate and out["n_channels"] == 1
+    assert out["n_samples"] == len(samples)
+    assert out["peak"] == float(max(abs(v) for v in samples))
