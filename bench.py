@@ -10,11 +10,17 @@ Methodology:
 - Each query is forced to full materialization with a noop sink (no
   driver-side collect, no pandas conversion) — measuring the engine,
   not the transfer.
-- Each query runs TWICE and reports the per-query MIN ("best-of-2"):
-  run-to-run variance on local[32] is ~±10%, and one-shot timing made
-  round-over-round regression detection noisy. The second run reuses
-  the first run's persisted intermediates, so the min is the warm
-  session number (deliberate — a real pipeline session is warm).
+- Each query runs up to TWICE and reports the per-query MIN
+  ("best-of-2"): run-to-run variance on local[32] is ~±10%, and
+  one-shot timing made round-over-round regression detection noisy.
+  The second run reuses the first run's persisted intermediates, so
+  the min is the warm session number (deliberate — a real pipeline
+  session is warm). ADAPTIVE: the second run is skipped when the
+  first already finished under FAST_CUTOFF seconds — a fast first
+  run by definition contains no noise spike, while a spiked first
+  run exceeds the cutoff and still gets its re-run. This bounds
+  total bench wall time (the 212-query suite must fit the driver's
+  execution window) without giving up best-of-2 where it matters.
 - After a query's two runs its caches are released
   (spark.catalog.clearCache): per-query numbers are then independent
   of suite order, and cached intermediates cannot accumulate executor
@@ -274,6 +280,7 @@ R05_ADDITIONS = [
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS
 
 N_RUNS = 2
+FAST_CUTOFF = 1.0  # s: first run under this skips the confirm run
 
 
 def main() -> None:
@@ -327,6 +334,8 @@ def main() -> None:
             if name in errors:
                 break
             run_once(name, lambda: fn(spark, sf_dir))
+            if times.get(name, float("inf")) < FAST_CUTOFF:
+                break
         spark.catalog.clearCache()
 
     # The exactly-once foreachBatch upsert sink is side-effecting (no
