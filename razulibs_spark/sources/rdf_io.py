@@ -121,6 +121,25 @@ def _packed_groups(value, regex: str, n_groups: int):
     ]
 
 
+
+def _unescape_literal(o_lit):
+    """Decode the writer's 5 escape sequences. The replace chain (5
+    regex executions) only runs for literals that actually CONTAIN a
+    backslash — one cheap contains() guards it, and unescaped
+    literals (the overwhelming majority of machine-generated RDF)
+    pass through untouched."""
+    decoded = o_lit
+    for esc, rep in (
+        ("\\\\n", "\n"),
+        ("\\\\r", "\r"),
+        ("\\\\t", "\t"),
+        ('\\\\"', '"'),
+        ("\\\\\\\\", "\\\\"),
+    ):
+        decoded = F.regexp_replace(decoded, esc, rep)
+    return F.when(o_lit.contains("\\"), decoded).otherwise(o_lit)
+
+
 def read_ntriples(spark, path: str) -> DataFrame:
     """S4 source: parse N-Triples lines back into the triples schema
     with per-line regexes — distributed, no document-level state."""
@@ -131,10 +150,7 @@ def read_ntriples(spark, path: str) -> DataFrame:
         gs[3].alias("o_uri"), gs[4].alias("o_bnode"), gs[5].alias("o_lit"),
         gs[6].alias("o_lang_m"), gs[7].alias("o_dt_m"),
     )
-    unescape = F.regexp_replace  # applied pairwise below
-    o_lit = raw["o_lit"]
-    for esc, rep in (('\\\\n', '\n'), ('\\\\r', '\r'), ('\\\\t', '\t'), ('\\\\"', '"'), ('\\\\\\\\', '\\\\')):
-        o_lit = unescape(o_lit, esc, rep)
+    o_lit = _unescape_literal(raw["o_lit"])
     return raw.select(
         F.when(raw["s_uri"] != "", raw["s_uri"]).otherwise(raw["s_bnode"]).alias("s"),
         F.col("p"),
@@ -297,9 +313,7 @@ def read_turtle(spark, path: str) -> DataFrame:
         gs[9].alias("o_lang_m"), gs[10].alias("o_dt_uri"),
         gs[11].alias("o_dt_pn"), gs[12].alias("o_pn"),
     )
-    o_lit = raw["o_lit"]
-    for esc, rep in (('\\\\n', '\n'), ('\\\\r', '\r'), ('\\\\t', '\t'), ('\\\\"', '"'), ('\\\\\\\\', '\\\\')):
-        o_lit = F.regexp_replace(o_lit, esc, rep)
+    o_lit = _unescape_literal(raw["o_lit"])
     rdf_type = EXPANSIONS["rdf"] + "type"
     is_obj_uri = (raw["o_uri"] != "") | (raw["o_pn"] != "")
     return raw.select(
@@ -347,9 +361,7 @@ def read_nquads(spark, path: str) -> DataFrame:
         gs[6].alias("o_lang_m"), gs[7].alias("o_dt_m"),
         gs[8].alias("g_uri"), gs[9].alias("g_bnode"),
     )
-    o_lit = raw["o_lit"]
-    for esc, rep in (('\\\\n', '\n'), ('\\\\r', '\r'), ('\\\\t', '\t'), ('\\\\"', '"'), ('\\\\\\\\', '\\\\')):
-        o_lit = F.regexp_replace(o_lit, esc, rep)
+    o_lit = _unescape_literal(raw["o_lit"])
     return raw.select(
         F.when(raw["s_uri"] != "", raw["s_uri"]).otherwise(raw["s_bnode"]).alias("s"),
         F.col("p"),
