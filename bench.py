@@ -386,7 +386,8 @@ def main() -> None:
         "queries": times,
         "errors": errors,
         "n_failed": len(errors),
-        "runs_per_query": N_RUNS,
+        "max_runs_per_query": N_RUNS,
+        "fast_cutoff_s": FAST_CUTOFF,
         "r03_comparable_total": r03_total,
         "baseline_r03_total": 95.369,
         "r04_additions_total": r04_total,
@@ -411,7 +412,8 @@ def main() -> None:
         "n_queries": len(times),
         "errors": errors,
         "n_failed": len(errors),
-        "runs_per_query": N_RUNS,
+        "max_runs_per_query": N_RUNS,
+        "fast_cutoff_s": FAST_CUTOFF,
         "r03_comparable_total": r03_total,
         "baseline_r03_total": 95.369,
         "r04_additions_total": r04_total,

@@ -941,6 +941,43 @@ def session_paths(
     ).limit(k)
 
 
+def session_boundary_points(
+    events: DataFrame, gap_us: int = 3_600_000_000
+) -> DataFrame:
+    """Sweep-line boundary points (t, delta, user_id, session_seq)
+    for :func:`peak_concurrency` — all points in ONE traversal of the
+    session table: a union of start/end/probe branches would re-run
+    the sessionize window chain once per branch (measured 3x the
+    query). Each session explodes to [(start,+1), (end,-1)] plus a
+    zero-delta probe at every midnight strictly inside it; the `if`
+    guards the sequence() (start > stop would silently generate a
+    DESCENDING range). Exposed separately so the single-traversal
+    shape is plan-testable (the cumsum downstream checkpoints, hiding
+    this subplan from the final query's explain)."""
+    sess = sessionize(events, gap_us=gap_us)
+    pts_arr = F.expr(
+        """
+        concat(
+          array(struct(session_start AS t, 1 AS delta),
+                struct(session_end AS t, -1 AS delta)),
+          if(cast(session_end AS date) > cast(session_start AS date),
+             transform(
+               sequence(date_add(cast(session_start AS date), 1),
+                        cast(session_end AS date)),
+               d -> struct(cast(d AS timestamp) AS t, 0 AS delta)),
+             array()))
+        """
+    )
+    return sess.select(
+        "user_id", "session_seq", F.explode(pts_arr).alias("_pt")
+    ).select(
+        F.col("_pt.t").alias("t"),
+        F.col("_pt.delta").alias("delta"),
+        "user_id",
+        "session_seq",
+    )
+
+
 def peak_concurrency(
     events: DataFrame, gap_us: int = 3_600_000_000
 ) -> DataFrame:
@@ -965,35 +1002,7 @@ def peak_concurrency(
     """
     from razulibs_spark.operators.stats import range_cumsum
 
-    sess = sessionize(events, gap_us=gap_us)
-    # All boundary points in ONE traversal of the session table: a
-    # union of start/end/probe branches would re-run the sessionize
-    # window chain once per branch (measured 3x the query). Each
-    # session explodes to [(start,+1), (end,-1)] plus a zero-delta
-    # probe at every midnight strictly inside it; the `if` guards the
-    # sequence() (start > stop would silently generate a DESCENDING
-    # range).
-    pts_arr = F.expr(
-        """
-        concat(
-          array(struct(session_start AS t, 1 AS delta),
-                struct(session_end AS t, -1 AS delta)),
-          if(cast(session_end AS date) > cast(session_start AS date),
-             transform(
-               sequence(date_add(cast(session_start AS date), 1),
-                        cast(session_end AS date)),
-               d -> struct(cast(d AS timestamp) AS t, 0 AS delta)),
-             array()))
-        """
-    )
-    points = sess.select(
-        "user_id", "session_seq", F.explode(pts_arr).alias("_pt")
-    ).select(
-        F.col("_pt.t").alias("t"),
-        F.col("_pt.delta").alias("delta"),
-        "user_id",
-        "session_seq",
-    )
+    points = session_boundary_points(events, gap_us=gap_us)
     cum = range_cumsum(
         points,
         ["t", "delta", "user_id", "session_seq"],

@@ -422,7 +422,17 @@ def prefix_filter_pairs(
         )
         toks = F.col("_t")
     n = F.size("_t")
-    plen = (n - F.ceil(F.lit(float(threshold)) * n) + 1).cast("int")
+    # EPS guards every ceil-of-double-product in the bounds below: the
+    # product can land an ULP ABOVE its exact rational value (e.g.
+    # 0.16*25 -> 4.000000000000001), and ceil of that overshoots the
+    # exact integer bound — a too-short prefix / too-high threshold
+    # would then DROP exact-boundary qualifying pairs. Subtracting eps
+    # can only lower a bound by 1 in the ULP cases, which merely
+    # admits extra candidates for the exact verify — lossless.
+    EPS = 1e-9
+    plen = (
+        n - F.ceil(F.lit(float(threshold)) * n - F.lit(EPS)) + 1
+    ).cast("int")
     # Carry (set size, 0-based prefix position) through the explode:
     # the PPJoin-style filters below need both per joined row.
     prefix = per_doc.select(
@@ -448,7 +458,7 @@ def prefix_filter_pairs(
     #   qualifying pair has overlap >= alpha, so every ubound passes
     #   and the pair always survives.
     alpha = F.ceil(
-        F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n"))
+        F.lit(t / (1.0 + t)) * (F.col("a._n") + F.col("b._n")) - F.lit(EPS)
     )
     ubound = F.least(F.col("a._pos"), F.col("b._pos")) + F.least(
         F.col("a._n") - F.col("a._pos"), F.col("b._n") - F.col("b._pos")
@@ -457,8 +467,8 @@ def prefix_filter_pairs(
         a.join(b, on="shingle")
         .filter(
             (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("b._n") >= F.ceil(F.lit(t) * F.col("a._n")))
-            & (F.col("a._n") >= F.ceil(F.lit(t) * F.col("b._n")))
+            & (F.col("b._n") >= F.ceil(F.lit(t) * F.col("a._n") - F.lit(EPS)))
+            & (F.col("a._n") >= F.ceil(F.lit(t) * F.col("b._n") - F.lit(EPS)))
             & (ubound >= alpha)
         )
         .select(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))

@@ -123,20 +123,30 @@ def _packed_groups(value, regex: str, n_groups: int):
 
 
 def _unescape_literal(o_lit):
-    """Decode the writer's 5 escape sequences. The replace chain (5
-    regex executions) only runs for literals that actually CONTAIN a
-    backslash — one cheap contains() guards it, and unescaped
-    literals (the overwhelming majority of machine-generated RDF)
-    pass through untouched."""
-    decoded = o_lit
+    """Decode the writer's 5 escape sequences EXACTLY.
+
+    Escapes must decode left-to-right: in the encoded text ``\\\\n``
+    (escaped backslash, then literal n) a naive ``\\n``-first chain
+    would eat the second backslash and produce a newline — corrupting
+    any literal whose raw text has a backslash immediately before
+    n/r/t/". So escaped backslashes are protected into a NUL sentinel
+    FIRST, the single-char escapes decode next, and the sentinel
+    restores last. Exact for everything the writer can emit; a
+    literal containing a raw NUL byte (which no RDF text serialization
+    meaningfully carries, and the writer never escapes) is out of the
+    line-oriented subset's scope. The whole chain only runs for
+    literals that actually CONTAIN a backslash — one cheap contains()
+    guards it, and unescaped literals (the overwhelming majority of
+    machine-generated RDF) pass through untouched."""
+    protected = F.regexp_replace(o_lit, "\\\\\\\\", "\x00")
     for esc, rep in (
         ("\\\\n", "\n"),
         ("\\\\r", "\r"),
         ("\\\\t", "\t"),
         ('\\\\"', '"'),
-        ("\\\\\\\\", "\\\\"),
     ):
-        decoded = F.regexp_replace(decoded, esc, rep)
+        protected = F.regexp_replace(protected, esc, rep)
+    decoded = F.regexp_replace(protected, "\x00", "\\\\")
     return F.when(o_lit.contains("\\"), decoded).otherwise(o_lit)
 
 

@@ -920,3 +920,27 @@ def test_jsonld_docs_carry_across_tiny_arrow_batches(spark):
         # All 5 predicates present with their values intact.
         for p in range(5):
             assert node[f"urn:p{p}"] == [{"@value": f"v{e}:{p}"}]
+
+
+def test_ntriples_roundtrip_backslash_letter_adjacency(spark, tmp_path):
+    """A raw backslash immediately before n/r/t/quote must survive the
+    write->read cycle: decode protects escaped backslashes FIRST, so
+    the \\n in the encoded form of 'C:\\new' is never read as a
+    newline escape."""
+    from razulibs_spark.sources.rdf_io import read_ntriples, write_ntriples
+
+    cases = ["a\\nb", "C:\\temp\\new", "a\\\\nb", "end\\\\", "\\t\\r\\\""]
+    rows = [
+        (f"urn:s{i}", "urn:p", c, "literal", None, None)
+        for i, c in enumerate(cases)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "s string, p string, o string, o_type string, "
+        "o_datatype string, o_lang string",
+    )
+    path = str(tmp_path / "nt_bs")
+    write_ntriples(df, path)
+    got = {r["s"]: r["o"] for r in read_ntriples(spark, path).collect()}
+    for i, c in enumerate(cases):
+        assert got[f"urn:s{i}"] == c, (c, got[f"urn:s{i}"])

@@ -812,3 +812,34 @@ def test_running_distinct_accepts_any_item_column_name(spark):
     ).orderBy("event_id").collect()
     assert [r["n_distinct_so_far"] for r in out] == [1, 2, 2]
     assert out[0]["item"] == "x"
+
+
+def test_prefix_filter_exact_at_ulp_hostile_threshold(spark):
+    """ceil() of a double product can overshoot its exact integer
+    bound by one ULP (0.16*25 = 4.000000000000001): at t=0.16 the
+    prefix filter must still return exactly the brute-force answer."""
+    from razulibs_spark.operators.dedup import (
+        jaccard_pairs,
+        prefix_filter_pairs,
+        word_shingles,
+    )
+
+    # Docs engineered around the |A|=20, |B|=9, overlap=4 boundary:
+    # J = 4/25 = 0.16 exactly. Shared words sort LAST lexicographically
+    # so the qualifying pair hinges on the exact prefix length.
+    shared = [f"zz{i}" for i in range(4)]
+    a_words = [f"a{i:02d}" for i in range(16)] + shared
+    b_words = [f"b{i:02d}" for i in range(5)] + shared
+    docs = spark.createDataFrame(
+        [(1, " ".join(a_words) ), (2, " ".join(b_words))],
+        "doc_id long, text string",
+    )
+    sh = word_shingles(docs, k=1)
+    brute = {
+        (r["d1"], r["d2"]) for r in jaccard_pairs(sh, 0.16).collect()
+    }
+    fast = {
+        (r["d1"], r["d2"])
+        for r in prefix_filter_pairs(sh, 0.16).collect()
+    }
+    assert brute == fast and brute == {(1, 2)}

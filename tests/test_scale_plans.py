@@ -480,14 +480,16 @@ def test_multimodal_decode_no_join_no_cartesian(spark):
         assert bad not in plan
 
 
-def test_peak_concurrency_single_sessionize(spark):
+def test_peak_concurrency_single_sessionize(spark, sf_dir):
     """Boundary points explode from ONE traversal of the session
     table: exactly one user-keyed window Exchange feeds the point
-    generator (a 3-branch union would show three)."""
-    plan = _plan(Q.events_peak_concurrency(spark, SF))
-    n_user_exchanges = sum(
-        1
-        for seg in plan.split("Exchange hashpartitioning")[1:]
-        if "user_id" in seg[:120]
+    generator (a 3-branch union would show three). Pinned on the
+    points subplan: the final query's cumsum checkpoints its input,
+    which hides this stage from the end-to-end explain."""
+    from razulibs_spark import tables
+    from razulibs_spark.operators.analytics import session_boundary_points
+
+    plan = _plan(
+        session_boundary_points(tables.load(spark, SF, "events"))
     )
-    assert n_user_exchanges <= 1, plan[:2000]
+    assert plan.count("hashpartitioning(user_id") == 1, plan[:2000]
