@@ -45,27 +45,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/update_rotation.py clears a name from this set as soon as a
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
-_ROTATION_FORCE_REFRESH = frozenset({
-    "s6_manifest_scan", "streaming_hourly_rollup", "dedup_minhash_lsh_ml",
-})
+_ROTATION_FORCE_REFRESH = frozenset({})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
-    "a6_distinct_groups", "a6w_group_change_detect", "a_cube_price",
-    "a_distinct_count", "a_exact_quantiles", "a_grouping_sets",
-    "a_heavy_hitters", "a_rollup_pricing", "contamination_bloom",
-    "contamination_ngram", "d6_premis_events",
-    "dedup_cluster_canonical", "dedup_containment",
-    "dedup_edit_distance", "dedup_exact", "dedup_incremental",
-    "dedup_jaccard_prefix_filter", "dedup_minhash_incremental",
+    "a6_distinct_groups", "a6w_group_change_detect", "a_corr_matrix",
+    "a_cube_price", "a_distinct_count", "a_exact_quantiles",
+    "a_grouped_ols", "a_grouped_zscore", "a_grouping_sets",
+    "a_heavy_hitters", "a_rollup_pricing", "a_winsorize",
+    "contamination_bloom", "contamination_ngram", "d6_premis_events",
+    "dedup_cluster_canonical", "dedup_cluster_sizes",
+    "dedup_containment", "dedup_cross_source", "dedup_edit_distance",
+    "dedup_exact", "dedup_incremental", "dedup_jaccard_prefix_filter",
+    "dedup_lsh_tuning", "dedup_minhash_incremental",
     "dedup_minhash_lsh", "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
-    "dedup_semantic_clusters", "dedup_simhash", "events_anomaly_mad",
-    "events_enriched_nation", "events_funnel", "events_hourly_rollup",
-    "events_markov", "events_retention_cohorts", "events_rfm",
+    "dedup_semantic_clusters", "dedup_simhash", "eval_ann_agreement",
+    "eval_auc_ovr", "eval_calibration", "eval_cohens_kappa",
+    "eval_confusion_matrix", "eval_retrieval_pr", "events_anomaly_mad",
+    "events_bounce_rate", "events_changepoint", "events_cohort_ltv",
+    "events_copurchase_pairs", "events_enriched_nation",
+    "events_funnel", "events_funnel_windowed", "events_hourly_rollup",
+    "events_interarrival_quantiles", "events_markov",
+    "events_new_returning", "events_path_analysis",
+    "events_peak_concurrency", "events_retention_cohorts", "events_rfm",
+    "events_rolling_dau", "events_session_duration_hist",
     "events_sessionize", "events_view_purchase_attribution",
-    "f12_wkt_bbox", "f13_split_explode", "f14_null_to_zero",
-    "f16_url_encode", "f17_mime_guess", "f19_json_extract",
-    "f1_date_type_classify", "f20_tool_signature",
+    "events_weekday_profile", "f12_wkt_bbox", "f13_split_explode",
+    "f14_null_to_zero", "f16_url_encode", "f17_mime_guess",
+    "f19_json_extract", "f1_date_type_classify", "f20_tool_signature",
     "f21_integer_validation", "f2_full_extension", "f3_mtime_iso",
     "f4_extract_id_parts", "f5_filename_stem", "f6_normalize_path",
     "f8_identifier_templating", "f9_compose_filename",
@@ -73,39 +80,47 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "j2_multilabel_resolve", "j2_vocab_resolve",
     "j4_manifest_reconcile", "j5_changed_or_new", "j6_set_diff",
     "j7_upload_verification", "j8_hierarchy_links", "j_asof_forward",
-    "j_asof_join", "j_interval_overlap", "j_range_join_binned",
-    "j_salted_skew_join", "k1_jsonld_roundtrip",
-    "k2_ntriples_roundtrip", "k2_turtle_roundtrip", "length_histogram",
-    "mixture_sample", "multimodal_chunk_audio", "multimodal_features",
-    "multimodal_resize", "multimodal_sample_frames",
-    "o1_sequential_ids", "o2_entity_fanout", "o7_delete_batches",
-    "o_analyze_stats", "o_scd2_history", "o_zorder_key",
+    "j_asof_join", "j_interval_overlap", "j_pit_scd2",
+    "j_range_join_binned", "j_resample_ffill", "j_salted_skew_join",
+    "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
+    "k2_turtle_roundtrip", "length_histogram", "mixture_sample",
+    "multimodal_chunk_audio", "multimodal_decode",
+    "multimodal_features", "multimodal_resize",
+    "multimodal_sample_frames", "o1_sequential_ids", "o2_entity_fanout",
+    "o7_delete_batches", "o_analyze_stats", "o_cdc_apply",
+    "o_scd2_history", "o_skew_profile", "o_write_plan", "o_zorder_key",
     "p10_invalid_triple_filter", "p4_triple_first_value",
     "p5_subject_type_pivot", "p6_lock_predicate",
     "p7_suffix_scan_filter", "p8_date_filter_nullkeep",
     "p9_only_if_new", "pack_sequences", "pipeline_cluster_best",
     "pipeline_corpus_prep", "pipeline_dataset_card",
-    "pipeline_full_prep", "q10_returned_items", "q11_important_parts",
-    "q12_priority_by_linestatus", "q13_order_distribution",
-    "q14_promo_effect", "q15_top_supplier", "q16_supplier_parts",
-    "q17_small_qty_revenue", "q18_large_orders",
+    "pipeline_decon_split", "pipeline_full_prep", "q10_returned_items",
+    "q11_important_parts", "q12_priority_by_linestatus",
+    "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
+    "q16_supplier_parts", "q17_small_qty_revenue", "q18_large_orders",
     "q19_brand_size_revenue", "q1_pricing_summary",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q22_dormant_accounts", "q2_mincost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "quality_gopher_filter",
-    "quality_percentile_filter", "rdf_bgp_match", "s6_manifest_scan",
-    "s7_manifest_map_scan", "s8_eventlog_maxid", "sample_stratified",
-    "sim_cosine_topk", "sim_embedding_neardup", "sim_ivf_assign",
-    "sim_ivf_topk", "sim_knn_classify", "sim_label_centroids",
-    "sim_quantize_int8", "split_train_test", "sql_adhoc_region_revenue",
-    "streaming_hourly_rollup", "t1_topk_orders", "t3_sorted_diff",
-    "t_grouped_topk", "text_chunk_dedup", "text_fingerprints",
-    "text_language_id", "text_pii_scrub", "text_quality_scores",
-    "text_rarity_score", "text_repetition_stats", "text_tfidf_topterms",
-    "text_token_stats", "u2_graph_union_dedup", "u4_upsert_by_key",
-    "u_intersect_all", "w_lag_lead_gaps", "w_rolling_stats",
+    "q9_product_profit", "quality_filter_funnel",
+    "quality_gopher_filter", "quality_percentile_filter",
+    "rdf_bgp_match", "s6_manifest_scan", "s7_manifest_map_scan",
+    "s8_eventlog_maxid", "sample_stratified", "sample_temperature_mix",
+    "sim_centroid_shift", "sim_cosine_topk", "sim_embedding_neardup",
+    "sim_ivf_assign", "sim_ivf_topk", "sim_knn_classify",
+    "sim_label_centroids", "sim_maxsim_topk", "sim_quantize_int8",
+    "sim_random_projection", "split_train_test",
+    "sql_adhoc_region_revenue", "stats_chi_square",
+    "stats_embedding_dims", "stats_group_gini", "stats_ks_drift",
+    "streaming_hourly_rollup", "streaming_sessionize", "t1_topk_orders",
+    "t3_sorted_diff", "t_grouped_topk", "text_bpe_pair_counts",
+    "text_chunk_dedup", "text_fingerprints", "text_language_id",
+    "text_lm_score", "text_novelty_ratio", "text_pii_scrub",
+    "text_quality_scores", "text_rarity_score", "text_repetition_stats",
+    "text_tfidf_topterms", "text_token_stats", "text_vocab_coverage",
+    "u2_graph_union_dedup", "u4_upsert_by_key", "u_intersect_all",
+    "w_lag_lead_gaps", "w_rolling_stats", "w_running_distinct",
     "w_running_total",
 })
 
