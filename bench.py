@@ -21,6 +21,10 @@ Methodology:
   run exceeds the cutoff and still gets its re-run. This bounds
   total bench wall time (the 212-query suite must fit the driver's
   execution window) without giving up best-of-2 where it matters.
+  EXEMPT: the R03_HEADLINE set always runs best-of-2 regardless of
+  the cutoff — its r03 baseline (95.369 s) was uniformly warm
+  best-of-2, and mixing methodologies inside r03_comparable_total
+  would bias the round-over-round comparison (ADVICE r5).
 - After a query's two runs its caches are released
   (spark.catalog.clearCache): per-query numbers are then independent
   of suite order, and cached intermediates cannot accumulate executor
@@ -334,7 +338,10 @@ def main() -> None:
             if name in errors:
                 break
             run_once(name, lambda: fn(spark, sf_dir))
-            if times.get(name, float("inf")) < FAST_CUTOFF:
+            if (
+                name not in R03_HEADLINE
+                and times.get(name, float("inf")) < FAST_CUTOFF
+            ):
                 break
         spark.catalog.clearCache()
 
@@ -388,6 +395,7 @@ def main() -> None:
         "n_failed": len(errors),
         "max_runs_per_query": N_RUNS,
         "fast_cutoff_s": FAST_CUTOFF,
+        "r03_always_best_of_2": True,
         "r03_comparable_total": r03_total,
         "baseline_r03_total": 95.369,
         "r04_additions_total": r04_total,
@@ -414,6 +422,7 @@ def main() -> None:
         "n_failed": len(errors),
         "max_runs_per_query": N_RUNS,
         "fast_cutoff_s": FAST_CUTOFF,
+        "r03_always_best_of_2": True,
         "r03_comparable_total": r03_total,
         "baseline_r03_total": 95.369,
         "r04_additions_total": r04_total,

@@ -106,11 +106,34 @@ def _with_vec(
     return out
 
 
+def _guard_broadcast_queries(
+    queries: DataFrame, limit: int | None, op: str, advice: str
+) -> None:
+    """Bounded probe guarding every "query side is small" contract:
+    ``limit(max+1).count()`` short-circuits via CollectLimit after
+    max+1 rows, so an expensive query-side lineage is never fully
+    executed just to be rejected, and the op raises before Spark ships
+    an over-limit query matrix (broadcast or driver LUT) cluster-wide.
+    ``limit=None`` opts out — for callers that KNOW the query frame is
+    tiny and want to skip the probe's extra job (the probe re-executes
+    nontrivial query lineage once before the real run)."""
+    if limit is None:
+        return
+    probe = queries.limit(limit + 1).count()
+    if probe > limit:
+        raise ValueError(
+            f"{op} requires a small query set; it exceeds "
+            f"max_broadcast_queries={limit}. {advice} "
+            "Or raise/disable the limit explicitly (None skips the "
+            "probe) if the cluster can hold it."
+        )
+
+
 def cosine_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    max_broadcast_queries: int = 100_000,
+    max_broadcast_queries: int | None = 100_000,
 ) -> DataFrame:
     """Brute-force top-k: for every query vector, the k most cosine-
     similar non-self vectors. The query side is broadcast (small); the
@@ -118,21 +141,15 @@ def cosine_topk(
     per-partition heaps via the ranked window on query_id.
 
     The broadcast is only safe while the query set is genuinely small:
-    ``max_broadcast_queries`` guards the contract with a BOUNDED probe
-    — ``limit(max+1).count()`` short-circuits via CollectLimit after
-    max+1 rows, so an expensive query-side lineage is never fully
-    executed just to be rejected — and raises before Spark would ship
-    an over-limit query matrix to every executor. For large query
-    sets use ``ivf_topk`` (bucketed, both sides stream) or, for
-    all-pairs, ``blocked_exact_neardup``."""
-    probe = queries.limit(max_broadcast_queries + 1).count()
-    if probe > max_broadcast_queries:
-        raise ValueError(
-            f"cosine_topk broadcasts the query set; it exceeds "
-            f"max_broadcast_queries={max_broadcast_queries}. "
-            "Use ivf_topk (bucketed ANN) for large query sets, or "
-            "raise the limit explicitly if the executors can hold it."
-        )
+    ``max_broadcast_queries`` guards the contract with a bounded probe
+    (see ``_guard_broadcast_queries``; ``None`` skips the probe for
+    callers that know the frame is tiny). For large query sets use
+    ``ivf_topk`` (bucketed, both sides stream) or, for all-pairs,
+    ``blocked_exact_neardup``."""
+    _guard_broadcast_queries(
+        queries, max_broadcast_queries, "cosine_topk",
+        "Use ivf_topk (bucketed ANN) for large query sets.",
+    )
     q = _with_vec(queries, "query_id", "qv", "qn")
     c = _with_vec(embeddings, "neighbor_id", "cv", "cn").repartition(
         _parallelism(embeddings)
@@ -696,6 +713,7 @@ def pq_topk(
     n_codes: int = 64,
     shortlist: int = 100,
     books=None,
+    max_broadcast_queries: int | None = 100_000,
 ) -> DataFrame:
     """PQ-ADC approximate top-k with exact re-rank — the
     billion-vector serving shape (IVF-PQ's scoring half): corpus
@@ -720,6 +738,14 @@ def pq_topk(
     m_, _, dsub = books.shape
     codes = pq_encode(embeddings, books)
 
+    # The ADC LUT (nq × m × n_codes doubles) is built on the driver and
+    # broadcast; feeding a corpus-sized frame as "queries" would OOM
+    # the driver, so the contract is probe-guarded like cosine_topk.
+    _guard_broadcast_queries(
+        queries, max_broadcast_queries, "pq_topk",
+        "Batch the query set (chunk it and union the per-chunk top-k), "
+        "or use ivf_topk where both sides stream.",
+    )
     q_rows = (
         queries.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .collect()
@@ -817,6 +843,7 @@ def ivfpq_topk(
     n_codes: int = 64,
     shortlist: int = 100,
     books=None,
+    max_broadcast_queries: int | None = 100_000,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the composed billion-vector serving
     shape (the layout FAISS's IVFADC and every large ANN service use):
@@ -837,6 +864,12 @@ def ivfpq_topk(
     """
     import numpy as np
 
+    # Same driver-LUT contract as pq_topk: guard before any heavy work.
+    _guard_broadcast_queries(
+        queries, max_broadcast_queries, "ivfpq_topk",
+        "Batch the query set (chunk it and union the per-chunk top-k), "
+        "or use ivf_topk where both sides stream.",
+    )
     if books is None:
         books = pq_train_codebooks(embeddings, m=m, k=n_codes)
     m_, _, dsub = books.shape

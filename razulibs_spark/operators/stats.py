@@ -64,11 +64,31 @@ def range_cumsum(
     # checkpoint would add a third job per call (measured 3x on
     # events_peak_concurrency, whose upstream sessionize is the
     # expensive part).
-    parted = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
-    )
+    #
+    # CLUSTER caveat (ADVICE r5): localCheckpoint blocks are
+    # UNREPLICATED and lineage-truncated — on a real cluster, losing an
+    # executor between the subtotal job and the cumsum job fails the
+    # query unrecoverably. That trade is tuned for local[n] (where
+    # executor loss means the whole JVM died anyway). Deploys that need
+    # fault tolerance set spark.razulibs.rangeCumsum.pin=persist: a
+    # CacheManager entry that survives block loss via lineage replay,
+    # at the cost of living until unpersist/clearCache. "auto" picks
+    # localCheckpoint on local[*] masters and persist otherwise.
+    spark = df.sparkSession
+    pin = spark.conf.get("spark.razulibs.rangeCumsum.pin", "auto")
+    if pin == "auto":
+        pin = (
+            "localCheckpoint"
+            if spark.sparkContext.master.startswith("local")
+            else "persist"
+        )
+    parted = df.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).withColumn("_pid", F.spark_partition_id())
+    if pin == "persist":
+        parted = parted.persist()
+    else:
+        parted = parted.localCheckpoint(eager=False)
     subtotals = (
         parted.groupBy("_pid")
         .agg(*[F.sum(v).alias(v) for v in val_cols])

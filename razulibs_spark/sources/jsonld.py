@@ -128,9 +128,15 @@ def jsonld_docs(triples: DataFrame, owner: Column | None = None) -> DataFrame:
         if carry is not None and len(carry):
             yield _docs_from_sorted(carry)
 
+    # Sort on the FULL row (not just _owner,s,p): duplicate (s,p) with
+    # several objects would otherwise leave the emitted object-list
+    # order up to shuffle arrival — the docstring's determinism claim
+    # requires the value columns in the sort key too (ADVICE r5).
     return (
         t.repartition(n, "_owner")
-        .sortWithinPartitions("_owner", "s", "p")
+        .sortWithinPartitions(
+            "_owner", "s", "p", "o", "o_type", "o_datatype", "o_lang"
+        )
         .mapInPandas(gen, schema="entity string, jsonld string")
     )
 
@@ -140,35 +146,47 @@ def write_jsonld(triples: DataFrame, path: str, owner: Column | None = None) -> 
     jsonld_docs(triples, owner).select("jsonld").write.mode("overwrite").text(path)
 
 
+def _parse_lines(values) -> tuple[dict, list[int]]:
+    """Parse an iterable of JSON-LD document lines into flat triple
+    columns, returning (columns, per-line triple counts). The counts
+    let callers attach per-line metadata (entity_id) with one
+    np.repeat instead of re-invoking the parser per row."""
+    out = {k: [] for k in ("s", "p", "o", "o_type", "o_datatype", "o_lang")}
+    counts: list[int] = []
+    for line in values:
+        before = len(out["s"])
+        doc = json.loads(line)
+        for node in doc.get("@graph", [doc]):
+            s = node["@id"]
+            for p, vals in node.items():
+                if p.startswith("@"):
+                    continue
+                if not isinstance(vals, list):
+                    vals = [vals]
+                for v in vals:
+                    if not isinstance(v, dict):
+                        v = {"@value": v}
+                    if "@id" in v:
+                        o, o_type = v["@id"], (
+                            "bnode" if v["@id"].startswith("bnode:") else "uri"
+                        )
+                        dt = lang = None
+                    else:
+                        o, o_type = str(v["@value"]), "literal"
+                        dt, lang = v.get("@type"), v.get("@language")
+                    out["s"].append(s)
+                    out["p"].append(p)
+                    out["o"].append(o)
+                    out["o_type"].append(o_type)
+                    out["o_datatype"].append(dt)
+                    out["o_lang"].append(lang)
+        counts.append(len(out["s"]) - before)
+    return out, counts
+
+
 def _parse_docs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {k: [] for k in ("s", "p", "o", "o_type", "o_datatype", "o_lang")}
-        for line in pdf["value"]:
-            doc = json.loads(line)
-            for node in doc.get("@graph", [doc]):
-                s = node["@id"]
-                for p, values in node.items():
-                    if p.startswith("@"):
-                        continue
-                    if not isinstance(values, list):
-                        values = [values]
-                    for v in values:
-                        if not isinstance(v, dict):
-                            v = {"@value": v}
-                        if "@id" in v:
-                            o, o_type = v["@id"], (
-                                "bnode" if v["@id"].startswith("bnode:") else "uri"
-                            )
-                            dt = lang = None
-                        else:
-                            o, o_type = str(v["@value"]), "literal"
-                            dt, lang = v.get("@type"), v.get("@language")
-                        out["s"].append(s)
-                        out["p"].append(p)
-                        out["o"].append(o)
-                        out["o_type"].append(o_type)
-                        out["o_datatype"].append(dt)
-                        out["o_lang"].append(lang)
+        out, _ = _parse_lines(pdf["value"])
         yield pd.DataFrame(out)
 
 
@@ -251,13 +269,17 @@ def scan_sip_dir(spark: SparkSession, directory: str,
     ) + ", entity_id string"
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One _parse_lines call per Arrow batch (not per row): the
+        # per-line triple counts fan the batch's entity_id column out
+        # over the parsed rows with a single np.repeat — same
+        # tiny-group fix as jsonld_docs (SCALE.md r5; VERDICT r5 #3).
+        import numpy as np
+
         for pdf in batches:
-            frames = []
-            for _, row in pdf.iterrows():
-                one = next(_parse_docs(iter([pd.DataFrame({"value": [row["value"]]})])))
-                one["entity_id"] = row["entity_id"]
-                frames.append(one)
-            yield pd.concat(frames) if frames else pd.DataFrame(
-                {c: [] for c in list(TRIPLE_SCHEMA.names) + ["entity_id"]})
+            out, counts = _parse_lines(pdf["value"])
+            out["entity_id"] = np.repeat(
+                pdf["entity_id"].to_numpy(), counts
+            )
+            yield pd.DataFrame(out)
 
     return lines.mapInPandas(parse, schema=parsed_schema)

@@ -129,16 +129,25 @@ def _unescape_literal(o_lit):
     (escaped backslash, then literal n) a naive ``\\n``-first chain
     would eat the second backslash and produce a newline — corrupting
     any literal whose raw text has a backslash immediately before
-    n/r/t/". So escaped backslashes are protected into a NUL sentinel
-    FIRST, the single-char escapes decode next, and the sentinel
-    restores last. Exact for everything the writer can emit; a
-    literal containing a raw NUL byte (which no RDF text serialization
-    meaningfully carries, and the writer never escapes) is out of the
-    line-oriented subset's scope. The whole chain only runs for
-    literals that actually CONTAIN a backslash — one cheap contains()
-    guards it, and unescaped literals (the overwhelming majority of
-    machine-generated RDF) pass through untouched."""
-    protected = F.regexp_replace(o_lit, "\\\\\\\\", "\x00")
+    n/r/t/". So escaped backslashes are protected into a NUL-prefixed
+    sentinel FIRST, the single-char escapes decode next, and the
+    sentinel restores last.
+
+    The sentinel is made collision-proof against literals that carry a
+    RAW NUL byte (which the writer emits unescaped) by stuffing: every
+    pre-existing ``\\x00`` becomes ``\\x00N`` before the protect pass
+    introduces ``\\x00B`` markers, and the restores run in the safe
+    order (``\\x00B``→backslash, then ``\\x00N``→NUL). The mapping is
+    injective — original NULs are always followed by ``N``, markers by
+    ``B``, and the single-char decodes can neither create nor destroy a
+    NUL — so the chain is exact for EVERY input, not just writer-
+    emittable ones. It only runs for literals that actually CONTAIN a
+    backslash — one cheap contains() guards it, and unescaped literals
+    (the overwhelming majority of machine-generated RDF) pass through
+    untouched (a backslash-free literal needs no decoding even if it
+    contains raw NULs)."""
+    stuffed = F.regexp_replace(o_lit, "\x00", "\x00N")
+    protected = F.regexp_replace(stuffed, "\\\\\\\\", "\x00B")
     for esc, rep in (
         ("\\\\n", "\n"),
         ("\\\\r", "\r"),
@@ -146,7 +155,9 @@ def _unescape_literal(o_lit):
         ('\\\\"', '"'),
     ):
         protected = F.regexp_replace(protected, esc, rep)
-    decoded = F.regexp_replace(protected, "\x00", "\\\\")
+    decoded = F.regexp_replace(
+        F.regexp_replace(protected, "\x00B", "\\\\"), "\x00N", "\x00"
+    )
     return F.when(o_lit.contains("\\"), decoded).otherwise(o_lit)
 
 

@@ -46,6 +46,30 @@ def test_range_cumsum_matches_pandas(spark):
     assert (out["before"].to_numpy() == expect["before"].to_numpy()).all()
 
 
+def test_range_cumsum_persist_pin_mode(spark):
+    """The cluster-deploy pin knob (spark.razulibs.rangeCumsum.pin=
+    persist, ADVICE r5) must produce identical results to the default
+    local-mode localCheckpoint path."""
+    rng = np.random.RandomState(11)
+    pdf = pd.DataFrame(
+        {"k": rng.permutation(311), "v": rng.randint(0, 9, 311)}
+    )
+    df = spark.createDataFrame(pdf)
+    spark.conf.set("spark.razulibs.rangeCumsum.pin", "persist")
+    try:
+        out = (
+            stats.range_cumsum(df, ["k"], ["v"], ["before"], n_parts=5)
+            .toPandas()
+            .sort_values("k", ignore_index=True)
+        )
+    finally:
+        spark.conf.unset("spark.razulibs.rangeCumsum.pin")
+        spark.catalog.clearCache()
+    expect = pdf.sort_values("k", ignore_index=True)
+    expect["before"] = expect["v"].cumsum().shift(1, fill_value=0)
+    assert (out["before"].to_numpy() == expect["before"].to_numpy()).all()
+
+
 def test_range_cumsum_multi_col_single_shuffle(spark):
     pdf = pd.DataFrame({"k": range(100), "a": [1] * 100, "b": [2] * 100})
     df = spark.createDataFrame(pdf)

@@ -929,7 +929,12 @@ def test_ntriples_roundtrip_backslash_letter_adjacency(spark, tmp_path):
     newline escape."""
     from razulibs_spark.sources.rdf_io import read_ntriples, write_ntriples
 
-    cases = ["a\\nb", "C:\\temp\\new", "a\\\\nb", "end\\\\", "\\t\\r\\\""]
+    cases = [
+        "a\\nb", "C:\\temp\\new", "a\\\\nb", "end\\\\", "\\t\\r\\\"",
+        # Raw NUL + backslash in one literal: the decode sentinel must
+        # not swallow or rewrite the NUL (ADVICE r5 — NUL stuffing).
+        "\x00\\n", "a\x00b\\t", "\x00N\\x", "\x00B\\\\", "just\x00nul",
+    ]
     rows = [
         (f"urn:s{i}", "urn:p", c, "literal", None, None)
         for i, c in enumerate(cases)

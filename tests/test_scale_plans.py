@@ -456,6 +456,35 @@ def test_cosine_topk_guards_oversized_query_broadcast(spark, sf_dir):
         cosine_topk(e, e, k=5, max_broadcast_queries=10)
 
 
+def test_pq_topk_guards_oversized_query_lut(spark, sf_dir):
+    """pq_topk / ivfpq_topk build a per-query ADC LUT on the driver
+    (VERDICT r5 item 2): an over-limit query set must raise with
+    batching advice BEFORE codebook training or any collect runs."""
+    import pytest
+
+    from razulibs_spark import tables
+    from razulibs_spark.operators.similarity import ivfpq_topk, pq_topk
+
+    e = tables.load(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="Batch the query set"):
+        pq_topk(e, e, k=5, max_broadcast_queries=10)
+    with pytest.raises(ValueError, match="Batch the query set"):
+        ivfpq_topk(e, e.limit(4), e, k=5, max_broadcast_queries=10)
+
+
+def test_broadcast_guard_optout_skips_probe(spark, sf_dir):
+    """max_broadcast_queries=None must skip the probe job entirely
+    (ADVICE r5): a query frame bigger than any default limit is
+    accepted when the caller opts out."""
+    from razulibs_spark.operators.similarity import _guard_broadcast_queries
+
+    class _Boom:
+        def limit(self, n):  # probe would call this
+            raise AssertionError("probe executed despite opt-out")
+
+    _guard_broadcast_queries(_Boom(), None, "op", "advice")
+
+
 def test_jsonld_docs_single_owner_exchange(spark, sf_dir):
     """The streaming doc builder shuffles ONCE on the owning entity
     and crosses the Python boundary ONCE — no per-entity grouping
