@@ -45,7 +45,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/update_rotation.py clears a name from this set as soon as a
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
-_ROTATION_FORCE_REFRESH = frozenset({})
+_ROTATION_FORCE_REFRESH = frozenset({
+    # r6: PNG rows now really decode (stdlib zlib+unfilter) and the
+    # undecodable slot moved to JPEG — output changed, needs a fresh
+    # driver row despite the r5 green.
+    "multimodal_decode",
+})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",

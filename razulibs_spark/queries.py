@@ -7142,8 +7142,27 @@ wav_out AS (
          sqrt(AVG(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))) AS rms,
          CAST(NULL AS VARCHAR) AS note
   FROM wav_s GROUP BY doc_id),
+png AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 5 AS h
+        FROM d WHERE kind = 3 AND (doc_id // 4) % 2 = 0),
+png_px AS (
+  SELECT p.doc_id, p.w, p.h,
+         (p.doc_id * 7 + xx.x) % 256 AS r,
+         (p.doc_id + 5 * yy.y) % 256 AS g,
+         (xx.x * yy.y + p.doc_id // 7) % 256 AS bb
+  FROM png p, unnest(range(0, p.w)) xx(x), unnest(range(0, p.h)) yy(y)),
 png_out AS (
-  SELECT doc_id, 'image/png' AS media_format, FALSE AS decoded,
+  SELECT doc_id, 'image/png' AS media_format, TRUE AS decoded,
+         CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+         AVG(CAST(r AS DOUBLE)) AS mean_r, AVG(CAST(g AS DOUBLE)) AS mean_g,
+         AVG(CAST(bb AS DOUBLE)) AS mean_b,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
+         CAST(NULL AS VARCHAR) AS note
+  FROM png_px GROUP BY doc_id),
+jpeg_out AS (
+  SELECT doc_id, 'image/jpeg' AS media_format, FALSE AS decoded,
          CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
          CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
          CAST(NULL AS DOUBLE) AS mean_b,
@@ -7151,23 +7170,25 @@ png_out AS (
          CAST(NULL AS BIGINT) AS n_channels,
          CAST(NULL AS BIGINT) AS n_samples,
          CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
-         'no in-container decoder for image/png (needs imaging library)'
+         'no in-container decoder for image/jpeg (needs imaging library)'
            AS note
-  FROM d WHERE kind = 3)
+  FROM d WHERE kind = 3 AND (doc_id // 4) % 2 = 1)
 SELECT * FROM bmp_out UNION ALL SELECT * FROM ppm_out
 UNION ALL SELECT * FROM wav_out UNION ALL SELECT * FROM png_out
+UNION ALL SELECT * FROM jpeg_out
 """
 
 
 @query("multimodal_decode", _MM_DECODE_SQL)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (multimodal.decode_media): deterministic BMP /
-    P6-PPM / 16-bit-PCM-WAV payloads are synthesized byte-for-byte from
-    doc_id (multimodal.synthesize_decodable_media), then parsed back by
-    the stdlib decoders — header walk + numpy pixel/sample stats — in
-    one split-aware Arrow pass. PNG rows exercise the honest
-    undecodable path (decoded=false + reason; entropy-coded formats
-    need an imaging library this container lacks). The oracle
+    P6-PPM / 16-bit-PCM-WAV / filtered-PNG payloads are synthesized
+    byte-for-byte from doc_id (multimodal.synthesize_decodable_media),
+    then parsed back by the stdlib decoders — header walk + numpy
+    pixel/sample stats; for PNG a zlib inflate + five-filter
+    unfilter — in one split-aware Arrow pass. JPEG rows exercise the
+    honest undecodable path (decoded=false + reason; DCT+Huffman
+    needs an imaging library this container lacks). The oracle
     recomputes every expected stat from the same integer formulas in
     SQL, so the whole encode→decode roundtrip is hash-verified: all
     aggregates are exact integer sums (< 2^53) divided once, making

@@ -795,6 +795,36 @@ def test_media_decoders_golden_roundtrip():
     # skip the pad bytes.
     bmp3 = decode_bmp(encode_bmp(3, 1, lambda x, y: (x, 2 * x, 3 * x)))
     assert bmp3["mean_r"] == 1.0 and bmp3["mean_b"] == 3.0
+    # PNG: zlib inflate + unfilter; the encoder cycles all 5 filter
+    # types over scanlines, so a 6-row image proves every branch.
+    from razulibs_spark.operators.multimodal import decode_png, encode_png
+
+    png = decode_png(encode_png(2, 6, lambda x, y: px[(x, y % 2)]))
+    assert png == {"width": 2, "height": 6,
+                   "mean_r": 55.0, "mean_g": 65.0, "mean_b": 75.0}
+
+
+def test_png_decoder_rejects_corruption_and_unsupported():
+    import zlib
+
+    import pytest as _pytest
+
+    from razulibs_spark.operators.multimodal import decode_png, encode_png
+
+    good = encode_png(3, 3, lambda x, y: (x, y, x + y))
+    # Flip a pixel byte inside IDAT: CRC check must catch it.
+    bad = bytearray(good)
+    bad[len(good) - 20] ^= 0xFF
+    with _pytest.raises(ValueError):
+        decode_png(bytes(bad))
+    # Interlaced flag → honest unsupported error, not garbage stats.
+    ihdr = (3).to_bytes(4, "big") * 2 + bytes((8, 2, 0, 0, 1))
+    chunk = (
+        len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
+        + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
 def test_media_decoders_reject_garbage():
@@ -802,18 +832,20 @@ def test_media_decoders_reject_garbage():
 
     from razulibs_spark.operators.multimodal import (
         decode_bmp,
+        decode_png,
         decode_ppm,
         decode_wav,
     )
 
-    for fn in (decode_bmp, decode_ppm, decode_wav):
+    for fn in (decode_bmp, decode_png, decode_ppm, decode_wav):
         with _pytest.raises(ValueError):
             fn(b"\x89PNG\r\n\x1a\nnot really media")
 
 
 def test_multimodal_decode_pipeline(spark, sf_dir):
-    """End-to-end Arrow decode stage: every synthesized BMP/PPM/WAV row
-    decodes, every PNG row is reported undecodable with a reason."""
+    """End-to-end Arrow decode stage: every synthesized BMP/PPM/WAV/PNG
+    row decodes, every JPEG row is reported undecodable with a
+    reason."""
     from pyspark.sql import functions as F
 
     from razulibs_spark import tables
@@ -838,7 +870,8 @@ def test_multimodal_decode_pipeline(spark, sf_dir):
         "image/x-portable-pixmap"
     ]["n_decoded"] > 0
     assert agg["audio/wav"]["n"] == agg["audio/wav"]["n_decoded"] > 0
-    assert agg["image/png"]["n_decoded"] == 0
+    assert agg["image/png"]["n"] == agg["image/png"]["n_decoded"] > 0
+    assert agg["image/jpeg"]["n_decoded"] == 0
     note = out.filter(~F.col("decoded")).select("note").first()["note"]
     assert "no in-container decoder" in note
 

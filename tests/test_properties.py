@@ -169,7 +169,13 @@ def test_bmp_ppm_roundtrip_any_geometry(w, h, seed):
     exp_r = sum(px(x, y)[0] for x in range(w) for y in range(h)) / (w * h)
     exp_g = sum(px(x, y)[1] for x in range(w) for y in range(h)) / (w * h)
     exp_b = sum(px(x, y)[2] for x in range(w) for y in range(h)) / (w * h)
-    for enc, dec in ((encode_bmp, decode_bmp), (encode_ppm, decode_ppm)):
+    from razulibs_spark.operators.multimodal import decode_png, encode_png
+
+    for enc, dec in (
+        (encode_bmp, decode_bmp),
+        (encode_ppm, decode_ppm),
+        (encode_png, decode_png),
+    ):
         out = dec(enc(w, h, px))
         assert out["width"] == w and out["height"] == h
         assert out["mean_r"] == exp_r
