@@ -105,10 +105,25 @@ def test_q18_topk_never_global_sorts(spark, sf_dir):
 
 
 def test_approx_distinct_within_bound(spark, sf_dir):
+    """The query now emits the bound check itself (oracle-stable
+    contract): exact counts must agree with a_distinct_count and the
+    HLL bound booleans must hold, plus an independent re-check of the
+    raw sketch against the exact counts."""
     exact = Q.QUERIES["a_distinct_count"](spark, sf_dir).collect()[0]
-    approx = Q.QUERIES["a_approx_distinct"](spark, sf_dir).collect()[0]
-    assert abs(approx["n_parts_approx"] - exact["n_parts"]) <= 0.05 * exact["n_parts"]
-    assert abs(approx["n_supps_approx"] - exact["n_supps"]) <= 0.05 * exact["n_supps"]
+    out = Q.QUERIES["a_approx_distinct"](spark, sf_dir).collect()[0]
+    assert out["n_parts_exact"] == exact["n_parts"]
+    assert out["n_supps_exact"] == exact["n_supps"]
+    assert out["parts_within_bound"] and out["supps_within_bound"]
+    raw = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("p"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("s"),
+        )
+        .collect()[0]
+    )
+    assert abs(raw["p"] - exact["n_parts"]) <= 0.05 * exact["n_parts"]
+    assert abs(raw["s"] - exact["n_supps"]) <= 0.05 * exact["n_supps"]
 
 
 def test_rollup_levels_consistent(spark, sf_dir):
@@ -294,15 +309,35 @@ def test_pipeline_cluster_best_invariants(spark, sf_dir):
 
 
 def test_approx_quantiles_error_bound(spark, sf_dir):
-    """approx_percentile must land within 1% relative error of the
+    """The query emits rank-bound booleans (oracle-stable contract):
+    they must all hold, group counts must be exact, and an independent
+    value check pins approx_percentile within 1% relative error of the
     exact grouped percentiles at the test scale."""
     from razulibs_spark import queries as Q
 
-    approx = {r["l_returnflag"]: (r["p25"], r["p50"], r["p75"])
-              for r in Q.QUERIES["a_approx_quantiles"](spark, sf_dir).collect()}
-    exact_df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").groupBy(
-        "l_returnflag"
-    ).agg(
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = Q.QUERIES["a_approx_quantiles"](spark, sf_dir).collect()
+    n_by_flag = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert len(out) == len(n_by_flag)
+    for r in out:
+        assert r["n"] == n_by_flag[r["l_returnflag"]]
+        assert r["p25_within_bound"] and r["p50_within_bound"] \
+            and r["p75_within_bound"], r
+    approx = {
+        r["l_returnflag"]: r["p"]
+        for r in li.groupBy("l_returnflag").agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, "
+                "array(0.25, 0.5, 0.75), 10000)"
+            ).alias("p")
+        ).collect()
+    }
+    exact_df = li.groupBy("l_returnflag").agg(
         F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("p")
     )
     for r in exact_df.collect():
