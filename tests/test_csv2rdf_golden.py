@@ -170,6 +170,18 @@ def test_per_entity_files_and_sip_scan(spark, tmp_path):
     assert n == 11
     back = scan_sip_dir(spark, sip)
     assert back.select("entity_id").distinct().count() == 11
+    # Distributed sink (local[n] shares the FS, so executor writes
+    # land in the same directory): byte-identical layout and content.
+    import os as _os
+
+    sip2 = str(tmp_path / "sip_dist")
+    assert write_jsonld_per_entity(triples, sip2, distributed=True) == 11
+    assert sorted(_os.listdir(sip2)) == sorted(_os.listdir(sip))
+    for f in _os.listdir(sip):
+        with open(_os.path.join(sip, f)) as a, open(
+            _os.path.join(sip2, f)
+        ) as b:
+            assert a.read() == b.read(), f
     # S5 id extraction matches the K1 filenames:
     assert back.filter(F.col("entity_id") == "NL-WbDRAZU-G0321-661-1").count() > 0
     assert _triple_set(back.drop("entity_id")) == _triple_set(triples)
