@@ -451,6 +451,7 @@ def pca_top_component(
     df: DataFrame,
     vec_col: str = "embedding",
     iters: int = 8,
+    with_convergence: bool = False,
 ) -> DataFrame:
     """Top principal component of an embedding matrix by distributed
     power iteration — the first step of whitening / variance auditing
@@ -464,8 +465,13 @@ def pca_top_component(
     literal), so the loop state is O(dim), never O(rows) — and because
     each iterate is rebuilt from literals, the logical plan stays flat
     (no localCheckpoint needed, unlike self-referential loops).
-    Deterministic all-ones init; float math (rows-only contract — sum
-    order makes eigenvectors engine-specific in the last ulps).
+    Deterministic all-ones init; float math (sum order makes
+    eigenvectors engine-specific in the last ulps).
+    ``with_convergence=True`` appends two driver-computed columns —
+    ``eig_rel_delta`` (relative eigenvalue change over the final
+    iteration) and ``v_align`` (cosine between the last two
+    iterates) — at zero extra Spark cost, so callers can assert a
+    convergence contract (queries.sim_pca_power).
     """
     import math as _math
 
@@ -487,6 +493,14 @@ def pca_top_component(
             StructField("loading", DoubleType()),
             StructField("eigenvalue", DoubleType()),
         ]
+        + (
+            [
+                StructField("eig_rel_delta", DoubleType()),
+                StructField("v_align", DoubleType()),
+            ]
+            if with_convergence
+            else []
+        )
     )
     # Deterministic dimensionality (max over the corpus, not an
     # arbitrary first row) and the row count in ONE job; empty /
@@ -524,6 +538,7 @@ def pca_top_component(
     )
     v = [1.0 / _math.sqrt(dim)] * dim
     eigenvalue = 0.0
+    eig_rel_delta = v_align = float("nan")
     for _ in range(iters):
         v_lit = F.array(*[F.lit(c) for c in v])
         score = F.aggregate(
@@ -544,12 +559,21 @@ def pca_top_component(
         norm = _math.sqrt(sum(c * c for c in t))
         if norm == 0.0:
             break
+        eig_rel_delta = (
+            abs(norm - eigenvalue) / norm if eigenvalue else float("nan")
+        )
+        v_new = [c / norm for c in t]
+        v_align = abs(sum(a * b for a, b in zip(v, v_new)))
         eigenvalue = norm
-        v = [c / norm for c in t]
+        v = v_new
     centered.unpersist()
     spark = df.sparkSession
+    extra = (eig_rel_delta, v_align) if with_convergence else ()
     return spark.createDataFrame(
-        [(i + 1, float(v[i]), float(eigenvalue)) for i in range(dim)],
+        [
+            (i + 1, float(v[i]), float(eigenvalue), *extra)
+            for i in range(dim)
+        ],
         out_schema,
     )
 
