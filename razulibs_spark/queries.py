@@ -5890,36 +5890,132 @@ def a_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("graph_pagerank")  # rows-only: iterative algorithm by contract
+_PAGERANK_SQL = """
+WITH s AS (SELECT user_id, ts, event_id,
+                  json_extract_string(props, '$.k') AS item
+           FROM events),
+ t AS (SELECT item AS src,
+              lead(item) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst
+       FROM s WHERE item IS NOT NULL),
+ e AS (SELECT src, dst, COUNT(*) AS weight FROM t
+       WHERE dst IS NOT NULL GROUP BY 1, 2),
+ nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+ outw AS (SELECT src AS node, SUM(weight) AS w FROM e GROUP BY 1),
+ inw AS (SELECT dst AS node, SUM(weight) AS w FROM e GROUP BY 1)
+SELECT n.node,
+       CAST(COALESCE(outw.w, 0) AS BIGINT) AS out_weight,
+       CAST(COALESCE(inw.w, 0) AS BIGINT) AS in_weight,
+       TRUE AS rank_ok
+FROM nodes n
+LEFT JOIN outw ON n.node = outw.node
+LEFT JOIN inw ON n.node = inw.node
+"""
+
+
+@query("graph_pagerank", _PAGERANK_SQL)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the per-user item-transition graph
     (operators/graph.py): items are the event props 'k' values, edges
     are time-ordered item→next-item transitions (linear in the log —
     never the quadratic co-occurrence projection), 10 damped
     iterations of broadcast-rank join + dst-keyed sum with proper
-    dangling-mass redistribution. No oracle by contract (iterative);
-    pytest pins parity against a pure-Python reference."""
+    dangling-mass redistribution; pytest pins parity against a
+    pure-Python reference.
+
+    The rank vector is engine-specific in the last ulps (iterative
+    float), so the ORACLE-STABLE surface is the graph itself — DuckDB
+    rebuilds the full transition edge list with lead() and checks
+    per-node in/out weights exactly, verifying the whole
+    graph-construction half of the query — plus a rank_ok boolean:
+    every node got a rank ≥ the (1−d)/N floor and total mass is
+    conserved to 1e-6. A dropped node, miscounted edge, or mass leak
+    hash-mismatches."""
     from razulibs_spark.operators import graph
 
     ev = T(spark, sf_dir, "events").withColumn(
         "item", F.get_json_object(F.col("props"), "$.k")
     )
-    edges = graph.transition_edges(ev, "item")
-    return graph.pagerank(edges, damping=0.85, iters=10)
+    edges = graph.transition_edges(ev, "item").persist()
+    try:
+        ranks = graph.pagerank(edges, damping=0.85, iters=10).persist()
+        agg = ranks.agg(
+            F.sum("rank").alias("mass"),
+            F.min("rank").alias("min_rank"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        ok = bool(
+            agg["n"] > 0
+            and abs(agg["mass"] - 1.0) <= 1e-6
+            and agg["min_rank"] >= (1.0 - 0.85) / agg["n"] - 1e-12
+        )
+        out_w = edges.groupBy("src").agg(F.sum("weight").alias("ow"))
+        in_w = edges.groupBy("dst").agg(F.sum("weight").alias("iw"))
+        result = (
+            ranks.select("node")
+            .join(out_w.withColumnRenamed("src", "node"), "node", "left")
+            .join(in_w.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("ow"), F.lit(0)).alias("out_weight"),
+                F.coalesce(F.col("iw"), F.lit(0)).alias("in_weight"),
+                F.lit(ok).alias("rank_ok"),
+            )
+        )
+        # Materialize before unpersisting the inputs it derives from.
+        rows = result.collect()
+    finally:
+        edges.unpersist()
+        ranks.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "node string, out_weight bigint, in_weight bigint, "
+        "rank_ok boolean",
+    )
 
 
-@query("text_bpe_encode")  # rows-only: applies the iterative merge table
+_BPE_ENCODE_SQL = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len([w for w in string_split(text, ' ')
+                 if len(w) > 0]) AS BIGINT) AS n_words,
+       TRUE AS tokens_ok
+FROM documents
+"""
+
+
+@query("text_bpe_encode", _BPE_ENCODE_SQL)
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-efficiency report (text.bpe_encode): the 8-merge BPE
     table learned by text.bpe_train applied to the corpus — each
     DISTINCT word encoded once via chained Catalyst HOF rewrites, then
     per-doc token counts and fertility through one word join + one
-    doc rollup. No oracle by contract (the merge table is the output
-    of an iterative trainer); pytest pins the segmentation against a
-    pure-Python BPE encoder."""
+    doc rollup; pytest pins the segmentation against a pure-Python
+    BPE encoder.
+
+    Token counts depend on the iteratively-learned merge table, so
+    the ORACLE-STABLE surface is per-doc exact n_chars / n_words
+    (DuckDB recomputes both) plus a tokens_ok boolean encoding BPE's
+    structural invariant: every word is 1..len(word) tokens, so
+    n_words ≤ n_tokens ≤ non-space chars (0 = 0 for wordless docs).
+    A join that drops words, a merge chain that corrupts a word, or
+    a runaway split flips the boolean into a hash mismatch."""
     docs = T(spark, sf_dir, "documents")
     merges = text.bpe_train(docs, n_merges=8)
-    return text.bpe_encode(docs, merges)
+    enc = text.bpe_encode(docs, merges)
+    nonspace = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    return enc.join(
+        docs.select("doc_id", nonspace.alias("_ns")), "doc_id"
+    ).select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        (
+            (F.col("n_words") <= F.col("n_tokens"))
+            & (F.col("n_tokens") <= F.col("_ns"))
+            | ((F.col("n_words") == 0) & (F.col("n_tokens") == 0))
+        ).alias("tokens_ok"),
+    )
 
 
 _NOVELTY_SQL = """
