@@ -4,17 +4,18 @@ Image/audio/video payloads are opaque `binary` columns with a typed
 metadata struct; decode / feature-extract run as Arrow-batched
 `mapInPandas` stages.
 
-Decode status: formats whose containers are parseable with the
-stdlib are REALLY decoded — 24-bit uncompressed BMP and binary P6
-PPM (header parse + per-channel pixel means via numpy), 16-bit
-PCM WAV (RIFF chunk walk + sample stats), and non-interlaced 8-bit
-PNG (chunk walk + CRC check, zlib inflate, all five scanline
-unfilters). Only JPEG remains stubbed (`decode_image` raises —
-DCT+Huffman needs an imaging library this container lacks);
-`multimodal_decode` reports those rows as decoded=false with a
-reason instead of failing the stage, which is also the right
-production posture for corrupt payloads at 100 TB (a poison byte
-string must never kill the job).
+Decode status: every image/audio format the engine synthesizes is
+REALLY decoded with numpy + stdlib only — 24-bit uncompressed BMP
+and binary P6 PPM (header parse + per-channel pixel means via
+numpy), 16-bit PCM WAV (RIFF chunk walk + sample stats),
+non-interlaced 8-bit PNG (chunk walk + CRC check, zlib inflate, all
+five scanline unfilters), and baseline sequential JPEG
+(`operators/jpeg.py`: marker walk, Huffman entropy decode, dequant +
+IDCT, sampling-factor upsample, YCbCr→RGB). Unsupported modes
+(progressive JPEG, Adam7 PNG) and corrupt payloads come back as
+decoded=false report rows with the reason, which is the right
+production posture at 100 TB (a poison byte string must never kill
+the job).
 """
 
 from __future__ import annotations
@@ -56,17 +57,14 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_image(payload: bytes) -> object:
-    """JPEG decode — intentionally not implemented in this container
-    (DCT+Huffman entropy decoding needs an imaging library).
-    BMP/PPM/WAV/PNG decode IS implemented below with the stdlib
-    (PNG's entropy coding is DEFLATE, which zlib covers); swap this
-    for PIL/opencv on a full cluster image to extend coverage."""
-    raise NotImplementedError(
-        "JPEG decode requires an imaging library not present in "
-        "this environment; BMP/PPM/WAV/PNG are decoded natively — "
-        "see decode_bmp / decode_ppm / decode_wav / decode_png"
-    )
+def decode_image(payload: bytes) -> dict:
+    """Baseline JPEG decode — implemented from first principles in
+    `operators/jpeg.py` (Huffman entropy decode + IDCT need only
+    numpy; PNG's DEFLATE needs only zlib). Kept as the generic
+    image entry point; raises ValueError on non-JPEG payloads."""
+    from razulibs_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
 
 
 def decode_bmp(payload: bytes) -> dict:
@@ -387,7 +385,8 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     mapInPandas streams record batches through Python once — the shape
     a real decode/resize/frame-sample stage takes. The per-payload
     work here is a deterministic fake (length + md5 + 16:9 thumb box)
-    standing in for the stubbed decode_image.
+    standing in for a full pixel decode — the real decode path over
+    synthesized payloads lives in decode_media.
     """
     import hashlib
 
@@ -425,8 +424,9 @@ RESIZE_SCHEMA = StructType(
 def resize_images(media: DataFrame, box: int = 256) -> DataFrame:
     """Image-resize stage: aspect-fit each image into a box×box square
     (integer floor arithmetic — deterministic and oracle-expressible).
-    The pixel resample itself needs the stubbed decode (decode_image);
-    the fake keeps md5(payload) as the stand-in for the resized bytes.
+    The attach_media_columns payloads carry no real pixels to
+    resample; the fake keeps md5(payload) as the stand-in for the
+    resized bytes.
     Non-image rows are filtered before the Python boundary so the
     Arrow transfer only carries the rows the stage will touch."""
     import hashlib
@@ -509,7 +509,8 @@ FRAME_SCHEMA = StructType(
 def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
     """Frame-sampling stage (video path of the multimodal north star):
     one input payload fans out to every `every`-th frame. Real frame
-    extraction needs a video library (stubbed, like decode_image); the
+    extraction needs a video library (the one genuinely stubbed
+    media path — still images decode for real, see decode_media); the
     deterministic fake treats each 1 KiB payload slice as one frame and
     hashes the sampled slices. The Spark shape is the real one: a
     mapInPandas generator whose output batch is LONGER than its input
@@ -607,12 +608,15 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
     """Deterministic REAL media payloads from the documents table:
     doc_id % 4 → BMP / PPM / WAV / image, where the image slot
     alternates by (doc_id // 4) % 2 between a real filtered PNG and a
-    JPEG-labeled stub (the one format that exercises the honest
-    undecodable path). Pixel and sample values are integer functions
-    of (doc_id, x, y) — bit-for-bit reproducible across runs and
-    partitionings. Runs as one Arrow pass; payload sizes are bounded
-    (≤ 24×16 px, ≤ 256 samples) so the stage is narrow and cheap at
-    any corpus size."""
+    real baseline JPEG (flat-tile grayscale — bit-exact through the
+    DCT roundtrip); every 4th JPEG slot is instead a deterministic
+    POISON payload (SOI+EOI, no frame) so the decoded=false
+    resilience path stays hash-verified. Pixel and sample values are
+    integer functions of (doc_id, x, y) — bit-for-bit reproducible
+    across runs and partitionings. Runs as one Arrow pass; payload
+    sizes are bounded (≤ 24×16 px, ≤ 256 samples) so the stage is
+    narrow and cheap at any corpus size."""
+    from razulibs_spark.operators.jpeg import encode_jpeg_flat_tiles
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -662,12 +666,25 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
                         ),
                     )
                     fmt = "image/png"
+                elif (d // 8) % 4 == 3:
+                    # Deterministic POISON row: a JPEG with no frame
+                    # header — keeps the decoded=false resilience path
+                    # hash-verified end-to-end (the oracle pins the
+                    # exact failure note).
+                    payload = b"\xff\xd8\xff\xd9"
+                    fmt = "image/jpeg"
                 else:
-                    # JPEG-labeled stub: the one format the container
-                    # genuinely cannot decode (DCT+Huffman needs an
-                    # imaging library) — keeps the honest
-                    # decoded=false path exercised.
-                    payload = b"\xff\xd8\xff\xe0" + str(d).encode() * 4
+                    # Real baseline JPEG: flat 8x8 grayscale tiles
+                    # survive the DCT roundtrip BIT-exactly (DC-only
+                    # blocks, all-ones quant tables), so the SQL
+                    # oracle recomputes the stats from the same
+                    # integer tile formula.
+                    w = 8 * (1 + d % 3)
+                    h = 8 * (1 + (d // 3) % 2)
+                    payload = encode_jpeg_flat_tiles(
+                        w, h,
+                        lambda tx, ty, d=d: (5 * d + 11 * tx + 23 * ty) % 256,
+                    )
                     fmt = "image/jpeg"
                 out_ids.append(d)
                 out_payloads.append(payload)
@@ -709,23 +726,30 @@ DECODE_SCHEMA = StructType(
     ]
 )
 
+def _decode_jpeg(payload: bytes) -> dict:
+    from razulibs_spark.operators.jpeg import decode_jpeg
+
+    return decode_jpeg(payload)
+
+
 _DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "audio/wav": decode_wav,
     "image/png": decode_png,
+    "image/jpeg": _decode_jpeg,
 }
 
 
 def decode_media(media: DataFrame) -> DataFrame:
     """REAL media decode as an Arrow stage: one mapInPandas pass
-    dispatches each payload to its stdlib decoder (BMP/PPM/WAV) and
-    emits typed stats; formats without an in-container decoder
-    (JPEG/PNG) and corrupt payloads come back decoded=false with the
-    reason — a poison payload must never kill a 100 TB job. Decode is
-    inherently per-payload Python work (the one legitimate UDF hot
-    path); the Arrow boundary is crossed once and the fan-out is
-    split-aware like every other media stage."""
+    dispatches each payload to its numpy/stdlib decoder
+    (BMP/PPM/WAV/PNG/JPEG) and emits typed stats; unknown formats and
+    corrupt payloads come back decoded=false with the reason — a
+    poison payload must never kill a 100 TB job. Decode is inherently
+    per-payload Python work (the one legitimate UDF hot path); the
+    Arrow boundary is crossed once and the fan-out is split-aware
+    like every other media stage."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

@@ -7446,7 +7446,26 @@ png_out AS (
          CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
          CAST(NULL AS VARCHAR) AS note
   FROM png_px GROUP BY doc_id),
+jpg AS (SELECT doc_id, 1 + doc_id % 3 AS tw, 1 + (doc_id // 3) % 2 AS th
+        FROM d WHERE kind = 3 AND (doc_id // 4) % 2 = 1
+                 AND (doc_id // 8) % 4 <> 3),
+jpg_tiles AS (
+  SELECT j.doc_id, j.tw, j.th,
+         (5 * j.doc_id + 11 * xx.tx + 23 * yy.ty) % 256 AS g
+  FROM jpg j, unnest(range(0, j.tw)) xx(tx), unnest(range(0, j.th)) yy(ty)),
 jpeg_out AS (
+  SELECT doc_id, 'image/jpeg' AS media_format, TRUE AS decoded,
+         CAST(8 * MAX(tw) AS BIGINT) AS width,
+         CAST(8 * MAX(th) AS BIGINT) AS height,
+         AVG(CAST(g AS DOUBLE)) AS mean_r, AVG(CAST(g AS DOUBLE)) AS mean_g,
+         AVG(CAST(g AS DOUBLE)) AS mean_b,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
+         CAST(NULL AS VARCHAR) AS note
+  FROM jpg_tiles GROUP BY doc_id),
+jpeg_poison AS (
   SELECT doc_id, 'image/jpeg' AS media_format, FALSE AS decoded,
          CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
          CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
@@ -7455,29 +7474,32 @@ jpeg_out AS (
          CAST(NULL AS BIGINT) AS n_channels,
          CAST(NULL AS BIGINT) AS n_samples,
          CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
-         'no in-container decoder for image/jpeg (needs imaging library)'
-           AS note
-  FROM d WHERE kind = 3 AND (doc_id // 4) % 2 = 1)
+         'decode failed: no SOF0 frame header' AS note
+  FROM d WHERE kind = 3 AND (doc_id // 4) % 2 = 1
+           AND (doc_id // 8) % 4 = 3)
 SELECT * FROM bmp_out UNION ALL SELECT * FROM ppm_out
 UNION ALL SELECT * FROM wav_out UNION ALL SELECT * FROM png_out
-UNION ALL SELECT * FROM jpeg_out
+UNION ALL SELECT * FROM jpeg_out UNION ALL SELECT * FROM jpeg_poison
 """
 
 
 @query("multimodal_decode", _MM_DECODE_SQL)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL media decode (multimodal.decode_media): deterministic BMP /
-    P6-PPM / 16-bit-PCM-WAV / filtered-PNG payloads are synthesized
-    byte-for-byte from doc_id (multimodal.synthesize_decodable_media),
-    then parsed back by the stdlib decoders — header walk + numpy
-    pixel/sample stats; for PNG a zlib inflate + five-filter
-    unfilter — in one split-aware Arrow pass. JPEG rows exercise the
-    honest undecodable path (decoded=false + reason; DCT+Huffman
-    needs an imaging library this container lacks). The oracle
-    recomputes every expected stat from the same integer formulas in
-    SQL, so the whole encode→decode roundtrip is hash-verified: all
-    aggregates are exact integer sums (< 2^53) divided once, making
-    the doubles bit-identical across engines."""
+    P6-PPM / 16-bit-PCM-WAV / filtered-PNG / baseline-JPEG payloads
+    are synthesized byte-for-byte from doc_id
+    (multimodal.synthesize_decodable_media), then parsed back by the
+    numpy/stdlib decoders — header walk + pixel/sample stats; for PNG
+    a zlib inflate + five-filter unfilter; for JPEG a full Huffman
+    entropy decode + IDCT (operators/jpeg.py) — in one split-aware
+    Arrow pass. JPEG tiles are flat 8×8 blocks, which survive the
+    DCT roundtrip bit-exactly (DC-only, all-ones quant), so the
+    oracle recomputes their means from the same integer tile formula;
+    every 4th JPEG slot is a deterministic poison payload whose
+    decoded=false note the oracle pins literally — the
+    a-poison-row-never-kills-the-job posture is itself hash-verified.
+    All aggregates are exact integer sums (< 2^53) divided once,
+    making the doubles bit-identical across engines."""
     from razulibs_spark.operators.multimodal import (
         decode_media,
         synthesize_decodable_media,

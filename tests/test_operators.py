@@ -313,8 +313,8 @@ def test_multimodal_features(spark, sf_dir):
     some = next(iter(src))
     assert byid[some]["n_bytes"] == len(src[some].encode())
     assert byid[some]["payload_md5"] == hashlib.md5(src[some].encode()).hexdigest()
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8")
+    with pytest.raises(ValueError):
+        decode_image(b"\xff\xd8")  # truncated JPEG -> clean error
 
 
 # -- streaming vs batch consistency -----------------------------------------
@@ -827,6 +827,65 @@ def test_png_decoder_rejects_corruption_and_unsupported():
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 
+def test_jpeg_codec_roundtrips():
+    """Baseline JPEG codec (operators/jpeg.py): flat 8×8 grayscale
+    tiles are BIT-exact through the DCT roundtrip; arbitrary images
+    decode back within the coefficient-rounding bound; color works at
+    4:4:4 and 4:2:0; unsupported/corrupt streams raise cleanly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from razulibs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_flat_tiles,
+    )
+
+    # Flat tiles: exact means (DC-only blocks, all-ones quant).
+    payload = encode_jpeg_flat_tiles(
+        24, 16, lambda tx, ty: (35 + 11 * tx + 23 * ty) % 256
+    )
+    tiles = [(35 + 11 * tx + 23 * ty) % 256 for ty in range(2)
+             for tx in range(3)]
+    out = decode_jpeg(payload)
+    assert out["width"] == 24 and out["height"] == 16
+    assert out["mean_r"] == out["mean_g"] == out["mean_b"]
+    assert out["mean_r"] == sum(tiles) / len(tiles)
+
+    # Arbitrary grayscale content, non-multiple-of-8 dims: the only
+    # loss is coefficient rounding, so means stay within a fraction
+    # of a gray level.
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(21, 13), dtype=np.uint8)
+    g = decode_jpeg(encode_jpeg(img))
+    assert (g["width"], g["height"]) == (13, 21)
+    assert abs(g["mean_r"] - img.mean()) < 0.5
+
+    # Color, both subsampling modes (4:2:0 exercises the 2×2 MCU
+    # interleave + chroma upsample path).
+    imgc = rng.integers(0, 256, size=(17, 19, 3), dtype=np.uint8)
+    for sub, tol in (("4:4:4", 1.0), ("4:2:0", 2.0)):
+        c = decode_jpeg(encode_jpeg(imgc, subsampling=sub))
+        assert (c["width"], c["height"]) == (19, 17)
+        for i, ch in enumerate("rgb"):
+            assert abs(c[f"mean_{ch}"] - imgc[:, :, i].mean()) < tol
+
+    # Restart-marker handling: splice a DRI segment is out of scope
+    # for the encoder, but stray RST / truncation must error cleanly.
+    with _pytest.raises(ValueError, match="SOF0"):
+        decode_jpeg(b"\xff\xd8\xff\xd9")
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"1234")
+    with _pytest.raises(ValueError):
+        decode_jpeg(bytes(payload[: len(payload) // 2]))
+    # Progressive (SOF2) → honest unsupported error.
+    prog = bytearray(payload)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with _pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(bytes(prog))
+
+
 def test_media_decoders_reject_garbage():
     import pytest as _pytest
 
@@ -843,9 +902,9 @@ def test_media_decoders_reject_garbage():
 
 
 def test_multimodal_decode_pipeline(spark, sf_dir):
-    """End-to-end Arrow decode stage: every synthesized BMP/PPM/WAV/PNG
-    row decodes, every JPEG row is reported undecodable with a
-    reason."""
+    """End-to-end Arrow decode stage: every synthesized
+    BMP/PPM/WAV/PNG/JPEG row decodes; the deterministic poison slots
+    are reported undecodable with the pinned reason."""
     from pyspark.sql import functions as F
 
     from razulibs_spark import tables
@@ -871,9 +930,16 @@ def test_multimodal_decode_pipeline(spark, sf_dir):
     ]["n_decoded"] > 0
     assert agg["audio/wav"]["n"] == agg["audio/wav"]["n_decoded"] > 0
     assert agg["image/png"]["n"] == agg["image/png"]["n_decoded"] > 0
-    assert agg["image/jpeg"]["n_decoded"] == 0
-    note = out.filter(~F.col("decoded")).select("note").first()["note"]
-    assert "no in-container decoder" in note
+    # JPEG: all rows decode except the deterministic poison slots
+    # (doc_id % 8 == 7 and (doc_id // 8) % 4 == 3).
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    n_poison = sum(1 for d in ids if d % 8 == 7 and (d // 8) % 4 == 3)
+    assert agg["image/jpeg"]["n_decoded"] == agg["image/jpeg"]["n"] - n_poison
+    notes = {
+        r["note"]
+        for r in out.filter(~F.col("decoded")).select("note").collect()
+    }
+    assert notes == {"decode failed: no SOF0 frame header"}
 
 
 def test_ntriples_roundtrip_preserves_sep_byte_literal(spark, tmp_path):

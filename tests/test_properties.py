@@ -184,6 +184,55 @@ def test_bmp_ppm_roundtrip_any_geometry(w, h, seed):
 
 
 @given(
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=3),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_flat_tile_roundtrip_exact(tw, th, seed):
+    """Flat 8×8-tile grayscale JPEGs are BIT-exact through the
+    encode→decode DCT roundtrip for ANY tile values: a constant block
+    is DC-only with integer DC, so all-ones quantization loses
+    nothing. This is the invariant multimodal_decode's SQL oracle
+    relies on."""
+    from razulibs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_flat_tiles,
+    )
+
+    def tile(tx, ty):
+        return (seed + 37 * tx + 101 * ty) % 256
+
+    out = decode_jpeg(encode_jpeg_flat_tiles(8 * tw, 8 * th, tile))
+    exp = sum(
+        tile(tx, ty) for tx in range(tw) for ty in range(th)
+    ) / (tw * th)
+    assert out["width"] == 8 * tw and out["height"] == 8 * th
+    assert out["mean_r"] == out["mean_g"] == out["mean_b"] == exp
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_any_grayscale_mean_within_rounding(w, h, seed):
+    """Arbitrary content and non-aligned dims: with all-ones quant
+    tables the only loss is DCT coefficient rounding, so the decoded
+    mean stays within half a gray level of the source."""
+    import numpy as np
+
+    from razulibs_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert (out["width"], out["height"]) == (w, h)
+    assert abs(out["mean_r"] - float(img.mean())) < 0.75
+
+
+@given(
     st.lists(
         st.integers(min_value=-32768, max_value=32767),
         min_size=1,
