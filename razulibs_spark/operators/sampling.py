@@ -202,3 +202,45 @@ def temperature_mix(
         .filter(h < F.col("_cutoff"))
         .drop("_cutoff")
     )
+
+
+def source_cap(
+    documents: DataFrame,
+    cap: int = 20,
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source document cap — the host/domain frequency capping
+    step of C4 / RefinedWeb-style curation: keep at most ``cap``
+    documents per source, best quality first (`text.quality_scores`,
+    ties broken by lowest doc_id), so one over-crawled host cannot
+    dominate the training mix.
+
+    Scale shape: the rank window is KEYED by source — one shuffle on
+    the group key, per-key state bounded by that source's row count,
+    no global sort. At 100 TB with mega-hosts, swap the window for
+    the two-phase top-k (`t_grouped_topk` pattern) or pre-aggregate
+    per (source, hash-salt) — the plan here stays the keyed-window
+    reference semantics. The output keeps `rank_in_source` so the
+    cap is auditable downstream.
+
+    Reference has no counterpart (LLM-pipeline north star;
+    BASELINE.json).
+    """
+    from razulibs_spark.operators.text import quality_score_col
+
+    ranked = documents.select(
+        "doc_id", group_col, quality_score_col().alias("quality_score")
+    ).withColumn(
+        "rank_in_source",
+        F.row_number().over(
+            Window.partitionBy(group_col).orderBy(
+                F.col("quality_score").desc(), F.col("doc_id")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank_in_source") <= cap).select(
+        "doc_id",
+        group_col,
+        "quality_score",
+        F.col("rank_in_source").cast("long").alias("rank_in_source"),
+    )

@@ -41,6 +41,19 @@ def token_stats(documents: DataFrame) -> DataFrame:
     )
 
 
+def quality_score_col() -> Column:
+    """The rounded quality score as a reusable pure expression, so
+    consumers that need it next to OTHER columns (e.g.
+    sampling.source_cap) compute it inline in one scan instead of
+    joining back to quality_scores' projection."""
+    n_words = F.size(F.split(F.col("text"), " "))
+    n_stop = count_words_in("text", STOPWORDS)
+    score = (F.lit(1.0) - n_stop / n_words) * F.least(
+        F.lit(1.0), n_words / F.lit(100.0)
+    )
+    return F.round(score, 6)
+
+
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Length/stopword-ratio quality score in [0,1], rational arithmetic
     only: score = (1 - stop_ratio) * min(1, n_words/100)."""
@@ -807,5 +820,61 @@ def vocab_coverage(
             )
             .cast("long")
             .alias("coverage_micro"),
+        )
+    )
+
+
+HASH_CLF_BUCKETS = 4096
+_HASH_CLF_KNUTH = 2654435761
+
+
+def hash_classifier(
+    documents: DataFrame, n_buckets: int = HASH_CLF_BUCKETS
+) -> DataFrame:
+    """fastText-shaped linear classifier INFERENCE at corpus scale —
+    the quality-classifier curation step of C4/CCNet-style pipelines:
+    word unigram + bigram features hashed into ``n_buckets`` buckets
+    (md5 → first 8 hex digits → bucket), a deterministic integer
+    weight per bucket standing in for the trained coefficient vector
+    (swap in real weights as a broadcast join without touching the
+    plan shape), per-document exact BIGINT score and keep/drop label.
+
+    Scale shape: ONE pass — tokenization and bigram construction run
+    entirely in Catalyst HOFs (split → filter → zip_with → a single
+    explode), hash and weight are codegen expressions, and the score
+    is a keyed SUM with map-side combine. No Python, no window, no
+    second shuffle; documents with zero tokens survive via the left
+    join back to the doc spine. All arithmetic is integer-exact, so
+    the DuckDB oracle hash-matches bit-for-bit.
+
+    Reference has no counterpart (LLM-pipeline north star;
+    BASELINE.json).
+    """
+    words = "filter(split(text, ' '), w -> w != '')"
+    toks = F.expr(
+        f"concat({words}, zip_with(slice({words}, 1, size({words}) - 1), "
+        f"slice({words}, 2, size({words}) - 1), "
+        "(x, y) -> concat(x, '_', y)))"
+    )
+    tok = documents.select("doc_id", F.explode(toks).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    bucket = h % F.lit(n_buckets)
+    weight = (bucket * F.lit(_HASH_CLF_KNUTH)) % F.lit(2001) - F.lit(1000)
+    agg = tok.select("doc_id", weight.alias("_w")).groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_features"),
+        F.sum("_w").cast("long").alias("score"),
+    )
+    return (
+        documents.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_features"), F.lit(0)).cast("long").alias(
+                "n_features"
+            ),
+            F.coalesce(F.col("score"), F.lit(0)).cast("long").alias("score"),
+            F.when(F.coalesce(F.col("score"), F.lit(0)) > 0, "keep")
+            .otherwise("drop")
+            .alias("label"),
         )
     )

@@ -7507,3 +7507,81 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return decode_media(synthesize_decodable_media(docs))
+
+
+_SOURCE_CAP_SQL = """
+WITH q AS (SELECT doc_id, source,
+   len(string_split(text, ' ')) AS n_words,
+   len([w for w in string_split(text, ' ') if w = 'the' OR w = 'a']) AS n_stop
+ FROM documents),
+scored AS (
+  SELECT doc_id, source,
+         round((1.0 - n_stop / n_words) * least(1.0, n_words / 100.0), 6)
+           AS quality_score
+  FROM q),
+ranked AS (
+  SELECT doc_id, source, quality_score,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                 ORDER BY quality_score DESC, doc_id)
+              AS BIGINT) AS rank_in_source
+  FROM scored)
+SELECT doc_id, source, quality_score, rank_in_source
+FROM ranked WHERE rank_in_source <= 20
+"""
+
+
+@query("curate_source_cap", _SOURCE_CAP_SQL)
+def curate_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (sampling.source_cap): the C4 /
+    RefinedWeb host-frequency-capping curation step — keep the 20
+    best-quality documents per source (ties by doc_id) so one
+    over-crawled host cannot dominate the training mix. The rank
+    window is KEYED by source: one shuffle, per-key bounded state,
+    no global sort."""
+    return sampling.source_cap(T(spark, sf_dir, "documents"), cap=20)
+
+
+_HASH_CLF_HEX = " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(tok), {i + 1}, 1)) - 1) "
+    f"* {16 ** (7 - i)}"
+    for i in range(8)
+)
+
+_HASH_CLF_SQL = f"""
+WITH w AS (SELECT doc_id,
+                  list_filter(string_split(text, ' '), x -> x != '') AS l
+           FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok FROM w
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || '_' || l[i + 1])) AS tok
+  FROM w),
+scored AS (
+  SELECT doc_id, ({_HASH_CLF_HEX}) % 4096 AS bucket FROM toks),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_features,
+         SUM((bucket * 2654435761) % 2001 - 1000) AS score
+  FROM scored GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(agg.score, 0) AS BIGINT) AS score,
+       CASE WHEN COALESCE(agg.score, 0) > 0 THEN 'keep' ELSE 'drop' END
+         AS label
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+@query("text_hash_classifier", _HASH_CLF_SQL)
+def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped linear classifier inference
+    (text.hash_classifier): unigram+bigram features hashed to 4096
+    buckets (md5 → first 8 hex digits → bucket), deterministic
+    integer bucket weights standing in for trained coefficients,
+    exact BIGINT per-doc score + keep/drop label — the
+    quality-classifier curation step of C4/CCNet-style pipelines.
+    One Catalyst-HOF pass (split → zip_with bigrams → one explode),
+    keyed SUM with map-side combine; the oracle recomputes the hex
+    hash per nibble and matches bit-for-bit."""
+    return text.hash_classifier(T(spark, sf_dir, "documents"))

@@ -522,3 +522,28 @@ def test_peak_concurrency_single_sessionize(spark, sf_dir):
         session_boundary_points(tables.load(spark, SF, "events"))
     )
     assert plan.count("hashpartitioning(user_id") == 1, plan[:2000]
+
+
+def test_source_cap_single_scan_partial_topk(spark):
+    """source_cap computes the quality score inline (ONE parquet scan,
+    no self-join) and the keyed rank compiles to WindowGroupLimit —
+    Spark's two-phase top-k that prunes per partition BEFORE the
+    source shuffle, the shape that keeps mega-hosts from flooding the
+    exchange at 100 TB."""
+    plan = _plan(Q.curate_source_cap(spark, SF))
+    # one scan detail block == one parquet scan (no self-join rescan)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan[:1500]
+    assert "WindowGroupLimit" in plan
+    assert plan.count("hashpartitioning(source") == 1
+
+
+def test_hash_classifier_codegen_single_agg_shuffle(spark):
+    """hash_classifier stays JVM-side end-to-end (no Python eval in
+    the plan), builds bigrams with zip_with inside codegen, and the
+    score is one partial->final aggregate — a single doc_id shuffle
+    for the whole corpus pass."""
+    plan = _plan(Q.text_hash_classifier(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "zip_with" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert plan.count("hashpartitioning(doc_id") <= 1, plan[:2000]
