@@ -828,6 +828,28 @@ HASH_CLF_BUCKETS = 4096
 _HASH_CLF_KNUTH = 2654435761
 
 
+def unigram_bigram_tokens(text_col: str = "text") -> Column:
+    """Word unigram + '_'-joined bigram feature array as ONE Catalyst
+    HOF expression (split → filter empties → zip_with shifted slices
+    → concat) — the hashed-feature front end shared by
+    hash_classifier and dsir_importance. No Python, one explode
+    downstream."""
+    words = f"filter(split({text_col}, ' '), w -> w != '')"
+    return F.expr(
+        f"concat({words}, zip_with(slice({words}, 1, size({words}) - 1), "
+        f"slice({words}, 2, size({words}) - 1), "
+        "(x, y) -> concat(x, '_', y)))"
+    )
+
+
+def feature_bucket(tok: Column, n_buckets: int) -> Column:
+    """Cross-engine-stable feature hash: md5 → first 8 hex digits →
+    BIGINT → mod buckets (the DuckDB oracle recomputes the hex value
+    per nibble)."""
+    h = F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+    return h % F.lit(n_buckets)
+
+
 def hash_classifier(
     documents: DataFrame, n_buckets: int = HASH_CLF_BUCKETS
 ) -> DataFrame:
@@ -850,15 +872,8 @@ def hash_classifier(
     Reference has no counterpart (LLM-pipeline north star;
     BASELINE.json).
     """
-    words = "filter(split(text, ' '), w -> w != '')"
-    toks = F.expr(
-        f"concat({words}, zip_with(slice({words}, 1, size({words}) - 1), "
-        f"slice({words}, 2, size({words}) - 1), "
-        "(x, y) -> concat(x, '_', y)))"
-    )
-    tok = documents.select("doc_id", F.explode(toks).alias("tok"))
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-    bucket = h % F.lit(n_buckets)
+    tok = documents.select("doc_id", F.explode(unigram_bigram_tokens()).alias("tok"))
+    bucket = feature_bucket(F.col("tok"), n_buckets)
     weight = (bucket * F.lit(_HASH_CLF_KNUTH)) % F.lit(2001) - F.lit(1000)
     agg = tok.select("doc_id", weight.alias("_w")).groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_features"),
@@ -876,5 +891,92 @@ def hash_classifier(
             F.when(F.coalesce(F.col("score"), F.lit(0)) > 0, "keep")
             .otherwise("drop")
             .alias("label"),
+        )
+    )
+
+
+def dsir_importance(
+    documents: DataFrame,
+    target_lang: str = "en",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance weights for data selection
+    (the importance-resampling curation step: score each raw-corpus
+    document by how much more likely its hashed bigram features are
+    under a target-domain distribution than under the raw corpus, so
+    a downstream weighted sampler picks training data matched to the
+    target). Target here = the ``lang == target_lang`` slice of the
+    same corpus; swap in any seed DataFrame with the same two-column
+    shape to retarget.
+
+    weight(doc) = Σ_feat ln(p_t(bucket)/p_r(bucket)) with
+    Laplace-smoothed bucket probabilities; emitted as ``micro_weight``
+    = the sum of PER-BUCKET log-ratios pre-quantized to exact
+    micro-log BIGINTs, so the per-doc aggregate is order-independent
+    integer math — the only float op is a per-bucket constant (ln of
+    an exactly-representable rational, < 2^53 products), never a
+    per-token float sum.
+
+    Scale shape: one HOF tokenization pass (shared front end with
+    hash_classifier) → bucket id; the two bucket-count aggregates
+    collapse to ≤ n_buckets rows with map-side combine and BROADCAST
+    back onto the token stream; the corpus shuffles once (doc-keyed
+    sum). Reference has no counterpart (LLM-pipeline north star).
+    """
+    bucketed = documents.select(
+        "doc_id", "lang", F.explode(unigram_bigram_tokens()).alias("tok")
+    ).select(
+        "doc_id", "lang", feature_bucket(F.col("tok"), n_buckets).alias("b")
+    )
+    counts = bucketed.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.sum(
+            F.when(F.col("lang") == target_lang, F.lit(1)).otherwise(F.lit(0))
+        ).alias("ct"),
+    )
+    # Totals via a global window OVER THE COUNTS FRAME (bounded by
+    # n_buckets rows — the one place a partition-less window is safe),
+    # so the token-stream subplan under `counts` executes exactly once
+    # instead of twice (a separate totals aggregate + crossJoin would
+    # duplicate it).
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    # Per-bucket micro-log ratio, quantized ONCE per bucket: the ln
+    # argument is a ratio of exact < 2^53 integer products, so the
+    # double (and its rounding) is bit-identical across engines.
+    ratio = (
+        (F.col("ct") + F.lit(1.0))
+        * (F.sum("cr").over(wall) + F.lit(n_buckets))
+    ) / (
+        (F.col("cr") + F.lit(1.0))
+        * (F.sum("ct").over(wall) + F.lit(n_buckets))
+    )
+    weights = counts.select(
+        "b",
+        F.floor(F.log(ratio) * F.lit(1_000_000) + F.lit(0.5))
+        .cast("long")
+        .alias("micro_w"),
+    )
+    agg = (
+        bucketed.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_features"),
+            F.sum("micro_w").cast("long").alias("micro_weight"),
+        )
+    )
+    return (
+        documents.select("doc_id", "lang")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce(F.col("n_features"), F.lit(0)).cast("long").alias(
+                "n_features"
+            ),
+            F.coalesce(F.col("micro_weight"), F.lit(0)).cast("long").alias(
+                "micro_weight"
+            ),
         )
     )

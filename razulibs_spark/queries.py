@@ -7585,3 +7585,50 @@ def text_hash_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed SUM with map-side combine; the oracle recomputes the hex
     hash per nibble and matches bit-for-bit."""
     return text.hash_classifier(T(spark, sf_dir, "documents"))
+
+
+_DSIR_SQL = f"""
+WITH w AS (SELECT doc_id, lang,
+                  list_filter(string_split(text, ' '), x -> x != '') AS l
+           FROM documents),
+toks AS (
+  SELECT doc_id, lang, unnest(l) AS tok FROM w
+  UNION ALL
+  SELECT doc_id, lang,
+         unnest(list_transform(range(1, len(l)),
+                               i -> l[i] || '_' || l[i + 1])) AS tok
+  FROM w),
+bk AS (SELECT doc_id, lang, ({_HASH_CLF_HEX}) % 1024 AS b FROM toks),
+counts AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+  FROM bk GROUP BY b),
+tot AS (SELECT SUM(cr) AS tot_r, SUM(ct) AS tot_t FROM counts),
+wt AS (
+  SELECT b,
+         CAST(floor(ln(((ct + 1.0) * (tot_r + 1024))
+                       / ((cr + 1.0) * (tot_t + 1024))) * 1000000 + 0.5)
+              AS BIGINT) AS micro_w
+  FROM counts, tot),
+agg AS (
+  SELECT bk.doc_id, COUNT(*) AS n_features, SUM(micro_w) AS micro_weight
+  FROM bk JOIN wt USING (b) GROUP BY bk.doc_id)
+SELECT d.doc_id, d.lang,
+       CAST(COALESCE(agg.n_features, 0) AS BIGINT) AS n_features,
+       CAST(COALESCE(agg.micro_weight, 0) AS BIGINT) AS micro_weight
+FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+"""
+
+
+@query("text_dsir_importance", _DSIR_SQL)
+def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection
+    (text.dsir_importance): hashed unigram+bigram bucket
+    distributions of the target domain (lang='en') vs the raw corpus,
+    per-doc Σ log-ratio emitted as exact micro-log BIGINTs — the
+    importance-resampling curation step that biases a training mix
+    toward a target domain. Per-bucket log-ratios quantize BEFORE the
+    per-doc sum, so the aggregate is order-independent integer math;
+    the bucket table broadcasts (≤1024 rows), the corpus shuffles
+    once."""
+    return text.dsir_importance(T(spark, sf_dir, "documents"))

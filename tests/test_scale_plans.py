@@ -547,3 +547,15 @@ def test_hash_classifier_codegen_single_agg_shuffle(spark):
     assert "zip_with" in plan
     assert plan.count("HashAggregate") >= 2
     assert plan.count("hashpartitioning(doc_id") <= 1, plan[:2000]
+
+
+def test_dsir_importance_broadcasts_bucket_table(spark):
+    """dsir_importance never shuffles the corpus on a feature key:
+    the ≤1024-row bucket-weight table BROADCASTS back onto the token
+    stream (two scans of the corpus, the 100 TB-correct trade vs
+    caching a corpus-sized token stream), stays JVM-side, and the
+    only wide exchange is the doc-keyed sum."""
+    plan = _plan(Q.text_dsir_importance(spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "BroadcastExchange" in plan
+    assert plan.count("hashpartitioning(b#") == 1  # bucket-count agg only
