@@ -180,3 +180,65 @@ def pagerank(
     finally:
         shares.unpersist()
         nodes.unpersist()
+
+
+def transitive_closure(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 16,
+) -> DataFrame:
+    """All (node, ancestor, depth) pairs over a bounded-depth parent
+    forest — SPARQL property-path `p+` semantics for containment
+    hierarchies (the reference's ldto:isOnderdeelVan chains,
+    `razu/demo/csv_luchtfotos/csv2rdf.py:113-114,203-204`; MDTO
+    archive trees are archief→serie→dossier→stuk, depth ≤ ~6).
+
+    Iterative DOUBLING, not per-level BFS: round k holds every path
+    of length ≤ 2^k, so ``ceil(log2(max_depth))`` self-join rounds
+    close a depth-d forest instead of d — 4 rounds for depth 16. Per
+    round: one self-join (ancestor side keyed on node), one union,
+    one dropDuplicates, then ``localCheckpoint`` to stop the
+    exponential lineage a self-referencing loop otherwise builds
+    (same trade as dedup's connected components). In a forest each
+    (node, ancestor) pair has exactly one path, so depth is
+    well-defined and the dedup key is the pair.
+
+    Scale: closure size is Σ depth(node) — linear in nodes for
+    bounded-depth archive trees, NEVER the quadratic all-pairs of a
+    general DAG. Feed it a deep/cyclic graph and max_depth bounds the
+    blow-up (a cycle would otherwise never terminate)."""
+    import math
+
+    paths = edges.select(
+        F.col(child_col).alias("node"),
+        F.col(parent_col).alias("ancestor"),
+        F.lit(1).alias("depth"),
+    ).localCheckpoint(eager=True)
+    rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
+    for _ in range(rounds):
+        hop = (
+            paths.alias("a")
+            .join(
+                paths.select(
+                    F.col("node").alias("_m"),
+                    F.col("ancestor").alias("_anc"),
+                    F.col("depth").alias("_d"),
+                ),
+                F.col("a.ancestor") == F.col("_m"),
+            )
+            .select(
+                F.col("a.node").alias("node"),
+                F.col("_anc").alias("ancestor"),
+                (F.col("a.depth") + F.col("_d")).alias("depth"),
+            )
+            .filter(F.col("depth") <= max_depth)
+        )
+        paths = (
+            paths.unionByName(hop)
+            .dropDuplicates(["node", "ancestor"])
+            .localCheckpoint(eager=True)
+        )
+    return paths.select(
+        "node", "ancestor", F.col("depth").cast("long").alias("depth")
+    )

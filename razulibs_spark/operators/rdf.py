@@ -221,3 +221,36 @@ def bgp_match(triples: DataFrame, patterns: list[tuple]) -> DataFrame:
         sel = sel.select("s", *((F.col("o").alias(var),) if var else ()))
         out = sel if out is None else out.join(sel, "s")
     return out
+
+
+def shape_report(
+    triples: DataFrame, shapes: dict[str, tuple[str, ...]]
+) -> DataFrame:
+    """SHACL-lite required-predicate validation: for every subject
+    whose ``rdf:type`` is in ``shapes``, report each required
+    predicate the subject is MISSING — the set-at-a-time twin of the
+    reference's per-resource MDTO structure templates
+    (`razu/meta_resource.py:64-252` builds entities that must carry
+    their mdto/ldto properties; this checks a whole graph at once).
+
+    Plan: the typed-subject spine joins the (types × required-preds)
+    shape table BROADCAST (a few dozen rows), then one LEFT ANTI
+    against the distinct (s, p) projection of the graph — two narrow
+    scans of the triple table, one shuffle on subject. At 100 TB of
+    triples the anti-join probe side carries only (s, p) pairs."""
+    spark = triples.sparkSession
+    shape_rows = [
+        (etype, pred) for etype, preds in shapes.items() for pred in preds
+    ]
+    required = spark.createDataFrame(
+        shape_rows, "entity_type string, missing_predicate string"
+    )
+    typed = triples.filter(F.col("p") == "rdf:type").select(
+        "s", F.col("o").alias("entity_type")
+    )
+    expected = typed.join(F.broadcast(required), "entity_type")
+    present = triples.select("s", F.col("p").alias("missing_predicate"))
+    return (
+        expected.join(present, ["s", "missing_predicate"], "left_anti")
+        .select("s", "entity_type", "missing_predicate")
+    )

@@ -7632,3 +7632,112 @@ def text_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket table broadcasts (≤1024 rows), the corpus shuffles
     once."""
     return text.dsir_importance(T(spark, sf_dir, "documents"))
+
+
+_ANCESTOR_SQL = """
+WITH RECURSIVE e AS (
+  SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS child,
+         'urn:customer:' || CAST(o_custkey AS VARCHAR) AS parent
+  FROM orders
+  UNION ALL
+  SELECT 'urn:customer:' || CAST(c_custkey AS VARCHAR),
+         'urn:nation:' || CAST(c_nationkey AS VARCHAR)
+  FROM customer
+  UNION ALL
+  SELECT 'urn:nation:' || CAST(n_nationkey AS VARCHAR),
+         'urn:region:' || CAST(n_regionkey AS VARCHAR)
+  FROM nation),
+cl AS (
+  SELECT child AS node, parent AS ancestor, 1 AS depth FROM e
+  UNION ALL
+  SELECT cl.node, e.parent, cl.depth + 1
+  FROM cl JOIN e ON cl.ancestor = e.child)
+SELECT node, ancestor, CAST(depth AS BIGINT) AS depth FROM cl
+"""
+
+
+@query("rdf_ancestor_closure", _ANCESTOR_SQL)
+def rdf_ancestor_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment-hierarchy transitive closure
+    (graph.transitive_closure): SPARQL `ldto:isOnderdeelVan+`
+    property-path semantics over the order→customer→nation→region
+    tree — every (node, ancestor, depth) pair, by iterative doubling
+    (log2(depth) self-join rounds, localCheckpoint-flattened lineage)
+    instead of per-level BFS. The oracle is DuckDB's recursive CTE —
+    the textbook fixpoint — so the doubling plan is hash-verified
+    against the straightforward semantics."""
+    from razulibs_spark.operators import graph
+
+    o = T(spark, sf_dir, "orders").select(
+        F.concat(F.lit("urn:order:"), F.col("o_orderkey").cast("string"))
+        .alias("child"),
+        F.concat(F.lit("urn:customer:"), F.col("o_custkey").cast("string"))
+        .alias("parent"),
+    )
+    c = T(spark, sf_dir, "customer").select(
+        F.concat(F.lit("urn:customer:"), F.col("c_custkey").cast("string"))
+        .alias("child"),
+        F.concat(F.lit("urn:nation:"), F.col("c_nationkey").cast("string"))
+        .alias("parent"),
+    )
+    n = T(spark, sf_dir, "nation").select(
+        F.concat(F.lit("urn:nation:"), F.col("n_nationkey").cast("string"))
+        .alias("child"),
+        F.concat(F.lit("urn:region:"), F.col("n_regionkey").cast("string"))
+        .alias("parent"),
+    )
+    edges = o.unionByName(c).unionByName(n)
+    return graph.transitive_closure(edges, max_depth=4)
+
+
+_SHAPE_SQL = """
+WITH subj AS (SELECT 'urn:order:' || CAST(o_orderkey AS VARCHAR) AS s,
+                     o_orderkey
+              FROM orders)
+SELECT s, 'ldto:Informatieobject' AS entity_type,
+       'ldto:naam' AS missing_predicate
+FROM subj WHERE o_orderkey % 97 = 0
+UNION ALL
+SELECT s, 'ldto:Informatieobject', 'ldto:omvang'
+FROM subj WHERE o_orderkey % 89 = 0
+UNION ALL
+SELECT s, 'ldto:Informatieobject', 'ldto:waardering' FROM subj
+"""
+
+
+@query("rdf_shape_validation", _SHAPE_SQL)
+def rdf_shape_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-lite required-predicate validation (rdf.shape_report):
+    order-derived ldto:Informatieobject entities with PLANTED
+    omissions — ldto:naam dropped for o_orderkey % 97 = 0,
+    ldto:omvang for % 89 = 0, ldto:waardering never emitted — must be
+    reported as exactly those missing (s, predicate) pairs, so the
+    validator itself is hash-verified end-to-end (the planted-defect
+    oracle trick, like the PII injection proof). Plan: broadcast
+    shape table + one LEFT ANTI on (s, p); the triple table scans
+    narrowly twice."""
+    from razulibs_spark.operators import rdf as rdf_ops
+
+    o = T(spark, sf_dir, "orders")
+    s = F.concat(F.lit("urn:order:"), F.col("o_orderkey").cast("string"))
+    typ = o.select(
+        s.alias("s"), F.lit("rdf:type").alias("p"),
+        F.lit("ldto:Informatieobject").alias("o"),
+    )
+    naam = o.filter(F.col("o_orderkey") % 97 != 0).select(
+        s.alias("s"), F.lit("ldto:naam").alias("p"),
+        F.col("o_orderstatus").alias("o"),
+    )
+    omvang = o.filter(F.col("o_orderkey") % 89 != 0).select(
+        s.alias("s"), F.lit("ldto:omvang").alias("p"),
+        F.col("o_totalprice").cast("string").alias("o"),
+    )
+    triples = typ.unionByName(naam).unionByName(omvang)
+    return rdf_ops.shape_report(
+        triples,
+        {
+            "ldto:Informatieobject": (
+                "ldto:naam", "ldto:omvang", "ldto:waardering",
+            )
+        },
+    )

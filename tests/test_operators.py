@@ -1048,3 +1048,57 @@ def test_ntriples_roundtrip_backslash_letter_adjacency(spark, tmp_path):
     got = {r["s"]: r["o"] for r in read_ntriples(spark, path).collect()}
     for i, c in enumerate(cases):
         assert got[f"urn:s{i}"] == c, (c, got[f"urn:s{i}"])
+
+
+def test_transitive_closure_forest_and_cycle_bound(spark):
+    """Doubling closure: a 4-deep chain closes to all (node, ancestor,
+    depth) pairs with exact depths; a cycle terminates (max_depth
+    bounds the blow-up) instead of looping forever."""
+    from razulibs_spark.operators.graph import transitive_closure
+
+    chain = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "child string, parent string",
+    )
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in transitive_closure(chain, max_depth=8).collect()
+    }
+    assert got == {
+        ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 3, ("a", "e"): 4,
+        ("b", "c"): 1, ("b", "d"): 2, ("b", "e"): 3,
+        ("c", "d"): 1, ("c", "e"): 2, ("d", "e"): 1,
+    }
+    cyc = spark.createDataFrame(
+        [("x", "y"), ("y", "x")], "child string, parent string"
+    )
+    rows = transitive_closure(cyc, max_depth=4).collect()
+    # terminates; every path depth is bounded
+    assert rows and all(r["depth"] <= 4 for r in rows)
+
+
+def test_shape_report_planted_missing(spark):
+    """shape_report flags exactly the planted omissions, ignores
+    untyped subjects and types without a registered shape."""
+    from razulibs_spark.operators.rdf import shape_report
+
+    triples = spark.createDataFrame(
+        [
+            ("s1", "rdf:type", "ldto:Informatieobject"),
+            ("s1", "ldto:naam", "one"),
+            # s1 misses ldto:omvang
+            ("s2", "rdf:type", "ldto:Informatieobject"),
+            ("s2", "ldto:omvang", "2"),
+            # s2 misses ldto:naam
+            ("s3", "rdf:type", "other:Type"),  # no shape registered
+            ("s4", "ldto:naam", "untyped"),    # no rdf:type at all
+        ],
+        "s string, p string, o string",
+    )
+    out = {
+        (r["s"], r["missing_predicate"])
+        for r in shape_report(
+            triples, {"ldto:Informatieobject": ("ldto:naam", "ldto:omvang")}
+        ).collect()
+    }
+    assert out == {("s1", "ldto:omvang"), ("s2", "ldto:naam")}
