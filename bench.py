@@ -281,7 +281,16 @@ R05_ADDITIONS = [
     "multimodal_decode",
 ]
 
-HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS
+# Round-6 additions: curation-stage + RDF-validation operators.
+R06_ADDITIONS = [
+    "curate_source_cap",
+    "text_hash_classifier",
+    "text_dsir_importance",
+    "rdf_ancestor_closure",
+    "rdf_shape_validation",
+]
+
+HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS
 
 N_RUNS = 2
 FAST_CUTOFF = 1.0  # s: first run under this skips the confirm run

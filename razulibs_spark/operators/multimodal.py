@@ -771,10 +771,7 @@ def decode_media(media: DataFrame) -> DataFrame:
                 if payload is None:
                     row["note"] = "null payload"
                 elif decoder is None:
-                    row["note"] = (
-                        f"no in-container decoder for {fmt} "
-                        "(needs imaging library)"
-                    )
+                    row["note"] = f"no decoder registered for {fmt}"
                 else:
                     try:
                         row.update(decoder(bytes(payload)))
