@@ -60,11 +60,17 @@ def pagerank(
     rank' = (1-d)/N + d·(Σ_in rank·w/out_w + dangling_mass/N).
 
     Per iteration: one broadcast join of the (node-sized) rank vector
-    onto the (src-partitioned, persisted) edge-share table, one
-    dst-keyed sum with map-side partial aggregation, and the dangling
-    mass folded in as a broadcast 1-row aggregate — exactly ONE action
-    per iteration, no driver collects inside the loop. Every static
-    table (nodes, edge shares, dangling flags) is persisted once
+    onto the (src-partitioned, persisted) edge-share table and one
+    dst-keyed sum with map-side partial aggregation — TWO Spark jobs
+    total (the broadcast build + the checkpointed iterate), no driver
+    collects inside the loop. Dangling mass rides the SAME structures
+    instead of its own broadcast job: a virtual source node carries
+    share-1/N edges to every node (static, node-sized, unioned into
+    the persisted share table once), and the broadcast rank vector is
+    augmented with one row holding the dangling-rank sum under that
+    virtual id — so the dst-keyed aggregate redistributes the mass as
+    part of the normal contribution sum. Every static table (nodes,
+    edge shares + virtual fan-out, dangling flags) is persisted once
     before the loop, and loop parallelism is sized to the data (a
     100-node toy graph must not schedule 32 tasks × jobs × iters;
     a billion-edge graph still fans out fully). Deterministic:
@@ -84,13 +90,8 @@ def pagerank(
     # state; partitioned by src so the per-iteration broadcast join
     # never reshuffles it. Materialized by the first iteration's
     # action — no separate pre-count pass over the join.
-    shares = (
-        edges.join(out_w, "src")
-        .select(
-            "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
-        )
-        .repartition(e_width, "src")
-        .persist()
+    real_shares = edges.join(out_w, "src").select(
+        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
     )
     # Node table: persist the raw distinct BEFORE counting so the
     # union+distinct executes once (the count materializes the cache
@@ -103,7 +104,6 @@ def pagerank(
     )
     n = nodes_raw.count()
     if n == 0:
-        shares.unpersist()
         nodes_raw.unpersist()
         return nodes_raw.select(
             "node", F.lit(0.0).alias("rank")
@@ -124,7 +124,23 @@ def pagerank(
     )
     nodes.count()
     nodes_raw.unpersist()
-    # Each iteration references `ranks` twice (dangling mass +
+    # Virtual dangling-mass source: share-1/N edges to every node,
+    # unioned into the persisted share table ONCE. Redistribution then
+    # happens inside the normal dst-keyed contribution sum — no
+    # per-iteration crossJoin and no second broadcast job. The NUL
+    # prefix keeps the id out of any real node namespace.
+    dm_src = "\x00__dangling_mass__"
+    dm_edges = nodes.select(
+        F.lit(dm_src).alias("src"),
+        F.col("node").alias("dst"),
+        F.lit(1.0 / n).alias("share"),
+    )
+    shares = (
+        real_shares.unionByName(dm_edges)
+        .repartition(e_width, "src")
+        .persist()
+    )
+    # Each iteration references `ranks` twice (dangling-mass row +
     # contributions): without lineage truncation the logical plan
     # doubles per round and Catalyst analysis goes exponential.
     # localCheckpoint materializes the iterate AND cuts the plan, so
@@ -134,17 +150,22 @@ def pagerank(
     ).localCheckpoint(eager=True)
     try:
         for _ in range(iters):
-            dangling_mass = ranks.agg(
-                F.sum(F.when(F.col("dangling"), F.col("rank")).otherwise(0.0))
-                .alias("_dm")
+            # ONE broadcast frame: the rank vector plus the 1-row
+            # dangling-rank sum keyed by the virtual source — both
+            # scans read the checkpointed blocks, and Spark builds the
+            # whole union in the single broadcast job.
+            ranks_aug = ranks.select(
+                F.col("node").alias("src"), "rank"
+            ).unionByName(
+                ranks.agg(
+                    F.coalesce(
+                        F.sum(F.when(F.col("dangling"), F.col("rank"))),
+                        F.lit(0.0),
+                    ).alias("rank")
+                ).select(F.lit(dm_src).alias("src"), "rank")
             )
             contrib = (
-                shares.join(
-                    F.broadcast(
-                        ranks.select(F.col("node").alias("src"), "rank")
-                    ),
-                    "src",
-                )
+                shares.join(F.broadcast(ranks_aug), "src")
                 .groupBy("dst")
                 .agg(F.sum(F.col("share") * F.col("rank")).alias("in_rank"))
             )
@@ -152,17 +173,13 @@ def pagerank(
                 nodes.join(
                     contrib.withColumnRenamed("dst", "node"), "node", "left"
                 )
-                .crossJoin(F.broadcast(dangling_mass))
                 .select(
                     "node",
                     "dangling",
                     (
                         F.lit((1.0 - damping) / n)
                         + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("in_rank"), F.lit(0.0))
-                            + F.col("_dm") / F.lit(float(n))
-                        )
+                        * F.coalesce(F.col("in_rank"), F.lit(0.0))
                     ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
