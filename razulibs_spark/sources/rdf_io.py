@@ -256,26 +256,24 @@ def write_turtle(triples: DataFrame, path: str) -> None:
     file that is a complete Turtle document (prefix header + lines) —
     append-merge friendly, and `cat part-*` is itself valid Turtle
     because repeated @prefix declarations are legal."""
-    import pandas as pd
-
-    header = TURTLE_FULL_HEADER.rstrip("\n").split("\n")
-    lines = _widen(triples).select(turtle_line().alias("value"))
-
-    # Arrow per-partition stream (NOT .rdd.mapPartitions: the RDD
-    # route pickles every line JVM->Python->JVM row-at-a-time, which
-    # measured 3-4x the whole write). The header is emitted once
-    # before the partition's first non-empty batch, so each part file
-    # is a self-contained Turtle document; empty partitions stay
-    # empty, as before.
-    def prepend(batches):
-        first = True
-        for pdf in batches:
-            if first and len(pdf):
-                yield pd.DataFrame({"value": header})
-                first = False
-            yield pdf
-
-    lines.mapInPandas(prepend, "value string").write.mode(
+    # Entirely JVM-side: the header rides the partition's FIRST row as
+    # a codegen concat instead of an Arrow pass whose only job was to
+    # prepend 11 lines (shipping every line JVM->Python->JVM measured
+    # ~70% of the whole write). monotonically_increasing_id() is
+    # documented as partitionId·2^33 + rowInPartition, so low-33-bits
+    # == 0 identifies exactly the first row of every non-empty
+    # partition; empty partitions stay empty files, and the emitted
+    # bytes are identical to the old header-rows form (the text sink
+    # writes one '\n' per row either way).
+    header = TURTLE_FULL_HEADER.rstrip("\n") + "\n"
+    line = turtle_line()
+    first_in_partition = (
+        F.monotonically_increasing_id() % F.lit(1 << 33)
+    ) == 0
+    value = F.when(
+        first_in_partition, F.concat(F.lit(header), line)
+    ).otherwise(line)
+    _widen(triples).select(value.alias("value")).write.mode(
         "overwrite"
     ).text(path)
 
