@@ -452,26 +452,37 @@ def pca_top_component(
     vec_col: str = "embedding",
     iters: int = 8,
     with_convergence: bool = False,
+    method: str = "auto",
 ) -> DataFrame:
-    """Top principal component of an embedding matrix by distributed
-    power iteration — the first step of whitening / variance auditing
-    over a 100 TB embedding table.
+    """Top principal component of an embedding matrix — the first
+    step of whitening / variance auditing over a 100 TB embedding
+    table. Two physical strategies, chosen by ``method``:
 
-    Each iteration is two corpus passes built from array HOFs and one
-    dim-keyed aggregate: score_i = (x_i - mu)·v per row (zip_with +
-    aggregate, JVM-side), then s = Σ_i score_i·(x_i - mu) via a
-    posexplode sum.  Only a dim-length float vector travels to the
-    driver per iteration (normalized there, re-broadcast as a
-    literal), so the loop state is O(dim), never O(rows) — and because
-    each iterate is rebuilt from literals, the logical plan stays flat
-    (no localCheckpoint needed, unlike self-referential loops).
-    Deterministic all-ones init; float math (sum order makes
-    eigenvectors engine-specific in the last ulps).
-    ``with_convergence=True`` appends two driver-computed columns —
-    ``eig_rel_delta`` (relative eigenvalue change over the final
-    iteration) and ``v_align`` (cosine between the last two
-    iterates) — at zero extra Spark cost, so callers can assert a
-    convergence contract (queries.sim_pca_power).
+    ``gram`` (default for dim ≤ 2048 under ``auto``): ONE corpus pass
+    computes the dim×dim Gramian Σxxᵀ and the column-sum vector as
+    Arrow per-partition numpy partials (one dim²-length row per
+    partition — map-side combine in its strongest form), the centered
+    covariance C = G − N·μμᵀ is formed on the driver, and the power
+    iteration runs driver-side on the tiny matrix. At 100 TB the scan
+    is the cost, so 1 pass beats ``iters`` passes by ~iters×; this is
+    the same regime split Spark MLlib uses (Gramian up to 65535
+    dims).
+
+    ``power`` (``auto`` falls back past 2048 dims, where dim² per
+    partition outweighs extra scans): distributed power iteration —
+    per round, score_i = (x_i − μ)·v per row (zip_with + aggregate,
+    JVM-side) then s = Σ score_i·(x_i − μ) via a posexplode sum; only
+    a dim-length vector reaches the driver per round, the iterate is
+    re-broadcast as literals, and the plan stays flat (no
+    localCheckpoint needed).
+
+    Both paths share the deterministic all-ones init and diagnostics;
+    float math (sum order makes eigenvectors engine-specific in the
+    last ulps). ``with_convergence=True`` appends two driver-computed
+    columns — ``eig_rel_delta`` (relative eigenvalue change over the
+    final iteration) and ``v_align`` (cosine between the last two
+    iterates) — so callers can assert a convergence contract
+    (queries.sim_pca_power).
     """
     import math as _math
 
@@ -512,6 +523,13 @@ def pca_top_component(
         return df.sparkSession.createDataFrame([], out_schema)
     dim, n_rows = head[0]["d"], head[0]["n"]
     centered_rows = centered_rows.filter(F.size("x") == dim)
+    if method == "auto":
+        method = "gram" if dim <= 2048 else "power"
+    if method == "gram":
+        return _pca_gram(
+            df.sparkSession, centered_rows, dim, iters,
+            with_convergence, out_schema,
+        )
     mu = (
         centered_rows.select(
             F.posexplode("x").alias("pos", "val")
@@ -574,6 +592,70 @@ def pca_top_component(
             (i + 1, float(v[i]), float(eigenvalue), *extra)
             for i in range(dim)
         ],
+        out_schema,
+    )
+
+
+def _pca_gram(
+    spark, centered_rows, dim, iters, with_convergence, out_schema
+):
+    """One-pass Gramian PCA: Arrow per-partition numpy partials
+    (Σxxᵀ, Σx, n — ONE dim²-row per partition crosses the wire), then
+    centered covariance + power iteration on the driver. The
+    diagnostics mirror the distributed path's formulas exactly."""
+    import math as _math
+
+    import numpy as np
+    import pandas as pd
+
+    def partials(it):
+        g = None
+        s = None
+        n = 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["x"].to_numpy())
+            g = x.T @ x if g is None else g + x.T @ x
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            n += x.shape[0]
+        if g is not None:
+            yield pd.DataFrame(
+                {"g": [g.ravel().tolist()], "s": [s.tolist()], "n": [n]}
+            )
+
+    parts = centered_rows.mapInPandas(
+        partials, "g array<double>, s array<double>, n long"
+    ).collect()
+    gram = np.zeros((dim, dim))
+    sums = np.zeros(dim)
+    n_rows = 0
+    for r in parts:
+        gram += np.array(r["g"]).reshape(dim, dim)
+        sums += np.array(r["s"])
+        n_rows += r["n"]
+    if n_rows == 0:
+        return spark.createDataFrame([], out_schema)
+    mu = sums / n_rows
+    cov = gram - n_rows * np.outer(mu, mu)
+    v = np.full(dim, 1.0 / _math.sqrt(dim))
+    eigenvalue = 0.0
+    eig_rel_delta = v_align = float("nan")
+    for _ in range(iters):
+        t = cov @ v
+        norm = float(np.sqrt((t * t).sum()))
+        if norm == 0.0:
+            break
+        eig_rel_delta = (
+            abs(norm - eigenvalue) / norm if eigenvalue else float("nan")
+        )
+        v_new = t / norm
+        v_align = abs(float(v @ v_new))
+        eigenvalue = norm
+        v = v_new
+    extra = (eig_rel_delta, v_align) if with_convergence else ()
+    return spark.createDataFrame(
+        [(i + 1, float(v[i]), float(eigenvalue), *extra) for i in range(dim)],
         out_schema,
     )
 

@@ -843,3 +843,22 @@ def test_prefix_filter_exact_at_ulp_hostile_threshold(spark):
         for r in prefix_filter_pairs(sh, 0.16).collect()
     }
     assert brute == fast and brute == {(1, 2)}
+
+
+def test_pca_gram_matches_power_path(spark, sf_dir):
+    """Both physical strategies (one-pass Gramian vs distributed
+    power iteration) converge to the same component on the same
+    data — loadings agree to 1e-6 up to global sign."""
+    from razulibs_spark.operators import stats as S
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    g = S.pca_top_component(e, "embedding", iters=8, method="gram").collect()
+    p = S.pca_top_component(e, "embedding", iters=8, method="power").collect()
+    gv = {r["dim"]: r["loading"] for r in g}
+    pv = {r["dim"]: r["loading"] for r in p}
+    assert set(gv) == set(pv)
+    sign = 1.0 if sum(gv[d] * pv[d] for d in gv) >= 0 else -1.0
+    for d in gv:
+        assert abs(gv[d] - sign * pv[d]) < 1e-6
+    ge = g[0]["eigenvalue"]; pe = p[0]["eigenvalue"]
+    assert abs(ge - pe) / ge < 1e-6
