@@ -5517,13 +5517,61 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_merges")  # rows-only: iterative driver-loop algorithm
+def _bpe_merges_sql(n_rounds: int = 8) -> str:
+    """The full iterative BPE trainer, replicated in DuckDB as
+    ``n_rounds`` UNROLLED CTE rounds (the round count is a static
+    hyper-parameter, so the 'iterative' algorithm is finitely
+    SQL-expressible): each round recomputes weighted adjacent-pair
+    counts, takes the (count DESC, pair ASC) argmax, and applies the
+    merge with string replace() over pipe-delimited symbol strings
+    ('|a||b|' → '|ab|'). The delimiting makes boundaries unambiguous
+    (no '|' occurs in corpus words) and replace()'s
+    leftmost-non-overlapping semantics equal the trainer's greedy
+    fold — verified identical merge tables at 3 SFs."""
+    parts = ["""t0 AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS wc,
+         '|' || array_to_string(
+             [c for c in string_split_regex(word, '') if c != ''], '||')
+             || '|' AS s
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE length(word) > 0 GROUP BY word)"""]
+    sel = []
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        parts.append(f"""m{r} AS (
+  SELECT pair, n FROM (
+    SELECT pr AS pair, SUM(wc) AS n FROM (
+      SELECT wc, unnest(list_transform(range(1, len(l)),
+                                       i -> l[i] || ' ' || l[i + 1])) AS pr
+      FROM (SELECT wc,
+                   string_split(substr(s, 2, length(s) - 2), '||') AS l
+            FROM t{p} WHERE length(s) > length(replace(s, '||', '|')))
+    ) GROUP BY pr)
+  ORDER BY n DESC, pair ASC LIMIT 1)""")
+        parts.append(f"""t{r} AS (
+  SELECT t.word, t.wc,
+         replace(t.s,
+                 '|' || replace(m.pair, ' ', '||') || '|',
+                 '|' || replace(m.pair, ' ', '') || '|') AS s
+  FROM t{p} t, m{r} m)""")
+        sel.append(
+            f"SELECT CAST({p} AS INTEGER) AS rank, pair, "
+            f"replace(pair, ' ', '') AS merged, "
+            f"CAST(n AS BIGINT) AS n FROM m{r}"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("text_bpe_merges", _bpe_merges_sql())
 def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Learned BPE merge table, 8 rounds (text.bpe_train): count pairs
     → 1-row argmax collect → HOF merge rewrite, each round over the
     vocabulary-sized word table. Deterministic (count DESC, pair ASC
     tie-break); pytest pins equivalence with a pure-Python reference
-    BPE trainer. No oracle by contract (iterative algorithm)."""
+    BPE trainer — and the DuckDB oracle replicates the WHOLE trainer
+    as 8 unrolled SQL rounds (see _bpe_merges_sql), so every learned
+    merge and its corpus count hash-matches an independent
+    implementation."""
     merges = text.bpe_train(T(spark, sf_dir, "documents"), n_merges=8)
     return spark.createDataFrame(
         merges, "rank int, pair string, merged string, n long"
