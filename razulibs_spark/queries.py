@@ -1123,11 +1123,25 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_media_columns(docs))
 
 
-@query("streaming_hourly_rollup")
+_HOURLY_ROLLUP_STREAM_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS sum_value
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+@query("streaming_hourly_rollup", _HOURLY_ROLLUP_STREAM_SQL)
 def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: readStream + watermark + tumbling window over the events
-    table, drained with Trigger.AvailableNow (stateful streaming —
-    not SQL-expressible, rows-only check)."""
+    table, drained with Trigger.AvailableNow. With a static source and
+    no late data the streaming contract reduces to the batch rollup
+    EXACTLY (the stream sums through the same dec_sum fixed-point, so
+    even the float tails agree) — which upgrades this entry from a
+    rows-only check to the batch twin's full hash oracle. Watermark
+    eviction of genuinely late rows stays pytest-covered."""
     from razulibs_spark.streaming.events_stream import (
         hourly_rollup_stream,
         run_available_now,
@@ -1769,13 +1783,51 @@ def k2_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_triples(read_turtle(spark, path)).select("s", "p", "o")
 
 
-@query("streaming_sessionize")
+_SESSIONIZE_STREAM_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged),
+agg AS (
+  SELECT user_id, session_seq,
+         COUNT(*) AS n_events,
+         MIN(ts) AS session_start,
+         MAX(ts) AS session_end,
+         CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 10000.0 AS sum_value
+  FROM sess GROUP BY user_id, session_seq),
+mx AS (SELECT MAX(ts) AS max_ts FROM events),
+mseq AS (SELECT user_id, MAX(session_seq) AS max_seq FROM agg GROUP BY 1)
+SELECT a.user_id, a.n_events, a.session_start, a.session_end, a.sum_value
+FROM agg a JOIN mseq USING (user_id), mx
+WHERE a.session_seq < mseq.max_seq
+   OR epoch_us(a.session_end) + 86400000000 < epoch_us(mx.max_ts)
+"""
+
+
+@query("streaming_sessionize", _SESSIONIZE_STREAM_SQL)
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Custom stateful streaming operator (rows-only: state machines
-    aren't SQL-expressible): gap-based sessionization per user via
-    applyInPandasWithState with event-time timeout — bounded per-user
-    state, sessions emit on gap overrun or timer. Batch equivalence is
-    asserted in tests/test_operators.py."""
+    """Custom stateful streaming operator: gap-based sessionization
+    per user via applyInPandasWithState with event-time timeout —
+    bounded per-user state, sessions emit on gap overrun or timer.
+    The EMITTED SET is deterministic and SQL-expressible: a session
+    appears iff a later same-user event closed it mid-stream
+    (session_seq < the user's max) or the final watermark passed its
+    end + gap (session_end + 24h < max event time) — so the oracle
+    recomputes the batch sessions and applies exactly that closure
+    predicate; an unemitted closed session or a leaked open one
+    hash-mismatches. Fixed-point sums make even the float tails
+    bit-equal. Batch equivalence also pinned in
+    tests/test_operators.py."""
     from razulibs_spark.streaming.sessionize import run_sessionize_available_now
 
     return run_sessionize_available_now(spark, sf_dir)
@@ -2190,17 +2242,28 @@ def pipeline_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.corpus_prep(T(spark, sf_dir, "documents"))
 
 
-@query("streaming_dedup")  # stateful streaming: rows-only check
+_DEDUP_STREAM_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props FROM events
+"""
+
+
+@query("streaming_dedup", _DEDUP_STREAM_SQL)
 def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 + north-star dedup: dropDuplicatesWithinWatermark over
     the events stream — bounded dedup state (watermark-evicted), the
-    at-least-once ingestion guard for append-only corpora."""
+    at-least-once ingestion guard for append-only corpora. The stream
+    unions TWO readers of the same source (every event delivered
+    twice — the redelivery scenario the operator exists for), so the
+    oracle is strict: exactly one bit-identical copy of every event
+    survives, and a missed or double-kept row hash-mismatches."""
     from razulibs_spark.streaming.dedup_stream import (
         dedup_stream,
         run_append_available_now,
     )
 
-    return run_append_available_now(dedup_stream(spark, sf_dir), spark)
+    return run_append_available_now(
+        dedup_stream(spark, sf_dir, duplicate_feed=True), spark
+    )
 
 
 _RP_LSH_SQL = """
@@ -2360,11 +2423,25 @@ def events_view_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-@query("streaming_interval_join")  # two-sided stream state: rows-only
+_INTERVAL_JOIN_STREAM_SQL = """
+SELECT v.event_id AS view_id, v.user_id AS view_user, v.ts AS view_ts,
+       p.event_id AS p_id, p.ts AS p_ts, p.value AS p_value
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts < v.ts + INTERVAL 1 HOUR
+"""
+
+
+@query("streaming_interval_join", _INTERVAL_JOIN_STREAM_SQL)
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: watermarked stream-stream interval join (bounded
     two-sided state; views evictable past view_ts + 1h + watermark).
-    Batch equivalence asserted in tests."""
+    An INNER stream-stream join emits every match as soon as both
+    sides have arrived — with a static availableNow source nothing is
+    late, so the emitted set is exactly the batch interval join and
+    the entry carries the batch twin's full hash oracle; state
+    eviction of truly late rows stays pytest territory."""
     from razulibs_spark.streaming.dedup_stream import run_append_available_now
     from razulibs_spark.streaming.interval_join import view_purchase_join_stream
 
@@ -2498,11 +2575,19 @@ def events_enriched_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "ts", "event_type", "value", "n_name")
 
 
-@query("streaming_enrich")  # stream-static join: rows-only
+_ENRICH_STREAM_SQL = """
+SELECT event_id, user_id, ts, event_type, value, n_name
+FROM events JOIN nation ON CAST(user_id % 25 AS INT) = n_nationkey
+"""
+
+
+@query("streaming_enrich", _ENRICH_STREAM_SQL)
 def streaming_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10: stream-static broadcast enrichment — the reference's
     per-row vocabulary HTTP lookup as a stateless streaming join
-    (dimension broadcast per micro-batch, stream never shuffles)."""
+    (dimension broadcast per micro-batch, stream never shuffles).
+    Stateless ⇒ the drained availableNow output IS the batch join, so
+    the entry carries the batch twin's full hash oracle."""
     from razulibs_spark.streaming.dedup_stream import run_append_available_now
     from razulibs_spark.streaming.enrich import enriched_events_stream
 
@@ -4122,13 +4207,39 @@ def pipeline_full_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_session_window")
+_SESSION_WINDOW_STREAM_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 86400000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id, ts, value,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_seq
+  FROM flagged)
+SELECT user_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(SUM(CAST(FLOOR((value) * 10000 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS sum_value
+FROM sess GROUP BY user_id, session_seq
+"""
+
+
+@query("streaming_session_window", _SESSION_WINDOW_STREAM_SQL)
 def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Native session-window streaming aggregation (rows-only:
-    streaming trigger semantics aren't SQL-expressible):
-    F.session_window merges events within the 24h gap engine-side —
-    no Python state function. Exact equivalence with the batch
-    lag+running-sum sessionizer is asserted in
+    """Native session-window streaming aggregation: F.session_window
+    merges events within the 24h gap engine-side — no Python state
+    function, and the fixed-point sum makes the output bit-equal to
+    the batch lag+running-sum sessionizer — so the entry carries the
+    batch sessionize oracle (minus the ordinal session_seq, which a
+    gap-window aggregate has no notion of). Complete-mode availableNow
+    drain emits every merged session. Exact equivalence also pinned in
     tests/test_operators.py::test_streaming_session_window_matches_batch."""
     from razulibs_spark.streaming.sessionize import (
         run_session_window_available_now,
@@ -4311,14 +4422,40 @@ def o_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("streaming_interval_join_outer")
+_INTERVAL_OUTER_STREAM_SQL = """
+WITH v AS (SELECT event_id AS view_id, user_id AS view_user, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS p_id, user_id AS p_user, ts AS p_ts,
+             value AS p_value
+      FROM events WHERE event_type = 'purchase'),
+m AS (SELECT view_id, view_user, view_ts, p_id, p_ts, p_value
+      FROM v JOIN p ON view_user = p_user
+                   AND p_ts >= view_ts
+                   AND p_ts < view_ts + INTERVAL 1 HOUR),
+mx AS (SELECT MAX(ts) AS max_ts FROM events)
+SELECT * FROM m
+UNION ALL
+SELECT view_id, view_user, view_ts,
+       CAST(NULL AS BIGINT) AS p_id,
+       CAST(NULL AS TIMESTAMP) AS p_ts,
+       CAST(NULL AS DOUBLE) AS p_value
+FROM v, mx
+WHERE view_id NOT IN (SELECT view_id FROM m)
+  AND view_ts <= mx.max_ts - INTERVAL 3 HOUR
+"""
+
+
+@query("streaming_interval_join_outer", _INTERVAL_OUTER_STREAM_SQL)
 def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-outer watermarked stream-stream join (rows-only: trigger
-    semantics aren't SQL-expressible): unmatched views emit
+    """Left-outer watermarked stream-stream join: unmatched views emit
     null-extended rows once the watermark proves no purchase can
-    still arrive — the state-eviction contract outer joins add. Match
-    + null-row correctness vs batch is asserted in
-    tests/test_operators.py."""
+    still arrive — the state-eviction contract outer joins add. That
+    contract is itself deterministic and SQL-expressible: matches are
+    the batch interval join, and a null row appears exactly for
+    unmatched views with view_ts ≤ max event time − (1h join window +
+    2h watermark) — the oracle applies that eviction predicate
+    literally, so a leaked or missing null row hash-mismatches. Also
+    asserted in tests/test_operators.py."""
     from razulibs_spark.streaming.dedup_stream import run_append_available_now
     from razulibs_spark.streaming.interval_join import (
         view_purchase_left_outer_stream,

@@ -18,17 +18,25 @@ from razulibs_spark.streaming.events_stream import read_events_stream
 
 
 def dedup_stream(
-    spark: SparkSession, source_dir: str, watermark: str = "2 hours"
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+    duplicate_feed: bool = False,
 ) -> DataFrame:
     """readStream(events) → watermark(ts) → one row per event_id.
 
     Duplicate delivery of the same event_id within the watermark
     horizon is suppressed; state for an id is dropped once the
-    watermark moves past its event time.
+    watermark moves past its event time. ``duplicate_feed=True``
+    unions a SECOND readStream of the same source — the at-least-once
+    redelivery scenario the operator exists for: every event arrives
+    twice and exactly one copy must survive, which is what lets the
+    registry entry carry a strict batch oracle (dedup output ==
+    events) instead of a rows-only check.
     """
-    stream = (
-        read_events_stream(spark, source_dir)
-    )
+    stream = read_events_stream(spark, source_dir)
+    if duplicate_feed:
+        stream = stream.unionByName(read_events_stream(spark, source_dir))
     return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )

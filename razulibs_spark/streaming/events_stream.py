@@ -64,15 +64,29 @@ def hourly_rollup_stream(
     which is the streaming contract the batch oracle can't express.
     """
     stream = read_events_stream(spark, source_dir)
+    # Fixed-point sum (floor(v·10⁴+½) as BIGINT, divided once) — the
+    # same dec_sum trick as the batch twin, so the streaming rollup is
+    # summation-order independent and EXACTLY equals
+    # events_hourly_rollup (which is what lets this entry share the
+    # batch oracle instead of being a rows-only check).
     return (
         stream.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("sum_value"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.floor(F.col("value") * F.lit(10_000) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("_sv"),
+        )
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
             "n",
-            "sum_value",
+            (F.col("_sv").cast("double") / F.lit(10_000.0)).alias(
+                "sum_value"
+            ),
         )
     )
 
