@@ -47,9 +47,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # permanently occupy window slots.
 _ROTATION_FORCE_REFRESH = frozenset({
     # r6: PNG rows now really decode (stdlib zlib+unfilter) and the
-    # undecodable slot moved to JPEG — output changed, needs a fresh
-    # driver row despite the r5 green.
+    # JPEG slot became a real baseline JPEG (operators/jpeg.py) with a
+    # poison sub-slot — output changed, needs a fresh driver row
+    # despite the r5 green.
     "multimodal_decode",
+    # r6: these two had r5 rows-only records; they are oracle-backed
+    # now (and the rollup's sum went fixed-point, changing output
+    # tails) — re-enter the window so the driver records the hash
+    # compare, not just rows.
+    "streaming_hourly_rollup",
+    "streaming_sessionize",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({
