@@ -51,6 +51,10 @@ _ROTATION_FORCE_REFRESH = frozenset({
     # poison sub-slot — output changed, needs a fresh driver row
     # despite the r5 green.
     "multimodal_decode",
+    # r6: s6 now scans a payload store the query materializes (text
+    # bytes per doc) and carries a strict oracle — output changed
+    # from the old parquet-dir scan.
+    "s6_manifest_scan",
     # r6: these two had r5 rows-only records; they are oracle-backed
     # now (and the rollup's sum went fixed-point, changing output
     # tails) — re-enter the window so the driver records the hash

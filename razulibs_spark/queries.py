@@ -1150,14 +1150,47 @@ def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_available_now(hourly_rollup_stream(spark, sf_dir), spark)
 
 
-@query("s6_manifest_scan")
+_S6_SQL = """
+SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS filename,
+       md5(text) AS md5hash,
+       CAST(strlen(text) AS BIGINT) AS file_size,
+       '.txt' AS file_extension
+FROM documents
+"""
+
+
+@query("s6_manifest_scan", _S6_SQL)
 def s6_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 recursive binaryFile scan → manifest rows (path-keyed MD5 /
-    size / mtime / extension) over the sf_dir payload itself. File-
-    content hashing — rows-only check."""
+    size / extension), run against a payload store the query itself
+    materializes: every document's text is written as
+    bestanden/doc_<id>.txt from the executors (the per-entity payload
+    layout the reference manages, razu/manifest.py:223-283), then
+    manifest_from_directory re-reads the files through binaryFile and
+    hashes REAL bytes executor-side. Because the payload bytes are
+    exactly the utf-8 text, DuckDB predicts every manifest row from
+    the documents view (md5 of the utf-8 string, byte length), so the
+    whole write→scan→hash fixity cycle is hash-verified end-to-end —
+    this was the last rows-only entry that admitted an oracle."""
+    import os
+    import shutil
+
     from razulibs_spark.operators.manifest import manifest_from_directory
 
-    m = manifest_from_directory(spark, sf_dir)
+    base = "/root/repo/.scratch/s6_store"
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base + "/bestanden", exist_ok=True)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def write_part(rows):
+        for r in rows:
+            with open(
+                f"{base}/bestanden/doc_{r['doc_id']}.txt", "wb"
+            ) as fh:
+                fh.write(r["text"].encode("utf-8"))
+
+    docs.foreachPartition(write_part)
+    m = manifest_from_directory(spark, base)
     return m.select("filename", "md5hash", "file_size", "file_extension")
 
 
