@@ -551,10 +551,14 @@ def _dht_segment(tc: int, th: int, bits: list[int], values: list[int]) -> bytes:
 def encode_jpeg(
     pixels: np.ndarray,
     subsampling: str = "4:4:4",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as
     a baseline JPEG with all-ones quantization tables. ``subsampling``
-    is '4:4:4' or '4:2:0' (color only)."""
+    is '4:4:4' or '4:2:0' (color only). ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many MCUs
+    (grayscale path only — enough to exercise the decoder's
+    restart-segmented entropy machinery)."""
     pixels = np.asarray(pixels, dtype=np.uint8)
     gray = pixels.ndim == 2
     if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
@@ -588,6 +592,8 @@ def encode_jpeg(
     if not gray:
         out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
         out += _dht_segment(1, 1, _AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    if restart_interval:
+        out += b"\xff\xdd\x00\x04" + restart_interval.to_bytes(2, "big")
     sos = bytes([nc])
     if gray:
         sos += bytes([1, 0x00])
@@ -610,11 +616,19 @@ def encode_jpeg(
     if gray:
         plane = pad_to(pixels.astype(np.float64), 8) - 128.0
         pred = [0]
+        mcu = 0
+        rst = 0
         for y0 in range(0, plane.shape[0], 8):
             for x0 in range(0, plane.shape[1], 8):
+                if restart_interval and mcu and mcu % restart_interval == 0:
+                    bw.flush()
+                    bw.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0]
                 _encode_block(
                     bw, plane[y0 : y0 + 8, x0 : x0 + 8], pred, dc_l, ac_l
                 )
+                mcu += 1
     else:
         rgb = pixels.astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]

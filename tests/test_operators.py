@@ -1102,3 +1102,20 @@ def test_shape_report_planted_missing(spark):
         ).collect()
     }
     assert out == {("s1", "ldto:omvang"), ("s2", "ldto:naam")}
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: a restart-segmented stream decodes identically
+    to the unsegmented one (DC predictors reset per segment, bit
+    reader re-aligns at each marker) — the decoder machinery real
+    camera JPEGs exercise."""
+    import numpy as np
+
+    from razulibs_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(24, 40), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img))
+    for ri in (1, 3, 7):
+        seg = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+        assert seg == base
