@@ -248,3 +248,41 @@ def test_wav_roundtrip_any_samples(samples, rate):
     assert out["sample_rate"] == rate and out["n_channels"] == 1
     assert out["n_samples"] == len(samples)
     assert out["peak"] == float(max(abs(v) for v in samples))
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=11), min_size=1,
+                 max_size=12),
+        min_size=1, max_size=5,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_transitive_closure_matches_python(spark, forests):
+    """Doubling closure == pure-Python fixpoint on random parent
+    forests (node i's parent drawn from smaller ids → acyclic).
+    All generated forests are unioned into ONE edge DataFrame with
+    per-example node prefixes, so each property run costs one
+    closure, not max_examples of them."""
+    from razulibs_spark.operators.graph import transitive_closure
+
+    edges, want = [], {}
+    for gi, parents in enumerate(forests):
+        # node k (1-based) gets parent parents[k-1] % k (0..k-1): always
+        # a smaller id, so the graph is a forest rooted at node 0.
+        pmap = {k: parents[k - 1] % k for k in range(1, len(parents) + 1)}
+        for child, parent in pmap.items():
+            edges.append((f"g{gi}_n{child}", f"g{gi}_n{parent}"))
+        for child in pmap:
+            anc, depth = pmap[child], 1
+            while True:
+                want[(f"g{gi}_n{child}", f"g{gi}_n{anc}")] = depth
+                if anc == 0:
+                    break
+                anc, depth = pmap[anc], depth + 1
+    df = spark.createDataFrame(edges, "child string, parent string")
+    got = {
+        (r["node"], r["ancestor"]): r["depth"]
+        for r in transitive_closure(df, max_depth=16).collect()
+    }
+    assert got == want
