@@ -288,6 +288,7 @@ R06_ADDITIONS = [
     "text_dsir_importance",
     "rdf_ancestor_closure",
     "rdf_shape_validation",
+    "events_multitouch_attribution",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

@@ -7959,3 +7959,72 @@ def rdf_shape_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         },
     )
+
+
+_MULTITOUCH_SQL = """
+WITH v AS (SELECT event_id AS view_id, user_id, ts AS view_ts
+           FROM events WHERE event_type = 'view'),
+p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value
+      FROM events WHERE event_type = 'purchase'),
+pairs AS (
+  SELECT v.view_id, p.p_id, p.value
+  FROM v JOIN p ON v.user_id = p.user_id
+               AND v.view_ts <= p.p_ts
+               AND v.view_ts > p.p_ts - INTERVAL 1 HOUR),
+credited AS (
+  SELECT view_id, p_id,
+         CAST(FLOOR(value * 1000000 /
+                    COUNT(*) OVER (PARTITION BY p_id)) AS BIGINT)
+           AS micro_credit
+  FROM pairs)
+SELECT view_id,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(micro_credit) AS BIGINT) AS micro_credit
+FROM credited GROUP BY view_id
+"""
+
+
+@query("events_multitouch_attribution", _MULTITOUCH_SQL)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    EQUALLY across the same user's views in the preceding hour
+    (first-touch attribution is `events_view_purchase_attribution`;
+    this is the equal-credit variant ad analytics actually reports).
+    Per-pair credit quantizes to micro-units BEFORE the per-view sum
+    (floor(value·10⁶ / n_touches) as BIGINT), so the aggregate is
+    order-independent integer math. Plan: one user-keyed interval
+    join, one purchase-keyed count window (bounded by touches per
+    purchase), one view-keyed sum — all keyed, no global state."""
+    ev = T(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("view_ts"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    pairs = v.join(
+        p,
+        (v["user_id"] == p["user_id"])
+        & (F.col("view_ts") <= F.col("p_ts"))
+        & (F.col("view_ts") > F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    credited = pairs.select(
+        "view_id",
+        "p_id",
+        F.floor(
+            F.col("value")
+            * F.lit(1_000_000)
+            / F.count("*").over(Window.partitionBy("p_id"))
+        )
+        .cast("long")
+        .alias("micro_credit"),
+    )
+    return credited.groupBy("view_id").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.sum("micro_credit").alias("micro_credit"),
+    )
