@@ -559,3 +559,13 @@ def test_dsir_importance_broadcasts_bucket_table(spark):
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
     assert "BroadcastExchange" in plan
     assert plan.count("hashpartitioning(b#") == 1  # bucket-count agg only
+
+
+def test_multitouch_attribution_windows_keyed(spark):
+    """The credit-split count window is keyed by purchase id and the
+    join is an equi-join on user (with time-range refinement) — no
+    global window, no nested-loop product."""
+    plan = _plan(Q.events_multitouch_attribution(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "hashpartitioning(p_id" in plan
