@@ -568,6 +568,13 @@ def encode_jpeg(
         raise ValueError("degenerate image dimensions")
     if subsampling not in ("4:4:4", "4:2:0"):
         raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    if restart_interval and not gray:
+        # Only the grayscale block loop emits RSTn markers; writing
+        # the DRI header without them would produce a stream every
+        # conformant decoder rejects after the first interval.
+        raise ValueError(
+            "restart_interval is only supported for grayscale encodes"
+        )
     sub = (not gray) and subsampling == "4:2:0"
 
     out = bytearray(b"\xff\xd8")  # SOI

@@ -733,19 +733,19 @@ def pq_topk(
     """
     import numpy as np
 
-    if books is None:
-        books = pq_train_codebooks(embeddings, m=m, k=n_codes)
-    m_, _, dsub = books.shape
-    codes = pq_encode(embeddings, books)
-
     # The ADC LUT (nq × m × n_codes doubles) is built on the driver and
     # broadcast; feeding a corpus-sized frame as "queries" would OOM
-    # the driver, so the contract is probe-guarded like cosine_topk.
+    # the driver, so the contract is probe-guarded like cosine_topk —
+    # BEFORE codebook training, so an over-limit caller pays nothing.
     _guard_broadcast_queries(
         queries, max_broadcast_queries, "pq_topk",
         "Batch the query set (chunk it and union the per-chunk top-k), "
         "or use ivf_topk where both sides stream.",
     )
+    if books is None:
+        books = pq_train_codebooks(embeddings, m=m, k=n_codes)
+    m_, _, dsub = books.shape
+    codes = pq_encode(embeddings, books)
     q_rows = (
         queries.select("vec_id", as_double(F.col("embedding")).alias("v"))
         .collect()

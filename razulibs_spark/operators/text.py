@@ -56,17 +56,18 @@ def quality_score_col() -> Column:
 
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Length/stopword-ratio quality score in [0,1], rational arithmetic
-    only: score = (1 - stop_ratio) * min(1, n_words/100)."""
+    only: score = (1 - stop_ratio) * min(1, n_words/100). The score
+    expression itself lives in quality_score_col so source_cap's
+    ranking can never desynchronize from this projection."""
     n_words = F.size(F.split(F.col("text"), " "))
     n_stop = count_words_in("text", STOPWORDS)
     stop_ratio = n_stop / n_words
-    score = (F.lit(1.0) - stop_ratio) * F.least(F.lit(1.0), n_words / F.lit(100.0))
     return documents.select(
         "doc_id",
         n_words.cast("long").alias("n_words"),
         n_stop.cast("long").alias("n_stopwords"),
         F.round(stop_ratio, 6).alias("stop_ratio"),
-        F.round(score, 6).alias("quality_score"),
+        quality_score_col().alias("quality_score"),
     )
 
 
@@ -835,11 +836,17 @@ def unigram_bigram_tokens(text_col: str = "text") -> Column:
     hash_classifier and dsir_importance. No Python, one explode
     downstream."""
     words = f"filter(split({text_col}, ' '), w -> w != '')"
-    return F.expr(
-        f"concat({words}, zip_with(slice({words}, 1, size({words}) - 1), "
+    # slice(x, 1, size-1) throws for size 0 (negative length), so the
+    # bigram arm is gated: empty / whitespace-only documents yield an
+    # empty feature array (and survive as n_features=0 rows via the
+    # callers' doc-spine left joins) instead of killing the job.
+    bigrams = (
+        f"if(size({words}) < 2, cast(array() as array<string>), "
+        f"zip_with(slice({words}, 1, size({words}) - 1), "
         f"slice({words}, 2, size({words}) - 1), "
         "(x, y) -> concat(x, '_', y)))"
     )
+    return F.expr(f"concat({words}, {bigrams})")
 
 
 def feature_bucket(tok: Column, n_buckets: int) -> Column:

@@ -1171,7 +1171,14 @@ def s6_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the utf-8 text, DuckDB predicts every manifest row from
     the documents view (md5 of the utf-8 string, byte length), so the
     whole write→scan→hash fixity cycle is hash-verified end-to-end —
-    this was the last rows-only entry that admitted an oracle."""
+    this was the last rows-only entry that admitted an oracle.
+
+    Like write_jsonld_per_entity(distributed=True), the executor-side
+    file writes assume a SHARED filesystem between driver and
+    executors (trivially true on local[n]; on a cluster point `base`
+    at NFS/Fuse-mounted storage or swap the writer for an object-store
+    client) — the binaryFile re-scan runs from the driver's view of
+    the same path."""
     import os
     import shutil
 
@@ -4465,7 +4472,8 @@ m AS (SELECT view_id, view_user, view_ts, p_id, p_ts, p_value
       FROM v JOIN p ON view_user = p_user
                    AND p_ts >= view_ts
                    AND p_ts < view_ts + INTERVAL 1 HOUR),
-mx AS (SELECT MAX(ts) AS max_ts FROM events)
+mx AS (SELECT LEAST((SELECT MAX(view_ts) FROM v),
+                    (SELECT MAX(p_ts) FROM p)) AS wm_base)
 SELECT * FROM m
 UNION ALL
 SELECT view_id, view_user, view_ts,
@@ -4474,7 +4482,7 @@ SELECT view_id, view_user, view_ts,
        CAST(NULL AS DOUBLE) AS p_value
 FROM v, mx
 WHERE view_id NOT IN (SELECT view_id FROM m)
-  AND view_ts <= mx.max_ts - INTERVAL 3 HOUR
+  AND view_ts <= mx.wm_base - INTERVAL 3 HOUR
 """
 
 
@@ -4485,10 +4493,13 @@ def streaming_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame
     still arrive — the state-eviction contract outer joins add. That
     contract is itself deterministic and SQL-expressible: matches are
     the batch interval join, and a null row appears exactly for
-    unmatched views with view_ts ≤ max event time − (1h join window +
-    2h watermark) — the oracle applies that eviction predicate
-    literally, so a leaked or missing null row hash-mismatches. Also
-    asserted in tests/test_operators.py."""
+    unmatched views with view_ts ≤ watermark base − (1h join window +
+    2h watermark delay), where the watermark base is the MIN of the
+    two sides' max event times (each side is type-filtered before
+    withWatermark, and Spark's multipleWatermarkPolicy=min takes the
+    smaller) — the oracle applies that eviction predicate literally,
+    so a leaked or missing null row hash-mismatches. Also asserted in
+    tests/test_operators.py."""
     from razulibs_spark.streaming.dedup_stream import run_append_available_now
     from razulibs_spark.streaming.interval_join import (
         view_purchase_left_outer_stream,
@@ -6180,16 +6191,16 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(ok).alias("rank_ok"),
             )
         )
-        # Materialize before unpersisting the inputs it derives from.
-        rows = result.collect()
+        # Materialize DISTRIBUTED before unpersisting the inputs it
+        # derives from: localCheckpoint cuts the lineage onto block
+        # storage, so no per-node row ever rides through the driver
+        # (a collect()+createDataFrame here was the one driver-sized
+        # loop in the query — the item vocabulary can be large).
+        result = result.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
         ranks.unpersist()
-    return spark.createDataFrame(
-        rows,
-        "node string, out_weight bigint, in_weight bigint, "
-        "rank_ok boolean",
-    )
+    return result
 
 
 _BPE_ENCODE_SQL = """

@@ -722,10 +722,14 @@ def test_streaming_left_outer_interval_join_matches_batch(spark, sf_dir):
                          if r["p_id"] is not None)
     want_matched = sorted((r["view_id"], r["p_id"]) for r in inner.collect())
     assert got_matched == want_matched
-    # null rows: unmatched views old enough to be provably closed
-    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    # null rows: unmatched views old enough to be provably closed.
+    # The watermark base is the MIN of the two sides' max event times:
+    # each side is type-filtered BEFORE withWatermark and Spark's
+    # multipleWatermarkPolicy=min takes the smaller of the two.
+    max_view = views.agg(F.max("view_ts")).collect()[0][0]
+    max_purch = purchases.agg(F.max("p_ts")).collect()[0][0]
     import datetime
-    horizon = max_ts - datetime.timedelta(hours=3)  # 1h window + 2h watermark
+    horizon = min(max_view, max_purch) - datetime.timedelta(hours=3)
     matched_ids = {v for v, _ in want_matched}
     closed_unmatched = {
         r["view_id"] for r in views.collect()
