@@ -437,6 +437,11 @@ def main() -> None:
         "baseline_r03_total": 95.369,
         "r04_additions_total": r04_total,
         "full_results": "bench_full_latest.json",
+        # 1-min loadavg at finish: this VM shares CPU with external
+        # tenants (observed 0.2 → 7.5 swings), and a contended run
+        # inflates every wall number ~30-40% — record the context so
+        # round-over-round comparisons can be discounted accordingly.
+        "loadavg_1m": round(os.getloadavg()[0], 2),
         "sf": sf,
     }
     line = json.dumps(summary)
