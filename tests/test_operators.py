@@ -1123,3 +1123,22 @@ def test_jpeg_restart_markers_roundtrip():
     for ri in (1, 3, 7):
         seg = decode_jpeg(encode_jpeg(img, restart_interval=ri))
         assert seg == base
+
+
+def test_hashed_feature_ops_survive_empty_documents(spark):
+    """Empty / whitespace-only documents must surface as
+    n_features=0 rows (doc-spine left join), not kill the job with a
+    negative-length bigram slice."""
+    from razulibs_spark.operators import text as T_
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "s", 0), (2, "   ", "en", "s", 3),
+         (3, "a b", "en", "s", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    clf = {r["doc_id"]: r["n_features"]
+           for r in T_.hash_classifier(docs).collect()}
+    assert clf == {1: 0, 2: 0, 3: 3}  # 2 unigrams + 1 bigram
+    dsir = {r["doc_id"]: r["n_features"]
+            for r in T_.dsir_importance(docs).collect()}
+    assert dsir == {1: 0, 2: 0, 3: 3}
