@@ -289,6 +289,7 @@ R06_ADDITIONS = [
     "rdf_ancestor_closure",
     "rdf_shape_validation",
     "events_multitouch_attribution",
+    "multimodal_video_frames",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

@@ -7738,6 +7738,63 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(synthesize_decodable_media(docs))
 
 
+_MM_VIDEO_SQL = """
+WITH v AS (SELECT doc_id, 2 + doc_id % 5 AS nf, 1 + doc_id % 3 AS tw,
+                  1 + (doc_id // 3) % 2 AS th
+           FROM documents),
+fr AS (SELECT v.doc_id, v.nf, v.tw, v.th, ff.f AS frame_idx
+       FROM v, unnest(range(0, v.nf)) ff(f)
+       WHERE ff.f % 2 = 0),
+ok AS (SELECT * FROM fr WHERE NOT (doc_id % 9 = 4 AND frame_idx = 0)),
+tiles AS (
+  SELECT o.doc_id, o.frame_idx, o.nf, o.tw, o.th,
+         (5 * o.doc_id + 11 * xx.tx + 23 * yy.ty + 37 * o.frame_idx) % 256 AS g
+  FROM ok o, unnest(range(0, o.tw)) xx(tx), unnest(range(0, o.th)) yy(ty)),
+ok_out AS (
+  SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         CAST(MAX(nf) AS BIGINT) AS n_frames, TRUE AS decoded,
+         CAST(8 * MAX(tw) AS BIGINT) AS width,
+         CAST(8 * MAX(th) AS BIGINT) AS height,
+         AVG(CAST(g AS DOUBLE)) AS mean_luma,
+         CAST(NULL AS VARCHAR) AS note
+  FROM tiles GROUP BY doc_id, frame_idx),
+poison_out AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+         CAST(nf AS BIGINT) AS n_frames, FALSE AS decoded,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS DOUBLE) AS mean_luma,
+         'decode failed: no SOF0 frame header' AS note
+  FROM v WHERE doc_id % 9 = 4)
+SELECT * FROM ok_out UNION ALL SELECT * FROM poison_out
+"""
+
+
+@query("multimodal_video_frames", _MM_VIDEO_SQL)
+def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling (operators/video.py): deterministic
+    AVI/MJPEG containers are synthesized byte-for-byte from doc_id —
+    a spec-shaped RIFF with avih/strh/strf headers, word-padded 00dc
+    chunks, and an idx1 index — then walked back by the strict
+    stdlib chunk parser; every 2nd frame is decoded by the
+    first-principles baseline-JPEG decoder (operators/jpeg.py:
+    Huffman entropy decode + IDCT). Frames are flat 8×8-tile
+    grayscale JPEGs, bit-exact through the DCT roundtrip (DC-only
+    blocks, all-ones quant tables), so the oracle recomputes each
+    sampled frame's mean luma from the same integer tile formula.
+    Docs with doc_id % 9 == 4 carry a poison frame 0 (SOI+EOI)
+    inside a valid container — the per-frame resilience row
+    (decoded=false, pinned note) is itself hash-verified. Replaces
+    the reference's shell-out-to-tooling preview path with a
+    distributed Arrow stage (no driver loop, no native library)."""
+    from razulibs_spark.operators.video import (
+        sample_video_frames,
+        synthesize_video_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return sample_video_frames(synthesize_video_media(docs), every=2)
+
+
 _SOURCE_CAP_SQL = """
 WITH q AS (SELECT doc_id, source,
    len(string_split(text, ' ')) AS n_words,
