@@ -290,6 +290,8 @@ R06_ADDITIONS = [
     "rdf_shape_validation",
     "events_multitouch_attribution",
     "multimodal_video_frames",
+    "sim_kmeans_lloyd",
+    "io_orc_roundtrip",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

@@ -1069,3 +1069,101 @@ def maxsim_topk(
     return scores.orderBy(
         F.col("maxsim_score").desc(), F.col(group_col)
     ).limit(k)
+
+
+def kmeans_lloyd(
+    embeddings: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 1000,
+    shift: int = 1024,
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, engine-exact.
+
+    The full iterative clustering loop (init → assign → update →
+    re-assign), not just one update step (that's label_centroids).
+    Arithmetic is fixed-point end to end so the result is
+    bit-identical across engines and partitionings: vectors quantize
+    to BIGINT (floor(x·scale + ½)), distances are exact integer
+    squared-L2 between shift-scaled points and centroids, and the
+    centroid update floors sum·shift/count through one IEEE double
+    division (identical in Spark and DuckDB). Ties in the argmin break
+    toward the smallest centroid id via the lexicographic (dist, cid)
+    struct min. Init: the k smallest vec_ids' vectors (deterministic,
+    reference-free).
+
+    Scale posture: each iteration is ONE narrow map over the corpus
+    (centroids ride along as k·dim literals — no shuffle join) plus a
+    combiner-friendly (cluster, dim) hash aggregate whose shuffle
+    carries ≤ k·dim rows; the driver holds k·dim ints per round,
+    bounded and tiny. Lineage re-scans the source once per job (3
+    scans at iters=2) — callers running many iterations should
+    persist the upstream frame first. For k·dim beyond ~10⁵ the
+    literal-array plan outgrows the Catalyst plan budget; switch to
+    the exploded join-on-pos strategy (label_centroids layout) at
+    that point.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    q = embeddings.select(
+        "vec_id",
+        F.transform(
+            as_double(F.col("embedding")),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+        ).alias("q"),
+    )
+    init = q.orderBy("vec_id").limit(k).collect()
+    cents: dict[int, list[int]] = {
+        int(r["vec_id"]): [int(v) * shift for v in r["q"]] for r in init
+    }
+
+    def _assign(frame: DataFrame) -> DataFrame:
+        choices = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("q"),
+                            F.array(*[F.lit(m) for m in mvec]),
+                            lambda a, b: (a * shift - b) * (a * shift - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, mvec in sorted(cents.items())
+            ]
+        )
+        best = F.array_min(choices)
+        return frame.select(
+            "vec_id",
+            "q",
+            best.getField("cid").alias("cluster_id"),
+            best.getField("dist").alias("dist_scaled"),
+        )
+
+    assign = _assign(q)
+    for _ in range(iters - 1):
+        cells = (
+            assign.select(
+                "cluster_id", F.posexplode("q").alias("pos", "qv")
+            )
+            .groupBy("cluster_id", "pos")
+            .agg(
+                F.floor(
+                    F.sum("qv").cast("double") * shift / F.count("*")
+                )
+                .cast("long")
+                .alias("m")
+            )
+            .collect()
+        )
+        nxt: dict[int, dict[int, int]] = {}
+        for r in cells:
+            nxt.setdefault(int(r["cluster_id"]), {})[int(r["pos"])] = int(r["m"])
+        cents = {
+            cid: [dims[p] for p in sorted(dims)] for cid, dims in nxt.items()
+        }
+        assign = _assign(q)
+    return assign.select("vec_id", "cluster_id", "dist_scaled")

@@ -1201,6 +1201,50 @@ def s6_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("filename", "md5hash", "file_size", "file_extension")
 
 
+_ORC_SQL = f"""
+SELECT o_orderpriority,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       {DEC_SUM_SQL('o_totalprice', 'sum_price')}
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+  AND o_totalprice > 100000
+GROUP BY o_orderpriority, month(o_orderdate)
+"""
+
+
+@query("io_orc_roundtrip", _ORC_SQL)
+def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC source roundtrip: write orders as ORC
+    partitioned by priority, re-read, and aggregate — exercising the
+    second columnar format end to end (schema + values hash-verified
+    against the parquet-derived oracle). The read plan must prune to
+    the two selected priority partitions (PartitionFilters) and push
+    the price predicate into the ORC scan (PushedFilters) — asserted
+    in tests/test_scale_plans.py. TIMESTAMP_NTZ survives the format
+    roundtrip (month() agrees with the oracle). Avro stays ungated:
+    spark-avro is an external module not present in this
+    environment."""
+    base = "/root/repo/.scratch/orc_store"
+    orders = T(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").orc(base)
+    back = spark.read.orc(base)
+    return (
+        back.filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+            & (F.col("o_totalprice") > 100000)
+        )
+        .groupBy(
+            "o_orderpriority",
+            F.month("o_orderdate").cast("long").alias("order_month"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            dec_sum(F.col("o_totalprice"), "sum_price"),
+        )
+    )
+
+
 _D6_SQL = """
 SELECT CAST(ROW_NUMBER() OVER (
          ORDER BY 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-'
@@ -3236,6 +3280,57 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums make the mean summation-order-independent
     (operators/similarity.py:label_centroids)."""
     return similarity.label_centroids(T(spark, sf_dir, "embeddings"))
+
+
+_KMEANS_SQL = """
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                  CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5)
+                       AS BIGINT) AS q
+           FROM embeddings),
+c0 AS (SELECT vec_id AS cid, pos, q * 1024 AS m FROM e WHERE vec_id < 8),
+d0 AS (SELECT e.vec_id, c.cid,
+              CAST(SUM((e.q * 1024 - c.m) * (e.q * 1024 - c.m))
+                   AS BIGINT) AS dist
+       FROM e JOIN c0 c USING (pos) GROUP BY e.vec_id, c.cid),
+a0 AS (SELECT vec_id, cid, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS r
+       FROM d0),
+s0 AS (SELECT vec_id, cid FROM a0 WHERE r = 1),
+c1 AS (SELECT s0.cid, e.pos,
+              CAST(FLOOR(CAST(SUM(e.q) AS DOUBLE) * 1024 / COUNT(*))
+                   AS BIGINT) AS m
+       FROM e JOIN s0 USING (vec_id) GROUP BY s0.cid, e.pos),
+d1 AS (SELECT e.vec_id, c.cid,
+              CAST(SUM((e.q * 1024 - c.m) * (e.q * 1024 - c.m))
+                   AS BIGINT) AS dist
+       FROM e JOIN c1 c USING (pos) GROUP BY e.vec_id, c.cid),
+a1 AS (SELECT vec_id, cid, dist,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS r
+       FROM d1)
+SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dist AS dist_scaled
+FROM a1 WHERE r = 1
+"""
+
+
+@query("sim_kmeans_lloyd", _KMEANS_SQL)
+def sim_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd's k-means (operators/similarity.py:kmeans_lloyd):
+    init from the k smallest vec_ids, 2 assign→update iterations, the
+    final assignment + squared-L2 distance per vector. All arithmetic
+    is fixed-point (BIGINT-quantized vectors, integer distances, one
+    floored IEEE division per centroid cell) so the DuckDB oracle —
+    the same two iterations unrolled as CTE rounds over the
+    per-dimension exploded table — hash-matches bit-for-bit,
+    including argmin tie-breaks (dist, cid lexicographic). Spark
+    executes the assign step as one narrow map with the k·dim
+    centroid literals inlined (no shuffle join) and the update step
+    as a (cluster, dim) hash aggregate — the iterative-ML job shape
+    alongside graph_pagerank / sim_pca_power / text_bpe_merges."""
+    return similarity.kmeans_lloyd(
+        T(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
 
 
 _KNN_SQL = _EMB_CTE + """

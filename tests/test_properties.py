@@ -286,3 +286,23 @@ def test_transitive_closure_matches_python(spark, forests):
         for r in transitive_closure(df, max_depth=16).collect()
     }
     assert got == want
+
+
+@given(
+    st.lists(st.binary(min_size=0, max_size=200), min_size=0, max_size=12),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=4096),
+    st.integers(min_value=1, max_value=120),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_container_roundtrips_arbitrary_frames(frames, w, h, fps):
+    """Any frame byte strings (odd/even lengths, empty, marker-like
+    content) must survive the RIFF word-padding roundtrip verbatim,
+    with header geometry preserved."""
+    from razulibs_spark.operators.video import decode_avi, encode_avi_mjpeg
+
+    out = decode_avi(encode_avi_mjpeg(frames, w, h, fps=fps))
+    assert out["frames"] == frames
+    assert (out["width"], out["height"]) == (w, h)
+    assert out["n_frames_declared"] == len(frames)
+    assert out["fps"] == fps

@@ -862,3 +862,112 @@ def test_pca_gram_matches_power_path(spark, sf_dir):
         assert abs(gv[d] - sign * pv[d]) < 1e-6
     ge = g[0]["eigenvalue"]; pe = p[0]["eigenvalue"]
     assert abs(ge - pe) / ge < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# kmeans_lloyd (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_python(vectors, k, iters, scale=1000, shift=1024):
+    """Pure-Python Lloyd with the operator's exact fixed-point rules."""
+    import math
+
+    q = {
+        vid: [math.floor(x * scale + 0.5) for x in vec]
+        for vid, vec in vectors.items()
+    }
+    cents = {
+        vid: [v * shift for v in q[vid]] for vid in sorted(q)[:k]
+    }
+
+    def assign():
+        out = {}
+        for vid, vec in q.items():
+            best = min(
+                (
+                    (
+                        sum(
+                            (a * shift - b) ** 2
+                            for a, b in zip(vec, mvec)
+                        ),
+                        cid,
+                    )
+                    for cid, mvec in cents.items()
+                )
+            )
+            out[vid] = (best[1], best[0])
+        return out
+
+    asg = assign()
+    for _ in range(iters - 1):
+        sums, counts = {}, {}
+        for vid, (cid, _) in asg.items():
+            counts[cid] = counts.get(cid, 0) + 1
+            s = sums.setdefault(cid, [0] * len(q[vid]))
+            for i, v in enumerate(q[vid]):
+                s[i] += v
+        cents = {
+            cid: [
+                math.floor(float(s_i) * shift / counts[cid])
+                for s_i in sums[cid]
+            ]
+            for cid in sums
+        }
+        asg = assign()
+    return asg
+
+
+def test_kmeans_lloyd_matches_pure_python(spark, sf_dir):
+    from razulibs_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(120)
+    got = {
+        r.vec_id: (r.cluster_id, r.dist_scaled)
+        for r in kmeans_lloyd(emb, k=5, iters=3).collect()
+    }
+    vectors = {
+        r.vec_id: list(r.embedding)
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    expect = _kmeans_python(vectors, k=5, iters=3)
+    assert got == expect
+
+
+def test_kmeans_lloyd_tie_breaks_to_smallest_centroid_id(spark):
+    from razulibs_spark.operators.similarity import kmeans_lloyd
+
+    rows = [(i, [0.5, 0.5]) for i in range(6)]  # all identical
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_lloyd(emb, k=2, iters=2).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert all(r.dist_scaled == 0 for r in out)
+
+
+def test_kmeans_lloyd_assignment_plan_has_no_shuffle(spark, sf_dir):
+    """The assign step inlines centroids as literals: the final
+    assignment job must be a single narrow map over the scan — no
+    Exchange, no join."""
+    from razulibs_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    plan = (
+        kmeans_lloyd(emb, k=4, iters=1)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_kmeans_lloyd_validates_params(spark, sf_dir):
+    import pytest as _pytest
+
+    from razulibs_spark.operators.similarity import kmeans_lloyd
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(emb, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_lloyd(emb, iters=0)

@@ -569,3 +569,24 @@ def test_multitouch_attribution_windows_keyed(spark):
     assert "Exchange SinglePartition" not in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "hashpartitioning(p_id" in plan
+
+
+def test_orc_roundtrip_prunes_partitions_and_pushes_filters(spark):
+    """The ORC re-read must prune to the two selected priority
+    partitions (no full-directory scan) and push the price predicate
+    into the ORC reader — format parity with the parquet posture."""
+    plan = _plan(Q.io_orc_roundtrip(spark, SF))
+    scan = plan[plan.index("Scan orc") :]
+    assert "PartitionFilters" in scan
+    assert "o_orderpriority" in scan.split("PartitionFilters")[1][:300]
+    assert "GreaterThan(o_totalprice" in scan.split("PushedFilters")[1][:300]
+
+
+def test_kmeans_assignment_is_single_narrow_map(spark):
+    """kmeans_lloyd's assignment stage inlines the centroid literals:
+    the returned plan must hold no Exchange, no Join, and no Python
+    boundary — one codegen'd map over the scan."""
+    plan = _plan(Q.sim_kmeans_lloyd(spark, SF))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
