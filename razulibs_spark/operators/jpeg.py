@@ -254,7 +254,19 @@ def decode_jpeg(payload: bytes) -> dict:
     return the same stats dict as the other image decoders:
     width/height + exact per-channel pixel means. Unsupported modes
     (progressive SOF2, arithmetic coding, fractional sampling) raise
-    ValueError → a decoded=false report row, never a dead task."""
+    ValueError → a decoded=false report row, never a dead task.
+
+    The error contract is TOTAL: any malformed payload raises
+    ValueError, never IndexError/KeyError from an out-of-bounds
+    segment read — callers (decode_media, sample_video_frames) rely
+    on the narrow catch to tell data poison from real bugs."""
+    try:
+        return _decode_jpeg_impl(payload)
+    except (IndexError, KeyError) as exc:
+        raise ValueError(f"malformed JPEG segment: {exc}") from exc
+
+
+def _decode_jpeg_impl(payload: bytes) -> dict:
     data = bytes(payload)
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI marker)")

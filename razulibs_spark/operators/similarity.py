@@ -1090,7 +1090,10 @@ def kmeans_lloyd(
     division (identical in Spark and DuckDB). Ties in the argmin break
     toward the smallest centroid id via the lexicographic (dist, cid)
     struct min. Init: the k smallest vec_ids' vectors (deterministic,
-    reference-free).
+    reference-free). A cluster that attracts no points in a round is
+    DROPPED (standard Lloyd behavior — the result can hold fewer than
+    k clusters); callers that need exactly k must reseed empties as a
+    policy on top.
 
     Scale posture: each iteration is ONE narrow map over the corpus
     (centroids ride along as k·dim literals — no shuffle join) plus a

@@ -325,12 +325,34 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
                     )
                     continue
                 frames = avi["frames"]
+                if not frames:
+                    # A structurally valid but frame-less container
+                    # still gets an audit row — silent drops undercount
+                    # doc coverage downstream.
+                    rows.append(
+                        (d, -1, 0, False, None, None, None,
+                         "container has no frames")
+                    )
+                    continue
                 for idx in range(0, len(frames), every):
                     try:
                         st = decode_jpeg(frames[idx])
+                        if st["mean_r"] == st["mean_g"] == st["mean_b"]:
+                            luma = st["mean_r"]  # grayscale: exact
+                        else:
+                            # Color MJPEG: BT.601 luma from the channel
+                            # means (mean commutes with the weighted
+                            # sum; post-clip channel means make this an
+                            # approximation, but an honest one — never
+                            # the bare red channel).
+                            luma = (
+                                0.299 * st["mean_r"]
+                                + 0.587 * st["mean_g"]
+                                + 0.114 * st["mean_b"]
+                            )
                         rows.append(
                             (d, idx, len(frames), True,
-                             st["width"], st["height"], st["mean_r"], None)
+                             st["width"], st["height"], luma, None)
                         )
                     except ValueError as exc:
                         rows.append(

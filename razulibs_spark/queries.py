@@ -1224,8 +1224,18 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_scale_plans.py. TIMESTAMP_NTZ survives the format
     roundtrip (month() agrees with the oracle). Avro stays ungated:
     spark-avro is an external module not present in this
-    environment."""
-    base = "/root/repo/.scratch/orc_store"
+    environment.
+
+    The store path is keyed by sf_dir: the write happens eagerly at
+    DataFrame construction but the read is lazy, so a shared path
+    would let a later construction at another scale factor clobber
+    the store an earlier DataFrame still points at."""
+    import os
+
+    base = (
+        "/root/repo/.scratch/orc_store_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
     orders = T(spark, sf_dir, "orders")
     orders.write.mode("overwrite").partitionBy("o_orderpriority").orc(base)
     back = spark.read.orc(base)

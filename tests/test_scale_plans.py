@@ -590,3 +590,19 @@ def test_kmeans_assignment_is_single_narrow_map(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_orc_store_keyed_by_sf_dir(spark):
+    """The ORC write is eager but the read is lazy: two constructions
+    at different scale factors must not clobber each other's store."""
+    a = Q.io_orc_roundtrip(spark, "/root/testdata/sf0.001")
+    b = Q.io_orc_roundtrip(spark, "/root/testdata/sf0.01")
+    n_a = sum(r.n_orders for r in a.collect())
+    n_b = sum(r.n_orders for r in b.collect())
+    direct = (
+        spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter("o_orderpriority IN ('1-URGENT','2-HIGH') AND o_totalprice > 100000")
+        .count()
+    )
+    assert n_a == direct  # still reads ITS OWN store after b's write
+    assert n_b > n_a

@@ -124,3 +124,72 @@ def test_sample_video_frames_filters_before_python_boundary(spark):
         "StartsWith(media_format" in plan
     )
     assert staged.count() == 0
+
+
+def test_malformed_frame_in_valid_container_is_data_not_error(spark):
+    """A frame whose JPEG structure is broken mid-segment (SOF0 with a
+    truncated body — historically an IndexError escaping decode_jpeg)
+    must come back as a decoded=false row, never a dead task."""
+    bad_frame = b"\xff\xd8\xff\xc0\x00\x02\xff\xd9"
+    good = _frame(7)
+    payload = encode_avi_mjpeg([bad_frame, good], 16, 8, fps=4)
+    pdf = spark.createDataFrame(
+        [(9, bytearray(payload), "video/avi")],
+        "doc_id long, payload binary, media_format string",
+    )
+    rows = {r.frame_idx: r for r in sample_video_frames(pdf, every=1).collect()}
+    assert rows[0].decoded is False
+    assert rows[0].note.startswith("decode failed:")
+    assert rows[1].decoded is True
+
+
+def test_decode_jpeg_error_contract_is_total():
+    """Malformed payloads raise ValueError — never IndexError/KeyError
+    — so decode_media/sample_video_frames' narrow catch holds."""
+    adversarial = [
+        b"\xff\xd8\xff\xc0\x00\x02\xff\xd9",       # SOF0, empty body
+        b"\xff\xd8\xff\xda\x00\x02\xff\xd9",       # SOS, empty body
+        b"\xff\xd8\xff\xc4\x00\x04\x00\xff\xd9",   # DHT, short bits
+        b"\xff\xd8\xff\xdb\x00\x03\x00\xff\xd9",   # DQT, short table
+    ]
+    for payload in adversarial:
+        with pytest.raises(ValueError):
+            decode_jpeg(payload)
+
+
+def test_empty_container_emits_audit_row(spark):
+    """A valid AVI holding zero frames must not silently vanish from
+    the output — doc coverage joins rely on one row per payload."""
+    payload = encode_avi_mjpeg([], 8, 8, fps=1)
+    pdf = spark.createDataFrame(
+        [(3, bytearray(payload), "video/avi")],
+        "doc_id long, payload binary, media_format string",
+    )
+    rows = sample_video_frames(pdf, every=1).collect()
+    assert len(rows) == 1
+    assert rows[0].frame_idx == -1 and rows[0].n_frames == 0
+    assert rows[0].decoded is False
+    assert rows[0].note == "container has no frames"
+
+
+def test_color_frames_report_bt601_luma_not_red(spark):
+    """mean_luma on color MJPEG frames is the BT.601 weighting of the
+    channel means — a saturated-red frame must not report ~255."""
+    import numpy as np
+
+    from razulibs_spark.operators.jpeg import decode_jpeg as dj, encode_jpeg
+
+    red = np.zeros((8, 8, 3), dtype=np.uint8)
+    red[:, :, 0] = 255
+    frame = encode_jpeg(red)
+    st = dj(frame)
+    payload = encode_avi_mjpeg([frame], 8, 8, fps=1)
+    pdf = spark.createDataFrame(
+        [(5, bytearray(payload), "video/avi")],
+        "doc_id long, payload binary, media_format string",
+    )
+    row = sample_video_frames(pdf, every=1).collect()[0]
+    assert row.decoded is True
+    expect = 0.299 * st["mean_r"] + 0.587 * st["mean_g"] + 0.114 * st["mean_b"]
+    assert row.mean_luma == expect
+    assert row.mean_luma < 150  # nowhere near the red channel's ~255
