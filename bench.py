@@ -292,6 +292,9 @@ R06_ADDITIONS = [
     "multimodal_video_frames",
     "sim_kmeans_lloyd",
     "io_orc_roundtrip",
+    "graph_triangle_count",
+    "io_jsonl_gz_roundtrip",
+    "multimodal_gif_decode",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

@@ -259,3 +259,148 @@ def transitive_closure(
     return paths.select(
         "node", "ancestor", F.col("depth").cast("long").alias("depth")
     )
+
+
+def canonical_edges(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Undirected-edge canonicalization: drop self-loops, fold both
+    directions and duplicates into one (lo, hi) row with lo < hi."""
+    a, b = F.col(src), F.col(dst)
+    return (
+        edges.filter(a != b)
+        .select(F.least(a, b).alias("lo"), F.greatest(a, b).alias("hi"))
+        .distinct()
+    )
+
+
+def _triangle_stats(
+    canon: DataFrame, broadcast_adj: bool = False
+) -> DataFrame:
+    """Lazy triangle-count plan over a canonical (lo < hi) edge list —
+    degree-ordered orientation + the edge-iterator with forward
+    adjacency intersection.
+
+    Every edge is ORIENTED from its lower-rank endpoint to its
+    higher-rank endpoint (rank = (degree, node id)); each node's
+    oriented neighbors collect into ONE sorted adjacency row. A
+    triangle {a,b,c} has exactly one node with oriented edges to the
+    other two, so summing |N+(u) ∩ N+(v)| over oriented edges (u,v)
+    counts each triangle exactly once — as an in-JVM array_intersect
+    per edge, with NO wedge materialization (the O(m^1.5) wedge
+    stream of the plain compact-forward join never exists).
+
+    Scale shape: orientation caps out-degrees at O(√m) for m edges,
+    bounding every adjacency row; the edge stream re-derives from the
+    adjacency table itself (explode), so the only shuffles are the
+    degree aggregate (node-sized, broadcast back) and the adjacency
+    groupBy (one edge-sized shuffle). The v-side adjacency join is
+    broadcast when the caller knows the graph fits (edge-content
+    sized — NOT node-sized) and a plain equi-join otherwise. Nothing
+    collects to the driver."""
+    adj = _forward_adjacency(canon)
+    return _stats_from_adj(canon, adj, broadcast_adj)
+
+
+def _degrees(canon: DataFrame) -> DataFrame:
+    return (
+        canon.select(F.col("lo").alias("node"))
+        .unionAll(canon.select(F.col("hi").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+
+
+def _forward_adjacency(canon: DataFrame) -> DataFrame:
+    """Degree-ordered oriented adjacency: one sorted row per node with
+    out-edges, out-degree bounded by O(√m). The degree table is
+    node-sized and broadcasts onto the edges."""
+    deg = _degrees(canon)
+    ranked = (
+        canon.join(F.broadcast(deg.withColumnRenamed("node", "lo")), "lo")
+        .withColumnRenamed("deg", "deg_lo")
+        .join(F.broadcast(deg.withColumnRenamed("node", "hi")), "hi")
+        .withColumnRenamed("deg", "deg_hi")
+    )
+    fwd = ranked.select(
+        F.when(
+            (F.col("deg_lo") < F.col("deg_hi"))
+            | (
+                (F.col("deg_lo") == F.col("deg_hi"))
+                & (F.col("lo") < F.col("hi"))
+            ),
+            F.struct(F.col("lo").alias("u"), F.col("hi").alias("v")),
+        )
+        .otherwise(F.struct(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        .alias("e")
+    ).select("e.u", "e.v")
+    return fwd.groupBy("u").agg(
+        F.sort_array(F.collect_list("v")).alias("nbrs")
+    )
+
+
+def _stats_from_adj(
+    canon: DataFrame, adj: DataFrame, broadcast_adj: bool = False
+) -> DataFrame:
+    # The oriented edge stream IS the adjacency table exploded — one
+    # subtree, nbrs_u carried along for free. adj is consumed TWICE
+    # (stream + v-side); callers running this eagerly persist it.
+    stream = adj.select(
+        F.col("nbrs").alias("nbrs_u"), F.explode("nbrs").alias("v")
+    )
+    av = adj.select(F.col("u").alias("_v"), F.col("nbrs").alias("nbrs_v"))
+    if broadcast_adj:
+        av = F.broadcast(av)
+    tri = (
+        stream.join(av, F.col("v") == F.col("_v"), "left")
+        .select(
+            F.size(
+                F.array_intersect(
+                    F.col("nbrs_u"),
+                    # typed empty array regardless of the node id type:
+                    # a zero-length slice of nbrs_u
+                    F.coalesce(
+                        F.col("nbrs_v"), F.slice(F.col("nbrs_u"), 1, 0)
+                    ),
+                )
+            ).alias("c")
+        )
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_triangles"))
+    )
+    return (
+        canon.agg(F.count("*").alias("n_edges"))
+        .crossJoin(_degrees(canon).agg(F.count("*").alias("n_nodes")))
+        .crossJoin(tri)
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact global triangle count over an undirected edge list
+    (algorithm + scale notes: _triangle_stats). The canonical edge
+    set is consumed three times (orientation, closure probe, edge
+    count), so this wrapper persists it for the one job, collects the
+    single stats row, and unpersists — the driver holds exactly three
+    ints. Returns a one-row DataFrame (n_nodes, n_edges,
+    n_triangles)."""
+    spark = edges.sparkSession
+    canon = canonical_edges(edges, src, dst).persist()
+    try:
+        # The wedge stream is the big intermediate (O(m^1.5) worst
+        # case); when the edge set itself is hash-table sized,
+        # broadcasting it for the closure probe keeps those wedges
+        # from ever shuffling. The count is free — it materializes
+        # the cache the stats job needs anyway.
+        small = canon.count() <= 4_000_000
+        adj = _forward_adjacency(canon).persist()
+        try:
+            row = _stats_from_adj(canon, adj, broadcast_adj=small).collect()[0]
+        finally:
+            adj.unpersist()
+    finally:
+        canon.unpersist()
+    return spark.createDataFrame(
+        [row], "n_nodes long, n_edges long, n_triangles long"
+    )

@@ -732,12 +732,19 @@ def _decode_jpeg(payload: bytes) -> dict:
     return decode_jpeg(payload)
 
 
+def _decode_gif(payload: bytes) -> dict:
+    from razulibs_spark.operators.gif import decode_gif
+
+    return decode_gif(payload)
+
+
 _DECODERS = {
     "image/bmp": decode_bmp,
     "image/x-portable-pixmap": decode_ppm,
     "audio/wav": decode_wav,
     "image/png": decode_png,
     "image/jpeg": _decode_jpeg,
+    "image/gif": _decode_gif,
 }
 
 
@@ -791,3 +798,65 @@ def decode_media(media: DataFrame) -> DataFrame:
     return media.repartition(n_parts, "doc_id").mapInPandas(
         batches, schema=DECODE_SCHEMA
     )
+
+
+def synthesize_gif_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF89a payloads from the documents table
+    (operators/gif.py: real LZW both directions). Palette size,
+    geometry, palette entries and pixel indices are all integer
+    functions of doc_id — GIF is lossless, so the decoded channel
+    means are exact and the multimodal_gif_decode oracle recomputes
+    them from the same formulas. Docs with doc_id % 11 == 6 carry a
+    POISON payload (valid header + color table, trailer before any
+    image frame) pinning the decoded=false path. Payloads are bounded
+    (≤ 16×12 px, ≤ 16 colors) — a narrow Arrow pass at any corpus
+    size."""
+    from razulibs_spark.operators.gif import encode_gif
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 11 == 6:
+                    # header + 4-color GCT + immediate trailer
+                    payload = (
+                        b"GIF89a" + (4).to_bytes(2, "little")
+                        + (3).to_bytes(2, "little") + b"\x81\x00\x00"
+                        + bytes(12) + b"\x3b"
+                    )
+                else:
+                    p = 4 + d % 13
+                    w, h = 5 + d % 12, 4 + d % 9
+                    palette = [
+                        (
+                            (d * 5 + j * 7) % 256,
+                            (d + j * 11) % 256,
+                            (3 * j + d // 3) % 256,
+                        )
+                        for j in range(p)
+                    ]
+                    pix = [
+                        (d + 3 * x + 5 * y) % p
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    payload = encode_gif(w, h, palette, pix)
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_format": ["image/gif"] * len(ids),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("media_format", StringType(), True),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema=schema)

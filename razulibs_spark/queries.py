@@ -6308,6 +6308,95 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+_TRI_SQL = """
+WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+canon AS (SELECT DISTINCT i1.l_partkey AS lo, i2.l_partkey AS hi
+          FROM items i1 JOIN items i2
+            ON i1.l_orderkey = i2.l_orderkey
+           AND i1.l_partkey < i2.l_partkey),
+nodes AS (SELECT lo AS node FROM canon UNION SELECT hi FROM canon),
+tri AS (SELECT COUNT(*) AS n
+        FROM canon e1
+        JOIN canon e2 ON e2.lo = e1.hi
+        JOIN canon e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+SELECT (SELECT COUNT(*) FROM nodes) AS n_nodes,
+       (SELECT COUNT(*) FROM canon) AS n_edges,
+       (SELECT n FROM tri) AS n_triangles
+"""
+
+
+@query("graph_triangle_count", _TRI_SQL)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count over the parts-bought-together graph
+    (operators/graph.py:triangle_count): edges are pairs of parts
+    sharing an order, counting via degree-ordered orientation
+    ("compact-forward") — every wedge is enumerated once from its
+    lowest-rank apex, so hub parts never explode the self-join the
+    way a naive edge×edge×edge plan does (a degree-d node contributes
+    O(d²) wedges unoriented, O(m) total oriented). The oracle counts
+    the same triangles with the classic a<b<c three-way join —
+    different algorithm, identical exact answer, one global row."""
+    from razulibs_spark.operators import graph
+
+    items = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    edges = (
+        items.alias("i1")
+        .join(
+            items.alias("i2"),
+            (F.col("i1.l_orderkey") == F.col("i2.l_orderkey"))
+            & (F.col("i1.l_partkey") < F.col("i2.l_partkey")),
+        )
+        .select(
+            F.col("i1.l_partkey").alias("src"),
+            F.col("i2.l_partkey").alias("dst"),
+        )
+    )
+    return graph.triangle_count(edges)
+
+
+_JSONL_GZ_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       COUNT(DISTINCT source) AS n_sources
+FROM documents GROUP BY lang
+"""
+
+
+@query("io_jsonl_gz_roundtrip", _JSONL_GZ_SQL)
+def io_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-JSONL source/sink roundtrip — the CommonCrawl/WET
+    corpus-interchange shape: write the documents table as
+    gzip-compressed JSON Lines, re-read it WITH an explicit schema
+    (schema-on-read — no inference pass over the corpus, which at
+    100 TB would be a full extra scan), and aggregate per language.
+    JSON string escaping must round-trip every text byte-exactly for
+    the per-lang char sums to hash-match the parquet-derived oracle.
+    Store path keyed by sf_dir (same eager-write/lazy-read hazard as
+    io_orc_roundtrip)."""
+    import os
+
+    base = (
+        "/root/repo/.scratch/jsonl_gz_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    docs.write.mode("overwrite").option("compression", "gzip").json(base)
+    back = spark.read.schema(
+        "doc_id long, lang string, source string, text string"
+    ).json(base)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
 _BPE_ENCODE_SQL = """
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
@@ -7898,6 +7987,65 @@ def multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return sample_video_frames(synthesize_video_media(docs), every=2)
+
+
+_MM_GIF_SQL = """
+WITH ok AS (SELECT doc_id, 4 + doc_id % 13 AS p, 5 + doc_id % 12 AS w,
+                   4 + doc_id % 9 AS h
+            FROM documents WHERE doc_id % 11 <> 6),
+px AS (SELECT o.doc_id, o.w, o.h,
+              (o.doc_id + 3 * xx.x + 5 * yy.y) % o.p AS j
+       FROM ok o, unnest(range(0, o.w)) xx(x), unnest(range(0, o.h)) yy(y)),
+ch AS (SELECT doc_id, w, h,
+              (doc_id * 5 + j * 7) % 256 AS r,
+              (doc_id + j * 11) % 256 AS g,
+              (3 * j + doc_id // 3) % 256 AS b
+       FROM px),
+ok_out AS (
+  SELECT doc_id, 'image/gif' AS media_format, TRUE AS decoded,
+         CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+         AVG(CAST(r AS DOUBLE)) AS mean_r, AVG(CAST(g AS DOUBLE)) AS mean_g,
+         AVG(CAST(b AS DOUBLE)) AS mean_b,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
+         CAST(NULL AS VARCHAR) AS note
+  FROM ch GROUP BY doc_id),
+poison_out AS (
+  SELECT doc_id, 'image/gif' AS media_format, FALSE AS decoded,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+         CAST(NULL AS DOUBLE) AS mean_b,
+         CAST(NULL AS BIGINT) AS sample_rate,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS n_samples,
+         CAST(NULL AS DOUBLE) AS peak, CAST(NULL AS DOUBLE) AS rms,
+         'decode failed: GIF holds no image frame' AS note
+  FROM documents WHERE doc_id % 11 = 6)
+SELECT * FROM ok_out UNION ALL SELECT * FROM poison_out
+"""
+
+
+@query("multimodal_gif_decode", _MM_GIF_SQL)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a decode (operators/gif.py): palette images with real
+    LZW compression — encoder AND decoder from first principles
+    (variable-width LSB-first codes, clear/EOI, 12-bit cap, KwKwK
+    case, dictionary reset at 4096) — synthesized byte-for-byte from
+    doc_id and decoded back through decode_media's dispatch. GIF is
+    lossless, so the oracle recomputes the exact channel means from
+    the palette + pixel-index formulas. Docs with doc_id % 11 == 6
+    carry a poison payload (valid header + color table, trailer
+    before any image frame) whose decoded=false note the oracle pins
+    literally."""
+    from razulibs_spark.operators.multimodal import (
+        decode_media,
+        synthesize_gif_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return decode_media(synthesize_gif_media(docs))
 
 
 _SOURCE_CAP_SQL = """

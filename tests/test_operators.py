@@ -1142,3 +1142,124 @@ def test_hashed_feature_ops_survive_empty_documents(spark):
     dsir = {r["doc_id"]: r["n_features"]
             for r in T_.dsir_importance(docs).collect()}
     assert dsir == {1: 0, 2: 0, 3: 3}
+
+
+# ---------------------------------------------------------------------------
+# triangle_count (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def test_triangle_count_k4_with_noise(spark):
+    """K4 holds exactly 4 triangles; duplicates, reverse edges, and
+    self-loops must all canonicalize away first."""
+    from razulibs_spark.operators.graph import triangle_count
+
+    edges = [(1, 2), (2, 1), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4),
+             (3, 3), (1, 2), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (6, 7, 4)
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-ordered orientation must agree with the O(n^3) itertools
+    count on a deterministic pseudo-random graph."""
+    from itertools import combinations
+
+    from razulibs_spark.operators.graph import triangle_count
+
+    edges = sorted(
+        {
+            (min(a, b), max(a, b))
+            for i in range(300)
+            for a, b in [((i * 7919) % 40, (i * i * 104729 + i) % 40)]
+            if a != b
+        }
+    )
+    eset = set(edges)
+    expect = sum(
+        1
+        for a, b, c in combinations(range(40), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == expect
+    assert row.n_edges == len(edges)
+
+
+def test_triangle_count_no_triangles(spark):
+    """A tree and a 4-cycle hold zero triangles."""
+    from razulibs_spark.operators.graph import triangle_count
+
+    edges = [(1, 2), (1, 3), (1, 4), (10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert triangle_count(df).collect()[0].n_triangles == 0
+
+
+# ---------------------------------------------------------------------------
+# GIF codec (operators/gif.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gif_roundtrip_exact_means():
+    from razulibs_spark.operators.gif import decode_gif, encode_gif
+
+    pal = [(i * 17 % 256, i * 5 % 256, (255 - i) % 256) for i in range(16)]
+    w, h = 13, 7
+    pix = [(x * y + 3) % 16 for y in range(h) for x in range(w)]
+    st = decode_gif(encode_gif(w, h, pal, pix))
+    assert (st["width"], st["height"]) == (w, h)
+    for ch, k in (("mean_r", 0), ("mean_g", 1), ("mean_b", 2)):
+        assert st[ch] == sum(pal[p][k] for p in pix) / len(pix)
+
+
+def test_gif_lzw_kwkwk_and_dict_reset():
+    """The KwKwK decoder case (run of identical symbols) and the
+    4096-entry dictionary reset both roundtrip."""
+    from razulibs_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    run = [1] * 50
+    assert _lzw_decode(_lzw_encode(run, 2), 2, 50) == run
+    big = [(i * 31 + (i * i) % 7) % 256 for i in range(30000)]
+    assert _lzw_decode(_lzw_encode(big, 8), 8, 30000) == big
+
+
+def test_gif_malformed_raises_value_error():
+    import pytest as _pytest
+
+    from razulibs_spark.operators.gif import decode_gif, encode_gif
+
+    good = encode_gif(4, 4, [(0, 0, 0), (255, 255, 255)], [0, 1] * 8)
+    cases = [
+        b"NOTGIF",
+        good[:10],                      # truncated header
+        good[:-2],                      # missing terminator+trailer
+        good[:6] + good[6:].replace(b"\x2c", b"\x7f", 1),  # unknown block
+    ]
+    for payload in cases:
+        with _pytest.raises(ValueError):
+            decode_gif(payload)
+    # interlace flag set -> honest rejection
+    img_desc = good.index(b"\x2c")
+    flagged = bytearray(good)
+    flagged[img_desc + 9] |= 0x40
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(flagged))
+
+
+def test_gif_local_color_table_wins():
+    """An image with a local color table decodes through it, not the
+    global one."""
+    from razulibs_spark.operators.gif import decode_gif, encode_gif
+
+    base = encode_gif(2, 2, [(10, 20, 30), (40, 50, 60)], [0, 1, 1, 0])
+    img_desc = base.index(b"\x2c")
+    # rewrite: set LCT flag (size bits 0 -> 2 colors), splice a local
+    # table with swapped colors right after the descriptor
+    out = bytearray(base)
+    out[img_desc + 9] |= 0x80
+    lct = bytes((40, 50, 60, 10, 20, 30))
+    out[img_desc + 10 : img_desc + 10] = lct
+    st = decode_gif(bytes(out))
+    assert st["mean_r"] == 25.0  # swapped palette: (40+10+10+40)/4

@@ -306,3 +306,19 @@ def test_avi_container_roundtrips_arbitrary_frames(frames, w, h, fps):
     assert (out["width"], out["height"]) == (w, h)
     assert out["n_frames_declared"] == len(frames)
     assert out["fps"] == fps
+
+
+@given(
+    st.integers(min_value=2, max_value=8),
+    st.lists(st.integers(min_value=0, max_value=255), min_size=0,
+             max_size=3000),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_lzw_roundtrips_arbitrary_index_streams(mcs, raw):
+    """GIF-variant LZW must roundtrip any index stream, across code
+    widths, dictionary growth boundaries, and resets."""
+    from razulibs_spark.operators.gif import _lzw_decode, _lzw_encode
+
+    indices = [v % (1 << mcs) for v in raw]
+    got = _lzw_decode(_lzw_encode(indices, mcs), mcs, len(indices))
+    assert got == indices

@@ -606,3 +606,47 @@ def test_orc_store_keyed_by_sf_dir(spark):
     )
     assert n_a == direct  # still reads ITS OWN store after b's write
     assert n_b > n_a
+
+
+def test_triangle_count_uses_equi_joins_only(spark):
+    """Wedge building and closure probing must be equi-joins —
+    a CartesianProduct or nested loop over EDGE-sized inputs is
+    quadratic death on a 100 TB edge list. The only nested-loop
+    joins allowed are the two 1-row × 1-row stat-assembly
+    crossJoins (n_nodes × n_edges × n_triangles)."""
+    import re
+
+    from razulibs_spark.operators.graph import _triangle_stats, canonical_edges
+
+    edges = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            Q.F.col("l_orderkey").alias("src"),
+            Q.F.col("l_partkey").alias("dst"),
+        )
+    )
+    plan = _plan(_triangle_stats(canonical_edges(edges)))
+    assert "CartesianProduct" not in plan
+    # formatted plans list each operator twice (tree + detail header);
+    # count the detail headers. The only nested-loop joins are the two
+    # 1-row × 1-row stat-assembly crossJoins.
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) == 2
+    # the degree attach broadcasts (node-sized), never an edge shuffle
+    assert "BroadcastHashJoin" in plan
+    # no wedge materialization: exactly the adjacency explodes remain
+    assert "Generate" in plan
+
+
+def test_jsonl_gz_reads_with_explicit_schema(spark):
+    """The JSONL re-read must use the provided schema (no inference
+    scan) and the store must actually be gzip-compressed."""
+    import glob
+
+    df = Q.io_jsonl_gz_roundtrip(spark, SF)
+    df.collect()
+    files = glob.glob("/root/repo/.scratch/jsonl_gz_sf0.001/*.json.gz")
+    assert files, "expected gzip-compressed part files"
+    assert [f.name for f in df.schema.fields] == [
+        "lang", "n_docs", "sum_chars", "n_sources"
+    ]
