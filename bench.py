@@ -295,6 +295,7 @@ R06_ADDITIONS = [
     "graph_triangle_count",
     "io_jsonl_gz_roundtrip",
     "multimodal_gif_decode",
+    "io_schema_evolution",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

@@ -1255,6 +1255,56 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVO_SQL = f"""
+SELECT CASE WHEN month(o_orderdate) > 6 THEN o_orderpriority
+            ELSE '<legacy>' END AS priority,
+       COUNT(*) AS n_orders,
+       {DEC_SUM_SQL('o_totalprice', 'sum_price')}
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("io_schema_evolution", _EVO_SQL)
+def io_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution ingestion: two parquet batches written with
+    DIFFERENT schemas — the old one lacks o_orderpriority, the new one
+    carries it — re-read in one scan with mergeSchema=true, legacy
+    rows surfacing NULL for the added column (coalesced to a
+    '<legacy>' bucket). This is the lake reality at 100 TB: columns
+    get added mid-corpus and the reader must union schemas without a
+    rewrite. mergeSchema costs one footer read per file at planning
+    time (not a data pass) — acceptable per-batch, and the reason
+    production tables pin a catalog schema once evolution settles.
+    Store path keyed by sf_dir (eager write / lazy read)."""
+    import os
+
+    base = (
+        "/root/repo/.scratch/evo_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    orders = T(spark, sf_dir, "orders")
+    old = orders.filter(F.month("o_orderdate") <= 6).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = orders.filter(F.month("o_orderdate") > 6).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    old.write.mode("overwrite").parquet(base + "/v1")
+    new.write.mode("overwrite").parquet(base + "/v2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        base + "/v1", base + "/v2"
+    )
+    return back.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<legacy>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        dec_sum(F.col("o_totalprice"), "sum_price"),
+    )
+
+
 _D6_SQL = """
 SELECT CAST(ROW_NUMBER() OVER (
          ORDER BY 'https://data.razu.nl/id/object/NL-WbDRAZU-G0321-661-'

@@ -650,3 +650,14 @@ def test_jsonl_gz_reads_with_explicit_schema(spark):
     assert [f.name for f in df.schema.fields] == [
         "lang", "n_docs", "sum_chars", "n_sources"
     ]
+
+
+def test_schema_evolution_merges_and_buckets_legacy(spark):
+    """mergeSchema must surface the union schema — legacy files yield
+    NULL for the added column, never a dropped row or a failed read."""
+    df = Q.io_schema_evolution(spark, SF)
+    rows = {r.priority: r.n_orders for r in df.collect()}
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    n_legacy = orders.filter("month(o_orderdate) <= 6").count()
+    assert rows["<legacy>"] == n_legacy
+    assert sum(rows.values()) == orders.count()
