@@ -296,6 +296,11 @@ R06_ADDITIONS = [
     "io_jsonl_gz_roundtrip",
     "multimodal_gif_decode",
     "io_schema_evolution",
+    "io_bucketed_join",
+    "dedup_url_canonical",
+    "w_ewma",
+    "graph_bfs_levels",
+    "io_partitioned_pruning",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

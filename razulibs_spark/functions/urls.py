@@ -1,0 +1,100 @@
+"""URL canonicalization — pure Column expressions, no UDF.
+
+Training-data pipelines dedup crawls by canonical URL before any
+content hashing: scheme/host case, default ports, duplicate path
+slashes, tracking parameters, query-parameter order, and fragments
+all vary across recrawls of the same resource. Canonicalizing first
+collapses those recrawls into one key, so the (cheap) URL-level dedup
+removes the bulk before the (expensive) content-level MinHash pass
+(operators/dedup.py) runs.
+
+Everything here is built-in expressions (regexp_extract / filter /
+array_sort / concat) — JVM-side, whole-stage-codegen'd, map-only: the
+canonical key is computed in the scan stage and the only shuffle in a
+URL-dedup is the final groupBy on the canonical key.
+
+Canonical form produced by :func:`canonical_url`:
+
+- scheme and host lowercased; a leading ``www.`` stripped
+- default ports dropped (``:443`` for https, ``:80`` for http);
+  non-default ports kept
+- runs of ``/`` in the path collapsed; empty path becomes ``/``
+- query parameters: tracking params (``utm_*``) and empties dropped,
+  the rest sorted bytewise and re-joined; an empty result drops the
+  ``?`` entirely
+- the fragment is dropped
+
+The regexes use only syntax common to Java regex (Spark) and RE2
+(DuckDB), so the DuckDB oracle in queries.py mirrors them verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lowercased scheme, '' when the value is not an absolute URL."""
+    return F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
+
+
+def _after_scheme(url: Column) -> Column:
+    return F.regexp_replace(url, _SCHEME_RE, "")
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host with any leading ``www.`` stripped."""
+    authority = F.regexp_extract(_after_scheme(url), r"^([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(authority, r"^([^:]*)", 1))
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_port(url: Column) -> Column:
+    """Explicit port digits, '' when absent."""
+    authority = F.regexp_extract(_after_scheme(url), r"^([^/?#]*)", 1)
+    return F.regexp_extract(authority, r":([0-9]+)$", 1)
+
+
+def url_path(url: Column) -> Column:
+    """Path with duplicate slashes collapsed; '/' when empty."""
+    raw = F.regexp_extract(_after_scheme(url), r"^[^/?#]*([^?#]*)", 1)
+    collapsed = F.regexp_replace(raw, r"/{2,}", "/")
+    return F.when(collapsed == "", F.lit("/")).otherwise(collapsed)
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Query string with utm_* and empty params dropped and the rest
+    sorted bytewise — '' when nothing survives."""
+    # the query starts at the first '?' BEFORE any '#' — a '?' inside
+    # the fragment is not a query (caught by the hypothesis test)
+    raw = F.regexp_extract(_after_scheme(url), r"^[^?#]*\?([^#]*)", 1)
+    params = F.filter(
+        F.split(raw, "&"),
+        lambda p: (~p.startswith("utm_")) & (p != ""),
+    )
+    return F.array_join(F.array_sort(params), "&")
+
+
+def canonical_url(url: Column) -> Column:
+    """Full canonical form (see module docstring). Pure expression —
+    compose it into the scan projection; no Python crossing."""
+    scheme = url_scheme(url)
+    host = url_host(url)
+    port = url_port(url)
+    keep_port = (
+        (port != "")
+        & ~((scheme == F.lit("https")) & (port == F.lit("443")))
+        & ~((scheme == F.lit("http")) & (port == F.lit("80")))
+    )
+    query = url_query_canonical(url)
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        url_path(url),
+        F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
+    )

@@ -404,3 +404,76 @@ def triangle_count(
     return spark.createDataFrame(
         [row], "n_nodes long, n_edges long, n_triangles long"
     )
+
+
+def bfs_levels(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_depth: int = 6,
+    undirected: bool = True,
+    broadcast_frontier: bool = True,
+) -> DataFrame:
+    """Min-distance BFS levels from a seed set over a general edge
+    list: returns (node, level) with level = shortest hop count, the
+    k-hop-neighborhood primitive behind related-item expansion and
+    contamination blast-radius checks. Distinct from
+    :func:`transitive_closure` (bounded-depth FOREST, path doubling):
+    a general graph has cycles and multiple paths, so the invariant
+    here is min-level, maintained by anti-joining each frontier
+    against the visited set.
+
+    Frontier BFS, one round per level: neighbors = edges ⋈
+    broadcast(frontier), minus broadcast(visited) (anti join), dedup.
+    Frontier and visited are NODE-cardinality — the same
+    broadcast-the-small-vector trade pagerank makes with its rank
+    vector — so each round's only shuffle is the neighbor distinct;
+    the persisted edge table never re-shuffles. Per-round state is
+    eagerly ``localCheckpoint``-ed to cut the self-referencing lineage
+    (on a cluster deploy swap for ``persist`` per the rangeCumsum note
+    in operators/stats.py). The early-exit ``take(1)`` per round is
+    the BFS frontier-empty test — one driver row per level, inherent
+    to the algorithm. For graphs whose frontier outgrows a broadcast
+    (beyond ~10⁸ nodes), pass ``broadcast_frontier=False`` to fall
+    back to shuffle hash joins keyed on src.
+
+    The directed input is dedup'd ONCE (cheaper than dedup'ing the
+    doubled list); the reversed copy is unioned without a second
+    distinct — if a caller feeds both orientations of the same edge
+    the only cost is up-to-2× join fan-out before the per-round
+    distinct, never a wrong level.
+    """
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    if undirected:
+        e = e.unionByName(
+            e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
+        )
+    e = e.persist()
+    maybe_b = F.broadcast if broadcast_frontier else (lambda df: df)
+    try:
+        frontier = (
+            seeds.select(F.col(seeds.columns[0]).alias("node"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        visited = frontier.select(
+            "node", F.lit(0).alias("level")
+        ).localCheckpoint(eager=True)
+        for depth in range(1, max_depth + 1):
+            nxt = (
+                e.join(maybe_b(frontier), frontier["node"] == e["_u"])
+                .select(F.col("_v").alias("node"))
+                .distinct()
+                .join(maybe_b(visited.select("node")), "node", "left_anti")
+                .localCheckpoint(eager=True)
+            )
+            if not nxt.take(1):
+                break
+            visited = visited.unionByName(
+                nxt.select("node", F.lit(depth).alias("level"))
+            ).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        e.unpersist()
+    return visited.select("node", F.col("level").cast("long").alias("level"))

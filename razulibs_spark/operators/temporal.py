@@ -236,3 +236,54 @@ def resample_ffill(
             F.last("_obs", ignorenulls=True).over(w_fill).alias(val_col),
         )
     )
+
+
+def ewma_bounded(
+    df: DataFrame,
+    key: str = "user_id",
+    order: tuple[str, ...] = ("ts", "event_id"),
+    value: str = "value",
+    alpha: float = 0.25,
+    lookback: int = 8,
+) -> DataFrame:
+    """Bounded-lookback exponentially weighted moving average per key
+    — the smoothing pass time-series feature pipelines run before
+    anomaly scoring (next to events.anomaly_mad's rolling median).
+
+    Semantics: for each row, fold the last ``lookback`` values in
+    event order with ``acc*(1-alpha) + x*alpha``, seeding the
+    accumulator with the OLDEST value in the frame (so a 1-row frame
+    returns the value itself). The bound makes the window a fixed-size
+    ROWS frame — the exact infinite-history EWMA would need a running
+    product only expressible as a sequential scan, and weights below
+    (1-alpha)^lookback are noise anyway.
+
+    Scale: one shuffle on the key (the Window exchange), per-row state
+    = a ``lookback``-element array, fold is a codegen'd HOF — no UDF,
+    no per-key materialization beyond the frame. Pick alpha with an
+    exact binary representation (0.25, 0.5) and the fold is
+    bit-identical across engines and partitionings: same IEEE ops in
+    the same order.
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(-(lookback - 1), 0)
+    )
+    # Materialize the frame array ONCE in its own projection: the fold
+    # references it three times (slice/size/seed), and inlining the
+    # window expression would make the Window node buffer three copies
+    # per row (visible as _we0.._we2 in the plan).
+    arr = F.col("_ewma_frame")
+    ew = F.aggregate(
+        F.slice(arr, 2, F.size(arr) - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
+    )
+    return (
+        df.select(
+            key, *order, value,
+            F.collect_list(value).over(w).alias("_ewma_frame"),
+        )
+        .select(key, *order, value, ew.alias("ewma"))
+    )

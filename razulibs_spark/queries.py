@@ -8399,3 +8399,305 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").cast("long").alias("n_purchases"),
         F.sum("micro_credit").alias("micro_credit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-6 (cont.): bucketed co-located storage, URL canonicalization,
+# bounded EWMA, min-distance BFS levels
+# ---------------------------------------------------------------------------
+
+_BUCKETED_SQL = f"""
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       {DEC_SUM_SQL('l_extendedprice', 'sum_price')}
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("io_bucketed_join", _BUCKETED_SQL)
+def io_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located storage end to end: both join sides
+    persisted with save_bucketed (sources/bucketed.py) on the order
+    key — 8 buckets, sorted, one file per bucket — then joined via
+    the bucket layout and aggregated. The `merge` hint pins the
+    sort-merge strategy so the co-located path (zero Exchange on
+    either side, asserted in tests/test_scale_plans.py::
+    test_bucketed_join_no_shuffle) is what actually runs here, not a
+    tiny-SF broadcast: this is the one-shuffle-at-write-time,
+    zero-shuffle-per-read pattern a 100 TB store uses for its
+    recurring entity↔payload joins. Tables are keyed by sf so an
+    eager write at one scale never clobbers a lazy read at another;
+    the database pins LOCATION under .scratch so no spark-warehouse
+    directory appears wherever the harness happens to cwd."""
+    import os
+    import shutil
+
+    sfx = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    spark.sql(
+        "CREATE DATABASE IF NOT EXISTS bjq "
+        "LOCATION '/root/repo/.scratch/bucketed_db'"
+    )
+    # A fresh session's in-memory catalog can't see (and so can't
+    # overwrite) tables a previous session left on disk — drop any
+    # catalog entry AND clear the stale managed locations explicitly.
+    for t in (f"orders_{sfx}", f"lineitem_{sfx}"):
+        spark.sql(f"DROP TABLE IF EXISTS bjq.{t}")
+        shutil.rmtree(f"/root/repo/.scratch/bucketed_db/{t}",
+                      ignore_errors=True)
+    from razulibs_spark.sources.bucketed import save_bucketed
+
+    orders = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    items = T(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    save_bucketed(orders, f"bjq.orders_{sfx}", "o_orderkey", buckets=8)
+    save_bucketed(items, f"bjq.lineitem_{sfx}", "o_orderkey", buckets=8)
+    joined = spark.table(f"bjq.lineitem_{sfx}").hint("merge").join(
+        spark.table(f"bjq.orders_{sfx}"), "o_orderkey"
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").cast("long").alias("n_items"),
+        dec_sum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
+# Messy-URL synthesis shared by the Spark query and the oracle: the
+# SAME deterministic noise (case, www., default port, duplicate
+# slashes, utm params, unsorted query, fragment) is derived from
+# doc_id on both engines, so the canonicalizer is the only thing
+# under test. Collision design: host carries the source (20 values),
+# the item id is (doc_id*7) % 13 (co-prime with the source cycle) —
+# recrawl variants of up to 260 canonical resources.
+_URL_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % 2 = 1 THEN 'HTTPS' ELSE 'https' END || '://'
+    || CASE WHEN doc_id % 3 = 0 THEN 'WWW.'
+            WHEN doc_id % 3 = 1 THEN 'www.' ELSE '' END
+    || CASE WHEN doc_id % 2 = 1 THEN upper(source) ELSE source END
+    || '.Example.COM'
+    || CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END
+    || '/catalog//item/' || CAST((doc_id * 7) % 13 AS VARCHAR)
+    || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&b=2&a=1'
+            ELSE '?a=1&b=2' END
+    || CASE WHEN doc_id % 5 = 0 THEN '#sec' ELSE '' END AS url
+  FROM documents),
+ canon AS (
+  SELECT doc_id,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      || '://'
+      || regexp_replace(
+           lower(regexp_extract(
+             regexp_extract(regexp_replace(url,
+               '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+             '^([^:]*)', 1)),
+           '^www\\.', '')
+      || CASE WHEN prt <> '' AND NOT (sch = 'https' AND prt = '443')
+                           AND NOT (sch = 'http' AND prt = '80')
+              THEN ':' || prt ELSE '' END
+      || CASE WHEN pth = '' THEN '/' ELSE pth END
+      || CASE WHEN qry <> '' THEN '?' || qry ELSE '' END AS canonical_url
+  FROM (
+    SELECT doc_id, url,
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+      regexp_extract(
+        regexp_extract(regexp_replace(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^([^/?#]*)', 1),
+        ':([0-9]+)$', 1) AS prt,
+      regexp_replace(
+        regexp_extract(regexp_replace(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^/?#]*([^?#]*)', 1),
+        '/{2,}', '/', 'g') AS pth,
+      array_to_string(list_sort(list_filter(
+        string_split(regexp_extract(regexp_replace(url,
+          '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '^[^?#]*\\?([^#]*)', 1), '&'),
+        x -> NOT regexp_matches(x, '^utm_') AND x <> '')), '&') AS qry
+    FROM raw))
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon GROUP BY canonical_url
+"""
+
+
+@query("dedup_url_canonical", _URL_SQL)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level crawl dedup (functions/urls.py): canonicalize —
+    scheme/host case, www., default :443, duplicate path slashes,
+    utm_* params, query-param order, fragment — then group recrawl
+    variants by canonical key, keeping the lowest doc_id. The
+    canonical key is a pure codegen expression computed in the scan
+    stage; the groupBy on it is the ONLY shuffle, which is the whole
+    point of URL-dedup-before-content-dedup at 100 TB: it removes the
+    recrawl bulk before MinHash ever tokenizes a byte. The messy URL
+    itself is synthesized deterministically from doc_id (fixture
+    columns carry no URLs) with the identical expression on the
+    oracle side, so both engines canonicalize the same inputs."""
+    from razulibs_spark.functions.urls import canonical_url
+
+    d = T(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(d.doc_id % 2 == 1, F.lit("HTTPS")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d.doc_id % 3 == 0, F.lit("WWW."))
+        .when(d.doc_id % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("")),
+        F.when(d.doc_id % 2 == 1, F.upper(d.source)).otherwise(d.source),
+        F.lit(".Example.COM"),
+        F.when(d.doc_id % 2 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/catalog//item/"),
+        ((d.doc_id * 7) % 13).cast("string"),
+        F.when(
+            d.doc_id % 3 == 0, F.lit("?utm_source=feed&b=2&a=1")
+        ).otherwise(F.lit("?a=1&b=2")),
+        F.when(d.doc_id % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    return (
+        d.select("doc_id", canonical_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+    )
+
+
+_EWMA_SQL = """
+SELECT user_id, ts, event_id, value,
+       list_reduce(vals, (acc, x) -> acc * 0.75 + x * 0.25) AS ewma
+FROM (SELECT user_id, ts, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               AS vals
+      FROM events)
+"""
+
+
+@query("w_ewma", _EWMA_SQL)
+def w_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-lookback EWMA per user (temporal.ewma_bounded,
+    alpha=0.25, last 8 events): the smoothing feature next to
+    events_anomaly_mad's rolling median. The fold seeds with the
+    oldest frame value and folds forward — the same IEEE ops in the
+    same order on both engines (alpha exactly representable), so the
+    doubles are bit-identical with no rounding crutch. One shuffle
+    (the user-keyed window), 8-element frame state, codegen HOF —
+    no UDF."""
+    from razulibs_spark.operators.temporal import ewma_bounded
+
+    return ewma_bounded(
+        T(spark, sf_dir, "events"), alpha=0.25, lookback=8
+    )
+
+
+_BFS_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+ und AS (SELECT u, v FROM e UNION SELECT v, u FROM e),
+ bfs(node, lvl) AS (
+  SELECT CAST(0 AS BIGINT), 0
+  UNION
+  SELECT und.v, bfs.lvl + 1 FROM bfs JOIN und ON und.u = bfs.node
+  WHERE bfs.lvl < 4),
+ lv AS (SELECT node, MIN(lvl) AS lvl FROM bfs GROUP BY node)
+SELECT CAST(lvl AS BIGINT) AS level,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       MIN(node) AS min_part, MAX(node) AS max_part
+FROM lv GROUP BY lvl
+"""
+
+
+@query("graph_bfs_levels", _BFS_SQL)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-hop neighborhood of part 0 over the co-purchase graph
+    (graph.bfs_levels, max_depth=4): parts sharing an order form
+    edges; BFS assigns each reachable part its MINIMUM hop count —
+    the related-item expansion / blast-radius primitive. The oracle
+    is a recursive CTE with the same depth bound. Result is the
+    per-level profile (count + key range), not the node list — the
+    driver ships four rows however big the graph is. Co-purchase
+    graphs are small-world: expect saturation by level 2-3.
+
+    Edge build: per-order collect_set + in-array pair expansion — one
+    groupBy shuffle of the lineitem keys instead of the lineitem
+    self-join (which shuffles the table twice and materializes the
+    pre-distinct pair stream). Basket sizes are small (TPC-H ≤ 7), so
+    the nested transform is a few dozen pairs per order; the sorted
+    set gives src < dst for free."""
+    from razulibs_spark.operators.graph import bfs_levels
+
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.size(F.col("parts")) - i - 1
+                ),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
+        )
+    )
+    edges = baskets.select(
+        F.explode(pairs).alias("p")
+    ).select("p.src", "p.dst")
+    seeds = li.sparkSession.range(1).select(
+        F.lit(0).cast("long").alias("node")
+    )
+    levels = bfs_levels(edges, seeds, max_depth=4)
+    return levels.groupBy("level").agg(
+        F.count("*").cast("long").alias("n_parts"),
+        F.min("node").alias("min_part"),
+        F.max("node").alias("max_part"),
+    )
+
+
+_PARTPRUNE_SQL = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents WHERE source = 'src7'
+GROUP BY lang
+"""
+
+
+@query("io_partitioned_pruning", _PARTPRUNE_SQL)
+def io_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned layout end to end (sources/bucketed.py::
+    save_partitioned): documents written partitionBy(source) — the
+    low-cardinality manifest key — then a source-filtered re-read
+    aggregates one partition. The filter must resolve as a
+    PartitionFilter (directory pruning at planning time, zero data
+    rows from the other 19 sources read — asserted for this layout in
+    tests/test_scale_plans.py::test_partition_pruning); at 100 TB this
+    is the difference between a directory lookup and a full scan.
+    Store path keyed by sf_dir (eager write, lazy read)."""
+    import os
+
+    from razulibs_spark.sources.bucketed import save_partitioned
+
+    base = (
+        "/root/repo/.scratch/partitioned_docs_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars", "source"
+    )
+    save_partitioned(docs, base, "source")
+    back = spark.read.parquet(base)
+    return (
+        back.filter(F.col("source") == "src7")
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )

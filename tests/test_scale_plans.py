@@ -661,3 +661,36 @@ def test_schema_evolution_merges_and_buckets_legacy(spark):
     n_legacy = orders.filter("month(o_orderdate) <= 6").count()
     assert rows["<legacy>"] == n_legacy
     assert sum(rows.values()) == orders.count()
+
+
+def test_url_canonical_single_shuffle_no_udf(spark):
+    """URL dedup: the canonical key is a pure codegen expression in
+    the scan stage — exactly one Exchange (the canonical-key groupBy)
+    and no Python evaluation node anywhere."""
+    plan = _plan(Q.dedup_url_canonical(spark, SF))
+    # one Exchange node = two mentions (tree line + detail header)
+    assert plan.count("Exchange") == 2
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_ewma_single_window_exchange_no_udf(spark):
+    """Bounded EWMA: one user-keyed window exchange, fold stays a
+    JVM higher-order function — no UDF, no extra shuffle."""
+    plan = _plan(Q.w_ewma(spark, SF))
+    # one Exchange / one Window node = two mentions each (tree+detail)
+    assert plan.count("Exchange") == 2
+    assert plan.count("Window") == 2
+    # the frame array materializes ONCE (a second window expression
+    # would appear as _we1 in the Window node's argument list)
+    assert "_we1" not in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_partitioned_pruning_entry_plan(spark):
+    """The driver-visible hive-layout entry: the source predicate
+    resolves as a PartitionFilter on the re-read (directory pruning),
+    never a per-row data filter."""
+    plan = _plan(Q.io_partitioned_pruning(spark, SF))
+    seg = plan.split("PartitionFilters")[1][:120]
+    assert "src7" in seg
+    assert "PushedFilters: []" in plan

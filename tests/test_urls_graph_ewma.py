@@ -1,0 +1,174 @@
+"""Unit tests for the round-6 additions: URL canonicalization
+(functions/urls.py), bounded EWMA (operators/temporal.ewma_bounded),
+and min-distance BFS levels (operators/graph.bfs_levels)."""
+
+from __future__ import annotations
+
+from urllib.parse import urlsplit
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from razulibs_spark.functions.urls import canonical_url
+from razulibs_spark.operators.graph import bfs_levels
+from razulibs_spark.operators.temporal import ewma_bounded
+
+
+# --- URL canonicalization -------------------------------------------------
+
+def _py_canonical(url: str) -> str:
+    """Independent reference canonicalizer built on urllib.urlsplit —
+    the spec the Column expression must match."""
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    host = (parts.hostname or "").lower()
+    if host.startswith("www."):
+        host = host[4:]
+    port = parts.port
+    default = {"https": 443, "http": 80}.get(scheme)
+    netloc = host if port in (None, default) else f"{host}:{port}"
+    path = parts.path
+    while "//" in path:
+        path = path.replace("//", "/")
+    if path == "":
+        path = "/"
+    params = [
+        p for p in parts.query.split("&")
+        if p != "" and not p.startswith("utm_")
+    ]
+    query = "&".join(sorted(params))
+    return f"{scheme}://{netloc}{path}" + (f"?{query}" if query else "")
+
+
+_SCHEMES = st.sampled_from(["http", "https", "HTTP", "HtTpS"])
+_HOSTS = st.sampled_from(
+    ["example.com", "WWW.Example.COM", "sub.host.org", "www.a.b"]
+)
+_PORTS = st.sampled_from(["", ":80", ":443", ":8080"])
+_PATHS = st.sampled_from(
+    ["", "/", "/a/b", "/a//b///c", "/Item/7", "//x"]
+)
+_QUERIES = st.sampled_from(
+    ["", "?a=1&b=2", "?b=2&a=1", "?utm_source=x&a=1", "?utm_a=1&utm_b=2",
+     "?z=3&&a=1", "?a=1&A=2"]
+)
+_FRAGS = st.sampled_from(["", "#top", "#a/b?c=1"])
+
+
+@settings(max_examples=40, deadline=None)
+@given(_SCHEMES, _HOSTS, _PORTS, _PATHS, _QUERIES, _FRAGS)
+def test_canonical_url_matches_urllib_reference(
+    spark_session_holder, scheme, host, port, path, query, frag
+):
+    spark = spark_session_holder
+    url = f"{scheme}://{host}{port}{path}{query}{frag}"
+    got = (
+        spark.range(1)
+        .select(canonical_url(F.lit(url)).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert got == _py_canonical(url), url
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    # hypothesis can't take function-scoped fixtures; re-expose the
+    # session-scoped spark fixture at module scope.
+    return spark
+
+
+def test_canonical_url_batch(spark):
+    cases = {
+        "HTTPS://WWW.Ex.COM:443/a//b?utm_x=1&b=2&a=1#f":
+            "https://ex.com/a/b?a=1&b=2",
+        "http://Host.org:8080//":
+            "http://host.org:8080/",
+        "https://site.net":
+            "https://site.net/",
+        "http://site.net:80/p?utm_source=x":
+            "http://site.net/p",
+    }
+    df = spark.createDataFrame(
+        [(k,) for k in cases], "url string"
+    ).select("url", canonical_url(F.col("url")).alias("c"))
+    for row in df.collect():
+        assert row["c"] == cases[row["url"]], row["url"]
+
+
+# --- bounded EWMA ---------------------------------------------------------
+
+def test_ewma_bounded_fold(spark):
+    rows = [(1, i, float(v)) for i, v in enumerate([10, 20, 30, 40])]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, value double")
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_bounded(
+            df, key="user_id", order=("event_id",), value="value",
+            alpha=0.25, lookback=3,
+        ).collect()
+    }
+    # manual fold, seed = oldest value in the ≤3-element frame
+    assert got[0] == 10.0
+    assert got[1] == 10.0 * 0.75 + 20 * 0.25
+    assert got[2] == (10.0 * 0.75 + 20 * 0.25) * 0.75 + 30 * 0.25
+    # frame slides: seeds with 20 once the first value ages out
+    assert got[3] == (20.0 * 0.75 + 30 * 0.25) * 0.75 + 40 * 0.25
+
+
+def test_ewma_is_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 0, 5.0), (2, 0, 100.0), (1, 1, 10.0)],
+        "user_id int, event_id int, value double",
+    )
+    got = {
+        (r["user_id"], r["event_id"]): r["ewma"]
+        for r in ewma_bounded(
+            df, key="user_id", order=("event_id",), value="value"
+        ).collect()
+    }
+    assert got[(2, 0)] == 100.0          # other user's values never leak
+    assert got[(1, 1)] == 5.0 * 0.75 + 10.0 * 0.25
+
+
+# --- BFS levels -----------------------------------------------------------
+
+def test_bfs_levels_min_distance_cycle_and_unreachable(spark):
+    # 0-1-2-3 path, a 1-3 chord (two paths to 3 → min wins),
+    # a 2-0 back-edge (cycle), and isolated node 9 via edge 8-9.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 3), (2, 0), (8, 9)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(edges, seeds, max_depth=5).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 1, 3: 2}  # 8,9 unreachable; 3 via chord
+
+
+def test_bfs_levels_depth_bound_and_direction(spark):
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(
+            edges, seeds, max_depth=2, undirected=False
+        ).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2}  # 3 cut by max_depth
+    # directed: seeding from the sink reaches nothing
+    got_rev = {
+        r["node"]: r["level"]
+        for r in bfs_levels(
+            edges,
+            spark.createDataFrame([(3,)], "node long"),
+            max_depth=3,
+            undirected=False,
+        ).collect()
+    }
+    assert got_rev == {3: 0}
