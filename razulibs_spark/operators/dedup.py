@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from razulibs_spark.operators.pinning import pin_iteration
+
 N_MINHASH = 12
 N_BANDS = 4
 ROWS_PER_BAND = N_MINHASH // N_BANDS
@@ -336,7 +338,7 @@ def connected_components(
     digits in practice (``max_iter`` caps adversarial chains; the
     large-star/small-star algorithm is the published alternative when
     diameters are genuinely large). Each iteration is one shuffle on
-    the node id; the frontier is checkpointed via ``localCheckpoint``
+    the node id; the frontier is pinned via ``pin_iteration``
     to keep lineage from growing per iteration.
 
     nodes: one column ``doc_id``; edges: ``(d1, d2)`` undirected.
@@ -366,7 +368,7 @@ def connected_components(
                     F.col("component"), F.coalesce("_nmin", F.col("component"))
                 ).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .transform(pin_iteration)
         )
         changed = (
             new_labels.alias("n")

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from razulibs_spark.operators.pinning import pin_iteration
+
 
 def transition_edges(
     events: DataFrame,
@@ -143,11 +145,13 @@ def pagerank(
     # Each iteration references `ranks` twice (dangling-mass row +
     # contributions): without lineage truncation the logical plan
     # doubles per round and Catalyst analysis goes exponential.
-    # localCheckpoint materializes the iterate AND cuts the plan, so
-    # every round analyzes a constant-depth tree.
+    # pin_iteration (operators/pinning.py) materializes the iterate
+    # AND cuts the plan, so every round analyzes a constant-depth
+    # tree; on local[n] it is localCheckpoint, on a cluster the
+    # spark.razulibs.iterPin policy picks a fault-tolerant pin.
     ranks = nodes.select(
         "node", "dangling", F.lit(1.0 / n).alias("rank")
-    ).localCheckpoint(eager=True)
+    ).transform(pin_iteration)
     try:
         for _ in range(iters):
             # ONE broadcast frame: the rank vector plus the 1-row
@@ -182,14 +186,14 @@ def pagerank(
                         * F.coalesce(F.col("in_rank"), F.lit(0.0))
                     ).alias("rank"),
                 )
-                .localCheckpoint(eager=True)
+                .transform(pin_iteration)
             )
-            # No explicit unpersist: Dataset.unpersist is a no-op on a
-            # localCheckpoint'ed frame (its blocks live outside the
-            # CacheManager). Dropping the reference lets Spark's
-            # ContextCleaner reclaim the superseded node-sized RDD
-            # blocks asynchronously; at most O(1) stale vectors are
-            # in flight at a time.
+            # No explicit unpersist: under the default pins the
+            # superseded node-sized blocks live outside the
+            # CacheManager and the ContextCleaner reclaims them as
+            # references drop — at most O(1) stale vectors in flight.
+            # (Forced iterPin=persist trades that for CacheManager
+            # entries that last until clearCache — see pinning.py.)
             ranks = new_ranks
         return ranks.select(
             "node", F.round(F.col("rank"), 8).alias("rank")
@@ -215,7 +219,7 @@ def transitive_closure(
     of length ≤ 2^k, so ``ceil(log2(max_depth))`` self-join rounds
     close a depth-d forest instead of d — 4 rounds for depth 16. Per
     round: one self-join (ancestor side keyed on node), one union,
-    one dropDuplicates, then ``localCheckpoint`` to stop the
+    one dropDuplicates, then a pin_iteration pin to stop the
     exponential lineage a self-referencing loop otherwise builds
     (same trade as dedup's connected components). In a forest each
     (node, ancestor) pair has exactly one path, so depth is
@@ -231,7 +235,7 @@ def transitive_closure(
         F.col(child_col).alias("node"),
         F.col(parent_col).alias("ancestor"),
         F.lit(1).alias("depth"),
-    ).localCheckpoint(eager=True)
+    ).transform(pin_iteration)
     rounds = max(1, math.ceil(math.log2(max(2, max_depth))))
     for _ in range(rounds):
         hop = (
@@ -254,7 +258,7 @@ def transitive_closure(
         paths = (
             paths.unionByName(hop)
             .dropDuplicates(["node", "ancestor"])
-            .localCheckpoint(eager=True)
+            .transform(pin_iteration)
         )
     return paths.select(
         "node", "ancestor", F.col("depth").cast("long").alias("depth")
@@ -430,9 +434,9 @@ def bfs_levels(
     broadcast-the-small-vector trade pagerank makes with its rank
     vector — so each round's only shuffle is the neighbor distinct;
     the persisted edge table never re-shuffles. Per-round state is
-    eagerly ``localCheckpoint``-ed to cut the self-referencing lineage
-    (on a cluster deploy swap for ``persist`` per the rangeCumsum note
-    in operators/stats.py). The early-exit ``take(1)`` per round is
+    eagerly pinned (pin_iteration) to cut the self-referencing lineage
+    — localCheckpoint on local[n], the spark.razulibs.iterPin policy's
+    fault-tolerant pin on a cluster. The early-exit ``take(1)`` per round is
     the BFS frontier-empty test — one driver row per level, inherent
     to the algorithm. For graphs whose frontier outgrows a broadcast
     (beyond ~10⁸ nodes), pass ``broadcast_frontier=False`` to fall
@@ -455,24 +459,24 @@ def bfs_levels(
         frontier = (
             seeds.select(F.col(seeds.columns[0]).alias("node"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .transform(pin_iteration)
         )
         visited = frontier.select(
             "node", F.lit(0).alias("level")
-        ).localCheckpoint(eager=True)
+        ).transform(pin_iteration)
         for depth in range(1, max_depth + 1):
             nxt = (
                 e.join(maybe_b(frontier), frontier["node"] == e["_u"])
                 .select(F.col("_v").alias("node"))
                 .distinct()
                 .join(maybe_b(visited.select("node")), "node", "left_anti")
-                .localCheckpoint(eager=True)
+                .transform(pin_iteration)
             )
             if not nxt.take(1):
                 break
             visited = visited.unionByName(
                 nxt.select("node", F.lit(depth).alias("level"))
-            ).localCheckpoint(eager=True)
+            ).transform(pin_iteration)
             frontier = nxt
     finally:
         e.unpersist()

@@ -172,3 +172,30 @@ def test_bfs_levels_depth_bound_and_direction(spark):
         ).collect()
     }
     assert got_rev == {3: 0}
+
+
+# --- iteration pinning policy ----------------------------------------------
+
+def test_pin_iteration_modes(spark):
+    from razulibs_spark.operators.pinning import pin_iteration
+
+    df = spark.range(10)
+    # auto on local[n] → localCheckpoint: lineage truncated — the
+    # optimized plan is a materialized-RDD scan, no CacheManager entry
+    pinned = pin_iteration(df)
+    assert "LogicalRDD" in pinned._jdf.queryExecution().optimizedPlan().toString()
+    assert not pinned.is_cached
+    # forced persist → CacheManager entry, lineage kept (plan is still
+    # the Range, not a materialized RDD)
+    spark.conf.set("spark.razulibs.iterPin", "persist")
+    try:
+        pinned = pin_iteration(spark.range(10))
+        assert pinned.is_cached
+        assert "LogicalRDD" not in (
+            pinned._jdf.queryExecution().optimizedPlan().toString()
+        )
+        pinned.unpersist()
+    finally:
+        spark.conf.unset("spark.razulibs.iterPin")
+    # results identical either way
+    assert pin_iteration(spark.range(5)).count() == 5
