@@ -301,6 +301,7 @@ R06_ADDITIONS = [
     "w_ewma",
     "graph_bfs_levels",
     "io_partitioned_pruning",
+    "io_csv_malformed",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

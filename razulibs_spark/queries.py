@@ -8701,3 +8701,70 @@ def io_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("sum_chars"),
         )
     )
+
+
+_CSV_MALFORMED_SQL = """
+SELECT lang AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_parsed_ids
+FROM documents WHERE doc_id % 7 <> 0 GROUP BY lang
+UNION ALL
+SELECT '_corrupt', CAST(COUNT(*) AS BIGINT), 0
+FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@query("io_csv_malformed", _CSV_MALFORMED_SQL)
+def io_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-row-tolerant CSV ingestion: a CSV store where every
+    7th row is poison (unparseable doc_id) is read under PERMISSIVE
+    mode with columnNameOfCorruptRecord — bad rows land in the corrupt
+    column and are COUNTED, never dropped silently and never fatal.
+    This is the lake-robustness contract at 100 TB: one poison row in
+    a billion must neither kill the ingest (FAILFAST) nor vanish
+    (DROPMALFORMED); the _corrupt bucket is the data-quality metric a
+    pipeline alerts on. The corruption is synthesized deterministically
+    from doc_id so the oracle predicts both the per-lang good counts
+    and the corrupt count exactly. The aggregate counts parsed doc_ids
+    ON PURPOSE: Spark's CSV column pruning only parses referenced
+    fields, so a query that never reads the malformed column would see
+    zero corrupt records — the n_parsed_ids column both pins that
+    caveat and proves poison rows carry no usable key. Same executor-side store pattern as
+    s6_manifest_scan (path keyed by sf)."""
+    import os
+
+    base = (
+        "/root/repo/.scratch/csv_malformed_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "lang")
+    lines = docs.select(
+        F.when(
+            docs.doc_id % 7 == 0,
+            F.concat(F.lit("oops,"), docs.lang),
+        )
+        .otherwise(
+            F.concat(docs.doc_id.cast("string"), F.lit(","), docs.lang)
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(base)
+    back = spark.read.csv(
+        base,
+        schema="doc_id INT, lang STRING, _corrupt_record STRING",
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    return (
+        back.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("lang"))
+            .alias("bucket"),
+            "doc_id",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("long").alias("n_rows"),
+            F.count("doc_id").cast("long").alias("n_parsed_ids"),
+        )
+    )
