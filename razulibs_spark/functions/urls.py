@@ -26,6 +26,12 @@ Canonical form produced by :func:`canonical_url`:
 
 The regexes use only syntax common to Java regex (Spark) and RE2
 (DuckDB), so the DuckDB oracle in queries.py mirrors them verbatim.
+
+Scope: http(s) crawl URLs — the hostname parse does not special-case
+userinfo (``user:pass@host``) or bracketed IPv6 authorities; crawl
+pipelines reject those upstream (and credentialed URLs should never
+reach a training corpus). Extend ``url_host``/``url_port`` if a
+corpus legitimately carries them.
 """
 
 from __future__ import annotations

@@ -199,3 +199,64 @@ def test_pin_iteration_modes(spark):
         spark.conf.unset("spark.razulibs.iterPin")
     # results identical either way
     assert pin_iteration(spark.range(5)).count() == 5
+
+
+# --- randomized cross-checks against pure-Python references ---------------
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=12),
+       st.integers(min_value=1, max_value=6))
+def test_ewma_matches_python_fold_bitwise(spark_session_holder, vals, lb):
+    """Bit-identical to the reference fold: same IEEE ops, same order
+    — the exact property the DuckDB oracle relies on."""
+    spark = spark_session_holder
+    df = spark.createDataFrame(
+        [(1, i, float(v)) for i, v in enumerate(vals)],
+        "user_id int, event_id int, value double",
+    )
+    got = {
+        r["event_id"]: r["ewma"]
+        for r in ewma_bounded(
+            df, key="user_id", order=("event_id",), value="value",
+            alpha=0.25, lookback=lb,
+        ).collect()
+    }
+    for i in range(len(vals)):
+        frame = vals[max(0, i - lb + 1): i + 1]
+        acc = frame[0]
+        for x in frame[1:]:
+            acc = acc * 0.75 + x * 0.25
+        assert got[i] == acc, (i, vals, lb)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 12), st.integers(0, 12)),
+                min_size=1, max_size=40),
+       st.integers(min_value=0, max_value=12))
+def test_bfs_levels_match_python_bfs(spark_session_holder, edge_list, seed):
+    spark = spark_session_holder
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(seed,)], "node long")
+    got = {
+        r["node"]: r["level"]
+        for r in bfs_levels(edges, seeds, max_depth=13).collect()
+    }
+    # reference BFS over the undirected adjacency
+    adj: dict[int, set[int]] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    want, frontier = {seed: 0}, [seed]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj.get(u, ()):
+                if v not in want:
+                    want[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    assert got == want, edge_list
