@@ -693,4 +693,8 @@ def test_partitioned_pruning_entry_plan(spark):
     plan = _plan(Q.io_partitioned_pruning(spark, SF))
     seg = plan.split("PartitionFilters")[1][:120]
     assert "src7" in seg
-    assert "PushedFilters: []" in plan
+    # nothing row-level survives: no Filter node, and the scan prints
+    # no PushedFilters line at all (explain omits it when the data
+    # filter list is empty)
+    assert "PushedFilters" not in plan
+    assert ") Filter" not in plan

@@ -201,6 +201,34 @@ def test_pin_iteration_modes(spark):
     assert pin_iteration(spark.range(5)).count() == 5
 
 
+def test_pin_iteration_reliable_checkpoint_and_errors(spark, tmp_path):
+    from razulibs_spark.operators.pinning import (
+        pin_iteration,
+        resolve_pin_mode,
+    )
+
+    # forced reliable checkpoint: lineage cut, files land in the dir
+    spark.sparkContext.setCheckpointDir(str(tmp_path))
+    spark.conf.set("spark.razulibs.iterPin", "checkpoint")
+    try:
+        pinned = pin_iteration(spark.range(10))
+        assert "LogicalRDD" in (
+            pinned._jdf.queryExecution().optimizedPlan().toString()
+        )
+        assert pinned.count() == 10
+        assert any(tmp_path.iterdir())  # checkpoint files written
+    finally:
+        spark.conf.unset("spark.razulibs.iterPin")
+    # the pure policy matrix (cluster branches, untestable live here)
+    assert resolve_pin_mode("auto", "local[8]", False) == "localCheckpoint"
+    assert resolve_pin_mode("auto", "yarn", True) == "checkpoint"
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        resolve_pin_mode("auto", "yarn", False)  # no silent bad default
+    with pytest.raises(ValueError, match="not one of"):
+        resolve_pin_mode("Persist", "local[8]", False)  # typo must raise
+    assert resolve_pin_mode("persist", "yarn", False) == "persist"
+
+
 # --- randomized cross-checks against pure-Python references ---------------
 
 @settings(max_examples=15, deadline=None)
