@@ -302,6 +302,7 @@ R06_ADDITIONS = [
     "graph_bfs_levels",
     "io_partitioned_pruning",
     "io_csv_malformed",
+    "multimodal_image_ahash",
 ]
 
 HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS

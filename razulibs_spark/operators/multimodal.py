@@ -860,3 +860,113 @@ def synthesize_gif_media(documents: DataFrame) -> DataFrame:
         ]
     )
     return documents.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+def _pixels_rgb(payload: bytes, fmt: str):
+    """Top-down (h, w, 3) RGB uint8 array from an uncompressed raster
+    payload — the pixel-level companion to the stats decoders above.
+    Raises ValueError on anything else (caller reports, never dies)."""
+    import numpy as np
+
+    if fmt == "image/bmp":
+        if len(payload) < 54 or payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        off = int.from_bytes(payload[10:14], "little")
+        width = int.from_bytes(payload[18:22], "little", signed=True)
+        height_raw = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        if bpp != 24 or width <= 0 or height_raw == 0:
+            raise ValueError("unsupported BMP for pixel decode")
+        height = abs(height_raw)
+        stride = (width * 3 + 3) // 4 * 4
+        if len(payload) < off + stride * height:
+            raise ValueError("truncated BMP pixel array")
+        rows = np.frombuffer(
+            payload, dtype=np.uint8, count=stride * height, offset=off
+        ).reshape(height, stride)[:, : width * 3].reshape(height, width, 3)
+        rgb = rows[:, :, ::-1]                      # BGR → RGB
+        if height_raw > 0:                          # bottom-up → top-down
+            rgb = rgb[::-1]
+        return rgb
+    if fmt == "image/x-portable-pixmap":
+        parts = payload.split(b"\n", 3)
+        if len(parts) < 4 or parts[0] != b"P6":
+            raise ValueError("not a binary PPM payload")
+        width, height = (int(t) for t in parts[1].split())
+        body = parts[3]
+        if len(body) < width * height * 3:
+            raise ValueError("truncated PPM pixel array")
+        return np.frombuffer(
+            body, dtype=np.uint8, count=width * height * 3
+        ).reshape(height, width, 3)
+    raise ValueError(f"no pixel decoder for {fmt}")
+
+
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_format", StringType()),
+        StructField("decoded", BooleanType()),
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("bits_set", LongType()),
+        StructField("ahash", StringType()),
+        StructField("note", StringType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels — the image
+    near-dup primitive (re-encoded or metadata-touched copies of the
+    same picture hash identically; content edits flip bits). Per
+    image: gray = r+g+b (integer), bit(x, y) = [gray·w·h > Σgray]
+    (strict, all-integer — no float threshold, so the bit grid is
+    bit-exact across engines), bitstring in row-major TOP-DOWN order,
+    hash = md5(bitstring). bits_set rides along so near-threshold
+    regressions show up as an integer drift, not just a hash flip.
+
+    Non-raster formats and corrupt payloads come back decoded=false
+    with the reason — same resilience contract as decode_media. One
+    Arrow pass, bounded payloads, split-aware width."""
+    import hashlib
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, fmt in zip(
+                pdf["doc_id"], pdf["payload"], pdf["media_format"]
+            ):
+                row = {
+                    "doc_id": int(doc_id), "media_format": fmt,
+                    "decoded": False, "width": None, "height": None,
+                    "bits_set": None, "ahash": None, "note": None,
+                }
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    rgb = _pixels_rgb(bytes(payload), fmt)
+                except ValueError as exc:
+                    row["note"] = str(exc)
+                else:
+                    h, w = rgb.shape[:2]
+                    gray = rgb.astype(np.int64).sum(axis=2)
+                    bits = (gray * (w * h) > int(gray.sum())).ravel()
+                    bitstring = "".join("1" if b else "0" for b in bits)
+                    row.update(
+                        decoded=True, width=int(w), height=int(h),
+                        bits_set=int(bits.sum()),
+                        ahash=hashlib.md5(bitstring.encode()).hexdigest(),
+                    )
+                rows.append(row)
+            yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA])
+
+    n_parts = max(
+        media.sparkSession.sparkContext.defaultParallelism,
+        media.rdd.getNumPartitions(),
+    )
+    return media.repartition(n_parts).mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )

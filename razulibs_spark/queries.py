@@ -8768,3 +8768,78 @@ def io_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("doc_id").cast("long").alias("n_parsed_ids"),
         )
     )
+
+
+_AHASH_SQL = """
+WITH d AS (SELECT doc_id, CAST(doc_id % 4 AS INT) AS kind FROM documents),
+imgs AS (
+  SELECT doc_id, kind,
+         CASE kind WHEN 0 THEN 8 + doc_id % 17 ELSE 5 + doc_id % 13 END AS w,
+         CASE kind WHEN 0 THEN 6 + doc_id % 11 ELSE 4 + doc_id % 7 END AS h
+  FROM d WHERE kind IN (0, 1)),
+px AS (
+  SELECT i.doc_id, i.kind, i.w, i.h, xx.x, yy.y,
+         CASE i.kind
+           WHEN 0 THEN (i.doc_id + 7 * xx.x) % 256
+                     + (3 * yy.y + i.doc_id // 5) % 256
+                     + xor(i.doc_id, xx.x * yy.y + 1) % 256
+           ELSE (i.doc_id * 3 + xx.x) % 256
+              + (i.doc_id + xx.x * yy.y) % 256
+              + (5 * yy.y + i.doc_id // 3) % 256
+         END AS gray
+  FROM imgs i, unnest(range(0, i.w)) xx(x), unnest(range(0, i.h)) yy(y)),
+tot AS (SELECT doc_id, SUM(gray) AS total FROM px GROUP BY doc_id),
+bits AS (
+  SELECT px.doc_id, px.kind, px.w, px.h, px.y, px.x,
+         CASE WHEN px.gray * (px.w * px.h) > t.total
+              THEN '1' ELSE '0' END AS b
+  FROM px JOIN tot t USING (doc_id)),
+img_out AS (
+  SELECT doc_id,
+         CASE MAX(kind) WHEN 0 THEN 'image/bmp'
+                        ELSE 'image/x-portable-pixmap' END AS media_format,
+         TRUE AS decoded,
+         CAST(MAX(w) AS BIGINT) AS width,
+         CAST(MAX(h) AS BIGINT) AS height,
+         CAST(SUM(CASE WHEN b = '1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS bits_set,
+         md5(string_agg(b, '' ORDER BY y, x)) AS ahash,
+         CAST(NULL AS VARCHAR) AS note
+  FROM bits GROUP BY doc_id),
+other_out AS (
+  SELECT doc_id,
+         CASE WHEN kind = 2 THEN 'audio/wav'
+              WHEN (doc_id // 4) % 2 = 0 THEN 'image/png'
+              ELSE 'image/jpeg' END AS media_format,
+         FALSE AS decoded,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS BIGINT) AS bits_set, CAST(NULL AS VARCHAR) AS ahash,
+         'no pixel decoder for '
+           || CASE WHEN kind = 2 THEN 'audio/wav'
+                   WHEN (doc_id // 4) % 2 = 0 THEN 'image/png'
+                   ELSE 'image/jpeg' END AS note
+  FROM d WHERE kind IN (2, 3))
+SELECT * FROM img_out UNION ALL SELECT * FROM other_out
+"""
+
+
+@query("multimodal_image_ahash", _AHASH_SQL)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels
+    (multimodal.image_ahash): the image near-dup primitive — identical
+    pictures hash identically whatever container carried them, content
+    edits flip bits. Every bit is integer-exact (gray·w·h > Σgray,
+    bitstring in top-down row-major order, md5), so the oracle
+    recomputes the ENTIRE bit grid — not just channel means — from
+    the synthesis formulas and hash-matches it: this entry is the
+    pixel-exactness proof for the raster decoders (orientation flips
+    or a channel swap change the hash). Non-raster payloads
+    (WAV/PNG/JPEG slots) come back decoded=false with the reason —
+    the poison-tolerant contract shared with multimodal_decode."""
+    from razulibs_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_decodable_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return image_ahash(synthesize_decodable_media(docs))

@@ -288,3 +288,47 @@ def test_bfs_levels_match_python_bfs(spark_session_holder, edge_list, seed):
                     nxt.append(v)
         frontier = nxt
     assert got == want, edge_list
+
+
+# --- perceptual average-hash ------------------------------------------------
+
+def test_image_ahash_known_grid_and_orientation(spark):
+    import hashlib
+
+    from razulibs_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        image_ahash,
+    )
+
+    # 2x2 image (channels must stay ≤255 — the encoders mask with
+    # &0xFF): gray (r+g+b) = [[0, 300], [600, 750]]; total=1650 →
+    # strict gray·4 > total gives bits 0011 row-major top-down for
+    # the PPM, and BMP must agree after its bottom-up flip.
+    vals = {(0, 0): (0, 0, 0), (1, 0): (100, 100, 100),
+            (0, 1): (200, 200, 200), (1, 1): (250, 250, 250)}
+    fn = lambda x, y: vals[(x, y)]
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_ppm(2, 2, fn)), "image/x-portable-pixmap"),
+         (2, bytearray(encode_bmp(2, 2, fn)), "image/bmp"),
+         (3, bytearray(b"\x00bad"), "image/bmp"),
+         (4, bytearray(b"RIFF"), "audio/wav")],
+        "doc_id long, payload binary, media_format string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in image_ahash(df).collect()}
+    want = hashlib.md5(b"0011").hexdigest()
+    assert got[1]["ahash"] == want and got[1]["bits_set"] == 2
+    assert got[2]["ahash"] == want            # orientation-normalized
+    assert got[1]["decoded"] and got[2]["decoded"]
+    assert not got[3]["decoded"] and "BMP" in got[3]["note"]
+    assert not got[4]["decoded"] and "no pixel decoder" in got[4]["note"]
+    # sensitivity: swap two pixels → different hash (it IS spatial)
+    vals2 = dict(vals)
+    vals2[(0, 0)], vals2[(1, 1)] = vals2[(1, 1)], vals2[(0, 0)]
+    df2 = spark.createDataFrame(
+        [(9, bytearray(encode_ppm(2, 2, lambda x, y: vals2[(x, y)])),
+          "image/x-portable-pixmap")],
+        "doc_id long, payload binary, media_format string",
+    )
+    got2 = image_ahash(df2).collect()[0]
+    assert got2["ahash"] != want and got2["bits_set"] == 2
