@@ -46,42 +46,43 @@ def entry(spark: SparkSession) -> DataFrame:
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
 _ROTATION_FORCE_REFRESH = frozenset({
-    # r6: PNG rows now really decode (stdlib zlib+unfilter) and the
-    # JPEG slot became a real baseline JPEG (operators/jpeg.py) with a
-    # poison sub-slot — output changed, needs a fresh driver row
-    # despite the r5 green.
-    "multimodal_decode",
-    # r6: s6 now scans a payload store the query materializes (text
-    # bytes per doc) and carries a strict oracle — output changed
-    # from the old parquet-dir scan.
-    "s6_manifest_scan",
-    # r6: these two had r5 rows-only records; they are oracle-backed
-    # now (and the rollup's sum went fixed-point, changing output
-    # tails) — re-enter the window so the driver records the hash
-    # compare, not just rows.
-    "streaming_hourly_rollup",
-    "streaming_sessionize",
+    # r7: GIF LZW encoder width-bump fix (operators/gif.py) changes
+    # the emitted payload bytes for boundary index streams; decoded
+    # stats are unchanged but the fixtures re-encode — fresh row.
+    "multimodal_gif_decode",
+    # r7: CSV read schema doc_id INT -> BIGINT (ADVICE) — same output
+    # at this SF, but the parse path changed.
+    "io_csv_malformed",
+    # r7: null fail-fast guard added around the frame build (ADVICE);
+    # values unchanged on the non-null fixture.
+    "w_ewma",
+    # r7: _pixels_rgb PPM branch now shares decode_ppm's header
+    # tokenizer + maxval validation (ADVICE).
+    "multimodal_image_ahash",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
-    "a6_distinct_groups", "a6w_group_change_detect", "a_corr_matrix",
+    "a6_distinct_groups", "a6w_group_change_detect",
+    "a_approx_distinct", "a_approx_quantiles", "a_corr_matrix",
     "a_cube_price", "a_distinct_count", "a_exact_quantiles",
     "a_grouped_ols", "a_grouped_zscore", "a_grouping_sets",
     "a_heavy_hitters", "a_rollup_pricing", "a_winsorize",
-    "contamination_bloom", "contamination_ngram", "d6_premis_events",
-    "dedup_cluster_canonical", "dedup_cluster_sizes",
-    "dedup_containment", "dedup_cross_source", "dedup_edit_distance",
-    "dedup_exact", "dedup_incremental", "dedup_jaccard_prefix_filter",
-    "dedup_lsh_tuning", "dedup_minhash_incremental",
-    "dedup_minhash_lsh", "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
-    "dedup_semantic_clusters", "dedup_simhash", "eval_ann_agreement",
-    "eval_auc_ovr", "eval_calibration", "eval_cohens_kappa",
-    "eval_confusion_matrix", "eval_retrieval_pr", "events_anomaly_mad",
-    "events_bounce_rate", "events_changepoint", "events_cohort_ltv",
-    "events_copurchase_pairs", "events_enriched_nation",
-    "events_funnel", "events_funnel_windowed", "events_hourly_rollup",
-    "events_interarrival_quantiles", "events_markov",
+    "contamination_bloom", "contamination_ngram", "curate_source_cap",
+    "d6_premis_events", "dedup_cluster_canonical",
+    "dedup_cluster_sizes", "dedup_containment", "dedup_cross_source",
+    "dedup_edit_distance", "dedup_exact", "dedup_incremental",
+    "dedup_jaccard_prefix_filter", "dedup_lsh_tuning",
+    "dedup_minhash_incremental", "dedup_minhash_lsh",
+    "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
+    "dedup_semantic_clusters", "dedup_simhash", "dedup_url_canonical",
+    "eval_ann_agreement", "eval_auc_ovr", "eval_calibration",
+    "eval_cohens_kappa", "eval_confusion_matrix", "eval_retrieval_pr",
+    "events_anomaly_mad", "events_bounce_rate", "events_changepoint",
+    "events_cohort_ltv", "events_copurchase_pairs",
+    "events_enriched_nation", "events_funnel", "events_funnel_windowed",
+    "events_hourly_rollup", "events_interarrival_quantiles",
+    "events_markov", "events_multitouch_attribution",
     "events_new_returning", "events_path_analysis",
     "events_peak_concurrency", "events_retention_cohorts", "events_rfm",
     "events_rolling_dau", "events_session_duration_hist",
@@ -92,7 +93,10 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "f21_integer_validation", "f2_full_extension", "f3_mtime_iso",
     "f4_extract_id_parts", "f5_filename_stem", "f6_normalize_path",
     "f8_identifier_templating", "f9_compose_filename",
-    "flagship_triples_oracle", "j1_lookup_join",
+    "flagship_triples_oracle", "graph_bfs_levels", "graph_pagerank",
+    "graph_triangle_count", "io_bucketed_join", "io_csv_malformed",
+    "io_jsonl_gz_roundtrip", "io_orc_roundtrip",
+    "io_partitioned_pruning", "io_schema_evolution", "j1_lookup_join",
     "j2_multilabel_resolve", "j2_vocab_resolve",
     "j4_manifest_reconcile", "j5_changed_or_new", "j6_set_diff",
     "j7_upload_verification", "j8_hierarchy_links", "j_asof_forward",
@@ -101,10 +105,12 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
     "k2_turtle_roundtrip", "length_histogram", "mixture_sample",
     "multimodal_chunk_audio", "multimodal_decode",
-    "multimodal_features", "multimodal_resize",
-    "multimodal_sample_frames", "o1_sequential_ids", "o2_entity_fanout",
-    "o7_delete_batches", "o_analyze_stats", "o_cdc_apply",
-    "o_scd2_history", "o_skew_profile", "o_write_plan", "o_zorder_key",
+    "multimodal_features", "multimodal_gif_decode",
+    "multimodal_image_ahash", "multimodal_resize",
+    "multimodal_sample_frames", "multimodal_video_frames",
+    "o1_sequential_ids", "o2_entity_fanout", "o7_delete_batches",
+    "o_analyze_stats", "o_cdc_apply", "o_scd2_history",
+    "o_skew_profile", "o_write_plan", "o_zorder_key",
     "p10_invalid_triple_filter", "p4_triple_first_value",
     "p5_subject_type_pivot", "p6_lock_predicate",
     "p7_suffix_scan_filter", "p8_date_filter_nullkeep",
@@ -121,23 +127,28 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "quality_filter_funnel",
     "quality_gopher_filter", "quality_percentile_filter",
-    "rdf_bgp_match", "s6_manifest_scan", "s7_manifest_map_scan",
-    "s8_eventlog_maxid", "sample_stratified", "sample_temperature_mix",
-    "sim_centroid_shift", "sim_cosine_topk", "sim_embedding_neardup",
-    "sim_ivf_assign", "sim_ivf_topk", "sim_knn_classify",
-    "sim_label_centroids", "sim_maxsim_topk", "sim_quantize_int8",
-    "sim_random_projection", "split_train_test",
+    "rdf_ancestor_closure", "rdf_bgp_match", "rdf_shape_validation",
+    "s6_manifest_scan", "s7_manifest_map_scan", "s8_eventlog_maxid",
+    "sample_stratified", "sample_temperature_mix", "sim_centroid_shift",
+    "sim_cosine_topk", "sim_embedding_neardup", "sim_ivf_assign",
+    "sim_ivf_topk", "sim_ivfpq_topk", "sim_kmeans_lloyd",
+    "sim_knn_classify", "sim_label_centroids", "sim_maxsim_topk",
+    "sim_pca_power", "sim_pq_topk", "sim_quantize_int8",
+    "sim_random_projection", "sim_rp_lsh_neardup", "split_train_test",
     "sql_adhoc_region_revenue", "stats_chi_square",
     "stats_embedding_dims", "stats_group_gini", "stats_ks_drift",
-    "streaming_hourly_rollup", "streaming_sessionize", "t1_topk_orders",
-    "t3_sorted_diff", "t_grouped_topk", "text_bpe_pair_counts",
-    "text_chunk_dedup", "text_fingerprints", "text_language_id",
-    "text_lm_score", "text_novelty_ratio", "text_pii_scrub",
-    "text_quality_scores", "text_rarity_score", "text_repetition_stats",
-    "text_tfidf_topterms", "text_token_stats", "text_vocab_coverage",
-    "u2_graph_union_dedup", "u4_upsert_by_key", "u_intersect_all",
-    "w_lag_lead_gaps", "w_rolling_stats", "w_running_distinct",
-    "w_running_total",
+    "streaming_dedup", "streaming_enrich", "streaming_hourly_rollup",
+    "streaming_interval_join", "streaming_interval_join_outer",
+    "streaming_session_window", "streaming_sessionize",
+    "t1_topk_orders", "t3_sorted_diff", "t_grouped_topk",
+    "text_bpe_encode", "text_bpe_merges", "text_bpe_pair_counts",
+    "text_chunk_dedup", "text_dsir_importance", "text_fingerprints",
+    "text_hash_classifier", "text_language_id", "text_lm_score",
+    "text_novelty_ratio", "text_pii_scrub", "text_quality_scores",
+    "text_rarity_score", "text_repetition_stats", "text_tfidf_topterms",
+    "text_token_stats", "text_vocab_coverage", "u2_graph_union_dedup",
+    "u4_upsert_by_key", "u_intersect_all", "w_ewma", "w_lag_lead_gaps",
+    "w_rolling_stats", "w_running_distinct", "w_running_total",
 })
 
 

@@ -11,7 +11,8 @@ match bit-for-bit.
 
 Scope: GIF87a/89a, global or local color table, single image frame
 (the first image block is decoded; animation frames beyond it are
-ignored), no interlacing, extensions skipped per spec. Malformed
+ignored), 4-pass interlace supported, extensions skipped per spec.
+Malformed
 payloads raise ValueError — callers (decode_media) turn poison into
 decoded=false rows, never dead tasks.
 """
@@ -68,6 +69,15 @@ def _lzw_encode(indices: list[int], mcs: int) -> bytes:
         w = (k,)
     if w:
         emit(table[w], width)
+        # The decoder appends a table entry for every data code after
+        # the first following a clear — including this final one, for
+        # which the encoder assigns nothing. When that phantom append
+        # lands exactly on a 2^width boundary the decoder widens before
+        # reading the next code, so EOI must be emitted one bit wider.
+        # (Unreachable when this emit is the first after a clear: then
+        # next_code == clear+2 < 2^(mcs+1) for every legal mcs >= 2.)
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)
@@ -131,11 +141,23 @@ def _lzw_decode(data: bytes, mcs: int, max_pixels: int) -> list[int]:
 # ---------------------------------------------------------------------------
 
 
+def _interlace_row_order(height: int) -> list[int]:
+    """GIF 4-pass interlace: the order image rows appear in the LZW
+    stream — pass 1 every 8th row from 0, pass 2 every 8th from 4,
+    pass 3 every 4th from 2, pass 4 every odd row."""
+    order: list[int] = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, height, step))
+    return order
+
+
 def encode_gif(width: int, height: int, palette: list[tuple[int, int, int]],
-               indices: list[int]) -> bytes:
+               indices: list[int], *, interlace: bool = False) -> bytes:
     """Build a GIF89a with one image frame and a global color table.
     ``palette`` holds up to 256 (r, g, b) triples; ``indices`` are
-    row-major palette indices, len == width*height. Real LZW."""
+    row-major palette indices, len == width*height. Real LZW. With
+    ``interlace=True`` the rows are written in 4-pass interlace order
+    and the image descriptor's interlace flag is set."""
     if width <= 0 or height <= 0:
         raise ValueError("degenerate GIF dimensions")
     if not 1 <= len(palette) <= 256:
@@ -155,8 +177,14 @@ def encode_gif(width: int, height: int, palette: list[tuple[int, int, int]],
     out.append(0x2C)  # image descriptor
     out += b"\x00\x00\x00\x00"  # left, top
     out += width.to_bytes(2, "little") + height.to_bytes(2, "little")
-    out.append(0)  # no local color table, no interlace
+    out.append(0x40 if interlace else 0)  # no local color table
     out.append(mcs)
+    if interlace:
+        indices = [
+            indices[r * width + c]
+            for r in _interlace_row_order(height)
+            for c in range(width)
+        ]
     lzw = _lzw_encode(indices, mcs)
     for i in range(0, len(lzw), 255):
         block = lzw[i : i + 255]
@@ -171,8 +199,8 @@ def decode_gif(payload: bytes) -> dict:
     """Decode the first image frame of a GIF87a/89a: block walk,
     sub-block reassembly, LZW decompress, palette lookup. Returns the
     decode_media stats dict (width/height + exact per-channel means).
-    Interlaced images are rejected (ValueError) — row order does not
-    change channel means, but honesty over silent wrong layouts."""
+    Interlaced images are de-interlaced (4-pass row shuffle) so the
+    pixel layout is row-major before stats are taken."""
     import numpy as np
 
     data = bytes(payload)
@@ -212,8 +240,7 @@ def decode_gif(payload: bytes) -> dict:
         h = int.from_bytes(data[pos + 6 : pos + 8], "little")
         ipacked = data[pos + 8]
         pos += 9
-        if ipacked & 0x40:
-            raise ValueError("interlaced GIF not supported")
+        interlaced = bool(ipacked & 0x40)
         ct = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 7)
@@ -247,6 +274,13 @@ def decode_gif(payload: bytes) -> dict:
         if len(indices) < w * h:
             raise ValueError("LZW stream ended before image filled")
         idx = np.asarray(indices[: w * h], dtype=np.int64)
+        if interlaced:
+            # Stream rows arrive in 4-pass order; scatter them back to
+            # their true image rows for a row-major layout.
+            rows = idx.reshape(h, w)
+            ordered = np.empty_like(rows)
+            ordered[np.asarray(_interlace_row_order(h))] = rows
+            idx = ordered.reshape(-1)
         if int(idx.max(initial=0)) >= len(ct):
             raise ValueError("GIF pixel index beyond color table")
         rgb = ct[idx].astype(np.float64)

@@ -188,12 +188,16 @@ def pagerank(
                 )
                 .transform(pin_iteration)
             )
-            # No explicit unpersist: under the default pins the
+            # No explicit unpersist: under localCheckpoint pins the
             # superseded node-sized blocks live outside the
             # CacheManager and the ContextCleaner reclaims them as
             # references drop — at most O(1) stale vectors in flight.
-            # (Forced iterPin=persist trades that for CacheManager
-            # entries that last until clearCache — see pinning.py.)
+            # Reliable-checkpoint pins (cluster auto mode) instead
+            # leave files in the checkpoint dir for the app lifetime
+            # unless spark.cleaner.referenceTracking.cleanCheckpoints
+            # =true — retention notes in pinning.py. (Forced
+            # iterPin=persist trades that for CacheManager entries
+            # that last until clearCache — see pinning.py.)
             ranks = new_ranks
         return ranks.select(
             "node", F.round(F.col("rank"), 8).alias("rank")

@@ -104,15 +104,15 @@ def decode_bmp(payload: bytes) -> dict:
     }
 
 
-def decode_ppm(payload: bytes) -> dict:
-    """Decode a binary P6 PPM (maxval ≤ 255): header tokens (with
-    comment support) then one numpy pass over the raw RGB triples."""
-    import numpy as np
-
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary P6 PPM header: returns (width, height, maxval,
+    raster_offset). Shared by decode_ppm and _pixels_rgb so both PPM
+    paths accept/reject exactly the same inputs. Tokens are whitespace
+    separated, '#' comments run to end of line; maxval > 255 (2-byte
+    samples) is rejected, and the single post-maxval whitespace byte
+    is validated (CRLF there would shift the raster)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
-    # Tokenize the header: P6, width, height, maxval — whitespace
-    # separated, '#' comments run to end of line.
     tokens, pos = [], 2
     while len(tokens) < 3 and pos < len(payload):
         c = payload[pos:pos + 1]
@@ -141,7 +141,15 @@ def decode_ppm(payload: bytes) -> dict:
         raise ValueError("PPM: missing whitespace after maxval")
     if sep == b"\r" and payload[pos + 1:pos + 2] == b"\n":
         raise ValueError("PPM: ambiguous CRLF separator after maxval")
-    pos += 1
+    return width, height, maxval, pos + 1
+
+
+def decode_ppm(payload: bytes) -> dict:
+    """Decode a binary P6 PPM (maxval ≤ 255): header tokens (with
+    comment support) then one numpy pass over the raw RGB triples."""
+    import numpy as np
+
+    width, height, _maxval, pos = _ppm_header(payload)
     need = width * height * 3
     if len(payload) - pos < need:
         raise ValueError("truncated PPM pixel array")
@@ -889,15 +897,12 @@ def _pixels_rgb(payload: bytes, fmt: str):
             rgb = rgb[::-1]
         return rgb
     if fmt == "image/x-portable-pixmap":
-        parts = payload.split(b"\n", 3)
-        if len(parts) < 4 or parts[0] != b"P6":
-            raise ValueError("not a binary PPM payload")
-        width, height = (int(t) for t in parts[1].split())
-        body = parts[3]
-        if len(body) < width * height * 3:
+        width, height, _maxval, pos = _ppm_header(payload)
+        need = width * height * 3
+        if len(payload) - pos < need:
             raise ValueError("truncated PPM pixel array")
         return np.frombuffer(
-            body, dtype=np.uint8, count=width * height * 3
+            payload, dtype=np.uint8, count=need, offset=pos
         ).reshape(height, width, 3)
     raise ValueError(f"no pixel decoder for {fmt}")
 

@@ -17,6 +17,16 @@ and the right one depends on the deployment, not the algorithm:
 - reliable ``checkpoint``: blocks go to the checkpoint directory
   (HDFS/object store on a cluster) — lineage is cut AND the state
   survives executor loss. Costs a write to stable storage per round.
+  RETENTION: Spark never deletes reliable checkpoint files for the
+  lifetime of the application unless
+  ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (default
+  false) — a deep loop (PageRank/BFS/closure over many rounds)
+  accumulates O(rounds × state-size) files in the checkpoint dir.
+  Cluster deploys using auto/checkpoint mode should set that conf
+  (the ContextCleaner then removes each round's files once the frame
+  is garbage-collected) or point the checkpoint dir at
+  lifecycle-managed storage (e.g. an object-store prefix with an
+  expiry rule).
 - ``persist``: keeps lineage (block loss triggers recompute) but does
   NOT cut the plan — the exponential-analysis hazard above — and
   entries outlive the algorithm in the CacheManager until an explicit
@@ -54,7 +64,11 @@ def resolve_pin_mode(
     """Pure policy decision (unit-testable without a cluster): map the
     ``spark.razulibs.iterPin`` value + deployment facts to a mode."""
     if conf_value == "auto":
-        if master.startswith("local"):
+        # "local" / "local[n]" / "local[n,f]" only — NOT
+        # "local-cluster[...]", which runs real separate executor JVMs
+        # where localCheckpoint's unreplicated blocks can be lost on
+        # executor failure (the exact hazard auto mode routes around).
+        if master == "local" or master.startswith("local["):
             return "localCheckpoint"
         if has_checkpoint_dir:
             return "checkpoint"

@@ -176,29 +176,24 @@ def cosine_topk(
 def near_duplicate_pairs(embeddings: DataFrame, threshold: float) -> DataFrame:
     """All vector pairs with cosine ≥ threshold (embedding near-dup).
 
-    Brute force O(N²/2) — correct baseline; at scale restrict the join
-    with `ivf_assign` buckets (equal-bucket equi-join) first. The left
-    side is repartitioned so the pair compare parallelizes; the right
-    side is broadcast when it fits (the optimizer decides — both sides
-    here are the same table).
+    Exact all-pairs is inherently Ω(N²/2) compares, but the execution
+    shape matters: this delegates to :func:`blocked_exact_neardup`
+    (block-pair grid + per-task BLAS tile, bounded task memory, no
+    CartesianProduct node) rather than an unbounded ``crossJoin``. The
+    output contract is identical — (v1 < v2, cosine rounded to 6
+    decimals JVM-side, filtered at ``threshold``). For approximate
+    scale paths see :func:`rp_lsh_neardup` (recall < 1) or restrict
+    candidates with `ivf_assign` buckets first.
     """
-    a = _with_vec(embeddings, "v1", "av", "an").repartition(_parallelism(embeddings))
-    b = _with_vec(embeddings, "v2", "bv", "bn")
-    cos = dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("v1") < F.col("v2"))
-        .select("v1", "v2", F.round(cos, 6).alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
-    )
+    return blocked_exact_neardup(embeddings, threshold)
 
 
 def blocked_exact_neardup(
     embeddings: DataFrame, threshold: float, block_size: int = 512
 ) -> DataFrame:
     """Exact all-pairs cosine near-dup as a blocked block-pair grid —
-    the scale-shaped replacement for :func:`near_duplicate_pairs`'s
-    unbounded ``crossJoin``.
+    the execution engine behind :func:`near_duplicate_pairs` (which
+    delegates here; no unbounded ``crossJoin`` exists in the package).
 
     Why not LSH/IVF for an *exact* headline: at threshold 0.4 the
     near-dup pairs can sit arbitrarily close to the threshold (the
@@ -357,8 +352,8 @@ def rp_lsh_neardup(
     seed: int = 7,
 ) -> DataFrame:
     """Random-hyperplane (signed random projection) LSH near-dup — the
-    scale path that replaces the O(N²/2) brute-force half-matrix of
-    :func:`near_duplicate_pairs`.
+    approximate scale path that replaces the exact Ω(N²/2) compare
+    half-matrix of :func:`near_duplicate_pairs`.
 
     sign(v · h) per seeded hyperplane gives a SimHash bit; bits are
     grouped into ``n_bands`` bands of ``band_bits``; vectors sharing

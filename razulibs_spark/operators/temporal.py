@@ -264,6 +264,13 @@ def ewma_bounded(
     exact binary representation (0.25, 0.5) and the fold is
     bit-identical across engines and partitionings: same IEEE ops in
     the same order.
+
+    PRECONDITION: ``value`` must be non-null. The frame array is built
+    with ``collect_list``, which silently DROPS nulls — a null row
+    would shift the frame (borrowing older rows) instead of
+    propagating null, diverging from SQL engines whose list() keeps
+    nulls. Enforced below with a fail-fast assert_true so a nullable
+    column is an error, never silently different semantics.
     """
     w = (
         Window.partitionBy(key)
@@ -280,10 +287,18 @@ def ewma_bounded(
         F.element_at(arr, 1),
         lambda acc, x: acc * F.lit(1.0 - alpha) + x * F.lit(alpha),
     )
+    # Fail fast on nulls (docstring PRECONDITION) — free in codegen,
+    # and far cheaper than a silently shifted frame.
+    checked = F.when(
+        F.col(value).isNull(),
+        F.assert_true(F.col(value).isNotNull(),
+                      f"ewma_bounded: null in {value!r}").cast("double"),
+    ).otherwise(F.col(value))
     return (
         df.select(
-            key, *order, value,
-            F.collect_list(value).over(w).alias("_ewma_frame"),
+            key, *order,
+            checked.alias(value),
+            F.collect_list(checked).over(w).alias("_ewma_frame"),
         )
         .select(key, *order, value, ew.alias("ewma"))
     )

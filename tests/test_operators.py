@@ -979,6 +979,35 @@ def test_ppm_rejects_ambiguous_separator():
         decode_ppm(broken)
 
 
+def test_pixels_rgb_ppm_shares_decode_ppm_validation():
+    """_pixels_rgb (the ahash path) and decode_ppm accept/reject the
+    same PPM inputs: both reject maxval > 255 (2-byte samples would be
+    silently misdecoded) and both tolerate comments + general
+    whitespace in the header."""
+    import numpy as np
+    import pytest as _pytest
+
+    from razulibs_spark.operators.multimodal import (
+        _pixels_rgb,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    good = encode_ppm(2, 2, lambda x, y: (x * 10, y * 10, 99))
+    rgb = _pixels_rgb(good, "image/x-portable-pixmap")
+    assert rgb.shape == (2, 2, 3) and rgb[1, 0].tolist() == [0, 10, 99]
+    # maxval 65535 -> honest rejection on BOTH paths
+    wide = good.replace(b"255\n", b"65535\n")
+    for fn in (decode_ppm, lambda p: _pixels_rgb(p, "image/x-portable-pixmap")):
+        with _pytest.raises(ValueError):
+            fn(wide)
+    # comment + space-separated header parses on BOTH paths
+    body = bytes(np.asarray(rgb, np.uint8))
+    odd_header = b"P6 # c\n 2 2 255\n" + body
+    assert decode_ppm(odd_header)["width"] == 2
+    assert _pixels_rgb(odd_header, "image/x-portable-pixmap").shape == (2, 2, 3)
+
+
 def test_jsonld_docs_carry_across_tiny_arrow_batches(spark):
     """The streaming doc builder must keep an entity's triples
     together even when Arrow batches split mid-entity: force 7-row
@@ -1240,12 +1269,37 @@ def test_gif_malformed_raises_value_error():
     for payload in cases:
         with _pytest.raises(ValueError):
             decode_gif(payload)
-    # interlace flag set -> honest rejection
-    img_desc = good.index(b"\x2c")
-    flagged = bytearray(good)
-    flagged[img_desc + 9] |= 0x40
-    with _pytest.raises(ValueError, match="interlaced"):
-        decode_gif(bytes(flagged))
+
+
+def test_gif_interlace_row_order_matches_spec():
+    from razulibs_spark.operators.gif import _interlace_row_order
+
+    # GIF spec 4-pass pattern, worked by hand for h=10:
+    # pass1 (0,8,..): 0,8  pass2 (4,12,..): 4  pass3 (2,6,..): 2,6
+    # pass4 (odd): 1,3,5,7,9
+    assert _interlace_row_order(10) == [0, 8, 4, 2, 6, 1, 3, 5, 7, 9]
+    assert _interlace_row_order(1) == [0]
+    assert _interlace_row_order(5) == [0, 4, 2, 1, 3]
+    for h in range(1, 40):
+        assert sorted(_interlace_row_order(h)) == list(range(h))
+
+
+def test_gif_interlaced_roundtrip_exact_means():
+    """encode(interlace=True) sets the descriptor flag, stores rows in
+    4-pass order, and decode de-interlaces back — stats identical to
+    the progressive-scan-free encoding of the same image."""
+    from razulibs_spark.operators.gif import decode_gif, encode_gif
+
+    pal = [(i * 19 % 256, i * 3 % 256, (200 - i) % 256) for i in range(8)]
+    w, h = 9, 11
+    pix = [(x + 2 * y) % 8 for y in range(h) for x in range(w)]
+    plain = encode_gif(w, h, pal, pix)
+    inter = encode_gif(w, h, pal, pix, interlace=True)
+    img_desc = inter.index(b"\x2c")
+    assert inter[img_desc + 9] & 0x40
+    assert not plain[img_desc + 9] & 0x40
+    assert inter != plain  # rows really stored in a different order
+    assert decode_gif(inter) == decode_gif(plain)
 
 
 def test_gif_local_color_table_wins():

@@ -6,7 +6,7 @@ Spark job per property run (inputs batched into a single DataFrame).
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
@@ -314,6 +314,10 @@ def test_avi_container_roundtrips_arbitrary_frames(frames, w, h, fps):
              max_size=3000),
 )
 @settings(max_examples=60, deadline=None)
+@example(
+    mcs=2,
+    raw=[0, 0, 0, 1, 0, 2, 0, 0, 0, 1, 1, 2, 1],
+).via('discovered failure')
 def test_gif_lzw_roundtrips_arbitrary_index_streams(mcs, raw):
     """GIF-variant LZW must roundtrip any index stream, across code
     widths, dictionary growth boundaries, and resets."""

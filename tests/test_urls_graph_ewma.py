@@ -132,6 +132,23 @@ def test_ewma_is_per_key(spark):
     assert got[(1, 1)] == 5.0 * 0.75 + 10.0 * 0.25
 
 
+def test_ewma_rejects_null_values(spark):
+    """collect_list drops nulls, which would silently shift the frame
+    (borrow older rows) instead of propagating null — the operator
+    fails fast instead (documented PRECONDITION)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    df = spark.createDataFrame(
+        [(1, 0, 5.0), (1, 1, None), (1, 2, 7.0)],
+        "user_id int, event_id int, value double",
+    )
+    with _pytest.raises((Py4JJavaError, Exception), match="ewma_bounded: null"):
+        ewma_bounded(
+            df, key="user_id", order=("event_id",), value="value"
+        ).collect()
+
+
 # --- BFS levels -----------------------------------------------------------
 
 def test_bfs_levels_min_distance_cycle_and_unreachable(spark):
@@ -227,6 +244,15 @@ def test_pin_iteration_reliable_checkpoint_and_errors(spark, tmp_path):
     with pytest.raises(ValueError, match="not one of"):
         resolve_pin_mode("Persist", "local[8]", False)  # typo must raise
     assert resolve_pin_mode("persist", "yarn", False) == "persist"
+    # local-cluster runs REAL separate executor JVMs — localCheckpoint
+    # blocks can be lost on executor failure, so it is NOT "local"
+    assert resolve_pin_mode("auto", "local", False) == "localCheckpoint"
+    assert (
+        resolve_pin_mode("auto", "local-cluster[2,1,1024]", True)
+        == "checkpoint"
+    )
+    with pytest.raises(ValueError, match="setCheckpointDir"):
+        resolve_pin_mode("auto", "local-cluster[2,1,1024]", False)
 
 
 # --- randomized cross-checks against pure-Python references ---------------
