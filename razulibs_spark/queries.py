@@ -1927,6 +1927,110 @@ def k2_turtle_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compact_triples(read_turtle(spark, path)).select("s", "p", "o")
 
 
+_K2_RDFXML_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s, p, o FROM triples
+"""
+
+
+@query("k2_rdfxml_roundtrip", _K2_RDFXML_SQL)
+def k2_rdfxml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF/XML sink + S4 source round-trip (razu/turtle.py:6-32 lists
+    'xml' second — the most common legacy archive interchange format):
+    expand prefixed names, write one complete RDF/XML document per
+    partition (sources/rdfxml.py, first-principles ElementTree — no
+    rdflib), parse back per-file, compact. The oracle checks the full
+    cycle is the identity. Write is one Arrow pass; read distributes
+    per part file."""
+    from razulibs_spark.operators.rdf import compact_triples, expand_triples
+    from razulibs_spark.sources.rdfxml import read_rdfxml, write_rdfxml
+
+    path = "/root/repo/.scratch/rdfxml_rt"
+    write_rdfxml(expand_triples(_o2_triples_full(spark, sf_dir)), path)
+    return compact_triples(read_rdfxml(spark, path)).select("s", "p", "o")
+
+
+# Deterministic graph assignment for the quad formats: rdf:type rows
+# ride the DEFAULT graph (null label — pins the unnamed-graph path),
+# everything else buckets by (compact) predicate length. Same
+# expression in Spark and the oracle.
+_QUAD_G_SQL = (
+    "CASE WHEN p = 'rdf:type' THEN NULL ELSE "
+    "'https://data.razu.nl/graph/' || CAST(LENGTH(p) % 2 AS VARCHAR) END"
+)
+
+_K2_QUAD_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s, p, o, {_QUAD_G_SQL} AS g FROM triples
+"""
+
+
+def _quads_for_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 triples + deterministic graph label (computed on the compact
+    predicate, matching _QUAD_G_SQL), then s/p/o expanded to absolute
+    URIs for standards-valid serialization — g carried through."""
+    from razulibs_spark.operators.rdf import expand_prefixed
+
+    t = _o2_triples_full(spark, sf_dir).withColumn(
+        "g",
+        F.when(
+            F.col("p") != "rdf:type",
+            F.concat(
+                F.lit("https://data.razu.nl/graph/"),
+                (F.length("p") % 2).cast("string"),
+            ),
+        ),
+    )
+    return t.select(
+        expand_prefixed(F.col("s")).alias("s"),
+        expand_prefixed(F.col("p")).alias("p"),
+        F.when(F.col("o_type") == "uri", expand_prefixed(F.col("o")))
+        .otherwise(F.col("o")).alias("o"),
+        "o_type",
+        expand_prefixed(F.col("o_datatype")).alias("o_datatype"),
+        "o_lang", "g",
+    )
+
+
+def _compact_quads(quads: DataFrame) -> DataFrame:
+    from razulibs_spark.operators.rdf import compact_prefixed
+
+    return quads.select(
+        compact_prefixed(F.col("s")).alias("s"),
+        compact_prefixed(F.col("p")).alias("p"),
+        F.when(F.col("o_type") == "uri", compact_prefixed(F.col("o")))
+        .otherwise(F.col("o")).alias("o"),
+        "g",
+    )
+
+
+@query("k2_trig_roundtrip", _K2_QUAD_SQL)
+def k2_trig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriG sink + S4 source round-trip (razu/turtle.py:6-32 lists
+    'trig'): named graph blocks + default-graph lines, written
+    per-graph-partition, parsed back per file with the graph-block
+    state machine (sources/rdfxml.py). The oracle recomputes the quad
+    set including the graph labels (null = default graph)."""
+    from razulibs_spark.sources.rdfxml import read_trig, write_trig
+
+    path = "/root/repo/.scratch/trig_rt"
+    write_trig(_quads_for_roundtrip(spark, sf_dir), path)
+    return _compact_quads(read_trig(spark, path))
+
+
+@query("k2_trix_roundtrip", _K2_QUAD_SQL)
+def k2_trix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TriX sink + S4 source round-trip (razu/turtle.py:6-32 lists
+    'trix' last): the XML quad syntax — one complete document per
+    partition, <graph> blocks with uri/id/plain/typed terms
+    (sources/rdfxml.py). Same quad oracle as TriG."""
+    from razulibs_spark.sources.rdfxml import read_trix, write_trix
+
+    path = "/root/repo/.scratch/trix_rt"
+    write_trix(_quads_for_roundtrip(spark, sf_dir), path)
+    return _compact_quads(read_trix(spark, path))
+
+
 _SESSIONIZE_STREAM_SQL = """
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
@@ -8751,7 +8855,10 @@ def io_csv_malformed(spark: SparkSession, sf_dir: str) -> DataFrame:
     lines.write.mode("overwrite").text(base)
     back = spark.read.csv(
         base,
-        schema="doc_id INT, lang STRING, _corrupt_record STRING",
+        # BIGINT: the fixture doc_id is 64-bit — an INT schema would
+        # misroute any doc_id > 2^31-1 into the _corrupt bucket while
+        # the oracle still counts it as a good row.
+        schema="doc_id BIGINT, lang STRING, _corrupt_record STRING",
         mode="PERMISSIVE",
         columnNameOfCorruptRecord="_corrupt_record",
     )

@@ -199,12 +199,21 @@ def read_jsonld(spark: SparkSession, path: str) -> DataFrame:
 
 
 def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFrame:
-    """S4 multi-format RDF scan (razu/turtle.py:6-32 tries formats until
-    one parses; here the extension decides, with an explicit override —
-    content-sniffing a 100 TB input is not a plan, a schema is)."""
+    """S4 multi-format RDF scan (razu/turtle.py:6-32 tries
+    turtle/xml/n3/nt/trig/nquads/json-ld/trix until one parses; here
+    the extension decides, with an explicit override —
+    content-sniffing a 100 TB input is not a plan, a schema is).
+
+    All eight reference formats dispatch: the line-framed five
+    (jsonld/nt/ttl/n3/nq) parse per input split; the document-framed
+    three (rdfxml/trig/trix — sources/rdfxml.py) parse per file.
+    Graph labels of quad formats (nquads/trig/trix) are dropped here —
+    S4's contract is a triples frame; use the readers directly for the
+    quad shape."""
     from razulibs_spark.sources.rdf_io import (
         read_nquads, read_ntriples, read_turtle,
     )
+    from razulibs_spark.sources.rdfxml import read_rdfxml, read_trig, read_trix
 
     if fmt is None:
         low = path.lower().rstrip("/")
@@ -216,6 +225,12 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
             fmt = "turtle"
         elif low.endswith((".nq", ".nquads")):
             fmt = "nquads"
+        elif low.endswith((".rdf", ".rdfxml", ".owl", ".xml")):
+            fmt = "rdfxml"
+        elif low.endswith(".trig"):
+            fmt = "trig"
+        elif low.endswith(".trix"):
+            fmt = "trix"
         else:
             raise ValueError(
                 f"cannot infer RDF format from {path!r}; pass fmt="
@@ -228,6 +243,12 @@ def read_rdf(spark: SparkSession, path: str, fmt: str | None = None) -> DataFram
         return read_turtle(spark, path)
     if fmt == "nquads":
         return read_nquads(spark, path).drop("g")
+    if fmt in ("rdfxml", "xml"):
+        return read_rdfxml(spark, path)
+    if fmt == "trig":
+        return read_trig(spark, path).drop("g")
+    if fmt == "trix":
+        return read_trix(spark, path).drop("g")
     raise ValueError(f"unsupported RDF format {fmt!r}")
 
 

@@ -1,0 +1,703 @@
+"""RDF/XML, TriX and TriG sources/sinks — the document-framed tail of
+the S4 multi-format RDF scan (razu/turtle.py:6-32 tries
+turtle/xml/n3/nt/trig/nquads/json-ld/trix; the line-framed five live
+in sources/rdf_io.py and sources/jsonld.py).
+
+These three formats are DOCUMENT-framed: an RDF/XML or TriX file is
+one XML tree, and a TriG graph block spans lines — none of them can be
+parsed per input split the way N-Triples can. The scale contract is
+therefore per-FILE parallelism: a ``binaryFile`` scan distributes one
+task per file (archive metadata documents are per-entity and small —
+the same argument as the S5 SIP dir scan), and each file parses
+executor-side in one Arrow batch. A single multi-GB RDF/XML file does
+not split; that is the format's nature, and the honest answer at
+100 TB is "convert to N-Triples once, then operate line-framed" — the
+writers here exist so round trips are testable, while write_ntriples
+remains the bulk sink.
+
+The parsers are first principles over ``xml.etree.ElementTree``
+(stdlib) — rdflib is deliberately absent. The RDF/XML subset covers
+the constructs machine-generated archive RDF actually uses:
+rdf:Description and typed node elements, rdf:about / rdf:ID /
+rdf:nodeID, property elements with rdf:resource / rdf:nodeID /
+rdf:datatype / xml:lang (inherited) / nested nodes, property
+attributes, rdf:li, and parseType Resource / Literal / Collection.
+Anything outside the subset raises ValueError naming the construct —
+an honest rejection, never a silently dropped triple.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
+
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+XML_NS = "http://www.w3.org/XML/1998/namespace"
+TRIX_NS = "http://www.w3.org/2004/03/trix/trix-1/"
+
+_RDF = "{%s}" % RDF_NS
+_XML_LANG = "{%s}lang" % XML_NS
+_XML_BASE = "{%s}base" % XML_NS
+
+# TRIPLE_SCHEMA + nullable graph label — the quad shape shared with
+# read_nquads (rdf_io.py).
+QUAD_SCHEMA = StructType(
+    list(TRIPLE_SCHEMA.fields) + [StructField("g", StringType(), True)]
+)
+
+_NCNAME_RE = r"[A-Za-z_][A-Za-z0-9_.\-]*"
+
+
+def _files(spark: SparkSession, path: str) -> DataFrame:
+    """One row per file (path, content) — per-file task granularity.
+    Hidden/_SUCCESS files are skipped by the source's default filter."""
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("path", "content")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML — parse
+# ---------------------------------------------------------------------------
+
+
+def _parse_rdfxml(content: bytes, scope: str) -> list[tuple]:
+    """One RDF/XML document → triple tuples. ``scope`` discriminates
+    generated blank-node labels so ids never collide across files
+    (rdflib scopes bnodes per document the same way)."""
+    import hashlib
+    import xml.etree.ElementTree as ET
+    from urllib.parse import urljoin
+
+    root = ET.fromstring(content)
+    out: list[tuple] = []
+    n_gen = [0]
+    tag8 = hashlib.md5(scope.encode()).hexdigest()[:8]
+
+    def bnode(label: str | None = None) -> str:
+        if label is None:
+            n_gen[0] += 1
+            return f"_:g{tag8}n{n_gen[0]}"
+        return f"_:n{tag8}_{label}"
+
+    def term_type(term: str) -> str:
+        return "bnode" if term.startswith("_:") else "uri"
+
+    def tag_uri(elem) -> str:
+        tag = elem.tag
+        if not tag.startswith("{"):
+            raise ValueError(
+                f"RDF/XML: element {tag!r} has no namespace — "
+                "cannot form a property/type URI"
+            )
+        ns, local = tag[1:].split("}", 1)
+        return ns + local
+
+    def parse_node(elem, base: str, lang: str | None) -> str:
+        base = elem.get(_XML_BASE, base)
+        lang = elem.get(_XML_LANG, lang)
+        about = elem.get(_RDF + "about")
+        rid = elem.get(_RDF + "ID")
+        nid = elem.get(_RDF + "nodeID")
+        if about is not None:
+            subj = urljoin(base, about) if base else about
+        elif rid is not None:
+            if not base:
+                raise ValueError(
+                    "RDF/XML: rdf:ID requires an xml:base to resolve "
+                    "the fragment against"
+                )
+            subj = urljoin(base, "#" + rid)
+        elif nid is not None:
+            subj = bnode(nid)
+        else:
+            subj = bnode()
+        if tag_uri(elem) != RDF_NS + "Description":
+            out.append((subj, RDF_NS + "type", tag_uri(elem), "uri",
+                        None, None))
+        for attr, val in elem.attrib.items():
+            if attr in (_RDF + "about", _RDF + "ID", _RDF + "nodeID",
+                        _XML_LANG, _XML_BASE):
+                continue
+            if attr == _RDF + "type":
+                out.append((subj, RDF_NS + "type",
+                            urljoin(base, val) if base else val,
+                            "uri", None, None))
+                continue
+            if attr.startswith(_RDF):
+                raise ValueError(
+                    f"RDF/XML: unsupported rdf:* node attribute {attr!r}"
+                )
+            if not attr.startswith("{"):
+                raise ValueError(
+                    f"RDF/XML: un-namespaced attribute {attr!r} is not "
+                    "a property attribute"
+                )
+            ns, local = attr[1:].split("}", 1)
+            out.append((subj, ns + local, val, "literal", None, lang))
+        li = [0]
+        for child in elem:
+            parse_property(subj, child, base, lang, li)
+        return subj
+
+    def parse_property(subj, elem, base, lang, li) -> None:
+        base = elem.get(_XML_BASE, base)
+        lang = elem.get(_XML_LANG, lang)
+        pred = tag_uri(elem)
+        if pred == RDF_NS + "li":
+            li[0] += 1
+            pred = f"{RDF_NS}_{li[0]}"
+        ptype = elem.get(_RDF + "parseType")
+        res = elem.get(_RDF + "resource")
+        nid = elem.get(_RDF + "nodeID")
+        dt = elem.get(_RDF + "datatype")
+        children = list(elem)
+        if ptype == "Resource":
+            b = bnode()
+            out.append((subj, pred, b, "bnode", None, None))
+            inner_li = [0]
+            for child in children:
+                parse_property(b, child, base, lang, inner_li)
+            return
+        if ptype == "Literal":
+            import xml.etree.ElementTree as ET
+
+            body = (elem.text or "") + "".join(
+                ET.tostring(c, encoding="unicode") for c in children
+            )
+            out.append((subj, pred, body, "literal",
+                        RDF_NS + "XMLLiteral", None))
+            return
+        if ptype == "Collection":
+            items = [parse_node(c, base, lang) for c in children]
+            prev: str | None = None
+            head = RDF_NS + "nil"
+            for i, item in enumerate(items):
+                cell = bnode()
+                if i == 0:
+                    head = cell
+                else:
+                    out.append((prev, RDF_NS + "rest", cell, "bnode",
+                                None, None))
+                out.append((cell, RDF_NS + "first", item,
+                            term_type(item), None, None))
+                prev = cell
+            if prev is not None:
+                out.append((prev, RDF_NS + "rest", RDF_NS + "nil",
+                            "uri", None, None))
+            out.append((subj, pred, head, term_type(head), None, None))
+            return
+        if ptype is not None:
+            raise ValueError(f"RDF/XML: unsupported parseType {ptype!r}")
+        if res is not None:
+            obj = urljoin(base, res) if base else res
+            out.append((subj, pred, obj, "uri", None, None))
+            return
+        if nid is not None:
+            out.append((subj, pred, bnode(nid), "bnode", None, None))
+            return
+        extra = {
+            a: v for a, v in elem.attrib.items()
+            if a not in (_XML_LANG, _XML_BASE, _RDF + "datatype")
+        }
+        if children:
+            if len(children) != 1 or (elem.text or "").strip():
+                raise ValueError(
+                    f"RDF/XML: property {pred!r} mixes text and "
+                    "multiple node elements"
+                )
+            obj = parse_node(children[0], base, lang)
+            out.append((subj, pred, obj, term_type(obj), None, None))
+            return
+        if extra:
+            # empty property element with property attributes →
+            # implicit blank node carrying them as literals
+            b = bnode()
+            out.append((subj, pred, b, "bnode", None, None))
+            for attr, val in extra.items():
+                if not attr.startswith("{") or attr.startswith(_RDF):
+                    raise ValueError(
+                        f"RDF/XML: unsupported attribute {attr!r} on "
+                        "empty property element"
+                    )
+                ns, local = attr[1:].split("}", 1)
+                out.append((b, ns + local, val, "literal", None, lang))
+            return
+        text = elem.text or ""
+        if dt is not None:
+            out.append((subj, pred, text, "literal", dt, None))
+        else:
+            out.append((subj, pred, text, "literal", None, lang))
+
+    if tag_uri(root) == RDF_NS + "RDF":
+        base = root.get(_XML_BASE, "")
+        lang = root.get(_XML_LANG)
+        for child in root:
+            parse_node(child, base, lang)
+    else:
+        parse_node(root, root.get(_XML_BASE, ""), root.get(_XML_LANG))
+    return out
+
+
+def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
+    """S4 source: RDF/XML documents → triples DataFrame. Per-file
+    tasks (module docstring); each file parses executor-side with the
+    first-principles subset parser. A malformed document raises — the
+    scan is an ingest gate, not a best-effort filter."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in TRIPLE_SCHEMA.fields]
+        for pdf in it:
+            rows: list[tuple] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_parse_rdfxml(bytes(content), str(p)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _files(spark, path).mapInPandas(batches, schema=TRIPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# RDF/XML — serialize
+# ---------------------------------------------------------------------------
+
+
+def _split_qname(uri: str) -> tuple[str, str]:
+    """(namespace, NCName local part) split at the last '#' or '/';
+    raises when no split yields a legal XML element name."""
+    import re
+
+    for cut in ("#", "/"):
+        i = uri.rfind(cut)
+        if i > 0:
+            local = uri[i + 1:]
+            if re.fullmatch(_NCNAME_RE, local):
+                return uri[: i + 1], local
+    raise ValueError(f"predicate {uri!r} has no XML-serializable local name")
+
+
+def _xml_subject_attr(s: str) -> str:
+    """Subject → rdf:about / rdf:nodeID attribute, mirroring
+    ntriples_line's bnode handling (rdf_io.py): engine-internal
+    'bnode:' skolems get stable md5 labels; '_:' labels pass through."""
+    import hashlib
+    from xml.sax.saxutils import quoteattr
+
+    if s.startswith("bnode:"):
+        return f"rdf:nodeID={quoteattr('b' + hashlib.md5(s.encode()).hexdigest())}"
+    if s.startswith("_:"):
+        return f"rdf:nodeID={quoteattr('b' + s[2:])}"
+    return f"rdf:about={quoteattr(s)}"
+
+
+def write_rdfxml(triples: DataFrame, path: str) -> None:
+    """K2-family sink: each partition becomes ONE part file holding
+    ONE complete RDF/XML document (XML forbids concatenated roots, so
+    unlike Turtle the header/footer must bracket the whole partition —
+    the Arrow iterator emits the header before the first non-empty
+    batch and the footer after the last). Predicate namespaces are
+    declared per property element (streaming-friendly: the root can't
+    know the namespace set up front), subjects group within each Arrow
+    batch (repeated rdf:Description blocks for one subject are legal
+    RDF/XML). Bulk interchange at scale stays write_ntriples."""
+    import pandas as pd
+    from xml.sax.saxutils import escape, quoteattr
+
+    from razulibs_spark.sources.rdf_io import _widen
+
+    header = (
+        '<?xml version="1.0" encoding="utf-8"?>\n'
+        f'<rdf:RDF xmlns:rdf={quoteattr(RDF_NS)}>'
+    )
+
+    def obj_xml(local, nsdecl, row) -> str:
+        o, o_type = row["o"], row["o_type"]
+        if o_type == "uri":
+            return f"  <{local} {nsdecl} rdf:resource={quoteattr(o)}/>"
+        if o_type == "bnode":
+            import hashlib
+
+            label = (
+                "b" + hashlib.md5(o.encode()).hexdigest()
+                if not o.startswith("_:") else "b" + o[2:]
+            )
+            return f"  <{local} {nsdecl} rdf:nodeID={quoteattr(label)}/>"
+        body = escape(o if o is not None else "")
+        if row["o_lang"] is not None and not pd.isna(row["o_lang"]):
+            return (
+                f"  <{local} {nsdecl} xml:lang={quoteattr(row['o_lang'])}>"
+                f"{body}</{local}>"
+            )
+        if row["o_datatype"] is not None and not pd.isna(row["o_datatype"]):
+            return (
+                f"  <{local} {nsdecl} "
+                f"rdf:datatype={quoteattr(row['o_datatype'])}>"
+                f"{body}</{local}>"
+            )
+        return f"  <{local} {nsdecl}>{body}</{local}>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        opened = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            chunks: list[str] = []
+            if not opened:
+                chunks.append(header)
+                opened = True
+            for s, grp in pdf.groupby("s", sort=False):
+                lines = [f"<rdf:Description {_xml_subject_attr(str(s))}>"]
+                for _, row in grp.iterrows():
+                    ns, local = _split_qname(row["p"])
+                    nsdecl = f"xmlns:p={quoteattr(ns)}"
+                    lines.append(obj_xml(f"p:{local}", nsdecl, row))
+                lines.append("</rdf:Description>")
+                chunks.append("\n".join(lines))
+            yield pd.DataFrame({"value": chunks})
+        if opened:
+            yield pd.DataFrame({"value": ["</rdf:RDF>"]})
+
+    _widen(triples).mapInPandas(batches, "value string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
+# ---------------------------------------------------------------------------
+# TriX (S4) — the simplest XML RDF syntax: <TriX><graph><uri>g</uri>
+# <triple>term term term</triple>…</graph></TriX>, terms being
+# <uri>/<id>/<plainLiteral xml:lang?>/<typedLiteral datatype>.
+# ---------------------------------------------------------------------------
+
+
+def _parse_trix(content: bytes, scope: str) -> list[tuple]:
+    import hashlib
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(content)
+    ns = "{%s}" % TRIX_NS
+    if root.tag not in (ns + "TriX", ns + "trix"):
+        raise ValueError(f"not a TriX document (root {root.tag!r})")
+    tag8 = hashlib.md5(scope.encode()).hexdigest()[:8]
+    out: list[tuple] = []
+
+    def term(elem) -> tuple[str, str, str | None, str | None]:
+        tag = elem.tag.removeprefix(ns)
+        text = elem.text or ""
+        if tag == "uri":
+            return text, "uri", None, None
+        if tag == "id":
+            return f"_:n{tag8}_{text}", "bnode", None, None
+        if tag == "plainLiteral":
+            return text, "literal", None, elem.get(_XML_LANG)
+        if tag == "typedLiteral":
+            dt = elem.get("datatype")
+            if dt is None:
+                raise ValueError("TriX typedLiteral without datatype")
+            return text, "literal", dt, None
+        raise ValueError(f"TriX: unsupported term element {tag!r}")
+
+    for graph in root:
+        if graph.tag != ns + "graph":
+            raise ValueError(f"TriX: expected <graph>, got {graph.tag!r}")
+        children = list(graph)
+        g: str | None = None
+        if children and children[0].tag == ns + "uri":
+            g = children[0].text or ""
+            children = children[1:]
+        for t in children:
+            if t.tag != ns + "triple":
+                raise ValueError(f"TriX: expected <triple>, got {t.tag!r}")
+            terms = list(t)
+            if len(terms) != 3:
+                raise ValueError("TriX: triple must hold exactly 3 terms")
+            s, s_type, _, _ = term(terms[0])
+            if s_type == "literal":
+                raise ValueError("TriX: literal subject")
+            p, p_type, _, _ = term(terms[1])
+            if p_type != "uri":
+                raise ValueError("TriX: predicate must be a uri")
+            o, o_type, o_dt, o_lang = term(terms[2])
+            out.append((s, p, o, o_type, o_dt, o_lang, g))
+    return out
+
+
+def read_trix(spark: SparkSession, path: str) -> DataFrame:
+    """S4 source: TriX documents → quads DataFrame (TRIPLE_SCHEMA +
+    nullable ``g``, same shape as read_nquads). Per-file tasks."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in QUAD_SCHEMA.fields]
+        for pdf in it:
+            rows: list[tuple] = []
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows.extend(_parse_trix(bytes(content), str(p)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _files(spark, path).mapInPandas(batches, schema=QUAD_SCHEMA)
+
+
+def write_trix(triples: DataFrame, path: str) -> None:
+    """TriX sink: one complete document per partition part file; rows
+    group by graph label within each Arrow batch (repeated <graph>
+    blocks for one label are legal TriX). Accepts the quad shape (g
+    nullable/absent → unnamed graph)."""
+    import hashlib
+
+    import pandas as pd
+    from xml.sax.saxutils import escape, quoteattr
+
+    from razulibs_spark.sources.rdf_io import _widen
+
+    if "g" not in triples.columns:
+        triples = triples.withColumn("g", F.lit(None).cast("string"))
+
+    def term(kind: str, val: str, dt, lang) -> str:
+        if kind == "uri":
+            return f"<uri>{escape(val)}</uri>"
+        if kind == "bnode":
+            label = (
+                "b" + hashlib.md5(val.encode()).hexdigest()
+                if not val.startswith("_:") else "b" + val[2:]
+            )
+            return f"<id>{escape(label)}</id>"
+        body = escape(val if val is not None else "")
+        if lang is not None and not pd.isna(lang):
+            return f"<plainLiteral xml:lang={quoteattr(lang)}>{body}</plainLiteral>"
+        if dt is not None and not pd.isna(dt):
+            return f"<typedLiteral datatype={quoteattr(dt)}>{body}</typedLiteral>"
+        return f"<plainLiteral>{body}</plainLiteral>"
+
+    def subj_kind(s: str) -> tuple[str, str]:
+        if s.startswith("bnode:") or s.startswith("_:"):
+            return "bnode", s
+        return "uri", s
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        opened = False
+        for pdf in it:
+            if not len(pdf):
+                continue
+            chunks: list[str] = []
+            if not opened:
+                chunks.append(
+                    '<?xml version="1.0" encoding="utf-8"?>\n'
+                    f"<TriX xmlns={quoteattr(TRIX_NS)}>"
+                )
+                opened = True
+            for g, grp in pdf.groupby(
+                pdf["g"].fillna(""), sort=False
+            ):
+                lines = ["<graph>"]
+                if g:
+                    lines.append(f"  <uri>{escape(str(g))}</uri>")
+                for _, row in grp.iterrows():
+                    sk, sv = subj_kind(str(row["s"]))
+                    lines.append(
+                        "  <triple>"
+                        + term(sk, sv, None, None)
+                        + term("uri", row["p"], None, None)
+                        + term(row["o_type"], row["o"], row["o_datatype"],
+                               row["o_lang"])
+                        + "</triple>"
+                    )
+                lines.append("</graph>")
+                chunks.append("\n".join(lines))
+            yield pd.DataFrame({"value": chunks})
+        if opened:
+            yield pd.DataFrame({"value": ["</TriX>"]})
+
+    _widen(triples).mapInPandas(batches, "value string").write.mode(
+        "overwrite"
+    ).text(path)
+
+
+# ---------------------------------------------------------------------------
+# TriG (S4) — Turtle + graph blocks. Graph context spans lines, so the
+# reader parses per FILE (stateful line walk), not per line; inside a
+# block the line grammar is the same line-oriented subset read_turtle
+# accepts (one triple per ' .'-terminated line, full IRIs or prefixed
+# names, typed/tagged literals).
+# ---------------------------------------------------------------------------
+
+_TRIG_LINE_RE = None  # compiled lazily executor-side
+
+
+def _trig_regex():
+    import re
+
+    global _TRIG_LINE_RE
+    if _TRIG_LINE_RE is None:
+        pname = r'[A-Za-z][\w\-]*:[^\s<>"]+'
+        _TRIG_LINE_RE = re.compile(
+            rf'^(?:<([^>]*)>|(_:\S+)|({pname}))\s+'
+            rf'(?:<([^>]*)>|({pname})|(a))\s+'
+            rf'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+            rf'(?:@([A-Za-z\-]+)|\^\^<([^>]*)>|\^\^({pname}))?|({pname}))'
+            rf'\s*\.\s*$'
+        )
+    return _TRIG_LINE_RE
+
+
+def _py_unescape(lit: str) -> str:
+    """Python twin of rdf_io._unescape_literal (5 writer escapes,
+    decoded left-to-right)."""
+    if "\\" not in lit:
+        return lit
+    out, i = [], 0
+    table = {"\\": "\\", "n": "\n", "r": "\r", "t": "\t", '"': '"'}
+    while i < len(lit):
+        c = lit[i]
+        if c == "\\" and i + 1 < len(lit) and lit[i + 1] in table:
+            out.append(table[lit[i + 1]])
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def _parse_trig(text: str) -> list[tuple]:
+    import re
+
+    rx = _trig_regex()
+    rdf_type = RDF_NS + "type"
+    pmap: dict[str, str] = {}
+    out: list[tuple] = []
+    graph: str | None = None
+
+    def expand(pn: str) -> str:
+        k, _, local = pn.partition(":")
+        return pmap[k] + local if k in pmap else pn
+
+    open_re = re.compile(
+        r'^(?:GRAPH\s+)?(?:<([^>]*)>|([A-Za-z][\w\-]*:[^\s<>"{]*))\s*\{\s*$'
+    )
+    for rawline in text.splitlines():
+        line = rawline.strip()
+        if not line or line.startswith("#"):
+            continue
+        if line.startswith("@prefix"):
+            m = re.match(r"@prefix\s+([A-Za-z][\w\-]*):\s*<([^>]*)>", line)
+            if m:
+                pmap[m.group(1)] = m.group(2)
+            continue
+        if line == "}":
+            if graph is None:
+                raise ValueError("TriG: '}' without an open graph block")
+            graph = None
+            continue
+        mo = open_re.match(line)
+        if mo:
+            if graph is not None:
+                raise ValueError("TriG: nested graph blocks")
+            graph = mo.group(1) if mo.group(1) is not None else expand(
+                mo.group(2)
+            )
+            continue
+        m = rx.match(line)
+        if not m:
+            raise ValueError(f"TriG: unparseable line {line[:80]!r}")
+        g = m.group
+        s = g(1) or g(2) or expand(g(3))
+        p = rdf_type if g(6) else (g(4) or expand(g(5)))
+        if g(7) is not None or g(13):
+            o, o_type, dt, lang = (g(7) or expand(g(13))), "uri", None, None
+        elif g(8):
+            o, o_type, dt, lang = g(8), "bnode", None, None
+        else:
+            o, o_type = _py_unescape(g(9) or ""), "literal"
+            lang = g(10)
+            dt = g(11) or (expand(g(12)) if g(12) else None)
+        out.append((s, p, o, o_type, dt, lang, graph))
+    if graph is not None:
+        raise ValueError("TriG: unterminated graph block")
+    return out
+
+
+def read_trig(spark: SparkSession, path: str) -> DataFrame:
+    """S4 source: TriG (line-oriented subset + graph blocks) → quads
+    DataFrame. Per-file tasks: the graph-block state machine walks one
+    file per task — files parse independently, so the scan distributes
+    across the corpus even though a block can't split."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in QUAD_SCHEMA.fields]
+        for pdf in it:
+            rows: list[tuple] = []
+            for content in pdf["content"]:
+                rows.extend(_parse_trig(bytes(content).decode("utf-8")))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _files(spark, path).mapInPandas(batches, schema=QUAD_SCHEMA)
+
+
+def write_trig(triples: DataFrame, path: str) -> None:
+    """TriG sink: rows repartition by graph label, each partition part
+    file holds complete `<g> { … }` blocks (plus bare default-graph
+    lines) built from N-Triples-style terms — `cat part-*` is itself
+    valid TriG, the same merge property as write_turtle."""
+    import hashlib
+
+    import pandas as pd
+
+    if "g" not in triples.columns:
+        triples = triples.withColumn("g", F.lit(None).cast("string"))
+
+    def fmt_term(kind: str, val, dt, lang) -> str:
+        if kind == "uri":
+            return f"<{val}>"
+        if kind == "bnode":
+            if val.startswith("_:"):
+                return val
+            return "_:" + hashlib.md5(val.encode()).hexdigest()
+        body = (
+            str(val)
+            .replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        )
+        if lang is not None and not pd.isna(lang):
+            return f'"{body}"@{lang}'
+        if dt is not None and not pd.isna(dt):
+            return f'"{body}"^^<{dt}>'
+        return f'"{body}"'
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            chunks: list[str] = []
+            for g, grp in pdf.groupby(pdf["g"].fillna(""), sort=False):
+                lines = []
+                for _, row in grp.iterrows():
+                    s = str(row["s"])
+                    if s.startswith("bnode:") or s.startswith("_:"):
+                        subj = fmt_term("bnode", s, None, None)
+                    else:
+                        subj = fmt_term("uri", s, None, None)
+                    obj = fmt_term(
+                        row["o_type"], row["o"],
+                        row["o_datatype"], row["o_lang"],
+                    )
+                    lines.append(f"{subj} <{row['p']}> {obj} .")
+                if g:
+                    chunks.append(
+                        f"<{g}> {{\n" + "\n".join(lines) + "\n}"
+                    )
+                else:
+                    chunks.extend(lines)
+            yield pd.DataFrame({"value": chunks})
+
+    # Co-locate each graph's rows so its block lands in one part file.
+    triples.repartition("g").mapInPandas(batches, "value string").write.mode(
+        "overwrite"
+    ).text(path)
