@@ -426,7 +426,19 @@ def main() -> None:
         "sf": sf,
     }
     here = os.path.dirname(os.path.abspath(__file__))
-    full_path = os.path.join(here, "bench_full_latest.json")
+    # A contended run (external tenants; observed 0.2 → 10+ swings)
+    # inflates every wall number 30-400% — such a per-query map is
+    # round-over-round noise, not signal. Keep bench_full_latest.json
+    # idle-only: contended runs land in bench_full_contended.json so
+    # the committed map stays interpretable (VERDICT r6 what's-wrong
+    # #3).
+    loadavg_1m = os.getloadavg()[0]
+    contended = loadavg_1m > 4.0
+    full["loadavg_1m"] = round(loadavg_1m, 2)
+    full_name = (
+        "bench_full_contended.json" if contended else "bench_full_latest.json"
+    )
+    full_path = os.path.join(here, full_name)
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
 
@@ -450,12 +462,11 @@ def main() -> None:
         "r03_comparable_total": r03_total,
         "baseline_r03_total": 95.369,
         "r04_additions_total": r04_total,
-        "full_results": "bench_full_latest.json",
-        # 1-min loadavg at finish: this VM shares CPU with external
-        # tenants (observed 0.2 → 7.5 swings), and a contended run
-        # inflates every wall number ~30-40% — record the context so
-        # round-over-round comparisons can be discounted accordingly.
-        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "full_results": full_name,
+        # 1-min loadavg at finish: recorded so round-over-round
+        # comparisons can be discounted; > 4.0 also reroutes the
+        # committed per-query map (see above).
+        "loadavg_1m": round(loadavg_1m, 2),
         "sf": sf,
     }
     line = json.dumps(summary)

@@ -344,9 +344,16 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                 )
             frame = {"w": w_img, "h": h_img, "comps": comps}
         elif m in _SOF_UNSUPPORTED:
+            # Name the marker so pipeline operators can ROUTE payloads
+            # (e.g. send SOF2 progressive scans to a library-backed
+            # decoder on clusters that ship one) instead of pattern-
+            # matching a generic message.
             raise ValueError(
-                "unsupported JPEG mode (only baseline sequential "
-                "Huffman SOF0/SOF1)"
+                f"unsupported JPEG mode SOF{m - 0xC0} (marker 0x{m:02X}"
+                f"{', progressive' if m == 0xC2 else ''}"
+                f"{', arithmetic' if m in (0xC9, 0xCA, 0xCB) else ''}; "
+                "this decoder handles baseline sequential Huffman "
+                "SOF0/SOF1)"
             )
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")

@@ -907,13 +907,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(sh, 0.2, candidates=cand)
 
 
-@query("dedup_minhash_lsh_ml")
+_ML_LSH_SQL = """
+SELECT doc_id AS d1, doc_id + 10000000 AS d2,
+       CAST(1.0 AS DOUBLE) AS jaccard,
+       TRUE AS found_by_ml, TRUE AS emitted_precision_ok
+FROM documents
+WHERE len(string_split(text, ' ')) >= 3
+"""
+
+
+@query("dedup_minhash_lsh_ml", _ML_LSH_SQL)
 def dedup_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """spark.ml MinHashLSH approxSimilarityJoin variant (rows-only:
-    Jaccard over HashingTF-hashed shingle sets isn't reproducible in
-    DuckDB; seeded, so deterministic). Recall vs the exact path is
-    asserted in tests/test_operators.py::test_minhash_lsh_ml_recall."""
-    return dedup.minhash_lsh_ml(T(spark, sf_dir, "documents"), threshold=0.2)
+    """spark.ml MinHashLSH approxSimilarityJoin, oracle-backed with
+    the bound-contract pattern (the r6 conversion of the approximate
+    family): the raw pair set depends on library hash seeds, so the
+    emitted surface is restricted to the SEED-INDEPENDENT guarantees.
+
+    The corpus is documents UNION a shifted-id exact copy, so every
+    shingled doc has a planted duplicate. Identical texts produce
+    identical HashingTF vectors, identical MinHash signatures, and
+    collide in EVERY hash table regardless of seed — the ml join must
+    emit each planted pair with feature-Jaccard exactly 1.0. The
+    output is one row per planted pair: the ml-reported jaccard (1.0),
+    found_by_ml (left-join presence — a recall drop flips it to
+    false AND perturbs the jaccard to -1), and emitted_precision_ok, a
+    global invariant over the ml join's FULL emission: every emitted
+    pair, mapped back to original texts, has exact word-shingle
+    Jaccard ≥ 0.85 (the join admits only feature-Jaccard ≥ 0.9, which
+    tracks exact Jaccard to within collision slack ≪ 0.05 at 2^18
+    features; verified candidate-driven, never all-pairs). Raw recall
+    vs the exact banding path stays pinned in
+    tests/test_operators.py::test_minhash_lsh_ml_recall."""
+    docs = T(spark, sf_dir, "documents")
+    shift = F.lit(10_000_000).cast("long")
+    corpus = docs.unionByName(
+        docs.withColumn("doc_id", (F.col("doc_id") + shift).cast("long"))
+    )
+    emitted = dedup.minhash_lsh_ml(corpus, threshold=0.9).persist()
+
+    planted = docs.filter(F.size(F.split("text", " ")) >= 3).select(
+        F.col("doc_id").cast("long").alias("d1"),
+        (F.col("doc_id") + shift).alias("d2"),
+    )
+    per_pair = planted.join(emitted, ["d1", "d2"], "left").select(
+        "d1", "d2",
+        F.coalesce("jaccard", F.lit(-1.0)).alias("jaccard"),
+        F.col("jaccard").isNotNull().alias("found_by_ml"),
+    )
+
+    # Global precision invariant over everything the ml join emitted:
+    # map shifted ids back to source texts, drop identity pairs (exact
+    # Jaccard 1 by construction), verify the rest candidate-driven.
+    nonid = (
+        emitted.select(
+            F.pmod("d1", shift).alias("a"), F.pmod("d2", shift).alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("d1"), F.greatest("a", "b").alias("d2")
+        )
+        .distinct()
+    )
+    member = nonid.select(F.col("d1").alias("doc_id")).union(
+        nonid.select("d2")
+    ).distinct()
+    sh = dedup.word_shingles(docs.join(member, "doc_id"))
+    exact = dedup.jaccard_pairs(sh, 0.0, candidates=nonid)
+    checked = nonid.join(exact, ["d1", "d2"], "left").agg(
+        F.coalesce(
+            F.min(F.coalesce("jaccard", F.lit(0.0))) >= 0.85, F.lit(True)
+        ).alias("emitted_precision_ok")
+    )
+    return per_pair.crossJoin(F.broadcast(checked))
 
 
 def _simhash_sql(bits: int = 16) -> str:

@@ -226,6 +226,44 @@ def test_csv_sources_feed_pipeline(spark, tmp_path):
     assert got == want
 
 
+def test_csv2rdf_with_sparql_materialized_vocab(spark):
+    """The reference's FULL network lifecycle, hermetic: vocabularies
+    arrive through materialize_vocabularies with an injected SPARQL
+    transport (concept_resolver.py's per-term SELECTs become one fetch
+    per vocabulary), and the resulting dimension drives the same
+    csv2rdf run — the golden triples must be identical to the
+    local-table run, proving the adapter's shape end-to-end."""
+    from razulibs_spark.sources.vocab import materialize_vocabularies
+
+    metadata, droid, vocab = _fixture(spark)
+
+    # Serve the fixture's vocabulary rows as SPARQL JSON bindings,
+    # keyed by the per-vocabulary endpoint URL the materializer builds.
+    by_voc: dict[str, list[tuple[str, str]]] = {}
+    for r in vocab.collect():
+        by_voc.setdefault(r["vocabulary"], []).append((r["term"], r["uri"]))
+
+    def stub_transport(endpoint, query):
+        assert "skos:prefLabel" in query
+        voc = endpoint.rsplit("/sparql", 1)[0].rsplit("/", 1)[-1]
+        return {"results": {"bindings": [
+            {"uri": {"value": uri},
+             "predicate": {"value":
+                           "http://www.w3.org/2004/02/skos/core#prefLabel"},
+             "term": {"value": term}}
+            for term, uri in by_voc[voc]
+        ]}}
+
+    dim = materialize_vocabularies(
+        spark, sorted(by_voc), transport=stub_transport
+    )
+    want = _triple_set(csv2rdf_triples(metadata, droid, vocab))
+    got = _triple_set(
+        csv2rdf_triples(metadata, droid, dim.select("vocabulary", "term", "uri"))
+    )
+    assert got == want
+
+
 def test_prefix_expansion_roundtrip_and_valid_ntriples(spark, tmp_path):
     """compact∘expand is the identity on the pipeline's graph, and the
     expanded serialization is standards-valid N-Triples (every IRI
