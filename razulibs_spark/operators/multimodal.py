@@ -849,7 +849,12 @@ def synthesize_gif_media(documents: DataFrame) -> DataFrame:
                         for y in range(h)
                         for x in range(w)
                     ]
-                    payload = encode_gif(w, h, palette, pix)
+                    # Every 7th image is written 4-pass interlaced —
+                    # the decoder's de-interlace path rides the same
+                    # oracle (channel means are row-order invariant).
+                    payload = encode_gif(
+                        w, h, palette, pix, interlace=(d % 7 == 3)
+                    )
                 ids.append(d)
                 payloads.append(payload)
             yield pd.DataFrame(

@@ -326,3 +326,22 @@ def test_gif_lzw_roundtrips_arbitrary_index_streams(mcs, raw):
     indices = [v % (1 << mcs) for v in raw]
     got = _lzw_decode(_lzw_encode(indices, mcs), mcs, len(indices))
     assert got == indices
+
+
+@given(
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=1, max_value=17),
+    st.integers(min_value=0, max_value=10**9),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_interlace_roundtrips_any_geometry(w, h, seed):
+    """Interlaced encode → decode equals the progressive encode's
+    decode for every geometry (the 4-pass row scatter must be a true
+    permutation at every height, including h < 8 partial passes)."""
+    from razulibs_spark.operators.gif import decode_gif, encode_gif
+
+    pal = [(i * 37 % 256, i * 11 % 256, i * 3 % 256) for i in range(8)]
+    pix = [(seed + 5 * i) % 8 for i in range(w * h)]
+    plain = decode_gif(encode_gif(w, h, pal, pix))
+    inter = decode_gif(encode_gif(w, h, pal, pix, interlace=True))
+    assert inter == plain
