@@ -315,6 +315,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    # Sample contention BEFORE the Spark session exists: loadavg at
+    # finish would mostly measure the bench's own local[n] load, not
+    # the external tenants the guard is about.
+    loadavg_start = os.getloadavg()[0]
     spark = get_spark("razulibs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -431,10 +435,12 @@ def main() -> None:
     # round-over-round noise, not signal. Keep bench_full_latest.json
     # idle-only: contended runs land in bench_full_contended.json so
     # the committed map stays interpretable (VERDICT r6 what's-wrong
-    # #3).
+    # #3). The decision uses the START sample (pre-Spark); the finish
+    # sample is recorded for context but reflects the bench itself.
     loadavg_1m = os.getloadavg()[0]
-    contended = loadavg_1m > 4.0
+    contended = loadavg_start > 4.0
     full["loadavg_1m"] = round(loadavg_1m, 2)
+    full["loadavg_start_1m"] = round(loadavg_start, 2)
     full_name = (
         "bench_full_contended.json" if contended else "bench_full_latest.json"
     )
@@ -463,10 +469,11 @@ def main() -> None:
         "baseline_r03_total": 95.369,
         "r04_additions_total": r04_total,
         "full_results": full_name,
-        # 1-min loadavg at finish: recorded so round-over-round
-        # comparisons can be discounted; > 4.0 also reroutes the
-        # committed per-query map (see above).
+        # loadavg context: start sample (pre-Spark) drives the
+        # contended-map reroute; the finish sample mostly measures the
+        # bench's own local[n] load.
         "loadavg_1m": round(loadavg_1m, 2),
+        "loadavg_start_1m": round(loadavg_start, 2),
         "sf": sf,
     }
     line = json.dumps(summary)

@@ -851,6 +851,75 @@ def cross_source_fingerprints(documents: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def substring_span_stats(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Exact duplicated-substring detection at k-token granularity —
+    the span-level member of the dedup family (document-level exact /
+    MinHash / SimHash / containment live above). Corpus-duplicated
+    SPANS inside otherwise-unique documents (boilerplate, licence
+    blocks, syndicated paragraphs) are what document-level dedup
+    cannot see; training-data pipelines cut them span-wise
+    ("Deduplicating Training Data Makes Language Models Better",
+    Lee et al. 2022 — the suffix-array pass, approximated here at
+    fixed k so it distributes).
+
+    A span is every k-token window (position-preserving, not
+    distinct); a span is DUPLICATED iff its text occurs ≥ 2 times in
+    the whole corpus (across or within documents). Per doc:
+    total spans, duplicated-span positions, and the duplicated
+    fraction — the score a span-cut or doc-drop policy thresholds on.
+
+    Scale shape: one explode (rolling windows are a pure codegen
+    ``transform(sequence, slice)``), spans keyed by md5 so the two
+    hash-keyed shuffles move 32-byte keys instead of k-token strings;
+    the occurrence count is a partial-aggregating groupBy (map-side
+    combine absorbs hot boilerplate spans), membership comes back as
+    one semi join, and the per-doc rollup re-keys on doc_id. Nothing
+    is quadratic and no driver state exists.
+    """
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    spans = (
+        # Repartition by doc_id BEFORE the window fan-out (the
+        # word_shingles rationale: a small parquet arrives as one
+        # split, and the per-doc rollups downstream reuse this
+        # partitioning without a second shuffle).
+        documents.repartition(n, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(w) - {k - 1}), "
+                    f"i -> md5(concat_ws(' ', slice(w, i, {k}))))"
+                )
+            ).alias("h"),
+        )
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    per_doc = spans.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    dup_per_doc = (
+        spans.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def lsh_s_curve(
     spark,
     configs: list[tuple[int, int]] = ((4, 3), (6, 2), (8, 4)),

@@ -1007,6 +1007,36 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(T(spark, sf_dir, "documents"))
 
 
+_SUBSTRING_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ sp AS (SELECT doc_id,
+               unnest([md5(array_to_string(ws[i:i+7], ' '))
+                       for i in generate_series(1, len(ws) - 7)]) AS h
+        FROM w WHERE len(ws) >= 8),
+ dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+ perdoc AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp GROUP BY doc_id),
+ dupdoc AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+            FROM sp WHERE h IN (SELECT h FROM dup) GROUP BY doc_id)
+SELECT p.doc_id, p.n_spans,
+       COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+       ROUND(COALESCE(d.n_dup_spans, 0) / p.n_spans, 6) AS dup_frac
+FROM perdoc p LEFT JOIN dupdoc d USING (doc_id)
+"""
+
+
+@query("dedup_substring_spans", _SUBSTRING_SQL)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring stats at 8-token granularity (the
+    span-level dedup mode document-level dedup cannot see —
+    boilerplate, licence blocks, syndicated paragraphs; Lee et al.
+    2022's suffix-array pass approximated at fixed k so it
+    distributes). Per doc: spans, corpus-duplicated span positions,
+    duplicated fraction. Rolling windows are pure codegen
+    (transform + slice + md5); two hash-keyed shuffles + one doc
+    rollup, never quadratic."""
+    return dedup.substring_span_stats(T(spark, sf_dir, "documents"), k=8)
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis over `documents`
 # ---------------------------------------------------------------------------

@@ -971,3 +971,31 @@ def test_kmeans_lloyd_validates_params(spark, sf_dir):
         kmeans_lloyd(emb, k=0)
     with _pytest.raises(ValueError):
         kmeans_lloyd(emb, iters=0)
+
+
+def test_substring_span_stats_hand_computed(spark):
+    """4-doc corpus with one shared 8-token licence block and one
+    within-doc repeat; spans are position-counted, duplication is
+    corpus-wide (>= 2 occurrences, within OR across docs)."""
+    from razulibs_spark.operators.dedup import substring_span_stats
+
+    lic = "all rights reserved by the example archive trust"  # 8 tokens
+    rows = [
+        (1, f"{lic} unique tail one two three"),            # 6 spans
+        (2, f"prefix words here then {lic}"),               # 5 spans
+        (3, "a completely different text with eight unique tokens"),  # 1 span
+        (4, f"{lic} {lic}"),                                # 9 spans
+        (5, "too short"),                                   # no spans
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_spans"], r["n_dup_spans"], r["dup_frac"])
+           for r in substring_span_stats(df, k=8).collect()}
+    assert 5 not in got                       # < 8 tokens -> no row
+    assert got[3] == (1, 0, 0.0)              # unique content
+    # the licence span appears in docs 1, 2, 4 (and twice inside 4)
+    assert got[1] == (6, 1, round(1 / 6, 6))
+    assert got[2] == (5, 1, 0.2)
+    # doc 4 = lic lic (16 tokens -> 9 windows): windows 1 and 9 are
+    # the aligned licence block (duplicated corpus-wide); the 7
+    # straddling windows each occur once and stay unique.
+    assert got[4][0] == 9 and got[4][1] == 2
