@@ -50,6 +50,9 @@ _ROTATION_FORCE_REFRESH = frozenset({
     # the emitted payload bytes for boundary index streams; decoded
     # stats are unchanged but the fixtures re-encode — fresh row.
     "multimodal_gif_decode",
+    # r7: every 5th JPEG fixture is now PROGRESSIVE (SOF2 decode
+    # landed); stats identical, payload bytes new — fresh row.
+    "multimodal_decode",
     # r7: CSV read schema doc_id INT -> BIGINT (ADVICE) — same output
     # at this SF, but the parse path changed.
     "io_csv_malformed",

@@ -305,7 +305,17 @@ R06_ADDITIONS = [
     "multimodal_image_ahash",
 ]
 
-HEADLINE = R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS
+R07_ADDITIONS = [
+    "k2_rdfxml_roundtrip",
+    "k2_trig_roundtrip",
+    "k2_trix_roundtrip",
+    "dedup_substring_spans",
+]
+
+HEADLINE = (
+    R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS
+    + R07_ADDITIONS
+)
 
 N_RUNS = 2
 FAST_CUTOFF = 1.0  # s: first run under this skips the confirm run

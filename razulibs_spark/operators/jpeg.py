@@ -1,29 +1,36 @@
-"""Baseline JPEG codec with numpy + stdlib only — no imaging library.
+"""JPEG codec with numpy + stdlib only — no imaging library.
 
 JPEG's entropy layer is canonical Huffman coding over run-length-coded
-quantized DCT coefficients (ITU T.81 baseline sequential); nothing in
-it needs more than a bit reader and an 8×8 float DCT, both of which
-numpy covers. This closes the engine's last honest decode stub: the
-reference's actual payloads are JPEGs (BASELINE.md demo set;
+quantized DCT coefficients (ITU T.81); nothing in it needs more than a
+bit reader and an 8×8 float DCT, both of which numpy covers. This
+closes the engine's last honest decode stub: the reference's actual
+payloads are JPEGs (BASELINE.md demo set;
 `/root/reference/razu/demo/csv_luchtfotos` droid.csv SIZE column), so
 the one format the reference ships is now decodable in-container.
 
 Decoder (`decode_jpeg`): marker walk (APPn/COM skipped, DQT/DHT/DRI
-parsed, SOF0/SOF1 frames accepted, progressive/arithmetic rejected
-with a clear ValueError), entropy decode with byte-unstuffing and
+parsed), baseline sequential SOF0/SOF1 AND progressive SOF2 frames
+(T.81 Annex G: spectral selection, successive approximation, EOB
+runs — coefficients accumulate across scans and IDCT once at EOI);
+arithmetic-coded and lossless variants rejected with a ValueError
+naming the SOF marker. Entropy decode with byte-unstuffing and
 restart-marker segmentation, per-block Huffman DC-diff + AC
 run-length decode, dequantize → dezigzag → float IDCT, sampling-factor
 upsample (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Returns the same
 width/height/per-channel-mean stats dict as the BMP/PPM/PNG decoders.
 
-Encoder (`encode_jpeg`): baseline sequential with all-ones
-quantization tables (the coefficient rounding is the only loss) and
-fixed DHT-shipped Huffman tables, grayscale or YCbCr at 4:4:4 or
-4:2:0. The decoder reads tables from the stream, so the roundtrip is
-self-contained. A flat 8×8-tile grayscale image survives the
-roundtrip BIT-EXACTLY: a constant block's DCT is DC-only with
-DC = 8·(v−128), an integer, so quantization and rounding are
-identity — which is what lets `multimodal_decode`'s oracle recompute
+Encoders: `encode_jpeg` (baseline sequential) and
+`encode_jpeg_progressive` (SOF2 — DC-first + DC-refine bit plane, two
+spectral AC bands per component each with an Al=1 first pass and an
+Al=0 refinement), both with all-ones quantization tables (the
+coefficient rounding is the only loss) and DHT-shipped Huffman
+tables, grayscale or YCbCr at 4:4:4 or 4:2:0. The decoder reads
+tables from the stream, so roundtrips are self-contained, and the
+progressive scan chain reconstructs the exact coefficients — decode
+output is BIT-identical between the two encodings of one image. A
+flat 8×8-tile grayscale image additionally survives the roundtrip
+exactly: a constant block's DCT is DC-only with DC = 8·(v−128), an
+integer — which is what lets `multimodal_decode`'s oracle recompute
 JPEG stats exactly in SQL (same first-principles trick as PNG).
 """
 
@@ -114,10 +121,10 @@ _AC_CHROMA_VALS = [
     0xF9, 0xFA,
 ]
 
-# SOF markers this baseline decoder rejects (progressive, lossless,
-# hierarchical, arithmetic-coded variants).
+# SOF markers this decoder rejects (lossless, hierarchical,
+# arithmetic-coded variants; Huffman progressive SOF2 is SUPPORTED).
 _SOF_UNSUPPORTED = frozenset(
-    {0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 )
 
 
@@ -250,11 +257,12 @@ def _decode_block(
 
 
 def decode_jpeg(payload: bytes) -> dict:
-    """Decode a baseline sequential JPEG (SOF0/SOF1, Huffman) and
-    return the same stats dict as the other image decoders:
-    width/height + exact per-channel pixel means. Unsupported modes
-    (progressive SOF2, arithmetic coding, fractional sampling) raise
-    ValueError → a decoded=false report row, never a dead task.
+    """Decode a Huffman JPEG — baseline sequential (SOF0/SOF1) or
+    progressive (SOF2) — and return the same stats dict as the other
+    image decoders: width/height + exact per-channel pixel means.
+    Unsupported modes (arithmetic coding, lossless/hierarchical,
+    fractional sampling) raise ValueError → a decoded=false report
+    row, never a dead task.
 
     The error contract is TOTAL: any malformed payload raises
     ValueError, never IndexError/KeyError from an out-of-bounds
@@ -276,6 +284,7 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
     frame = None
     restart = 0
     planes = None
+    prog_store = None  # progressive: per-comp accumulated coefficients
     i = 2
     while i < len(data):
         if data[i] != 0xFF:
@@ -326,7 +335,7 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                     raise ValueError("truncated JPEG DHT")
                 pos += 17 + nv
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, values)
-        elif m in (0xC0, 0xC1):  # SOF0 baseline / SOF1 ext. sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
             if body[0] != 8:
                 raise ValueError("unsupported JPEG sample precision")
             h_img = int.from_bytes(body[1:3], "big")
@@ -342,18 +351,17 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                     {"id": cid, "h": hv >> 4, "v": hv & 15,
                      "tq": body[8 + 3 * c]}
                 )
-            frame = {"w": w_img, "h": h_img, "comps": comps}
+            frame = {"w": w_img, "h": h_img, "comps": comps,
+                     "progressive": m == 0xC2}
         elif m in _SOF_UNSUPPORTED:
             # Name the marker so pipeline operators can ROUTE payloads
-            # (e.g. send SOF2 progressive scans to a library-backed
-            # decoder on clusters that ship one) instead of pattern-
-            # matching a generic message.
+            # to a library-backed decoder on clusters that ship one,
+            # instead of pattern-matching a generic message.
             raise ValueError(
                 f"unsupported JPEG mode SOF{m - 0xC0} (marker 0x{m:02X}"
-                f"{', progressive' if m == 0xC2 else ''}"
                 f"{', arithmetic' if m in (0xC9, 0xCA, 0xCB) else ''}; "
-                "this decoder handles baseline sequential Huffman "
-                "SOF0/SOF1)"
+                "this decoder handles Huffman sequential SOF0/SOF1 and "
+                "progressive SOF2)"
             )
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
@@ -361,20 +369,288 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             if frame is None:
                 raise ValueError("no SOF0 frame header")
             ns = body[0]
-            spec = {}
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated JPEG SOS header")
+            scomps = []
             for c in range(ns):
                 cid = body[1 + 2 * c]
                 tabs = body[2 + 2 * c]
-                spec[cid] = (tabs >> 4, tabs & 15)
+                scomps.append(
+                    {"cid": cid, "td": tabs >> 4, "ta": tabs & 15}
+                )
+            ss = body[1 + 2 * ns]
+            se = body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
             segs, i = _split_entropy(data, i)
-            planes = _decode_scan(frame, spec, qt, dc_tabs, ac_tabs,
-                                  segs, restart)
+            if frame["progressive"]:
+                if prog_store is None:
+                    prog_store = _alloc_coef_store(frame)
+                _decode_scan_progressive(
+                    frame, scomps, dc_tabs, ac_tabs, segs, restart,
+                    ss, se, ah, al, prog_store,
+                )
+            else:
+                spec = {sc["cid"]: (sc["td"], sc["ta"]) for sc in scomps}
+                planes = _decode_scan(frame, spec, qt, dc_tabs, ac_tabs,
+                                      segs, restart)
         # else: APPn / COM / unknown — skip
     if frame is None:
         raise ValueError("no SOF0 frame header")
+    if prog_store is not None:
+        planes = _assemble_progressive(frame, prog_store, qt)
     if planes is None:
         raise ValueError("JPEG has no SOS scan")
     return _stats(frame, planes)
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decoding — T.81 Annex G. Coefficients accumulate
+# across scans in per-component zigzag arrays; dequantize + IDCT once
+# at EOI. Spectral selection (Ss..Se bands), successive approximation
+# (Ah/Al bit planes) and EOB runs are all implemented; arithmetic
+# coding is not (SOF10 stays rejected).
+# ---------------------------------------------------------------------------
+
+
+def _mcu_grid(frame: dict) -> tuple[int, int, int, int]:
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("invalid JPEG sampling factors")
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("unsupported fractional JPEG sampling")
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    return hmax, vmax, mcus_x, mcus_y
+
+
+def _alloc_coef_store(frame: dict) -> dict[int, np.ndarray]:
+    """Per-component (blocks_y, blocks_x, 64) int64 zigzag coefficient
+    arrays, sized to the MCU-padded grid (interleaved DC scans code
+    the pad blocks; non-interleaved scans fill the top-left
+    ceil-grid sub-array and the pad is cropped at assembly)."""
+    _, _, mcus_x, mcus_y = _mcu_grid(frame)
+    return {
+        c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int64)
+        for c in frame["comps"]
+    }
+
+
+def _ac_first(br: _BitReader, ac_tab: _Huff, blk: np.ndarray,
+              ss: int, se: int, al: int, eobrun: list[int]) -> None:
+    """First pass over an AC band: run-length coded magnitudes at
+    precision Al, with EOBn run symbols spanning whole blocks."""
+    if eobrun[0] > 0:
+        eobrun[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r != 15:  # EOBn: run of (1<<r)-1+bits further EOB blocks
+                eobrun[0] = (1 << r) - 1
+                if r:
+                    eobrun[0] += br.read_bits(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC coefficient beyond spectral band")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+
+
+def _ac_refine(br: _BitReader, ac_tab: _Huff, blk: np.ndarray,
+               ss: int, se: int, al: int, eobrun: list[int]) -> None:
+    """Refinement pass over an AC band: one correction bit per
+    already-nonzero coefficient (interleaved with the run structure),
+    newly-significant coefficients arrive as ±1·2^Al."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun[0] == 0:
+        while k <= se:
+            rs = br.decode(ac_tab)
+            r, s = rs >> 4, rs & 15
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun[0] = 1 << r
+                    if r:
+                        eobrun[0] += br.read_bits(r)
+                    break
+                # ZRL: advance over 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError(
+                        "JPEG AC refinement must code ±1 coefficients"
+                    )
+                val = p1 if br.read_bit() else m1
+            while k <= se:
+                if blk[k]:
+                    if br.read_bit() and not (int(blk[k]) & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                if k > se:
+                    raise ValueError(
+                        "JPEG AC refinement index beyond spectral band"
+                    )
+                blk[k] = val
+            k += 1
+    if eobrun[0] > 0:
+        # EOB span: only correction bits for remaining nonzero coefs
+        while k <= se:
+            if blk[k]:
+                if br.read_bit() and not (int(blk[k]) & p1):
+                    blk[k] += p1 if blk[k] > 0 else m1
+            k += 1
+        eobrun[0] -= 1
+
+
+def _decode_scan_progressive(
+    frame: dict,
+    scomps: list[dict],
+    dc_tabs: dict[int, _Huff],
+    ac_tabs: dict[int, _Huff],
+    segs: list[bytes],
+    restart: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    store: dict[int, np.ndarray],
+) -> None:
+    hmax, vmax, mcus_x, mcus_y = _mcu_grid(frame)
+    byid = {c["id"]: c for c in frame["comps"]}
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+    else:
+        if len(scomps) != 1:
+            raise ValueError(
+                "JPEG progressive AC scan must cover exactly one component"
+            )
+        if not ss <= se <= 63:
+            raise ValueError("JPEG invalid spectral band")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("JPEG successive approximation must refine one bit")
+    for sc in scomps:
+        c = byid.get(sc["cid"])
+        if c is None:
+            raise ValueError("JPEG scan references an unknown component")
+        sc["c"] = c
+        if ss == 0 and ah == 0:
+            if sc["td"] not in dc_tabs:
+                raise ValueError("JPEG scan references a missing DC table")
+            sc["dct"] = dc_tabs[sc["td"]]
+        if ss > 0:
+            if sc["ta"] not in ac_tabs:
+                raise ValueError("JPEG scan references a missing AC table")
+            sc["act"] = ac_tabs[sc["ta"]]
+
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    preds = {sc["cid"]: 0 for sc in scomps}
+    eobrun = [0]
+
+    def next_segment() -> _BitReader:
+        nonlocal seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("JPEG restart segment missing")
+        for cid in preds:
+            preds[cid] = 0
+        eobrun[0] = 0
+        return _BitReader(segs[seg_idx])
+
+    def do_block(sc: dict, blk: np.ndarray) -> None:
+        if ss == 0:
+            if ah == 0:
+                t = br.decode(sc["dct"])
+                diff = _extend(br.read_bits(t), t) if t else 0
+                preds[sc["cid"]] += diff
+                blk[0] = preds[sc["cid"]] << al
+            elif br.read_bit():
+                blk[0] = int(blk[0]) | (1 << al)
+        elif ah == 0:
+            _ac_first(br, sc["act"], blk, ss, se, al, eobrun)
+        else:
+            _ac_refine(br, sc["act"], blk, ss, se, al, eobrun)
+
+    if len(scomps) > 1:  # interleaved (DC only, enforced above)
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and unit and unit % restart == 0:
+                    br = next_segment()
+                for sc in scomps:
+                    c = sc["c"]
+                    arr = store[sc["cid"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(
+                                sc, arr[my * c["v"] + by, mx * c["h"] + bx]
+                            )
+                unit += 1
+    else:  # non-interleaved: the component's own ceil block grid
+        sc = scomps[0]
+        c = sc["c"]
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        arr = store[sc["cid"]]
+        unit = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                if restart and unit and unit % restart == 0:
+                    br = next_segment()
+                do_block(sc, arr[by, bx])
+                unit += 1
+
+
+def _assemble_progressive(
+    frame: dict, store: dict[int, np.ndarray], qt: dict[int, np.ndarray]
+) -> dict[int, np.ndarray]:
+    """Dequantize + dezigzag + IDCT every accumulated block (one
+    einsum per component — the per-block 8×8 transforms batch into a
+    single BLAS call), then crop/upsample like the sequential path."""
+    hmax, vmax, _, _ = _mcu_grid(frame)
+    w_img, h_img = frame["w"], frame["h"]
+    out: dict[int, np.ndarray] = {}
+    for c in frame["comps"]:
+        if c["tq"] not in qt:
+            raise ValueError("JPEG frame references a missing quant table")
+        zz = store[c["id"]].astype(np.float64) * qt[c["tq"]]
+        # Per-block matmuls with EXACTLY the sequential path's
+        # expression (_decode_block): a batched einsum sums in a
+        # different order, and the ulp drift flips np.round at
+        # half-integer pixels — progressive output must be
+        # bit-identical to baseline for the same coefficients.
+        spat = np.empty(zz.shape[:2] + (8, 8))
+        for iy in range(zz.shape[0]):
+            for ix in range(zz.shape[1]):
+                blk = np.zeros((8, 8))
+                blk[_ZZ_ROWS, _ZZ_COLS] = zz[iy, ix]
+                spat[iy, ix] = _DCT.T @ blk @ _DCT
+        by, bx = spat.shape[:2]
+        plane = spat.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8) + 128.0
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out[c["id"]] = plane[:h_img, :w_img]
+    return out
 
 
 def _decode_scan(
@@ -707,14 +983,347 @@ def encode_jpeg(
     return bytes(out)
 
 
-def encode_jpeg_flat_tiles(
-    width: int, height: int, tile_fn
+# ---------------------------------------------------------------------------
+# Progressive encoder — spectral selection + successive approximation,
+# the fixture source for the SOF2 decoder (no imaging library exists
+# in-container to make progressive test payloads any other way).
+# ---------------------------------------------------------------------------
+
+# One custom AC table for progressive scans: the standard Annex K
+# tables lack the EOBn symbols (r<<4 for r>=1) progressive AC coding
+# emits, so ship a flat canonical table covering every symbol class —
+# 176 codes, all 9 bits (canonical, prefix-free, no all-ones code).
+_AC_PROG_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_AC_PROG_BITS = [0] * 8 + [len(_AC_PROG_VALS)] + [0] * 7
+
+
+def _coef_grids(
+    pixels: np.ndarray, subsampling: str
+) -> tuple[list[dict], list[np.ndarray], int, int]:
+    """Quantized (q=1) zigzag coefficient grids per component, padded
+    to the MCU grid — the shared front half of progressive encoding."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("pixels must be (H, W) gray or (H, W, 3) RGB")
+    h_img, w_img = pixels.shape[:2]
+    if h_img == 0 or w_img == 0:
+        raise ValueError("degenerate image dimensions")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    sub = (not gray) and subsampling == "4:2:0"
+
+    def pad_to(arr: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-arr.shape[0]) % mult
+        pw = (-arr.shape[1]) % mult
+        return np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+
+    if gray:
+        comps = [{"id": 1, "h": 1, "v": 1, "tq": 0}]
+        planes = [pad_to(pixels.astype(np.float64), 8) - 128.0]
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        ycc = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+        ycc = [np.clip(p, 0, 255) for p in ycc]
+        if sub:
+            comps = [
+                {"id": 1, "h": 2, "v": 2, "tq": 0},
+                {"id": 2, "h": 1, "v": 1, "tq": 1},
+                {"id": 3, "h": 1, "v": 1, "tq": 1},
+            ]
+            planes = [pad_to(ycc[0], 16) - 128.0]
+            for p in ycc[1:]:
+                p2 = pad_to(p, 2)
+                p2 = (
+                    p2.reshape(p2.shape[0] // 2, 2, p2.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+                planes.append(pad_to(np.round(p2), 8) - 128.0)
+        else:
+            comps = [
+                {"id": 1, "h": 1, "v": 1, "tq": 0},
+                {"id": 2, "h": 1, "v": 1, "tq": 1},
+                {"id": 3, "h": 1, "v": 1, "tq": 1},
+            ]
+            planes = [pad_to(p, 8) - 128.0 for p in ycc]
+    grids = []
+    for p in planes:
+        by, bx = p.shape[0] // 8, p.shape[1] // 8
+        # Same per-block expression as _encode_block (bit parity with
+        # the baseline encoder — see the note in _assemble_progressive).
+        zz = np.empty((by, bx, 64))
+        for iy in range(by):
+            for ix in range(bx):
+                coefs = (
+                    _DCT @ p[iy * 8 : iy * 8 + 8, ix * 8 : ix * 8 + 8]
+                    @ _DCT.T
+                )
+                zz[iy, ix] = coefs[_ZZ_ROWS, _ZZ_COLS]
+        grids.append(np.round(zz).astype(np.int64))
+    return comps, grids, h_img, w_img
+
+
+def _emit_ac_first_scan(
+    bw: _BitWriter, grid: np.ndarray, ac_codes: dict,
+    ss: int, se: int, al: int, bh_: int, bw_: int,
+) -> None:
+    eobrun = 0
+
+    def flush_eob() -> None:
+        nonlocal eobrun
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            blk = grid[by, bx]
+            mags = [abs(int(blk[k])) >> al for k in range(ss, se + 1)]
+            nz = [i for i, m in enumerate(mags) if m]
+            if not nz:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            last = nz[-1]
+            r = 0
+            for i in range(last + 1):
+                m = mags[i]
+                if m == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                s = m.bit_length()
+                code, ln = ac_codes[(r << 4) | s]
+                bw.write(code, ln)
+                v = m if int(blk[ss + i]) > 0 else -m
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                r = 0
+            if last < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _emit_ac_refine_scan(
+    bw: _BitWriter, grid: np.ndarray, ac_codes: dict,
+    ss: int, se: int, al: int, bh_: int, bw_: int,
+) -> None:
+    """The T.81 G.1.2.3 refinement emitter (libjpeg's structure):
+    correction bits for already-nonzero coefficients interleave with
+    the run symbols in position order; trailing corrections ride the
+    pending EOB run."""
+    eobrun = 0
+    pending: list[int] = []  # correction bits deferred to the EOB run
+
+    def flush_eob() -> None:
+        nonlocal eobrun, pending
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bw.write(code, ln)
+            if r:
+                bw.write(eobrun - (1 << r), r)
+            for bit in pending:
+                bw.write(bit, 1)
+            pending = []
+            eobrun = 0
+
+    for by in range(bh_):
+        for bx in range(bw_):
+            blk = grid[by, bx]
+            vals = [int(blk[k]) for k in range(ss, se + 1)]
+            mags = [abs(v) >> al for v in vals]
+            # last newly-significant position (mag 1 ⟺ zero history)
+            eob = max((i for i, m in enumerate(mags) if m == 1), default=-1)
+            r = 0
+            buf: list[int] = []
+            for i, m in enumerate(mags):
+                if m == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eob:
+                    flush_eob()
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    r -= 16
+                    for bit in buf:
+                        bw.write(bit, 1)
+                    buf = []
+                if m > 1:
+                    buf.append(m & 1)
+                    continue
+                flush_eob()
+                code, ln = ac_codes[(r << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if vals[i] > 0 else 0, 1)
+                for bit in buf:
+                    bw.write(bit, 1)
+                buf = []
+                r = 0
+            if r > 0 or buf:
+                eobrun += 1
+                pending.extend(buf)
+                if eobrun == 0x7FFF or len(pending) > 900:
+                    flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    subsampling: str = "4:4:4",
+    ac_split: int = 5,
 ) -> bytes:
-    """Grayscale baseline JPEG from flat 8×8 tiles: ``tile_fn(tx, ty)
+    """Encode as a PROGRESSIVE (SOF2) JPEG with all-ones quantization:
+    an interleaved DC-first scan at Al=1, a DC refinement bit-plane,
+    then per component two spectral AC bands (1..ac_split,
+    ac_split+1..63) each at Al=1 followed by its Al=0 refinement —
+    every scan type the progressive decoder implements, in the order
+    real encoders emit them. With q=1 the coefficient progression
+    reconstructs exactly, so decode stats are bit-identical to the
+    baseline encoding of the same image."""
+    if not 1 <= ac_split <= 62:
+        raise ValueError("ac_split must be in 1..62")
+    comps, grids, h_img, w_img = _coef_grids(pixels, subsampling)
+    gray = len(comps) == 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    ones = bytes([1] * 64)
+    out += b"\xff\xdb\x00\x43\x00" + ones
+    if not gray:
+        out += b"\xff\xdb\x00\x43\x01" + ones
+    sof = bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xc2" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    out += _dht_segment(1, 0, _AC_PROG_BITS, _AC_PROG_VALS)
+    if not gray:
+        out += _dht_segment(0, 1, _DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        out += _dht_segment(1, 1, _AC_PROG_BITS, _AC_PROG_VALS)
+
+    dc_codes = [
+        _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+        if c["tq"] == 0
+        else _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+        for c in comps
+    ]
+    ac_codes = _huff_codes(_AC_PROG_BITS, _AC_PROG_VALS)
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int, al: int,
+            body_bw: _BitWriter) -> None:
+        hdr = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            c = comps[ci]
+            td = 0 if c["tq"] == 0 else 1
+            ta = td
+            hdr += bytes([c["id"], (td << 4) | ta])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + (len(hdr) + 2).to_bytes(2, "big") + hdr)
+        body_bw.flush()
+        out.extend(body_bw.out)
+
+    # Scan 1: interleaved DC first at Al=1 (MCU order; a single
+    # component degenerates to its own block raster, matching the
+    # decoder's non-interleaved traversal).
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(
+                            grids[ci][my * c["v"] + by, mx * c["h"] + bx, 0]
+                        ) >> 1
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        s = _category(diff)
+                        code, ln = dc_codes[ci][s]
+                        bw.write(code, ln)
+                        if s:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << s) - 1, s
+                            )
+    sos(list(range(len(comps))), 0, 0, 0, 1, bw)
+
+    # Scan 2: DC refinement (raw bit 0 per block, same traversal).
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        bw.write(
+                            int(
+                                grids[ci][
+                                    my * c["v"] + by, mx * c["h"] + bx, 0
+                                ]
+                            )
+                            & 1,
+                            1,
+                        )
+    sos(list(range(len(comps))), 0, 0, 1, 0, bw)
+
+    # AC scans: per component, two bands, first pass then refinement.
+    bands = [(1, ac_split), (ac_split + 1, 63)]
+    for ss_, se_ in bands:
+        for ci, c in enumerate(comps):
+            cw = -(-w_img * c["h"] // hmax)
+            ch = -(-h_img * c["v"] // vmax)
+            bw_, bh_ = -(-cw // 8), -(-ch // 8)
+            bwr = _BitWriter()
+            _emit_ac_first_scan(bwr, grids[ci], ac_codes, ss_, se_, 1,
+                                bh_, bw_)
+            sos([ci], ss_, se_, 0, 1, bwr)
+    for ss_, se_ in bands:
+        for ci, c in enumerate(comps):
+            cw = -(-w_img * c["h"] // hmax)
+            ch = -(-h_img * c["v"] // vmax)
+            bw_, bh_ = -(-cw // 8), -(-ch // 8)
+            bwr = _BitWriter()
+            _emit_ac_refine_scan(bwr, grids[ci], ac_codes, ss_, se_, 0,
+                                 bh_, bw_)
+            sos([ci], ss_, se_, 1, 0, bwr)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_flat_tiles(
+    width: int, height: int, tile_fn, progressive: bool = False
+) -> bytes:
+    """Grayscale JPEG from flat 8×8 tiles: ``tile_fn(tx, ty)
     -> 0..255``. width/height must be multiples of 8. A constant
     block's DCT is DC-only with an integer DC (8·(v−128)), so with
     all-ones quant tables the roundtrip is bit-exact — the property
-    `multimodal_decode`'s first-principles SQL oracle relies on."""
+    `multimodal_decode`'s first-principles SQL oracle relies on,
+    equally true for the progressive (SOF2) encoding since it codes
+    the identical coefficients."""
     if width % 8 or height % 8 or width <= 0 or height <= 0:
         raise ValueError("flat-tile JPEG needs positive multiples of 8")
     img = np.zeros((height, width), dtype=np.uint8)
@@ -723,4 +1332,4 @@ def encode_jpeg_flat_tiles(
             img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = (
                 int(tile_fn(tx, ty)) % 256
             )
-    return encode_jpeg(img)
+    return encode_jpeg_progressive(img) if progressive else encode_jpeg(img)

@@ -108,9 +108,11 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     """Parse a binary P6 PPM header: returns (width, height, maxval,
     raster_offset). Shared by decode_ppm and _pixels_rgb so both PPM
     paths accept/reject exactly the same inputs. Tokens are whitespace
-    separated, '#' comments run to end of line; maxval > 255 (2-byte
-    samples) is rejected, and the single post-maxval whitespace byte
-    is validated (CRLF there would shift the raster)."""
+    separated, '#' comments run to end of line; maxval ≤ 255 means
+    1-byte samples, 256..65535 means 2-byte BIG-endian samples (PPM
+    spec), anything else is rejected; the single post-maxval
+    whitespace byte is validated (CRLF there would shift the
+    raster)."""
     if payload[:2] != b"P6":
         raise ValueError("not a P6 PPM payload")
     tokens, pos = [], 2
@@ -130,8 +132,8 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
     if len(tokens) < 3:
         raise ValueError("truncated PPM header")
     width, height, maxval = (int(t) for t in tokens)
-    if maxval > 255 or width <= 0 or height <= 0:
-        raise ValueError("unsupported PPM (16-bit or degenerate)")
+    if not 1 <= maxval <= 65535 or width <= 0 or height <= 0:
+        raise ValueError("unsupported PPM (maxval out of spec or degenerate)")
     # The raster starts after EXACTLY ONE whitespace byte (P6 spec).
     # Validate it: a non-whitespace byte, a comment, or a CRLF pair
     # here would silently shift the raster and rotate the channels —
@@ -145,15 +147,18 @@ def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
 
 
 def decode_ppm(payload: bytes) -> dict:
-    """Decode a binary P6 PPM (maxval ≤ 255): header tokens (with
-    comment support) then one numpy pass over the raw RGB triples."""
+    """Decode a binary P6 PPM: header tokens (with comment support)
+    then one numpy pass over the raw RGB triples — 1-byte samples for
+    maxval ≤ 255, 2-byte big-endian for 256..65535 (per spec). Means
+    are over raw sample values at the file's own depth."""
     import numpy as np
 
-    width, height, _maxval, pos = _ppm_header(payload)
+    width, height, maxval, pos = _ppm_header(payload)
+    dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
     need = width * height * 3
-    if len(payload) - pos < need:
+    if len(payload) - pos < need * dtype.itemsize:
         raise ValueError("truncated PPM pixel array")
-    px = np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos)
+    px = np.frombuffer(payload, dtype=dtype, count=need, offset=pos)
     means = px.reshape(height, width, 3).astype(np.float64).mean(axis=(0, 1))
     return {
         "width": width,
@@ -682,16 +687,19 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
                     payload = b"\xff\xd8\xff\xd9"
                     fmt = "image/jpeg"
                 else:
-                    # Real baseline JPEG: flat 8x8 grayscale tiles
-                    # survive the DCT roundtrip BIT-exactly (DC-only
-                    # blocks, all-ones quant tables), so the SQL
-                    # oracle recomputes the stats from the same
-                    # integer tile formula.
+                    # Real JPEG: flat 8x8 grayscale tiles survive the
+                    # DCT roundtrip BIT-exactly (DC-only blocks,
+                    # all-ones quant tables), so the SQL oracle
+                    # recomputes the stats from the same integer tile
+                    # formula. Every 5th one is encoded PROGRESSIVE
+                    # (SOF2 — spectral selection + successive
+                    # approximation); same coefficients, same stats.
                     w = 8 * (1 + d % 3)
                     h = 8 * (1 + (d // 3) % 2)
                     payload = encode_jpeg_flat_tiles(
                         w, h,
                         lambda tx, ty, d=d: (5 * d + 11 * tx + 23 * ty) % 256,
+                        progressive=(d % 5 == 2),
                     )
                     fmt = "image/jpeg"
                 out_ids.append(d)
@@ -876,9 +884,10 @@ def synthesize_gif_media(documents: DataFrame) -> DataFrame:
 
 
 def _pixels_rgb(payload: bytes, fmt: str):
-    """Top-down (h, w, 3) RGB uint8 array from an uncompressed raster
-    payload — the pixel-level companion to the stats decoders above.
-    Raises ValueError on anything else (caller reports, never dies)."""
+    """Top-down (h, w, 3) RGB integer array (uint8, or uint16 for
+    deep PPMs) from an uncompressed raster payload — the pixel-level
+    companion to the stats decoders above. Raises ValueError on
+    anything else (caller reports, never dies)."""
     import numpy as np
 
     if fmt == "image/bmp":
@@ -902,13 +911,18 @@ def _pixels_rgb(payload: bytes, fmt: str):
             rgb = rgb[::-1]
         return rgb
     if fmt == "image/x-portable-pixmap":
-        width, height, _maxval, pos = _ppm_header(payload)
+        width, height, maxval, pos = _ppm_header(payload)
+        dtype = np.dtype(">u2") if maxval > 255 else np.dtype(np.uint8)
         need = width * height * 3
-        if len(payload) - pos < need:
+        if len(payload) - pos < need * dtype.itemsize:
             raise ValueError("truncated PPM pixel array")
-        return np.frombuffer(
-            payload, dtype=np.uint8, count=need, offset=pos
+        # 16-bit rasters come back as NATIVE uint16 (big-endian views
+        # are slow in numpy) — image_ahash's bit grid is all-integer
+        # (gray·w·h > Σgray), exact at any depth.
+        arr = np.frombuffer(
+            payload, dtype=dtype, count=need, offset=pos
         ).reshape(height, width, 3)
+        return arr.astype(np.uint16) if maxval > 255 else arr
     raise ValueError(f"no pixel decoder for {fmt}")
 
 

@@ -882,12 +882,54 @@ def test_jpeg_codec_roundtrips():
         decode_jpeg(b"\xff\xd8\xff\xe0" + b"1234")
     with _pytest.raises(ValueError):
         decode_jpeg(bytes(payload[: len(payload) // 2]))
-    # Progressive (SOF2) → honest unsupported error.
+    # A baseline stream relabeled SOF2 is NOT valid progressive (its
+    # single scan spans Ss=0..Se=63, illegal in Annex G) → clean error.
     prog = bytearray(payload)
     sof = prog.find(b"\xff\xc0")
     prog[sof + 1] = 0xC2
-    with _pytest.raises(ValueError, match="baseline"):
+    with _pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(prog))
+    # Arithmetic-coded SOF10 stays an honest rejection naming the mode.
+    arith = bytearray(payload)
+    arith[sof + 1] = 0xCA
+    with _pytest.raises(ValueError, match="SOF10"):
+        decode_jpeg(bytes(arith))
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive (SOF2) decode: the full scan chain — interleaved
+    DC first, DC refinement bit plane, per-component spectral AC
+    bands with successive approximation and EOB runs — reconstructs
+    the exact coefficients, so decode stats are BIT-identical to the
+    baseline encoding of the same image."""
+    import numpy as np
+
+    from razulibs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    cases = [
+        (rng.integers(0, 256, (21, 13), np.uint8), "4:4:4"),     # gray
+        (rng.integers(0, 256, (17, 19, 3), np.uint8), "4:4:4"),
+        (rng.integers(0, 256, (30, 28, 3), np.uint8), "4:2:0"),
+        (np.full((64, 96), 200, np.uint8), "4:4:4"),             # max EOB runs
+        (((np.add.outer(np.arange(40), np.arange(40)) % 2) * 255)
+         .astype(np.uint8), "4:4:4"),                            # high-freq tail
+    ]
+    for img, sub in cases:
+        base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+        for split in (1, 5, 62):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, subsampling=sub, ac_split=split)
+            )
+            assert prog == base, (img.shape, sub, split)
+    # the emitted frame really is SOF2 with multiple scans
+    payload = encode_jpeg_progressive(cases[0][0])
+    assert b"\xff\xc2" in payload
+    assert payload.count(b"\xff\xda") == 6  # DC first+refine, 2 bands × 2
 
 
 def test_media_decoders_reject_garbage():
@@ -981,9 +1023,9 @@ def test_ppm_rejects_ambiguous_separator():
 
 def test_pixels_rgb_ppm_shares_decode_ppm_validation():
     """_pixels_rgb (the ahash path) and decode_ppm accept/reject the
-    same PPM inputs: both reject maxval > 255 (2-byte samples would be
-    silently misdecoded) and both tolerate comments + general
-    whitespace in the header."""
+    same PPM inputs: both decode 16-bit (2-byte big-endian) rasters,
+    both reject out-of-spec maxval, and both tolerate comments +
+    general whitespace in the header."""
     import numpy as np
     import pytest as _pytest
 
@@ -996,11 +1038,22 @@ def test_pixels_rgb_ppm_shares_decode_ppm_validation():
     good = encode_ppm(2, 2, lambda x, y: (x * 10, y * 10, 99))
     rgb = _pixels_rgb(good, "image/x-portable-pixmap")
     assert rgb.shape == (2, 2, 3) and rgb[1, 0].tolist() == [0, 10, 99]
-    # maxval 65535 -> honest rejection on BOTH paths
-    wide = good.replace(b"255\n", b"65535\n")
-    for fn in (decode_ppm, lambda p: _pixels_rgb(p, "image/x-portable-pixmap")):
-        with _pytest.raises(ValueError):
-            fn(wide)
+    # 16-bit raster decodes on BOTH paths (big-endian 2-byte samples)
+    vals = [300, 65535, 0, 7, 40000, 1, 256, 255, 2, 999, 12345, 65000]
+    deep = b"P6\n2 2\n65535\n" + b"".join(
+        v.to_bytes(2, "big") for v in vals
+    )
+    st = decode_ppm(deep)
+    assert st["mean_r"] == (300 + 7 + 256 + 999) / 4
+    rgb16 = _pixels_rgb(deep, "image/x-portable-pixmap")
+    assert rgb16.dtype == np.uint16 and rgb16[0, 1].tolist() == [7, 40000, 1]
+    # out-of-spec maxval -> honest rejection on BOTH paths
+    for bad in (b"P6\n2 2\n0\n", b"P6\n2 2\n65536\n"):
+        for fn in (
+            decode_ppm, lambda p: _pixels_rgb(p, "image/x-portable-pixmap")
+        ):
+            with _pytest.raises(ValueError):
+                fn(bad + bytes(24))
     # comment + space-separated header parses on BOTH paths
     body = bytes(np.asarray(rgb, np.uint8))
     odd_header = b"P6 # c\n 2 2 255\n" + body

@@ -212,6 +212,39 @@ def test_jpeg_flat_tile_roundtrip_exact(tw, th, seed):
 
 
 @given(
+    st.integers(min_value=1, max_value=28),
+    st.integers(min_value=1, max_value=28),
+    st.integers(min_value=0, max_value=2**31),
+    st.sampled_from(["gray", "4:4:4", "4:2:0"]),
+    st.sampled_from([1, 5, 31, 62]),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_progressive_bit_identical_to_baseline(w, h, seed, mode, split):
+    """SOF2 progressive decode reconstructs the exact coefficient
+    arrays for any geometry/content/subsampling/band split, so its
+    stats equal the baseline encoding's bit-for-bit (same q=1
+    coefficients, same IDCT expression)."""
+    import numpy as np
+
+    from razulibs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(seed)
+    if mode == "gray":
+        img, sub = rng.integers(0, 256, (h, w), np.uint8), "4:4:4"
+    else:
+        img, sub = rng.integers(0, 256, (h, w, 3), np.uint8), mode
+    base = decode_jpeg(encode_jpeg(img, subsampling=sub))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, subsampling=sub, ac_split=split)
+    )
+    assert prog == base
+
+
+@given(
     st.integers(min_value=1, max_value=20),
     st.integers(min_value=1, max_value=20),
     st.integers(min_value=0, max_value=2**31),
