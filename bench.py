@@ -310,6 +310,7 @@ R07_ADDITIONS = [
     "k2_trig_roundtrip",
     "k2_trix_roundtrip",
     "dedup_substring_spans",
+    "dedup_substring_cut",
 ]
 
 HEADLINE = (

@@ -920,6 +920,68 @@ def substring_span_stats(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def substring_span_cut(documents: DataFrame, k: int = 8) -> DataFrame:
+    """Span-CUT companion to :func:`substring_span_stats`: remove
+    every token covered by a corpus-duplicated k-token window and
+    reconstruct the cleaned text (the actual dedup action of Lee et
+    al. 2022 — document-level dedup keeps or drops whole docs; this
+    surgically removes the boilerplate).
+
+    Plan shape: the window fan-out + duplicate-hash membership reuse
+    the stats operator's two hash-keyed shuffles; duplicated window
+    STARTS then aggregate per doc (array, bounded by spans/doc), join
+    back to the doc row, and the token mask + reassembly is pure
+    codegen higher-order functions (filter/exists/transform over the
+    split array — no UDF, no second pass over the corpus). The
+    per-doc mask costs O(tokens × dup_starts); dup_starts is small
+    for real corpora (boilerplate is a bounded fraction), and the
+    whole step is map-side.
+    """
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    toks = (
+        documents.repartition(n, "doc_id")
+        .select("doc_id", "text", F.split(F.col("text"), " ").alias("w"))
+    )
+    spans = toks.filter(F.size("w") >= k).select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(w) - {k - 1}), "
+                f"i -> md5(concat_ws(' ', slice(w, i, {k}))))"
+            )
+        ).alias("pos0", "h"),
+    )
+    dup = (
+        spans.groupBy("h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("h")
+    )
+    starts = (
+        spans.join(dup, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("starts"))
+    )
+    joined = toks.join(starts, "doc_id", "left").select(
+        "doc_id", "w",
+        F.coalesce("starts", F.expr("array()")).alias("starts"),
+    )
+    kept = F.expr(
+        f"filter(sequence(1, size(w)), p -> "
+        f"NOT exists(starts, s -> p >= s AND p < s + {k}))"
+    )
+    return joined.select("doc_id", "w", kept.alias("kept")).select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.size("kept").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ", F.expr("transform(kept, p -> element_at(w, p))")
+            )
+        ).alias("clean_hash"),
+    )
+
+
 def lsh_s_curve(
     spark,
     configs: list[tuple[int, int]] = ((4, 3), (6, 2), (8, 4)),

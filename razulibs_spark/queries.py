@@ -1024,6 +1024,44 @@ FROM perdoc p LEFT JOIN dupdoc d USING (doc_id)
 """
 
 
+_SUBSTRING_CUT_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ sp AS (SELECT doc_id, i AS start,
+               md5(array_to_string(ws[i:i+7], ' ')) AS h
+        FROM (SELECT doc_id, ws,
+                     unnest(generate_series(1, len(ws) - 7)) AS i
+              FROM w WHERE len(ws) >= 8)),
+ dup AS (SELECT h FROM sp GROUP BY h HAVING COUNT(*) >= 2),
+ st AS (SELECT doc_id, list_sort(list(start)) AS starts
+        FROM sp WHERE h IN (SELECT h FROM dup) GROUP BY doc_id),
+ j AS (SELECT w.doc_id, w.ws, COALESCE(st.starts, []) AS starts
+       FROM w LEFT JOIN st USING (doc_id)),
+ kk AS (SELECT doc_id, ws,
+               [p for p in generate_series(1, len(ws))
+                if len(list_filter(starts, s -> p >= s AND p < s + 8)) = 0]
+                 AS kept
+        FROM j)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_tokens,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       md5(COALESCE(array_to_string([ws[p] for p in kept], ' '), ''))
+         AS clean_hash
+FROM kk
+"""
+
+
+@query("dedup_substring_cut", _SUBSTRING_CUT_SQL)
+def dedup_substring_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-cut dedup: REMOVE every token covered by a
+    corpus-duplicated 8-token window and reconstruct the cleaned text
+    (Lee et al. 2022's action; dedup_substring_spans is the detection
+    report). The oracle value-hashes the reconstructed text itself
+    (md5), so a one-token masking error anywhere in the corpus
+    mismatches. Mask + reassembly are pure codegen HOFs
+    (filter/exists/transform) — no UDF, no extra corpus pass."""
+    return dedup.substring_span_cut(T(spark, sf_dir, "documents"), k=8)
+
+
 @query("dedup_substring_spans", _SUBSTRING_SQL)
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring stats at 8-token granularity (the

@@ -999,3 +999,37 @@ def test_substring_span_stats_hand_computed(spark):
     # the aligned licence block (duplicated corpus-wide); the 7
     # straddling windows each occur once and stay unique.
     assert got[4][0] == 9 and got[4][1] == 2
+
+
+def test_substring_span_cut_reconstructs_cleaned_text(spark):
+    """Span CUT removes exactly the tokens covered by duplicated
+    windows and value-hashes the reconstructed text; docs without
+    windows pass through untouched, fully-covered docs empty out."""
+    import hashlib
+
+    from razulibs_spark.operators.dedup import substring_span_cut
+
+    lic = "all rights reserved by the example archive trust"
+    rows = [
+        (1, f"{lic} unique tail one two three"),
+        (2, f"prefix words here then {lic}"),
+        (3, "a completely different text with eight unique tokens"),
+        (4, f"{lic} {lic}"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = {r["doc_id"]: r for r in substring_span_cut(df, k=8).collect()}
+    assert (res[1]["n_tokens"], res[1]["n_kept"]) == (13, 5)
+    assert res[1]["clean_hash"] == hashlib.md5(
+        b"unique tail one two three").hexdigest()
+    assert (res[2]["n_tokens"], res[2]["n_kept"]) == (12, 4)
+    assert res[2]["clean_hash"] == hashlib.md5(
+        b"prefix words here then").hexdigest()
+    # untouched doc: hash of the original text
+    assert res[3]["n_kept"] == 8
+    assert res[3]["clean_hash"] == hashlib.md5(rows[2][1].encode()).hexdigest()
+    # fully duplicated doc empties out (md5 of "")
+    assert (res[4]["n_tokens"], res[4]["n_kept"]) == (16, 0)
+    assert res[4]["clean_hash"] == hashlib.md5(b"").hexdigest()
+    # sub-window doc passes through whole
+    assert (res[5]["n_tokens"], res[5]["n_kept"]) == (2, 2)
