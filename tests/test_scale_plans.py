@@ -698,3 +698,30 @@ def test_partitioned_pruning_entry_plan(spark):
     # filter list is empty)
     assert "PushedFilters" not in plan
     assert ") Filter" not in plan
+
+
+def test_substring_spans_partial_agg_no_cartesian(spark):
+    """Span stats: the occurrence count must partial-aggregate
+    (map-side combine absorbs hot boilerplate spans), membership is a
+    semi join, nothing is a cross product, and the mask/fan-out stays
+    UDF-free codegen."""
+    plan = _plan(Q.dedup_substring_spans(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial -> final somewhere
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_cut_mask_is_codegen_no_udf(spark):
+    plan = _plan(Q.dedup_substring_cut(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_minhash_lsh_ml_precision_check_is_bounded(spark):
+    """The ml-LSH bound-contract query: the only nested-loop join is
+    the 1-row precision-boolean compose (broadcast), and the planted
+    left join stays an equi join."""
+    plan = _plan(Q.dedup_minhash_lsh_ml(spark, SF))
+    assert "CartesianProduct" not in plan
