@@ -77,7 +77,12 @@ def _parse_rdfxml(content: bytes, scope: str) -> list[tuple]:
     import xml.etree.ElementTree as ET
     from urllib.parse import urljoin
 
-    root = ET.fromstring(content)
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as exc:
+        # ParseError is a SyntaxError subclass — normalize to the
+        # module's ValueError contract so callers need one catch.
+        raise ValueError(f"malformed XML: {exc}") from exc
     out: list[tuple] = []
     n_gen = [0]
     tag8 = hashlib.md5(scope.encode()).hexdigest()[:8]
@@ -259,6 +264,8 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             rows: list[tuple] = []
             for p, content in zip(pdf["path"], pdf["content"]):
+                if not bytes(content).strip():
+                    continue  # empty part file (empty writer partition)
                 rows.extend(_parse_rdfxml(bytes(content), str(p)))
             yield pd.DataFrame(rows, columns=cols)
 
@@ -381,7 +388,10 @@ def _parse_trix(content: bytes, scope: str) -> list[tuple]:
     import hashlib
     import xml.etree.ElementTree as ET
 
-    root = ET.fromstring(content)
+    try:
+        root = ET.fromstring(content)
+    except ET.ParseError as exc:
+        raise ValueError(f"malformed XML: {exc}") from exc
     ns = "{%s}" % TRIX_NS
     if root.tag not in (ns + "TriX", ns + "trix"):
         raise ValueError(f"not a TriX document (root {root.tag!r})")
@@ -439,6 +449,8 @@ def read_trix(spark: SparkSession, path: str) -> DataFrame:
         for pdf in it:
             rows: list[tuple] = []
             for p, content in zip(pdf["path"], pdf["content"]):
+                if not bytes(content).strip():
+                    continue  # empty part file (empty writer partition)
                 rows.extend(_parse_trix(bytes(content), str(p)))
             yield pd.DataFrame(rows, columns=cols)
 

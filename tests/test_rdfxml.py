@@ -141,6 +141,25 @@ def test_rdfxml_bnodes_scoped_per_file():
     assert o1.startswith("_:") and o2.startswith("_:") and o1 != o2
 
 
+def test_document_writers_tolerate_empty_partitions(spark, tmp_path):
+    """A frame with more partitions than rows writes empty part files;
+    the readers must skip them (a zero-byte file is a no-op document,
+    not poison) and malformed XML must raise the module's ValueError,
+    not ElementTree's SyntaxError subclass."""
+    df = _triples_df(spark).limit(2).repartition(8)
+    for ext, writer, reader in (
+        ("rdfxml", write_rdfxml, read_rdfxml),
+        ("trix", write_trix, read_trix),
+    ):
+        path = str(tmp_path / f"sparse.{ext}")
+        writer(df, path)
+        assert reader(spark, path).count() == 2
+    with pytest.raises(ValueError, match="malformed XML"):
+        _parse_rdfxml(b"<rdf:RDF", "t")
+    with pytest.raises(ValueError, match="malformed XML"):
+        _parse_trix(b"not xml at all", "t")
+
+
 def test_trix_roundtrip_with_graphs(spark, tmp_path):
     df = _triples_df(spark).withColumn(
         "g",
