@@ -311,6 +311,7 @@ R07_ADDITIONS = [
     "k2_trix_roundtrip",
     "dedup_substring_spans",
     "dedup_substring_cut",
+    "multimodal_audio_spectral",
 ]
 
 HEADLINE = (

@@ -9,13 +9,13 @@ REALLY decoded with numpy + stdlib only — 24-bit uncompressed BMP
 and binary P6 PPM (header parse + per-channel pixel means via
 numpy), 16-bit PCM WAV (RIFF chunk walk + sample stats),
 non-interlaced 8-bit PNG (chunk walk + CRC check, zlib inflate, all
-five scanline unfilters), and baseline sequential JPEG
-(`operators/jpeg.py`: marker walk, Huffman entropy decode, dequant +
-IDCT, sampling-factor upsample, YCbCr→RGB). Unsupported modes
-(progressive JPEG, Adam7 PNG) and corrupt payloads come back as
-decoded=false report rows with the reason, which is the right
-production posture at 100 TB (a poison byte string must never kill
-the job).
+five scanline unfilters), and Huffman JPEG — baseline sequential AND
+progressive SOF2 (`operators/jpeg.py`: marker walk, entropy decode,
+spectral/successive-approximation scan accumulation, dequant + IDCT,
+sampling-factor upsample, YCbCr→RGB). Unsupported modes (Adam7 PNG,
+arithmetic JPEG) and corrupt payloads come back as decoded=false
+report rows with the reason, which is the right production posture at
+100 TB (a poison byte string must never kill the job).
 """
 
 from __future__ import annotations
@@ -169,9 +169,10 @@ def decode_ppm(payload: bytes) -> dict:
     }
 
 
-def decode_wav(payload: bytes) -> dict:
-    """Decode a 16-bit PCM WAV: RIFF chunk walk (fmt + data), then
-    sample count / peak / RMS over the PCM frames via numpy."""
+def _wav_pcm(payload: bytes):
+    """RIFF chunk walk → (sample_rate, n_channels, int16 sample
+    array). Shared by decode_wav (stats) and audio_spectral (FFT) so
+    both WAV paths accept/reject the same inputs."""
     import numpy as np
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -199,14 +200,22 @@ def decode_wav(payload: bytes) -> dict:
             "16-bit integer PCM decodes without an audio library"
         )
     samples = np.frombuffer(data, dtype="<i2")
-    n_samples = len(samples) // n_channels
-    if n_samples == 0:
+    if len(samples) // n_channels == 0:
         raise ValueError("empty WAV data chunk")
+    return sample_rate, n_channels, samples
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Decode a 16-bit PCM WAV: RIFF chunk walk (fmt + data), then
+    sample count / peak / RMS over the PCM frames via numpy."""
+    import numpy as np
+
+    sample_rate, n_channels, samples = _wav_pcm(payload)
     x = samples.astype(np.float64)
     return {
         "sample_rate": sample_rate,
         "n_channels": n_channels,
-        "n_samples": n_samples,
+        "n_samples": len(samples) // n_channels,
         "peak": float(np.abs(x).max()),
         "rms": float(np.sqrt((x * x).mean())),
     }
@@ -993,4 +1002,137 @@ def image_ahash(media: DataFrame) -> DataFrame:
     )
     return media.repartition(n_parts).mapInPandas(
         batches, schema=AHASH_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral analysis — FFT feature extraction over real PCM
+# ---------------------------------------------------------------------------
+
+TONAL_N = 2048          # samples per fixture clip (power of two)
+TONAL_RATE = 8000       # Hz
+
+
+def synthesize_tonal_wav_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL mono 16-bit PCM WAVs from the documents
+    table: each clip is a pure sine planted EXACTLY on FFT bin
+    k = 3 + doc_id % 37 of a TONAL_N-sample window (freq = k·rate/N),
+    amplitude 9000 + (doc_id % 5)·1000 — so the spectral analyzer's
+    peak bin is an integer function of doc_id and the oracle
+    recomputes it from the same formula (quantization noise is ~60 dB
+    below the planted tone; argmax cannot move). Docs with
+    doc_id % 13 == 7 carry a POISON payload (RIFF/WAVE header, no
+    chunks) pinning the decoded=false path."""
+    import math
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 13 == 7:
+                    payload = b"RIFF" + (4).to_bytes(4, "little") + b"WAVE"
+                else:
+                    k = 3 + d % 37
+                    a = 9000 + (d % 5) * 1000
+                    w = 2.0 * math.pi * k / TONAL_N
+                    samples = [
+                        round(a * math.sin(w * i)) for i in range(TONAL_N)
+                    ]
+                    payload = encode_wav(samples, TONAL_RATE)
+                ids.append(d)
+                payloads.append(payload)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_format": ["audio/wav"] * len(ids),
+                }
+            )
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("payload", BinaryType(), True),
+            StructField("media_format", StringType(), True),
+        ]
+    )
+    return documents.select("doc_id").mapInPandas(batches, schema=schema)
+
+
+SPECTRAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("decoded", BooleanType()),
+        StructField("sample_rate", LongType()),
+        StructField("n_samples", LongType()),
+        StructField("peak_bin", LongType()),
+        StructField("dominant_hz", DoubleType()),
+        StructField("tonal", BooleanType()),
+        StructField("note", StringType()),
+    ]
+)
+
+
+def audio_spectral(media: DataFrame) -> DataFrame:
+    """Spectral feature extraction over real PCM audio: per clip, an
+    rFFT of the (mono-mixed) samples, the dominant non-DC bin, its
+    frequency in Hz, and a tonality flag (peak bin holds > half the
+    non-DC energy). This is the audio member of the feature-extract
+    family (image decode / ahash / video frames) — one Arrow pass,
+    bounded payloads, corrupt rows come back decoded=false with the
+    reason.
+
+    ``dominant_hz = peak_bin · rate / n`` is an exact power-of-two
+    division for the fixture geometry, so the value hashes bit-equal
+    against an oracle computing the same rational."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                row = {
+                    "doc_id": int(doc_id), "decoded": False,
+                    "sample_rate": None, "n_samples": None,
+                    "peak_bin": None, "dominant_hz": None,
+                    "tonal": None, "note": None,
+                }
+                try:
+                    if payload is None:
+                        raise ValueError("null payload")
+                    rate, nch, samples = _wav_pcm(bytes(payload))
+                    n = len(samples) // nch
+                    x = (
+                        samples[: n * nch]
+                        .astype(np.float64)
+                        .reshape(n, nch)
+                        .mean(axis=1)
+                    )
+                    spec = np.abs(np.fft.rfft(x)) ** 2
+                    if len(spec) < 2:
+                        raise ValueError("clip too short for spectrum")
+                    body = spec[1:]  # drop DC
+                    peak = int(np.argmax(body)) + 1
+                    row.update(
+                        decoded=True,
+                        sample_rate=int(rate),
+                        n_samples=int(n),
+                        peak_bin=peak,
+                        dominant_hz=float(peak * rate) / n,
+                        tonal=bool(spec[peak] > 0.5 * float(body.sum())),
+                    )
+                except ValueError as exc:
+                    row["note"] = str(exc)
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPECTRAL_SCHEMA]
+            )
+
+    n_parts = max(
+        media.sparkSession.sparkContext.defaultParallelism,
+        media.rdd.getNumPartitions(),
+    )
+    return media.repartition(n_parts).mapInPandas(
+        batches, schema=SPECTRAL_SCHEMA
     )

@@ -8314,6 +8314,48 @@ SELECT * FROM ok_out UNION ALL SELECT * FROM poison_out
 """
 
 
+_MM_SPECTRAL_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 13 = 7 THEN FALSE ELSE TRUE END AS decoded,
+       CASE WHEN doc_id % 13 = 7 THEN NULL
+            ELSE CAST(8000 AS BIGINT) END AS sample_rate,
+       CASE WHEN doc_id % 13 = 7 THEN NULL
+            ELSE CAST(2048 AS BIGINT) END AS n_samples,
+       CASE WHEN doc_id % 13 = 7 THEN NULL
+            ELSE CAST(3 + doc_id % 37 AS BIGINT) END AS peak_bin,
+       CASE WHEN doc_id % 13 = 7 THEN NULL
+            ELSE CAST((3 + doc_id % 37) * 8000 AS DOUBLE) / 2048.0
+            END AS dominant_hz,
+       CASE WHEN doc_id % 13 = 7 THEN FALSE ELSE TRUE END AS tonal,
+       CASE WHEN doc_id % 13 = 7 THEN 'WAV missing fmt/data chunk'
+            END AS note
+FROM documents
+"""
+
+
+@query("multimodal_audio_spectral", _MM_SPECTRAL_SQL)
+def multimodal_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio FFT feature extraction over real PCM: each synthesized
+    clip is a pure sine planted EXACTLY on FFT bin 3 + doc_id % 37
+    (multimodal.synthesize_tonal_wav_media), so the rFFT peak bin, its
+    frequency (an exact power-of-two rational — hash-stable), and the
+    tonality flag are integer functions of doc_id the oracle
+    recomputes; quantization noise sits ~60 dB under the tone, so the
+    argmax cannot move. Poison rows (RIFF header, no chunks) pin the
+    decoded=false path with the literal note. One Arrow pass each for
+    synthesis and analysis, bounded clips."""
+    from razulibs_spark.operators.multimodal import (
+        audio_spectral,
+        synthesize_tonal_wav_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    out = audio_spectral(synthesize_tonal_wav_media(docs))
+    # Nullable booleans hash differently across pandas bridges (None
+    # vs NaN) — pin tonal to FALSE on undecoded rows in both engines.
+    return out.withColumn("tonal", F.coalesce("tonal", F.lit(False)))
+
+
 @query("multimodal_gif_decode", _MM_GIF_SQL)
 def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL GIF89a decode (operators/gif.py): palette images with real

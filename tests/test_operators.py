@@ -1370,3 +1370,34 @@ def test_gif_local_color_table_wins():
     out[img_desc + 10 : img_desc + 10] = lct
     st = decode_gif(bytes(out))
     assert st["mean_r"] == 25.0  # swapped palette: (40+10+10+40)/4
+
+
+def test_audio_spectral_finds_planted_bin(spark):
+    """FFT feature extraction: a sine planted exactly on bin k peaks
+    at bin k with > half the non-DC energy; stereo mixes to mono
+    before the transform; corrupt payloads report decoded=false."""
+    import math
+
+    from razulibs_spark.operators.multimodal import (
+        audio_spectral,
+        encode_wav,
+    )
+
+    n, a = 1024, 8000
+    def sine(k):
+        return [round(a * math.sin(2 * math.pi * k * i / n))
+                for i in range(n)]
+
+    rows = [
+        (1, encode_wav(sine(9), 8000), "audio/wav"),
+        (2, b"RIFF" + (4).to_bytes(4, "little") + b"WAVE", "audio/wav"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, media_format string"
+    )
+    got = {r["doc_id"]: r for r in audio_spectral(df).collect()}
+    r1 = got[1]
+    assert r1["decoded"] and r1["peak_bin"] == 9 and r1["tonal"]
+    assert r1["dominant_hz"] == 9 * 8000 / 1024
+    assert not got[2]["decoded"]
+    assert got[2]["note"] == "WAV missing fmt/data chunk"
