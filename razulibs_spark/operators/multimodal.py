@@ -606,13 +606,18 @@ def encode_ppm(width: int, height: int, rgb_fn) -> bytes:
     return f"P6\n{width} {height}\n255\n".encode() + bytes(body)
 
 
-def encode_wav(samples: list[int], sample_rate: int = 8000) -> bytes:
-    """Mono 16-bit PCM WAV from integer samples (clamped to int16)."""
-    data = bytearray()
-    for v in samples:
-        data += int(max(-32768, min(32767, v))).to_bytes(
-            2, "little", signed=True
-        )
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Mono 16-bit PCM WAV from integer samples (clamped to int16).
+    Accepts any integer sequence/array; the PCM pack is one vectorized
+    numpy pass (a per-sample to_bytes loop measured ~5x the whole
+    synthesis cost at fixture scale)."""
+    import numpy as np
+
+    data = (
+        np.clip(np.asarray(samples, dtype=np.int64), -32768, 32767)
+        .astype("<i2")
+        .tobytes()
+    )
     fmt = (
         (1).to_bytes(2, "little")          # PCM
         + (1).to_bytes(2, "little")        # mono
@@ -1025,6 +1030,10 @@ def synthesize_tonal_wav_media(documents: DataFrame) -> DataFrame:
     chunks) pinning the decoded=false path."""
     import math
 
+    import numpy as np
+
+    t = np.arange(TONAL_N, dtype=np.float64)
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, payloads = [], []
@@ -1036,9 +1045,10 @@ def synthesize_tonal_wav_media(documents: DataFrame) -> DataFrame:
                     k = 3 + d % 37
                     a = 9000 + (d % 5) * 1000
                     w = 2.0 * math.pi * k / TONAL_N
-                    samples = [
-                        round(a * math.sin(w * i)) for i in range(TONAL_N)
-                    ]
+                    # np.round matches Python round() here (both
+                    # half-even on float64), and the oracle depends
+                    # only on the planted bin, not the sample bytes.
+                    samples = np.round(a * np.sin(w * t)).astype(np.int64)
                     payload = encode_wav(samples, TONAL_RATE)
                 ids.append(d)
                 payloads.append(payload)

@@ -277,34 +277,6 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _split_qname(uri: str) -> tuple[str, str]:
-    """(namespace, NCName local part) split at the last '#' or '/';
-    raises when no split yields a legal XML element name."""
-    import re
-
-    for cut in ("#", "/"):
-        i = uri.rfind(cut)
-        if i > 0:
-            local = uri[i + 1:]
-            if re.fullmatch(_NCNAME_RE, local):
-                return uri[: i + 1], local
-    raise ValueError(f"predicate {uri!r} has no XML-serializable local name")
-
-
-def _xml_subject_attr(s: str) -> str:
-    """Subject → rdf:about / rdf:nodeID attribute, mirroring
-    ntriples_line's bnode handling (rdf_io.py): engine-internal
-    'bnode:' skolems get stable md5 labels; '_:' labels pass through."""
-    import hashlib
-    from xml.sax.saxutils import quoteattr
-
-    if s.startswith("bnode:"):
-        return f"rdf:nodeID={quoteattr('b' + hashlib.md5(s.encode()).hexdigest())}"
-    if s.startswith("_:"):
-        return f"rdf:nodeID={quoteattr('b' + s[2:])}"
-    return f"rdf:about={quoteattr(s)}"
-
-
 def write_rdfxml(triples: DataFrame, path: str) -> None:
     """K2-family sink: each partition becomes ONE part file holding
     ONE complete RDF/XML document (XML forbids concatenated roots, so
@@ -312,11 +284,12 @@ def write_rdfxml(triples: DataFrame, path: str) -> None:
     the Arrow iterator emits the header before the first non-empty
     batch and the footer after the last). Predicate namespaces are
     declared per property element (streaming-friendly: the root can't
-    know the namespace set up front), subjects group within each Arrow
-    batch (repeated rdf:Description blocks for one subject are legal
-    RDF/XML). Bulk interchange at scale stays write_ntriples."""
+    know the namespace set up front); one rdf:Description per triple
+    (repeated subjects are legal RDF/XML and merge on parse — the
+    grouped form needed a row loop ~10x slower). Bulk interchange at
+    scale stays write_ntriples."""
     import pandas as pd
-    from xml.sax.saxutils import escape, quoteattr
+    from xml.sax.saxutils import quoteattr
 
     from razulibs_spark.sources.rdf_io import _widen
 
@@ -325,49 +298,101 @@ def write_rdfxml(triples: DataFrame, path: str) -> None:
         f'<rdf:RDF xmlns:rdf={quoteattr(RDF_NS)}>'
     )
 
-    def obj_xml(local, nsdecl, row) -> str:
-        o, o_type = row["o"], row["o_type"]
-        if o_type == "uri":
-            return f"  <{local} {nsdecl} rdf:resource={quoteattr(o)}/>"
-        if o_type == "bnode":
-            import hashlib
+    import re as _re
 
-            label = (
-                "b" + hashlib.md5(o.encode()).hexdigest()
-                if not o.startswith("_:") else "b" + o[2:]
-            )
-            return f"  <{local} {nsdecl} rdf:nodeID={quoteattr(label)}/>"
-        body = escape(o if o is not None else "")
-        if row["o_lang"] is not None and not pd.isna(row["o_lang"]):
-            return (
-                f"  <{local} {nsdecl} xml:lang={quoteattr(row['o_lang'])}>"
-                f"{body}</{local}>"
-            )
-        if row["o_datatype"] is not None and not pd.isna(row["o_datatype"]):
-            return (
-                f"  <{local} {nsdecl} "
-                f"rdf:datatype={quoteattr(row['o_datatype'])}>"
-                f"{body}</{local}>"
-            )
-        return f"  <{local} {nsdecl}>{body}</{local}>"
+    def _attr_escape(col: "pd.Series") -> "pd.Series":
+        return (
+            col.str.replace("&", "&amp;", regex=False)
+            .str.replace("<", "&lt;", regex=False)
+            .str.replace(">", "&gt;", regex=False)
+            .str.replace('"', "&quot;", regex=False)
+        )
+
+    def _text_escape(col: "pd.Series") -> "pd.Series":
+        return (
+            col.str.replace("&", "&amp;", regex=False)
+            .str.replace("<", "&lt;", regex=False)
+            .str.replace(">", "&gt;", regex=False)
+        )
+
+    qname_re = _re.compile(rf"^(.*[#/])({_NCNAME_RE})$")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # One rdf:Description per TRIPLE (legal RDF/XML; repeated
+        # subjects merge on parse) — the per-subject grouped form
+        # needed a per-row loop that measured ~10x slower. All string
+        # assembly below is vectorized pandas ops.
+        import hashlib
+
         opened = False
         for pdf in it:
             if not len(pdf):
                 continue
-            chunks: list[str] = []
+            s = pdf["s"].astype(str)
+            sval = _attr_escape(s)
+            subj = 'rdf:about="' + sval + '"'
+            bmask = s.str.startswith("bnode:")
+            if bmask.any():
+                subj[bmask] = (
+                    'rdf:nodeID="b'
+                    + s[bmask].map(
+                        lambda v: hashlib.md5(v.encode()).hexdigest()
+                    )
+                    + '"'
+                )
+            lmask = s.str.startswith("_:")
+            if lmask.any():
+                subj[lmask] = (
+                    'rdf:nodeID="b' + _attr_escape(s[lmask].str[2:]) + '"'
+                )
+            parts = pdf["p"].astype(str).str.extract(qname_re)
+            if parts[0].isna().any():
+                bad = pdf["p"][parts[0].isna()].iloc[0]
+                raise ValueError(
+                    f"predicate {bad!r} has no XML-serializable local name"
+                )
+            open_tag = (
+                "  <p:" + parts[1] + ' xmlns:p="' + _attr_escape(parts[0])
+                + '"'
+            )
+            o = pdf["o"].fillna("").astype(str)
+            # literal body with optional lang/datatype attributes
+            elem = open_tag.copy()
+            lang_mask = pdf["o_lang"].notna()
+            elem[lang_mask] = (
+                elem[lang_mask] + ' xml:lang="'
+                + _attr_escape(pdf["o_lang"][lang_mask].astype(str)) + '"'
+            )
+            dt_mask = pdf["o_datatype"].notna() & ~lang_mask
+            elem[dt_mask] = (
+                elem[dt_mask] + ' rdf:datatype="'
+                + _attr_escape(pdf["o_datatype"][dt_mask].astype(str)) + '"'
+            )
+            elem = elem + ">" + _text_escape(o) + "</p:" + parts[1] + ">"
+            umask = pdf["o_type"] == "uri"
+            elem[umask] = (
+                open_tag[umask] + ' rdf:resource="' + _attr_escape(o[umask])
+                + '"/>'
+            )
+            bnmask = pdf["o_type"] == "bnode"
+            if bnmask.any():
+                ob = o[bnmask]
+                label = "b" + ob.map(
+                    lambda v: hashlib.md5(v.encode()).hexdigest()
+                )
+                passthru = ob.str.startswith("_:")
+                label[passthru] = "b" + ob[passthru].str[2:]
+                elem[bnmask] = (
+                    open_tag[bnmask] + ' rdf:nodeID="'
+                    + _attr_escape(label) + '"/>'
+                )
+            chunks = (
+                "<rdf:Description " + subj + ">\n" + elem
+                + "\n</rdf:Description>"
+            )
             if not opened:
-                chunks.append(header)
+                chunks.iloc[0] = header + "\n" + chunks.iloc[0]
                 opened = True
-            for s, grp in pdf.groupby("s", sort=False):
-                lines = [f"<rdf:Description {_xml_subject_attr(str(s))}>"]
-                for _, row in grp.iterrows():
-                    ns, local = _split_qname(row["p"])
-                    nsdecl = f"xmlns:p={quoteattr(ns)}"
-                    lines.append(obj_xml(f"p:{local}", nsdecl, row))
-                lines.append("</rdf:Description>")
-                chunks.append("\n".join(lines))
             yield pd.DataFrame({"value": chunks})
         if opened:
             yield pd.DataFrame({"value": ["</rdf:RDF>"]})
@@ -472,26 +497,57 @@ def write_trix(triples: DataFrame, path: str) -> None:
     if "g" not in triples.columns:
         triples = triples.withColumn("g", F.lit(None).cast("string"))
 
-    def term(kind: str, val: str, dt, lang) -> str:
-        if kind == "uri":
-            return f"<uri>{escape(val)}</uri>"
-        if kind == "bnode":
-            label = (
-                "b" + hashlib.md5(val.encode()).hexdigest()
-                if not val.startswith("_:") else "b" + val[2:]
-            )
-            return f"<id>{escape(label)}</id>"
-        body = escape(val if val is not None else "")
-        if lang is not None and not pd.isna(lang):
-            return f"<plainLiteral xml:lang={quoteattr(lang)}>{body}</plainLiteral>"
-        if dt is not None and not pd.isna(dt):
-            return f"<typedLiteral datatype={quoteattr(dt)}>{body}</typedLiteral>"
-        return f"<plainLiteral>{body}</plainLiteral>"
+    def xesc(col: "pd.Series") -> "pd.Series":
+        # element text/attr escape (attrs below use double quotes)
+        return (
+            col.str.replace("&", "&amp;", regex=False)
+            .str.replace("<", "&lt;", regex=False)
+            .str.replace(">", "&gt;", regex=False)
+            .str.replace('"', "&quot;", regex=False)
+        )
 
-    def subj_kind(s: str) -> tuple[str, str]:
-        if s.startswith("bnode:") or s.startswith("_:"):
-            return "bnode", s
-        return "uri", s
+    def md5hex(v: str) -> str:
+        return hashlib.md5(v.encode()).hexdigest()
+
+    def _triple_lines(grp: pd.DataFrame) -> pd.Series:
+        """Vectorized <triple> rows (the per-row loop measured ~10x)."""
+        s = grp["s"].astype(str)
+        subj = "<uri>" + xesc(s) + "</uri>"
+        bmask = s.str.startswith("bnode:")
+        if bmask.any():
+            subj[bmask] = "<id>b" + s[bmask].map(md5hex) + "</id>"
+        lmask = s.str.startswith("_:")
+        if lmask.any():
+            subj[lmask] = "<id>b" + xesc(s[lmask].str[2:]) + "</id>"
+        o = grp["o"].fillna("").astype(str)
+        obody = xesc(o)
+        obj = "<plainLiteral>" + obody + "</plainLiteral>"
+        lang_mask = grp["o_lang"].notna()
+        obj[lang_mask] = (
+            '<plainLiteral xml:lang="'
+            + xesc(grp["o_lang"][lang_mask].astype(str)) + '">'
+            + obody[lang_mask] + "</plainLiteral>"
+        )
+        dt_mask = grp["o_datatype"].notna() & ~lang_mask
+        obj[dt_mask] = (
+            '<typedLiteral datatype="'
+            + xesc(grp["o_datatype"][dt_mask].astype(str)) + '">'
+            + obody[dt_mask] + "</typedLiteral>"
+        )
+        umask = grp["o_type"] == "uri"
+        obj[umask] = "<uri>" + obody[umask] + "</uri>"
+        bnmask = grp["o_type"] == "bnode"
+        if bnmask.any():
+            ob = o[bnmask]
+            label = "b" + ob.map(md5hex)
+            passthru = ob.str.startswith("_:")
+            label[passthru] = "b" + ob[passthru].str[2:]
+            obj[bnmask] = "<id>" + xesc(label) + "</id>"
+        return (
+            "  <triple>" + subj
+            + "<uri>" + xesc(grp["p"].astype(str)) + "</uri>"
+            + obj + "</triple>"
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         opened = False
@@ -511,16 +567,7 @@ def write_trix(triples: DataFrame, path: str) -> None:
                 lines = ["<graph>"]
                 if g:
                     lines.append(f"  <uri>{escape(str(g))}</uri>")
-                for _, row in grp.iterrows():
-                    sk, sv = subj_kind(str(row["s"]))
-                    lines.append(
-                        "  <triple>"
-                        + term(sk, sv, None, None)
-                        + term("uri", row["p"], None, None)
-                        + term(row["o_type"], row["o"], row["o_datatype"],
-                               row["o_lang"])
-                        + "</triple>"
-                    )
+                lines.extend(_triple_lines(grp))
                 lines.append("</graph>")
                 chunks.append("\n".join(lines))
             yield pd.DataFrame({"value": chunks})
@@ -654,53 +701,70 @@ def read_trig(spark: SparkSession, path: str) -> DataFrame:
 
 
 def write_trig(triples: DataFrame, path: str) -> None:
-    """TriG sink: rows repartition by graph label, each partition part
-    file holds complete `<g> { … }` blocks (plus bare default-graph
-    lines) built from N-Triples-style terms — `cat part-*` is itself
-    valid TriG, the same merge property as write_turtle."""
+    """TriG sink: each partition emits complete `<g> { … }` blocks
+    (plus bare default-graph lines) built from N-Triples-style terms.
+    A graph's rows may span partitions — repeated blocks with the same
+    label are legal TriG and merge on parse, so the writer keeps full
+    parallelism (`_widen`) instead of collapsing to one partition per
+    graph; `cat part-*` is itself valid TriG, the same merge property
+    as write_turtle. Line building is vectorized pandas string ops
+    (an iterrows loop measured ~10x slower at 750k triples)."""
     import hashlib
 
     import pandas as pd
 
+    from razulibs_spark.sources.rdf_io import _widen
+
     if "g" not in triples.columns:
         triples = triples.withColumn("g", F.lit(None).cast("string"))
 
-    def fmt_term(kind: str, val, dt, lang) -> str:
-        if kind == "uri":
-            return f"<{val}>"
-        if kind == "bnode":
-            if val.startswith("_:"):
-                return val
-            return "_:" + hashlib.md5(val.encode()).hexdigest()
-        body = (
-            str(val)
-            .replace("\\", "\\\\").replace('"', '\\"')
-            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
-        )
-        if lang is not None and not pd.isna(lang):
-            return f'"{body}"@{lang}'
-        if dt is not None and not pd.isna(dt):
-            return f'"{body}"^^<{dt}>'
-        return f'"{body}"'
+    def md5hex(v: str) -> str:
+        return hashlib.md5(v.encode()).hexdigest()
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _trig_lines(pdf: pd.DataFrame) -> pd.Series:
+        s = pdf["s"].astype(str)
+        subj = ("<" + s + ">").copy()
+        bmask = s.str.startswith("bnode:")
+        if bmask.any():
+            subj[bmask] = "_:" + s[bmask].map(md5hex)
+        lmask = s.str.startswith("_:")
+        if lmask.any():
+            subj[lmask] = s[lmask]
+        esc = (
+            pdf["o"].fillna("").astype(str)
+            .str.replace("\\", "\\\\", regex=False)
+            .str.replace('"', '\\"', regex=False)
+            .str.replace("\n", "\\n", regex=False)
+            .str.replace("\r", "\\r", regex=False)
+            .str.replace("\t", "\\t", regex=False)
+        )
+        lit = '"' + esc + '"'
+        lang_mask = pdf["o_lang"].notna()
+        lit[lang_mask] = lit[lang_mask] + "@" + pdf["o_lang"][lang_mask]
+        dt_mask = pdf["o_datatype"].notna() & ~lang_mask
+        lit[dt_mask] = (
+            lit[dt_mask] + "^^<" + pdf["o_datatype"][dt_mask] + ">"
+        )
+        o = pdf["o"].fillna("").astype(str)
+        obj = lit.copy()
+        umask = pdf["o_type"] == "uri"
+        obj[umask] = "<" + o[umask] + ">"
+        bnmask = pdf["o_type"] == "bnode"
+        if bnmask.any():
+            ob = o[bnmask]
+            passthru = ob.str.startswith("_:")
+            fixed = "_:" + ob.map(md5hex)
+            fixed[passthru] = ob[passthru]
+            obj[bnmask] = fixed
+        return subj + " <" + pdf["p"].astype(str) + "> " + obj + " ."
+
+    def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
             chunks: list[str] = []
             for g, grp in pdf.groupby(pdf["g"].fillna(""), sort=False):
-                lines = []
-                for _, row in grp.iterrows():
-                    s = str(row["s"])
-                    if s.startswith("bnode:") or s.startswith("_:"):
-                        subj = fmt_term("bnode", s, None, None)
-                    else:
-                        subj = fmt_term("uri", s, None, None)
-                    obj = fmt_term(
-                        row["o_type"], row["o"],
-                        row["o_datatype"], row["o_lang"],
-                    )
-                    lines.append(f"{subj} <{row['p']}> {obj} .")
+                lines = _trig_lines(grp)
                 if g:
                     chunks.append(
                         f"<{g}> {{\n" + "\n".join(lines) + "\n}"
@@ -709,7 +773,6 @@ def write_trig(triples: DataFrame, path: str) -> None:
                     chunks.extend(lines)
             yield pd.DataFrame({"value": chunks})
 
-    # Co-locate each graph's rows so its block lands in one part file.
-    triples.repartition("g").mapInPandas(batches, "value string").write.mode(
+    _widen(triples).mapInPandas(emit, "value string").write.mode(
         "overwrite"
     ).text(path)
