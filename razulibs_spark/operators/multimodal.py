@@ -5,17 +5,19 @@ metadata struct; decode / feature-extract run as Arrow-batched
 `mapInPandas` stages.
 
 Decode status: every image/audio format the engine synthesizes is
-REALLY decoded with numpy + stdlib only — 24-bit uncompressed BMP
-and binary P6 PPM (header parse + per-channel pixel means via
-numpy), 16-bit PCM WAV (RIFF chunk walk + sample stats),
-non-interlaced 8-bit PNG (chunk walk + CRC check, zlib inflate, all
-five scanline unfilters), and Huffman JPEG — baseline sequential AND
-progressive SOF2 (`operators/jpeg.py`: marker walk, entropy decode,
-spectral/successive-approximation scan accumulation, dequant + IDCT,
-sampling-factor upsample, YCbCr→RGB). Unsupported modes (Adam7 PNG,
-arithmetic JPEG) and corrupt payloads come back as decoded=false
-report rows with the reason, which is the right production posture at
-100 TB (a poison byte string must never kill the job).
+REALLY decoded with numpy + stdlib only — 24-bit uncompressed BMP,
+binary P6 PPM at 8- and 16-bit depths (header parse + per-channel
+pixel means via numpy), 16-bit PCM WAV (RIFF chunk walk + sample
+stats, plus FFT spectral features), 8-bit PNG progressive-scan-free
+AND Adam7 interlaced (chunk walk + CRC check, zlib inflate, all five
+scanline unfilters per pass), and Huffman JPEG — baseline sequential
+AND progressive SOF2 (`operators/jpeg.py`: marker walk, entropy
+decode, spectral/successive-approximation scan accumulation, dequant
++ IDCT, sampling-factor upsample, YCbCr→RGB). Unsupported modes
+(arithmetic JPEG, lossless JPEG) and corrupt payloads come back as
+decoded=false report rows with the reason, which is the right
+production posture at 100 TB (a poison byte string must never kill
+the job).
 """
 
 from __future__ import annotations
@@ -233,15 +235,66 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass — each pass is its own
+# independently-filtered sub-image in the inflated IDAT stream.
+ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, offset: int, width: int, height: int,
+                  channels: int):
+    """Unfilter one (sub-)image region of the inflated stream: height
+    scanlines of (filter byte + width·channels samples) starting at
+    ``offset``. Returns the (height, stride) recon array. All five
+    filter types; Sub is a mod-256 cumsum, Up is vectorized, Average/
+    Paeth take the sequential scan."""
+    import numpy as np
+
+    stride = width * channels
+    img = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(height):
+        base = offset + y * (1 + stride)
+        ft = raw[base]
+        cur = np.frombuffer(raw, np.uint8, stride, base + 1).astype(np.int64)
+        if ft == 0:
+            recon = cur
+        elif ft == 2:  # Up — fully vectorized
+            recon = (cur + prev) & 0xFF
+        elif ft == 1:  # Sub: per-channel byte lane is a mod-256 cumsum
+            recon = cur.reshape(width, channels).cumsum(axis=0).reshape(
+                stride
+            ) & 0xFF
+        elif ft in (3, 4):  # Average/Paeth need the sequential scan
+            recon = np.zeros(stride, dtype=np.int64)
+            for i in range(stride):
+                a = recon[i - channels] if i >= channels else 0
+                b = prev[i]
+                if ft == 3:
+                    recon[i] = (cur[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[i - channels] if i >= channels else 0
+                    recon[i] = (cur[i] + _paeth(int(a), int(b), int(c))) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        img[y] = recon
+        prev = recon
+    return img
+
+
 def decode_png(payload: bytes) -> dict:
-    """Decode a non-interlaced 8-bit PNG (gray / RGB / RGBA) with the
-    stdlib only: chunk walk with CRC verification, zlib inflate of the
-    IDAT stream, per-scanline unfilter (all five filter types — None/
-    Sub/Up/Average/Paeth), then per-channel pixel means via numpy.
-    Entropy coding in PNG is DEFLATE, which `zlib` provides — unlike
-    JPEG's DCT+Huffman, so PNG decodes without an imaging library
-    (VERDICT r5 item 4). Interlaced (Adam7) and sub-byte depths raise
-    ValueError → a decoded=false row, never a dead task."""
+    """Decode an 8-bit PNG (gray / RGB / RGBA, progressive-scan-free
+    OR Adam7 interlaced) with the stdlib only: chunk walk with CRC
+    verification, zlib inflate of the IDAT stream, per-scanline
+    unfilter (all five filter types — None/Sub/Up/Average/Paeth; each
+    Adam7 pass unfilters as its own sub-image and scatters onto the
+    final raster), then per-channel pixel means via numpy. Entropy
+    coding in PNG is DEFLATE, which `zlib` provides — unlike JPEG's
+    DCT+Huffman, so PNG decodes without an imaging library (VERDICT
+    r5 item 4). Sub-byte depths raise ValueError → a decoded=false
+    row, never a dead task."""
     import zlib
 
     import numpy as np
@@ -276,45 +329,35 @@ def decode_png(payload: bytes) -> dict:
             f"unsupported PNG (depth={depth}, color={color}): only "
             "8-bit gray/RGB/RGBA, deflate, filter method 0"
         )
-    if interlace != 0:
-        raise ValueError("interlaced (Adam7) PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"invalid PNG interlace method {interlace}")
     if width <= 0 or height <= 0:
         raise ValueError("degenerate PNG dimensions")
     if not idat:
         raise ValueError("PNG missing IDAT")
     raw = zlib.decompress(bytes(idat))
     stride = width * channels
-    if len(raw) != height * (1 + stride):
-        raise ValueError("PNG pixel data length mismatch")
-    img = np.empty((height, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(height):
-        ft = raw[y * (1 + stride)]
-        cur = np.frombuffer(
-            raw, np.uint8, stride, y * (1 + stride) + 1
-        ).astype(np.int64)
-        if ft == 0:
-            recon = cur
-        elif ft == 2:  # Up — fully vectorized
-            recon = (cur + prev) & 0xFF
-        elif ft == 1:  # Sub: per-channel byte lane is a mod-256 cumsum
-            recon = cur.reshape(width, channels).cumsum(axis=0).reshape(
-                stride
-            ) & 0xFF
-        elif ft in (3, 4):  # Average/Paeth need the sequential scan
-            recon = np.zeros(stride, dtype=np.int64)
-            for i in range(stride):
-                a = recon[i - channels] if i >= channels else 0
-                b = prev[i]
-                if ft == 3:
-                    recon[i] = (cur[i] + (a + b) // 2) & 0xFF
-                else:
-                    c = prev[i - channels] if i >= channels else 0
-                    recon[i] = (cur[i] + _paeth(int(a), int(b), int(c))) & 0xFF
-        else:
-            raise ValueError(f"invalid PNG filter type {ft}")
-        img[y] = recon
-        prev = recon
+    if interlace == 0:
+        if len(raw) != height * (1 + stride):
+            raise ValueError("PNG pixel data length mismatch")
+        img = _png_unfilter(raw, 0, width, height, channels)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered
+        img = np.zeros((height, stride), dtype=np.uint8)
+        full = img.reshape(height, width, channels)
+        offset = 0
+        for x0, y0, dx, dy in ADAM7:
+            pw = max(0, -(-(width - x0) // dx))
+            ph = max(0, -(-(height - y0) // dy))
+            if pw == 0 or ph == 0:
+                continue
+            need = ph * (1 + pw * channels)
+            if offset + need > len(raw):
+                raise ValueError("PNG pixel data length mismatch")
+            sub = _png_unfilter(raw, offset, pw, ph, channels)
+            offset += need
+            full[y0::dy, x0::dx] = sub.reshape(ph, pw, channels)
+        if offset != len(raw):
+            raise ValueError("PNG pixel data length mismatch")
     px = img.reshape(height, width, channels).astype(np.float64)
     if channels == 1:
         mr = mg = mb = float(px.mean())
@@ -330,23 +373,10 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
-def encode_png(width: int, height: int, rgb_fn) -> bytes:
-    """Build a non-interlaced 8-bit RGB PNG from ``rgb_fn(x, y) ->
-    (r, g, b)``. The filter type cycles y % 5 through None/Sub/Up/
-    Average/Paeth so a synthesized corpus exercises every unfilter
-    branch of decode_png — the golden roundtrip is the proof."""
-    import zlib
-
-    stride = width * 3
-    rows = []
-    for y in range(height):
-        row = bytearray(stride)
-        for x in range(width):
-            r, g, b = rgb_fn(x, y)
-            row[x * 3], row[x * 3 + 1], row[x * 3 + 2] = (
-                r & 0xFF, g & 0xFF, b & 0xFF,
-            )
-        rows.append(bytes(row))
+def _png_filter_rows(rows: list[bytes], stride: int) -> bytearray:
+    """Filter one (sub-)image's scanlines, cycling the filter type
+    y % 5 through None/Sub/Up/Average/Paeth so a synthesized corpus
+    exercises every unfilter branch."""
     raw = bytearray()
     for y, row in enumerate(rows):
         ft = y % 5
@@ -367,6 +397,41 @@ def encode_png(width: int, height: int, rgb_fn) -> bytes:
             else:
                 out[i] = (row[i] - _paeth(a, b, c)) & 0xFF
         raw += bytes((ft,)) + bytes(out)
+    return raw
+
+
+def encode_png(width: int, height: int, rgb_fn, *,
+               interlace: bool = False) -> bytes:
+    """Build an 8-bit RGB PNG from ``rgb_fn(x, y) -> (r, g, b)``,
+    progressive-scan-free or Adam7 interlaced (each pass filtered as
+    its own sub-image, filter types cycling per pass row). The golden
+    roundtrip against decode_png is the proof for every branch."""
+    import zlib
+
+    stride = width * 3
+    rows = []
+    for y in range(height):
+        row = bytearray(stride)
+        for x in range(width):
+            r, g, b = rgb_fn(x, y)
+            row[x * 3], row[x * 3 + 1], row[x * 3 + 2] = (
+                r & 0xFF, g & 0xFF, b & 0xFF,
+            )
+        rows.append(bytes(row))
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in ADAM7:
+            sub_rows = [
+                b"".join(
+                    rows[y][x * 3 : x * 3 + 3] for x in range(x0, width, dx)
+                )
+                for y in range(y0, height, dy)
+            ]
+            if not sub_rows or not sub_rows[0]:
+                continue
+            raw += _png_filter_rows(sub_rows, len(sub_rows[0]))
+    else:
+        raw = _png_filter_rows(rows, stride)
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -376,7 +441,8 @@ def encode_png(width: int, height: int, rgb_fn) -> bytes:
 
     ihdr = (
         width.to_bytes(4, "big") + height.to_bytes(4, "big")
-        + bytes((8, 2, 0, 0, 0))  # 8-bit, RGB, deflate, filter 0, no interlace
+        # 8-bit, RGB, deflate, filter 0, interlace method
+        + bytes((8, 2, 0, 0, 1 if interlace else 0))
     )
     return (
         b"\x89PNG\r\n\x1a\n"
@@ -683,6 +749,9 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
                     payload = encode_wav(samples, 8000 + (d % 3) * 4000)
                     fmt = "audio/wav"
                 elif (d // 4) % 2 == 0:
+                    # Every 3rd PNG is Adam7 interlaced — per-pass
+                    # unfilter + scatter ride the same means oracle
+                    # (pixel set identical, order invariant).
                     w, h = 4 + d % 9, 3 + d % 5
                     payload = encode_png(
                         w, h,
@@ -691,6 +760,7 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
                             (d + 5 * y) % 256,
                             (x * y + d // 7) % 256,
                         ),
+                        interlace=(d % 3 == 1),
                     )
                     fmt = "image/png"
                 elif (d // 8) % 4 == 3:

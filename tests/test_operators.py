@@ -821,13 +821,20 @@ def test_png_decoder_rejects_corruption_and_unsupported():
     bad[len(good) - 20] ^= 0xFF
     with _pytest.raises(ValueError):
         decode_png(bytes(bad))
-    # Interlaced flag → honest unsupported error, not garbage stats.
-    ihdr = (3).to_bytes(4, "big") * 2 + bytes((8, 2, 0, 0, 1))
+    # Adam7 interlace now decodes — exact same stats as the
+    # progressive-scan-free encoding, and the flag byte is real.
+    inter = encode_png(5, 7, lambda x, y: (x * 3, y * 5, x + y),
+                       interlace=True)
+    plain = encode_png(5, 7, lambda x, y: (x * 3, y * 5, x + y))
+    assert inter != plain
+    assert decode_png(inter) == decode_png(plain)
+    # An out-of-spec interlace method still rejects honestly.
+    ihdr = (3).to_bytes(4, "big") * 2 + bytes((8, 2, 0, 0, 2))
     chunk = (
         len(ihdr).to_bytes(4, "big") + b"IHDR" + ihdr
         + (zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF).to_bytes(4, "big")
     )
-    with _pytest.raises(ValueError, match="interlaced"):
+    with _pytest.raises(ValueError, match="interlace"):
         decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
 
 

@@ -211,6 +211,44 @@ def test_jpeg_flat_tile_roundtrip_exact(tw, th, seed):
     assert out["mean_r"] == out["mean_g"] == out["mean_b"] == exp
 
 
+def test_adam7_grid_partitions_every_geometry():
+    """The 7 interlace passes must cover every pixel exactly once for
+    every image geometry — the invariant both encode and decode lean
+    on (a wrong pass origin silently double-writes some pixels and
+    never writes others)."""
+    import numpy as np
+
+    from razulibs_spark.operators.multimodal import ADAM7
+
+    for w in range(1, 24):
+        for h in range(1, 24):
+            cover = np.zeros((h, w), dtype=int)
+            for x0, y0, dx, dy in ADAM7:
+                cover[y0::dy, x0::dx] += 1
+            assert (cover == 1).all(), (w, h)
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=2**31),
+)
+@settings(max_examples=40, deadline=None)
+def test_png_adam7_roundtrips_any_geometry(w, h, seed):
+    """Adam7 interlaced encode → decode equals the progressive-scan-
+    free decode for every geometry (per-pass filtering cycles all five
+    filter types; partial passes at sub-8px dims included)."""
+    from razulibs_spark.operators.multimodal import decode_png, encode_png
+
+    def px(x, y):
+        return ((x * 7 + seed) % 256, (y * 11 + seed) % 256,
+                (x + y + seed) % 256)
+
+    plain = decode_png(encode_png(w, h, px))
+    inter = decode_png(encode_png(w, h, px, interlace=True))
+    assert inter == plain
+
+
 @given(
     st.integers(min_value=1, max_value=28),
     st.integers(min_value=1, max_value=28),
