@@ -62,6 +62,9 @@ _ROTATION_FORCE_REFRESH = frozenset({
     # r7: _pixels_rgb PPM branch now shares decode_ppm's header
     # tokenizer + maxval validation (ADVICE).
     "multimodal_image_ahash",
+    # r7: odd frames of every 4th AVI fixture are now progressive
+    # JPEGs — payload bytes changed, decoded stats identical.
+    "multimodal_video_frames",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

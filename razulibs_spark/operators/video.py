@@ -259,12 +259,18 @@ def synthesize_video_media(documents: DataFrame) -> DataFrame:
                     if f == 0 and d % 9 == 4:
                         frames.append(b"\xff\xd8\xff\xd9")
                         continue
+                    # Odd frames of every 4th doc are PROGRESSIVE
+                    # (SOF2) JPEGs — identical decoded stats (flat
+                    # tiles code the same coefficients), exercising
+                    # the Annex G scan path through the container
+                    # walk; the oracle is unchanged.
                     frames.append(
                         encode_jpeg_flat_tiles(
                             w, h,
                             lambda tx, ty, d=d, f=f: (
                                 5 * d + 11 * tx + 23 * ty + 37 * f
                             ) % 256,
+                            progressive=(d % 4 == 1 and f % 2 == 1),
                         )
                     )
                 ids.append(d)
