@@ -46,25 +46,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
 _ROTATION_FORCE_REFRESH = frozenset({
-    # r7: GIF LZW encoder width-bump fix (operators/gif.py) changes
-    # the emitted payload bytes for boundary index streams; decoded
-    # stats are unchanged but the fixtures re-encode — fresh row.
-    "multimodal_gif_decode",
-    # r7: every 5th JPEG fixture is now PROGRESSIVE (SOF2 decode
-    # landed); stats identical, payload bytes new — fresh row.
-    "multimodal_decode",
-    # r7: CSV read schema doc_id INT -> BIGINT (ADVICE) — same output
-    # at this SF, but the parse path changed.
-    "io_csv_malformed",
-    # r7: null fail-fast guard added around the frame build (ADVICE);
-    # values unchanged on the non-null fixture.
-    "w_ewma",
-    # r7: _pixels_rgb PPM branch now shares decode_ppm's header
-    # tokenizer + maxval validation (ADVICE).
-    "multimodal_image_ahash",
-    # r7: odd frames of every 4th AVI fixture are now progressive
-    # JPEGs — payload bytes changed, decoded stats identical.
-    "multimodal_video_frames",
+    # r8 (VERDICT r7 item 1): dedup_minhash_lsh_ml gained a real
+    # bound-contract oracle in r7 (commit f886150) but its only driver
+    # rows are pre-r7 ``no_oracle`` records — the oracle itself has
+    # never been driver-verified. Surface it for a fresh hash row.
+    "dedup_minhash_lsh_ml",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({
@@ -81,7 +67,8 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "dedup_jaccard_prefix_filter", "dedup_lsh_tuning",
     "dedup_minhash_incremental", "dedup_minhash_lsh",
     "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
-    "dedup_semantic_clusters", "dedup_simhash", "dedup_url_canonical",
+    "dedup_semantic_clusters", "dedup_simhash", "dedup_substring_cut",
+    "dedup_substring_spans", "dedup_url_canonical",
     "eval_ann_agreement", "eval_auc_ovr", "eval_calibration",
     "eval_cohens_kappa", "eval_confusion_matrix", "eval_retrieval_pr",
     "events_anomaly_mad", "events_bounce_rate", "events_changepoint",
@@ -109,9 +96,10 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "j_asof_join", "j_interval_overlap", "j_pit_scd2",
     "j_range_join_binned", "j_resample_ffill", "j_salted_skew_join",
     "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
+    "k2_rdfxml_roundtrip", "k2_trig_roundtrip", "k2_trix_roundtrip",
     "k2_turtle_roundtrip", "length_histogram", "mixture_sample",
-    "multimodal_chunk_audio", "multimodal_decode",
-    "multimodal_features", "multimodal_gif_decode",
+    "multimodal_audio_spectral", "multimodal_chunk_audio",
+    "multimodal_decode", "multimodal_features", "multimodal_gif_decode",
     "multimodal_image_ahash", "multimodal_resize",
     "multimodal_sample_frames", "multimodal_video_frames",
     "o1_sequential_ids", "o2_entity_fanout", "o7_delete_batches",

@@ -939,7 +939,20 @@ def dedup_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the exact banding path stays pinned in
     tests/test_operators.py::test_minhash_lsh_ml_recall."""
     docs = T(spark, sf_dir, "documents")
-    shift = F.lit(10_000_000).cast("long")
+    # The shift must be a literal because the oracle SQL plants the
+    # same constant; fail fast instead of silently mis-bucketing the
+    # pmod id-mapping below if a corpus ever outgrows the id space
+    # (ADVICE r7: a doc_id >= shift would alias onto another doc and
+    # the precision check would compare the wrong texts).
+    _SHIFT = 10_000_000
+    max_id = docs.agg(F.max(F.col("doc_id").cast("long"))).first()[0]
+    if max_id is not None and max_id >= _SHIFT:
+        raise ValueError(
+            f"dedup_minhash_lsh_ml: max(doc_id)={max_id} >= shift "
+            f"{_SHIFT}; the planted-pair id mapping would alias — "
+            "raise the shift constant in BOTH the query and _ML_LSH_SQL"
+        )
+    shift = F.lit(_SHIFT).cast("long")
     corpus = docs.unionByName(
         docs.withColumn("doc_id", (F.col("doc_id") + shift).cast("long"))
     )

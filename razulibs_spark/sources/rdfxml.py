@@ -52,6 +52,25 @@ QUAD_SCHEMA = StructType(
 
 _NCNAME_RE = r"[A-Za-z_][A-Za-z0-9_.\-]*"
 
+# XML 1.0 Char excludes all C0 controls except TAB/LF/CR: a literal
+# holding e.g. \x07 cannot be represented in RDF/XML or TriX at all —
+# even as a character reference — so the writers raise instead of
+# emitting a document the readers (and every conforming XML parser)
+# would reject wholesale (ADVICE r7).
+import re as _mod_re
+
+_XML_ILLEGAL_RE = _mod_re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+
+def _reject_xml_illegal(col, what: str) -> None:
+    bad = col.str.contains(_XML_ILLEGAL_RE, na=False)
+    if bad.any():
+        raise ValueError(
+            f"{what} contains XML-1.0-illegal control character(s): "
+            f"{col[bad].iloc[0]!r} — RDF/XML and TriX cannot represent "
+            "them; serialize such data as N-Triples/TriG instead"
+        )
+
 
 def _files(spark: SparkSession, path: str) -> DataFrame:
     """One row per file (path, content) — per-file task granularity.
@@ -224,7 +243,16 @@ def _parse_rdfxml(content: bytes, scope: str) -> list[tuple]:
             return
         if extra:
             # empty property element with property attributes →
-            # implicit blank node carrying them as literals
+            # implicit blank node carrying them as literals. Text
+            # content alongside property attributes has no defined
+            # triple mapping in this subset — reject rather than
+            # silently drop the text (ADVICE r7, same honest-rejection
+            # posture as mixed node/text content above).
+            if (elem.text or "").strip():
+                raise ValueError(
+                    f"RDF/XML: property {pred!r} mixes text content "
+                    "and property attributes"
+                )
             b = bnode()
             out.append((subj, pred, b, "bnode", None, None))
             for attr, val in extra.items():
@@ -287,7 +315,15 @@ def write_rdfxml(triples: DataFrame, path: str) -> None:
     know the namespace set up front); one rdf:Description per triple
     (repeated subjects are legal RDF/XML and merge on parse — the
     grouped form needed a row loop ~10x slower). Bulk interchange at
-    scale stays write_ntriples."""
+    scale stays write_ntriples.
+
+    Blank-node round-trip contract (ADVICE r7): each part file is an
+    independent document and the reader scopes ``rdf:nodeID`` labels
+    per file, so a bnode whose triples straddle a partition boundary
+    splits into two distinct bnodes on read-back. Round-trip identity
+    holds for bnode-free data or when bnode-sharing triples are
+    co-partitioned — ``triples.repartition("s")`` (skolemized engine
+    bnodes ride the subject column) before writing when that matters."""
     import pandas as pd
     from xml.sax.saxutils import quoteattr
 
@@ -301,18 +337,29 @@ def write_rdfxml(triples: DataFrame, path: str) -> None:
     import re as _re
 
     def _attr_escape(col: "pd.Series") -> "pd.Series":
+        # \t/\n/\r as numeric refs: attribute-value normalization
+        # would otherwise turn each into a space on read-back.
+        _reject_xml_illegal(col, "RDF/XML attribute value")
         return (
             col.str.replace("&", "&amp;", regex=False)
             .str.replace("<", "&lt;", regex=False)
             .str.replace(">", "&gt;", regex=False)
             .str.replace('"', "&quot;", regex=False)
+            .str.replace("\t", "&#9;", regex=False)
+            .str.replace("\n", "&#10;", regex=False)
+            .str.replace("\r", "&#13;", regex=False)
         )
 
     def _text_escape(col: "pd.Series") -> "pd.Series":
+        # \r as &#13;: XML line-end normalization silently rewrites a
+        # literal CR to LF on parse (ADVICE r7 — TriG already
+        # round-trips CR via \r escapes; keep the three sinks agreeing).
+        _reject_xml_illegal(col, "RDF/XML text content")
         return (
             col.str.replace("&", "&amp;", regex=False)
             .str.replace("<", "&lt;", regex=False)
             .str.replace(">", "&gt;", regex=False)
+            .str.replace("\r", "&#13;", regex=False)
         )
 
     qname_re = _re.compile(rf"^(.*[#/])({_NCNAME_RE})$")
@@ -486,7 +533,13 @@ def write_trix(triples: DataFrame, path: str) -> None:
     """TriX sink: one complete document per partition part file; rows
     group by graph label within each Arrow batch (repeated <graph>
     blocks for one label are legal TriX). Accepts the quad shape (g
-    nullable/absent → unnamed graph)."""
+    nullable/absent → unnamed graph).
+
+    Blank-node round-trip contract (ADVICE r7): same per-file bnode
+    scoping as write_rdfxml — a bnode split across partitions becomes
+    two bnodes on read-back; co-partition bnode-sharing triples (e.g.
+    ``repartition("s")``) when round-trip identity matters. read_trig
+    by contrast passes ``_:`` labels through unscoped."""
     import hashlib
 
     import pandas as pd
@@ -498,12 +551,19 @@ def write_trix(triples: DataFrame, path: str) -> None:
         triples = triples.withColumn("g", F.lit(None).cast("string"))
 
     def xesc(col: "pd.Series") -> "pd.Series":
-        # element text/attr escape (attrs below use double quotes)
+        # element text/attr escape (attrs below use double quotes).
+        # \t/\n/\r go out as numeric refs — valid and exact in BOTH
+        # contexts, where raw CR (text) and raw whitespace (attrs)
+        # would be silently normalized on read-back (ADVICE r7).
+        _reject_xml_illegal(col, "TriX value")
         return (
             col.str.replace("&", "&amp;", regex=False)
             .str.replace("<", "&lt;", regex=False)
             .str.replace(">", "&gt;", regex=False)
             .str.replace('"', "&quot;", regex=False)
+            .str.replace("\t", "&#9;", regex=False)
+            .str.replace("\n", "&#10;", regex=False)
+            .str.replace("\r", "&#13;", regex=False)
         )
 
     def md5hex(v: str) -> str:

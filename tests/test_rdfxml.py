@@ -160,6 +160,56 @@ def test_document_writers_tolerate_empty_partitions(spark, tmp_path):
         _parse_trix(b"not xml at all", "t")
 
 
+def test_xml_writers_roundtrip_cr_and_reject_illegal(spark, tmp_path):
+    """ADVICE r7: \\r must survive XML round-trips exactly (parsers
+    normalize raw CR to LF in text and whitespace to space in
+    attributes — the writers emit numeric char refs instead), and
+    XML-1.0-illegal control chars must fail at WRITE time, not poison
+    the read side."""
+    rows = [
+        ("https://ex.org/e1", "https://ex.org/p/t", "a\rb\r\nc\td",
+         "literal", None, None),
+        ("https://ex.org/e1", "https://ex.org/p/u", "line1\rline2",
+         "literal", None, "nl"),
+    ]
+    schema = (
+        "s string, p string, o string, o_type string, "
+        "o_datatype string, o_lang string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    for ext, writer, reader in (
+        ("rdfxml", write_rdfxml, read_rdfxml),
+        ("trix", write_trix, read_trix),
+    ):
+        path = str(tmp_path / f"cr.{ext}")
+        writer(df, path)
+        assert _key(reader(spark, path).collect()) == _key(df.collect())
+
+    bad = spark.createDataFrame(
+        [("https://s", "https://p/x", "bell\x07", "literal", None, None)],
+        schema,
+    )
+    for ext, writer in (("rdfxml", write_rdfxml), ("trix", write_trix)):
+        with pytest.raises(Exception, match="XML-1.0-illegal"):
+            writer(bad, str(tmp_path / f"bad.{ext}"))
+
+
+def test_rdfxml_rejects_text_with_property_attributes():
+    """ADVICE r7: text content alongside property attributes has no
+    triple mapping in the subset — honest rejection, never a drop."""
+    doc = b"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:d="https://d/"><rdf:Description rdf:about="https://s">
+      <d:p d:q="v">some text</d:p></rdf:Description></rdf:RDF>"""
+    with pytest.raises(ValueError, match="mixes text content"):
+        _parse_rdfxml(doc, "t")
+    # whitespace-only text alongside property attributes stays legal
+    ws = b"""<rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+      xmlns:d="https://d/"><rdf:Description rdf:about="https://s">
+      <d:p d:q="v">  </d:p></rdf:Description></rdf:RDF>"""
+    ts = _parse_rdfxml(ws, "t")
+    assert ("v" in {o for _, _, o, *_ in ts})
+
+
 def test_trix_roundtrip_with_graphs(spark, tmp_path):
     df = _triples_df(spark).withColumn(
         "g",
