@@ -305,6 +305,109 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_RDFXML_HEADER = (
+    '<?xml version="1.0" encoding="utf-8"?>\n'
+    f'<rdf:RDF xmlns:rdf="{RDF_NS}">'
+)
+_RDFXML_FOOTER = "</rdf:RDF>"
+_QNAME_RE = _mod_re.compile(rf"^(.*[#/])({_NCNAME_RE})$")
+
+
+def _md5hex(v: str) -> str:
+    import hashlib
+
+    return hashlib.md5(v.encode()).hexdigest()
+
+
+def _xml_attr_escape(col: "pd.Series") -> "pd.Series":  # noqa: F821
+    # \t/\n/\r as numeric refs: attribute-value normalization would
+    # otherwise turn each into a space on read-back (ADVICE r7).
+    _reject_xml_illegal(col, "RDF/XML attribute value")
+    return (
+        col.str.replace("&", "&amp;", regex=False)
+        .str.replace("<", "&lt;", regex=False)
+        .str.replace(">", "&gt;", regex=False)
+        .str.replace('"', "&quot;", regex=False)
+        .str.replace("\t", "&#9;", regex=False)
+        .str.replace("\n", "&#10;", regex=False)
+        .str.replace("\r", "&#13;", regex=False)
+    )
+
+
+def _xml_text_escape(col: "pd.Series") -> "pd.Series":  # noqa: F821
+    # \r as &#13;: XML line-end normalization silently rewrites a
+    # literal CR to LF on parse (ADVICE r7 — TriG already round-trips
+    # CR via \r escapes; keep the three sinks agreeing).
+    _reject_xml_illegal(col, "RDF/XML text content")
+    return (
+        col.str.replace("&", "&amp;", regex=False)
+        .str.replace("<", "&lt;", regex=False)
+        .str.replace(">", "&gt;", regex=False)
+        .str.replace("\r", "&#13;", regex=False)
+    )
+
+
+def _rdfxml_description_lines(pdf) -> "pd.Series":  # noqa: F821
+    """One pandas batch of widened triples → rdf:Description elements
+    (one per TRIPLE — legal RDF/XML; repeated subjects merge on
+    parse; the per-subject grouped form needed a per-row loop that
+    measured ~10x slower). Module-level and pure-pandas so the
+    roundtrip property suite fuzzes it without a Spark job; the
+    write_rdfxml batches iterator brackets its output with
+    _RDFXML_HEADER/_RDFXML_FOOTER."""
+    s = pdf["s"].astype(str)
+    subj = 'rdf:about="' + _xml_attr_escape(s) + '"'
+    bmask = s.str.startswith("bnode:")
+    if bmask.any():
+        subj[bmask] = 'rdf:nodeID="b' + s[bmask].map(_md5hex) + '"'
+    lmask = s.str.startswith("_:")
+    if lmask.any():
+        subj[lmask] = (
+            'rdf:nodeID="b' + _xml_attr_escape(s[lmask].str[2:]) + '"'
+        )
+    parts = pdf["p"].astype(str).str.extract(_QNAME_RE)
+    if parts[0].isna().any():
+        bad = pdf["p"][parts[0].isna()].iloc[0]
+        raise ValueError(
+            f"predicate {bad!r} has no XML-serializable local name"
+        )
+    open_tag = (
+        "  <p:" + parts[1] + ' xmlns:p="' + _xml_attr_escape(parts[0]) + '"'
+    )
+    o = pdf["o"].fillna("").astype(str)
+    # literal body with optional lang/datatype attributes
+    elem = open_tag.copy()
+    lang_mask = pdf["o_lang"].notna()
+    elem[lang_mask] = (
+        elem[lang_mask] + ' xml:lang="'
+        + _xml_attr_escape(pdf["o_lang"][lang_mask].astype(str)) + '"'
+    )
+    dt_mask = pdf["o_datatype"].notna() & ~lang_mask
+    elem[dt_mask] = (
+        elem[dt_mask] + ' rdf:datatype="'
+        + _xml_attr_escape(pdf["o_datatype"][dt_mask].astype(str)) + '"'
+    )
+    elem = elem + ">" + _xml_text_escape(o) + "</p:" + parts[1] + ">"
+    umask = pdf["o_type"] == "uri"
+    elem[umask] = (
+        open_tag[umask] + ' rdf:resource="' + _xml_attr_escape(o[umask])
+        + '"/>'
+    )
+    bnmask = pdf["o_type"] == "bnode"
+    if bnmask.any():
+        ob = o[bnmask]
+        label = "b" + ob.map(_md5hex)
+        passthru = ob.str.startswith("_:")
+        label[passthru] = "b" + ob[passthru].str[2:]
+        elem[bnmask] = (
+            open_tag[bnmask] + ' rdf:nodeID="' + _xml_attr_escape(label)
+            + '"/>'
+        )
+    return (
+        "<rdf:Description " + subj + ">\n" + elem + "\n</rdf:Description>"
+    )
+
+
 def write_rdfxml(triples: DataFrame, path: str) -> None:
     """K2-family sink: each partition becomes ONE part file holding
     ONE complete RDF/XML document (XML forbids concatenated roots, so
@@ -325,124 +428,21 @@ def write_rdfxml(triples: DataFrame, path: str) -> None:
     co-partitioned — ``triples.repartition("s")`` (skolemized engine
     bnodes ride the subject column) before writing when that matters."""
     import pandas as pd
-    from xml.sax.saxutils import quoteattr
 
     from razulibs_spark.sources.rdf_io import _widen
 
-    header = (
-        '<?xml version="1.0" encoding="utf-8"?>\n'
-        f'<rdf:RDF xmlns:rdf={quoteattr(RDF_NS)}>'
-    )
-
-    import re as _re
-
-    def _attr_escape(col: "pd.Series") -> "pd.Series":
-        # \t/\n/\r as numeric refs: attribute-value normalization
-        # would otherwise turn each into a space on read-back.
-        _reject_xml_illegal(col, "RDF/XML attribute value")
-        return (
-            col.str.replace("&", "&amp;", regex=False)
-            .str.replace("<", "&lt;", regex=False)
-            .str.replace(">", "&gt;", regex=False)
-            .str.replace('"', "&quot;", regex=False)
-            .str.replace("\t", "&#9;", regex=False)
-            .str.replace("\n", "&#10;", regex=False)
-            .str.replace("\r", "&#13;", regex=False)
-        )
-
-    def _text_escape(col: "pd.Series") -> "pd.Series":
-        # \r as &#13;: XML line-end normalization silently rewrites a
-        # literal CR to LF on parse (ADVICE r7 — TriG already
-        # round-trips CR via \r escapes; keep the three sinks agreeing).
-        _reject_xml_illegal(col, "RDF/XML text content")
-        return (
-            col.str.replace("&", "&amp;", regex=False)
-            .str.replace("<", "&lt;", regex=False)
-            .str.replace(">", "&gt;", regex=False)
-            .str.replace("\r", "&#13;", regex=False)
-        )
-
-    qname_re = _re.compile(rf"^(.*[#/])({_NCNAME_RE})$")
-
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # One rdf:Description per TRIPLE (legal RDF/XML; repeated
-        # subjects merge on parse) — the per-subject grouped form
-        # needed a per-row loop that measured ~10x slower. All string
-        # assembly below is vectorized pandas ops.
-        import hashlib
-
         opened = False
         for pdf in it:
             if not len(pdf):
                 continue
-            s = pdf["s"].astype(str)
-            sval = _attr_escape(s)
-            subj = 'rdf:about="' + sval + '"'
-            bmask = s.str.startswith("bnode:")
-            if bmask.any():
-                subj[bmask] = (
-                    'rdf:nodeID="b'
-                    + s[bmask].map(
-                        lambda v: hashlib.md5(v.encode()).hexdigest()
-                    )
-                    + '"'
-                )
-            lmask = s.str.startswith("_:")
-            if lmask.any():
-                subj[lmask] = (
-                    'rdf:nodeID="b' + _attr_escape(s[lmask].str[2:]) + '"'
-                )
-            parts = pdf["p"].astype(str).str.extract(qname_re)
-            if parts[0].isna().any():
-                bad = pdf["p"][parts[0].isna()].iloc[0]
-                raise ValueError(
-                    f"predicate {bad!r} has no XML-serializable local name"
-                )
-            open_tag = (
-                "  <p:" + parts[1] + ' xmlns:p="' + _attr_escape(parts[0])
-                + '"'
-            )
-            o = pdf["o"].fillna("").astype(str)
-            # literal body with optional lang/datatype attributes
-            elem = open_tag.copy()
-            lang_mask = pdf["o_lang"].notna()
-            elem[lang_mask] = (
-                elem[lang_mask] + ' xml:lang="'
-                + _attr_escape(pdf["o_lang"][lang_mask].astype(str)) + '"'
-            )
-            dt_mask = pdf["o_datatype"].notna() & ~lang_mask
-            elem[dt_mask] = (
-                elem[dt_mask] + ' rdf:datatype="'
-                + _attr_escape(pdf["o_datatype"][dt_mask].astype(str)) + '"'
-            )
-            elem = elem + ">" + _text_escape(o) + "</p:" + parts[1] + ">"
-            umask = pdf["o_type"] == "uri"
-            elem[umask] = (
-                open_tag[umask] + ' rdf:resource="' + _attr_escape(o[umask])
-                + '"/>'
-            )
-            bnmask = pdf["o_type"] == "bnode"
-            if bnmask.any():
-                ob = o[bnmask]
-                label = "b" + ob.map(
-                    lambda v: hashlib.md5(v.encode()).hexdigest()
-                )
-                passthru = ob.str.startswith("_:")
-                label[passthru] = "b" + ob[passthru].str[2:]
-                elem[bnmask] = (
-                    open_tag[bnmask] + ' rdf:nodeID="'
-                    + _attr_escape(label) + '"/>'
-                )
-            chunks = (
-                "<rdf:Description " + subj + ">\n" + elem
-                + "\n</rdf:Description>"
-            )
+            chunks = _rdfxml_description_lines(pdf)
             if not opened:
-                chunks.iloc[0] = header + "\n" + chunks.iloc[0]
+                chunks.iloc[0] = _RDFXML_HEADER + "\n" + chunks.iloc[0]
                 opened = True
             yield pd.DataFrame({"value": chunks})
         if opened:
-            yield pd.DataFrame({"value": ["</rdf:RDF>"]})
+            yield pd.DataFrame({"value": [_RDFXML_FOOTER]})
 
     _widen(triples).mapInPandas(batches, "value string").write.mode(
         "overwrite"
@@ -529,6 +529,87 @@ def read_trix(spark: SparkSession, path: str) -> DataFrame:
     return _files(spark, path).mapInPandas(batches, schema=QUAD_SCHEMA)
 
 
+_TRIX_HEADER = (
+    '<?xml version="1.0" encoding="utf-8"?>\n' f'<TriX xmlns="{TRIX_NS}">'
+)
+_TRIX_FOOTER = "</TriX>"
+
+
+def _trix_esc(col: "pd.Series") -> "pd.Series":  # noqa: F821
+    # element text/attr escape (attrs use double quotes). \t/\n/\r go
+    # out as numeric refs — valid and exact in BOTH contexts, where
+    # raw CR (text) and raw whitespace (attrs) would be silently
+    # normalized on read-back (ADVICE r7).
+    _reject_xml_illegal(col, "TriX value")
+    return (
+        col.str.replace("&", "&amp;", regex=False)
+        .str.replace("<", "&lt;", regex=False)
+        .str.replace(">", "&gt;", regex=False)
+        .str.replace('"', "&quot;", regex=False)
+        .str.replace("\t", "&#9;", regex=False)
+        .str.replace("\n", "&#10;", regex=False)
+        .str.replace("\r", "&#13;", regex=False)
+    )
+
+
+def _trix_triple_lines(grp) -> "pd.Series":  # noqa: F821
+    """Vectorized <triple> rows (the per-row loop measured ~10x)."""
+    s = grp["s"].astype(str)
+    subj = "<uri>" + _trix_esc(s) + "</uri>"
+    bmask = s.str.startswith("bnode:")
+    if bmask.any():
+        subj[bmask] = "<id>b" + s[bmask].map(_md5hex) + "</id>"
+    lmask = s.str.startswith("_:")
+    if lmask.any():
+        subj[lmask] = "<id>b" + _trix_esc(s[lmask].str[2:]) + "</id>"
+    o = grp["o"].fillna("").astype(str)
+    obody = _trix_esc(o)
+    obj = "<plainLiteral>" + obody + "</plainLiteral>"
+    lang_mask = grp["o_lang"].notna()
+    obj[lang_mask] = (
+        '<plainLiteral xml:lang="'
+        + _trix_esc(grp["o_lang"][lang_mask].astype(str)) + '">'
+        + obody[lang_mask] + "</plainLiteral>"
+    )
+    dt_mask = grp["o_datatype"].notna() & ~lang_mask
+    obj[dt_mask] = (
+        '<typedLiteral datatype="'
+        + _trix_esc(grp["o_datatype"][dt_mask].astype(str)) + '">'
+        + obody[dt_mask] + "</typedLiteral>"
+    )
+    umask = grp["o_type"] == "uri"
+    obj[umask] = "<uri>" + obody[umask] + "</uri>"
+    bnmask = grp["o_type"] == "bnode"
+    if bnmask.any():
+        ob = o[bnmask]
+        label = "b" + ob.map(_md5hex)
+        passthru = ob.str.startswith("_:")
+        label[passthru] = "b" + ob[passthru].str[2:]
+        obj[bnmask] = "<id>" + _trix_esc(label) + "</id>"
+    return (
+        "  <triple>" + subj
+        + "<uri>" + _trix_esc(grp["p"].astype(str)) + "</uri>"
+        + obj + "</triple>"
+    )
+
+
+def _trix_graph_chunks(pdf) -> list[str]:
+    """One pandas batch of widened quads → complete <graph> blocks
+    (repeated blocks per label are legal TriX and merge on parse).
+    Module-level and pure-pandas for the roundtrip property suite."""
+    from xml.sax.saxutils import escape
+
+    chunks: list[str] = []
+    for g, grp in pdf.groupby(pdf["g"].fillna(""), sort=False):
+        lines = ["<graph>"]
+        if g:
+            lines.append(f"  <uri>{escape(str(g))}</uri>")
+        lines.extend(_trix_triple_lines(grp))
+        lines.append("</graph>")
+        chunks.append("\n".join(lines))
+    return chunks
+
+
 def write_trix(triples: DataFrame, path: str) -> None:
     """TriX sink: one complete document per partition part file; rows
     group by graph label within each Arrow batch (repeated <graph>
@@ -540,74 +621,12 @@ def write_trix(triples: DataFrame, path: str) -> None:
     two bnodes on read-back; co-partition bnode-sharing triples (e.g.
     ``repartition("s")``) when round-trip identity matters. read_trig
     by contrast passes ``_:`` labels through unscoped."""
-    import hashlib
-
     import pandas as pd
-    from xml.sax.saxutils import escape, quoteattr
 
     from razulibs_spark.sources.rdf_io import _widen
 
     if "g" not in triples.columns:
         triples = triples.withColumn("g", F.lit(None).cast("string"))
-
-    def xesc(col: "pd.Series") -> "pd.Series":
-        # element text/attr escape (attrs below use double quotes).
-        # \t/\n/\r go out as numeric refs — valid and exact in BOTH
-        # contexts, where raw CR (text) and raw whitespace (attrs)
-        # would be silently normalized on read-back (ADVICE r7).
-        _reject_xml_illegal(col, "TriX value")
-        return (
-            col.str.replace("&", "&amp;", regex=False)
-            .str.replace("<", "&lt;", regex=False)
-            .str.replace(">", "&gt;", regex=False)
-            .str.replace('"', "&quot;", regex=False)
-            .str.replace("\t", "&#9;", regex=False)
-            .str.replace("\n", "&#10;", regex=False)
-            .str.replace("\r", "&#13;", regex=False)
-        )
-
-    def md5hex(v: str) -> str:
-        return hashlib.md5(v.encode()).hexdigest()
-
-    def _triple_lines(grp: pd.DataFrame) -> pd.Series:
-        """Vectorized <triple> rows (the per-row loop measured ~10x)."""
-        s = grp["s"].astype(str)
-        subj = "<uri>" + xesc(s) + "</uri>"
-        bmask = s.str.startswith("bnode:")
-        if bmask.any():
-            subj[bmask] = "<id>b" + s[bmask].map(md5hex) + "</id>"
-        lmask = s.str.startswith("_:")
-        if lmask.any():
-            subj[lmask] = "<id>b" + xesc(s[lmask].str[2:]) + "</id>"
-        o = grp["o"].fillna("").astype(str)
-        obody = xesc(o)
-        obj = "<plainLiteral>" + obody + "</plainLiteral>"
-        lang_mask = grp["o_lang"].notna()
-        obj[lang_mask] = (
-            '<plainLiteral xml:lang="'
-            + xesc(grp["o_lang"][lang_mask].astype(str)) + '">'
-            + obody[lang_mask] + "</plainLiteral>"
-        )
-        dt_mask = grp["o_datatype"].notna() & ~lang_mask
-        obj[dt_mask] = (
-            '<typedLiteral datatype="'
-            + xesc(grp["o_datatype"][dt_mask].astype(str)) + '">'
-            + obody[dt_mask] + "</typedLiteral>"
-        )
-        umask = grp["o_type"] == "uri"
-        obj[umask] = "<uri>" + obody[umask] + "</uri>"
-        bnmask = grp["o_type"] == "bnode"
-        if bnmask.any():
-            ob = o[bnmask]
-            label = "b" + ob.map(md5hex)
-            passthru = ob.str.startswith("_:")
-            label[passthru] = "b" + ob[passthru].str[2:]
-            obj[bnmask] = "<id>" + xesc(label) + "</id>"
-        return (
-            "  <triple>" + subj
-            + "<uri>" + xesc(grp["p"].astype(str)) + "</uri>"
-            + obj + "</triple>"
-        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         opened = False
@@ -616,23 +635,12 @@ def write_trix(triples: DataFrame, path: str) -> None:
                 continue
             chunks: list[str] = []
             if not opened:
-                chunks.append(
-                    '<?xml version="1.0" encoding="utf-8"?>\n'
-                    f"<TriX xmlns={quoteattr(TRIX_NS)}>"
-                )
+                chunks.append(_TRIX_HEADER)
                 opened = True
-            for g, grp in pdf.groupby(
-                pdf["g"].fillna(""), sort=False
-            ):
-                lines = ["<graph>"]
-                if g:
-                    lines.append(f"  <uri>{escape(str(g))}</uri>")
-                lines.extend(_triple_lines(grp))
-                lines.append("</graph>")
-                chunks.append("\n".join(lines))
+            chunks.extend(_trix_graph_chunks(pdf))
             yield pd.DataFrame({"value": chunks})
         if opened:
-            yield pd.DataFrame({"value": ["</TriX>"]})
+            yield pd.DataFrame({"value": [_TRIX_FOOTER]})
 
     _widen(triples).mapInPandas(batches, "value string").write.mode(
         "overwrite"
@@ -700,7 +708,13 @@ def _parse_trig(text: str) -> list[tuple]:
     open_re = re.compile(
         r'^(?:GRAPH\s+)?(?:<([^>]*)>|([A-Za-z][\w\-]*:[^\s<>"{]*))\s*\{\s*$'
     )
-    for rawline in text.splitlines():
+    # split on \n only (CRLF handled by strip below) — NOT
+    # str.splitlines(), which also breaks on \x0b/\x0c/\x1c-\x1e/
+    # \x85/U+2028/U+2029; those are legal inside a quoted literal
+    # (the writer escapes only \n and \r, matching the Hadoop
+    # line-reader semantics of the line-framed formats) and must not
+    # shatter the line mid-literal.
+    for rawline in text.split("\n"):
         line = rawline.strip()
         if not line or line.startswith("#"):
             continue
@@ -760,6 +774,59 @@ def read_trig(spark: SparkSession, path: str) -> DataFrame:
     return _files(spark, path).mapInPandas(batches, schema=QUAD_SCHEMA)
 
 
+def _trig_lines(pdf) -> "pd.Series":  # noqa: F821
+    """Vectorized N-Triples-style lines for one pandas batch (an
+    iterrows loop measured ~10x slower at 750k triples). Module-level
+    and pure-pandas for the roundtrip property suite."""
+    s = pdf["s"].astype(str)
+    subj = ("<" + s + ">").copy()
+    bmask = s.str.startswith("bnode:")
+    if bmask.any():
+        subj[bmask] = "_:" + s[bmask].map(_md5hex)
+    lmask = s.str.startswith("_:")
+    if lmask.any():
+        subj[lmask] = s[lmask]
+    esc = (
+        pdf["o"].fillna("").astype(str)
+        .str.replace("\\", "\\\\", regex=False)
+        .str.replace('"', '\\"', regex=False)
+        .str.replace("\n", "\\n", regex=False)
+        .str.replace("\r", "\\r", regex=False)
+        .str.replace("\t", "\\t", regex=False)
+    )
+    lit = '"' + esc + '"'
+    lang_mask = pdf["o_lang"].notna()
+    lit[lang_mask] = lit[lang_mask] + "@" + pdf["o_lang"][lang_mask]
+    dt_mask = pdf["o_datatype"].notna() & ~lang_mask
+    lit[dt_mask] = lit[dt_mask] + "^^<" + pdf["o_datatype"][dt_mask] + ">"
+    o = pdf["o"].fillna("").astype(str)
+    obj = lit.copy()
+    umask = pdf["o_type"] == "uri"
+    obj[umask] = "<" + o[umask] + ">"
+    bnmask = pdf["o_type"] == "bnode"
+    if bnmask.any():
+        ob = o[bnmask]
+        passthru = ob.str.startswith("_:")
+        fixed = "_:" + ob.map(_md5hex)
+        fixed[passthru] = ob[passthru]
+        obj[bnmask] = fixed
+    return subj + " <" + pdf["p"].astype(str) + "> " + obj + " ."
+
+
+def _trig_chunks(pdf) -> list[str]:
+    """One pandas batch of widened quads → complete `<g> { … }` blocks
+    plus bare default-graph lines (repeated blocks per label are legal
+    TriG and merge on parse)."""
+    chunks: list[str] = []
+    for g, grp in pdf.groupby(pdf["g"].fillna(""), sort=False):
+        lines = _trig_lines(grp)
+        if g:
+            chunks.append(f"<{g}> {{\n" + "\n".join(lines) + "\n}")
+        else:
+            chunks.extend(lines)
+    return chunks
+
+
 def write_trig(triples: DataFrame, path: str) -> None:
     """TriG sink: each partition emits complete `<g> { … }` blocks
     (plus bare default-graph lines) built from N-Triples-style terms.
@@ -769,8 +836,6 @@ def write_trig(triples: DataFrame, path: str) -> None:
     graph; `cat part-*` is itself valid TriG, the same merge property
     as write_turtle. Line building is vectorized pandas string ops
     (an iterrows loop measured ~10x slower at 750k triples)."""
-    import hashlib
-
     import pandas as pd
 
     from razulibs_spark.sources.rdf_io import _widen
@@ -778,60 +843,11 @@ def write_trig(triples: DataFrame, path: str) -> None:
     if "g" not in triples.columns:
         triples = triples.withColumn("g", F.lit(None).cast("string"))
 
-    def md5hex(v: str) -> str:
-        return hashlib.md5(v.encode()).hexdigest()
-
-    def _trig_lines(pdf: pd.DataFrame) -> pd.Series:
-        s = pdf["s"].astype(str)
-        subj = ("<" + s + ">").copy()
-        bmask = s.str.startswith("bnode:")
-        if bmask.any():
-            subj[bmask] = "_:" + s[bmask].map(md5hex)
-        lmask = s.str.startswith("_:")
-        if lmask.any():
-            subj[lmask] = s[lmask]
-        esc = (
-            pdf["o"].fillna("").astype(str)
-            .str.replace("\\", "\\\\", regex=False)
-            .str.replace('"', '\\"', regex=False)
-            .str.replace("\n", "\\n", regex=False)
-            .str.replace("\r", "\\r", regex=False)
-            .str.replace("\t", "\\t", regex=False)
-        )
-        lit = '"' + esc + '"'
-        lang_mask = pdf["o_lang"].notna()
-        lit[lang_mask] = lit[lang_mask] + "@" + pdf["o_lang"][lang_mask]
-        dt_mask = pdf["o_datatype"].notna() & ~lang_mask
-        lit[dt_mask] = (
-            lit[dt_mask] + "^^<" + pdf["o_datatype"][dt_mask] + ">"
-        )
-        o = pdf["o"].fillna("").astype(str)
-        obj = lit.copy()
-        umask = pdf["o_type"] == "uri"
-        obj[umask] = "<" + o[umask] + ">"
-        bnmask = pdf["o_type"] == "bnode"
-        if bnmask.any():
-            ob = o[bnmask]
-            passthru = ob.str.startswith("_:")
-            fixed = "_:" + ob.map(md5hex)
-            fixed[passthru] = ob[passthru]
-            obj[bnmask] = fixed
-        return subj + " <" + pdf["p"].astype(str) + "> " + obj + " ."
-
     def emit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not len(pdf):
                 continue
-            chunks: list[str] = []
-            for g, grp in pdf.groupby(pdf["g"].fillna(""), sort=False):
-                lines = _trig_lines(grp)
-                if g:
-                    chunks.append(
-                        f"<{g}> {{\n" + "\n".join(lines) + "\n}"
-                    )
-                else:
-                    chunks.extend(lines)
-            yield pd.DataFrame({"value": chunks})
+            yield pd.DataFrame({"value": _trig_chunks(pdf)})
 
     _widen(triples).mapInPandas(emit, "value string").write.mode(
         "overwrite"

@@ -416,3 +416,135 @@ def test_gif_interlace_roundtrips_any_geometry(w, h, seed):
     plain = decode_gif(encode_gif(w, h, pal, pix))
     inter = decode_gif(encode_gif(w, h, pal, pix, interlace=True))
     assert inter == plain
+
+
+# ---------------------------------------------------------------------------
+# Document-framed RDF formats (sources/rdfxml.py): pure-Python
+# roundtrips through the extracted pandas serializers — the GIF fuzz
+# pattern (VERDICT r7 item 6: synthesized fixtures alone miss boundary
+# cases; the r6 LZW width desync proved it). No Spark job per example.
+# ---------------------------------------------------------------------------
+
+import pandas as pd
+
+from razulibs_spark.sources.rdfxml import (
+    _RDFXML_FOOTER,
+    _RDFXML_HEADER,
+    _TRIX_FOOTER,
+    _TRIX_HEADER,
+    _XML_ILLEGAL_RE,
+    _parse_rdfxml,
+    _parse_trig,
+    _parse_trix,
+    _rdfxml_description_lines,
+    _trig_chunks,
+    _trix_graph_chunks,
+)
+
+# URIs stay on a conservative alphabet (TriG frames them in <> on one
+# line; RDF/XML puts them in attributes) — the hostile surface is the
+# LITERAL space, fuzzed wide below.
+_safe_uri = st.from_regex(
+    r"https://ex\.org/[A-Za-z0-9_.\-/#?=&%+~]{0,24}", fullmatch=True
+)
+_pred_uri = st.from_regex(
+    r"https://ex\.org/ns[#/][A-Za-z_][A-Za-z0-9_.\-]{0,12}", fullmatch=True
+)
+_lang_tag = st.from_regex(r"[a-z]{2}(-[a-zA-Z]{2,4})?", fullmatch=True)
+
+# Any XML-1.0-representable text: all of Unicode minus surrogates and
+# the C0 controls XML forbids; TAB/LF/CR stay in (the chars the
+# writers must escape as numeric refs).
+_xml_text = st.text(
+    alphabet=st.characters(codec="utf-8"), max_size=40
+).filter(lambda s: not _XML_ILLEGAL_RE.search(s))
+
+# TriG literals additionally tolerate raw C0 controls and the
+# splitlines() hazard set (\x0b \x0c \x1c-\x1e \x85 U+2028 U+2029) —
+# everything except the two chars the writer escapes into \n / \r.
+_trig_text = st.text(alphabet=st.characters(codec="utf-8"), max_size=40)
+
+
+@st.composite
+def _triple_rows(draw, literal_text, with_graph=False):
+    n = draw(st.integers(min_value=1, max_value=8))
+    rows = []
+    graphs = [None, "https://ex.org/g1", "https://ex.org/g2"]
+    for _ in range(n):
+        s = draw(_safe_uri)
+        p = draw(_pred_uri)
+        kind = draw(st.sampled_from(["literal", "literal", "literal", "uri"]))
+        if kind == "uri":
+            o, dt, lang = draw(_safe_uri), None, None
+        else:
+            o = draw(literal_text)
+            dt = draw(st.none() | _pred_uri)
+            lang = draw(st.none() | _lang_tag)
+        g = draw(st.sampled_from(graphs)) if with_graph else None
+        rows.append((s, p, o, kind, dt, lang, g))
+    return rows
+
+
+def _pdf(rows):
+    return pd.DataFrame(
+        rows, columns=["s", "p", "o", "o_type", "o_datatype", "o_lang", "g"]
+    ).astype(object).where(pd.notna, None)
+
+
+def _expected(rows, keep_graph=False):
+    want = []
+    for s, p, o, kind, dt, lang, g in rows:
+        if kind == "uri":
+            t = (s, p, o, "uri", None, None)
+        elif lang is not None:  # lang wins over datatype in all three
+            t = (s, p, o, "literal", None, lang)
+        else:
+            t = (s, p, o, "literal", dt, None)
+        want.append(t + ((g,) if keep_graph else ()))
+    return sorted(want, key=repr)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_triple_rows(_xml_text))
+@example([("https://ex.org/s", "https://ex.org/ns#p", "a\rb\tc&<>\"",
+           "literal", None, None, None)])
+@example([("https://ex.org/s", "https://ex.org/ns#p", " x ",
+           "literal", None, "nl", None)])
+def test_rdfxml_serializer_roundtrips_any_literal(rows):
+    doc = (
+        _RDFXML_HEADER + "\n"
+        + "\n".join(_rdfxml_description_lines(_pdf(rows)))
+        + "\n" + _RDFXML_FOOTER
+    )
+    got = sorted(_parse_rdfxml(doc.encode(), "t"), key=repr)
+    assert got == _expected(rows)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_triple_rows(_xml_text, with_graph=True))
+@example([("https://ex.org/s", "https://ex.org/ns#p", "\r\n\t\"'&",
+           "literal", None, None, "https://ex.org/g1")])
+def test_trix_serializer_roundtrips_any_literal(rows):
+    doc = (
+        _TRIX_HEADER + "\n"
+        + "\n".join(_trix_graph_chunks(_pdf(rows)))
+        + "\n" + _TRIX_FOOTER
+    )
+    got = sorted(_parse_trix(doc.encode(), "t"), key=repr)
+    assert got == _expected(rows, keep_graph=True)
+
+
+@settings(max_examples=250, deadline=None)
+@given(_triple_rows(_trig_text, with_graph=True))
+@example([("https://ex.org/s", "https://ex.org/ns#p", "a\x0bb\x0cc\x85d",
+           "literal", None, None, "https://ex.org/g1")]).via(
+    "splitlines() hazard: raw vertical-tab/form-feed/NEL inside a "
+    "literal must not shatter the line (fixed r8)")
+@example([("https://ex.org/s", "https://ex.org/ns#p", "e f g",
+           "literal", None, None, None)]).via("same, unicode separators")
+@example([("https://ex.org/s", "https://ex.org/ns#p", "q\\\"e\\n",
+           "literal", None, None, None)])
+def test_trig_serializer_roundtrips_any_literal(rows):
+    doc = "\n".join(_trig_chunks(_pdf(rows)))
+    got = sorted(_parse_trig(doc), key=repr)
+    assert got == _expected(rows, keep_graph=True)
