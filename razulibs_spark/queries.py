@@ -1347,6 +1347,52 @@ def s6_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select("filename", "md5hash", "file_size", "file_extension")
 
 
+_AVRO_SQL = """
+SELECT lang, source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE lang IN ('en', 'de', 'fr')
+GROUP BY lang, source
+"""
+
+
+@query("io_avro_roundtrip", _AVRO_SQL)
+def io_avro_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro sink → Avro source roundtrip: write documents as Avro
+    hive-partitioned by lang, re-read with a partition filter, and
+    aggregate — the third storage format end to end (after parquet and
+    ORC), hash-verified against the parquet-derived oracle. Avro is
+    the splittable row-major interchange format; the datasource
+    resolves via the FileFormat class (sources/avro.py: the short name
+    needs the external module's service registration, the class ships
+    in this distribution's spark-sql jar). Partition pruning on lang
+    applies as with any file source; full text (arbitrary UTF-8)
+    survives the format roundtrip.
+
+    Store path keyed by sf_dir for the same eager-write/lazy-read
+    reason as io_orc_roundtrip."""
+    import os
+
+    from razulibs_spark.sources.avro import read_avro, write_avro
+
+    base = (
+        "/root/repo/.scratch/avro_store_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents")
+    write_avro(docs, base, partition_by=["lang"])
+    back = read_avro(spark, base)
+    return (
+        back.filter(F.col("lang").isin("en", "de", "fr"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 _ORC_SQL = f"""
 SELECT o_orderpriority,
        CAST(month(o_orderdate) AS BIGINT) AS order_month,
@@ -1368,9 +1414,9 @@ def io_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two selected priority partitions (PartitionFilters) and push
     the price predicate into the ORC scan (PushedFilters) — asserted
     in tests/test_scale_plans.py. TIMESTAMP_NTZ survives the format
-    roundtrip (month() agrees with the oracle). Avro stays ungated:
-    spark-avro is an external module not present in this
-    environment.
+    roundtrip (month() agrees with the oracle). Avro has its own
+    roundtrip entry (io_avro_roundtrip) via the FileFormat-class
+    resolution in sources/avro.py.
 
     The store path is keyed by sf_dir: the write happens eagerly at
     DataFrame construction but the read is lazy, so a shared path

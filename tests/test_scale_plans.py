@@ -582,6 +582,19 @@ def test_orc_roundtrip_prunes_partitions_and_pushes_filters(spark):
     assert "GreaterThan(o_totalprice" in scan.split("PushedFilters")[1][:300]
 
 
+def test_avro_roundtrip_prunes_lang_partitions(spark):
+    """The Avro re-read must prune to the three selected lang
+    partitions (no full-directory scan) — the hive-partition layout
+    prunes for any file source, Avro included."""
+    plan = _plan(Q.io_avro_roundtrip(spark, SF))
+    scan = plan[plan.index("Scan avro") :]
+    assert "PartitionFilters" in scan
+    assert "lang" in scan.split("PartitionFilters")[1][:300]
+    # column pruning: the re-read projects only the 3 needed columns
+    read_schema = scan.split("ReadSchema:")[1][:120]
+    assert "n_chars" in read_schema and "text" not in read_schema
+
+
 def test_kmeans_assignment_is_single_narrow_map(spark):
     """kmeans_lloyd's assignment stage inlines the centroid literals:
     the returned plan must hold no Exchange, no Join, and no Python
