@@ -37,21 +37,32 @@ def assemble_sip(
     sip_dir: str,
     actor: str = "https://data.razu.nl/id/actor/razu",
     event_base: str = "https://data.razu.nl/id/event/sip",
+    distributed: bool = True,
 ) -> dict:
     """Write metadata documents, build the manifest from what landed on
     disk, emit the PREMIS provenance in dependency order, and lock.
 
     Returns {'manifest': DataFrame, 'events': DataFrame,
     'n_documents': int}. Raises SipLockedError when the directory's
-    event log already carries ingestion_end (O6 lock gate)."""
+    event log already carries ingestion_end (O6 lock gate).
+
+    ``distributed`` (default True) writes the per-entity metadata
+    files from the executors — the scalable mode, byte-identical to
+    the driver-collect mode (golden-tested) and correct whenever
+    ``sip_dir`` is on a filesystem every executor mounts, which a SIP
+    staging area on a real cluster is (and local[n] trivially is).
+    Pass False only for a driver-local scratch directory on a
+    multi-machine cluster."""
     eventlog_path = os.path.join(sip_dir, "eventlog.nt")
     if os.path.exists(eventlog_path):
         prior = _read_eventlog(spark, eventlog_path)
         if ev.is_locked(prior):
             raise SipLockedError(f"SIP at {sip_dir} is locked (ingestion_end)")
 
-    # K1: one .meta.json per entity.
-    n_docs = write_jsonld_per_entity(triples, sip_dir)
+    # K1: one .meta.json per entity (executor-side by default).
+    n_docs = write_jsonld_per_entity(
+        triples, sip_dir, distributed=distributed
+    )
 
     # S6/F7: manifest from ONE distributed scan of the written files.
     manifest = manifest_from_directory(spark, sip_dir, base_segment=sip_dir.rstrip("/") + "/").filter(

@@ -320,6 +320,26 @@ def test_sip_assembly_and_lock(spark, tmp_path):
     # O6: the terminal ingestion_end locks the SIP.
     with pytest.raises(SipLockedError):
         assemble_sip(spark, triples, sip)
+    # The default assembly above wrote metadata executor-side
+    # (distributed=True, plans/sip.py); the driver-collect mode must
+    # produce the byte-identical SIP — golden parity between the
+    # scalable default and the reference-shaped fallback.
+    import os as _os
+
+    sip_drv = str(tmp_path / "sip_driver")
+    out2 = assemble_sip(spark, triples, sip_drv, distributed=False)
+    assert out2["n_documents"] == 11
+    meta = sorted(
+        f for f in _os.listdir(sip) if f.endswith(".meta.json")
+    )
+    assert meta == sorted(
+        f for f in _os.listdir(sip_drv) if f.endswith(".meta.json")
+    )
+    for f in meta:
+        with open(_os.path.join(sip, f), "rb") as a, open(
+            _os.path.join(sip_drv, f), "rb"
+        ) as b:
+            assert a.read() == b.read(), f
 
 
 def test_collect_rdf_lifecycle(spark, tmp_path):
