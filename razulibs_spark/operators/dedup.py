@@ -982,6 +982,74 @@ def substring_span_cut(documents: DataFrame, k: int = 8) -> DataFrame:
     )
 
 
+def substring_span_multik(
+    documents: DataFrame, ks: tuple[int, ...] = (8, 16, 32)
+) -> DataFrame:
+    """Multi-k sweep over :func:`substring_span_stats` — per-doc
+    duplicated-span stats at EVERY window size in ``ks``, one scan.
+    A single fixed k under-approximates Lee et al. 2022's
+    suffix-array semantics (variable-length duplicated spans): a long
+    duplicated block scores high at every k, while a short
+    boilerplate phrase only trips the small k — the (doc_id, k)
+    profile separates the two, which is what a cut policy actually
+    needs.
+
+    Scale shape: the token split happens ONCE; each k contributes its
+    rolling windows to one flattened array (per-k guarded so a doc
+    shorter than k contributes nothing — Spark's ``sequence(1, n)``
+    DESCENDS for n < 1, which would fabricate windows), one explode,
+    then the same two 32-byte-keyed shuffles as the fixed-k operator,
+    now keyed (k, h) and (doc_id, k). Cost is the sum of the per-k
+    span volumes — still linear in corpus tokens × |ks|, nothing
+    quadratic, no driver state.
+    """
+    n = documents.sparkSession.sparkContext.defaultParallelism
+    per_k = ", ".join(
+        f"if(size(w) >= {k}, "
+        f"transform(sequence(1, size(w) - {k - 1}), "
+        f"i -> struct(cast({k} as bigint) as k, "
+        f"md5(concat_ws(' ', slice(w, i, {k}))) as h)), "
+        f"cast(array() as array<struct<k:bigint,h:string>>))"
+        for k in ks
+    )
+    spans = (
+        documents.repartition(n, "doc_id")
+        .select("doc_id", F.split(F.col("text"), " ").alias("w"))
+        .filter(F.size("w") >= min(ks))
+        .select(
+            "doc_id",
+            F.explode(F.expr(f"flatten(array({per_k}))")).alias("kh"),
+        )
+        .select("doc_id", F.col("kh.k").alias("k"), F.col("kh.h").alias("h"))
+    )
+    dup = (
+        spans.groupBy("k", "h")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("k", "h")
+    )
+    per_doc = spans.groupBy("doc_id", "k").agg(
+        F.count("*").alias("n_spans")
+    )
+    dup_per_doc = (
+        spans.join(dup, ["k", "h"], "left_semi")
+        .groupBy("doc_id", "k")
+        .agg(F.count("*").alias("n_dup_spans"))
+    )
+    return (
+        per_doc.join(dup_per_doc, ["doc_id", "k"], "left")
+        .select(
+            "doc_id",
+            "k",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def lsh_s_curve(
     spark,
     configs: list[tuple[int, int]] = ((4, 3), (6, 2), (8, 4)),

@@ -1088,6 +1088,57 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_span_stats(T(spark, sf_dir, "documents"), k=8)
 
 
+def _multik_spans_sql(ks: tuple[int, ...]) -> str:
+    """Per-k twin of _SUBSTRING_SQL, unioned — DuckDB recomputes every
+    window size independently, so a cross-k leak in the one-pass Spark
+    plan (e.g. a k=8 hash colliding into the k=16 membership) would
+    hash-mismatch."""
+    blocks = []
+    for k in ks:
+        blocks.append(f"""
+ sp{k} AS (SELECT doc_id,
+               unnest([md5(array_to_string(ws[i:i+{k - 1}], ' '))
+                       for i in generate_series(1, len(ws) - {k - 1})]) AS h
+        FROM w WHERE len(ws) >= {k}),
+ dup{k} AS (SELECT h FROM sp{k} GROUP BY h HAVING COUNT(*) >= 2),
+ perdoc{k} AS (SELECT doc_id, COUNT(*) AS n_spans FROM sp{k}
+               GROUP BY doc_id),
+ dupdoc{k} AS (SELECT doc_id, COUNT(*) AS n_dup_spans
+            FROM sp{k} WHERE h IN (SELECT h FROM dup{k})
+            GROUP BY doc_id)""")
+    selects = " UNION ALL ".join(
+        f"""
+SELECT p.doc_id, CAST({k} AS BIGINT) AS k, p.n_spans,
+       COALESCE(d.n_dup_spans, 0) AS n_dup_spans,
+       ROUND(COALESCE(d.n_dup_spans, 0) / p.n_spans, 6) AS dup_frac
+FROM perdoc{k} p LEFT JOIN dupdoc{k} d USING (doc_id)"""
+        for k in ks
+    )
+    return (
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws "
+        "FROM documents)," + ",".join(blocks) + selects
+    )
+
+
+_MULTIK_KS = (8, 16, 32)
+
+
+@query("dedup_substring_multik", _multik_spans_sql(_MULTIK_KS))
+def dedup_substring_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-k duplicated-span sweep (VERDICT r7 stretch): per-doc
+    span stats at k ∈ {8,16,32} from ONE corpus scan — the (doc, k)
+    profile approximates variable-length duplicated spans (Lee et al.
+    2022 suffix-array semantics) closer than any fixed k: long
+    syndicated blocks stay duplicated as k grows, short boilerplate
+    falls away. One explode over a per-k-guarded flattened window
+    array, then the fixed-k operator's two 32-byte-keyed shuffles
+    keyed (k, h) / (doc_id, k). Oracle recomputes each k
+    independently in DuckDB."""
+    return dedup.substring_span_multik(
+        T(spark, sf_dir, "documents"), ks=_MULTIK_KS
+    )
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis over `documents`
 # ---------------------------------------------------------------------------

@@ -1033,3 +1033,46 @@ def test_substring_span_cut_reconstructs_cleaned_text(spark):
     assert res[4]["clean_hash"] == hashlib.md5(b"").hexdigest()
     # sub-window doc passes through whole
     assert (res[5]["n_tokens"], res[5]["n_kept"]) == (2, 2)
+
+
+def test_substring_span_multik_separates_block_lengths(spark):
+    """Multi-k sweep: a 16-token shared block is duplicated at k=8 AND
+    k=16 but invisible at k=32; an 8-token shared phrase only trips
+    k=8; docs shorter than a k emit no (doc, k) row; and no cross-k
+    leakage (a k=8 duplicate must not mark k=16 windows)."""
+    from razulibs_spark.operators.dedup import substring_span_multik
+
+    blk16 = " ".join(f"blk{i}" for i in range(16))   # 16 tokens
+    phr8 = " ".join(f"phr{i}" for i in range(8))     # 8 tokens
+    uniq = " ".join(f"u{i}" for i in range(16))      # filler, unique
+    rows = [
+        (1, f"{blk16} {uniq}"),          # 32 tokens
+        (2, f"{uniq.replace('u', 'v')} {blk16}"),    # 32 tokens
+        (3, f"{phr8} " + " ".join(f"w{i}" for i in range(8))),  # 16 tokens
+        (4, f"{phr8} " + " ".join(f"x{i}" for i in range(24))),  # 32 tokens
+        (5, " ".join(f"y{i}" for i in range(10))),   # 10 tokens: k=8 only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_id"], r["k"]): (r["n_spans"], r["n_dup_spans"])
+        for r in substring_span_multik(df, ks=(8, 16, 32)).collect()
+    }
+    # row existence: doc 5 (10 tokens) only reaches k=8; docs 1/2/4
+    # (32 tokens) reach every k; doc 3 (16 tokens) reaches 8 and 16.
+    assert (5, 8) in got and (5, 16) not in got and (5, 32) not in got
+    assert (3, 16) in got and (3, 32) not in got
+    # k=8: the 16-token block contributes 9 aligned windows in each of
+    # docs 1 and 2; the phrase contributes 1 in docs 3 and 4.
+    assert got[(1, 8)] == (25, 9)
+    assert got[(2, 8)] == (25, 9)
+    assert got[(3, 8)][1] == 1 and got[(4, 8)][1] == 1
+    # k=16: only the full 16-token block collides (1 aligned window
+    # in each of docs 1 and 2); the 8-token phrase is invisible.
+    assert got[(1, 16)] == (17, 1)
+    assert got[(2, 16)] == (17, 1)
+    assert got[(3, 16)][1] == 0 and got[(4, 16)][1] == 0
+    # k=32: nothing is duplicated at this width.
+    assert got[(1, 32)][1] == 0
+    assert got[(2, 32)][1] == 0
+    assert got[(4, 32)][1] == 0
+    assert got[(5, 8)] == (3, 0)

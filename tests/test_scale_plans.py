@@ -725,6 +725,21 @@ def test_substring_spans_partial_agg_no_cartesian(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_substring_multik_no_extra_scans_no_cartesian(spark):
+    """Multi-k sweep: same posture as the fixed-k plan (partial agg,
+    semi-join membership, zero UDF/cross product) and the SAME
+    scan/explode counts as the fixed-k plan — all three k's ride one
+    flattened window array, not one plan subtree per k."""
+    plan = _plan(Q.dedup_substring_multik(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    fixed = _plan(Q.dedup_substring_spans(spark, SF))
+    assert plan.count("Scan parquet") == fixed.count("Scan parquet")
+    assert plan.count("Generate") == fixed.count("Generate")
+
+
 def test_substring_cut_mask_is_codegen_no_udf(spark):
     plan = _plan(Q.dedup_substring_cut(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
