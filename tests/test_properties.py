@@ -548,3 +548,46 @@ def test_trig_serializer_roundtrips_any_literal(rows):
     doc = "\n".join(_trig_chunks(_pdf(rows)))
     got = sorted(_parse_trig(doc), key=repr)
     assert got == _expected(rows, keep_graph=True)
+
+
+_mp4_track = st.builds(
+    dict,
+    id=st.integers(min_value=1, max_value=2**31 - 1),
+    handler=st.sampled_from(["vide", "soun", "text", "subt"]),
+    timescale=st.integers(min_value=1, max_value=2**31 - 1),
+    lang=st.from_regex(r"[a-z]{3}", fullmatch=True),
+    width=st.integers(min_value=0, max_value=65535),
+    height=st.integers(min_value=0, max_value=65535),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.sampled_from(["isom", "mp42", "avc1", "M4V "]),
+    st.integers(min_value=1, max_value=2**16),
+    st.integers(min_value=0, max_value=2**15),
+    st.lists(_mp4_track, min_size=0, max_size=5),
+)
+def test_mp4_skeleton_roundtrips_any_params(brand, mts, sec, tracks):
+    """ISO BMFF skeleton → box walker: every field survives exactly
+    (brand, layered movie/media timescales, durations, track inventory
+    with handler/lang/geometry) for arbitrary parameters — the same
+    pure-Python fuzz posture as the codec roundtrips."""
+    from razulibs_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4_metadata,
+    )
+
+    m = parse_mp4_metadata(encode_mp4_skeleton(brand, mts, sec, tracks))
+    assert m["brand"] == brand
+    assert m["movie_timescale"] == mts
+    assert m["movie_duration"] == mts * sec
+    assert m["n_tracks"] == len(tracks)
+    for want, got in zip(tracks, m["tracks"]):
+        assert got["track_id"] == want["id"]
+        assert got["handler"] == want["handler"]
+        assert got["lang"] == want["lang"]
+        assert got["timescale"] == want["timescale"]
+        assert got["duration"] == want["timescale"] * sec
+        assert got["width"] == want["width"]
+        assert got["height"] == want["height"]

@@ -193,3 +193,123 @@ def test_color_frames_report_bt601_luma_not_red(spark):
     expect = 0.299 * st["mean_r"] + 0.587 * st["mean_g"] + 0.114 * st["mean_b"]
     assert row.mean_luma == expect
     assert row.mean_luma < 150  # nowhere near the red channel's ~255
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF container metadata (operators/mp4.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mp4_skeleton_roundtrip_and_layered_timescales():
+    from razulibs_spark.operators.mp4 import (
+        encode_mp4_skeleton,
+        parse_mp4_metadata,
+    )
+
+    p = encode_mp4_skeleton("mp42", 600, 7, [
+        {"id": 1, "handler": "vide", "timescale": 2000, "lang": "nld",
+         "width": 48, "height": 32},
+        {"id": 2, "handler": "soun", "timescale": 24000, "lang": "eng",
+         "width": 0, "height": 0},
+    ])
+    m = parse_mp4_metadata(p)
+    assert m["brand"] == "mp42"
+    assert (m["movie_timescale"], m["movie_duration"]) == (600, 4200)
+    assert m["n_tracks"] == 2
+    v, a = m["tracks"]
+    # each layer expresses the same 7 s in its OWN timescale
+    assert (v["handler"], v["width"], v["height"]) == ("vide", 48, 32)
+    assert v["duration"] / v["timescale"] == 7
+    assert (a["handler"], a["lang"]) == ("soun", "eng")
+    assert a["duration"] / a["timescale"] == 7
+
+
+def test_mp4_parser_strictness_and_extensions():
+    """Unknown boxes skip by size (the format's extension mechanism);
+    version-1 (64-bit) headers parse; largesize and size=0 ('to end')
+    headers parse; structural corruption raises."""
+    import struct
+
+    from razulibs_spark.operators.mp4 import (
+        _box,
+        _pack_lang,
+        _u16,
+        _u32,
+        encode_mp4_skeleton,
+        parse_mp4_metadata,
+    )
+
+    base = encode_mp4_skeleton("isom", 600, 3, [
+        {"id": 1, "handler": "vide", "timescale": 1000, "lang": "und",
+         "width": 16, "height": 16}])
+    # unknown top-level box between ftyp and moov: skipped
+    ftyp_size = struct.unpack(">I", base[0:4])[0]
+    extended = (
+        base[:ftyp_size] + _box(b"sk1p", b"x" * 11) + base[ftyp_size:]
+    )
+    assert parse_mp4_metadata(extended)["n_tracks"] == 1
+    # version-1 mvhd (64-bit creation/modification/duration)
+    mvhd_v1 = _box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16  # v1; 8+8 creation/mod
+        + _u32(90000) + struct.pack(">Q", 90000 * 11)
+        + b"\x00" * 80,
+    )
+    mdhd_v1 = _box(
+        b"mdhd",
+        b"\x01\x00\x00\x00" + b"\x00" * 16
+        + _u32(48000) + struct.pack(">Q", 48000 * 11)
+        + _u16(_pack_lang("fra")) + _u16(0),
+    )
+    hdlr = _box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12 + b"\x00")
+    tkhd_v1 = _box(
+        b"tkhd",
+        b"\x01\x00\x00\x07" + b"\x00" * 16 + _u32(9) + _u32(0)
+        + struct.pack(">Q", 600 * 11) + b"\x00" * 52
+        + _u32(0) + _u32(0),
+    )
+    doc = _box(b"moov", mvhd_v1 + _box(
+        b"trak", tkhd_v1 + _box(b"mdia", mdhd_v1 + hdlr)))
+    m = parse_mp4_metadata(doc)
+    assert (m["movie_timescale"], m["movie_duration"]) == (90000, 990000)
+    t = m["tracks"][0]
+    assert (t["track_id"], t["handler"], t["lang"]) == (9, "soun", "fra")
+    assert t["duration"] / t["timescale"] == 11
+    # largesize header (size=1 + 64-bit size) and size=0 (last box)
+    body = doc[8:]
+    large = _u32(1) + b"moov" + struct.pack(">Q", 16 + len(body)) + body
+    assert parse_mp4_metadata(large)["n_tracks"] == 1
+    sized0 = _u32(0) + b"moov" + body  # size=0: "to end of container"
+    assert parse_mp4_metadata(sized0)["n_tracks"] == 1
+    # corruption: truncated header, overrun, no moov
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated box header"):
+        parse_mp4_metadata(doc[:5])
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_mp4_metadata(_u32(len(doc) + 64) + doc[4:])
+    with _pytest.raises(ValueError, match="no moov"):
+        parse_mp4_metadata(_box(b"free", b""))
+
+
+def test_mp4_metadata_stage_rows(spark):
+    """The Spark stage: per-track rows for parsed containers, one
+    fail-closed row for the poison doc, audio geometry null."""
+    from razulibs_spark.operators.mp4 import (
+        extract_mp4_metadata,
+        synthesize_mp4_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(2,), (3,), (7,)], "doc_id long"
+    )
+    rows = {
+        (r["doc_id"], r["track_id"]): r
+        for r in extract_mp4_metadata(synthesize_mp4_media(docs)).collect()
+    }
+    assert rows[(2, 1)]["handler"] == "vide"
+    assert rows[(2, 1)]["n_tracks"] == 1 and (3, 2) in rows
+    assert rows[(3, 2)]["width"] is None  # sound track: no geometry
+    assert rows[(3, 1)]["duration_s"] == 4.0  # 1 + 3%9 seconds
+    poison = rows[(7, None)]
+    assert poison["parsed"] is False and "overruns" in poison["note"]
