@@ -314,9 +314,16 @@ R07_ADDITIONS = [
     "multimodal_audio_spectral",
 ]
 
+R08_ADDITIONS = [
+    "io_avro_roundtrip",
+    "dedup_substring_multik",
+    "multimodal_mp4_metadata",
+    "text_html_extract",
+]
+
 HEADLINE = (
     R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS
-    + R07_ADDITIONS
+    + R07_ADDITIONS + R08_ADDITIONS
 )
 
 N_RUNS = 2

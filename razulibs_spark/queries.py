@@ -1139,6 +1139,45 @@ def dedup_substring_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_EXTRACT_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id,
+              [array_to_string(ws[i:i+11], ' ')
+               for i in generate_series(1, len(ws), 12)] AS chunks
+       FROM w)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(len(chunks) AS BIGINT) AS n_blocks,
+       CAST(5 + doc_id % 4 AS BIGINT) AS n_links_removed,
+       md5(array_to_string(chunks, chr(10))) AS main_hash
+FROM ch
+"""
+
+
+@query("text_html_extract", _HTML_EXTRACT_SQL)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML main-content extraction (operators/html.py): deterministic
+    web pages are synthesized around each document's words (12-word
+    <p> paragraphs with inline <em> markup, plus the chrome a crawler
+    meets — title/script/style head, nav menu, header/aside/footer
+    boilerplate with entity-escaped junk, comments, void tags; every
+    10th page uses uppercase tags + unquoted attributes), then the
+    stdlib-HTMLParser extractor strips skip-region subtrees, emits
+    whitespace-collapsed blocks, and counts removed boilerplate
+    links. The oracle recomputes title, block count, removed-link
+    count and the md5 of the reassembled main text from
+    documents.text alone — one chrome word leaking into the
+    extraction, or one content word lost to the <em> handling,
+    mismatches. One stateless Arrow stage; linear in page bytes."""
+    from razulibs_spark.operators.html import (
+        extract_main_text,
+        synthesize_html_pages,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return extract_main_text(synthesize_html_pages(docs))
+
+
 # ---------------------------------------------------------------------------
 # North-star: text analysis over `documents`
 # ---------------------------------------------------------------------------

@@ -1,0 +1,72 @@
+"""HTML main-content extraction (operators/html.py)."""
+
+from __future__ import annotations
+
+from razulibs_spark.operators.html import extract_page
+
+
+def test_extract_page_strips_boilerplate_subtrees():
+    page = """<!DOCTYPE html>
+<html><head><title> My  Title </title>
+<script>if(a<b){x()}</script><style>p{a:1}</style></head>
+<body>
+<header><h1>SiteName</h1><nav><a href="/">home</a></nav></header>
+<nav><ul><li><a href="/a">A</a></li><li><a href="/b">B</a></li></ul></nav>
+<p>first <em>para</em> text</p>
+<blockquote>quoted  words</blockquote>
+<aside>subscribe <a href="/s">now</a></aside>
+<footer><a href="/t">tos</a></footer>
+</body></html>"""
+    res = extract_page(page)
+    assert res["title"] == "My Title"
+    assert res["blocks"] == ["first para text", "quoted words"]
+    # nav-in-header (nested skip), standalone nav (2), aside, footer
+    assert res["n_links_removed"] == 5
+
+
+def test_extract_page_entities_voids_and_case():
+    page = (
+        "<HTML><BODY><P CLASS=x>a &amp; b &lt;c&gt;<BR>d</P>"
+        "<img src=x><p>tail</p></BODY></HTML>"
+    )
+    res = extract_page(page)
+    # charrefs decode; <br>/<img> are void (no text, no desync);
+    # uppercase tags normalize. NB data around <BR> concatenates
+    # without injected whitespace — the generator never splits words
+    # across inline tags for exactly this reason.
+    assert res["blocks"] == ["a & b <c>d", "tail"]
+    assert res["n_links_removed"] == 0
+
+
+def test_extract_page_unclosed_skip_region_fails_closed():
+    # an unterminated <script> swallows the rest of the page — the
+    # tolerant posture loses blocks rather than leaking chrome text
+    res = extract_page("<body><script>junk<p>not content</p></body>")
+    assert res["blocks"] == []
+
+
+def test_html_stage_matches_planted_content(spark):
+    import hashlib
+
+    from razulibs_spark.operators.html import (
+        extract_main_text,
+        synthesize_html_pages,
+    )
+
+    docs = spark.createDataFrame(
+        [(6, " ".join(f"w{i}" for i in range(30))),  # uppercase-tag page
+         (9, "one two")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            extract_main_text(synthesize_html_pages(docs)).collect()}
+    assert rows[6]["title"] == "Doc 6"
+    assert rows[6]["n_blocks"] == 3  # 30 words -> 12+12+6
+    assert rows[6]["n_links_removed"] == 5 + 6 % 4
+    want = "\n".join(
+        " ".join(f"w{i}" for i in range(a, min(a + 12, 30)))
+        for a in (0, 12, 24)
+    )
+    assert rows[6]["main_hash"] == hashlib.md5(want.encode()).hexdigest()
+    assert rows[9]["n_blocks"] == 1
+    assert rows[9]["main_hash"] == hashlib.md5(b"one two").hexdigest()
