@@ -319,6 +319,7 @@ R08_ADDITIONS = [
     "dedup_substring_multik",
     "multimodal_mp4_metadata",
     "text_html_extract",
+    "pipeline_warc_extract",
 ]
 
 HEADLINE = (

@@ -192,24 +192,36 @@ def synthesize_html_pages(documents: DataFrame) -> DataFrame:
     )
 
 
-def extract_main_text(pages: DataFrame) -> DataFrame:
+def extract_main_text(
+    pages: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Pages → per-page main-content summary: title, block count,
     boilerplate links removed, and md5 of the newline-joined block
     text (the value a downstream dedup/quality stage would key on —
-    hashing here keeps the oracle comparison exact at any text
-    size)."""
+    hashing here keeps the oracle comparison exact at any text size).
+
+    ``passthrough`` names input columns carried to the output
+    unchanged (typed from the input schema) — source metadata (WARC
+    status, fetch time, …) rides the SAME Arrow pass instead of
+    forcing the caller to re-scan and join the page source twice."""
     import hashlib
 
+    extra = [pages.schema[c] for c in passthrough]
+    out_schema = StructType(
+        [MAIN_TEXT_SCHEMA.fields[0], *extra, *MAIN_TEXT_SCHEMA.fields[1:]]
+    )
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cols = [f.name for f in MAIN_TEXT_SCHEMA.fields]
+        cols = [f.name for f in out_schema.fields]
         for pdf in it:
             rows = []
-            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
-                res = extract_page(str(html))
+            for _, row in pdf.iterrows():
+                res = extract_page(str(row["html"]))
                 main = "\n".join(res["blocks"])
                 rows.append(
                     (
-                        int(doc_id),
+                        int(row["doc_id"]),
+                        *(row[c] for c in passthrough),
                         res["title"] or None,
                         len(res["blocks"]),
                         res["n_links_removed"],
@@ -218,4 +230,4 @@ def extract_main_text(pages: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows, columns=cols)
 
-    return pages.mapInPandas(batches, schema=MAIN_TEXT_SCHEMA)
+    return pages.mapInPandas(batches, schema=out_schema)

@@ -1154,6 +1154,78 @@ FROM ch
 """
 
 
+_WARC_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id,
+              [array_to_string(ws[i:i+11], ' ')
+               for i in generate_series(1, len(ws), 12)] AS chunks
+       FROM w)
+SELECT doc_id,
+       'response' AS warc_type,
+       CAST(200 AS BIGINT) AS http_status,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(len(chunks) AS BIGINT) AS n_blocks,
+       md5(array_to_string(chunks, chr(10))) AS main_hash
+FROM ch
+"""
+
+
+@query("pipeline_warc_extract", _WARC_SQL)
+def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full crawl-ingestion path end to end: synthesized pages →
+    WARC/1.0 response records, per-record-gzip members concatenated
+    into one .warc.gz per partition (sources/warc.py — CommonCrawl's
+    own layout, written executor-side), → strict record walk back
+    (multi-member gunzip, Content-Length framing, HTTP status split)
+    → HTML main-content extraction on the response bodies. The oracle
+    recomputes every page's extraction from documents.text plus the
+    pinned record constants — a byte slipped anywhere across the gzip
+    member chain, the record framing, the HTTP split or the HTML
+    strip mismatches the hash.
+
+    Store path keyed by sf_dir (eager write / lazy read, the
+    io_orc_roundtrip rationale)."""
+    import os
+
+    from razulibs_spark.operators.html import (
+        extract_main_text,
+        synthesize_html_pages,
+    )
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_responses,
+    )
+
+    base = (
+        "/root/repo/.scratch/warc_store_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    pages = synthesize_html_pages(T(spark, sf_dir, "documents")).select(
+        F.concat(F.lit("https://ex.org/doc/"), F.col("doc_id")).alias("uri"),
+        "html",
+    )
+    write_warc_responses(pages, base, compress=True)
+    back = read_warc(spark, base).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        "http_status",
+        # warc bodies are BYTES (arbitrary payloads); these fixture
+        # bodies are UTF-8 HTML — decode at the consumer, per the
+        # source contract.
+        F.col("body").cast("string").alias("html"),
+    )
+    # metadata rides the extraction's own Arrow pass (passthrough) —
+    # ONE warc parse, no re-scan-and-join.
+    return extract_main_text(
+        back, passthrough=("warc_type", "http_status")
+    ).select(
+        "doc_id", "warc_type", "http_status",
+        "title", "n_blocks", "main_hash",
+    )
+
+
 @query("text_html_extract", _HTML_EXTRACT_SQL)
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML main-content extraction (operators/html.py): deterministic

@@ -1,0 +1,262 @@
+"""WARC (Web ARChive, ISO 28500) source/sink — the container format
+web crawls actually arrive in (CommonCrawl ships ~100 TB/crawl as
+.warc.gz), composing with the HTML main-content extractor
+(operators/html.py) into the full crawl→text ingestion path a
+training-data pipeline runs first.
+
+First principles over the public record grammar: a WARC file is a
+concatenation of records, each ``WARC/1.0\\r\\n`` + named headers +
+CRLF CRLF + exactly Content-Length payload bytes + CRLF CRLF. The
+compressed form is per-RECORD gzip members concatenated into one file
+— the spec's own design so readers can resume at member boundaries;
+this reader handles both plain and multi-member-gzip files via
+repeated ``zlib.decompressobj`` with unused-tail chaining, keeping the
+strict "every byte belongs to a member" contract (truncated or
+zero-length members raise).
+
+Scale shape: per-FILE parallelism via ``binaryFile`` (crawl corpora
+are sharded into ~1 GB warc files by construction, so file-level tasks
+ARE the distribution unit — same argument as the document-framed RDF
+scan); a single file parses executor-side in one Arrow batch. The sink
+writes one warc file per partition from the executors (shared-FS
+contract, as write_jsonld_per_entity(distributed=True)).
+
+Structural corruption (bad magic, header without colon, short payload,
+trailing garbage) raises ValueError naming the defect — an ingest
+gate, never a silently dropped record.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+WARC_RECORD_SCHEMA = StructType(
+    [
+        StructField("warc_type", StringType(), False),
+        StructField("record_id", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("warc_date", StringType(), True),
+        StructField("http_status", LongType(), True),
+        StructField("http_content_type", StringType(), True),
+        StructField("body", BinaryType(), True),
+    ]
+)
+
+_CRLF = b"\r\n"
+
+
+def encode_warc_record(
+    warc_type: str,
+    payload: bytes,
+    record_id: str,
+    target_uri: str | None = None,
+    warc_date: str = "2024-01-01T00:00:00Z",
+    content_type: str = "application/http; msgtype=response",
+) -> bytes:
+    headers = [
+        ("WARC-Type", warc_type),
+        ("WARC-Record-ID", f"<urn:uuid:{record_id}>"),
+        ("WARC-Date", warc_date),
+        ("Content-Type", content_type),
+        ("Content-Length", str(len(payload))),
+    ]
+    if target_uri is not None:
+        headers.insert(3, ("WARC-Target-URI", target_uri))
+    head = b"WARC/1.0" + _CRLF + b"".join(
+        f"{k}: {v}".encode("utf-8") + _CRLF for k, v in headers
+    ) + _CRLF
+    return head + payload + _CRLF + _CRLF
+
+
+def encode_http_response(
+    html: str, status: int = 200, content_type: str = "text/html"
+) -> bytes:
+    body = html.encode("utf-8")
+    return (
+        f"HTTP/1.1 {status} OK".encode() + _CRLF
+        + f"Content-Type: {content_type}".encode() + _CRLF
+        + f"Content-Length: {len(body)}".encode() + _CRLF + _CRLF
+        + body
+    )
+
+
+def gzip_member(raw: bytes) -> bytes:
+    """One gzip member (the per-record compression unit of .warc.gz)."""
+    import gzip as _gzip
+    import io
+
+    buf = io.BytesIO()
+    # mtime pinned: the sink must be byte-deterministic for a given
+    # input (oracle + test reproducibility; wall clock is no input).
+    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+        f.write(raw)
+    return buf.getvalue()
+
+
+def _gunzip_members(content: bytes) -> bytes:
+    """Decompress concatenated gzip members; raises on trailing
+    garbage that is not a member boundary."""
+    import zlib
+
+    out, pos = [], 0
+    while pos < len(content):
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        out.append(d.decompress(content[pos:]))
+        consumed = len(content) - pos - len(d.unused_data)
+        if not d.eof:
+            raise ValueError("warc.gz: truncated gzip member")
+        if consumed <= 0:
+            raise ValueError("warc.gz: zero-length gzip member")
+        pos += consumed
+    return b"".join(out)
+
+
+def parse_warc(content: bytes) -> list[tuple]:
+    """One (possibly multi-member-gzip) WARC file → record tuples
+    shaped as WARC_RECORD_SCHEMA."""
+    if content[:2] == b"\x1f\x8b":
+        content = _gunzip_members(content)
+    rows: list[tuple] = []
+    pos = 0
+    n = len(content)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and content[pos:pos + 2] == _CRLF:
+            pos += 2
+        if pos >= n:
+            break
+        if not content.startswith(b"WARC/", pos):
+            raise ValueError(
+                f"warc: expected record magic at offset {pos}, got "
+                f"{content[pos:pos + 12]!r}"
+            )
+        head_end = content.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            raise ValueError("warc: unterminated record header block")
+        headers: dict[str, str] = {}
+        for line in content[pos:head_end].split(_CRLF)[1:]:
+            k, sep, v = line.partition(b":")
+            if not sep:
+                raise ValueError(f"warc: malformed header line {line!r}")
+            headers[k.decode().strip().lower()] = v.decode().strip()
+        try:
+            clen = int(headers["content-length"])
+        except (KeyError, ValueError) as exc:
+            raise ValueError("warc: missing/invalid Content-Length") from exc
+        body_start = head_end + 4
+        if body_start + clen > n:
+            raise ValueError("warc: payload overruns file")
+        payload = content[body_start:body_start + clen]
+        pos = body_start + clen
+
+        status: int | None = None
+        http_ct: str | None = None
+        body: bytes | None = None
+        if headers.get("content-type", "").startswith("application/http"):
+            sep_at = payload.find(_CRLF + _CRLF)
+            if sep_at < 0:
+                raise ValueError("warc: http payload without header block")
+            status_line, *hlines = payload[:sep_at].split(_CRLF)
+            parts = status_line.split(b" ", 2)
+            if len(parts) < 2 or not parts[1].isdigit():
+                raise ValueError(
+                    f"warc: malformed http status line {status_line!r}"
+                )
+            status = int(parts[1])
+            for hl in hlines:
+                hk, _, hv = hl.partition(b":")
+                if hk.decode().strip().lower() == "content-type":
+                    http_ct = hv.decode().strip()
+            body = payload[sep_at + 4:]
+        else:
+            # body stays BYTES: warc payloads are arbitrary (images,
+            # gzip, mis-declared encodings) — found by the framing
+            # property fuzz; decoding is the consumer's call.
+            body = payload
+        rows.append(
+            (
+                headers.get("warc-type", ""),
+                headers.get("warc-record-id"),
+                headers.get("warc-target-uri"),
+                headers.get("warc-date"),
+                status,
+                http_ct,
+                body,
+            )
+        )
+    return rows
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC scan → records DataFrame. Per-file tasks (module
+    docstring); plain and .gz files both parse."""
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+        for pdf in it:
+            rows: list[tuple] = []
+            for content in pdf["content"]:
+                b = bytes(content)
+                if not b.strip():
+                    continue
+                rows.extend(parse_warc(b))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+        .mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
+    )
+
+
+def write_warc_responses(
+    pages: DataFrame,
+    directory: str,
+    uri_col: str = "uri",
+    html_col: str = "html",
+    compress: bool = True,
+) -> None:
+    """Sink: one ``part-<partition>.warc[.gz]`` file per partition,
+    each row one response record (record id = md5 of the target URI —
+    deterministic, collision-irrelevant at fixture scale). Executor
+    writes on a shared filesystem, the write_jsonld_per_entity
+    (distributed=True) contract."""
+    import hashlib
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_partition(rows) -> None:
+        chunks: list[bytes] = []
+        pid = None
+        for row in rows:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if pid is None else pid
+            rec = encode_warc_record(
+                "response",
+                encode_http_response(row[html_col]),
+                record_id=hashlib.md5(row[uri_col].encode()).hexdigest(),
+                target_uri=row[uri_col],
+            )
+            chunks.append(gzip_member(rec) if compress else rec)
+        if pid is not None:
+            with open(
+                os.path.join(directory, f"part-{pid:05d}{ext}"), "wb"
+            ) as fh:
+                fh.write(b"".join(chunks))
+
+    pages.select(uri_col, html_col).foreachPartition(write_partition)

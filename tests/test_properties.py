@@ -591,3 +591,28 @@ def test_mp4_skeleton_roundtrips_any_params(brand, mts, sec, tracks):
         assert got["duration"] == want["timescale"] * sec
         assert got["width"] == want["width"]
         assert got["height"] == want["height"]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.binary(max_size=200), min_size=1, max_size=8),
+       st.booleans())
+def test_warc_record_framing_roundtrips_any_payload(payloads, compress):
+    """Content-Length framing must carry ANY payload bytes — embedded
+    CRLFs, fake 'WARC/1.0' magics, gzip magics — through plain and
+    per-record-gzip files without resyncing on content."""
+    from razulibs_spark.sources.warc import (
+        encode_warc_record,
+        gzip_member,
+        parse_warc,
+    )
+
+    recs = [
+        encode_warc_record(
+            "resource", p, f"r{i}", target_uri=f"https://x/{i}",
+            content_type="application/octet-stream",
+        )
+        for i, p in enumerate(payloads)
+    ]
+    blob = b"".join(gzip_member(r) if compress else r for r in recs)
+    rows = parse_warc(blob)
+    assert [r[6] for r in rows] == payloads

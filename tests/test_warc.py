@@ -1,0 +1,97 @@
+"""WARC container source/sink (sources/warc.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from razulibs_spark.sources.warc import (
+    _gunzip_members,
+    encode_http_response,
+    encode_warc_record,
+    gzip_member,
+    parse_warc,
+    read_warc,
+    write_warc_responses,
+)
+
+
+def _resp_record(uri: str, html: str, rid: str = "r1") -> bytes:
+    return encode_warc_record(
+        "response", encode_http_response(html), rid, target_uri=uri
+    )
+
+
+def test_parse_plain_and_multimember_gzip():
+    recs = (
+        _resp_record("https://a", "<p>one</p>", "r1")
+        + _resp_record("https://b", "<p>two</p>", "r2")
+    )
+    plain = parse_warc(recs)
+    gz = parse_warc(
+        gzip_member(_resp_record("https://a", "<p>one</p>", "r1"))
+        + gzip_member(_resp_record("https://b", "<p>two</p>", "r2"))
+    )
+    assert plain == gz
+    assert [r[2] for r in plain] == ["https://a", "https://b"]
+    assert all(r[4] == 200 for r in plain)
+    assert plain[0][6].endswith(b"<p>one</p>")
+
+
+def test_parse_non_http_record_and_headers():
+    rec = encode_warc_record(
+        "warcinfo", b"software: engine\r\n", "w1",
+        content_type="application/warc-fields",
+    )
+    (row,) = parse_warc(rec)
+    warc_type, rid, uri, date, status, ct, body = row
+    assert warc_type == "warcinfo" and status is None and ct is None
+    assert uri is None and rid == "<urn:uuid:w1>"
+    assert date == "2024-01-01T00:00:00Z"
+    assert body == b"software: engine\r\n"
+
+
+def test_parse_strictness():
+    good = _resp_record("https://a", "<p>x</p>")
+    with pytest.raises(ValueError, match="record magic"):
+        parse_warc(b"HTTP/1.1 200\r\n\r\n")
+    with pytest.raises(ValueError, match="payload overruns"):
+        parse_warc(good[: len(good) - 20])
+    with pytest.raises(ValueError, match="malformed header line"):
+        parse_warc(b"WARC/1.0\r\nnocolonhere\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated gzip member"):
+        _gunzip_members(gzip_member(good)[:-4])
+    # status line without a numeric code
+    bad_http = encode_warc_record("response", b"BORKED\r\n\r\nbody", "r")
+    with pytest.raises(ValueError, match="status line"):
+        parse_warc(bad_http)
+
+
+def test_warc_roundtrip_through_spark(spark, tmp_path):
+    """Sink → scan: executor-written per-partition .warc.gz files
+    come back record-exact, and the gzip framing is one member per
+    record (resumable at member boundaries — the CommonCrawl
+    layout)."""
+    import glob
+
+    pages = spark.createDataFrame(
+        [(f"https://ex.org/doc/{i}", f"<p>body {i} &amp; more</p>")
+         for i in range(10)],
+        "uri string, html string",
+    ).repartition(3)
+    out = str(tmp_path / "crawl")
+    write_warc_responses(pages, out, compress=True)
+    files = glob.glob(out + "/part-*.warc.gz")
+    assert 1 <= len(files) <= 3
+    with open(files[0], "rb") as fh:
+        first = fh.read()
+    # member count == record count in that file
+    n_members = first.count(b"\x1f\x8b\x08")
+    assert n_members == len(parse_warc(first)) >= 1
+    back = read_warc(spark, out)
+    got = {r["target_uri"]: r for r in back.collect()}
+    assert len(got) == 10
+    assert bytes(got["https://ex.org/doc/3"]["body"]).endswith(
+        b"<p>body 3 &amp; more</p>"
+    )
+    assert got["https://ex.org/doc/3"]["http_status"] == 200
+    assert all(r["warc_type"] == "response" for r in got.values())
