@@ -320,6 +320,7 @@ R08_ADDITIONS = [
     "multimodal_mp4_metadata",
     "text_html_extract",
     "pipeline_warc_extract",
+    "text_charset_sniff",
 ]
 
 HEADLINE = (

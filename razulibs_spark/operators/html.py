@@ -24,6 +24,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BinaryType,
     LongType,
     StringType,
     StructField,
@@ -231,3 +232,140 @@ def extract_main_text(
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.mapInPandas(batches, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Charset sniffing — the step between raw crawl bytes (WARC bodies are
+# BINARY, sources/warc.py) and any text operator. Real crawls
+# mis-declare encodings constantly; the sniff order below is the
+# WHATWG-practical one: BOM beats declaration beats content heuristic.
+# ---------------------------------------------------------------------------
+
+_META_CHARSET_RE = None  # compiled lazily (executor-side)
+
+
+def sniff_decode(body: bytes) -> tuple[str, str]:
+    """Raw page bytes → (encoding_used, text).
+
+    Order: UTF-8/UTF-16 BOM → <meta charset=…> / http-equiv
+    content-type charset in the first 1024 bytes (ASCII-superset scan,
+    so the probe itself needs no decode) → strict UTF-8 attempt →
+    windows-1252 fallback (the superset-of-latin-1 that cannot fail —
+    what browsers actually do). A DECLARED codec that then fails
+    strict decode falls back the same way, reported as
+    '<declared>/fallback:windows-1252' so downstream can count
+    mis-declarations instead of silently eating mojibake."""
+    import codecs
+    import re as _re
+
+    global _META_CHARSET_RE
+    if _META_CHARSET_RE is None:
+        _META_CHARSET_RE = _re.compile(
+            rb"""charset\s*=\s*["']?\s*([A-Za-z0-9_\-]+)""", _re.I
+        )
+
+    if body.startswith(codecs.BOM_UTF8):
+        return "utf-8-sig", body[3:].decode("utf-8", "replace")
+    if body.startswith(codecs.BOM_UTF16_LE) or body.startswith(
+        codecs.BOM_UTF16_BE
+    ):
+        return "utf-16", body.decode("utf-16")  # BOM selects the order
+    m = _META_CHARSET_RE.search(body[:1024])
+    if m:
+        declared = m.group(1).decode("ascii").lower()
+        try:
+            return declared, body.decode(declared)
+        except (LookupError, UnicodeDecodeError):
+            return (
+                f"{declared}/fallback:windows-1252",
+                body.decode("windows-1252"),
+            )
+    try:
+        return "utf-8", body.decode("utf-8")
+    except UnicodeDecodeError:
+        return "windows-1252", body.decode("windows-1252")
+
+
+DECODED_PAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("encoding", StringType(), False),
+        StructField("html", StringType(), False),
+    ]
+)
+
+
+def decode_pages(raw: DataFrame, body_col: str = "body") -> DataFrame:
+    """(doc_id, body: binary) → (doc_id, encoding, html) in one Arrow
+    pass — the bytes-to-text gate every downstream text operator
+    assumes has already happened."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, encs, texts = [], [], []
+            for doc_id, body in zip(pdf["doc_id"], pdf[body_col]):
+                enc, text = sniff_decode(bytes(body))
+                ids.append(int(doc_id))
+                encs.append(enc)
+                texts.append(text)
+            yield pd.DataFrame(
+                {"doc_id": ids, "encoding": encs, "html": texts}
+            )
+
+    return raw.mapInPandas(batches, schema=DECODED_PAGE_SCHEMA)
+
+
+def synthesize_encoded_pages(documents: DataFrame) -> DataFrame:
+    """Deterministic raw page BYTES in the encodings a crawl actually
+    serves. Per doc d (mode = d%4): 0 = plain UTF-8, no declaration
+    (content heuristic path); 1 = windows-1252 with <meta charset>;
+    2 = UTF-16-LE with BOM; 3 = ISO-8859-1 via http-equiv
+    content-type. Docs with d%19 == 5 MIS-DECLARE utf-8 over cp1252
+    bytes — the fallback path, reported not swallowed. Every page's
+    text starts with a non-ASCII marker word (café<d%7>) so a wrong
+    decode changes the content hash, not just the label."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_schema_cols = ("doc_id", "body")
+        for pdf in it:
+            ids, bodies = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                content = f"café{d % 7} {text}"
+
+                def page(meta: str) -> str:
+                    return (
+                        f"<html><head>{meta}<title>Doc {d}</title></head>"
+                        f"<body><p>{content}</p></body></html>"
+                    )
+
+                if d % 19 == 5:
+                    body = page('<meta charset="utf-8">').encode(
+                        "windows-1252"
+                    )
+                elif d % 4 == 1:
+                    body = page('<meta charset="windows-1252">').encode(
+                        "windows-1252"
+                    )
+                elif d % 4 == 2:
+                    body = b"\xff\xfe" + page("").encode("utf-16-le")
+                elif d % 4 == 3:
+                    body = page(
+                        '<meta http-equiv="Content-Type" '
+                        'content="text/html; charset=iso-8859-1">'
+                    ).encode("iso-8859-1")
+                else:
+                    body = page("").encode("utf-8")
+                ids.append(d)
+                bodies.append(body)
+            yield pd.DataFrame(dict(zip(out_schema_cols, (ids, bodies))))
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType(), False),
+                StructField("body", BinaryType(), False),
+            ]
+        ),
+    )

@@ -1226,6 +1226,47 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CHARSET_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 19 = 5 THEN 'utf-8/fallback:windows-1252'
+            WHEN doc_id % 4 = 1 THEN 'windows-1252'
+            WHEN doc_id % 4 = 2 THEN 'utf-16'
+            WHEN doc_id % 4 = 3 THEN 'iso-8859-1'
+            ELSE 'utf-8' END AS encoding,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(1 AS BIGINT) AS n_blocks,
+       md5('café' || CAST(doc_id % 7 AS VARCHAR) || ' ' || text)
+         AS main_hash
+FROM documents
+"""
+
+
+@query("text_charset_sniff", _CHARSET_SQL)
+def text_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charset sniff + decode — the bytes-to-text gate between binary
+    crawl payloads (WARC bodies) and every text operator. Raw page
+    BYTES are synthesized in the encodings a crawl actually serves
+    (plain UTF-8, meta-declared windows-1252, BOM'd UTF-16-LE,
+    http-equiv ISO-8859-1, and a MIS-declared utf-8-over-cp1252 slot
+    that must fall back loudly, not mojibake silently); sniff order is
+    BOM → declaration → strict-UTF-8 → windows-1252 fallback. Each
+    page's text leads with a non-ASCII marker word, so a wrong decode
+    flips the content hash, not just the label. Decode and extraction
+    ride one Arrow pass each; the oracle recomputes label + hash from
+    documents.text."""
+    from razulibs_spark.operators.html import (
+        decode_pages,
+        extract_main_text,
+        synthesize_encoded_pages,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    decoded = decode_pages(synthesize_encoded_pages(docs))
+    return extract_main_text(decoded, passthrough=("encoding",)).select(
+        "doc_id", "encoding", "title", "n_blocks", "main_hash"
+    )
+
+
 @query("text_html_extract", _HTML_EXTRACT_SQL)
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML main-content extraction (operators/html.py): deterministic

@@ -70,3 +70,51 @@ def test_html_stage_matches_planted_content(spark):
     assert rows[6]["main_hash"] == hashlib.md5(want.encode()).hexdigest()
     assert rows[9]["n_blocks"] == 1
     assert rows[9]["main_hash"] == hashlib.md5(b"one two").hexdigest()
+
+
+def test_sniff_decode_order_and_fallback():
+    from razulibs_spark.operators.html import sniff_decode
+
+    # BOM beats declaration
+    body = b"\xff\xfe" + (
+        '<meta charset="windows-1252"><p>café</p>'.encode("utf-16-le")
+    )
+    enc, text = sniff_decode(body)
+    assert enc == "utf-16" and "café" in text
+    # UTF-8 BOM
+    enc, text = sniff_decode(b"\xef\xbb\xbf" + "<p>é</p>".encode("utf-8"))
+    assert enc == "utf-8-sig" and text == "<p>é</p>"
+    # declaration honored (single quotes + spaces + case)
+    enc, _ = sniff_decode(b"<meta CHARSET = 'ISO-8859-1'><p>caf\xe9</p>")
+    assert enc == "iso-8859-1"
+    # mis-declaration falls back loudly
+    enc, text = sniff_decode(b'<meta charset="utf-8"><p>caf\xe9</p>')
+    assert enc == "utf-8/fallback:windows-1252" and "café" in text
+    # unknown declared codec falls back too
+    enc, _ = sniff_decode(b'<meta charset="klingon-1"><p>x</p>')
+    assert enc == "klingon-1/fallback:windows-1252"
+    # no declaration: strict utf-8, then cp1252
+    assert sniff_decode("é".encode("utf-8"))[0] == "utf-8"
+    assert sniff_decode(b"\xe9")[0] == "windows-1252"
+
+
+def test_decode_pages_stage(spark):
+    from razulibs_spark.operators.html import (
+        decode_pages,
+        synthesize_encoded_pages,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "plain utf8"), (1, "meta cp1252"), (2, "utf16 bom"),
+         (3, "iso declared"), (5, "misdeclared fallback")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in
+            decode_pages(synthesize_encoded_pages(docs)).collect()}
+    assert rows[0]["encoding"] == "utf-8"
+    assert rows[1]["encoding"] == "windows-1252"
+    assert rows[2]["encoding"] == "utf-16"
+    assert rows[3]["encoding"] == "iso-8859-1"
+    assert rows[5]["encoding"] == "utf-8/fallback:windows-1252"
+    for d, r in rows.items():
+        assert f"café{d % 7}" in r["html"]
