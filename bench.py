@@ -321,6 +321,7 @@ R08_ADDITIONS = [
     "text_html_extract",
     "pipeline_warc_extract",
     "text_charset_sniff",
+    "pipeline_link_graph",
 ]
 
 HEADLINE = (

@@ -44,7 +44,10 @@ _VOID = {"br", "img", "hr", "meta", "link", "input", "area", "base",
 
 
 def extract_page(html: str) -> dict:
-    """One page → {'title', 'blocks': [str], 'n_links_removed'}."""
+    """One page → {'title', 'blocks': [str], 'n_links_removed',
+    'links': [(href, anchor)]} — links only from CONTENT regions
+    (chrome links are counted, not collected: a nav menu is not part
+    of the page's link graph)."""
     from html.parser import HTMLParser
 
     class _Main(HTMLParser):
@@ -56,6 +59,8 @@ def extract_page(html: str) -> dict:
             self.block_buf: list[str] | None = None
             self.blocks: list[str] = []
             self.n_links_removed = 0
+            self.links: list[tuple[str, str]] = []  # (href, anchor)
+            self._anchor: tuple[str, list[str]] | None = None
 
         def handle_starttag(self, tag, attrs):
             if tag in _VOID:
@@ -63,8 +68,13 @@ def extract_page(html: str) -> dict:
             if tag in _SKIP:
                 self.skip += 1
                 return
-            if tag == "a" and self.skip > 0:
-                self.n_links_removed += 1
+            if tag == "a":
+                if self.skip > 0:
+                    self.n_links_removed += 1
+                else:
+                    # CONTENT link: part of the page's link graph
+                    href = dict(attrs).get("href") or ""
+                    self._anchor = (href, [])
                 return
             if self.skip:
                 return
@@ -79,6 +89,13 @@ def extract_page(html: str) -> dict:
                 return
             if self.skip:
                 return
+            if tag == "a" and self._anchor is not None:
+                href, buf = self._anchor
+                self.links.append(
+                    (href, " ".join("".join(buf).split()))
+                )
+                self._anchor = None
+                return
             if tag == "title":
                 self.in_title = False
             elif tag in _BLOCK and self.block_buf is not None:
@@ -88,6 +105,8 @@ def extract_page(html: str) -> dict:
         def handle_data(self, data):
             if self.skip:
                 return
+            if self._anchor is not None:
+                self._anchor[1].append(data)
             if self.in_title:
                 self.title_buf.append(data)
             elif self.block_buf is not None:
@@ -100,6 +119,7 @@ def extract_page(html: str) -> dict:
         "title": " ".join("".join(p.title_buf).split()),
         "blocks": p.blocks,
         "n_links_removed": p.n_links_removed,
+        "links": p.links,
     }
 
 
@@ -175,6 +195,13 @@ def synthesize_html_pages(documents: DataFrame) -> DataFrame:
                     '<main id="content">\n'
                     + "\n".join(paras)
                     + "\n</main>\n"
+                    + "<section class=\"related\">"
+                    + "".join(
+                        f'<a href="/doc/{(d * 7 + 11 * j) % 10000}">'
+                        f"ref {j}</a> "
+                        for j in range(1 + d % 3)
+                    )
+                    + "</section>\n"
                     '<img src="/logo.png" alt="logo">\n'
                     "<aside>Read more &amp; subscribe &lt;now&gt;</aside>\n"
                     '<footer><a href="/tos">ToS</a> &copy; '
@@ -369,3 +396,32 @@ def synthesize_encoded_pages(documents: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+LINK_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("href", StringType(), False),
+        StructField("anchor", StringType(), True),
+    ]
+)
+
+
+def extract_links(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) → one row per CONTENT link (href, anchor text) —
+    the edge-list feed of the crawl's link graph (frontier expansion,
+    PageRank, domain-authority features). Chrome links never appear
+    here: a nav menu repeated on a million pages is not graph signal.
+    Same one-Arrow-pass posture as extract_main_text; output is
+    links-per-page-bounded fan-out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in LINK_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                for href, anchor in extract_page(str(html))["links"]:
+                    rows.append((int(doc_id), href, anchor or None))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(batches, schema=LINK_SCHEMA)

@@ -1226,6 +1226,36 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINK_GRAPH_SQL = """
+WITH l AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
+           FROM documents)
+SELECT doc_id,
+       '/doc/' || CAST((doc_id * 7 + 11 * j) % 10000 AS VARCHAR) AS href,
+       'ref ' || CAST(j AS VARCHAR) AS anchor
+FROM l
+"""
+
+
+@query("pipeline_link_graph", _LINK_GRAPH_SQL)
+def pipeline_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-link edge extraction from REAL parsed HTML
+    (operators/html.py:extract_links): each synthesized page carries a
+    related-links section in its content region plus nav/footer chrome
+    links; only the content links may appear in the edge list — a
+    chrome link leaking in (or an anchor-text boundary slipping)
+    mismatches the oracle, which recomputes every (src, href, anchor)
+    row from the planting formula. This is the frontier/PageRank feed
+    of a crawl pipeline; the graph operators (graph_pagerank,
+    graph_bfs_levels) consume edge lists of exactly this shape."""
+    from razulibs_spark.operators.html import (
+        extract_links,
+        synthesize_html_pages,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return extract_links(synthesize_html_pages(docs))
+
+
 _CHARSET_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 19 = 5 THEN 'utf-8/fallback:windows-1252'

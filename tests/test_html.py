@@ -118,3 +118,19 @@ def test_decode_pages_stage(spark):
     assert rows[5]["encoding"] == "utf-8/fallback:windows-1252"
     for d, r in rows.items():
         assert f"café{d % 7}" in r["html"]
+
+
+def test_extract_links_content_only(spark):
+    from razulibs_spark.operators.html import extract_page
+
+    page = """<body><nav><a href="/m">menu</a></nav>
+<p>see <a href="/doc/9">the <em>ninth</em> doc</a> here</p>
+<section><a href="/doc/2">two</a></section>
+<footer><a href="/t">tos</a></footer></body>"""
+    res = extract_page(page)
+    assert res["links"] == [
+        ("/doc/9", "the ninth doc"), ("/doc/2", "two")
+    ]
+    assert res["n_links_removed"] == 2      # nav + footer only
+    # anchor text inside a block still reaches the block text
+    assert res["blocks"] == ["see the ninth doc here"]
