@@ -322,6 +322,7 @@ R08_ADDITIONS = [
     "pipeline_warc_extract",
     "text_charset_sniff",
     "pipeline_link_graph",
+    "pipeline_robots_filter",
 ]
 
 HEADLINE = (

@@ -1,0 +1,133 @@
+"""robots.txt evaluation (RFC 9309 subset) — the crawl-politeness
+gate between a link frontier (operators/html.py:extract_links) and the
+fetcher. Public grammar: user-agent groups of allow/disallow rules;
+a rule pattern is a path prefix with ``*`` wildcards and an optional
+``$`` end anchor; the MOST SPECIFIC (longest-pattern) match wins and
+allow beats disallow on ties; no matching rule means allowed; an
+empty disallow value allows everything.
+
+Scale shape: robots files are a per-HOST dimension (tiny next to the
+URL fact table) — broadcast-joined onto the frontier, then one Arrow
+stage evaluates rules with per-host compiled matchers cached per
+batch. No shuffle beyond the broadcast; output is one boolean per URL.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+
+def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """robots.txt → [(is_allow, pattern)] for the given agent: rules
+    from every group whose user-agent matches ``agent`` exactly or is
+    ``*`` (specific groups REPLACE the ``*`` group when present, per
+    RFC 9309 §2.2.1). Unknown directives are skipped; a group ends at
+    the next user-agent line that follows at least one rule."""
+    groups: list[tuple[list[str], list[tuple[bool, str]]]] = []
+    agents: list[str] = []
+    rules: list[tuple[bool, str]] = []
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((agents, rules))
+                agents, rules, in_rules = [], [], False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow"):
+            in_rules = True
+            if val:  # empty disallow = allow all = no rule
+                rules.append((key == "allow", val))
+        # crawl-delay/sitemap/anything else: skipped
+    if agents or rules:
+        groups.append((agents, rules))
+    agent = agent.lower()
+    specific = [r for a, rs in groups if agent in a for r in rs]
+    if any(agent in a for a, _ in groups):
+        return specific
+    return [r for a, rs in groups if "*" in a for r in rs]
+
+
+def _pattern_regex(pattern: str) -> "re.Pattern":
+    anchored = pattern.endswith("$")
+    body = pattern[:-1] if anchored else pattern
+    rx = ".*".join(re.escape(part) for part in body.split("*"))
+    return re.compile("^" + rx + ("$" if anchored else ""))
+
+
+class RobotsMatcher:
+    """Compiled rule set for one host; longest-pattern-wins, allow on
+    ties, unmatched → allowed."""
+
+    def __init__(self, robots_txt: str, agent: str = "*") -> None:
+        self.rules = [
+            (is_allow, len(p), _pattern_regex(p))
+            for is_allow, p in parse_robots(robots_txt, agent)
+        ]
+
+    def allowed(self, path: str) -> bool:
+        best_len = -1
+        best_allow = True
+        for is_allow, plen, rx in self.rules:
+            if rx.match(path):
+                if plen > best_len or (plen == best_len and is_allow):
+                    best_len = plen
+                    best_allow = is_allow
+        return best_allow
+
+
+ROBOTS_VERDICT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("host", StringType(), False),
+        StructField("path", StringType(), False),
+        StructField("allowed", BooleanType(), False),
+    ]
+)
+
+
+def robots_filter(
+    urls: DataFrame, robots: DataFrame, agent: str = "*"
+) -> DataFrame:
+    """urls (doc_id, host, path) × robots (host, robots_txt) →
+    per-URL allow verdict. The robots side broadcasts (per-host dim);
+    matchers compile once per host per Arrow batch."""
+    joined = urls.join(F.broadcast(robots), "host", "left")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in ROBOTS_VERDICT_SCHEMA.fields]
+        matchers: dict[str, RobotsMatcher] = {}
+        for pdf in it:
+            rows = []
+            for doc_id, host, path, txt in zip(
+                pdf["doc_id"], pdf["host"], pdf["path"], pdf["robots_txt"]
+            ):
+                if host not in matchers:
+                    matchers[host] = RobotsMatcher(
+                        txt if isinstance(txt, str) else "", agent
+                    )
+                rows.append(
+                    (int(doc_id), host, path, matchers[host].allowed(path))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return joined.mapInPandas(batches, schema=ROBOTS_VERDICT_SCHEMA)

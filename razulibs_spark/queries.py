@@ -1226,6 +1226,64 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_SQL = """
+SELECT doc_id,
+       'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+       CASE doc_id % 5 WHEN 0 THEN '/pub/a' WHEN 1 THEN '/private/x'
+            WHEN 2 THEN '/private/open/y' WHEN 3 THEN '/tmp/z'
+            ELSE '/files/d.pdf' END AS path,
+       CASE doc_id % 5
+            WHEN 0 THEN TRUE
+            WHEN 1 THEN FALSE
+            WHEN 2 THEN TRUE
+            WHEN 3 THEN (doc_id % 50) % 3 <> 0
+            ELSE (doc_id % 50) % 3 <> 1 END AS allowed
+FROM documents
+"""
+
+
+@query("pipeline_robots_filter", _ROBOTS_SQL)
+def pipeline_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt crawl-politeness gate (operators/robots.py, RFC 9309
+    subset): 50 synthetic hosts carry real robots files — a blanket
+    Disallow: /private with a LONGER Allow: /private/open override
+    (longest-pattern-wins must beat rule order), plus per-host-class
+    wildcard (Disallow: /tmp*) and end-anchored (Disallow: /*.pdf$)
+    rules — and each document contributes one frontier URL. The oracle
+    recomputes every verdict from the planting formulas, so a
+    specificity tie-break, wildcard or anchor slip flips a boolean.
+    The robots side is a broadcast per-host dim; verdicts are one
+    Arrow pass with per-host compiled matchers."""
+    from razulibs_spark.operators.robots import robots_filter
+
+    docs = T(spark, sf_dir, "documents")
+    hosts = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private\n"
+                  "Allow: /private/open\n"),
+            F.when(F.col("id") % 3 == 0, F.lit("Disallow: /tmp*\n"))
+            .when(F.col("id") % 3 == 1, F.lit("Disallow: /*.pdf$\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), F.col("doc_id") % 50, F.lit(".example")
+        ).alias("host"),
+        F.element_at(
+            F.array(
+                F.lit("/pub/a"), F.lit("/private/x"),
+                F.lit("/private/open/y"), F.lit("/tmp/z"),
+                F.lit("/files/d.pdf"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("path"),
+    )
+    return robots_filter(urls, hosts)
+
+
 _LINK_GRAPH_SQL = """
 WITH l AS (SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
            FROM documents)
