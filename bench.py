@@ -323,6 +323,7 @@ R08_ADDITIONS = [
     "text_charset_sniff",
     "pipeline_link_graph",
     "pipeline_robots_filter",
+    "pipeline_sitemap_scan",
 ]
 
 HEADLINE = (

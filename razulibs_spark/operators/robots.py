@@ -131,3 +131,17 @@ def robots_filter(
             yield pd.DataFrame(rows, columns=cols)
 
     return joined.mapInPandas(batches, schema=ROBOTS_VERDICT_SCHEMA)
+
+
+def robots_sitemaps(text: str) -> list[str]:
+    """The ``Sitemap:`` lines of a robots.txt (RFC 9309 §2.2.4 treats
+    them as extension records valid anywhere in the file, outside any
+    user-agent group). Only the FIRST colon splits — the value is
+    itself a URL with its own colon."""
+    out = []
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, sep, val = line.partition(":")
+        if sep and key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out

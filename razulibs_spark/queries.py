@@ -1226,6 +1226,75 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SITEMAP_SQL = """
+SELECT 'urlset' AS kind,
+       'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS loc,
+       '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         AS lastmod,
+       ROUND((doc_id % 10) / 10.0, 1) AS priority
+FROM documents
+UNION ALL
+SELECT 'index',
+       'https://h' || CAST(k AS VARCHAR) || '.example/sitemap-h'
+         || CAST(k AS VARCHAR) || '.xml',
+       '2024-02-01',
+       CAST(NULL AS DOUBLE)
+FROM generate_series(0, 7) t(k)
+"""
+
+
+@query("pipeline_sitemap_scan", _SITEMAP_SQL)
+def pipeline_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap discovery end to end (sources/sitemap.py): per-host
+    urlset files are written EXECUTOR-side (repartitioned so one task
+    owns each host's file — the spec's 50k-URL shard as the write
+    unit) with lastmod/priority planted by formula, a sitemapindex
+    file points at the eight shards, and one binaryFile scan parses
+    both kinds back into the tagged records frame a frontier join
+    consumes. Oracle recomputes every urlset row from documents and
+    the index rows from the host series — one URL dropped or one
+    priority mis-formatted mismatches.
+
+    Store path keyed by sf_dir (the io_orc_roundtrip rationale)."""
+    import os
+
+    from razulibs_spark.sources.sitemap import (
+        read_sitemaps,
+        write_sitemap_index,
+        write_urlset_files,
+    )
+
+    base = (
+        "/root/repo/.scratch/sitemap_store_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id") % 8).alias("host"),
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 8,
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        F.round((F.col("doc_id") % 10) / 10.0, 1).alias("priority"),
+    )
+    write_urlset_files(urls, base)
+    write_sitemap_index(
+        [
+            (f"https://h{k}.example/sitemap-h{k}.xml", "2024-02-01")
+            for k in range(8)
+        ],
+        os.path.join(base, "index.xml"),
+    )
+    return read_sitemaps(spark, base).select(
+        "kind", "loc", "lastmod", "priority"
+    )
+
+
 _ROBOTS_SQL = """
 SELECT doc_id,
        'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,

@@ -71,3 +71,75 @@ def test_robots_filter_stage(spark):
            for r in robots_filter(urls, robots).collect()}
     # b.example has NO robots file -> allowed (null txt tolerated)
     assert got == {1: False, 2: True, 3: True}
+
+
+def test_robots_sitemap_lines():
+    from razulibs_spark.operators.robots import robots_sitemaps
+
+    txt = ("User-agent: *\nDisallow: /x\n"
+           "Sitemap: https://a.example/s.xml\n"
+           "# Sitemap: https://commented.example/no.xml\n"
+           "sitemap: https://b.example/t.xml\nSitemap:\n")
+    assert robots_sitemaps(txt) == [
+        "https://a.example/s.xml", "https://b.example/t.xml"
+    ]
+
+
+def test_sitemap_parse_and_strictness():
+    import pytest as _pytest
+
+    from razulibs_spark.sources.sitemap import SITEMAP_NS, parse_sitemap
+
+    urlset = f"""<?xml version="1.0"?>
+<urlset xmlns="{SITEMAP_NS}">
+  <url><loc> https://a/1 </loc><lastmod>2024-03-04</lastmod>
+       <changefreq>daily</changefreq><priority>0.8</priority></url>
+  <url><loc>https://a/2</loc></url>
+</urlset>""".encode()
+    rows = parse_sitemap(urlset)
+    assert rows == [
+        ("urlset", "https://a/1", "2024-03-04", "daily", 0.8),
+        ("urlset", "https://a/2", None, None, None),
+    ]
+    index = f"""<sitemapindex xmlns="{SITEMAP_NS}">
+  <sitemap><loc>https://a/s1.xml</loc><lastmod>2024-01-01</lastmod></sitemap>
+</sitemapindex>""".encode()
+    assert parse_sitemap(index) == [
+        ("index", "https://a/s1.xml", "2024-01-01", None, None)
+    ]
+    with _pytest.raises(ValueError, match="unexpected root"):
+        parse_sitemap(b"<html/>")
+    with _pytest.raises(ValueError, match="without <loc>"):
+        parse_sitemap(
+            f'<urlset xmlns="{SITEMAP_NS}"><url></url></urlset>'.encode()
+        )
+    with _pytest.raises(ValueError, match="malformed XML"):
+        parse_sitemap(b"<urlset")
+
+
+def test_sitemap_roundtrip_through_spark(spark, tmp_path):
+    from razulibs_spark.sources.sitemap import (
+        read_sitemaps,
+        write_sitemap_index,
+        write_urlset_files,
+    )
+
+    urls = spark.createDataFrame(
+        [("h0", "https://h0/a", "2024-01-01", 0.5),
+         ("h0", "https://h0/b&c", None, None),
+         ("h1", "https://h1/a", "2024-01-02", 0.1)],
+        "host string, loc string, lastmod string, priority double",
+    )
+    out = str(tmp_path / "maps")
+    write_urlset_files(urls, out)
+    write_sitemap_index(
+        [("https://h0/sitemap-h0.xml", "2024-02-01")],
+        f"{out}/index.xml",
+    )
+    got = sorted(
+        map(tuple, read_sitemaps(spark, out).collect())
+    )
+    assert ("urlset", "https://h0/b&c", None, None, None) in got
+    assert ("index", "https://h0/sitemap-h0.xml", "2024-02-01",
+            None, None) in got
+    assert len(got) == 4
