@@ -90,15 +90,19 @@ def encode_http_response(
     )
 
 
-def gzip_member(raw: bytes) -> bytes:
-    """One gzip member (the per-record compression unit of .warc.gz)."""
+def gzip_member(raw: bytes, level: int = 6) -> bytes:
+    """One gzip member (the per-record compression unit of .warc.gz).
+    Level 6 (zlib default) — measurably cheaper than GzipFile's
+    level-9 default at near-identical size on page-sized records."""
     import gzip as _gzip
     import io
 
     buf = io.BytesIO()
     # mtime pinned: the sink must be byte-deterministic for a given
     # input (oracle + test reproducibility; wall clock is no input).
-    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as f:
+    with _gzip.GzipFile(
+        fileobj=buf, mode="wb", mtime=0, compresslevel=level
+    ) as f:
         f.write(raw)
     return buf.getvalue()
 
