@@ -324,6 +324,7 @@ R08_ADDITIONS = [
     "pipeline_link_graph",
     "pipeline_robots_filter",
     "pipeline_sitemap_scan",
+    "j_spatial_grid_join",
 ]
 
 HEADLINE = (

@@ -2795,6 +2795,62 @@ GROUP BY band
 """
 
 
+_SPATIAL_SQL = """
+WITH p AS (SELECT event_id,
+                  (event_id % 1000) / 10.0 AS x,
+                  ((user_id * 13) % 1000) / 10.0 AS y
+           FROM events),
+b AS (SELECT k AS box_id,
+             CAST((k * 13) % 90 AS DOUBLE) AS xmin,
+             CAST((k * 29) % 90 AS DOUBLE) AS ymin,
+             CAST((k * 13) % 90 + 3 + k % 7 AS DOUBLE) AS xmax,
+             CAST((k * 29) % 90 + 2 + k % 5 AS DOUBLE) AS ymax
+      FROM generate_series(0, 39) t(k))
+SELECT CAST(b.box_id AS BIGINT) AS box_id,
+       CAST(COUNT(*) AS BIGINT) AS n_points
+FROM p JOIN b ON p.x >= b.xmin AND p.x < b.xmax
+             AND p.y >= b.ymin AND p.y < b.ymax
+GROUP BY b.box_id
+"""
+
+
+@query("j_spatial_grid_join", _SPATIAL_SQL)
+def j_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D point-in-rectangle join via the grid-partitioned strategy
+    (operators/spatial.py — the PBSM family: boxes replicate to
+    overlapped cells, each point owns ONE cell, equi-join on the cell
+    key + exact containment filter; no cross product, no dedup
+    needed). Event coordinates and 40 region boxes are planted by
+    formula; the oracle runs the plain inequality join, so one point
+    mis-binned at a cell or box edge (half-open semantics) changes a
+    count. The 1-D twin is j_range_join_binned."""
+    from razulibs_spark.operators.spatial import grid_spatial_join
+
+    points = T(spark, sf_dir, "events").select(
+        "event_id",
+        ((F.col("event_id") % 1000) / 10.0).alias("x"),
+        # y from user_id so the cloud is genuinely 2-D (an
+        # event_id-only y collapses the points onto a 1-D lattice)
+        (((F.col("user_id") * 13) % 1000) / 10.0).alias("y"),
+    )
+    boxes = spark.range(40).select(
+        F.col("id").alias("box_id"),
+        ((F.col("id") * 13) % 90).cast("double").alias("xmin"),
+        ((F.col("id") * 29) % 90).cast("double").alias("ymin"),
+        ((F.col("id") * 13) % 90 + 3 + F.col("id") % 7)
+        .cast("double")
+        .alias("xmax"),
+        ((F.col("id") * 29) % 90 + 2 + F.col("id") % 5)
+        .cast("double")
+        .alias("ymax"),
+    )
+    return (
+        grid_spatial_join(points, boxes, cell=10.0)
+        .groupBy("box_id")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+
+
 @query("j_range_join_binned", _RANGE_SQL)
 def j_range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-interval join as a binned equi-join (25-wide bins):

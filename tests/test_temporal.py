@@ -458,3 +458,71 @@ def test_asof_join_forward_direction_and_tolerance(spark):
     }
     import datetime
     assert tol[(1, datetime.datetime(1970, 1, 1, 0, 0, 25))] is None  # 40 > 25+5
+
+
+def test_grid_spatial_join_exactness_and_edges(spark):
+    """Half-open containment at cell and box boundaries: a point ON
+    xmax is out, ON xmin is in; a box ending exactly on a cell edge
+    must not replicate into the next cell (no phantom pairs, no
+    duplicates)."""
+    from razulibs_spark.operators.spatial import grid_spatial_join
+
+    points = spark.createDataFrame(
+        [(1, 0.0, 0.0),     # on xmin/ymin of box A -> in
+         (2, 10.0, 5.0),    # on A's exclusive xmax -> out of A, in B
+         (3, 9.999, 5.0),   # just inside A
+         (4, 25.0, 25.0),   # in no box
+         (5, 15.0, 9.999)], # in B; ON C's exclusive xmax -> out of C
+        "pid long, x double, y double",
+    )
+    boxes = spark.createDataFrame(
+        [("A", 0.0, 0.0, 10.0, 10.0),    # ends ON the cell edge
+         ("B", 10.0, 0.0, 20.0, 10.0),
+         ("C", 5.0, 5.0, 15.0, 30.0)],   # spans cells + overlaps A/B
+        "box string, xmin double, ymin double, xmax double, ymax double",
+    )
+    got = sorted(
+        (r["pid"], r["box"])
+        for r in grid_spatial_join(points, boxes, cell=10.0).collect()
+    )
+    assert got == [
+        (1, "A"), (2, "B"), (2, "C"), (3, "A"), (3, "C"), (5, "B"),
+    ]
+
+
+def test_grid_spatial_join_matches_bruteforce(spark):
+    """Randomized (seeded, formula-planted) agreement with the O(n*m)
+    plain join across cell sizes — pair sets identical, no dups."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators.spatial import grid_spatial_join
+
+    points = spark.range(400).select(
+        F.col("id").alias("pid"),
+        ((F.col("id") * 37 % 101) / 2.0).alias("x"),
+        ((F.col("id") * 53 % 97) / 2.0).alias("y"),
+    )
+    boxes = spark.range(25).select(
+        F.col("id").alias("box_id"),
+        ((F.col("id") * 11) % 40).cast("double").alias("xmin"),
+        ((F.col("id") * 17) % 40).cast("double").alias("ymin"),
+        (((F.col("id") * 11) % 40) + 1 + F.col("id") % 13)
+        .cast("double").alias("xmax"),
+        (((F.col("id") * 17) % 40) + 1 + F.col("id") % 11)
+        .cast("double").alias("ymax"),
+    )
+    brute = sorted(
+        (r["pid"], r["box_id"])
+        for r in points.join(
+            boxes,
+            (F.col("x") >= F.col("xmin")) & (F.col("x") < F.col("xmax"))
+            & (F.col("y") >= F.col("ymin")) & (F.col("y") < F.col("ymax")),
+        ).collect()
+    )
+    assert brute  # the planted layout must actually produce pairs
+    for cell in (2.0, 7.0, 50.0):
+        got = sorted(
+            (r["pid"], r["box_id"])
+            for r in grid_spatial_join(points, boxes, cell=cell).collect()
+        )
+        assert got == brute, f"cell={cell}"
