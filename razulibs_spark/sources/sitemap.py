@@ -103,9 +103,28 @@ def read_sitemaps(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+_XML_ILLEGAL_RE = None  # compiled lazily
+
+
 def _esc(v: str) -> str:
+    """Element-text escape + write-time rejection of XML-1.0-illegal
+    control characters (same posture as the RDF/XML sinks: a URL with
+    a raw control byte cannot be represented in XML at all — fail the
+    write, don't emit a document every parser rejects)."""
+    import re
+
+    global _XML_ILLEGAL_RE
+    if _XML_ILLEGAL_RE is None:
+        _XML_ILLEGAL_RE = re.compile("[\x00-\x08\x0b\x0c\x0e-\x1f]")
+    if _XML_ILLEGAL_RE.search(v):
+        raise ValueError(
+            f"sitemap: XML-1.0-illegal control character in {v!r}"
+        )
+    # \r as &#13; — XML line-end normalization would silently rewrite
+    # a raw CR to LF on parse (the rdfxml-sink lesson, ADVICE r7).
     return (
         v.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+        .replace("\r", "&#13;")
     )
 
 

@@ -616,3 +616,49 @@ def test_warc_record_framing_roundtrips_any_payload(payloads, compress):
     blob = b"".join(gzip_member(r) if compress else r for r in recs)
     rows = parse_warc(blob)
     assert [r[6] for r in rows] == payloads
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet=st.characters(codec="utf-8"), min_size=1,
+                max_size=40).filter(
+            lambda s: s.strip() == s and s.strip()
+            and not __import__("re").search(
+                "[\x00-\x08\x0b\x0c\x0e-\x1f]", s)),
+        st.one_of(st.none(), st.from_regex(
+            r"20[0-9]{2}-[01][0-9]-[0-3][0-9]", fullmatch=True)),
+        st.one_of(st.none(), st.integers(0, 10).map(lambda i: i / 10.0)),
+    ),
+    min_size=1, max_size=10,
+))
+def test_sitemap_urlset_roundtrips_any_loc(entries):
+    """Writer escaping ↔ parser unescaping: any XML-representable
+    loc text (entities, angle brackets, unicode) survives the urlset
+    roundtrip; lastmod and one-decimal priorities come back exactly.
+    XML-illegal control chars are REJECTED at write time (pinned
+    below), matching the RDF/XML sink posture."""
+    import pytest as _pytest
+
+    from razulibs_spark.sources.sitemap import _esc as _esc_check
+
+    with _pytest.raises(ValueError, match="XML-1.0-illegal"):
+        _esc_check("bad\x08loc")
+    from razulibs_spark.sources.sitemap import parse_sitemap, SITEMAP_NS
+    from razulibs_spark.sources.sitemap import _esc
+
+    lines = []
+    for loc, lastmod, pr in entries:
+        row = "<url><loc>" + _esc(loc) + "</loc>"
+        if lastmod:
+            row += f"<lastmod>{lastmod}</lastmod>"
+        if pr is not None:
+            row += f"<priority>{pr:.1f}</priority>"
+        lines.append(row + "</url>")
+    doc = (
+        f'<urlset xmlns="{SITEMAP_NS}">' + "".join(lines) + "</urlset>"
+    ).encode("utf-8")
+    got = parse_sitemap(doc)
+    assert [(r[1], r[2], r[4]) for r in got] == [
+        (loc, lastmod, pr) for loc, lastmod, pr in entries
+    ]
