@@ -325,6 +325,7 @@ R08_ADDITIONS = [
     "pipeline_robots_filter",
     "pipeline_sitemap_scan",
     "j_spatial_grid_join",
+    "multimodal_tiff_decode",
 ]
 
 HEADLINE = (

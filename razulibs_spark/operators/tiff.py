@@ -1,0 +1,414 @@
+"""TIFF codec (baseline subset) from first principles — the format
+archival imagery actually ships in (the reference's domain is an
+aerial-photo archive, demo/csv_luchtfotos; its DROID rows classify
+TIFF masters). Joins the BMP/PPM/PNG/JPEG/GIF decode family
+(operators/multimodal.py, jpeg.py, gif.py): stdlib-only, strict, and
+hash-verified against oracles that recompute pixel statistics from
+the synthesis formulas.
+
+Subset = what baseline TIFF readers must support (TIFF 6.0 §8):
+both byte orders (II little / MM big), IFD entry walk with inline or
+offset values, strip layout (RowsPerStrip / StripOffsets /
+StripByteCounts), 8-bit grayscale and RGB, Compression 1 (none) and
+32773 (PackBits, the spec's own RLE). Tiled TIFF, LZW/JPEG-in-TIFF,
+16-bit and planar configs raise ValueError naming the feature — the
+honest-rejection posture of the rest of the family.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8}  # BYTE ASCII SHORT LONG RATIONAL
+
+
+def packbits_encode(data: bytes) -> bytes:
+    """TIFF PackBits (spec appendix): literal runs ≤128, repeat runs
+    2..128 encoded as (1 - n)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find a repeat run
+        j = i
+        while j + 1 < n and data[j + 1] == data[j] and j - i < 127:
+            j += 1
+        if j > i:  # run of j-i+1 identical bytes
+            out.append(256 - (j - i))  # two's complement of 1-(len)
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal run until the next 3-byte repeat (2-byte repeats are
+        # cheaper left literal) or 128 bytes
+        j = i + 1
+        while (
+            j < n
+            and j - i < 128
+            and not (
+                j + 2 < n and data[j] == data[j + 1] == data[j + 2]
+            )
+        ):
+            j += 1
+        out.append(j - i - 1)
+        out.extend(data[i:j])
+        i = j
+    return bytes(out)
+
+
+def packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while len(out) < expected:
+        if i >= len(data):
+            raise ValueError("tiff: PackBits stream truncated")
+        n = data[i]
+        i += 1
+        if n < 128:  # literal n+1 bytes
+            if i + n + 1 > len(data):
+                raise ValueError("tiff: PackBits literal overruns")
+            out.extend(data[i:i + n + 1])
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            if i >= len(data):
+                raise ValueError("tiff: PackBits repeat overruns")
+            out.extend(data[i:i + 1] * (257 - n))
+            i += 1
+        # n == 128: no-op per spec
+    if len(out) != expected:
+        raise ValueError(
+            f"tiff: PackBits expanded to {len(out)}, expected {expected}"
+        )
+    return bytes(out)
+
+
+def encode_tiff(
+    width: int,
+    height: int,
+    pixels: list,
+    rgb: bool = False,
+    big_endian: bool = False,
+    packbits: bool = False,
+    rows_per_strip: int = 4,
+) -> bytes:
+    """Minimal valid TIFF: header + pixel strips + one IFD. ``pixels``
+    is row-major — ints for grayscale, (r, g, b) tuples for RGB."""
+    e = ">" if big_endian else "<"
+    spp = 3 if rgb else 1
+    raw = bytearray()
+    if rgb:
+        for px in pixels:
+            raw.extend(px)
+    else:
+        raw.extend(pixels)
+    row_bytes = width * spp
+
+    strips: list[bytes] = []
+    for y0 in range(0, height, rows_per_strip):
+        rows = min(rows_per_strip, height - y0)
+        chunk = bytes(raw[y0 * row_bytes:(y0 + rows) * row_bytes])
+        strips.append(packbits_encode(chunk) if packbits else chunk)
+
+    header_size = 8
+    data_start = header_size
+    offsets, pos = [], data_start
+    for s in strips:
+        offsets.append(pos)
+        pos += len(s)
+    if pos % 2:
+        pos += 1  # word-align the IFD
+    ifd_offset = pos
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack(e + "HHI", tag, typ, count) + struct.pack(
+            e + "I", value
+        )
+
+    # arrays longer than 4 bytes live after the IFD
+    n_strips = len(strips)
+    extra = bytearray()
+    extra_base = 0  # patched below
+
+    def array_or_inline(values: list[int], typ: int) -> tuple[int, int]:
+        size = _TYPE_SIZES[typ] * len(values)
+        fmt = {3: "H", 4: "I"}[typ]
+        if size <= 4:
+            packed = b"".join(struct.pack(e + fmt, v) for v in values)
+            return int.from_bytes(
+                packed.ljust(4, b"\x00"),
+                "big" if big_endian else "little",
+            ), -1
+        off = len(extra)
+        for v in values:
+            extra.extend(struct.pack(e + fmt, v))
+        return off, len(values)
+
+    entries: list[tuple[int, int, int, int, bool]] = []
+
+    def add(tag, typ, values):
+        val, marker = array_or_inline(values, typ)
+        entries.append((tag, typ, len(values), val, marker >= 0))
+
+    bits = [8] * spp
+    add(256, 4, [width])
+    add(257, 4, [height])
+    add(258, 3, bits)
+    add(259, 3, [32773 if packbits else 1])
+    add(262, 3, [2 if rgb else 1])  # photometric: RGB / BlackIsZero
+    add(273, 4, offsets)
+    add(277, 3, [spp])
+    add(278, 4, [rows_per_strip])
+    add(279, 4, [len(s) for s in strips])
+
+    ifd_size = 2 + 12 * len(entries) + 4
+    extra_base = ifd_offset + ifd_size
+
+    ifd = bytearray(struct.pack(e + "H", len(entries)))
+    for tag, typ, count, val, is_offset in sorted(entries):
+        v = extra_base + val if is_offset else val
+        ifd += entry(tag, typ, count, v)
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+
+    out = bytearray()
+    out += (b"MM" if big_endian else b"II") + struct.pack(
+        e + "HI", 42, ifd_offset
+    )
+    for s in strips:
+        out += s
+    if len(out) % 2:
+        out += b"\x00"
+    out += ifd
+    out += extra
+    assert len(out) >= extra_base
+    return bytes(out)
+
+
+def decode_tiff(payload: bytes) -> dict:
+    """One TIFF → {'width','height','n_channels','compression',
+    'byte_order','pixels': bytes (interleaved row-major)}. Strict:
+    structural corruption and out-of-subset features raise."""
+    buf = bytes(payload)
+    if buf[:2] == b"II":
+        e = "<"
+    elif buf[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError(f"tiff: bad byte-order mark {buf[:2]!r}")
+    magic, ifd_off = struct.unpack_from(e + "HI", buf, 2)
+    if magic != 42:
+        raise ValueError(f"tiff: bad magic {magic}")
+
+    def read_entry(pos: int):
+        tag, typ, count = struct.unpack_from(e + "HHI", buf, pos)
+        size = _TYPE_SIZES.get(typ, 0) * count
+        if size == 0:
+            raise ValueError(f"tiff: unsupported field type {typ}")
+        if size <= 4:
+            val_pos = pos + 8
+        else:
+            (val_pos,) = struct.unpack_from(e + "I", buf, pos + 8)
+        fmt = {1: "B", 3: "H", 4: "I"}.get(typ)
+        if fmt is None:  # ASCII/RATIONAL fields are skipped wholesale
+            return tag, None
+        if val_pos + size > len(buf):
+            raise ValueError(f"tiff: tag {tag} value overruns file")
+        return tag, list(
+            struct.unpack_from(e + fmt * count, buf, val_pos)
+        )
+
+    if ifd_off + 2 > len(buf):
+        raise ValueError("tiff: IFD offset overruns file")
+    (n_entries,) = struct.unpack_from(e + "H", buf, ifd_off)
+    tags: dict[int, list[int]] = {}
+    for i in range(n_entries):
+        tag, values = read_entry(ifd_off + 2 + 12 * i)
+        if values is not None:
+            tags[tag] = values
+
+    def one(tag: int, default=None):
+        if tag in tags:
+            return tags[tag][0]
+        if default is None:
+            raise ValueError(f"tiff: required tag {tag} missing")
+        return default
+
+    width, height = one(256), one(257)
+    spp = one(277, 1)
+    bits = tags.get(258, [8] * spp)
+    if any(b != 8 for b in bits):
+        raise ValueError(f"tiff: only 8-bit samples supported, got {bits}")
+    comp = one(259, 1)
+    if comp not in (1, 32773):
+        raise ValueError(
+            f"tiff: unsupported compression {comp} (only none/PackBits)"
+        )
+    if 322 in tags or 323 in tags:
+        raise ValueError("tiff: tiled layout not supported (strips only)")
+    if one(284, 1) != 1:
+        raise ValueError("tiff: planar configuration 2 not supported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("tiff: missing/mismatched strip tables")
+    rps = one(278, height)
+    row_bytes = width * spp
+    out = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(buf):
+            raise ValueError(f"tiff: strip {i} overruns file")
+        rows = min(rps, height - i * rps)
+        expected = rows * row_bytes
+        chunk = buf[off:off + cnt]
+        out += (
+            packbits_decode(chunk, expected) if comp == 32773 else chunk
+        )
+    if len(out) != height * row_bytes:
+        raise ValueError(
+            f"tiff: decoded {len(out)} pixel bytes, expected "
+            f"{height * row_bytes}"
+        )
+    return {
+        "width": width,
+        "height": height,
+        "n_channels": spp,
+        "compression": "packbits" if comp == 32773 else "none",
+        "byte_order": "MM" if e == ">" else "II",
+        "pixels": bytes(out),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark stages (the multimodal_decode pattern: deterministic payloads
+# from doc_id, real decode back, stats the oracle recomputes)
+# ---------------------------------------------------------------------------
+
+from typing import Iterator  # noqa: E402
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_TIFF_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("media_format", StringType(), False),
+    ]
+)
+
+TIFF_STATS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("decoded", BooleanType(), False),
+        StructField("byte_order", StringType(), True),
+        StructField("compression", StringType(), True),
+        StructField("n_channels", LongType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("mean_c1", DoubleType(), True),
+        StructField("mean_c2", DoubleType(), True),
+        StructField("mean_c3", DoubleType(), True),
+        StructField("note", StringType(), True),
+    ]
+)
+
+
+def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL TIFFs from doc_id d: geometry (4 + d%9) ×
+    (3 + d%7); RGB for odd d (r/g/b = (d+3x+5y)/(2d+7x+y)/(3d+x+2y)
+    mod 256), grayscale otherwise ((5d+3x+7y) mod 256); big-endian
+    when d%5 == 0, PackBits when d%3 == 0 — 2×2×2 of the subset's
+    variant axes across the corpus. Docs with d%17 == 9 carry a
+    POISON payload (valid header, IFD offset past EOF)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 17 == 9:
+                    ids.append(d)
+                    payloads.append(
+                        b"II" + struct.pack("<HI", 42, 2**30)
+                    )
+                    continue
+                w, h = 4 + d % 9, 3 + d % 7
+                if d % 2 == 1:
+                    pix = [
+                        (
+                            (d + 3 * x + 5 * y) % 256,
+                            (2 * d + 7 * x + y) % 256,
+                            (3 * d + x + 2 * y) % 256,
+                        )
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                else:
+                    pix = [
+                        (5 * d + 3 * x + 7 * y) % 256
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                ids.append(d)
+                payloads.append(
+                    encode_tiff(
+                        w, h, pix,
+                        rgb=(d % 2 == 1),
+                        big_endian=(d % 5 == 0),
+                        packbits=(d % 3 == 0),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_format": ["image/tiff"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        batches, schema=_TIFF_MEDIA_SCHEMA
+    )
+
+
+def tiff_stats(media: DataFrame) -> DataFrame:
+    """Decode each payload for real and emit per-channel means —
+    fail-closed per row (poison → decoded=false + the error note,
+    never a task failure)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TIFF_STATS_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                try:
+                    m = decode_tiff(bytes(payload))
+                except ValueError as exc:
+                    rows.append(
+                        (d, False, None, None, None, None, None,
+                         None, None, None, str(exc))
+                    )
+                    continue
+                px = m["pixels"]
+                n = m["width"] * m["height"]
+                spp = m["n_channels"]
+                means = [
+                    sum(px[c::spp]) / n for c in range(spp)
+                ] + [None] * (3 - spp)
+                rows.append(
+                    (
+                        d, True, m["byte_order"], m["compression"],
+                        spp, m["width"], m["height"],
+                        means[0], means[1], means[2], None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=TIFF_STATS_SCHEMA)

@@ -8816,6 +8816,72 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_mp4_metadata(synthesize_mp4_media(docs))
 
 
+_MM_TIFF_SQL = """
+WITH ok AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h
+            FROM documents WHERE doc_id % 17 <> 9),
+px AS (SELECT o.doc_id, o.w, o.h, xx.x, yy.y
+       FROM ok o, unnest(range(0, o.w)) xx(x),
+            unnest(range(0, o.h)) yy(y)),
+rgb_out AS (
+  SELECT doc_id, TRUE AS decoded,
+         CASE WHEN doc_id % 5 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+         CASE WHEN doc_id % 3 = 0 THEN 'packbits' ELSE 'none' END
+           AS compression,
+         CAST(3 AS BIGINT) AS n_channels,
+         CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+         AVG(CAST((doc_id + 3*x + 5*y) % 256 AS DOUBLE)) AS mean_c1,
+         AVG(CAST((2*doc_id + 7*x + y) % 256 AS DOUBLE)) AS mean_c2,
+         AVG(CAST((3*doc_id + x + 2*y) % 256 AS DOUBLE)) AS mean_c3,
+         CAST(NULL AS VARCHAR) AS note
+  FROM px WHERE doc_id % 2 = 1 GROUP BY doc_id),
+gray_out AS (
+  SELECT doc_id, TRUE AS decoded,
+         CASE WHEN doc_id % 5 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+         CASE WHEN doc_id % 3 = 0 THEN 'packbits' ELSE 'none' END
+           AS compression,
+         CAST(1 AS BIGINT) AS n_channels,
+         CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
+         AVG(CAST((5*doc_id + 3*x + 7*y) % 256 AS DOUBLE)) AS mean_c1,
+         CAST(NULL AS DOUBLE) AS mean_c2, CAST(NULL AS DOUBLE) AS mean_c3,
+         CAST(NULL AS VARCHAR) AS note
+  FROM px WHERE doc_id % 2 = 0 GROUP BY doc_id),
+poison_out AS (
+  SELECT doc_id, FALSE AS decoded,
+         CAST(NULL AS VARCHAR) AS byte_order,
+         CAST(NULL AS VARCHAR) AS compression,
+         CAST(NULL AS BIGINT) AS n_channels,
+         CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+         CAST(NULL AS DOUBLE) AS mean_c1, CAST(NULL AS DOUBLE) AS mean_c2,
+         CAST(NULL AS DOUBLE) AS mean_c3,
+         'tiff: IFD offset overruns file' AS note
+  FROM documents WHERE doc_id % 17 = 9)
+SELECT * FROM rgb_out UNION ALL SELECT * FROM gray_out
+UNION ALL SELECT * FROM poison_out
+"""
+
+
+@query("multimodal_tiff_decode", _MM_TIFF_SQL)
+def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF decode (operators/tiff.py — the format archival
+    imagery masters actually ship in; the reference's DROID sidecar
+    classifies TIFFs, razu/demo csv_luchtfotos): deterministic TIFFs
+    are encoded byte-for-byte from doc_id across the subset's variant
+    axes (II/MM byte order × none/PackBits compression × gray/RGB),
+    then walked back by the strict IFD parser and strip decoder; the
+    oracle recomputes every per-channel mean from the pixel formulas,
+    so a PackBits run slip, an endianness mix-up or a strip boundary
+    error changes a mean. Docs with doc_id % 17 == 9 carry a poison
+    payload (valid header, IFD offset past EOF) — the fail-closed row
+    is itself hash-verified. One Arrow pass each way."""
+    from razulibs_spark.operators.tiff import (
+        synthesize_tiff_media,
+        tiff_stats,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return tiff_stats(synthesize_tiff_media(docs))
+
+
 _MM_GIF_SQL = """
 WITH ok AS (SELECT doc_id, 4 + doc_id % 13 AS p, 5 + doc_id % 12 AS w,
                    4 + doc_id % 9 AS h

@@ -662,3 +662,50 @@ def test_sitemap_urlset_roundtrips_any_loc(entries):
     assert [(r[1], r[2], r[4]) for r in got] == [
         (loc, lastmod, pr) for loc, lastmod, pr in entries
     ]
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=2000))
+@example(b"\x00" * 300).via("long repeat run > 128")
+@example(bytes(range(256)) * 2).via("long literal run > 128")
+@example(b"aabb" * 80).via("alternating 2-byte repeats stay literal")
+def test_tiff_packbits_roundtrips_any_bytes(data):
+    from razulibs_spark.operators.tiff import (
+        packbits_decode,
+        packbits_encode,
+    )
+
+    assert packbits_decode(packbits_encode(data), len(data)) == data
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=10**9),
+    st.booleans(), st.booleans(), st.booleans(),
+    st.integers(min_value=1, max_value=9),
+)
+def test_tiff_roundtrips_any_geometry(w, h, seed, rgb, be, pb, rps):
+    """Every geometry × byte order × compression × channel count ×
+    rows-per-strip roundtrips pixel-exact (strip boundaries at every
+    possible offset relative to height)."""
+    from razulibs_spark.operators.tiff import decode_tiff, encode_tiff
+
+    if rgb:
+        pix = [
+            ((seed + 3 * i) % 256, (seed // 7 + 5 * i) % 256,
+             (seed // 11 + i) % 256)
+            for i in range(w * h)
+        ]
+        flat = [c for p in pix for c in p]
+    else:
+        pix = [(seed + 13 * i) % 256 for i in range(w * h)]
+        flat = pix
+    m = decode_tiff(
+        encode_tiff(w, h, pix, rgb=rgb, big_endian=be, packbits=pb,
+                    rows_per_strip=rps)
+    )
+    assert (m["width"], m["height"]) == (w, h)
+    assert m["n_channels"] == (3 if rgb else 1)
+    assert list(m["pixels"]) == flat

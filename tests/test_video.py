@@ -313,3 +313,44 @@ def test_mp4_metadata_stage_rows(spark):
     assert rows[(3, 1)]["duration_s"] == 4.0  # 1 + 3%9 seconds
     poison = rows[(7, None)]
     assert poison["parsed"] is False and "overruns" in poison["note"]
+
+
+def test_tiff_stage_and_honest_rejections(spark):
+    from razulibs_spark.operators.tiff import (
+        decode_tiff,
+        encode_tiff,
+        synthesize_tiff_media,
+        tiff_stats,
+    )
+
+    docs = spark.createDataFrame([(0,), (1,), (9,)], "doc_id long")
+    rows = {r["doc_id"]: r
+            for r in tiff_stats(synthesize_tiff_media(docs)).collect()}
+    # d=0: gray, big-endian (0%5==0), packbits (0%3==0)
+    assert (rows[0]["byte_order"], rows[0]["compression"],
+            rows[0]["n_channels"]) == ("MM", "packbits", 1)
+    # d=1: rgb, little-endian, uncompressed
+    assert (rows[1]["byte_order"], rows[1]["compression"],
+            rows[1]["n_channels"]) == ("II", "none", 3)
+    assert rows[1]["mean_c3"] is not None
+    # d=9: poison (9%17==9) fails closed with the pinned note
+    assert rows[9]["decoded"] is False
+    assert rows[9]["note"] == "tiff: IFD offset overruns file"
+
+    # out-of-subset features are NAMED, not mis-decoded
+    import struct as _s
+
+    import pytest as _pytest
+
+    base = encode_tiff(3, 2, [1, 2, 3, 4, 5, 6])
+    # flip Compression (tag 259) to LZW (5): entry order is sorted by
+    # tag, so patch via decode of the known layout — simpler: build a
+    # tiny IFD by hand is overkill; patch the value in place.
+    idx = base.find(_s.pack("<HHI", 259, 3, 1))
+    patched = (base[:idx + 8] + _s.pack("<I", 5) + base[idx + 12:])
+    with _pytest.raises(ValueError, match="unsupported compression 5"):
+        decode_tiff(patched)
+    idx = base.find(_s.pack("<HHI", 258, 3, 1))
+    patched = base[:idx + 8] + _s.pack("<I", 16) + base[idx + 12:]
+    with _pytest.raises(ValueError, match="only 8-bit"):
+        decode_tiff(patched)
