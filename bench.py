@@ -326,6 +326,7 @@ R08_ADDITIONS = [
     "pipeline_sitemap_scan",
     "j_spatial_grid_join",
     "multimodal_tiff_decode",
+    "pipeline_frontier_assembly",
 ]
 
 HEADLINE = (

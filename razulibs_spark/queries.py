@@ -1295,6 +1295,109 @@ def pipeline_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRONTIER_SQL = """
+WITH l AS (SELECT doc_id AS src, doc_id % 50 AS k,
+                  unnest(generate_series(0, doc_id % 3)) AS j
+           FROM documents),
+e AS (SELECT src, k, (src * 7 + 11 * j) % 10000 AS m FROM l),
+c AS (SELECT src,
+             'https://h' || CAST(k AS VARCHAR) || '.example/doc/'
+               || CAST(m AS VARCHAR) AS url,
+             k, m
+      FROM e),
+seen AS (SELECT DISTINCT
+                'https://h' || CAST(doc_id % 50 AS VARCHAR)
+                  || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+         FROM documents WHERE doc_id % 2 = 0)
+SELECT c.src, c.url,
+       (NOT (c.k % 4 = 2 AND CAST(c.m AS VARCHAR) LIKE '9%'))
+         AS allowed,
+       (seen.url IS NOT NULL) AS already_seen
+FROM c LEFT JOIN seen ON c.url = seen.url
+"""
+
+
+@query("pipeline_frontier_assembly", _FRONTIER_SQL)
+def pipeline_frontier_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl frontier assembly — the composition the crawl family
+    exists for, each stage a REAL operator: content-link edges from
+    parsed HTML (operators/html.py), absolute-URL construction with
+    tracking-param noise on every 3rd link, the pure-codegen URL
+    canonicalizer (functions/urls.py — must strip the utm param or
+    the seen-join misses), the RFC 9309 robots gate (hosts with
+    k%4==2 disallow /doc/9*), and an anti-join-shaped seen-set probe
+    (even docs are already crawled ON THEIR OWN host). The oracle
+    recomputes every (src, url, allowed, already_seen) row from the
+    planting formulas — a canonicalization slip, a wildcard slip or a
+    seen-join miss flips a flag. Scale shape: two Arrow stages
+    (extract, verdict), broadcast robots dim, one hash join on the
+    canonical url."""
+    from razulibs_spark.functions.urls import canonical_url
+    from razulibs_spark.operators.html import (
+        extract_links,
+        synthesize_html_pages,
+    )
+    from razulibs_spark.operators.robots import robots_filter
+
+    docs = T(spark, sf_dir, "documents")
+    edges = extract_links(synthesize_html_pages(docs)).select(
+        F.col("doc_id").alias("src"),
+        (F.col("doc_id") % 50).alias("k"),
+        "href",
+    )
+    cand = edges.select(
+        "src", "k",
+        canonical_url(
+            F.concat(
+                F.lit("https://h"), F.col("k"), F.lit(".example"),
+                F.col("href"),
+                # tracking noise on every 3rd candidate: the
+                # canonicalizer must strip it or the seen-join misses
+                F.when(
+                    F.pmod(F.xxhash64("src", "href"), F.lit(3)) == 0,
+                    F.lit("?utm_source=feed"),
+                ).otherwise(F.lit("")),
+            )
+        ).alias("url"),
+    )
+    # robots verdict on the candidate paths
+    hosts = spark.range(50).select(
+        F.concat(F.lit("h"), F.col("id"), F.lit(".example")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.when(
+                F.col("id") % 4 == 2, F.lit("Disallow: /doc/9*\n")
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    with_host = cand.select(
+        F.col("src").alias("doc_id"),
+        F.concat(F.lit("h"), F.col("k"), F.lit(".example")).alias("host"),
+        F.regexp_replace("url", r"^https://[^/]+", "").alias("path"),
+        "url",
+    )
+    verdicts = robots_filter(
+        with_host.select("doc_id", "host", "path"), hosts
+    ).withColumnRenamed("doc_id", "src")
+    seen = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 50,
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ).alias("url")
+    ).distinct()
+    return (
+        with_host.select(F.col("doc_id").alias("src"), "host", "path", "url")
+        .join(verdicts, ["src", "host", "path"])
+        .join(
+            seen.withColumn("already_seen", F.lit(True)), "url", "left"
+        )
+        .select(
+            "src", "url", "allowed",
+            F.coalesce("already_seen", F.lit(False)).alias("already_seen"),
+        )
+    )
+
+
 _ROBOTS_SQL = """
 SELECT doc_id,
        'h' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
