@@ -134,3 +134,22 @@ def test_extract_links_content_only(spark):
     assert res["n_links_removed"] == 2      # nav + footer only
     # anchor text inside a block still reaches the block text
     assert res["blocks"] == ["see the ninth doc here"]
+
+
+def test_extract_main_text_passthrough_types(spark):
+    """Passthrough columns keep their input types and ride the same
+    Arrow pass (no join needed by callers)."""
+    from razulibs_spark.operators.html import extract_main_text
+
+    pages = spark.createDataFrame(
+        [(1, "<p>hello world</p>", "response", 200)],
+        "doc_id long, html string, kind string, status long",
+    )
+    out = extract_main_text(pages, passthrough=("kind", "status"))
+    assert [f.simpleString() for f in out.schema.fields[:3]] == [
+        "doc_id:bigint", "kind:string", "status:bigint"
+    ]
+    row = out.collect()[0]
+    assert (row["kind"], row["status"], row["n_blocks"]) == (
+        "response", 200, 1
+    )

@@ -753,3 +753,13 @@ def test_minhash_lsh_ml_precision_check_is_bounded(spark):
     left join stays an equi join."""
     plan = _plan(Q.dedup_minhash_lsh_ml(spark, SF))
     assert "CartesianProduct" not in plan
+
+
+def test_frontier_assembly_broadcasts_robots_no_cartesian(spark):
+    """The crawl capstone: the per-host robots dim must broadcast, the
+    seen-probe is an equi join on the canonical url, and nothing in
+    the chain is a cross product or row-at-a-time Python."""
+    plan = _plan(Q.pipeline_frontier_assembly(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
