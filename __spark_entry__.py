@@ -45,13 +45,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/update_rotation.py clears a name from this set as soon as a
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
-_ROTATION_FORCE_REFRESH = frozenset({
-    # r8 (VERDICT r7 item 1): dedup_minhash_lsh_ml gained a real
-    # bound-contract oracle in r7 (commit f886150) but its only driver
-    # rows are pre-r7 ``no_oracle`` records — the oracle itself has
-    # never been driver-verified. Surface it for a fresh hash row.
-    "dedup_minhash_lsh_ml",
-})
+_ROTATION_FORCE_REFRESH = frozenset({})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
@@ -68,40 +62,43 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "dedup_minhash_incremental", "dedup_minhash_lsh",
     "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
     "dedup_semantic_clusters", "dedup_simhash", "dedup_substring_cut",
-    "dedup_substring_spans", "dedup_url_canonical",
-    "eval_ann_agreement", "eval_auc_ovr", "eval_calibration",
-    "eval_cohens_kappa", "eval_confusion_matrix", "eval_retrieval_pr",
-    "events_anomaly_mad", "events_bounce_rate", "events_changepoint",
-    "events_cohort_ltv", "events_copurchase_pairs",
-    "events_enriched_nation", "events_funnel", "events_funnel_windowed",
-    "events_hourly_rollup", "events_interarrival_quantiles",
-    "events_markov", "events_multitouch_attribution",
-    "events_new_returning", "events_path_analysis",
-    "events_peak_concurrency", "events_retention_cohorts", "events_rfm",
-    "events_rolling_dau", "events_session_duration_hist",
-    "events_sessionize", "events_view_purchase_attribution",
-    "events_weekday_profile", "f12_wkt_bbox", "f13_split_explode",
-    "f14_null_to_zero", "f16_url_encode", "f17_mime_guess",
-    "f19_json_extract", "f1_date_type_classify", "f20_tool_signature",
+    "dedup_substring_multik", "dedup_substring_spans",
+    "dedup_url_canonical", "eval_ann_agreement", "eval_auc_ovr",
+    "eval_calibration", "eval_cohens_kappa", "eval_confusion_matrix",
+    "eval_retrieval_pr", "events_anomaly_mad", "events_bounce_rate",
+    "events_changepoint", "events_cohort_ltv",
+    "events_copurchase_pairs", "events_enriched_nation",
+    "events_funnel", "events_funnel_windowed", "events_hourly_rollup",
+    "events_interarrival_quantiles", "events_markov",
+    "events_multitouch_attribution", "events_new_returning",
+    "events_path_analysis", "events_peak_concurrency",
+    "events_retention_cohorts", "events_rfm", "events_rolling_dau",
+    "events_session_duration_hist", "events_sessionize",
+    "events_view_purchase_attribution", "events_weekday_profile",
+    "f12_wkt_bbox", "f13_split_explode", "f14_null_to_zero",
+    "f16_url_encode", "f17_mime_guess", "f19_json_extract",
+    "f1_date_type_classify", "f20_tool_signature",
     "f21_integer_validation", "f2_full_extension", "f3_mtime_iso",
     "f4_extract_id_parts", "f5_filename_stem", "f6_normalize_path",
     "f8_identifier_templating", "f9_compose_filename",
     "flagship_triples_oracle", "graph_bfs_levels", "graph_pagerank",
-    "graph_triangle_count", "io_bucketed_join", "io_csv_malformed",
-    "io_jsonl_gz_roundtrip", "io_orc_roundtrip",
+    "graph_triangle_count", "io_avro_roundtrip", "io_bucketed_join",
+    "io_csv_malformed", "io_jsonl_gz_roundtrip", "io_orc_roundtrip",
     "io_partitioned_pruning", "io_schema_evolution", "j1_lookup_join",
     "j2_multilabel_resolve", "j2_vocab_resolve",
     "j4_manifest_reconcile", "j5_changed_or_new", "j6_set_diff",
     "j7_upload_verification", "j8_hierarchy_links", "j_asof_forward",
     "j_asof_join", "j_interval_overlap", "j_pit_scd2",
     "j_range_join_binned", "j_resample_ffill", "j_salted_skew_join",
-    "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
-    "k2_rdfxml_roundtrip", "k2_trig_roundtrip", "k2_trix_roundtrip",
-    "k2_turtle_roundtrip", "length_histogram", "mixture_sample",
-    "multimodal_audio_spectral", "multimodal_chunk_audio",
-    "multimodal_decode", "multimodal_features", "multimodal_gif_decode",
-    "multimodal_image_ahash", "multimodal_resize",
-    "multimodal_sample_frames", "multimodal_video_frames",
+    "j_spatial_grid_join", "k1_jsonld_roundtrip",
+    "k2_ntriples_roundtrip", "k2_rdfxml_roundtrip", "k2_trig_roundtrip",
+    "k2_trix_roundtrip", "k2_turtle_roundtrip", "length_histogram",
+    "mixture_sample", "multimodal_audio_spectral",
+    "multimodal_chunk_audio", "multimodal_decode",
+    "multimodal_features", "multimodal_gif_decode",
+    "multimodal_image_ahash", "multimodal_mp4_metadata",
+    "multimodal_resize", "multimodal_sample_frames",
+    "multimodal_tiff_decode", "multimodal_video_frames",
     "o1_sequential_ids", "o2_entity_fanout", "o7_delete_batches",
     "o_analyze_stats", "o_cdc_apply", "o_scd2_history",
     "o_skew_profile", "o_write_plan", "o_zorder_key",
@@ -110,7 +107,10 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "p7_suffix_scan_filter", "p8_date_filter_nullkeep",
     "p9_only_if_new", "pack_sequences", "pipeline_cluster_best",
     "pipeline_corpus_prep", "pipeline_dataset_card",
-    "pipeline_decon_split", "pipeline_full_prep", "q10_returned_items",
+    "pipeline_decon_split", "pipeline_frontier_assembly",
+    "pipeline_full_prep", "pipeline_link_graph",
+    "pipeline_robots_filter", "pipeline_sitemap_scan",
+    "pipeline_warc_extract", "q10_returned_items",
     "q11_important_parts", "q12_priority_by_linestatus",
     "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_parts", "q17_small_qty_revenue", "q18_large_orders",
@@ -136,13 +136,14 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "streaming_session_window", "streaming_sessionize",
     "t1_topk_orders", "t3_sorted_diff", "t_grouped_topk",
     "text_bpe_encode", "text_bpe_merges", "text_bpe_pair_counts",
-    "text_chunk_dedup", "text_dsir_importance", "text_fingerprints",
-    "text_hash_classifier", "text_language_id", "text_lm_score",
-    "text_novelty_ratio", "text_pii_scrub", "text_quality_scores",
-    "text_rarity_score", "text_repetition_stats", "text_tfidf_topterms",
-    "text_token_stats", "text_vocab_coverage", "u2_graph_union_dedup",
-    "u4_upsert_by_key", "u_intersect_all", "w_ewma", "w_lag_lead_gaps",
-    "w_rolling_stats", "w_running_distinct", "w_running_total",
+    "text_charset_sniff", "text_chunk_dedup", "text_dsir_importance",
+    "text_fingerprints", "text_hash_classifier", "text_html_extract",
+    "text_language_id", "text_lm_score", "text_novelty_ratio",
+    "text_pii_scrub", "text_quality_scores", "text_rarity_score",
+    "text_repetition_stats", "text_tfidf_topterms", "text_token_stats",
+    "text_vocab_coverage", "u2_graph_union_dedup", "u4_upsert_by_key",
+    "u_intersect_all", "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
+    "w_running_distinct", "w_running_total",
 })
 
 
