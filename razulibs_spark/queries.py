@@ -1226,6 +1226,156 @@ def pipeline_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WARC_MIXED_SQL = """
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 4 ELSE 3 END AS BIGINT)
+         AS n_recs,
+       CAST(200 AS BIGINT) AS response_status,
+       CASE WHEN doc_id % 4 = 0 THEN CAST(304 AS BIGINT) END
+         AS revisit_status,
+       CAST(strlen('GET /doc/' || CAST(doc_id AS VARCHAR)
+            || ' HTTP/1.1' || chr(13) || chr(10)
+            || 'Host: h' || CAST(doc_id % 8 AS VARCHAR) || '.example'
+            || chr(13) || chr(10) || chr(13) || chr(10)) AS BIGINT)
+         AS request_bytes,
+       CAST(strlen('fetchTimeMs: ' || CAST(doc_id % 500 AS VARCHAR)
+            || chr(13) || chr(10)) AS BIGINT) AS metadata_bytes,
+       md5(text) AS response_md5
+FROM documents
+UNION ALL
+SELECT CAST(-1 AS BIGINT), CAST(8 AS BIGINT), NULL, NULL, NULL, NULL,
+       NULL
+"""
+
+
+@query("pipeline_warc_mixed", _WARC_MIXED_SQL)
+def pipeline_warc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-crawl record mix (VERDICT r8 item 1): CommonCrawl files
+    interleave warcinfo, request, response, revisit and metadata
+    records per fetch — the r8 reader died on the first
+    ``GET / HTTP/1.1``. Here every document gets a request + response
+    + metadata record (revisit on every 4th, 8 file-level warcinfo
+    rows), all payloads built as pure codegen expressions, written
+    through the generic mixed-record sink (sources/warc.py:
+    write_warc_records, per-record gzip members) and read back through
+    the liberal parser: responses/revisits parse their status line
+    (revisits via the bare-header-block branch — no CRLF CRLF
+    terminator at all), requests/metadata/warcinfo keep their raw
+    payloads with status NULL. The oracle recomputes every per-doc
+    stat (record count, both statuses, raw byte lengths, response body
+    md5) from documents alone — any record dropped, misrouted to the
+    wrong branch, or with a mangled payload mismatches."""
+    import os
+
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_records,
+    )
+
+    base = (
+        "/root/repo/.scratch/warc_mixed_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    crlf = "\r\n"
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    uri = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+        F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+    ).alias("target_uri")
+    request = docs.select(
+        F.lit("request").alias("warc_type"),
+        uri,
+        F.lit("application/http; msgtype=request").alias("content_type"),
+        F.concat(
+            F.lit("GET /doc/"), F.col("doc_id").cast("string"),
+            F.lit(" HTTP/1.1" + crlf + "Host: h"),
+            (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example" + crlf + crlf),
+        ).cast("binary").alias("payload"),
+    )
+    response = docs.select(
+        F.lit("response").alias("warc_type"),
+        uri,
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.concat(
+            F.lit(
+                "HTTP/1.1 200 OK" + crlf
+                + "Content-Type: text/plain" + crlf
+                + "Content-Length: "
+            ),
+            F.octet_length("text").cast("string"),
+            F.lit(crlf + crlf),
+            F.col("text"),
+        ).cast("binary").alias("payload"),
+    )
+    revisit = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.lit("revisit").alias("warc_type"),
+        uri,
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        # bare header block, no CRLF CRLF terminator — the truncated
+        # shape real revisit records carry.
+        F.lit("HTTP/1.1 304 Not Modified" + crlf + 'ETag: "x"')
+        .cast("binary").alias("payload"),
+    )
+    metadata = docs.select(
+        F.lit("metadata").alias("warc_type"),
+        uri,
+        F.lit("application/warc-fields").alias("content_type"),
+        F.concat(
+            F.lit("fetchTimeMs: "),
+            (F.col("doc_id") % 500).cast("string"),
+            F.lit(crlf),
+        ).cast("binary").alias("payload"),
+    )
+    warcinfo = spark.range(8).select(
+        F.lit("warcinfo").alias("warc_type"),
+        F.lit(None).cast("string").alias("target_uri"),
+        F.lit("application/warc-fields").alias("content_type"),
+        F.concat(
+            F.lit("software: razulibs-spark shard "),
+            F.col("id").cast("string"), F.lit(crlf),
+        ).cast("binary").alias("payload"),
+    )
+    records = (
+        request.unionByName(response).unionByName(revisit)
+        .unionByName(metadata).unionByName(warcinfo)
+    )
+    write_warc_records(records.repartition(8), base, compress=True)
+    back = read_warc(spark, base)
+    return (
+        back.select(
+            F.coalesce(
+                F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+                .cast("long"),
+                F.lit(-1),
+            ).alias("doc_id"),
+            "warc_type",
+            "http_status",
+            F.octet_length("body").cast("long").alias("blen"),
+            F.when(
+                F.col("warc_type") == "response", F.md5("body")
+            ).alias("rmd5"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_recs"),
+            F.max(
+                F.when(F.col("warc_type") == "response", F.col("http_status"))
+            ).alias("response_status"),
+            F.max(
+                F.when(F.col("warc_type") == "revisit", F.col("http_status"))
+            ).alias("revisit_status"),
+            F.max(
+                F.when(F.col("warc_type") == "request", F.col("blen"))
+            ).alias("request_bytes"),
+            F.max(
+                F.when(F.col("warc_type") == "metadata", F.col("blen"))
+            ).alias("metadata_bytes"),
+            F.max("rmd5").alias("response_md5"),
+        )
+    )
+
+
 _SITEMAP_SQL = """
 SELECT 'urlset' AS kind,
        'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example/doc/'
@@ -1292,6 +1442,114 @@ def pipeline_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return read_sitemaps(spark, base).select(
         "kind", "loc", "lastmod", "priority"
+    )
+
+
+_SITEMAP_DISCOVERY_SQL = """
+SELECT doc_id,
+       'h' || CAST(doc_id % 8 AS VARCHAR) AS host,
+       '2024-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+         AS lastmod,
+       ROUND((doc_id % 10) / 10.0, 1) AS priority,
+       'sitemap-h' || CAST(doc_id % 8 AS VARCHAR) || '-'
+         || CASE WHEN doc_id % 2 = 0 THEN 'a.xml' ELSE 'b.xml.gz' END
+         AS source
+FROM documents
+WHERE doc_id % 2 = 0 OR (doc_id % 8) % 2 = 0
+"""
+
+
+@query("pipeline_sitemap_discovery", _SITEMAP_DISCOVERY_SQL)
+def pipeline_sitemap_discovery(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """robots→sitemap discovery chained end to end (VERDICT r8 item
+    3): each host's URLs are sharded into a PLAIN urlset (even docs)
+    and a GZIPPED ``.xml.gz`` urlset (odd docs — the wild's dominant
+    form), both written executor-side; each host's robots.txt
+    advertises shard a always but shard b only on even hosts
+    (``Sitemap:`` lines, RFC 9309 §2.2.4). Discovery
+    (operators/robots.py:discover_sitemaps) explodes the advertised
+    sitemap URLs, and the frontier keeps only scanned rows whose
+    SOURCE FILE is advertised — provenance from
+    read_sitemaps(include_source=True), joined broadcast on the
+    basename. Odd-host gz shards are scanned but dropped, exactly
+    what a polite crawler would never have fetched. The oracle
+    recomputes every surviving (doc, host, lastmod, priority, source)
+    row — a gunzip slip, a missed Sitemap: line or a provenance
+    mix-up changes the surviving set.
+
+    Store path keyed by sf_dir (the io_orc_roundtrip rationale)."""
+    import os
+
+    from razulibs_spark.operators.robots import discover_sitemaps
+    from razulibs_spark.sources.sitemap import (
+        read_sitemaps,
+        write_urlset_files,
+    )
+
+    base = (
+        "/root/repo/.scratch/sitemap_disc_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents")
+    urls = docs.select(
+        (F.col("doc_id") % 8).alias("hk"),
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 8,
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        F.round((F.col("doc_id") % 10) / 10.0, 1).alias("priority"),
+    ).withColumn(
+        "group",
+        F.concat(
+            F.lit("h"), F.col("hk"),
+            F.when(F.col("even"), F.lit("-a")).otherwise(F.lit("-b")),
+        ),
+    )
+    write_urlset_files(
+        urls.filter("even"), base, group_col="group", compress=False
+    )
+    write_urlset_files(
+        urls.filter("NOT even"), base, group_col="group", compress=True
+    )
+    robots = spark.range(8).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.concat(
+            F.lit(
+                "User-agent: *\r\nDisallow: /private/\r\n"
+                "# extension records below\r\nSitemap: https://h"
+            ),
+            F.col("id"),
+            F.lit(".example/sitemap-h"), F.col("id"), F.lit("-a.xml\r\n"),
+            F.when(
+                F.col("id") % 2 == 0,
+                F.concat(
+                    F.lit("Sitemap: https://h"), F.col("id"),
+                    F.lit(".example/sitemap-h"), F.col("id"),
+                    F.lit("-b.xml.gz\r\n"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    advertised = discover_sitemaps(robots).select(
+        F.element_at(F.split("sitemap_url", "/"), -1).alias("source")
+    )
+    scanned = read_sitemaps(spark, base, include_source=True)
+    return scanned.join(F.broadcast(advertised), "source").select(
+        F.regexp_extract("loc", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.regexp_extract("loc", r"https://(h\d+)\.example", 1)
+        .alias("host"),
+        "lastmod",
+        "priority",
+        "source",
     )
 
 

@@ -47,6 +47,14 @@ SITEMAP_SCHEMA = StructType(
 def parse_sitemap(content: bytes) -> list[tuple]:
     import xml.etree.ElementTree as ET
 
+    if content[:2] == b"\x1f\x8b":
+        # .xml.gz — ubiquitous in the wild (the spec's own 50 MB cap
+        # is on the UNCOMPRESSED file). Reuse the WARC member walker:
+        # single-member files are the common case, multi-member
+        # concatenations decompress the same way.
+        from razulibs_spark.sources.warc import _gunzip_members
+
+        content = _gunzip_members(content)
     try:
         root = ET.fromstring(content)
     except ET.ParseError as exc:
@@ -79,27 +87,48 @@ def parse_sitemap(content: bytes) -> list[tuple]:
     return rows
 
 
-def read_sitemaps(spark: SparkSession, path: str) -> DataFrame:
+def read_sitemaps(
+    spark: SparkSession, path: str, include_source: bool = False
+) -> DataFrame:
     """Sitemap file tree → one records frame (urlset + index rows
-    tagged by kind). Per-file tasks."""
+    tagged by kind). Per-file tasks; plain ``.xml`` and gzipped
+    ``.xml.gz`` files both parse (magic-sniffed, not name-sniffed —
+    mis-named files still decompress). With ``include_source`` each
+    row carries the basename of the file it came from — frontier
+    assembly needs provenance to keep only URLs from sitemaps a host's
+    robots.txt actually advertises (operators/robots.py:
+    discover_sitemaps)."""
+    schema = SITEMAP_SCHEMA
+    if include_source:
+        schema = StructType(
+            list(SITEMAP_SCHEMA.fields)
+            + [StructField("source", StringType(), False)]
+        )
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = [f.name for f in SITEMAP_SCHEMA.fields]
+        import os
+
+        cols = [f.name for f in schema.fields]
         for pdf in it:
             rows: list[tuple] = []
-            for content in pdf["content"]:
+            for content, p in zip(pdf["content"], pdf["path"]):
                 b = bytes(content)
-                if b.strip():
-                    rows.extend(parse_sitemap(b))
+                if not b.strip():
+                    continue
+                parsed = parse_sitemap(b)
+                if include_source:
+                    base = os.path.basename(p)
+                    parsed = [r + (base,) for r in parsed]
+                rows.extend(parsed)
             yield pd.DataFrame(rows, columns=cols)
 
     return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
-        .option("pathGlobFilter", "*.xml")
+        .option("pathGlobFilter", "*.{xml,xml.gz}")
         .load(path)
-        .select("content")
-        .mapInPandas(batches, schema=SITEMAP_SCHEMA)
+        .select("content", "path")
+        .mapInPandas(batches, schema=schema)
     )
 
 
@@ -128,6 +157,26 @@ def _esc(v: str) -> str:
     )
 
 
+_GROUP_OK_RE = None  # compiled lazily
+
+
+def _check_group(g: str) -> str:
+    """The group value becomes a filename component — reject anything
+    that could escape the directory or surprise the glob (ADVICE r8:
+    a host containing '/' silently broke the write path)."""
+    import re
+
+    global _GROUP_OK_RE
+    if _GROUP_OK_RE is None:
+        _GROUP_OK_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+    if not _GROUP_OK_RE.match(g):
+        raise ValueError(
+            f"sitemap: group value {g!r} is not filename-safe "
+            "(allowed: letters, digits, '.', '_', '-')"
+        )
+    return g
+
+
 def write_urlset_files(
     urls: DataFrame,
     directory: str,
@@ -135,11 +184,15 @@ def write_urlset_files(
     loc_col: str = "loc",
     lastmod_col: str | None = "lastmod",
     priority_col: str | None = "priority",
+    compress: bool = False,
 ) -> None:
-    """One ``sitemap-<group>.xml`` urlset per group (per host, per
-    shard — the spec's 50k-URL cap is the writer's natural split
+    """One ``sitemap-<group>.xml[.gz]`` urlset per group (per host,
+    per shard — the spec's 50k-URL cap is the writer's natural split
     unit), written executor-side on a shared FS. Repartition by the
-    group column first so one task owns each group's file."""
+    group column first so one task owns each group's file. Priorities
+    are written with full float repr — the file agrees with the input
+    frame exactly (ADVICE r8: ``{:.1f}`` silently rounded 0.55 →
+    0.6)."""
     import os
 
     os.makedirs(directory, exist_ok=True)
@@ -148,6 +201,7 @@ def write_urlset_files(
         cols.append(lastmod_col)
     if priority_col:
         cols.append(priority_col)
+    ext = ".xml.gz" if compress else ".xml"
 
     def write_partition(rows) -> None:
         groups: dict[str, list[str]] = {}
@@ -156,18 +210,26 @@ def write_urlset_files(
             if lastmod_col and row[lastmod_col] is not None:
                 parts.append(f"<lastmod>{_esc(row[lastmod_col])}</lastmod>")
             if priority_col and row[priority_col] is not None:
-                parts.append(f"<priority>{row[priority_col]:.1f}</priority>")
+                parts.append(
+                    f"<priority>{row[priority_col]!r}</priority>"
+                )
             parts.append("</url>")
-            groups.setdefault(row[group_col], []).append("".join(parts))
+            groups.setdefault(
+                _check_group(row[group_col]), []
+            ).append("".join(parts))
         for g, lines in groups.items():
             doc = (
                 '<?xml version="1.0" encoding="UTF-8"?>\n'
                 f'<urlset xmlns="{SITEMAP_NS}">\n'
                 + "\n".join(lines)
                 + "\n</urlset>\n"
-            )
+            ).encode("utf-8")
+            if compress:
+                from razulibs_spark.sources.warc import gzip_member
+
+                doc = gzip_member(doc)
             with open(
-                os.path.join(directory, f"sitemap-{g}.xml"), "w"
+                os.path.join(directory, f"sitemap-{g}{ext}"), "wb"
             ) as fh:
                 fh.write(doc)
 

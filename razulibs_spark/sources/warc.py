@@ -90,6 +90,17 @@ def encode_http_response(
     )
 
 
+def encode_http_request(path: str, host: str, method: str = "GET") -> bytes:
+    """An HTTP/1.1 request payload — what a real crawl's ``request``
+    records carry (CommonCrawl interleaves request/response/metadata
+    per fetch). Fixture-side twin of encode_http_response."""
+    return (
+        f"{method} {path} HTTP/1.1".encode() + _CRLF
+        + f"Host: {host}".encode() + _CRLF
+        + b"User-Agent: razulibs-spark" + _CRLF + _CRLF
+    )
+
+
 def gzip_member(raw: bytes, level: int = 6) -> bytes:
     """One gzip member (the per-record compression unit of .warc.gz).
     Level 6 (zlib default) — measurably cheaper than GzipFile's
@@ -113,9 +124,13 @@ def _gunzip_members(content: bytes) -> bytes:
     import zlib
 
     out, pos = [], 0
+    # memoryview: mv[pos:] is zero-copy, so a file of tens of
+    # thousands of members (the ~1 GB CommonCrawl shard layout) stays
+    # O(total bytes), not O(members × file size) in memcpy.
+    mv = memoryview(content)
     while pos < len(content):
         d = zlib.decompressobj(wbits=31)  # gzip wrapper
-        out.append(d.decompress(content[pos:]))
+        out.append(d.decompress(mv[pos:]))
         consumed = len(content) - pos - len(d.unused_data)
         if not d.eof:
             raise ValueError("warc.gz: truncated gzip member")
@@ -166,10 +181,22 @@ def parse_warc(content: bytes) -> list[tuple]:
         status: int | None = None
         http_ct: str | None = None
         body: bytes | None = None
-        if headers.get("content-type", "").startswith("application/http"):
+        is_http = headers.get("content-type", "").startswith(
+            "application/http"
+        )
+        if is_http and payload.startswith(b"HTTP/"):
+            # An HTTP RESPONSE message (status line first). Real crawl
+            # files (CommonCrawl) interleave request/response/metadata/
+            # warcinfo records per fetch — only this shape carries a
+            # status to parse; anything else falls through to the raw
+            # branch below instead of dying on `GET / HTTP/1.1`.
             sep_at = payload.find(_CRLF + _CRLF)
             if sep_at < 0:
-                raise ValueError("warc: http payload without header block")
+                # revisit records often truncate to the bare header
+                # block — take the whole payload as headers, no body.
+                sep_at, body = len(payload), b""
+            else:
+                body = payload[sep_at + 4:]
             status_line, *hlines = payload[:sep_at].split(_CRLF)
             parts = status_line.split(b" ", 2)
             if len(parts) < 2 or not parts[1].isdigit():
@@ -181,11 +208,11 @@ def parse_warc(content: bytes) -> list[tuple]:
                 hk, _, hv = hl.partition(b":")
                 if hk.decode().strip().lower() == "content-type":
                     http_ct = hv.decode().strip()
-            body = payload[sep_at + 4:]
         else:
             # body stays BYTES: warc payloads are arbitrary (images,
-            # gzip, mis-declared encodings) — found by the framing
-            # property fuzz; decoding is the consumer's call.
+            # gzip, mis-declared encodings, full HTTP request messages
+            # in `request` records) — found by the framing property
+            # fuzz; decoding is the consumer's call.
             body = payload
         rows.append(
             (
@@ -223,6 +250,57 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         .select("content")
         .mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
     )
+
+
+def write_warc_records(
+    records: DataFrame,
+    directory: str,
+    compress: bool = True,
+) -> None:
+    """Generic WARC sink: one record per row of ``(warc_type,
+    target_uri, content_type, payload)`` — the shape a REAL crawl
+    writes, interleaving warcinfo/request/response/revisit/metadata
+    records in one file (write_warc_responses is the response-only
+    convenience). Same executor-side per-partition layout: one
+    ``part-<partition>.warc[.gz]`` per partition, one gzip member per
+    record; record id = md5 over (type, uri, payload) —
+    deterministic, collision-irrelevant at fixture scale."""
+    import hashlib
+    import os
+
+    os.makedirs(directory, exist_ok=True)
+    ext = ".warc.gz" if compress else ".warc"
+
+    def write_partition(rows) -> None:
+        chunks: list[bytes] = []
+        pid = None
+        for row in rows:
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId() if pid is None else pid
+            payload = bytes(row["payload"])
+            uri = row["target_uri"]
+            rec = encode_warc_record(
+                row["warc_type"],
+                payload,
+                record_id=hashlib.md5(
+                    row["warc_type"].encode()
+                    + b"|" + (uri or "").encode()
+                    + b"|" + payload
+                ).hexdigest(),
+                target_uri=uri,
+                content_type=row["content_type"],
+            )
+            chunks.append(gzip_member(rec) if compress else rec)
+        if pid is not None:
+            with open(
+                os.path.join(directory, f"part-{pid:05d}{ext}"), "wb"
+            ) as fh:
+                fh.write(b"".join(chunks))
+
+    records.select(
+        "warc_type", "target_uri", "content_type", "payload"
+    ).foreachPartition(write_partition)
 
 
 def write_warc_responses(

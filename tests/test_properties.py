@@ -619,6 +619,52 @@ def test_warc_record_framing_roundtrips_any_payload(payloads, compress):
 
 
 @settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["request", "response"]),
+            st.binary(max_size=120),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+def test_warc_mixed_request_response_framing(fetches, compress):
+    """Real crawls interleave request and response records for the
+    same fetch; request payloads (`GET / HTTP/1.1 ...` + arbitrary
+    trailing bytes) must ride the raw branch — status NULL, payload
+    intact — while adjacent responses still parse, in any order."""
+    from razulibs_spark.sources.warc import (
+        encode_warc_record,
+        gzip_member,
+        parse_warc,
+    )
+
+    recs, want = [], []
+    for i, (wtype, extra) in enumerate(fetches):
+        if wtype == "request":
+            payload = (
+                b"GET /p/" + str(i).encode() + b" HTTP/1.1\r\n"
+                b"Host: ex.org\r\n\r\n" + extra
+            )
+            ct = "application/http; msgtype=request"
+            want.append(("request", None, payload))
+        else:
+            payload = (
+                b"HTTP/1.1 200 OK\r\nContent-Type: x\r\n\r\n" + extra
+            )
+            ct = "application/http; msgtype=response"
+            want.append(("response", 200, extra))
+        recs.append(
+            encode_warc_record(wtype, payload, f"r{i}", content_type=ct)
+        )
+    blob = b"".join(gzip_member(r) if compress else r for r in recs)
+    rows = parse_warc(blob)
+    assert [(r[0], r[4], r[6]) for r in rows] == want
+
+
+@settings(max_examples=150, deadline=None)
 @given(st.lists(
     st.tuples(
         st.text(alphabet=st.characters(codec="utf-8"), min_size=1,

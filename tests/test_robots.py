@@ -143,3 +143,89 @@ def test_sitemap_roundtrip_through_spark(spark, tmp_path):
     assert ("index", "https://h0/sitemap-h0.xml", "2024-02-01",
             None, None) in got
     assert len(got) == 4
+
+
+def test_sitemap_gzip_priority_repr_and_group_guard(spark, tmp_path):
+    """r9 surface: .xml.gz urlsets parse (magic-sniffed), priorities
+    round-trip at full float precision (ADVICE r8: 0.55 used to be
+    silently rounded to 0.6), and a non-filename-safe group value
+    fails the write loudly instead of mangling the path."""
+    import glob
+
+    import pytest as _pytest
+
+    from razulibs_spark.sources.sitemap import (
+        read_sitemaps,
+        write_urlset_files,
+    )
+
+    urls = spark.createDataFrame(
+        [("h0", "https://h0/a", "2024-01-01", 0.55),
+         ("h1", "https://h1/b", None, 0.3)],
+        "host string, loc string, lastmod string, priority double",
+    )
+    out = str(tmp_path / "gz")
+    write_urlset_files(urls, out, compress=True)
+    files = sorted(glob.glob(out + "/*"))
+    assert [f.rsplit("/", 1)[1] for f in files] == [
+        "sitemap-h0.xml.gz", "sitemap-h1.xml.gz"
+    ]
+    with open(files[0], "rb") as fh:
+        assert fh.read(2) == b"\x1f\x8b"
+    got = {r["loc"]: r for r in read_sitemaps(spark, out).collect()}
+    assert got["https://h0/a"]["priority"] == 0.55
+    assert got["https://h1/b"]["priority"] == 0.3
+
+    bad = spark.createDataFrame(
+        [("h0/evil", "https://x/a", None, None)],
+        "host string, loc string, lastmod string, priority double",
+    )
+    with _pytest.raises(Exception, match="not filename-safe"):
+        write_urlset_files(bad, str(tmp_path / "bad"))
+
+
+def test_read_sitemaps_include_source_and_mixed_compression(
+    spark, tmp_path
+):
+    from razulibs_spark.sources.sitemap import (
+        read_sitemaps,
+        write_urlset_files,
+    )
+
+    urls = spark.createDataFrame(
+        [("plain", "https://p/1", None, None),
+         ("packed", "https://g/1", None, None)],
+        "host string, loc string, lastmod string, priority double",
+    )
+    out = str(tmp_path / "mix")
+    write_urlset_files(urls.filter("host = 'plain'"), out, compress=False)
+    write_urlset_files(urls.filter("host = 'packed'"), out, compress=True)
+    got = {
+        r["loc"]: r["source"]
+        for r in read_sitemaps(spark, out, include_source=True).collect()
+    }
+    assert got == {
+        "https://p/1": "sitemap-plain.xml",
+        "https://g/1": "sitemap-packed.xml.gz",
+    }
+
+
+def test_discover_sitemaps_stage(spark):
+    """The distributed wrapper must agree with robots_sitemaps on the
+    liberal grammar (CRLF lines, comments, first-colon split, missing
+    values, NULL robots_txt)."""
+    from razulibs_spark.operators.robots import discover_sitemaps
+
+    robots = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\r\nSitemap: https://a/s.xml\r\n"
+                  "sitemap: https://a/t.xml.gz\r\nSitemap:\r\n"),
+            ("b", "# no sitemaps here\nDisallow: /\n"),
+            ("c", None),
+        ],
+        "host string, robots_txt string",
+    )
+    got = sorted(map(tuple, discover_sitemaps(robots).collect()))
+    assert got == [
+        ("a", "https://a/s.xml"), ("a", "https://a/t.xml.gz")
+    ]

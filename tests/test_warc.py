@@ -60,10 +60,63 @@ def test_parse_strictness():
         parse_warc(b"WARC/1.0\r\nnocolonhere\r\n\r\n")
     with pytest.raises(ValueError, match="truncated gzip member"):
         _gunzip_members(gzip_member(good)[:-4])
-    # status line without a numeric code
-    bad_http = encode_warc_record("response", b"BORKED\r\n\r\nbody", "r")
+    # a payload that CLAIMS to be a response (starts with HTTP/) but
+    # has a garbage status code is structural corruption and raises;
+    # payloads not starting with HTTP/ take the liberal raw branch.
+    bad_http = encode_warc_record(
+        "response", b"HTTP/1.1 BORKED\r\n\r\nbody", "r"
+    )
     with pytest.raises(ValueError, match="status line"):
         parse_warc(bad_http)
+
+
+def test_parse_real_crawl_record_mix():
+    """CommonCrawl-shaped files interleave warcinfo, request, response,
+    revisit and metadata records per fetch — the reader must take the
+    whole mix (the r8 reader died on the first `GET / HTTP/1.1`)."""
+    from razulibs_spark.sources.warc import encode_http_request
+
+    recs = (
+        encode_warc_record(
+            "warcinfo", b"software: engine\r\n", "w",
+            content_type="application/warc-fields",
+        )
+        + encode_warc_record(
+            "request", encode_http_request("/a", "ex.org"), "q1",
+            target_uri="https://ex.org/a",
+            content_type="application/http; msgtype=request",
+        )
+        + encode_warc_record(
+            "response", encode_http_response("<p>A</p>"), "r1",
+            target_uri="https://ex.org/a",
+        )
+        + encode_warc_record(
+            "revisit", b"HTTP/1.1 304 Not Modified\r\nETag: x\r\n", "v1",
+            target_uri="https://ex.org/a",
+        )
+        + encode_warc_record(
+            "metadata", b"fetchTimeMs: 12\r\n", "m1",
+            target_uri="https://ex.org/a",
+            content_type="application/warc-fields",
+        )
+    )
+    for blob in (recs, gzip_member(recs)):
+        rows = parse_warc(blob)
+        by_type = {r[0]: r for r in rows}
+        assert list(by_type) == [
+            "warcinfo", "request", "response", "revisit", "metadata"
+        ]
+        # request: no status, raw HTTP request message kept as body
+        assert by_type["request"][4] is None
+        assert by_type["request"][6].startswith(b"GET /a HTTP/1.1")
+        # response: parsed normally
+        assert by_type["response"][4] == 200
+        assert by_type["response"][6].endswith(b"<p>A</p>")
+        # revisit: bare header block, status parsed, empty body
+        assert by_type["revisit"][4] == 304
+        assert by_type["revisit"][6] == b""
+        # metadata/warcinfo: raw warc-fields payloads
+        assert by_type["metadata"][6] == b"fetchTimeMs: 12\r\n"
 
 
 def test_warc_roundtrip_through_spark(spark, tmp_path):
