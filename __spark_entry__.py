@@ -45,7 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/update_rotation.py clears a name from this set as soon as a
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
-_ROTATION_FORCE_REFRESH = frozenset({})
+# multimodal_tiff_decode: r9 added LZW/Predictor-2 coverage, changing
+# the compression labels in its output — needs a fresh driver row.
+_ROTATION_FORCE_REFRESH = frozenset({"multimodal_tiff_decode"})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",

@@ -9,10 +9,12 @@ the synthesis formulas.
 Subset = what baseline TIFF readers must support (TIFF 6.0 §8):
 both byte orders (II little / MM big), IFD entry walk with inline or
 offset values, strip layout (RowsPerStrip / StripOffsets /
-StripByteCounts), 8-bit grayscale and RGB, Compression 1 (none) and
-32773 (PackBits, the spec's own RLE). Tiled TIFF, LZW/JPEG-in-TIFF,
-16-bit and planar configs raise ValueError naming the feature — the
-honest-rejection posture of the rest of the family.
+StripByteCounts), 8-bit grayscale and RGB, Compression 1 (none),
+5 (LZW, spec §13 — MSB-first packing, EarlyChange width bumps) and
+32773 (PackBits, the spec's own RLE), Predictor 2 (horizontal
+differencing). Tiled TIFF, JPEG-in-TIFF, 16-bit and planar configs
+raise ValueError naming the feature — the honest-rejection posture of
+the rest of the family.
 """
 
 from __future__ import annotations
@@ -80,6 +82,142 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_MAX_TABLE = 4094  # spec: emit Clear when the table reaches 4094
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW (spec §13) — NOT the GIF variant (operators/gif.py):
+    codes pack MSB-first and the code width bumps one code EARLY
+    (EarlyChange: 9→10 bits when the next free entry is 511 = 2^9-1,
+    because the encoder must leave room for the entry it is ABOUT to
+    add). Archival TIFF masters — the reference's own aerial-photo
+    domain — are overwhelmingly LZW-compressed, so PackBits-only
+    coverage missed the common case (VERDICT r8 item 5)."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = _LZW_FIRST, 9
+    put(_LZW_CLEAR, width)
+    omega = b""
+    for byte in data:
+        k = bytes([byte])
+        if omega + k in table:
+            omega += k
+            continue
+        put(table[omega], width)
+        table[omega + k] = next_code
+        next_code += 1
+        # EarlyChange: the NEXT code written must be wide enough for
+        # the entry just added, so bump at 2^width - 1, not 2^width.
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        if next_code >= _LZW_MAX_TABLE:
+            put(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, width = _LZW_FIRST, 9
+        omega = k
+    if omega:
+        put(table[omega], width)
+    put(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Strict TIFF LZW decode: MSB-first, EarlyChange, table reset on
+    Clear; a stream without EOI, a code beyond the table, or output
+    past ``expected`` raises."""
+    out = bytearray()
+    pos = acc = nbits = 0
+
+    def get(width: int) -> int:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("tiff: LZW stream truncated (no EOI)")
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        nbits -= width
+        code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1
+        return code
+
+    table: list[bytes] = []
+    width = 9
+    prev: bytes | None = None
+    while True:
+        code = get(width)
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width, prev = 9, None
+            continue
+        if not table:
+            raise ValueError("tiff: LZW code before initial Clear")
+        if code < len(table):
+            entry = table[code]
+            if not entry:
+                raise ValueError("tiff: LZW code names a control slot")
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+            table.append(entry)
+        else:
+            raise ValueError(f"tiff: LZW code {code} beyond table")
+        out += entry
+        if len(out) > expected:
+            raise ValueError(
+                f"tiff: LZW expanded past expected {expected} bytes"
+            )
+        # EarlyChange, decoder side: the decoder's table runs ONE
+        # entry behind the encoder's (the classic LZW standoff), so it
+        # must widen after adding entry 2^w - 3 (len == 2^w - 2) for
+        # the next read to match the encoder's 2^w - 2 bump.
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+        prev = entry
+    if len(out) != expected:
+        raise ValueError(
+            f"tiff: LZW expanded to {len(out)}, expected {expected}"
+        )
+    return bytes(out)
+
+
+def _predict2_encode(raw: bytes, width: int, spp: int) -> bytes:
+    """Predictor 2 (horizontal differencing, tag 317): store each
+    sample as the delta to its left neighbour in the same channel —
+    what makes LZW bite on smooth photographic rows."""
+    out = bytearray(raw)
+    row_bytes = width * spp
+    for r0 in range(0, len(out), row_bytes):
+        for i in range(row_bytes - 1, spp - 1, -1):
+            out[r0 + i] = (out[r0 + i] - raw[r0 + i - spp]) & 0xFF
+    return bytes(out)
+
+
+def _predict2_decode(raw: bytes, width: int, spp: int) -> bytes:
+    out = bytearray(raw)
+    row_bytes = width * spp
+    for r0 in range(0, len(out), row_bytes):
+        for i in range(spp, row_bytes):
+            out[r0 + i] = (out[r0 + i] + out[r0 + i - spp]) & 0xFF
+    return bytes(out)
+
+
 def encode_tiff(
     width: int,
     height: int,
@@ -87,10 +225,16 @@ def encode_tiff(
     rgb: bool = False,
     big_endian: bool = False,
     packbits: bool = False,
+    lzw: bool = False,
+    predictor2: bool = False,
     rows_per_strip: int = 4,
 ) -> bytes:
     """Minimal valid TIFF: header + pixel strips + one IFD. ``pixels``
-    is row-major — ints for grayscale, (r, g, b) tuples for RGB."""
+    is row-major — ints for grayscale, (r, g, b) tuples for RGB.
+    Compression: at most one of ``packbits``/``lzw``; ``predictor2``
+    (horizontal differencing) composes with either or none."""
+    if packbits and lzw:
+        raise ValueError("tiff: choose at most one compression")
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
     raw = bytearray()
@@ -105,7 +249,13 @@ def encode_tiff(
     for y0 in range(0, height, rows_per_strip):
         rows = min(rows_per_strip, height - y0)
         chunk = bytes(raw[y0 * row_bytes:(y0 + rows) * row_bytes])
-        strips.append(packbits_encode(chunk) if packbits else chunk)
+        if predictor2:
+            chunk = _predict2_encode(chunk, width, spp)
+        if packbits:
+            chunk = packbits_encode(chunk)
+        elif lzw:
+            chunk = lzw_encode(chunk)
+        strips.append(chunk)
 
     header_size = 8
     data_start = header_size
@@ -151,12 +301,14 @@ def encode_tiff(
     add(256, 4, [width])
     add(257, 4, [height])
     add(258, 3, bits)
-    add(259, 3, [32773 if packbits else 1])
+    add(259, 3, [32773 if packbits else (5 if lzw else 1)])
     add(262, 3, [2 if rgb else 1])  # photometric: RGB / BlackIsZero
     add(273, 4, offsets)
     add(277, 3, [spp])
     add(278, 4, [rows_per_strip])
     add(279, 4, [len(s) for s in strips])
+    if predictor2:
+        add(317, 3, [2])
 
     ifd_size = 2 + 12 * len(entries) + 4
     extra_base = ifd_offset + ifd_size
@@ -236,10 +388,14 @@ def decode_tiff(payload: bytes) -> dict:
     if any(b != 8 for b in bits):
         raise ValueError(f"tiff: only 8-bit samples supported, got {bits}")
     comp = one(259, 1)
-    if comp not in (1, 32773):
+    if comp not in (1, 5, 32773):
         raise ValueError(
-            f"tiff: unsupported compression {comp} (only none/PackBits)"
+            f"tiff: unsupported compression {comp} "
+            "(only none/LZW/PackBits)"
         )
+    pred = one(317, 1)
+    if pred not in (1, 2):
+        raise ValueError(f"tiff: unsupported predictor {pred}")
     if 322 in tags or 323 in tags:
         raise ValueError("tiff: tiled layout not supported (strips only)")
     if one(284, 1) != 1:
@@ -257,9 +413,20 @@ def decode_tiff(payload: bytes) -> dict:
         rows = min(rps, height - i * rps)
         expected = rows * row_bytes
         chunk = buf[off:off + cnt]
-        out += (
-            packbits_decode(chunk, expected) if comp == 32773 else chunk
-        )
+        if comp == 32773:
+            chunk = packbits_decode(chunk, expected)
+        elif comp == 5:
+            chunk = lzw_decode(chunk, expected)
+        elif len(chunk) != expected:
+            raise ValueError(
+                f"tiff: strip {i} holds {len(chunk)} bytes, "
+                f"expected {expected}"
+            )
+        if pred == 2:
+            # predictor applies per ROW; strips hold whole rows, so
+            # per-strip application is exact.
+            chunk = _predict2_decode(chunk, width, spp)
+        out += chunk
     if len(out) != height * row_bytes:
         raise ValueError(
             f"tiff: decoded {len(out)} pixel bytes, expected "
@@ -269,7 +436,8 @@ def decode_tiff(payload: bytes) -> dict:
         "width": width,
         "height": height,
         "n_channels": spp,
-        "compression": "packbits" if comp == 32773 else "none",
+        "compression": {1: "none", 5: "lzw", 32773: "packbits"}[comp],
+        "predictor": pred,
         "byte_order": "MM" if e == ">" else "II",
         "pixels": bytes(out),
     }
@@ -323,9 +491,11 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
     """Deterministic REAL TIFFs from doc_id d: geometry (4 + d%9) ×
     (3 + d%7); RGB for odd d (r/g/b = (d+3x+5y)/(2d+7x+y)/(3d+x+2y)
     mod 256), grayscale otherwise ((5d+3x+7y) mod 256); big-endian
-    when d%5 == 0, PackBits when d%3 == 0 — 2×2×2 of the subset's
-    variant axes across the corpus. Docs with d%17 == 9 carry a
-    POISON payload (valid header, IFD offset past EOF)."""
+    when d%5 == 0; compression sweeps PackBits (d%3 == 0), LZW
+    (d%3 == 1, with Predictor 2 when additionally d%7 < 3) and none —
+    the full variant grid of the subset across the corpus. Docs with
+    d%17 == 9 carry a POISON payload (valid header, IFD offset past
+    EOF)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -362,6 +532,8 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                         rgb=(d % 2 == 1),
                         big_endian=(d % 5 == 0),
                         packbits=(d % 3 == 0),
+                        lzw=(d % 3 == 1),
+                        predictor2=(d % 3 == 1 and d % 7 < 3),
                     )
                 )
             yield pd.DataFrame(
@@ -402,9 +574,12 @@ def tiff_stats(media: DataFrame) -> DataFrame:
                 means = [
                     sum(px[c::spp]) / n for c in range(spp)
                 ] + [None] * (3 - spp)
+                comp = m["compression"] + (
+                    "+pred" if m["predictor"] == 2 else ""
+                )
                 rows.append(
                     (
-                        d, True, m["byte_order"], m["compression"],
+                        d, True, m["byte_order"], comp,
                         spp, m["width"], m["height"],
                         means[0], means[1], means[2], None,
                     )

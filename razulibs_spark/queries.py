@@ -9186,8 +9186,10 @@ px AS (SELECT o.doc_id, o.w, o.h, xx.x, yy.y
 rgb_out AS (
   SELECT doc_id, TRUE AS decoded,
          CASE WHEN doc_id % 5 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
-         CASE WHEN doc_id % 3 = 0 THEN 'packbits' ELSE 'none' END
-           AS compression,
+         CASE WHEN doc_id % 3 = 0 THEN 'packbits'
+              WHEN doc_id % 3 = 1 AND doc_id % 7 < 3 THEN 'lzw+pred'
+              WHEN doc_id % 3 = 1 THEN 'lzw'
+              ELSE 'none' END AS compression,
          CAST(3 AS BIGINT) AS n_channels,
          CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
          AVG(CAST((doc_id + 3*x + 5*y) % 256 AS DOUBLE)) AS mean_c1,
@@ -9198,8 +9200,10 @@ rgb_out AS (
 gray_out AS (
   SELECT doc_id, TRUE AS decoded,
          CASE WHEN doc_id % 5 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
-         CASE WHEN doc_id % 3 = 0 THEN 'packbits' ELSE 'none' END
-           AS compression,
+         CASE WHEN doc_id % 3 = 0 THEN 'packbits'
+              WHEN doc_id % 3 = 1 AND doc_id % 7 < 3 THEN 'lzw+pred'
+              WHEN doc_id % 3 = 1 THEN 'lzw'
+              ELSE 'none' END AS compression,
          CAST(1 AS BIGINT) AS n_channels,
          CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
          AVG(CAST((5*doc_id + 3*x + 7*y) % 256 AS DOUBLE)) AS mean_c1,
@@ -9227,11 +9231,12 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     imagery masters actually ship in; the reference's DROID sidecar
     classifies TIFFs, razu/demo csv_luchtfotos): deterministic TIFFs
     are encoded byte-for-byte from doc_id across the subset's variant
-    axes (II/MM byte order × none/PackBits compression × gray/RGB),
-    then walked back by the strict IFD parser and strip decoder; the
-    oracle recomputes every per-channel mean from the pixel formulas,
-    so a PackBits run slip, an endianness mix-up or a strip boundary
-    error changes a mean. Docs with doc_id % 17 == 9 carry a poison
+    axes (II/MM byte order × none/PackBits/LZW[/+Predictor-2]
+    compression × gray/RGB — LZW is what archival masters actually
+    use), then walked back by the strict IFD parser and strip decoder;
+    the oracle recomputes every per-channel mean from the pixel
+    formulas, so a PackBits run slip, an LZW EarlyChange width desync,
+    an endianness mix-up or a strip boundary error changes a mean. Docs with doc_id % 17 == 9 carry a poison
     payload (valid header, IFD offset past EOF) — the fail-closed row
     is itself hash-verified. One Arrow pass each way."""
     from razulibs_spark.operators.tiff import (

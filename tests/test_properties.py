@@ -724,18 +724,34 @@ def test_tiff_packbits_roundtrips_any_bytes(data):
     assert packbits_decode(packbits_encode(data), len(data)) == data
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.binary(min_size=0, max_size=3000))
+@example(b"A" * 600).via("repeat run crossing the 9->10 bit boundary")
+@example(bytes((i * 37) % 251 for i in range(6000))).via(
+    "incompressible: widths 9..12 and the 4094-entry table reset"
+)
+@example(b"").via("empty strip: Clear + EOI only")
+def test_tiff_lzw_roundtrips_any_bytes(data):
+    from razulibs_spark.operators.tiff import lzw_decode, lzw_encode
+
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
 @settings(max_examples=150, deadline=None)
 @given(
     st.integers(min_value=1, max_value=24),
     st.integers(min_value=1, max_value=24),
     st.integers(min_value=0, max_value=10**9),
-    st.booleans(), st.booleans(), st.booleans(),
+    st.booleans(), st.booleans(),
+    st.sampled_from(["none", "packbits", "lzw"]),
+    st.booleans(),
     st.integers(min_value=1, max_value=9),
 )
-def test_tiff_roundtrips_any_geometry(w, h, seed, rgb, be, pb, rps):
-    """Every geometry × byte order × compression × channel count ×
-    rows-per-strip roundtrips pixel-exact (strip boundaries at every
-    possible offset relative to height)."""
+def test_tiff_roundtrips_any_geometry(w, h, seed, rgb, be, comp, pred,
+                                      rps):
+    """Every geometry × byte order × compression × predictor × channel
+    count × rows-per-strip roundtrips pixel-exact (strip boundaries at
+    every possible offset relative to height)."""
     from razulibs_spark.operators.tiff import decode_tiff, encode_tiff
 
     if rgb:
@@ -749,9 +765,12 @@ def test_tiff_roundtrips_any_geometry(w, h, seed, rgb, be, pb, rps):
         pix = [(seed + 13 * i) % 256 for i in range(w * h)]
         flat = pix
     m = decode_tiff(
-        encode_tiff(w, h, pix, rgb=rgb, big_endian=be, packbits=pb,
-                    rows_per_strip=rps)
+        encode_tiff(w, h, pix, rgb=rgb, big_endian=be,
+                    packbits=(comp == "packbits"), lzw=(comp == "lzw"),
+                    predictor2=pred, rows_per_strip=rps)
     )
     assert (m["width"], m["height"]) == (w, h)
     assert m["n_channels"] == (3 if rgb else 1)
+    assert m["compression"] == comp
+    assert m["predictor"] == (2 if pred else 1)
     assert list(m["pixels"]) == flat

@@ -329,9 +329,9 @@ def test_tiff_stage_and_honest_rejections(spark):
     # d=0: gray, big-endian (0%5==0), packbits (0%3==0)
     assert (rows[0]["byte_order"], rows[0]["compression"],
             rows[0]["n_channels"]) == ("MM", "packbits", 1)
-    # d=1: rgb, little-endian, uncompressed
+    # d=1: rgb, little-endian, LZW with Predictor 2 (1%3==1, 1%7<3)
     assert (rows[1]["byte_order"], rows[1]["compression"],
-            rows[1]["n_channels"]) == ("II", "none", 3)
+            rows[1]["n_channels"]) == ("II", "lzw+pred", 3)
     assert rows[1]["mean_c3"] is not None
     # d=9: poison (9%17==9) fails closed with the pinned note
     assert rows[9]["decoded"] is False
@@ -343,14 +343,50 @@ def test_tiff_stage_and_honest_rejections(spark):
     import pytest as _pytest
 
     base = encode_tiff(3, 2, [1, 2, 3, 4, 5, 6])
-    # flip Compression (tag 259) to LZW (5): entry order is sorted by
-    # tag, so patch via decode of the known layout — simpler: build a
-    # tiny IFD by hand is overkill; patch the value in place.
+    # flip Compression (tag 259) to JPEG-in-TIFF (7): entry order is
+    # sorted by tag, so patch the value in place.
     idx = base.find(_s.pack("<HHI", 259, 3, 1))
-    patched = (base[:idx + 8] + _s.pack("<I", 5) + base[idx + 12:])
-    with _pytest.raises(ValueError, match="unsupported compression 5"):
+    patched = (base[:idx + 8] + _s.pack("<I", 7) + base[idx + 12:])
+    with _pytest.raises(ValueError, match="unsupported compression 7"):
         decode_tiff(patched)
     idx = base.find(_s.pack("<HHI", 258, 3, 1))
     patched = base[:idx + 8] + _s.pack("<I", 16) + base[idx + 12:]
     with _pytest.raises(ValueError, match="only 8-bit"):
         decode_tiff(patched)
+
+
+def test_tiff_lzw_pinned_vector_and_strictness():
+    """Spec conformance pinned by hand-packed bytes, not just
+    encoder/decoder agreement: for ABABABA the code stream is
+    Clear(256), A(65), B(66), AB(258), ABA(260), EOI(257) — six 9-bit
+    codes packed MSB-first = 80 10 48 50 28 24 04."""
+    import pytest as _pytest
+
+    from razulibs_spark.operators.tiff import lzw_decode, lzw_encode
+
+    enc = lzw_encode(b"ABABABA")
+    assert enc == bytes([0x80, 0x10, 0x48, 0x50, 0x28, 0x24, 0x04])
+    assert lzw_decode(enc, 7) == b"ABABABA"
+    with _pytest.raises(ValueError, match="truncated"):
+        lzw_decode(enc[:-2], 7)  # EOI sheared off
+    # Clear then code 300 (> table size 258): 9-bit MSB-first pack
+    with _pytest.raises(ValueError, match="beyond table"):
+        lzw_decode(bytes([0x80, 0x4B, 0x00]), 4)
+    # stream that never starts with Clear: literal 65 first
+    with _pytest.raises(ValueError, match="before initial Clear"):
+        lzw_decode(bytes([0x20, 0x80, 0x40]), 4)
+
+
+def test_tiff_predictor2_bites_and_roundtrips():
+    """Predictor 2 turns a smooth gradient into near-constant deltas —
+    LZW output must shrink, and pixels still roundtrip exactly."""
+    from razulibs_spark.operators.tiff import decode_tiff, encode_tiff
+
+    w, h = 64, 16
+    pix = [(x * 3 + y) % 256 for y in range(h) for x in range(w)]
+    plain = encode_tiff(w, h, pix, lzw=True)
+    pred = encode_tiff(w, h, pix, lzw=True, predictor2=True)
+    assert len(pred) < len(plain)
+    m = decode_tiff(pred)
+    assert m["compression"] == "lzw" and m["predictor"] == 2
+    assert list(m["pixels"]) == pix
