@@ -47,7 +47,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # permanently occupy window slots.
 # multimodal_tiff_decode: r9 added LZW/Predictor-2 coverage, changing
 # the compression labels in its output — needs a fresh driver row.
-_ROTATION_FORCE_REFRESH = frozenset({"multimodal_tiff_decode"})
+# text_charset_sniff: r9 widened the synthesis grid to d%8 with the
+# non-Latin legacy charsets — labels and hashes changed.
+_ROTATION_FORCE_REFRESH = frozenset({
+    "multimodal_tiff_decode", "text_charset_sniff",
+})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",

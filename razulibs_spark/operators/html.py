@@ -53,7 +53,12 @@ def extract_page(html: str) -> dict:
     class _Main(HTMLParser):
         def __init__(self) -> None:
             super().__init__(convert_charrefs=True)
-            self.skip = 0
+            # skip regions as a TAG STACK, not a counter: stdlib
+            # HTMLParser never synthesizes end tags, so an unclosed
+            # <header> under a counter left skip>0 forever and erased
+            # the whole page body (ADVICE r8). A stack pops only on a
+            # matching end tag, and structural boundaries reset it.
+            self.skip_stack: list[str] = []
             self.in_title = False
             self.title_buf: list[str] = []
             self.block_buf: list[str] | None = None
@@ -62,11 +67,21 @@ def extract_page(html: str) -> dict:
             self.links: list[tuple[str, str]] = []  # (href, anchor)
             self._anchor: tuple[str, list[str]] | None = None
 
+        @property
+        def skip(self) -> int:
+            return len(self.skip_stack)
+
         def handle_starttag(self, tag, attrs):
             if tag in _VOID:
                 return
+            if tag in ("main", "article", "body"):
+                # a structural content boundary: whatever boilerplate
+                # region is still "open" was mis-nested chrome — it
+                # must not swallow the content region.
+                self.skip_stack.clear()
+                return
             if tag in _SKIP:
-                self.skip += 1
+                self.skip_stack.append(tag)
                 return
             if tag == "a":
                 if self.skip > 0:
@@ -85,7 +100,14 @@ def extract_page(html: str) -> dict:
 
         def handle_endtag(self, tag):
             if tag in _SKIP:
-                self.skip = max(0, self.skip - 1)
+                if tag in self.skip_stack:
+                    # pop through the matching open region: an inner
+                    # unclosed region dies with its enclosing one
+                    # (implied end tags), a stray end tag is ignored.
+                    while self.skip_stack and self.skip_stack[-1] != tag:
+                        self.skip_stack.pop()
+                    if self.skip_stack:
+                        self.skip_stack.pop()
                 return
             if self.skip:
                 return
@@ -296,7 +318,17 @@ def sniff_decode(body: bytes) -> tuple[str, str]:
     if body.startswith(codecs.BOM_UTF16_LE) or body.startswith(
         codecs.BOM_UTF16_BE
     ):
-        return "utf-16", body.decode("utf-16")  # BOM selects the order
+        try:
+            # BOM selects the byte order
+            return "utf-16", body.decode("utf-16")
+        except UnicodeDecodeError:
+            # truncated/odd-length BOM-prefixed bytes degrade per-ROW
+            # (ADVICE r8): the stage's fail-closed contract means no
+            # arbitrary crawl payload may kill the task.
+            return (
+                "utf-16/fallback:windows-1252",
+                body.decode("windows-1252"),
+            )
     m = _META_CHARSET_RE.search(body[:1024])
     if m:
         declared = m.group(1).decode("ascii").lower()
@@ -342,15 +374,37 @@ def decode_pages(raw: DataFrame, body_col: str = "body") -> DataFrame:
     return raw.mapInPandas(batches, schema=DECODED_PAGE_SCHEMA)
 
 
+# (marker word, encoding, meta snippet) per synthesis mode — the top
+# of the declared-charset distribution real crawls actually serve
+# (W3Techs-order: UTF-8, then the legacy Latin pages, then the CJK
+# national encodings). Markers are chosen INSIDE each charset's
+# repertoire; a wrong decode flips the content hash, not just the
+# label. Stdlib ``codecs`` covers every one of them.
+_ENCODED_PAGE_MODES = (
+    ("café", "utf-8", ""),  # no declaration: content-heuristic path
+    ("café", "windows-1252", '<meta charset="windows-1252">'),
+    ("café", "utf-16", None),  # BOM'd UTF-16-LE, special-cased below
+    ("café", "iso-8859-1",
+     '<meta http-equiv="Content-Type" '
+     'content="text/html; charset=iso-8859-1">'),
+    ("カフェ", "shift_jis", '<meta charset="shift_jis">'),
+    ("咖啡", "gbk", '<meta charset="gbk">'),
+    ("카페", "euc-kr", '<meta charset="euc-kr">'),
+    ("kavárna", "iso-8859-2", '<meta charset="iso-8859-2">'),
+)
+
+
 def synthesize_encoded_pages(documents: DataFrame) -> DataFrame:
     """Deterministic raw page BYTES in the encodings a crawl actually
-    serves. Per doc d (mode = d%4): 0 = plain UTF-8, no declaration
-    (content heuristic path); 1 = windows-1252 with <meta charset>;
-    2 = UTF-16-LE with BOM; 3 = ISO-8859-1 via http-equiv
-    content-type. Docs with d%19 == 5 MIS-DECLARE utf-8 over cp1252
-    bytes — the fallback path, reported not swallowed. Every page's
-    text starts with a non-ASCII marker word (café<d%7>) so a wrong
-    decode changes the content hash, not just the label."""
+    serves — mode = d%8 over _ENCODED_PAGE_MODES: plain UTF-8 (no
+    declaration, the content-heuristic path), meta-declared
+    windows-1252, BOM'd UTF-16-LE, http-equiv ISO-8859-1, and the
+    declared non-Latin legacy set (Shift-JIS, GBK, EUC-KR,
+    ISO-8859-2 — VERDICT r8 item 6). Docs with d%19 == 5 MIS-DECLARE
+    utf-8 over cp1252 bytes — the fallback path, reported not
+    swallowed. Every page's text starts with a non-ASCII marker word
+    from the charset's own repertoire (café<d%7> / カフェ<d%7> / …) so
+    a wrong decode changes the content hash, not just the label."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out_schema_cols = ("doc_id", "body")
@@ -358,31 +412,20 @@ def synthesize_encoded_pages(documents: DataFrame) -> DataFrame:
             ids, bodies = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(doc_id)
-                content = f"café{d % 7} {text}"
-
-                def page(meta: str) -> str:
-                    return (
-                        f"<html><head>{meta}<title>Doc {d}</title></head>"
-                        f"<body><p>{content}</p></body></html>"
-                    )
-
+                marker, enc, meta = _ENCODED_PAGE_MODES[d % 8]
                 if d % 19 == 5:
-                    body = page('<meta charset="utf-8">').encode(
-                        "windows-1252"
+                    marker, enc, meta = (
+                        "café", "windows-1252", '<meta charset="utf-8">'
                     )
-                elif d % 4 == 1:
-                    body = page('<meta charset="windows-1252">').encode(
-                        "windows-1252"
-                    )
-                elif d % 4 == 2:
-                    body = b"\xff\xfe" + page("").encode("utf-16-le")
-                elif d % 4 == 3:
-                    body = page(
-                        '<meta http-equiv="Content-Type" '
-                        'content="text/html; charset=iso-8859-1">'
-                    ).encode("iso-8859-1")
+                content = f"{marker}{d % 7} {text}"
+                page = (
+                    f"<html><head>{meta or ''}<title>Doc {d}</title>"
+                    f"</head><body><p>{content}</p></body></html>"
+                )
+                if meta is None:  # utf-16 mode: BOM carries the label
+                    body = b"\xff\xfe" + page.encode("utf-16-le")
                 else:
-                    body = page("").encode("utf-8")
+                    body = page.encode(enc)
                 ids.append(d)
                 bodies.append(body)
             yield pd.DataFrame(dict(zip(out_schema_cols, (ids, bodies))))

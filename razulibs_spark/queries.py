@@ -1747,13 +1747,23 @@ def pipeline_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHARSET_SQL = """
 SELECT doc_id,
        CASE WHEN doc_id % 19 = 5 THEN 'utf-8/fallback:windows-1252'
-            WHEN doc_id % 4 = 1 THEN 'windows-1252'
-            WHEN doc_id % 4 = 2 THEN 'utf-16'
-            WHEN doc_id % 4 = 3 THEN 'iso-8859-1'
+            WHEN doc_id % 8 = 1 THEN 'windows-1252'
+            WHEN doc_id % 8 = 2 THEN 'utf-16'
+            WHEN doc_id % 8 = 3 THEN 'iso-8859-1'
+            WHEN doc_id % 8 = 4 THEN 'shift_jis'
+            WHEN doc_id % 8 = 5 THEN 'gbk'
+            WHEN doc_id % 8 = 6 THEN 'euc-kr'
+            WHEN doc_id % 8 = 7 THEN 'iso-8859-2'
             ELSE 'utf-8' END AS encoding,
        'Doc ' || CAST(doc_id AS VARCHAR) AS title,
        CAST(1 AS BIGINT) AS n_blocks,
-       md5('café' || CAST(doc_id % 7 AS VARCHAR) || ' ' || text)
+       md5(CASE WHEN doc_id % 19 = 5 THEN 'café'
+                WHEN doc_id % 8 = 4 THEN 'カフェ'
+                WHEN doc_id % 8 = 5 THEN '咖啡'
+                WHEN doc_id % 8 = 6 THEN '카페'
+                WHEN doc_id % 8 = 7 THEN 'kavárna'
+                ELSE 'café' END
+           || CAST(doc_id % 7 AS VARCHAR) || ' ' || text)
          AS main_hash
 FROM documents
 """
@@ -1765,8 +1775,10 @@ def text_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl payloads (WARC bodies) and every text operator. Raw page
     BYTES are synthesized in the encodings a crawl actually serves
     (plain UTF-8, meta-declared windows-1252, BOM'd UTF-16-LE,
-    http-equiv ISO-8859-1, and a MIS-declared utf-8-over-cp1252 slot
-    that must fall back loudly, not mojibake silently); sniff order is
+    http-equiv ISO-8859-1, declared Shift-JIS/GBK/EUC-KR/ISO-8859-2
+    with in-repertoire marker words, and a MIS-declared
+    utf-8-over-cp1252 slot that must fall back loudly, not mojibake
+    silently); sniff order is
     BOM → declaration → strict-UTF-8 → windows-1252 fallback. Each
     page's text leads with a non-ASCII marker word, so a wrong decode
     flips the content hash, not just the label. Decode and extraction

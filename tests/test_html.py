@@ -153,3 +153,55 @@ def test_extract_main_text_passthrough_types(spark):
     assert (row["kind"], row["status"], row["n_blocks"]) == (
         "response", 200, 1
     )
+
+
+def test_unclosed_chrome_recovers_at_structural_boundary():
+    """ADVICE r8: one missing </nav> (or an unclosed <header>) must
+    not erase the page body — <main>/<article>/<body> reset the skip
+    stack, and a stray chrome end tag pops through mis-nesting."""
+    res = extract_page(
+        "<header><h1>site</h1>"  # never closed
+        "<main><p>real content</p></main>"
+        "<footer><a href='/t'>t</a></footer>"
+    )
+    assert res["blocks"] == ["real content"]
+    assert res["n_links_removed"] == 1  # footer link still chrome
+    # implied end tags: </nav> closes the inner unclosed <header> too
+    res = extract_page(
+        "<nav><header>menu</header-typo>junk</nav>"
+        "<p>content</p>"
+    )
+    assert res["blocks"] == ["content"]
+    # a stray chrome end tag with nothing open is ignored, not negative
+    res = extract_page("</nav><aside>x</aside><p>ok</p>")
+    assert res["blocks"] == ["ok"]
+
+
+def test_sniff_decode_truncated_utf16_and_nonlatin():
+    from razulibs_spark.operators.html import sniff_decode
+
+    # ADVICE r8: odd-length BOM-prefixed bytes degrade per-row
+    enc, text = sniff_decode(b"\xff\xfeA")
+    assert enc == "utf-16/fallback:windows-1252" and text
+    # unpaired surrogate half: also a per-row fallback, not a raise
+    enc, _ = sniff_decode(b"\xff\xfe\x00\xd8")
+    assert enc == "utf-16/fallback:windows-1252"
+    # declared non-Latin charsets round-trip via stdlib codecs
+    for cs, word in [("shift_jis", "カフェ"), ("gbk", "咖啡"),
+                     ("euc-kr", "카페"), ("iso-8859-2", "kavárna"),
+                     ("iso-8859-5", "кафе")]:
+        body = f'<meta charset="{cs}"><p>{word}</p>'.encode(cs)
+        enc, text = sniff_decode(body)
+        assert enc == cs and word in text
+    # mis-declared non-Latin bytes are LABELED, not swallowed:
+    # euc-kr bytes under a shift_jis declaration either decode to the
+    # wrong text or fall back — never raise; here 0xc4 0xab is valid
+    # shift_jis, so the declared label wins with mojibake text, which
+    # the content-hash oracle (not the label) is what catches.
+    body = b'<meta charset="shift_jis"><p>\xc4\xab</p>'
+    enc, _ = sniff_decode(body)
+    assert enc == "shift_jis"
+    # bytes INVALID for the declaration fall back loudly
+    body = b'<meta charset="euc-kr"><p>\xff\xff</p>'
+    enc, _ = sniff_decode(body)
+    assert enc == "euc-kr/fallback:windows-1252"
