@@ -69,6 +69,22 @@ def assemble_sip(
         F.col("filename").endswith(".meta.json")
     ).persist()
 
+    # Shared-FS assumption made LOUD (ADVICE r8): with distributed
+    # writes on a cluster whose sip_dir is NOT actually shared, files
+    # land on executor-local disks and the manifest scan under-counts
+    # — an incomplete archival SIP with no error. The two counts are
+    # both already materialized; a mismatch is a data-integrity
+    # failure, never a warning.
+    n_files = manifest.count()
+    if n_files != n_docs:
+        raise RuntimeError(
+            f"assemble_sip: manifest scan found {n_files} metadata "
+            f"files but {n_docs} were written — sip_dir {sip_dir!r} "
+            "is not a filesystem every executor mounts (or writes "
+            "were lost); re-run with distributed=False or point "
+            "sip_dir at shared storage"
+        )
+
     # Events in dependency order (ids dense across the groups, S8/A3):
     # ingestion_start → one mem per document → one fix per manifest
     # entry → ingestion_end. Built AFTER the manifest frame exists, so
@@ -80,7 +96,6 @@ def assemble_sip(
         manifest.select(F.col("filename").alias("uri")), "uri",
         "mem", actor=actor, description="Metadata object created.",
         id_offset=1)
-    n_files = manifest.count()
     fix_ev = ev.fixity_check_events(
         manifest, manifest_from_directory(spark, sip_dir, base_segment=sip_dir.rstrip("/") + "/"),
         actor=actor, id_offset=1 + n_files)

@@ -385,3 +385,25 @@ def test_collect_rdf_lifecycle(spark, tmp_path):
     collect_rdf_to_turtle(spark, out, a, b)
     back = read_turtle(spark, out)
     assert back.count() == got.count()
+
+
+def test_sip_assembly_count_mismatch_is_loud(spark, tmp_path):
+    """ADVICE r8: if the manifest scan disagrees with the number of
+    documents written (the signature of a non-shared sip_dir on a real
+    cluster, or lost writes), assembly must FAIL, not emit an
+    incomplete archival SIP. Simulated here with a stray pre-existing
+    .meta.json the scan picks up."""
+    import os
+
+    import pytest
+
+    from razulibs_spark.plans.sip import assemble_sip
+
+    metadata, droid, vocab = _fixture(spark)
+    triples = csv2rdf_triples(metadata, droid, vocab)
+    sip = str(tmp_path / "sip_stray")
+    os.makedirs(sip)
+    with open(os.path.join(sip, "stray-orphan.meta.json"), "w") as fh:
+        fh.write("{}")
+    with pytest.raises(RuntimeError, match="12 metadata files but 11"):
+        assemble_sip(spark, triples, sip)

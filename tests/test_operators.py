@@ -1408,3 +1408,40 @@ def test_audio_spectral_finds_planted_bin(spark):
     assert r1["dominant_hz"] == 9 * 8000 / 1024
     assert not got[2]["decoded"]
     assert got[2]["note"] == "WAV missing fmt/data chunk"
+
+
+def test_grid_spatial_join_replication_guard(spark):
+    """VERDICT r8 item 7: a continent-sized box at a tiny cell must
+    raise a NAMED error with the replication count, not melt the
+    shuffle; compliant boxes still join exactly."""
+    import pytest as _pytest
+
+    from razulibs_spark.operators.spatial import grid_spatial_join
+
+    pts = spark.createDataFrame(
+        [(1, 5.0, 5.0), (2, 250.0, 250.0)], "pid long, x double, y double"
+    )
+    ok_boxes = spark.createDataFrame(
+        [(10, 0.0, 0.0, 20.0, 20.0)],
+        "bid long, xmin double, ymin double, xmax double, ymax double",
+    )
+    got = grid_spatial_join(pts, ok_boxes, cell=10.0).collect()
+    assert [(r["pid"], r["bid"]) for r in got] == [(1, 10)]
+
+    adversarial = spark.createDataFrame(
+        [(99, 0.0, 0.0, 1e6, 1e6)],  # 100k x 100k cells at cell=10
+        "bid long, xmin double, ymin double, xmax double, ymax double",
+    )
+    with _pytest.raises(Exception, match="replicates to 10000000000"):
+        grid_spatial_join(pts, adversarial, cell=10.0).collect()
+    # a caller who KNOWS can raise the ceiling
+    wide = spark.createDataFrame(
+        [(7, 0.0, 0.0, 300.0, 300.0)],  # 30x30 = 900 cells
+        "bid long, xmin double, ymin double, xmax double, ymax double",
+    )
+    with _pytest.raises(Exception, match="replicates to 900"):
+        grid_spatial_join(pts, wide, cell=10.0,
+                          max_cells_per_box=100).collect()
+    got = grid_spatial_join(pts, wide, cell=10.0,
+                            max_cells_per_box=1000).collect()
+    assert sorted((r["pid"], r["bid"]) for r in got) == [(1, 7), (2, 7)]
