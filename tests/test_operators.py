@@ -1445,3 +1445,54 @@ def test_grid_spatial_join_replication_guard(spark):
     got = grid_spatial_join(pts, wide, cell=10.0,
                             max_cells_per_box=1000).collect()
     assert sorted((r["pid"], r["bid"]) for r in got) == [(1, 7), (2, 7)]
+
+
+def test_idempotent_sink_replayed_epoch_converges(spark, tmp_path):
+    """VERDICT r8 item 8: attack the exactly-once claim instead of
+    asserting it. A restarted foreachBatch epoch re-runs upsert_batch
+    with the SAME micro-batch — after (a) a clean double-apply and
+    (b) a crash HALF-WAY through the bucket swap (one bucket rolled
+    back to its pre-epoch state), the store must converge to exactly
+    one row per key with the epoch's values."""
+    import shutil
+
+    from razulibs_spark.streaming.idempotent_sink import upsert_batch
+
+    target = str(tmp_path / "store")
+
+    def snapshot(tag):
+        shutil.copytree(target, str(tmp_path / tag))
+
+    def state():
+        rows = spark.read.parquet(target).collect()
+        got = sorted((r["event_id"], r["val"]) for r in rows)
+        assert len({k for k, _ in got}) == len(got), "duplicate keys"
+        return got
+
+    b1 = spark.createDataFrame(
+        [(i, "v1") for i in range(20)], "event_id long, val string"
+    )
+    b2 = spark.createDataFrame(
+        [(i, "v2") for i in range(10, 30)], "event_id long, val string"
+    )
+    upsert_batch(b1, target, "event_id", n_buckets=4)
+    snapshot("pre_epoch")  # the on-disk state before epoch 2
+    upsert_batch(b2, target, "event_id", n_buckets=4)
+    want = sorted(
+        [(i, "v1") for i in range(10)] + [(i, "v2") for i in range(10, 30)]
+    )
+    assert state() == want
+
+    # (a) clean replay of the whole epoch
+    upsert_batch(b2, target, "event_id", n_buckets=4)
+    assert state() == want
+
+    # (b) crash mid-swap: bucket 2 never got renamed — roll just that
+    # bucket back to its pre-epoch bytes, then replay the epoch.
+    shutil.rmtree(target + "/_bucket=2")
+    shutil.copytree(
+        str(tmp_path / "pre_epoch/_bucket=2"), target + "/_bucket=2"
+    )
+    assert state() != want  # the simulated crash really lost the swap
+    upsert_batch(b2, target, "event_id", n_buckets=4)
+    assert state() == want
