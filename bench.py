@@ -329,9 +329,16 @@ R08_ADDITIONS = [
     "pipeline_frontier_assembly",
 ]
 
+R09_ADDITIONS = [
+    "pipeline_warc_mixed",
+    "pipeline_sitemap_discovery",
+    "pipeline_cdx_index",
+    "pipeline_crawl_schedule",
+]
+
 HEADLINE = (
     R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS
-    + R07_ADDITIONS + R08_ADDITIONS
+    + R07_ADDITIONS + R08_ADDITIONS + R09_ADDITIONS
 )
 
 N_RUNS = 2

@@ -67,6 +67,53 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     return [r for a, rs in groups if "*" in a for r in rs]
 
 
+def crawl_delay(text: str, agent: str = "*") -> float | None:
+    """The ``Crawl-delay`` of the group matching ``agent`` (the
+    nonstandard-but-ubiquitous politeness extension every major
+    crawler honors). Group selection mirrors parse_robots: a group
+    naming the agent exactly REPLACES the ``*`` group; within the
+    winning groups the LARGEST delay wins (the conservative read of a
+    conflicting file). Unparsable values are skipped, not fatal."""
+    groups: list[tuple[list[str], float | None]] = []
+    agents: list[str] = []
+    delay: float | None = None
+    in_rules = False
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        key, sep, val = line.partition(":")
+        if not sep:
+            continue
+        key = key.strip().lower()
+        val = val.strip()
+        if key == "user-agent":
+            if in_rules:
+                groups.append((agents, delay))
+                agents, delay, in_rules = [], None, False
+            agents.append(val.lower())
+        elif key in ("allow", "disallow", "crawl-delay"):
+            in_rules = True
+            if key == "crawl-delay":
+                try:
+                    d = float(val)
+                    if d >= 0:
+                        delay = d if delay is None else max(delay, d)
+                except ValueError:
+                    pass  # "Crawl-delay: fast" — skipped, not fatal
+    if agents or in_rules:
+        groups.append((agents, delay))
+    agent = agent.lower()
+    # group REPLACEMENT mirrors parse_robots: when any group names the
+    # agent, the * groups do not apply at all — a specific group
+    # without a Crawl-delay means "no delay", not "inherit *'s".
+    if any(agent in a for a, _ in groups):
+        pool = [d for a, d in groups if agent in a if d is not None]
+    else:
+        pool = [d for a, d in groups if "*" in a if d is not None]
+    return max(pool) if pool else None
+
+
 def _pattern_regex(pattern: str) -> "re.Pattern":
     anchored = pattern.endswith("$")
     body = pattern[:-1] if anchored else pattern
@@ -152,6 +199,55 @@ def discover_sitemaps(robots: DataFrame) -> DataFrame:
 
     return robots.select(
         "host", F.explode(_sm("robots_txt")).alias("sitemap_url")
+    )
+
+
+def host_crawl_delays(robots: DataFrame, agent: str = "*") -> DataFrame:
+    """robots (host, robots_txt) → (host, crawl_delay) — NULL when the
+    matching group declares none. Same tiny-dim pandas_udf posture as
+    discover_sitemaps: one grammar implementation, off the fact
+    path."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @F.pandas_udf(DoubleType())
+    def _cd(txt: pd.Series) -> pd.Series:
+        return txt.map(
+            lambda t: crawl_delay(t if isinstance(t, str) else "", agent)
+        )
+
+    return robots.select("host", _cd("robots_txt").alias("crawl_delay"))
+
+
+def politeness_schedule(
+    frontier: DataFrame,
+    robots: DataFrame,
+    agent: str = "*",
+    default_delay: float = 1.0,
+    url_col: str = "url",
+) -> DataFrame:
+    """Frontier (host, url, …) × robots → per-URL fetch offsets: the
+    k-th URL of a host (deterministic url order) fetches at
+    ``(k-1) × crawl_delay`` seconds into the host's window — the
+    politeness schedule a frontier hands the fetcher fleet. Scale
+    shape: the robots dim broadcasts, the window partitions BY HOST
+    (millions of independent partitions, no global sort), and the
+    whole thing is codegen after the tiny delay-dim UDF."""
+    from pyspark.sql import Window
+
+    delays = host_crawl_delays(robots, agent)
+    w = Window.partitionBy("host").orderBy(url_col)
+    return (
+        frontier.join(F.broadcast(delays), "host", "left")
+        .withColumn(
+            "crawl_delay",
+            F.coalesce(F.col("crawl_delay"), F.lit(default_delay)),
+        )
+        .withColumn(
+            "fetch_at",
+            (F.row_number().over(w) - 1).cast("double")
+            * F.col("crawl_delay"),
+        )
     )
 
 

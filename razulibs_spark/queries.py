@@ -1248,34 +1248,11 @@ SELECT CAST(-1 AS BIGINT), CAST(8 AS BIGINT), NULL, NULL, NULL, NULL,
 """
 
 
-@query("pipeline_warc_mixed", _WARC_MIXED_SQL)
-def pipeline_warc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-crawl record mix (VERDICT r8 item 1): CommonCrawl files
-    interleave warcinfo, request, response, revisit and metadata
-    records per fetch — the r8 reader died on the first
-    ``GET / HTTP/1.1``. Here every document gets a request + response
-    + metadata record (revisit on every 4th, 8 file-level warcinfo
-    rows), all payloads built as pure codegen expressions, written
-    through the generic mixed-record sink (sources/warc.py:
-    write_warc_records, per-record gzip members) and read back through
-    the liberal parser: responses/revisits parse their status line
-    (revisits via the bare-header-block branch — no CRLF CRLF
-    terminator at all), requests/metadata/warcinfo keep their raw
-    payloads with status NULL. The oracle recomputes every per-doc
-    stat (record count, both statuses, raw byte lengths, response body
-    md5) from documents alone — any record dropped, misrouted to the
-    wrong branch, or with a mangled payload mismatches."""
-    import os
-
-    from razulibs_spark.sources.warc import (
-        read_warc,
-        write_warc_records,
-    )
-
-    base = (
-        "/root/repo/.scratch/warc_mixed_"
-        + os.path.basename(sf_dir.rstrip("/"))
-    )
+def _mixed_warc_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl-shaped record mix both WARC entries write: per
+    document a request + response + metadata record (revisit on every
+    4th), plus 8 file-level warcinfo rows — all payloads pure codegen
+    from doc_id/text."""
     crlf = "\r\n"
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     uri = F.concat(
@@ -1336,10 +1313,41 @@ def pipeline_warc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id").cast("string"), F.lit(crlf),
         ).cast("binary").alias("payload"),
     )
-    records = (
+    return (
         request.unionByName(response).unionByName(revisit)
         .unionByName(metadata).unionByName(warcinfo)
     )
+
+
+@query("pipeline_warc_mixed", _WARC_MIXED_SQL)
+def pipeline_warc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-crawl record mix (VERDICT r8 item 1): CommonCrawl files
+    interleave warcinfo, request, response, revisit and metadata
+    records per fetch — the r8 reader died on the first
+    ``GET / HTTP/1.1``. Here every document gets a request + response
+    + metadata record (revisit on every 4th, 8 file-level warcinfo
+    rows), all payloads built as pure codegen expressions, written
+    through the generic mixed-record sink (sources/warc.py:
+    write_warc_records, per-record gzip members) and read back through
+    the liberal parser: responses/revisits parse their status line
+    (revisits via the bare-header-block branch — no CRLF CRLF
+    terminator at all), requests/metadata/warcinfo keep their raw
+    payloads with status NULL. The oracle recomputes every per-doc
+    stat (record count, both statuses, raw byte lengths, response body
+    md5) from documents alone — any record dropped, misrouted to the
+    wrong branch, or with a mangled payload mismatches."""
+    import os
+
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_records,
+    )
+
+    base = (
+        "/root/repo/.scratch/warc_mixed_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    records = _mixed_warc_records(spark, sf_dir)
     write_warc_records(records.repartition(8), base, compress=True)
     back = read_warc(spark, base)
     return (
@@ -1373,6 +1381,120 @@ def pipeline_warc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("metadata_bytes"),
             F.max("rmd5").alias("response_md5"),
         )
+    )
+
+
+_CDX_SQL = """
+SELECT 'example,h' || CAST(doc_id % 8 AS VARCHAR) || ')/doc/'
+         || CAST(doc_id AS VARCHAR) AS urlkey,
+       '20240101000000' AS timestamp,
+       'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS url,
+       CAST(200 AS BIGINT) AS status,
+       'text/plain' AS mime,
+       md5(text) AS digest,
+       CAST(strlen(text) AS BIGINT) AS length
+FROM documents
+"""
+
+
+@query("pipeline_cdx_index", _CDX_SQL)
+def pipeline_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX index construction — the lookup sidecar CommonCrawl ships
+    next to every .warc.gz shard: the full mixed-record corpus
+    (request/response/revisit/metadata/warcinfo) goes through the
+    WARC sink and scan, then cdx_from_records (sources/warc.py) keeps
+    one row per RESPONSE capture with SURT urlkey (reversed host),
+    14-digit timestamp, status, mime, payload digest and length —
+    pure codegen after the parse. Requests and revisits must NOT
+    index (a revisit's empty body would corrupt dedup digests); the
+    oracle recomputes every field from documents alone."""
+    import os
+
+    from razulibs_spark.sources.warc import (
+        cdx_from_records,
+        read_warc,
+        write_warc_records,
+    )
+
+    base = (
+        "/root/repo/.scratch/warc_cdx_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    write_warc_records(
+        _mixed_warc_records(spark, sf_dir).repartition(8), base,
+        compress=True,
+    )
+    return cdx_from_records(read_warc(spark, base))
+
+
+_CRAWL_SCHEDULE_SQL = """
+WITH f AS (SELECT doc_id, doc_id % 8 AS k,
+                  'https://h' || CAST(doc_id % 8 AS VARCHAR)
+                    || '.example/doc/' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+d AS (SELECT k, CASE WHEN k % 3 = 0 THEN 1.0
+                     WHEN k = 5 THEN 9.0
+                     WHEN k = 7 THEN 3.5
+                     ELSE k / 2.0 END AS crawl_delay
+      FROM generate_series(0, 7) t(k))
+SELECT f.doc_id, 'h' || CAST(f.k AS VARCHAR) AS host, f.url,
+       d.crawl_delay,
+       (ROW_NUMBER() OVER (PARTITION BY f.k ORDER BY f.url) - 1)
+         * d.crawl_delay AS fetch_at
+FROM f JOIN d USING (k)
+"""
+
+
+@query("pipeline_crawl_schedule", _CRAWL_SCHEDULE_SQL)
+def pipeline_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling — the step between an assembled frontier
+    and the fetcher fleet: each host's robots.txt ``Crawl-delay``
+    (operators/robots.py:crawl_delay — group replacement like
+    parse_robots, largest-delay-wins within a group, unparsable values
+    skipped) spaces that host's URLs at (k-1)×delay offsets via a
+    per-host window. The fixture sweeps the grammar: hosts with no
+    delay (default applies), fractional delays, an unparsable
+    ``Crawl-delay: fast`` line shadowed by a real one, and a
+    specific-agent group (razubot on h5) that REPLACES the ``*``
+    group's 2.5 with 9.0 — the schedule is computed for razubot, so a
+    replacement slip shifts every h5 offset. Scale shape: broadcast
+    delay dim, window partitioned by host, no global sort."""
+    from razulibs_spark.operators.robots import politeness_schedule
+
+    frontier = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("h"), (F.col("doc_id") % 8).cast("string"))
+        .alias("host"),
+        F.concat(
+            F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+            F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    robots = spark.range(8).select(
+        F.concat(F.lit("h"), F.col("id")).alias("host"),
+        F.concat(
+            F.lit("User-agent: *\nDisallow: /private/\n"),
+            F.when(F.col("id") % 3 == 0, F.lit(""))
+            .when(F.col("id") == 5, F.lit("Crawl-delay: 2.5\n"))
+            .when(
+                F.col("id") == 7,
+                F.lit("Crawl-delay: fast\nCrawl-delay: 3.5\n"),
+            )
+            .otherwise(
+                F.concat(
+                    F.lit("Crawl-delay: "),
+                    (F.col("id") / 2.0).cast("string"), F.lit("\n"),
+                )
+            ),
+            F.when(
+                F.col("id") == 5,
+                F.lit("\nUser-agent: razubot\nCrawl-delay: 9\n"),
+            ).otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    return politeness_schedule(frontier, robots, agent="razubot").select(
+        "doc_id", "host", "url", "crawl_delay", "fetch_at"
     )
 
 

@@ -229,3 +229,53 @@ def test_discover_sitemaps_stage(spark):
     assert got == [
         ("a", "https://a/s.xml"), ("a", "https://a/t.xml.gz")
     ]
+
+
+def test_crawl_delay_grammar():
+    from razulibs_spark.operators.robots import crawl_delay
+
+    txt = ("User-agent: *\nDisallow: /x\nCrawl-delay: 2.5\n"
+           "User-agent: fastbot\nDisallow: /y\n"
+           "User-agent: slowbot\nCrawl-delay: 7\nCrawl-delay: 3\n")
+    assert crawl_delay(txt) == 2.5
+    # specific group REPLACES *: fastbot's group has no delay -> None
+    assert crawl_delay(txt, "fastbot") is None
+    # conflicting delays in one group: the conservative max wins
+    assert crawl_delay(txt, "slowbot") == 7.0
+    # unparsable / negative values are skipped, not fatal
+    assert crawl_delay("User-agent: *\nCrawl-delay: fast\n") is None
+    assert crawl_delay("User-agent: *\nCrawl-delay: -1\n") is None
+    assert crawl_delay(
+        "User-agent: *\nCrawl-delay: nope\nCrawl-delay: 1.5\n"
+    ) == 1.5
+    # comments and CRLF line endings
+    assert crawl_delay(
+        "User-agent: *\r\nCrawl-delay: 4 # be nice\r\n"
+    ) == 4.0
+    assert crawl_delay("") is None
+
+
+def test_politeness_schedule_stage(spark):
+    from razulibs_spark.operators.robots import politeness_schedule
+
+    frontier = spark.createDataFrame(
+        [("a", "https://a/1"), ("a", "https://a/2"), ("a", "https://a/3"),
+         ("b", "https://b/1"), ("b", "https://b/2")],
+        "host string, url string",
+    )
+    robots = spark.createDataFrame(
+        [("a", "User-agent: *\nCrawl-delay: 2\n"),
+         ("b", "User-agent: *\nDisallow: /x\n")],  # no delay -> default
+        "host string, robots_txt string",
+    )
+    got = {
+        r["url"]: (r["crawl_delay"], r["fetch_at"])
+        for r in politeness_schedule(
+            frontier, robots, default_delay=0.5
+        ).collect()
+    }
+    assert got == {
+        "https://a/1": (2.0, 0.0), "https://a/2": (2.0, 2.0),
+        "https://a/3": (2.0, 4.0),
+        "https://b/1": (0.5, 0.0), "https://b/2": (0.5, 0.5),
+    }

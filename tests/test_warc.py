@@ -148,3 +148,35 @@ def test_warc_roundtrip_through_spark(spark, tmp_path):
     )
     assert got["https://ex.org/doc/3"]["http_status"] == 200
     assert all(r["warc_type"] == "response" for r in got.values())
+
+
+def test_cdx_from_records(spark):
+    """Only response captures index; urlkey is SURT (reversed host),
+    timestamp 14-digit, digest/length over the PAYLOAD body."""
+    from razulibs_spark.sources.warc import cdx_from_records
+
+    rows = spark.createDataFrame(
+        [
+            ("response", "<r1>", "https://sub.example.org/p?x=1",
+             "2024-03-04T05:06:07Z", 200, "text/html", b"<p>hi</p>"),
+            ("response", "<r2>", "https://example.org",  # bare host
+             "2024-03-04T05:06:08Z", 404, None, b""),
+            ("request", "<q1>", "https://sub.example.org/p?x=1",
+             "2024-03-04T05:06:07Z", None, None, b"GET /p HTTP/1.1"),
+            ("warcinfo", "<w1>", None,
+             "2024-03-04T05:06:07Z", None, None, b"software: x"),
+        ],
+        "warc_type string, record_id string, target_uri string, "
+        "warc_date string, http_status long, http_content_type string, "
+        "body binary",
+    )
+    got = sorted(map(tuple, cdx_from_records(rows).collect()))
+    import hashlib
+
+    assert got == [
+        ("org,example)/", "20240304050608", "https://example.org",
+         404, None, hashlib.md5(b"").hexdigest(), 0),
+        ("org,example,sub)/p?x=1", "20240304050607",
+         "https://sub.example.org/p?x=1", 200, "text/html",
+         hashlib.md5(b"<p>hi</p>").hexdigest(), 9),
+    ]
