@@ -6,15 +6,18 @@ TIFF masters). Joins the BMP/PPM/PNG/JPEG/GIF decode family
 hash-verified against oracles that recompute pixel statistics from
 the synthesis formulas.
 
-Subset = what baseline TIFF readers must support (TIFF 6.0 §8):
-both byte orders (II little / MM big), IFD entry walk with inline or
-offset values, strip layout (RowsPerStrip / StripOffsets /
-StripByteCounts), 8-bit grayscale and RGB, Compression 1 (none),
-5 (LZW, spec §13 — MSB-first packing, EarlyChange width bumps) and
-32773 (PackBits, the spec's own RLE), Predictor 2 (horizontal
-differencing). Tiled TIFF, JPEG-in-TIFF, 16-bit and planar configs
-raise ValueError naming the feature — the honest-rejection posture of
-the rest of the family.
+Subset = what baseline TIFF readers must support (TIFF 6.0 §8) plus
+the archival-master extensions: both byte orders (II little / MM
+big), IFD entry walk with inline or offset values, strip layout
+(RowsPerStrip / StripOffsets / StripByteCounts) AND §15 tile layout
+(TileWidth/TileLength/TileOffsets/TileByteCounts, zero-padded edge
+tiles), 8- and 16-bit grayscale and RGB (16-bit samples honor the
+file byte order), Compression 1 (none), 5 (LZW, spec §13 — MSB-first
+packing, EarlyChange width bumps) and 32773 (PackBits, the spec's own
+RLE), Predictor 2 (horizontal differencing at the sample level).
+JPEG-in-TIFF, planar configuration 2 and non-8/16 sample widths raise
+ValueError naming the feature — the honest-rejection posture of the
+rest of the family.
 """
 
 from __future__ import annotations
@@ -197,25 +200,27 @@ def lzw_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
-def _predict2_encode(raw: bytes, width: int, spp: int) -> bytes:
+def _predict2_encode(seq, width_px: int, spp: int, mod: int = 256):
     """Predictor 2 (horizontal differencing, tag 317): store each
-    sample as the delta to its left neighbour in the same channel —
-    what makes LZW bite on smooth photographic rows."""
-    out = bytearray(raw)
-    row_bytes = width * spp
-    for r0 in range(0, len(out), row_bytes):
-        for i in range(row_bytes - 1, spp - 1, -1):
-            out[r0 + i] = (out[r0 + i] - raw[r0 + i - spp]) & 0xFF
-    return bytes(out)
+    SAMPLE as the delta to its left neighbour in the same channel —
+    what makes LZW bite on smooth photographic rows. Operates at the
+    sample level so 8- and 16-bit data share one implementation
+    (differencing is defined on sample VALUES, not bytes)."""
+    out = list(seq)
+    row = width_px * spp
+    for r0 in range(0, len(out), row):
+        for i in range(row - 1, spp - 1, -1):
+            out[r0 + i] = (out[r0 + i] - seq[r0 + i - spp]) % mod
+    return out
 
 
-def _predict2_decode(raw: bytes, width: int, spp: int) -> bytes:
-    out = bytearray(raw)
-    row_bytes = width * spp
-    for r0 in range(0, len(out), row_bytes):
-        for i in range(spp, row_bytes):
-            out[r0 + i] = (out[r0 + i] + out[r0 + i - spp]) & 0xFF
-    return bytes(out)
+def _predict2_decode(seq, width_px: int, spp: int, mod: int = 256):
+    out = list(seq)
+    row = width_px * spp
+    for r0 in range(0, len(out), row):
+        for i in range(spp, row):
+            out[r0 + i] = (out[r0 + i] + out[r0 + i - spp]) % mod
+    return out
 
 
 def encode_tiff(
@@ -228,39 +233,79 @@ def encode_tiff(
     lzw: bool = False,
     predictor2: bool = False,
     rows_per_strip: int = 4,
+    bits: int = 8,
+    tiled: bool = False,
+    tile_size: int = 16,
 ) -> bytes:
-    """Minimal valid TIFF: header + pixel strips + one IFD. ``pixels``
-    is row-major — ints for grayscale, (r, g, b) tuples for RGB.
-    Compression: at most one of ``packbits``/``lzw``; ``predictor2``
-    (horizontal differencing) composes with either or none."""
+    """Minimal valid TIFF: header + pixel chunks + one IFD. ``pixels``
+    is row-major — ints for grayscale, (r, g, b) tuples for RGB;
+    sample values must fit ``bits`` (8 or 16 — archival scans are
+    routinely 16-bit). Compression: at most one of
+    ``packbits``/``lzw``; ``predictor2`` (horizontal differencing)
+    composes with either or none at the sample level. ``tiled`` uses
+    the §15 tile layout (TileWidth/TileLength/TileOffsets/
+    TileByteCounts, edge tiles zero-padded to full size) instead of
+    strips — tile_size must be a multiple of 16 per spec."""
     if packbits and lzw:
         raise ValueError("tiff: choose at most one compression")
+    if bits not in (8, 16):
+        raise ValueError("tiff: bits must be 8 or 16")
+    if tiled and tile_size % 16:
+        raise ValueError("tiff: tile_size must be a multiple of 16")
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
-    raw = bytearray()
+    samples: list[int] = []
     if rgb:
         for px in pixels:
-            raw.extend(px)
+            samples.extend(px)
     else:
-        raw.extend(pixels)
-    row_bytes = width * spp
+        samples.extend(pixels)
+    mod = 1 << bits
 
-    strips: list[bytes] = []
-    for y0 in range(0, height, rows_per_strip):
-        rows = min(rows_per_strip, height - y0)
-        chunk = bytes(raw[y0 * row_bytes:(y0 + rows) * row_bytes])
+    def pack(seq) -> bytes:
+        if bits == 8:
+            return bytes(seq)
+        # 16-bit samples honor the file's byte order
+        return struct.pack(e + "H" * len(seq), *seq)
+
+    def prep(seq, row_px: int) -> bytes:
         if predictor2:
-            chunk = _predict2_encode(chunk, width, spp)
+            seq = _predict2_encode(seq, row_px, spp, mod)
+        chunk = pack(seq)
         if packbits:
             chunk = packbits_encode(chunk)
         elif lzw:
             chunk = lzw_encode(chunk)
-        strips.append(chunk)
+        return chunk
+
+    chunks: list[bytes] = []
+    if tiled:
+        ta = -(-width // tile_size)
+        td = -(-height // tile_size)
+        for ty in range(td):
+            for tx in range(ta):
+                tile: list[int] = []
+                for yy in range(tile_size):
+                    y = ty * tile_size + yy
+                    for xx in range(tile_size):
+                        x = tx * tile_size + xx
+                        if x < width and y < height:
+                            base = (y * width + x) * spp
+                            tile.extend(samples[base:base + spp])
+                        else:
+                            tile.extend([0] * spp)  # edge padding
+                chunks.append(prep(tile, tile_size))
+    else:
+        row_samples = width * spp
+        for y0 in range(0, height, rows_per_strip):
+            rows = min(rows_per_strip, height - y0)
+            seq = samples[y0 * row_samples:(y0 + rows) * row_samples]
+            chunks.append(prep(seq, width))
 
     header_size = 8
     data_start = header_size
     offsets, pos = [], data_start
-    for s in strips:
+    for s in chunks:
         offsets.append(pos)
         pos += len(s)
     if pos % 2:
@@ -273,7 +318,6 @@ def encode_tiff(
         )
 
     # arrays longer than 4 bytes live after the IFD
-    n_strips = len(strips)
     extra = bytearray()
     extra_base = 0  # patched below
 
@@ -297,16 +341,21 @@ def encode_tiff(
         val, marker = array_or_inline(values, typ)
         entries.append((tag, typ, len(values), val, marker >= 0))
 
-    bits = [8] * spp
     add(256, 4, [width])
     add(257, 4, [height])
-    add(258, 3, bits)
+    add(258, 3, [bits] * spp)
     add(259, 3, [32773 if packbits else (5 if lzw else 1)])
     add(262, 3, [2 if rgb else 1])  # photometric: RGB / BlackIsZero
-    add(273, 4, offsets)
     add(277, 3, [spp])
-    add(278, 4, [rows_per_strip])
-    add(279, 4, [len(s) for s in strips])
+    if tiled:
+        add(322, 4, [tile_size])
+        add(323, 4, [tile_size])
+        add(324, 4, offsets)
+        add(325, 4, [len(s) for s in chunks])
+    else:
+        add(273, 4, offsets)
+        add(278, 4, [rows_per_strip])
+        add(279, 4, [len(s) for s in chunks])
     if predictor2:
         add(317, 3, [2])
 
@@ -323,7 +372,7 @@ def encode_tiff(
     out += (b"MM" if big_endian else b"II") + struct.pack(
         e + "HI", 42, ifd_offset
     )
-    for s in strips:
+    for s in chunks:
         out += s
     if len(out) % 2:
         out += b"\x00"
@@ -384,9 +433,13 @@ def decode_tiff(payload: bytes) -> dict:
 
     width, height = one(256), one(257)
     spp = one(277, 1)
-    bits = tags.get(258, [8] * spp)
-    if any(b != 8 for b in bits):
-        raise ValueError(f"tiff: only 8-bit samples supported, got {bits}")
+    bits_list = tags.get(258, [8] * spp)
+    bits_per = bits_list[0]
+    if any(b != bits_per for b in bits_list) or bits_per not in (8, 16):
+        raise ValueError(
+            f"tiff: only uniform 8/16-bit samples supported, got "
+            f"{bits_list}"
+        )
     comp = one(259, 1)
     if comp not in (1, 5, 32773):
         raise ValueError(
@@ -396,22 +449,19 @@ def decode_tiff(payload: bytes) -> dict:
     pred = one(317, 1)
     if pred not in (1, 2):
         raise ValueError(f"tiff: unsupported predictor {pred}")
-    if 322 in tags or 323 in tags:
-        raise ValueError("tiff: tiled layout not supported (strips only)")
     if one(284, 1) != 1:
         raise ValueError("tiff: planar configuration 2 not supported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("tiff: missing/mismatched strip tables")
-    rps = one(278, height)
-    row_bytes = width * spp
-    out = bytearray()
-    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+    samp_bytes = bits_per // 8
+    mod = 1 << bits_per
+
+    def to_samples(chunk: bytes):
+        if bits_per == 8:
+            return bytearray(chunk)
+        return list(struct.unpack(e + "H" * (len(chunk) // 2), chunk))
+
+    def read_chunk(i: int, off: int, cnt: int, expected: int, kind: str):
         if off + cnt > len(buf):
-            raise ValueError(f"tiff: strip {i} overruns file")
-        rows = min(rps, height - i * rps)
-        expected = rows * row_bytes
+            raise ValueError(f"tiff: {kind} {i} overruns file")
         chunk = buf[off:off + cnt]
         if comp == 32773:
             chunk = packbits_decode(chunk, expected)
@@ -419,18 +469,62 @@ def decode_tiff(payload: bytes) -> dict:
             chunk = lzw_decode(chunk, expected)
         elif len(chunk) != expected:
             raise ValueError(
-                f"tiff: strip {i} holds {len(chunk)} bytes, "
+                f"tiff: {kind} {i} holds {len(chunk)} bytes, "
                 f"expected {expected}"
             )
-        if pred == 2:
-            # predictor applies per ROW; strips hold whole rows, so
-            # per-strip application is exact.
-            chunk = _predict2_decode(chunk, width, spp)
-        out += chunk
-    if len(out) != height * row_bytes:
+        return to_samples(chunk)
+
+    tiled = 322 in tags or 323 in tags
+    if tiled:
+        tw, th = one(322), one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing/mismatched tile tables")
+        ta = -(-width // tw)
+        td = -(-height // th)
+        if len(offsets) != ta * td:
+            raise ValueError(
+                f"tiff: {len(offsets)} tiles, expected {ta * td}"
+            )
+        out = [0] * (width * height * spp)
+        tile_expected = tw * th * spp * samp_bytes
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            tile = read_chunk(i, off, cnt, tile_expected, "tile")
+            if pred == 2:
+                # predictor rows are TILE rows (tw wide), per §15
+                tile = _predict2_decode(tile, tw, spp, mod)
+            tx, ty = i % ta, i // ta
+            vw = min(tw, width - tx * tw)  # valid (unpadded) extent
+            vh = min(th, height - ty * th)
+            for yy in range(vh):
+                src = yy * tw * spp
+                dst = ((ty * th + yy) * width + tx * tw) * spp
+                out[dst:dst + vw * spp] = tile[src:src + vw * spp]
+        layout = "tiled"
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing/mismatched strip tables")
+        rps = one(278, height)
+        row_samples = width * spp
+        out = []
+        for i, (off, cnt) in enumerate(zip(offsets, counts)):
+            rows = min(rps, height - i * rps)
+            chunk = read_chunk(
+                i, off, cnt, rows * row_samples * samp_bytes, "strip"
+            )
+            if pred == 2:
+                # predictor applies per ROW; strips hold whole rows,
+                # so per-strip application is exact.
+                chunk = _predict2_decode(chunk, width, spp, mod)
+            out.extend(chunk)
+        layout = "strips"
+    if len(out) != height * width * spp:
         raise ValueError(
-            f"tiff: decoded {len(out)} pixel bytes, expected "
-            f"{height * row_bytes}"
+            f"tiff: decoded {len(out)} samples, expected "
+            f"{height * width * spp}"
         )
     return {
         "width": width,
@@ -439,7 +533,11 @@ def decode_tiff(payload: bytes) -> dict:
         "compression": {1: "none", 5: "lzw", 32773: "packbits"}[comp],
         "predictor": pred,
         "byte_order": "MM" if e == ">" else "II",
-        "pixels": bytes(out),
+        "bits": bits_per,
+        "layout": layout,
+        # 8-bit keeps the compact bytes form; 16-bit is a sample list
+        # (values, not bytes — byte order already resolved above)
+        "pixels": bytes(out) if bits_per == 8 else out,
     }
 
 
@@ -489,13 +587,17 @@ TIFF_STATS_SCHEMA = StructType(
 
 def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
     """Deterministic REAL TIFFs from doc_id d: geometry (4 + d%9) ×
-    (3 + d%7); RGB for odd d (r/g/b = (d+3x+5y)/(2d+7x+y)/(3d+x+2y)
-    mod 256), grayscale otherwise ((5d+3x+7y) mod 256); big-endian
-    when d%5 == 0; compression sweeps PackBits (d%3 == 0), LZW
-    (d%3 == 1, with Predictor 2 when additionally d%7 < 3) and none —
-    the full variant grid of the subset across the corpus. Docs with
-    d%17 == 9 carry a POISON payload (valid header, IFD offset past
-    EOF)."""
+    (3 + d%7), tripled for TILED docs so multi-tile stitching is
+    actually exercised; RGB for odd d (r/g/b = (d+3x+5y)/(2d+7x+y)/
+    (3d+x+2y) mod 256), grayscale otherwise ((5d+3x+7y) mod 256) —
+    each sample × 257 for 16-BIT docs (d%13 == 6, the archival-scan
+    depth), spreading 8-bit patterns over the full 16-bit range;
+    big-endian when d%5 == 0; TILED §15 layout when d%11 == 3 (16×16
+    tiles, zero-padded edges); compression sweeps PackBits (d%3 == 0),
+    LZW (d%3 == 1, with Predictor 2 when additionally d%7 < 3) and
+    none — the full variant grid of the subset across the corpus.
+    Docs with d%17 == 9 carry a POISON payload (valid header, IFD
+    offset past EOF)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -509,19 +611,23 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                     )
                     continue
                 w, h = 4 + d % 9, 3 + d % 7
+                tiled = d % 11 == 3
+                if tiled:
+                    w, h = 3 * w, 3 * h  # spill past one 16x16 tile
+                scale = 257 if d % 13 == 6 else 1
                 if d % 2 == 1:
                     pix = [
                         (
-                            (d + 3 * x + 5 * y) % 256,
-                            (2 * d + 7 * x + y) % 256,
-                            (3 * d + x + 2 * y) % 256,
+                            (d + 3 * x + 5 * y) % 256 * scale,
+                            (2 * d + 7 * x + y) % 256 * scale,
+                            (3 * d + x + 2 * y) % 256 * scale,
                         )
                         for y in range(h)
                         for x in range(w)
                     ]
                 else:
                     pix = [
-                        (5 * d + 3 * x + 7 * y) % 256
+                        (5 * d + 3 * x + 7 * y) % 256 * scale
                         for y in range(h)
                         for x in range(w)
                     ]
@@ -534,6 +640,8 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                         packbits=(d % 3 == 0),
                         lzw=(d % 3 == 1),
                         predictor2=(d % 3 == 1 and d % 7 < 3),
+                        bits=(16 if d % 13 == 6 else 8),
+                        tiled=tiled,
                     )
                 )
             yield pd.DataFrame(
@@ -574,8 +682,11 @@ def tiff_stats(media: DataFrame) -> DataFrame:
                 means = [
                     sum(px[c::spp]) / n for c in range(spp)
                 ] + [None] * (3 - spp)
-                comp = m["compression"] + (
-                    "+pred" if m["predictor"] == 2 else ""
+                comp = (
+                    m["compression"]
+                    + ("+pred" if m["predictor"] == 2 else "")
+                    + ("+tiled" if m["layout"] == "tiled" else "")
+                    + ("+16" if m["bits"] == 16 else "")
                 )
                 rows.append(
                     (

@@ -9312,9 +9312,14 @@ def multimodal_mp4_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MM_TIFF_SQL = """
-WITH ok AS (SELECT doc_id, 4 + doc_id % 9 AS w, 3 + doc_id % 7 AS h
+WITH ok AS (SELECT doc_id,
+                   (4 + doc_id % 9)
+                     * CASE WHEN doc_id % 11 = 3 THEN 3 ELSE 1 END AS w,
+                   (3 + doc_id % 7)
+                     * CASE WHEN doc_id % 11 = 3 THEN 3 ELSE 1 END AS h,
+                   CASE WHEN doc_id % 13 = 6 THEN 257 ELSE 1 END AS sc
             FROM documents WHERE doc_id % 17 <> 9),
-px AS (SELECT o.doc_id, o.w, o.h, xx.x, yy.y
+px AS (SELECT o.doc_id, o.w, o.h, o.sc, xx.x, yy.y
        FROM ok o, unnest(range(0, o.w)) xx(x),
             unnest(range(0, o.h)) yy(y)),
 rgb_out AS (
@@ -9323,12 +9328,15 @@ rgb_out AS (
          CASE WHEN doc_id % 3 = 0 THEN 'packbits'
               WHEN doc_id % 3 = 1 AND doc_id % 7 < 3 THEN 'lzw+pred'
               WHEN doc_id % 3 = 1 THEN 'lzw'
-              ELSE 'none' END AS compression,
+              ELSE 'none' END
+           || CASE WHEN doc_id % 11 = 3 THEN '+tiled' ELSE '' END
+           || CASE WHEN doc_id % 13 = 6 THEN '+16' ELSE '' END
+           AS compression,
          CAST(3 AS BIGINT) AS n_channels,
          CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
-         AVG(CAST((doc_id + 3*x + 5*y) % 256 AS DOUBLE)) AS mean_c1,
-         AVG(CAST((2*doc_id + 7*x + y) % 256 AS DOUBLE)) AS mean_c2,
-         AVG(CAST((3*doc_id + x + 2*y) % 256 AS DOUBLE)) AS mean_c3,
+         AVG(CAST((doc_id + 3*x + 5*y) % 256 * sc AS DOUBLE)) AS mean_c1,
+         AVG(CAST((2*doc_id + 7*x + y) % 256 * sc AS DOUBLE)) AS mean_c2,
+         AVG(CAST((3*doc_id + x + 2*y) % 256 * sc AS DOUBLE)) AS mean_c3,
          CAST(NULL AS VARCHAR) AS note
   FROM px WHERE doc_id % 2 = 1 GROUP BY doc_id),
 gray_out AS (
@@ -9337,10 +9345,13 @@ gray_out AS (
          CASE WHEN doc_id % 3 = 0 THEN 'packbits'
               WHEN doc_id % 3 = 1 AND doc_id % 7 < 3 THEN 'lzw+pred'
               WHEN doc_id % 3 = 1 THEN 'lzw'
-              ELSE 'none' END AS compression,
+              ELSE 'none' END
+           || CASE WHEN doc_id % 11 = 3 THEN '+tiled' ELSE '' END
+           || CASE WHEN doc_id % 13 = 6 THEN '+16' ELSE '' END
+           AS compression,
          CAST(1 AS BIGINT) AS n_channels,
          CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
-         AVG(CAST((5*doc_id + 3*x + 7*y) % 256 AS DOUBLE)) AS mean_c1,
+         AVG(CAST((5*doc_id + 3*x + 7*y) % 256 * sc AS DOUBLE)) AS mean_c1,
          CAST(NULL AS DOUBLE) AS mean_c2, CAST(NULL AS DOUBLE) AS mean_c3,
          CAST(NULL AS VARCHAR) AS note
   FROM px WHERE doc_id % 2 = 0 GROUP BY doc_id),
@@ -9366,11 +9377,14 @@ def multimodal_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     classifies TIFFs, razu/demo csv_luchtfotos): deterministic TIFFs
     are encoded byte-for-byte from doc_id across the subset's variant
     axes (II/MM byte order × none/PackBits/LZW[/+Predictor-2]
-    compression × gray/RGB — LZW is what archival masters actually
-    use), then walked back by the strict IFD parser and strip decoder;
-    the oracle recomputes every per-channel mean from the pixel
-    formulas, so a PackBits run slip, an LZW EarlyChange width desync,
-    an endianness mix-up or a strip boundary error changes a mean. Docs with doc_id % 17 == 9 carry a poison
+    compression × gray/RGB × 8/16-bit samples × strip/TILED layout —
+    LZW, 16-bit depth and tiles are what archival masters actually
+    use; tiled docs triple their geometry so multi-tile stitching and
+    edge padding are real), then walked back by the strict IFD parser
+    and chunk decoder; the oracle recomputes every per-channel mean
+    from the pixel formulas, so a PackBits run slip, an LZW
+    EarlyChange width desync, an endianness mix-up, a tile-blit
+    off-by-one or a strip boundary error changes a mean. Docs with doc_id % 17 == 9 carry a poison
     payload (valid header, IFD offset past EOF) — the fail-closed row
     is itself hash-verified. One Arrow pass each way."""
     from razulibs_spark.operators.tiff import (

@@ -739,38 +739,45 @@ def test_tiff_lzw_roundtrips_any_bytes(data):
 
 @settings(max_examples=150, deadline=None)
 @given(
-    st.integers(min_value=1, max_value=24),
-    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
     st.integers(min_value=0, max_value=10**9),
     st.booleans(), st.booleans(),
     st.sampled_from(["none", "packbits", "lzw"]),
     st.booleans(),
     st.integers(min_value=1, max_value=9),
+    st.sampled_from([8, 16]),
+    st.booleans(),
 )
 def test_tiff_roundtrips_any_geometry(w, h, seed, rgb, be, comp, pred,
-                                      rps):
+                                      rps, bits, tiled):
     """Every geometry × byte order × compression × predictor × channel
-    count × rows-per-strip roundtrips pixel-exact (strip boundaries at
-    every possible offset relative to height)."""
+    count × sample depth × strip/tile layout roundtrips pixel-exact
+    (strip boundaries at every offset; up to 3×3 tiles with padded
+    edges at w,h ≤ 40 and 16×16 tiles)."""
     from razulibs_spark.operators.tiff import decode_tiff, encode_tiff
 
+    mx = (1 << bits) - 1
     if rgb:
         pix = [
-            ((seed + 3 * i) % 256, (seed // 7 + 5 * i) % 256,
-             (seed // 11 + i) % 256)
+            ((seed + 3 * i) % mx, (seed // 7 + 5 * i) % mx,
+             (seed // 11 + i) % mx)
             for i in range(w * h)
         ]
         flat = [c for p in pix for c in p]
     else:
-        pix = [(seed + 13 * i) % 256 for i in range(w * h)]
+        pix = [(seed + 13 * i) % mx for i in range(w * h)]
         flat = pix
     m = decode_tiff(
         encode_tiff(w, h, pix, rgb=rgb, big_endian=be,
                     packbits=(comp == "packbits"), lzw=(comp == "lzw"),
-                    predictor2=pred, rows_per_strip=rps)
+                    predictor2=pred, rows_per_strip=rps, bits=bits,
+                    tiled=tiled)
     )
     assert (m["width"], m["height"]) == (w, h)
     assert m["n_channels"] == (3 if rgb else 1)
     assert m["compression"] == comp
     assert m["predictor"] == (2 if pred else 1)
+    assert m["bits"] == bits
+    assert m["layout"] == ("tiled" if tiled else "strips")
     assert list(m["pixels"]) == flat

@@ -349,9 +349,10 @@ def test_tiff_stage_and_honest_rejections(spark):
     patched = (base[:idx + 8] + _s.pack("<I", 7) + base[idx + 12:])
     with _pytest.raises(ValueError, match="unsupported compression 7"):
         decode_tiff(patched)
+    # 16-bit is now SUPPORTED; a 12-bit sample width is not
     idx = base.find(_s.pack("<HHI", 258, 3, 1))
-    patched = base[:idx + 8] + _s.pack("<I", 16) + base[idx + 12:]
-    with _pytest.raises(ValueError, match="only 8-bit"):
+    patched = base[:idx + 8] + _s.pack("<I", 12) + base[idx + 12:]
+    with _pytest.raises(ValueError, match="8/16-bit"):
         decode_tiff(patched)
 
 
@@ -390,3 +391,34 @@ def test_tiff_predictor2_bites_and_roundtrips():
     m = decode_tiff(pred)
     assert m["compression"] == "lzw" and m["predictor"] == 2
     assert list(m["pixels"]) == pix
+
+
+def test_tiff_tiled_stitching_and_16bit():
+    """§15 tiles: a 20×18 image at 16×16 tiles = 2×2 grid with padded
+    right/bottom edges — padding must never leak into output; 16-bit
+    samples honor the file byte order in BOTH orders."""
+    from razulibs_spark.operators.tiff import decode_tiff, encode_tiff
+
+    w, h = 20, 18
+    pix = [(7 * x + 13 * y) % 65521 for y in range(h) for x in range(w)]
+    for be in (False, True):
+        m = decode_tiff(
+            encode_tiff(w, h, pix, bits=16, tiled=True, big_endian=be,
+                        lzw=True, predictor2=True)
+        )
+        assert (m["layout"], m["bits"], m["byte_order"]) == (
+            "tiled", 16, "MM" if be else "II"
+        )
+        assert list(m["pixels"]) == pix
+    # tile table must cover the full grid
+    import struct as _s
+
+    import pytest as _pytest
+
+    blob = encode_tiff(w, h, pix, bits=16, tiled=True)
+    # shrink TileByteCounts(325) count field to 3 entries (needs 4)
+    idx = blob.find(_s.pack("<HHI", 325, 4, 4))
+    assert idx > 0
+    bad = blob[:idx + 4] + _s.pack("<I", 3) + blob[idx + 8:]
+    with _pytest.raises(ValueError, match="tiles|mismatched"):
+        decode_tiff(bad)
