@@ -1349,7 +1349,12 @@ def pipeline_warc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     records = _mixed_warc_records(spark, sf_dir)
     write_warc_records(records.repartition(8), base, compress=True)
-    back = read_warc(spark, base)
+    return _warc_mixed_stats(read_warc(spark, base))
+
+
+def _warc_mixed_stats(back: DataFrame) -> DataFrame:
+    """Per-doc stats over a parsed mixed-record frame — shared by the
+    batch scan entry and its streaming-ingestion twin (same oracle)."""
     return (
         back.select(
             F.coalesce(
@@ -1382,6 +1387,43 @@ def pipeline_warc_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("rmd5").alias("response_md5"),
         )
     )
+
+
+@query("streaming_warc_ingest", _WARC_MIXED_SQL)
+def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous crawl ingestion — the streaming twin of
+    pipeline_warc_mixed (same oracle): the file stream source
+    discovers .warc.gz shards as they land (whole-file atomic arrival,
+    the CommonCrawl shape), the SAME Arrow parse stage emits records
+    per micro-batch (stateless → append mode, no watermark, no state
+    store), and the drained availableNow result aggregates to the
+    identical per-doc stats. A record dropped across a micro-batch
+    boundary, or a file picked up twice by the source, mismatches the
+    hash. Scale shape: per-FILE tasks exactly as batch; a restarted
+    query resumes from the checkpoint's file ledger instead of
+    re-parsing the corpus."""
+    import os
+
+    from razulibs_spark.sources.warc import (
+        read_warc_stream,
+        write_warc_records,
+    )
+    from razulibs_spark.streaming.dedup_stream import (
+        run_append_available_now,
+    )
+
+    base = (
+        "/root/repo/.scratch/warc_stream_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    write_warc_records(
+        _mixed_warc_records(spark, sf_dir).repartition(8), base,
+        compress=True,
+    )
+    drained = run_append_available_now(
+        read_warc_stream(spark, base), spark, state_partitions=None
+    )
+    return _warc_mixed_stats(drained)
 
 
 _CDX_SQL = """

@@ -228,27 +228,59 @@ def parse_warc(content: bytes) -> list[tuple]:
     return rows
 
 
+def _parse_batches(
+    it: Iterator["pd.DataFrame"],
+) -> Iterator["pd.DataFrame"]:
+    """The shared Arrow parse stage of the batch and streaming WARC
+    scans: one input row per FILE, one output row per record."""
+    cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
+    for pdf in it:
+        rows: list[tuple] = []
+        for content in pdf["content"]:
+            b = bytes(content)
+            if not b.strip():
+                continue
+            rows.extend(parse_warc(b))
+        yield pd.DataFrame(rows, columns=cols)
+
+
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """WARC scan → records DataFrame. Per-file tasks (module
     docstring); plain and .gz files both parse."""
-
-    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        cols = [f.name for f in WARC_RECORD_SCHEMA.fields]
-        for pdf in it:
-            rows: list[tuple] = []
-            for content in pdf["content"]:
-                b = bytes(content)
-                if not b.strip():
-                    continue
-                rows.extend(parse_warc(b))
-            yield pd.DataFrame(rows, columns=cols)
-
     return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
         .load(path)
         .select("content")
-        .mapInPandas(batches, schema=WARC_RECORD_SCHEMA)
+        .mapInPandas(_parse_batches, schema=WARC_RECORD_SCHEMA)
+    )
+
+
+def read_warc_stream(spark: SparkSession, path: str) -> DataFrame:
+    """STREAMING WARC scan — continuous crawl ingestion: the file
+    stream source discovers new .warc[.gz] shards as the fetcher
+    fleet lands them (exactly CommonCrawl's arrival shape: whole
+    ~1 GB files appearing atomically), and the SAME Arrow parse stage
+    as the batch scan turns each file into records, stateless, so
+    append mode needs no watermark. binaryFile's schema is fixed but
+    the streaming source requires it stated explicitly."""
+    from pyspark.sql.types import TimestampType
+
+    binary_file_schema = StructType(
+        [
+            StructField("path", StringType(), False),
+            StructField("modificationTime", TimestampType(), False),
+            StructField("length", LongType(), False),
+            StructField("content", BinaryType(), True),
+        ]
+    )
+    return (
+        spark.readStream.format("binaryFile")
+        .schema(binary_file_schema)
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .select("content")
+        .mapInPandas(_parse_batches, schema=WARC_RECORD_SCHEMA)
     )
 
 

@@ -763,3 +763,49 @@ def test_frontier_assembly_broadcasts_robots_no_cartesian(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
     assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_crawl_schedule_broadcasts_delays_window_per_host(spark):
+    """The politeness schedule: delay dim broadcasts (tiny per-host),
+    the offset window partitions BY HOST (never a global sort), and
+    the only Python is the pandas_udf over the robots dim — the
+    frontier fact path stays codegen."""
+    plan = _plan(Q.pipeline_crawl_schedule(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    # window partitioning carries the host key, not an empty clause
+    assert "partitionBy" not in plan.lower() or "host" in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_cdx_index_single_parse_pass_no_cartesian(spark):
+    """CDX construction must be pure projection over ONE parsed-record
+    pass: exactly one binaryFile scan, no join, no cross product."""
+    import os
+
+    # the entry writes its store before returning the frame; plan it
+    df = Q.pipeline_cdx_index(spark, SF)
+    plan = _plan(df)
+    # formatted plans list each node twice (tree + detail section):
+    # one scan == exactly two occurrences
+    assert plan.count("Scan binaryFile") == 2
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan
+
+
+def test_streaming_warc_ingest_shares_batch_parse(spark):
+    """The streaming reader reuses the exact batch Arrow parse stage —
+    one implementation of the record grammar (the vocab-lesson applied
+    to crawl ingestion)."""
+    from razulibs_spark.sources.warc import (
+        _parse_batches,
+        read_warc_stream,
+    )
+
+    df = read_warc_stream(spark, "/root/repo/.scratch")
+    assert df.isStreaming
+    # the shared stage is the module-level function, not a copy
+    import razulibs_spark.sources.warc as w
+
+    assert w._parse_batches is _parse_batches
