@@ -1,0 +1,413 @@
+"""PDF text extraction (ISO 32000 subset) from first principles — the
+document format a real training-data pipeline meets right after HTML
+(academic corpora, government archives, the reference's own archival
+domain stores born-digital PDFs next to its TIFF masters). No pdfium/
+poppler in this container and none needed for the TEXT layer: a PDF is
+an object graph of dictionaries and streams; page text lives in
+content streams as `Tj`/`TJ`/`'` operators between `BT`/`ET`, with
+FlateDecode (zlib) as the overwhelmingly dominant stream filter.
+
+Parse strategy — the be-liberal shape real extractors use: scan every
+``N G obj … endobj`` span instead of trusting the xref table (real
+PDFs ship broken xrefs constantly; the object spans are self-framing),
+build the page list from the /Root→/Pages→/Kids tree so page ORDER is
+authoritative, inflate FlateDecode streams, and tokenize the content
+stream honoring string-literal escapes (\\( \\) \\\\ \\n octal) and
+balanced nested parens — a ')' inside a planted string must not end
+it. Structural corruption (no catalog, a /Contents pointing nowhere,
+a stream that fails to inflate) raises ValueError naming the defect;
+the Spark stage catches per-row (fail-closed, never a task failure).
+
+Scale shape: same as the rest of the media family — one Arrow
+``mapInPandas`` stage over (doc_id, payload) rows, stateless,
+embarrassingly parallel, linear in document bytes.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_REF_RE = re.compile(rb"/(\w+)\s+(\d+)\s+\d+\s+R")
+_KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.S)
+_NUM_REF_RE = re.compile(rb"(\d+)\s+\d+\s+R")
+
+
+def _pdf_escape(text: str) -> str:
+    """Escape a python string into a PDF literal string body."""
+    return (
+        text.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+    )
+
+
+def encode_pdf(
+    pages: list[list[str]], compress: bool = True
+) -> bytes:
+    """Minimal valid PDF: catalog → pages tree → one content stream
+    per page, each line a ``(…) Tj`` show plus a ``T*`` line feed,
+    with a real xref table and trailer. ``pages`` is a list of pages,
+    each a list of text lines. FlateDecode-compressed streams by
+    default (what real PDFs do); plain for the uncompressed variant
+    axis."""
+    objs: list[bytes] = []  # 1-indexed
+
+    n_pages = len(pages)
+    # object layout: 1=catalog, 2=pages, 3=font, then per page i:
+    # page obj (4+2i), content obj (5+2i)
+    kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    objs.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objs.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    )
+    for i, lines in enumerate(pages):
+        objs.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Resources << /Font << /F1 3 0 R >> >> "
+                f"/Contents {5 + 2 * i} 0 R >>"
+            ).encode()
+        )
+        body = "BT /F1 12 Tf 14 TL 72 720 Td\n" + "\n".join(
+            f"({_pdf_escape(ln)}) Tj T*" for ln in lines
+        ) + "\nET"
+        raw = body.encode("utf-8")
+        if compress:
+            data = zlib.compress(raw, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+        else:
+            data = raw
+            head = f"<< /Length {len(data)} >>"
+        objs.append(
+            head.encode() + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0]  # object 0 is the xref free-list head
+    for n, body in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _parse_string_literal(data: bytes, pos: int) -> tuple[str, int]:
+    """Parse a PDF literal string starting at the '(' — returns
+    (decoded text, index past the closing paren). Honors backslash
+    escapes and BALANCED nested parens (legal unescaped)."""
+    assert data[pos:pos + 1] == b"("
+    out = bytearray()
+    depth = 1
+    i = pos + 1
+    n = len(data)
+    while i < n:
+        c = data[i]
+        if c == 0x5C:  # backslash
+            if i + 1 >= n:
+                break
+            nxt = data[i + 1]
+            if nxt in b"nrtbf":
+                out.append(
+                    {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}[nxt]
+                )
+                i += 2
+            elif nxt in b"()\\":
+                out.append(nxt)
+                i += 2
+            elif 0x30 <= nxt <= 0x37:  # up to 3 octal digits
+                j = i + 1
+                oct_digits = b""
+                while j < n and len(oct_digits) < 3 and 0x30 <= data[j] <= 0x37:
+                    oct_digits += data[j:j + 1]
+                    j += 1
+                out.append(int(oct_digits, 8) & 0xFF)
+                i = j
+            else:  # lone backslash: dropped per spec
+                i += 1
+        elif c == 0x28:  # (
+            depth += 1
+            out.append(c)
+            i += 1
+        elif c == 0x29:  # )
+            depth -= 1
+            if depth == 0:
+                return out.decode("utf-8", "replace"), i + 1
+            out.append(c)
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    raise ValueError("pdf: unterminated string literal")
+
+
+_OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
+
+
+def _content_text(stream: bytes) -> list[str]:
+    """Text SHOWN by one content stream — a real postfix tokenizer:
+    string operands accumulate until the next operator token, and only
+    the show operators (Tj ' \" TJ) inside BT/ET emit them; any other
+    operator discards its operands, so a string used as e.g. a Tag
+    operand never leaks into the text. TJ arrays are transparent
+    (numbers are kerning, strings show); hex strings decode too."""
+    texts: list[str] = []
+    pending: list[str] = []
+    in_text = False
+    i = 0
+    n = len(stream)
+    while i < n:
+        c = stream[i]
+        if c in b" \t\r\n\x00[]":
+            i += 1
+        elif c == 0x28:  # (
+            s, i = _parse_string_literal(stream, i)
+            pending.append(s)
+        elif c == 0x3C:  # < hex string
+            end = stream.find(b">", i)
+            if end < 0:
+                raise ValueError("pdf: unterminated hex string")
+            hx = re.sub(rb"\s", b"", stream[i + 1:end])
+            if len(hx) % 2:
+                hx += b"0"  # odd digit count: trailing 0 per spec
+            pending.append(bytes.fromhex(hx.decode()).decode(
+                "utf-8", "replace"
+            ))
+            i = end + 1
+        elif c == 0x2F:  # /Name operand
+            i += 1
+            while i < n and stream[i] not in b" \t\r\n()<>[]/":
+                i += 1
+        elif chr(c) in "0123456789+-.":
+            i += 1
+            while i < n and stream[i] in b"0123456789.":
+                i += 1
+        else:
+            m = _OPERATOR_RE.match(stream, i)
+            if not m:
+                i += 1
+                continue
+            op = m.group(0)
+            i = m.end()
+            if op == b"BT":
+                in_text = True
+            elif op == b"ET":
+                in_text = False
+            elif op in (b"Tj", b"'", b'"', b"TJ") and in_text:
+                texts.extend(pending)
+            pending = []
+    return texts
+
+
+def parse_pdf_text(payload: bytes) -> dict:
+    """One PDF → {'n_pages', 'n_objects', 'compressed_pages',
+    'text': str (pages joined by \\f, lines by \\n)}. Page order comes
+    from the /Pages→/Kids tree, not object order."""
+    buf = bytes(payload)
+    if not buf.startswith(b"%PDF-"):
+        raise ValueError(f"pdf: bad header {buf[:8]!r}")
+    # each object = (absolute body offset, body bytes): stream data is
+    # sliced from BUF by /Length at an absolute offset, because binary
+    # stream bytes can contain 'endobj'/'endstream'/trailing '\\r' and
+    # silently truncate any delimiter-regex framing (found by the
+    # sf0.01 corpus: a Flate stream ending in 0x0D lost its last byte
+    # to the \\r?\\nendstream delimiter).
+    objects: dict[int, tuple[int, bytes]] = {}
+    for m in _OBJ_RE.finditer(buf):
+        objects[int(m.group(1))] = (m.start(3), m.group(3))
+    if not objects:
+        raise ValueError("pdf: no objects")
+
+    catalog = None
+    for _, body in objects.values():
+        if b"/Type" in body and b"/Catalog" in body:
+            catalog = body
+            break
+    if catalog is None:
+        raise ValueError("pdf: no catalog object")
+    refs = {k.decode(): int(v) for k, v in _REF_RE.findall(catalog)}
+    pages_num = refs.get("Pages")
+    if pages_num is None or pages_num not in objects:
+        raise ValueError("pdf: catalog without /Pages tree")
+    kids_m = _KIDS_RE.search(objects[pages_num][1])
+    if not kids_m:
+        raise ValueError("pdf: /Pages without /Kids")
+    kid_nums = [int(x) for x in _NUM_REF_RE.findall(kids_m.group(1))]
+
+    page_texts: list[str] = []
+    n_compressed = 0
+    for kn in kid_nums:
+        if kn not in objects:
+            raise ValueError(f"pdf: /Kids references missing object {kn}")
+        page = objects[kn][1]
+        prefs = {k.decode(): int(v) for k, v in _REF_RE.findall(page)}
+        cn = prefs.get("Contents")
+        if cn is None:
+            raise ValueError(f"pdf: page {kn} without /Contents")
+        if cn not in objects:
+            raise ValueError(
+                f"pdf: page {kn} /Contents points at missing object {cn}"
+            )
+        cont_at, cont = objects[cn]
+        st = re.search(rb"stream\r?\n", cont)
+        if not st:
+            raise ValueError(f"pdf: content object {cn} has no stream")
+        lm = re.search(rb"/Length\s+(\d+)", cont)
+        if lm:
+            # authoritative framing: /Length bytes from the absolute
+            # stream-data offset in the file buffer
+            data_at = cont_at + st.end()
+            data = buf[data_at:data_at + int(lm.group(1))]
+            if len(data) < int(lm.group(1)):
+                raise ValueError(
+                    f"pdf: stream {cn} shorter than its /Length"
+                )
+        else:
+            sm = _STREAM_RE.search(cont)
+            if not sm:
+                raise ValueError(f"pdf: stream {cn} unterminated")
+            data = sm.group(1)
+        if b"/FlateDecode" in cont:
+            n_compressed += 1
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"pdf: FlateDecode stream {cn} corrupt: {exc}"
+                ) from exc
+        page_texts.append("\n".join(_content_text(data)))
+    return {
+        "n_pages": len(kid_nums),
+        "n_objects": len(objects),
+        "compressed_pages": n_compressed,
+        "text": "\f".join(page_texts),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Spark stages (the media-family pattern: deterministic payloads from
+# doc_id, real parse back, stats the oracle recomputes)
+# ---------------------------------------------------------------------------
+
+from typing import Iterator  # noqa: E402
+
+import pandas as pd  # noqa: E402
+from pyspark.sql import DataFrame  # noqa: E402
+from pyspark.sql.types import (  # noqa: E402
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_PDF_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("media_format", StringType(), False),
+    ]
+)
+
+PDF_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("parsed", BooleanType(), False),
+        StructField("n_pages", LongType(), True),
+        StructField("compressed_pages", LongType(), True),
+        StructField("text_md5", StringType(), True),
+        StructField("note", StringType(), True),
+    ]
+)
+
+_WORDS_PER_LINE = 6
+_LINES_PER_PAGE = 5
+
+
+def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
+    """Deterministic REAL PDFs from each document's words: 6-word
+    lines, 5-line pages; FlateDecode streams for even d, plain for
+    odd (the variant axis); every doc plants a parens+backslash
+    escape torture line first — `Tj (a(b)c\\) …)` must round-trip.
+    Docs with d%23 == 17 carry a POISON payload (valid header +
+    catalog, /Contents pointing at a missing object)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf_ in it:
+            ids, payloads = [], []
+            for doc_id, text in zip(pdf_["doc_id"], pdf_["text"]):
+                d = int(doc_id)
+                if d % 23 == 17:
+                    ids.append(d)
+                    payloads.append(
+                        b"%PDF-1.4\n"
+                        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\n"
+                        b"endobj\n"
+                        b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] "
+                        b"/Count 1 >>\nendobj\n"
+                        b"4 0 obj\n<< /Type /Page /Parent 2 0 R "
+                        b"/Contents 9 0 R >>\nendobj\n"
+                        b"%%EOF\n"
+                    )
+                    continue
+                words = [f"w(){d}\\esc"] + str(text).split(" ")
+                lines = [
+                    " ".join(words[i:i + _WORDS_PER_LINE])
+                    for i in range(0, len(words), _WORDS_PER_LINE)
+                ]
+                pages = [
+                    lines[j:j + _LINES_PER_PAGE]
+                    for j in range(0, len(lines), _LINES_PER_PAGE)
+                ]
+                ids.append(d)
+                payloads.append(encode_pdf(pages, compress=(d % 2 == 0)))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "payload": payloads,
+                    "media_format": ["application/pdf"] * len(ids),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=_PDF_MEDIA_SCHEMA
+    )
+
+
+def pdf_text_stats(media: DataFrame) -> DataFrame:
+    """Parse each payload for real; fail-closed per row."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PDF_TEXT_SCHEMA.fields]
+        for pdf_ in it:
+            rows = []
+            for doc_id, payload in zip(pdf_["doc_id"], pdf_["payload"]):
+                d = int(doc_id)
+                try:
+                    m = parse_pdf_text(bytes(payload))
+                except ValueError as exc:
+                    rows.append((d, False, None, None, None, str(exc)))
+                    continue
+                rows.append(
+                    (
+                        d, True, m["n_pages"], m["compressed_pages"],
+                        hashlib.md5(m["text"].encode("utf-8")).hexdigest(),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=PDF_TEXT_SCHEMA)

@@ -1139,6 +1139,60 @@ def dedup_substring_multik(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PDF_SQL = """
+WITH w AS (SELECT doc_id,
+                  string_split('w()' || CAST(doc_id AS VARCHAR)
+                               || '\\esc ' || text, ' ') AS ws
+           FROM documents WHERE doc_id % 23 <> 17),
+l AS (SELECT doc_id,
+             [array_to_string(ws[i:i+5], ' ')
+              for i in generate_series(1, len(ws), 6)] AS ls
+      FROM w),
+p AS (SELECT doc_id,
+             [array_to_string(ls[j:j+4], chr(10))
+              for j in generate_series(1, len(ls), 5)] AS ps
+      FROM l)
+SELECT doc_id, TRUE AS parsed,
+       CAST(len(ps) AS BIGINT) AS n_pages,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN len(ps) ELSE 0 END AS BIGINT)
+         AS compressed_pages,
+       md5(array_to_string(ps, chr(12))) AS text_md5,
+       CAST(NULL AS VARCHAR) AS note
+FROM p
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL,
+       'pdf: page 4 /Contents points at missing object 9'
+FROM documents WHERE doc_id % 23 = 17
+"""
+
+
+@query("text_pdf_extract", _PDF_SQL)
+def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (operators/pdf.py — the document format a
+    training pipeline meets right after HTML; ISO 32000 subset from
+    first principles, stdlib zlib only): REAL PDFs are built from each
+    document's words (6-word Tj lines, 5-line pages, real xref +
+    catalog + pages tree; FlateDecode streams for even docs, plain
+    for odd; every doc's first line is a parens+backslash escape
+    torture string), then parsed back via object-span scan →
+    /Root→/Pages→/Kids page order → stream inflate → a postfix
+    content-stream tokenizer where only SHOW operators (Tj ' \" TJ)
+    inside BT/ET emit their string operands. The oracle recomputes
+    page count, compressed-page count and the full text md5 (pages
+    joined by \\f, lines by \\n) from documents.text — one escape
+    mis-decoded or one page out of /Kids order flips the hash. Docs
+    with d%23 == 17 carry a poison payload (valid catalog, /Contents
+    pointing at a missing object) — the fail-closed row is itself
+    hash-verified. One Arrow pass each way."""
+    from razulibs_spark.operators.pdf import (
+        pdf_text_stats,
+        synthesize_pdf_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return pdf_text_stats(synthesize_pdf_media(docs))
+
+
 _HTML_EXTRACT_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 ch AS (SELECT doc_id,

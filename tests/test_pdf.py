@@ -1,0 +1,106 @@
+"""PDF text extraction (operators/pdf.py)."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+
+from razulibs_spark.operators.pdf import (
+    _content_text,
+    encode_pdf,
+    parse_pdf_text,
+)
+
+
+def test_roundtrip_escapes_and_page_order():
+    pages = [
+        ["plain words", r"with (nested (parens)) and \back\slash"],
+        ["page two"],
+        ["page (three) only"],
+    ]
+    for comp in (True, False):
+        m = parse_pdf_text(encode_pdf(pages, compress=comp))
+        assert m["n_pages"] == 3
+        assert m["compressed_pages"] == (3 if comp else 0)
+        assert m["text"].split("\f") == ["\n".join(p) for p in pages]
+
+
+def test_content_tokenizer_show_ops_only():
+    """Strings bound to NON-show operators must not leak into text;
+    TJ array strings show, kerning numbers don't; hex strings decode;
+    strings outside BT/ET never show."""
+    stream = (
+        b"(outside) Tj "  # outside BT/ET: dropped
+        b"BT /F1 12 Tf "
+        b"(tagged) Tz "  # bound to a non-show op: dropped
+        b"(shown) Tj "
+        b"[(ker) -120 (ned)] TJ "
+        b"<48656c6c6f> Tj "
+        b"(apostrophe) ' "
+        b"ET (after) Tj"
+    )
+    assert _content_text(stream) == [
+        "shown", "ker", "ned", "Hello", "apostrophe"
+    ]
+
+
+def test_strictness_and_poison_paths():
+    good = encode_pdf([["x"]])
+    with pytest.raises(ValueError, match="bad header"):
+        parse_pdf_text(b"GIF89a")
+    with pytest.raises(ValueError, match="no catalog"):
+        parse_pdf_text(b"%PDF-1.4\n1 0 obj\n<< /X 1 >>\nendobj\n")
+    # corrupt the Flate stream body in place (the encoder's exact body)
+    z = zlib.compress(b"BT /F1 12 Tf 14 TL 72 720 Td\n(x) Tj T*\nET", 6)
+    assert z in good
+    bad = good.replace(z, z[:-3] + b"\x00\x00\x00")
+    with pytest.raises(ValueError, match="corrupt|shorter"):
+        parse_pdf_text(bad)
+    with pytest.raises(ValueError, match="missing object"):
+        parse_pdf_text(
+            b"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\n"
+            b"endobj\n2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 "
+            b">>\nendobj\n4 0 obj\n<< /Type /Page /Contents 9 0 R >>\n"
+            b"endobj\n"
+        )
+
+
+def test_stream_ending_in_carriage_return_regression():
+    """A Flate stream whose LAST byte is 0x0D used to lose it to the
+    \\r?\\nendstream delimiter regex (sf0.01 corpus find) — /Length
+    framing must make the trailing byte survive."""
+    line = None
+    for i in range(20000):
+        cand = f"regression probe {i}"
+        body = (
+            "BT /F1 12 Tf 14 TL 72 720 Td\n(" + cand + ") Tj T*\nET"
+        ).encode()
+        if zlib.compress(body, 6).endswith(b"\r"):
+            line = cand
+            break
+    assert line is not None, "no \\r-tailed stream found in 20000 tries"
+    m = parse_pdf_text(encode_pdf([[line]], compress=True))
+    assert m["text"] == line
+
+
+def test_pdf_stage_fail_closed(spark):
+    from razulibs_spark.operators.pdf import (
+        pdf_text_stats,
+        synthesize_pdf_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "short"), (17, "poisoned doc")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in pdf_text_stats(synthesize_pdf_media(docs)).collect()}
+    # d=0: 8 words (marker + 7) -> 2 lines -> 1 page, compressed
+    assert (rows[0]["parsed"], rows[0]["n_pages"],
+            rows[0]["compressed_pages"]) == (True, 1, 1)
+    # d=1: odd -> plain streams
+    assert rows[1]["compressed_pages"] == 0
+    # d=17: poison (17%23==17) fails closed with the pinned note
+    assert rows[17]["parsed"] is False
+    assert "missing object 9" in rows[17]["note"]

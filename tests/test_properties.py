@@ -781,3 +781,30 @@ def test_tiff_roundtrips_any_geometry(w, h, seed, rgb, be, comp, pred,
     assert m["bits"] == bits
     assert m["layout"] == ("tiled" if tiled else "strips")
     assert list(m["pixels"]) == flat
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8", exclude_characters="\ud800"
+                ),
+                max_size=30,
+            ),
+            min_size=1, max_size=4,
+        ),
+        min_size=1, max_size=3,
+    ),
+    st.booleans(),
+)
+def test_pdf_text_roundtrips_any_lines(pages, compress):
+    """Any UTF-8 text — parens, backslashes, control bytes, emoji —
+    must survive literal-string escaping, (optional) Flate framing and
+    the content tokenizer, page- and line-exact."""
+    from razulibs_spark.operators.pdf import encode_pdf, parse_pdf_text
+
+    m = parse_pdf_text(encode_pdf(pages, compress=compress))
+    assert m["n_pages"] == len(pages)
+    assert m["text"] == "\f".join("\n".join(p) for p in pages)
