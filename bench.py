@@ -334,6 +334,11 @@ R09_ADDITIONS = [
     "pipeline_sitemap_discovery",
     "pipeline_cdx_index",
     "pipeline_crawl_schedule",
+    "streaming_warc_ingest",
+    "text_pdf_extract",
+    "io_zip_roundtrip",
+    "io_tar_gz_roundtrip",
+    "pipeline_recrawl_due",
 ]
 
 HEADLINE = (

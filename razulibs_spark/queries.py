@@ -1524,6 +1524,91 @@ def pipeline_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cdx_from_records(read_warc(spark, base))
 
 
+_ZIP_SQL = """
+SELECT doc_id,
+       'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+       CAST(strlen(text) AS BIGINT) AS size,
+       TRUE AS compressed,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+_TAR_SQL = """
+SELECT doc_id,
+       'doc-' || CAST(doc_id AS VARCHAR) || '.txt' AS member,
+       CAST(strlen(text) AS BIGINT) AS size,
+       FALSE AS compressed,
+       md5(text) AS body_md5
+FROM documents
+"""
+
+
+def _archive_roundtrip(
+    spark: SparkSession, sf_dir: str, tag: str, write, read
+) -> DataFrame:
+    """Shared body of the zip / tar.gz roundtrips: documents become
+    one member per doc, shards are written executor-side, one
+    binaryFile scan explodes them back, and every member's name, size
+    and body digest is recomputed by the oracle — a member dropped by
+    the central-directory walk or a byte lost to the container
+    mismatches."""
+    import os
+
+    base = (
+        f"/root/repo/.scratch/{tag}_store_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    members = T(spark, sf_dir, "documents").select(
+        F.concat(
+            F.lit("doc-"), F.col("doc_id").cast("string"), F.lit(".txt")
+        ).alias("member"),
+        F.col("text").cast("binary").alias("body"),
+    )
+    write(members.repartition(8), base)
+    return read(spark, base).select(
+        F.regexp_extract("member", r"doc-(\d+)\.txt", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "member",
+        "size",
+        "compressed",
+        F.md5("body").alias("body_md5"),
+    )
+
+
+@query("io_zip_roundtrip", _ZIP_SQL)
+def io_zip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIP container source/sink (sources/archives.py) — the packaging
+    academic dumps and dataset releases actually ship in: one deflated
+    member per document written to per-partition shards executor-side
+    (timestamps pinned to ZIP's 1980 floor — byte-deterministic), one
+    binaryFile scan + Arrow explode back. Per-archive tasks are the
+    distribution unit, the WARC argument applied to zip."""
+    from razulibs_spark.sources.archives import read_zip, write_zip_shards
+
+    return _archive_roundtrip(
+        spark, sf_dir, "zip", write_zip_shards, read_zip
+    )
+
+
+@query("io_tar_gz_roundtrip", _TAR_SQL)
+def io_tar_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tar.gz container source/sink — crawl/log dumps' packaging: the
+    tar stream is built with pinned mtime/uid/gid and wrapped by the
+    WARC module's deterministic gzip_member (tarfile's own 'w:gz'
+    stamps the wall clock into the gzip header, which would break
+    byte-determinism). Members report compressed=false: tar never
+    compresses members, the wrapper compresses the stream."""
+    from razulibs_spark.sources.archives import (
+        read_tar,
+        write_tar_gz_shards,
+    )
+
+    return _archive_roundtrip(
+        spark, sf_dir, "tar", write_tar_gz_shards, read_tar
+    )
+
+
 _CRAWL_SCHEDULE_SQL = """
 WITH f AS (SELECT doc_id, doc_id % 8 AS k,
                   'https://h' || CAST(doc_id % 8 AS VARCHAR)
@@ -1768,6 +1853,94 @@ def pipeline_sitemap_discovery(
         "lastmod",
         "priority",
         "source",
+    )
+
+
+_RECRAWL_SQL = """
+WITH u AS (SELECT doc_id,
+                  'https://h' || CAST(doc_id % 8 AS VARCHAR)
+                    || '.example/doc/' || CAST(doc_id AS VARCHAR) AS loc,
+                  CAST('2024-01-' || lpad(CAST(1 + doc_id % 28 AS
+                       VARCHAR), 2, '0') AS DATE) AS lastmod,
+                  CASE doc_id % 5 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly'
+                       WHEN 2 THEN 'monthly' WHEN 3 THEN 'yearly'
+                       ELSE 'never' END AS changefreq
+           FROM documents),
+d AS (SELECT *, CASE changefreq WHEN 'daily' THEN 1 WHEN 'weekly' THEN 7
+                     WHEN 'monthly' THEN 30 WHEN 'yearly' THEN 365
+                     END AS dd
+      FROM u)
+SELECT doc_id, loc, changefreq,
+       strftime(lastmod + dd * INTERVAL 1 DAY, '%Y-%m-%d') AS next_due,
+       COALESCE(lastmod + dd * INTERVAL 1 DAY <= DATE '2024-02-15',
+                FALSE) AS due
+FROM d
+"""
+
+
+@query("pipeline_recrawl_due", _RECRAWL_SQL)
+def pipeline_recrawl_due(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl scheduling from sitemap freshness hints — the consumer
+    of the ``changefreq`` field the scanner parses (sitemaps.org: the
+    page's expected change cadence): urlsets are written WITH
+    changefreq + lastmod, scanned back, and each URL's next-due date
+    is lastmod + the cadence interval (daily/weekly/monthly/yearly;
+    ``never`` pages are never due), compared against a pinned
+    reference date. The oracle recomputes the date arithmetic from
+    documents — a changefreq dropped by the writer or a date slip in
+    the scan flips a due flag. All codegen after the scan; the
+    frontier's recrawl feed at 100 TB is this exact projection."""
+    import os
+
+    from razulibs_spark.sources.sitemap import (
+        read_sitemaps,
+        write_urlset_files,
+    )
+
+    base = (
+        "/root/repo/.scratch/recrawl_store_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents")
+    urls = docs.select(
+        F.concat(F.lit("h"), F.col("doc_id") % 8).alias("host"),
+        F.concat(
+            F.lit("https://h"), F.col("doc_id") % 8,
+            F.lit(".example/doc/"), F.col("doc_id"),
+        ).alias("loc"),
+        F.concat(
+            F.lit("2024-01-"),
+            F.lpad((F.col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+        ).alias("lastmod"),
+        F.element_at(
+            F.array(
+                F.lit("daily"), F.lit("weekly"), F.lit("monthly"),
+                F.lit("yearly"), F.lit("never"),
+            ),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        ).alias("changefreq"),
+    )
+    write_urlset_files(
+        urls, base, priority_col=None, changefreq_col="changefreq"
+    )
+    scanned = read_sitemaps(spark, base)
+    days = (
+        F.when(F.col("changefreq") == "daily", 1)
+        .when(F.col("changefreq") == "weekly", 7)
+        .when(F.col("changefreq") == "monthly", 30)
+        .when(F.col("changefreq") == "yearly", 365)
+    )
+    next_due = F.date_add(F.to_date("lastmod"), days)
+    return scanned.select(
+        F.regexp_extract("loc", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "loc",
+        "changefreq",
+        F.date_format(next_due, "yyyy-MM-dd").alias("next_due"),
+        F.coalesce(
+            next_due <= F.lit("2024-02-15").cast("date"), F.lit(False)
+        ).alias("due"),
     )
 
 

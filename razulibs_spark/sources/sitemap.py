@@ -184,6 +184,7 @@ def write_urlset_files(
     loc_col: str = "loc",
     lastmod_col: str | None = "lastmod",
     priority_col: str | None = "priority",
+    changefreq_col: str | None = None,
     compress: bool = False,
 ) -> None:
     """One ``sitemap-<group>.xml[.gz]`` urlset per group (per host,
@@ -201,6 +202,8 @@ def write_urlset_files(
         cols.append(lastmod_col)
     if priority_col:
         cols.append(priority_col)
+    if changefreq_col:
+        cols.append(changefreq_col)
     ext = ".xml.gz" if compress else ".xml"
 
     def write_partition(rows) -> None:
@@ -209,6 +212,10 @@ def write_urlset_files(
             parts = ["  <url><loc>" + _esc(row[loc_col]) + "</loc>"]
             if lastmod_col and row[lastmod_col] is not None:
                 parts.append(f"<lastmod>{_esc(row[lastmod_col])}</lastmod>")
+            if changefreq_col and row[changefreq_col] is not None:
+                parts.append(
+                    f"<changefreq>{_esc(row[changefreq_col])}</changefreq>"
+                )
             if priority_col and row[priority_col] is not None:
                 parts.append(
                     f"<priority>{row[priority_col]!r}</priority>"
