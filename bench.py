@@ -339,6 +339,7 @@ R09_ADDITIONS = [
     "io_zip_roundtrip",
     "io_tar_gz_roundtrip",
     "pipeline_recrawl_due",
+    "eval_pass_at_k",
 ]
 
 HEADLINE = (

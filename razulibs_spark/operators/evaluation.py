@@ -313,3 +313,34 @@ def topk_agreement(
             F.col("n_overlap").cast("double") / F.lit(float(k)), 6
         ).alias("agreement_at_k"),
     )
+
+
+def pass_at_k(
+    df: DataFrame,
+    n_col: str = "n_samples",
+    c_col: str = "n_correct",
+    ks: tuple[int, ...] = (1, 2, 4),
+) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, HumanEval):
+    given n samples per task of which c pass, pass@k = 1 − C(n−c, k)
+    / C(n, k) — the probability at least one of k drawn samples
+    passes. Computed as EXACT integer falling-factorial products
+    Π(n−c−i) / Π(n−i), i < k, with one final double division — no
+    binomials, no floating accumulation, so Spark and any oracle agree
+    bit-for-bit. The n−c < k case needs no special-casing: the factor
+    chain descends through an exact 0, flooring the numerator (a
+    0 factor precedes any negative one). Per-row codegen, zero
+    shuffles — the eval-suite report stays a projection at any corpus
+    size."""
+    out = df
+    for k in ks:
+        num = F.lit(1).cast("long")
+        den = F.lit(1).cast("long")
+        for i in range(k):
+            num = num * (F.col(n_col) - F.col(c_col) - F.lit(i))
+            den = den * (F.col(n_col) - F.lit(i))
+        out = out.withColumn(
+            f"pass_at_{k}",
+            F.lit(1.0) - num.cast("double") / den.cast("double"),
+        )
+    return out

@@ -1856,6 +1856,46 @@ def pipeline_sitemap_discovery(
     )
 
 
+_PASS_AT_K_SQL = """
+WITH t AS (SELECT doc_id,
+                  4 + doc_id % 5 AS n,
+                  doc_id % (5 + doc_id % 5) AS c
+           FROM documents)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(c AS BIGINT) AS n_correct,
+       1 - CAST(n - c AS DOUBLE) / n AS pass_at_1,
+       1 - CAST((n-c) * (n-c-1) AS DOUBLE) / (n * (n-1)) AS pass_at_2,
+       1 - CAST((n-c) * (n-c-1) * (n-c-2) * (n-c-3) AS DOUBLE)
+             / (n * (n-1) * (n-2) * (n-3)) AS pass_at_4
+FROM t
+"""
+
+
+@query("eval_pass_at_k", _PASS_AT_K_SQL)
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pass@k (operators/evaluation.py:pass_at_k) — THE model-eval
+    aggregation of code/agent benchmarks (HumanEval's unbiased
+    estimator): per task, n = 4 + d%5 samples with c = d%(n+1)
+    planted correct, estimated at k ∈ {1, 2, 4} via exact integer
+    falling-factorial products and one final division. The fixture
+    sweeps every (n, c) combination including both boundary
+    conventions (c = 0 → 0; n−c < k → exactly 1 through the 0
+    factor); the oracle recomputes each estimate from the same exact
+    products, so any floating-accumulation shortcut mismatches."""
+    from razulibs_spark.operators.evaluation import pass_at_k
+
+    t = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 4).alias("n_samples"),
+        (F.col("doc_id") % (F.col("doc_id") % 5 + 5)).alias("n_correct"),
+    )
+    return pass_at_k(t).select(
+        "doc_id", "n_samples", "n_correct",
+        "pass_at_1", "pass_at_2", "pass_at_4",
+    )
+
+
 _RECRAWL_SQL = """
 WITH u AS (SELECT doc_id,
                   'https://h' || CAST(doc_id % 8 AS VARCHAR)

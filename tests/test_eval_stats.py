@@ -1052,3 +1052,25 @@ def test_peak_concurrency_midnight_straddle_exact(spark):
     # user 2's end at exactly 00:00 is exclusive) -> 1. Jan 3: level 1
     # until 01:00 end.
     assert out == {"2024-01-01": 2, "2024-01-02": 1, "2024-01-03": 1}
+
+
+def test_pass_at_k_matches_comb_reference(spark):
+    """The falling-factorial form must equal 1 - C(n-c,k)/C(n,k)
+    (math.comb ground truth) for EVERY (n, c, k) in range, including
+    c=0, c=n and the n-c<k regime where the estimator is exactly 1."""
+    from math import comb
+
+    from razulibs_spark.operators.evaluation import pass_at_k
+
+    rows = [(n, c) for n in range(4, 9) for c in range(0, n + 1)]
+    df = spark.createDataFrame(rows, "n_samples long, n_correct long")
+    got = {
+        (r["n_samples"], r["n_correct"]): (
+            r["pass_at_1"], r["pass_at_2"], r["pass_at_4"]
+        )
+        for r in pass_at_k(df).collect()
+    }
+    for n, c in rows:
+        for k, val in zip((1, 2, 4), got[(n, c)]):
+            want = 1.0 if n - c < k else 1.0 - comb(n - c, k) / comb(n, k)
+            assert val == want, (n, c, k, val, want)
