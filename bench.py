@@ -340,6 +340,8 @@ R09_ADDITIONS = [
     "io_tar_gz_roundtrip",
     "pipeline_recrawl_due",
     "eval_pass_at_k",
+    "io_variant_json",
+    "stats_welch_ttest",
 ]
 
 HEADLINE = (

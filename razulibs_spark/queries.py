@@ -1856,6 +1856,148 @@ def pipeline_sitemap_discovery(
     )
 
 
+_VARIANT_SQL = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("io_variant_json", _VARIANT_SQL)
+def io_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion — the engine-native semi-structured
+    path that replaces per-query JSON re-parsing (get_json_object,
+    F19) with parse-once binary-encoded variants: each event's props
+    is wrapped into a NESTED document, parsed to VARIANT once, and
+    both the group key and the metric are pulled back out with typed
+    ``variant_get`` path extraction — so the aggregation's inputs all
+    flow THROUGH the variant encoding. The oracle recomputes the same
+    stats from raw JSON; one wrong path step or a type-coercion slip
+    in the variant layer shifts a group. At 100 TB this is the schema-
+    on-read pattern: parse once at ingest, extract many times."""
+    ev = T(spark, sf_dir, "events")
+    nested = F.concat(
+        F.lit('{"outer": {"k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "type": "'),
+        F.col("event_type"),
+        F.lit('"}}'),
+    )
+    v = ev.select(F.parse_json(nested).alias("v"))
+    return (
+        v.select(
+            F.variant_get("v", "$.outer.type", "string").alias(
+                "event_type"
+            ),
+            F.variant_get("v", "$.outer.k", "long").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+_WELCH_SQL = """
+WITH m AS (SELECT event_type,
+                  user_id % 2 AS cohort,
+                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv
+           FROM events),
+s AS (SELECT event_type, cohort,
+             COUNT(*) AS n,
+             SUM(mv) AS sv,
+             SUM(CAST(mv AS DECIMAL(38, 0)) * mv) AS svv
+      FROM m GROUP BY event_type, cohort),
+w AS (SELECT a.event_type,
+             a.n AS n1, b.n AS n2,
+             CAST(a.sv AS DOUBLE) / 1000000 / a.n AS m1,
+             CAST(b.sv AS DOUBLE) / 1000000 / b.n AS m2,
+             (CAST(a.svv AS DOUBLE)
+              - CAST(a.sv AS DOUBLE) * a.sv / a.n)
+               / (a.n - 1) / 1000000 / 1000000 AS v1,
+             (CAST(b.svv AS DOUBLE)
+              - CAST(b.sv AS DOUBLE) * b.sv / b.n)
+               / (b.n - 1) / 1000000 / 1000000 AS v2
+      FROM (SELECT * FROM s WHERE cohort = 0) a
+      JOIN (SELECT * FROM s WHERE cohort = 1) b USING (event_type))
+SELECT event_type, n1, n2,
+       m1 - m2 AS mean_diff,
+       (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+       (v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2)
+         / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+            + (v2 / n2) * (v2 / n2) / (n2 - 1)) AS welch_df
+FROM w
+"""
+
+
+@query("stats_welch_ttest", _WELCH_SQL)
+def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test per event_type between the
+    user_id-parity cohorts — the A/B significance report a data
+    pipeline runs on its own metrics. Exactness discipline: sufficient
+    statistics are EXACT (micro-quantized BIGINT sums, decimal(38,0)
+    squares — the a_grouped_ols pattern), and the t statistic +
+    Satterthwaite df are one FIXED chain of correctly-rounded double
+    ops from those exact inputs, so Spark and DuckDB agree bit-for-bit
+    where naive float SUMs would be order-dependent. One shuffle on
+    (event_type, cohort), then a tiny self-join."""
+    mv = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    s = (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_type", (F.col("user_id") % 2).alias("cohort"),
+            mv.alias("mv"),
+        )
+        .groupBy("event_type", "cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("mv").alias("sv"),
+            F.sum(F.col("mv").cast("decimal(38,0)") * F.col("mv"))
+            .alias("svv"),
+        )
+    )
+    a = s.filter(F.col("cohort") == 0).select(
+        "event_type", F.col("n").alias("n1"), F.col("sv").alias("sv1"),
+        F.col("svv").alias("svv1"),
+    )
+    b = s.filter(F.col("cohort") == 1).select(
+        "event_type", F.col("n").alias("n2"), F.col("sv").alias("sv2"),
+        F.col("svv").alias("svv2"),
+    )
+    j = a.join(b, "event_type")
+    m1 = F.col("sv1").cast("double") / 1_000_000 / F.col("n1")
+    m2 = F.col("sv2").cast("double") / 1_000_000 / F.col("n2")
+    v1 = (
+        (F.col("svv1").cast("double")
+         - F.col("sv1").cast("double") * F.col("sv1") / F.col("n1"))
+        / (F.col("n1") - 1) / 1_000_000 / 1_000_000
+    )
+    v2 = (
+        (F.col("svv2").cast("double")
+         - F.col("sv2").cast("double") * F.col("sv2") / F.col("n2"))
+        / (F.col("n2") - 1) / 1_000_000 / 1_000_000
+    )
+    se2_1 = v1 / F.col("n1")
+    se2_2 = v2 / F.col("n2")
+    return j.select(
+        "event_type", "n1", "n2",
+        (m1 - m2).alias("mean_diff"),
+        ((m1 - m2) / F.sqrt(se2_1 + se2_2)).alias("t_stat"),
+        (
+            (se2_1 + se2_2) * (se2_1 + se2_2)
+            / (se2_1 * se2_1 / (F.col("n1") - 1)
+               + se2_2 * se2_2 / (F.col("n2") - 1))
+        ).alias("welch_df"),
+    )
+
+
 _PASS_AT_K_SQL = """
 WITH t AS (SELECT doc_id,
                   4 + doc_id % 5 AS n,
