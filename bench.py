@@ -342,6 +342,7 @@ R09_ADDITIONS = [
     "eval_pass_at_k",
     "io_variant_json",
     "stats_welch_ttest",
+    "j_asof_nearest",
 ]
 
 HEADLINE = (

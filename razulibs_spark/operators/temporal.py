@@ -57,7 +57,9 @@ def asof_join(
     with right_time >= left_time (DuckDB ``ON l.t <= r.t``; pandas
     ``merge_asof(direction="forward")``). Implementation is the same
     single sort-carry pass traversed in descending time order, so cost
-    is identical.
+    is identical. ``direction="nearest"`` picks whichever of the two
+    is closer in time (exact ties go backward, the pandas rule) — two
+    carries over one unioned frame, so still no self-join.
 
     ``tolerance`` (an INTERVAL string, e.g. ``"1 hour"``) nulls the
     match when it is older than left_time − tolerance — pandas
@@ -73,8 +75,19 @@ def asof_join(
     Output: every left column, plus each right column (except the key)
     prefixed with ``right_prefix``.
     """
-    if direction not in ("backward", "forward"):
-        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if direction == "nearest":
+        # Both carries run over the SAME unioned frame (two windows on
+        # one partition key — two sorts, zero self-joins), then each
+        # left row picks the closer match; exact-distance ties go
+        # BACKWARD (pandas merge_asof(direction="nearest") convention).
+        return _asof_nearest(
+            left, right, on, left_time, right_time, right_prefix,
+            inclusive, tolerance, right_tiebreak,
+        )
     fwd = direction == "forward"
     rt = right_time or left_time
     r_cols = [c for c in right.columns if c != on]
@@ -128,6 +141,104 @@ def asof_join(
         *[F.col(f"{_RPAY}.{c}").alias(f"{right_prefix}{c}") for c in r_cols],
     )
     return out
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str | None,
+    right_prefix: str,
+    inclusive: bool,
+    tolerance: str | None,
+    right_tiebreak: list[str] | None,
+) -> DataFrame:
+    """direction="nearest" body of asof_join — see there."""
+    if not inclusive:
+        raise ValueError("nearest requires inclusive=True")
+    rt = right_time or left_time
+    r_cols = [c for c in right.columns if c != on]
+    if rt not in r_cols:
+        raise ValueError(
+            "nearest requires right_time to be a right-side column "
+            "(the distance compare needs the matched time)"
+        )
+    tb = right_tiebreak or []
+    null_tb = [
+        F.lit(None).cast(right.schema[c].dataType.simpleString())
+        for c in tb
+    ]
+    lhs = left.select(
+        F.col(on),
+        F.col(left_time).alias(_T),
+        F.lit(1).alias(_SIDE),
+        *[c.alias(f"_tb_{name}") for c, name in zip(null_tb, tb)],
+        F.struct(*[F.col(c) for c in left.columns]).alias(_LPAY),
+    )
+    rhs = right.select(
+        F.col(on),
+        F.col(rt).alias(_T),
+        F.lit(0).alias(_SIDE),
+        *[F.col(c).alias(f"_tb_{c}") for c in tb],
+        F.struct(*[F.col(c) for c in r_cols]).alias(_RPAY),
+    )
+    unioned = lhs.unionByName(rhs, allowMissingColumns=True)
+    tbo = [F.col(f"_tb_{c}").asc_nulls_last() for c in tb]
+    w_b = (
+        Window.partitionBy(on)
+        .orderBy(F.col(_T).asc(), _SIDE, *tbo)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(on)
+        .orderBy(F.col(_T).desc(), _SIDE, *tbo)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_rb", F.last(_RPAY, ignorenulls=True).over(w_b)
+    ).withColumn("_rf", F.last(_RPAY, ignorenulls=True).over(w_f))
+
+    def _seconds(col):
+        # TIMESTAMP_NTZ has no direct double cast; hop through
+        # TIMESTAMP (a pure reinterpretation under the session's UTC),
+        # which also passes numeric time columns through unchanged.
+        t = unioned.schema[_T].dataType.typeName()
+        return (
+            col.cast("timestamp").cast("double")
+            if t.startswith("timestamp")
+            else col.cast("double")
+        )
+
+    lt = _seconds(F.col(_T))
+    d_b = lt - _seconds(F.col(f"_rb.{rt}"))
+    d_f = _seconds(F.col(f"_rf.{rt}")) - lt
+    rb, rf = F.col("_rb"), F.col("_rf")
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        rb = F.when(
+            F.col(f"_rb.{rt}") >= F.col(_T) - bound, rb
+        )
+        rf = F.when(
+            F.col(f"_rf.{rt}") <= F.col(_T) + bound, rf
+        )
+    chosen = (
+        F.when(rb.isNull(), rf)
+        .when(rf.isNull(), rb)
+        .when(d_b <= d_f, rb)  # exact-tie → backward (pandas rule)
+        .otherwise(rf)
+    )
+    return (
+        carried.withColumn(_RPAY, chosen)
+        .filter(F.col(_SIDE) == 1)
+        .select(
+            *[F.col(f"{_LPAY}.{c}").alias(c) for c in left.columns],
+            *[
+                F.col(f"{_RPAY}.{c}").alias(f"{right_prefix}{c}")
+                for c in r_cols
+            ],
+        )
+    )
 
 
 def range_join_binned(

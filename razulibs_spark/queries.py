@@ -1856,6 +1856,70 @@ def pipeline_sitemap_discovery(
     )
 
 
+_ASOF_NEAREST_SQL = """
+WITH l AS (SELECT event_id, user_id % 50 AS k, ts FROM events),
+r AS (SELECT user_id % 50 AS k, date_trunc('hour', ts) AS rt,
+             MAX(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS rv
+      FROM events
+      WHERE hour(ts) % 2 = 0
+      GROUP BY 1, 2),
+b AS (SELECT l.event_id, MAX(r.rt) AS bt
+      FROM l LEFT JOIN r ON r.k = l.k AND r.rt <= l.ts
+      GROUP BY 1),
+f AS (SELECT l.event_id, MIN(r.rt) AS ft
+      FROM l LEFT JOIN r ON r.k = l.k AND r.rt >= l.ts
+      GROUP BY 1),
+c AS (SELECT l.event_id, l.k, l.ts,
+             CASE WHEN bt IS NULL THEN ft
+                  WHEN ft IS NULL THEN bt
+                  WHEN l.ts - bt <= ft - l.ts THEN bt
+                  ELSE ft END AS rt
+      FROM l JOIN b USING (event_id) JOIN f USING (event_id))
+SELECT c.event_id, c.k, c.ts, c.rt AS matched_rt, r.rv AS matched_rv
+FROM c LEFT JOIN r ON r.k = c.k AND r.rt = c.rt
+"""
+
+
+@query("j_asof_nearest", _ASOF_NEAREST_SQL)
+def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, direction=NEAREST (operators/temporal.py — the
+    pandas merge_asof(direction='nearest') semantics the backward/
+    forward entries don't cover): every event matches the closest
+    even-hour grid observation of its user bucket, backward OR
+    forward, exact ties going backward. The even-hour gaps make the
+    forward branch genuinely win for late-in-the-gap events — a
+    one-sided implementation would hash-mismatch half the rows. Scale
+    shape: two window carries over ONE unioned frame (no self-join,
+    no range explosion); the oracle recomputes both candidates with
+    inequality joins and applies the same tie rule."""
+    from razulibs_spark.operators.temporal import asof_join
+
+    ev = T(spark, sf_dir, "events")
+    left = ev.select(
+        "event_id", (F.col("user_id") % 50).alias("k"), "ts"
+    )
+    right = (
+        ev.filter(F.hour("ts") % 2 == 0)
+        .groupBy(
+            (F.col("user_id") % 50).alias("k"),
+            F.date_trunc("hour", "ts").alias("rt"),
+        )
+        .agg(
+            F.max(
+                F.floor(F.col("value") * 10_000 + F.lit(0.5)).cast("long")
+            ).alias("rv")
+        )
+    )
+    return asof_join(
+        left, right, on="k", left_time="ts", right_time="rt",
+        direction="nearest",
+    ).select(
+        "event_id", "k", "ts",
+        F.col("matched_rt").alias("matched_rt"),
+        F.col("matched_rv").alias("matched_rv"),
+    )
+
+
 _VARIANT_SQL = """
 SELECT event_type,
        COUNT(*) AS n,

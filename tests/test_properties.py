@@ -142,6 +142,27 @@ def test_asof_join_matches_pandas_merge_asof(spark, lrows, rrows):
     }
     assert got == exp
 
+    # direction="nearest" against the same pandas reference (covers
+    # the exact-tie-goes-backward rule over arbitrary keyed sets)
+    expected_n = pd.merge_asof(
+        lpdf.sort_values(["ts", "k"]).reset_index(drop=True),
+        rpdf.sort_values(["rts", "k"]).reset_index(drop=True),
+        left_on="ts", right_on="rts", by="k", direction="nearest",
+    )
+    exp_n = {
+        (r.k, r.ts): (None if pd.isna(r.rv) else int(r.rv))
+        for r in expected_n.itertuples()
+    }
+    out_n = asof_join(
+        left, right, on="k", left_time="ts", right_time="rts",
+        direction="nearest",
+    )
+    got_n = {
+        (r["k"], pd.Timestamp(r["ts"])): r["matched_rv"]
+        for r in out_n.collect()
+    }
+    assert got_n == exp_n
+
 
 @given(
     st.integers(min_value=1, max_value=9),

@@ -526,3 +526,47 @@ def test_grid_spatial_join_matches_bruteforce(spark):
             for r in grid_spatial_join(points, boxes, cell=cell).collect()
         )
         assert got == brute, f"cell={cell}"
+
+
+def test_asof_nearest_matches_pandas(spark):
+    """direction='nearest' must agree with pandas merge_asof
+    (including the exact-tie-goes-backward rule) and honor
+    tolerance on BOTH sides."""
+    import pandas as pd
+
+    from razulibs_spark.operators.temporal import asof_join
+
+    lrows = [(1, t) for t in (0, 5, 10, 14, 30)] + [(2, 7)]
+    rrows = [(1, 2, 100), (1, 8, 200), (1, 20, 300), (3, 1, 999)]
+    lpdf = pd.DataFrame(lrows, columns=["k", "t"])
+    rpdf = pd.DataFrame(rrows, columns=["k", "t", "rv"])
+    lpdf["ts"] = pd.to_datetime(lpdf["t"], unit="s")
+    rpdf["rts"] = pd.to_datetime(rpdf["t"], unit="s")
+    for tol in (None, "4 seconds"):
+        expected = pd.merge_asof(
+            lpdf.sort_values(["ts", "k"]).reset_index(drop=True),
+            rpdf.sort_values(["rts", "k"]).reset_index(drop=True),
+            left_on="ts", right_on="rts", by="k", direction="nearest",
+            tolerance=pd.Timedelta(tol) if tol else None,
+        )
+        exp = {
+            (r.k, r.ts): (None if pd.isna(r.rv) else int(r.rv))
+            for r in expected.itertuples()
+        }
+        left = spark.createDataFrame(
+            lpdf[["k", "ts"]], "k long, ts timestamp"
+        )
+        right = spark.createDataFrame(
+            rpdf[["k", "rts", "rv"]], "k long, rts timestamp, rv long"
+        )
+        out = asof_join(
+            left, right, on="k", left_time="ts", right_time="rts",
+            direction="nearest", tolerance=tol,
+        )
+        got = {
+            (r["k"], pd.Timestamp(r["ts"])): r["matched_rv"]
+            for r in out.collect()
+        }
+        assert got == exp, (tol, got, exp)
+    # ts=5 is equidistant from rts 2 and 8 -> backward (100) won above
+    assert exp[(1, pd.Timestamp("1970-01-01 00:00:05"))] == 100
