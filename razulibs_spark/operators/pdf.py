@@ -43,34 +43,42 @@ def _pdf_escape(text: str) -> str:
 
 
 def encode_pdf(
-    pages: list[list[str]], compress: bool = True
+    pages: list[list[str]],
+    compress: bool = True,
+    object_streams: bool = False,
 ) -> bytes:
     """Minimal valid PDF: catalog → pages tree → one content stream
     per page, each line a ``(…) Tj`` show plus a ``T*`` line feed,
     with a real xref table and trailer. ``pages`` is a list of pages,
     each a list of text lines. FlateDecode-compressed streams by
     default (what real PDFs do); plain for the uncompressed variant
-    axis."""
-    objs: list[bytes] = []  # 1-indexed
-
+    axis. With ``object_streams`` the DICT objects (catalog, pages
+    tree, font, page dicts) pack into one FlateDecode /ObjStm — the
+    PDF 1.5+ layout virtually every modern producer emits — while
+    content streams stay top-level (streams may not live inside an
+    ObjStm, per spec)."""
     n_pages = len(pages)
-    # object layout: 1=catalog, 2=pages, 3=font, then per page i:
-    # page obj (4+2i), content obj (5+2i)
+    # object numbering: 1=catalog, 2=pages, 3=font, then per page i:
+    # page dict (4+2i), content stream (5+2i); the ObjStm, when used,
+    # takes the next free number.
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
-    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")
-    objs.append(
-        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
-    )
-    objs.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    dict_objs: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    stream_objs: list[tuple[int, bytes]] = []
     for i, lines in enumerate(pages):
-        objs.append(
+        dict_objs.append(
             (
-                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-                f"/Resources << /Font << /F1 3 0 R >> >> "
-                f"/Contents {5 + 2 * i} 0 R >>"
-            ).encode()
+                4 + 2 * i,
+                (
+                    f"<< /Type /Page /Parent 2 0 R "
+                    f"/MediaBox [0 0 612 792] "
+                    f"/Resources << /Font << /F1 3 0 R >> >> "
+                    f"/Contents {5 + 2 * i} 0 R >>"
+                ).encode(),
+            )
         )
         body = "BT /F1 12 Tf 14 TL 72 720 Td\n" + "\n".join(
             f"({_pdf_escape(ln)}) Tj T*" for ln in lines
@@ -82,22 +90,58 @@ def encode_pdf(
         else:
             data = raw
             head = f"<< /Length {len(data)} >>"
-        objs.append(
-            head.encode() + b"\nstream\n" + data + b"\nendstream"
+        stream_objs.append(
+            (
+                5 + 2 * i,
+                head.encode() + b"\nstream\n" + data + b"\nendstream",
+            )
         )
 
+    if object_streams:
+        # pack every dict object into one ObjStm: header of
+        # "num offset" pairs, then the bodies at /First + offset
+        bodies = []
+        header = []
+        pos = 0
+        for num, body in dict_objs:
+            header.append(f"{num} {pos}")
+            bodies.append(body)
+            pos += len(body) + 1  # separating newline
+        head_bytes = (" ".join(header) + "\n").encode()
+        payload = head_bytes + b"\n".join(bodies) + b"\n"
+        data = zlib.compress(payload, 6)
+        stm_num = 5 + 2 * n_pages  # next free object number
+        objs = stream_objs + [
+            (
+                stm_num,
+                (
+                    f"<< /Type /ObjStm /N {len(dict_objs)} "
+                    f"/First {len(head_bytes)} /Length {len(data)} "
+                    f"/Filter /FlateDecode >>"
+                ).encode()
+                + b"\nstream\n" + data + b"\nendstream",
+            )
+        ]
+    else:
+        objs = dict_objs + stream_objs
+    objs.sort()
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
-    offsets = [0]  # object 0 is the xref free-list head
-    for n, body in enumerate(objs, start=1):
-        offsets.append(len(out))
+    offsets: dict[int, int] = {}
+    for n, body in objs:
+        offsets[n] = len(out)
         out += f"{n} 0 obj\n".encode() + body + b"\nendobj\n"
     xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    max_num = max(offsets)
+    out += f"xref\n0 {max_num + 1}\n".encode()
     out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+    for n in range(1, max_num + 1):
+        # classic-table fixture: in-ObjStm objects get placeholder
+        # rows (a real 1.5 file uses an xref STREAM with type-2
+        # entries; the parser never reads the table either way)
+        out += f"{offsets.get(n, 0):010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {len(objs) + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -229,6 +273,39 @@ def parse_pdf_text(payload: bytes) -> dict:
     if not objects:
         raise ValueError("pdf: no objects")
 
+    # PDF 1.5+ object streams: virtually every modern producer packs
+    # its dict objects (catalog, page tree, pages) into FlateDecode
+    # /ObjStm containers — invisible to the span scan until expanded.
+    # Header = /N "num offset" pairs, bodies start at /First.
+    for num, (at, body) in list(objects.items()):
+        if b"/ObjStm" not in body:
+            continue
+        st = re.search(rb"stream\r?\n", body)
+        lm = re.search(rb"/Length\s+(\d+)", body)
+        fm = re.search(rb"/First\s+(\d+)", body)
+        nm = re.search(rb"/N\s+(\d+)", body)
+        if not (st and lm and fm and nm):
+            raise ValueError(f"pdf: malformed object stream {num}")
+        data = buf[at + st.end():at + st.end() + int(lm.group(1))]
+        if b"/FlateDecode" in body[:st.start()]:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"pdf: object stream {num} corrupt: {exc}"
+                ) from exc
+        first, n_mem = int(fm.group(1)), int(nm.group(1))
+        header = data[:first].split()
+        if len(header) < 2 * n_mem:
+            raise ValueError(f"pdf: object stream {num} header short")
+        nums = [int(x) for x in header[0:2 * n_mem:2]]
+        offs = [int(x) for x in header[1:2 * n_mem:2]]
+        for i, (mn, mo) in enumerate(zip(nums, offs)):
+            end = first + offs[i + 1] if i + 1 < n_mem else len(data)
+            # top-level wins on duplicates (an updated object appended
+            # by an incremental save shadows its ObjStm copy)
+            objects.setdefault(mn, (-1, data[first + mo:end]))
+
     catalog = None
     for _, body in objects.values():
         if b"/Type" in body and b"/Catalog" in body:
@@ -339,10 +416,13 @@ _LINES_PER_PAGE = 5
 def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
     """Deterministic REAL PDFs from each document's words: 6-word
     lines, 5-line pages; FlateDecode streams for even d, plain for
-    odd (the variant axis); every doc plants a parens+backslash
-    escape torture line first — `Tj (a(b)c\\) …)` must round-trip.
-    Docs with d%23 == 17 carry a POISON payload (valid header +
-    catalog, /Contents pointing at a missing object)."""
+    odd; the PDF 1.5+ /ObjStm layout (dict objects packed into a
+    compressed object stream) for d%5 == 1 — the parse must expand it
+    or the page tree is invisible; every doc plants a
+    parens+backslash escape torture line first — `Tj (a(b)c\\) …)`
+    must round-trip. Docs with d%23 == 17 carry a POISON payload
+    (valid header + catalog, /Contents pointing at a missing
+    object)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in it:
@@ -372,7 +452,13 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                     for j in range(0, len(lines), _LINES_PER_PAGE)
                 ]
                 ids.append(d)
-                payloads.append(encode_pdf(pages, compress=(d % 2 == 0)))
+                payloads.append(
+                    encode_pdf(
+                        pages,
+                        compress=(d % 2 == 0),
+                        object_streams=(d % 5 == 1),
+                    )
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": ids,

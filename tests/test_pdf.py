@@ -104,3 +104,27 @@ def test_pdf_stage_fail_closed(spark):
     # d=17: poison (17%23==17) fails closed with the pinned note
     assert rows[17]["parsed"] is False
     assert "missing object 9" in rows[17]["note"]
+
+
+def test_object_stream_layout_roundtrips():
+    """PDF 1.5+ /ObjStm: catalog/pages/page dicts live inside a
+    compressed object stream — the span scan alone sees no page tree;
+    expansion must recover it, in page order, both compressions."""
+    pages = [["alpha beta"], ["gamma (delta)"], ["epsilon"]]
+    for comp in (True, False):
+        blob = encode_pdf(pages, compress=comp, object_streams=True)
+        # the catalog really is invisible at the top level
+        assert b"/Catalog" not in blob or b"/ObjStm" in blob
+        m = parse_pdf_text(blob)
+        assert m["n_pages"] == 3
+        assert m["compressed_pages"] == (3 if comp else 0)
+        assert m["text"].split("\f") == ["\n".join(p) for p in pages]
+    # corrupt ObjStm data -> named error
+    blob = encode_pdf(pages, object_streams=True)
+    import re as _re
+
+    sm = _re.search(rb"/ObjStm[^>]*>>\r?\nstream\r?\n", blob)
+    at = sm.end()
+    bad = blob[:at] + b"\x00\x00\x00\x00" + blob[at + 4:]
+    with pytest.raises(ValueError, match="object stream .* corrupt"):
+        parse_pdf_text(bad)
