@@ -343,6 +343,7 @@ R09_ADDITIONS = [
     "io_variant_json",
     "stats_welch_ttest",
     "j_asof_nearest",
+    "pipeline_revisit_resolve",
 ]
 
 HEADLINE = (

@@ -1480,6 +1480,96 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_mixed_stats(drained)
 
 
+_REVISIT_SQL = """
+SELECT doc_id,
+       CAST(304 AS BIGINT) AS revisit_status,
+       md5(text) AS resolved_md5,
+       CAST(strlen(text) AS BIGINT) AS resolved_len
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+
+@query("pipeline_revisit_resolve", _REVISIT_SQL)
+def pipeline_revisit_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revisit resolution — how a crawl's dedup actually works on
+    disk: a ``revisit`` record carries NO payload, only a
+    ``WARC-Refers-To`` pointer at the capture it deduplicated
+    against; recovering the content means joining revisits to
+    responses on that id. Every doc gets a response with an explicit
+    record id; every 4th doc also gets a payload-less revisit whose
+    refers_to names it. The resolver is ONE hash join on the record
+    id (both sides shuffle-partitioned by it — no broadcast: the
+    response side is corpus-sized); the oracle recomputes the
+    recovered digest/length from documents, so a refers_to written or
+    parsed wrong, or a revisit body mistaken for content, mismatches."""
+    import os
+
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_records,
+    )
+
+    base = (
+        "/root/repo/.scratch/warc_revisit_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    crlf = "\r\n"
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    uri = F.concat(
+        F.lit("https://h"), (F.col("doc_id") % 8).cast("string"),
+        F.lit(".example/doc/"), F.col("doc_id").cast("string"),
+    )
+    responses = docs.select(
+        F.lit("response").alias("warc_type"),
+        uri.alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.concat(
+            F.lit(
+                "HTTP/1.1 200 OK" + crlf
+                + "Content-Type: text/plain" + crlf
+                + "Content-Length: "
+            ),
+            F.octet_length("text").cast("string"),
+            F.lit(crlf + crlf),
+            F.col("text"),
+        ).cast("binary").alias("payload"),
+        F.md5(uri.cast("binary")).alias("record_id"),
+        F.lit(None).cast("string").alias("refers_to"),
+    )
+    revisits = docs.filter(F.col("doc_id") % 4 == 0).select(
+        F.lit("revisit").alias("warc_type"),
+        uri.alias("target_uri"),
+        F.lit("application/http; msgtype=response").alias("content_type"),
+        F.lit("HTTP/1.1 304 Not Modified" + crlf + 'ETag: "x"')
+        .cast("binary").alias("payload"),
+        F.concat(F.lit("rv-"), F.md5(uri.cast("binary")))
+        .alias("record_id"),
+        F.concat(
+            F.lit("<urn:uuid:"), F.md5(uri.cast("binary")), F.lit(">")
+        ).alias("refers_to"),
+    )
+    write_warc_records(
+        responses.unionByName(revisits).repartition(8), base,
+        compress=True,
+    )
+    recs = read_warc(spark, base)
+    resp = recs.filter(F.col("warc_type") == "response").select(
+        F.col("record_id").alias("refers_to"),
+        F.md5("body").alias("resolved_md5"),
+        F.octet_length("body").cast("long").alias("resolved_len"),
+    )
+    rev = recs.filter(F.col("warc_type") == "revisit").select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("http_status").alias("revisit_status"),
+        "refers_to",
+    )
+    return rev.join(resp, "refers_to").select(
+        "doc_id", "revisit_status", "resolved_md5", "resolved_len"
+    )
+
+
 _CDX_SQL = """
 SELECT 'example,h' || CAST(doc_id % 8 AS VARCHAR) || ')/doc/'
          || CAST(doc_id AS VARCHAR) AS urlkey,

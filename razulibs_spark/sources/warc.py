@@ -49,6 +49,9 @@ WARC_RECORD_SCHEMA = StructType(
         StructField("http_status", LongType(), True),
         StructField("http_content_type", StringType(), True),
         StructField("body", BinaryType(), True),
+        # WARC-Refers-To: how a revisit names the capture it
+        # deduplicated against — the join key of revisit resolution
+        StructField("refers_to", StringType(), True),
     ]
 )
 
@@ -62,6 +65,7 @@ def encode_warc_record(
     target_uri: str | None = None,
     warc_date: str = "2024-01-01T00:00:00Z",
     content_type: str = "application/http; msgtype=response",
+    refers_to: str | None = None,
 ) -> bytes:
     headers = [
         ("WARC-Type", warc_type),
@@ -70,6 +74,8 @@ def encode_warc_record(
         ("Content-Type", content_type),
         ("Content-Length", str(len(payload))),
     ]
+    if refers_to is not None:
+        headers.insert(2, ("WARC-Refers-To", refers_to))
     if target_uri is not None:
         headers.insert(3, ("WARC-Target-URI", target_uri))
     head = b"WARC/1.0" + _CRLF + b"".join(
@@ -223,6 +229,7 @@ def parse_warc(content: bytes) -> list[tuple]:
                 status,
                 http_ct,
                 body,
+                headers.get("warc-refers-to"),
             )
         )
     return rows
@@ -331,13 +338,21 @@ def write_warc_records(
     records in one file (write_warc_responses is the response-only
     convenience). Same executor-side per-partition layout: one
     ``part-<partition>.warc[.gz]`` per partition, one gzip member per
-    record; record id = md5 over (type, uri, payload) —
-    deterministic, collision-irrelevant at fixture scale."""
+    record; record id = the frame's ``record_id`` column when present,
+    else md5 over (type, uri, payload) — deterministic,
+    collision-irrelevant at fixture scale. An optional ``refers_to``
+    column writes WARC-Refers-To (how revisit records name the
+    capture they deduplicated against)."""
     import hashlib
     import os
 
     os.makedirs(directory, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
+    has_rid = "record_id" in records.columns
+    has_refers = "refers_to" in records.columns
+    cols = ["warc_type", "target_uri", "content_type", "payload"]
+    cols += ["record_id"] if has_rid else []
+    cols += ["refers_to"] if has_refers else []
 
     def write_partition(rows) -> None:
         chunks: list[bytes] = []
@@ -348,16 +363,20 @@ def write_warc_records(
             pid = TaskContext.get().partitionId() if pid is None else pid
             payload = bytes(row["payload"])
             uri = row["target_uri"]
-            rec = encode_warc_record(
-                row["warc_type"],
-                payload,
-                record_id=hashlib.md5(
+            rid = row["record_id"] if has_rid else None
+            if rid is None:
+                rid = hashlib.md5(
                     row["warc_type"].encode()
                     + b"|" + (uri or "").encode()
                     + b"|" + payload
-                ).hexdigest(),
+                ).hexdigest()
+            rec = encode_warc_record(
+                row["warc_type"],
+                payload,
+                record_id=rid,
                 target_uri=uri,
                 content_type=row["content_type"],
+                refers_to=row["refers_to"] if has_refers else None,
             )
             chunks.append(gzip_member(rec) if compress else rec)
         if pid is not None:
@@ -366,9 +385,7 @@ def write_warc_records(
             ) as fh:
                 fh.write(b"".join(chunks))
 
-    records.select(
-        "warc_type", "target_uri", "content_type", "payload"
-    ).foreachPartition(write_partition)
+    records.select(*cols).foreachPartition(write_partition)
 
 
 def write_warc_responses(

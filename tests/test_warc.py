@@ -43,11 +43,12 @@ def test_parse_non_http_record_and_headers():
         content_type="application/warc-fields",
     )
     (row,) = parse_warc(rec)
-    warc_type, rid, uri, date, status, ct, body = row
+    warc_type, rid, uri, date, status, ct, body, refers_to = row
     assert warc_type == "warcinfo" and status is None and ct is None
     assert uri is None and rid == "<urn:uuid:w1>"
     assert date == "2024-01-01T00:00:00Z"
     assert body == b"software: engine\r\n"
+    assert refers_to is None
 
 
 def test_parse_strictness():
