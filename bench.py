@@ -344,6 +344,7 @@ R09_ADDITIONS = [
     "stats_welch_ttest",
     "j_asof_nearest",
     "pipeline_revisit_resolve",
+    "text_html_meta",
 ]
 
 HEADLINE = (

@@ -45,9 +45,13 @@ _VOID = {"br", "img", "hr", "meta", "link", "input", "area", "base",
 
 def extract_page(html: str) -> dict:
     """One page → {'title', 'blocks': [str], 'n_links_removed',
-    'links': [(href, anchor)]} — links only from CONTENT regions
-    (chrome links are counted, not collected: a nav menu is not part
-    of the page's link graph)."""
+    'links': [(href, anchor)], 'meta': {key: content}} — links only
+    from CONTENT regions (chrome links are counted, not collected: a
+    nav menu is not part of the page's link graph). ``meta`` collects
+    the head signals a crawler keys on: ``canonical`` from
+    ``<link rel=canonical>`` plus every ``<meta property=…>`` /
+    ``<meta name=…>`` content value (og:*, description, robots),
+    first occurrence wins."""
     from html.parser import HTMLParser
 
     class _Main(HTMLParser):
@@ -66,6 +70,7 @@ def extract_page(html: str) -> dict:
             self.n_links_removed = 0
             self.links: list[tuple[str, str]] = []  # (href, anchor)
             self._anchor: tuple[str, list[str]] | None = None
+            self.meta: dict[str, str] = {}
 
         @property
         def skip(self) -> int:
@@ -73,6 +78,18 @@ def extract_page(html: str) -> dict:
 
         def handle_starttag(self, tag, attrs):
             if tag in _VOID:
+                # meta/link are void but carry the head signals
+                if tag == "link" and not self.skip:
+                    a = dict(attrs)
+                    if (a.get("rel") or "").lower() == "canonical" and a.get(
+                        "href"
+                    ):
+                        self.meta.setdefault("canonical", a["href"])
+                elif tag == "meta" and not self.skip:
+                    a = dict(attrs)
+                    key = a.get("property") or a.get("name")
+                    if key and a.get("content") is not None:
+                        self.meta.setdefault(key.lower(), a["content"])
                 return
             if tag in ("main", "article", "body"):
                 # a structural content boundary: whatever boilerplate
@@ -142,6 +159,7 @@ def extract_page(html: str) -> dict:
         "blocks": p.blocks,
         "n_links_removed": p.n_links_removed,
         "links": p.links,
+        "meta": p.meta,
     }
 
 
@@ -209,7 +227,15 @@ def synthesize_html_pages(documents: DataFrame) -> DataFrame:
                     "<!DOCTYPE html>\n"
                     f'<html lang="en"><head><title>Doc {d}</title>\n'
                     f"<script>if(a<b&&c>{d}){{track()}}</script>\n"
-                    "<style>p.txt{margin:0} /* a<b */</style></head>\n"
+                    "<style>p.txt{margin:0} /* a<b */</style>\n"
+                    f'<link rel="canonical" '
+                    f'href="https://h{d % 8}.example/doc/{d}">\n'
+                    f'<meta property="og:title" content="Doc {d}">\n'
+                    f'<meta property="og:type" content='
+                    f'"{"article" if d % 2 else "website"}">\n'
+                    f'<meta name="description" '
+                    f'content="Doc {d} &amp; more">\n'
+                    "</head>\n"
                     "<body>\n"
                     f"<header><h1>Site {d % 7}</h1></header>\n"
                     f"<nav><ul>{nav_links}</ul></nav>\n"
@@ -439,6 +465,46 @@ def synthesize_encoded_pages(documents: DataFrame) -> DataFrame:
             ]
         ),
     )
+
+
+HTML_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("canonical", StringType(), True),
+        StructField("og_title", StringType(), True),
+        StructField("og_type", StringType(), True),
+        StructField("description", StringType(), True),
+        StructField("n_meta", LongType(), False),
+    ]
+)
+
+
+def extract_page_meta(pages: DataFrame) -> DataFrame:
+    """(doc_id, html) → the head signals crawl curation keys on:
+    rel=canonical (URL-level dedup joins on it — a syndicated copy
+    that declares its source collapses without any content hashing),
+    og:title/og:type, description, plus the total meta count. Same
+    one-Arrow-pass posture as extract_main_text."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in HTML_META_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                meta = extract_page(str(html))["meta"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta.get("canonical"),
+                        meta.get("og:title"),
+                        meta.get("og:type"),
+                        meta.get("description"),
+                        len(meta),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(batches, schema=HTML_META_SCHEMA)
 
 
 LINK_SCHEMA = StructType(

@@ -2524,6 +2524,39 @@ def text_charset_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_META_SQL = """
+SELECT doc_id,
+       'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS canonical,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS og_title,
+       CASE WHEN doc_id % 2 = 1 THEN 'article' ELSE 'website' END
+         AS og_type,
+       'Doc ' || CAST(doc_id AS VARCHAR) || ' & more' AS description,
+       CAST(4 AS BIGINT) AS n_meta
+FROM documents
+"""
+
+
+@query("text_html_meta", _HTML_META_SQL)
+def text_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-metadata extraction (operators/html.py:extract_page_meta)
+    — the crawl-curation signals next to the main text:
+    rel=canonical (URL-level dedup collapses syndicated copies on it
+    without content hashing), og:title/og:type, and description with
+    an entity that must decode (&amp; → &). The planted chrome rides
+    the SAME synthesized pages as the extraction entries, so the meta
+    walk is verified against the same fixture the block/link oracles
+    already pin — one attribute mis-read or one entity swallowed
+    mismatches."""
+    from razulibs_spark.operators.html import (
+        extract_page_meta,
+        synthesize_html_pages,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return extract_page_meta(synthesize_html_pages(docs))
+
+
 @query("text_html_extract", _HTML_EXTRACT_SQL)
 def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML main-content extraction (operators/html.py): deterministic
