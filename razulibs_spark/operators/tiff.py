@@ -131,6 +131,16 @@ def lzw_encode(data: bytes) -> bytes:
         omega = k
     if omega:
         put(table[omega], width)
+        # The decoder's table gains one entry when it PROCESSES this
+        # final code (its standing catch-up add) — when the width
+        # boundary lands exactly there, the decoder widens before
+        # reading EOI, so the encoder must widen too or the EOI
+        # straddles one bit short (libtiff's "explicit change of code
+        # size" post-encode fix; found by the sf0.1 corpus at a
+        # 768-byte tile whose stream closed at exactly 1022 entries).
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     put(_LZW_EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

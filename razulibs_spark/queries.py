@@ -2013,7 +2013,8 @@ def j_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _VARIANT_SQL = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -2062,23 +2063,23 @@ def io_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WELCH_SQL = """
 WITH m AS (SELECT event_type,
                   user_id % 2 AS cohort,
-                  CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS mv
+                  CAST(floor(value * 100 + 0.5) AS BIGINT) AS mv
            FROM events),
 s AS (SELECT event_type, cohort,
              COUNT(*) AS n,
-             SUM(mv) AS sv,
-             SUM(CAST(mv AS DECIMAL(38, 0)) * mv) AS svv
+             CAST(SUM(mv) AS BIGINT) AS sv,
+             CAST(SUM(mv * mv) AS BIGINT) AS svv
       FROM m GROUP BY event_type, cohort),
 w AS (SELECT a.event_type,
              a.n AS n1, b.n AS n2,
-             CAST(a.sv AS DOUBLE) / 1000000 / a.n AS m1,
-             CAST(b.sv AS DOUBLE) / 1000000 / b.n AS m2,
+             CAST(a.sv AS DOUBLE) / 100 / a.n AS m1,
+             CAST(b.sv AS DOUBLE) / 100 / b.n AS m2,
              (CAST(a.svv AS DOUBLE)
               - CAST(a.sv AS DOUBLE) * a.sv / a.n)
-               / (a.n - 1) / 1000000 / 1000000 AS v1,
+               / (a.n - 1) / 100 / 100 AS v1,
              (CAST(b.svv AS DOUBLE)
               - CAST(b.sv AS DOUBLE) * b.sv / b.n)
-               / (b.n - 1) / 1000000 / 1000000 AS v2
+               / (b.n - 1) / 100 / 100 AS v2
       FROM (SELECT * FROM s WHERE cohort = 0) a
       JOIN (SELECT * FROM s WHERE cohort = 1) b USING (event_type))
 SELECT event_type, n1, n2,
@@ -2095,14 +2096,16 @@ FROM w
 def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Welch's unequal-variance t-test per event_type between the
     user_id-parity cohorts — the A/B significance report a data
-    pipeline runs on its own metrics. Exactness discipline: sufficient
-    statistics are EXACT (micro-quantized BIGINT sums, decimal(38,0)
-    squares — the a_grouped_ols pattern), and the t statistic +
-    Satterthwaite df are one FIXED chain of correctly-rounded double
-    ops from those exact inputs, so Spark and DuckDB agree bit-for-bit
+    pipeline runs on its own metrics. Exactness discipline: the test
+    runs on CENTI-quantized values so every sufficient statistic (sum
+    and sum-of-squares) stays an exact BIGINT inside double's 2^53
+    integer range — decimal(38,0) squares looked exact too, but their
+    >2^53 decimal→double casts rounded DIFFERENTLY across engines
+    (found by the sf0.1 sweep); the t statistic + Satterthwaite df are
+    then one FIXED chain of correctly-rounded double ops, bit-equal
     where naive float SUMs would be order-dependent. One shuffle on
     (event_type, cohort), then a tiny self-join."""
-    mv = F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+    mv = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
     s = (
         T(spark, sf_dir, "events")
         .select(
@@ -2113,8 +2116,7 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("mv").alias("sv"),
-            F.sum(F.col("mv").cast("decimal(38,0)") * F.col("mv"))
-            .alias("svv"),
+            F.sum(F.col("mv") * F.col("mv")).alias("svv"),
         )
     )
     a = s.filter(F.col("cohort") == 0).select(
@@ -2126,17 +2128,17 @@ def stats_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("svv").alias("svv2"),
     )
     j = a.join(b, "event_type")
-    m1 = F.col("sv1").cast("double") / 1_000_000 / F.col("n1")
-    m2 = F.col("sv2").cast("double") / 1_000_000 / F.col("n2")
+    m1 = F.col("sv1").cast("double") / 100 / F.col("n1")
+    m2 = F.col("sv2").cast("double") / 100 / F.col("n2")
     v1 = (
         (F.col("svv1").cast("double")
          - F.col("sv1").cast("double") * F.col("sv1") / F.col("n1"))
-        / (F.col("n1") - 1) / 1_000_000 / 1_000_000
+        / (F.col("n1") - 1) / 100 / 100
     )
     v2 = (
         (F.col("svv2").cast("double")
          - F.col("sv2").cast("double") * F.col("sv2") / F.col("n2"))
-        / (F.col("n2") - 1) / 1_000_000 / 1_000_000
+        / (F.col("n2") - 1) / 100 / 100
     )
     se2_1 = v1 / F.col("n1")
     se2_2 = v2 / F.col("n2")

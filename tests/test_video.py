@@ -422,3 +422,22 @@ def test_tiff_tiled_stitching_and_16bit():
     bad = blob[:idx + 4] + _s.pack("<I", 3) + blob[idx + 8:]
     with _pytest.raises(ValueError, match="tiles|mismatched"):
         decode_tiff(bad)
+
+
+def test_tiff_lzw_flush_boundary_regression():
+    """sf0.1 corpus find: when the final flush code's decoder-side
+    catch-up add lands EXACTLY on a width boundary (1022 entries →
+    10→11 bits), the decoder widens before reading EOI — the encoder
+    must widen too (libtiff's 'explicit change of code size' fix) or
+    the EOI straddles. The 768-byte tile of doc 1609 closes exactly
+    there."""
+    from razulibs_spark.operators.tiff import lzw_decode, lzw_encode
+
+    d, ts = 1609, 16
+    raw = bytes(
+        b for yy in range(ts) for xx in range(ts)
+        for b in ((d + 3 * xx + 5 * yy) % 256,
+                  (2 * d + 7 * xx + yy) % 256,
+                  (3 * d + xx + 2 * yy) % 256)
+    )
+    assert lzw_decode(lzw_encode(raw), len(raw)) == raw
