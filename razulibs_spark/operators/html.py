@@ -269,7 +269,9 @@ def synthesize_html_pages(documents: DataFrame) -> DataFrame:
 
 
 def extract_main_text(
-    pages: DataFrame, passthrough: tuple[str, ...] = ()
+    pages: DataFrame,
+    passthrough: tuple[str, ...] = (),
+    include_text: bool = False,
 ) -> DataFrame:
     """Pages → per-page main-content summary: title, block count,
     boilerplate links removed, and md5 of the newline-joined block
@@ -279,12 +281,26 @@ def extract_main_text(
     ``passthrough`` names input columns carried to the output
     unchanged (typed from the input schema) — source metadata (WARC
     status, fetch time, …) rides the SAME Arrow pass instead of
-    forcing the caller to re-scan and join the page source twice."""
+    forcing the caller to re-scan and join the page source twice.
+
+    ``include_text`` appends the newline-joined main text itself as a
+    ``main_text`` column — the payload a WET derivation (conversion
+    records) or a downstream tokenizer needs; hash-only stays the
+    default so summary consumers never shuffle page-sized strings."""
     import hashlib
 
     extra = [pages.schema[c] for c in passthrough]
+    text_fields = (
+        [StructField("main_text", StringType(), False)]
+        if include_text else []
+    )
     out_schema = StructType(
-        [MAIN_TEXT_SCHEMA.fields[0], *extra, *MAIN_TEXT_SCHEMA.fields[1:]]
+        [
+            MAIN_TEXT_SCHEMA.fields[0],
+            *extra,
+            *MAIN_TEXT_SCHEMA.fields[1:],
+            *text_fields,
+        ]
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -303,6 +319,7 @@ def extract_main_text(
                         res["n_links_removed"],
                         hashlib.md5(main.encode("utf-8")).hexdigest(),
                     )
+                    + ((main,) if include_text else ())
                 )
             yield pd.DataFrame(rows, columns=cols)
 

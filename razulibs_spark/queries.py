@@ -1480,6 +1480,331 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _warc_mixed_stats(drained)
 
 
+_HTTP_DECODE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'identity' WHEN 1 THEN 'chunked'
+            WHEN 2 THEN 'gzip' ELSE 'chunked+gzip' END AS encoding,
+       CAST(200 AS BIGINT) AS http_status,
+       md5(text) AS body_md5,
+       CAST(strlen(text) AS BIGINT) AS body_len
+FROM documents
+"""
+
+
+@query("pipeline_warc_http_decode", _HTTP_DECODE_SQL)
+def pipeline_warc_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wire-encoding decode — the step between "parses real WARC
+    records" and "reads real response BODIES": crawls record payloads
+    as received, so CommonCrawl response bodies still wear
+    ``Transfer-Encoding: chunked`` framing and ``Content-Encoding:
+    gzip`` compression; hand them raw to an HTML parser and hex chunk
+    sizes splice mid-markup. Each doc's response is written in one of
+    four wire shapes by doc_id%4 — identity, chunked (100-byte chunks,
+    a chunk extension on the first, trailer fields on the compose),
+    gzip, chunked-around-gzip — and the parser
+    (sources/warc.py:_decode_http_body) must recover the IDENTICAL
+    body for all four: the oracle pins md5(text)/strlen(text) per doc
+    with no per-variant escape hatch. Payload synthesis is one Arrow
+    stage (gzip needs Python); parse-back is the standard per-file
+    scan."""
+    import os
+
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_records,
+    )
+
+    base = (
+        "/root/repo/.scratch/warc_httpdec_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+
+    def payload_batches(it):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                body = str(text).encode("utf-8")
+                variant = d % 4
+                hdrs = ["HTTP/1.1 200 OK", "Content-Type: text/plain"]
+                wire = body
+                if variant in (2, 3):
+                    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+                    wire = co.compress(wire) + co.flush()
+                    hdrs.append("Content-Encoding: gzip")
+                if variant in (1, 3):
+                    chunks = [
+                        wire[i:i + 100] for i in range(0, len(wire), 100)
+                    ]
+                    framed = []
+                    for j, c in enumerate(chunks):
+                        ext = b";planted=1" if j == 0 else b""
+                        framed.append(
+                            b"%x" % len(c) + ext + b"\r\n" + c + b"\r\n"
+                        )
+                    trailer = (
+                        b"0\r\nX-Trailer: t\r\n\r\n"
+                        if variant == 3 else b"0\r\n\r\n"
+                    )
+                    wire = b"".join(framed) + trailer
+                    hdrs.append("Transfer-Encoding: chunked")
+                else:
+                    hdrs.append(f"Content-Length: {len(wire)}")
+                payload = (
+                    "\r\n".join(hdrs).encode("ascii") + b"\r\n\r\n" + wire
+                )
+                rows.append(
+                    (
+                        "response",
+                        f"https://h{d % 8}.example/doc/{d}",
+                        "application/http; msgtype=response",
+                        payload,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_type", "target_uri", "content_type", "payload",
+                ],
+            )
+
+    from pyspark.sql.types import (
+        BinaryType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rec_schema = StructType(
+        [
+            StructField("warc_type", StringType(), False),
+            StructField("target_uri", StringType(), True),
+            StructField("content_type", StringType(), False),
+            StructField("payload", BinaryType(), False),
+        ]
+    )
+    records = (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(payload_batches, schema=rec_schema)
+    )
+    write_warc_records(records.repartition(8), base, compress=True)
+    doc_id = (
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id")
+    )
+    return read_warc(spark, base).select(
+        doc_id,
+        F.element_at(
+            F.array(
+                F.lit("identity"), F.lit("chunked"),
+                F.lit("gzip"), F.lit("chunked+gzip"),
+            ),
+            (F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+             .cast("long") % 4 + 1).cast("int"),
+        ).alias("encoding"),
+        "http_status",
+        F.md5("body").alias("body_md5"),
+        F.octet_length("body").cast("long").alias("body_len"),
+    )
+
+
+_WET_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id,
+              [array_to_string(ws[i:i+11], ' ')
+               for i in generate_series(1, len(ws), 12)] AS chunks
+       FROM w),
+m AS (SELECT doc_id, array_to_string(chunks, chr(10)) AS main FROM ch)
+SELECT doc_id,
+       'conversion' AS warc_type,
+       md5(main) AS text_md5,
+       CAST(strlen(main) AS BIGINT) AS text_len,
+       TRUE AS refers_ok
+FROM m
+"""
+
+
+@query("pipeline_wet_derive", _WET_SQL)
+def pipeline_wet_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET derivation — CommonCrawl's extracted-text sidecar: each
+    response capture becomes a ``conversion`` record whose payload is
+    the page's main text and whose WARC-Refers-To names the source
+    response (ISO 28500 §6.8; the *.warc.wet.gz files most LLM
+    corpora actually start from). The full loop runs here: pages →
+    response WARC shards → liberal parse → main-content extraction
+    (the SAME Arrow pass carries target_uri through and emits the
+    text, include_text=True) → conversion records through the generic
+    mixed sink → parse back. The oracle recomputes every conversion
+    payload (md5 + byte length) from documents.text alone and pins
+    refers_ok, so a boilerplate block leaking into the WET payload,
+    a record id drifting from its response, or a byte lost in either
+    WARC roundtrip mismatches. Scale: two per-file scans, two Arrow
+    stages, zero joins."""
+    import os
+
+    from razulibs_spark.operators.html import (
+        extract_main_text,
+        synthesize_html_pages,
+    )
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_records,
+        write_warc_responses,
+    )
+
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = f"/root/repo/.scratch/wet_src_{sf_key}"
+    wet_dir = f"/root/repo/.scratch/wet_store_{sf_key}"
+    pages = synthesize_html_pages(T(spark, sf_dir, "documents")).select(
+        F.concat(F.lit("https://ex.org/doc/"), F.col("doc_id")).alias("uri"),
+        "html",
+    )
+    write_warc_responses(pages, src_dir, compress=True)
+    back = read_warc(spark, src_dir).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("body").cast("string").alias("html"),
+    )
+    ext = extract_main_text(
+        back, passthrough=("target_uri",), include_text=True
+    )
+    rid = F.md5(F.col("target_uri").cast("binary"))
+    wet_records = ext.select(
+        F.lit("conversion").alias("warc_type"),
+        "target_uri",
+        F.lit("text/plain").alias("content_type"),
+        F.col("main_text").cast("binary").alias("payload"),
+        F.concat(F.lit("wet-"), rid).alias("record_id"),
+        # the response sink's id convention: <urn:uuid:md5(uri)>
+        F.concat(F.lit("<urn:uuid:"), rid, F.lit(">")).alias("refers_to"),
+    )
+    write_warc_records(wet_records.repartition(8), wet_dir, compress=True)
+    return read_warc(spark, wet_dir).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "warc_type",
+        F.md5("body").alias("text_md5"),
+        F.octet_length("body").cast("long").alias("text_len"),
+        (
+            F.col("refers_to")
+            == F.concat(
+                F.lit("<urn:uuid:"),
+                F.md5(F.col("target_uri").cast("binary")),
+                F.lit(">"),
+            )
+        ).alias("refers_ok"),
+    )
+
+
+_WAT_SQL = """
+SELECT doc_id,
+       'https://ex.org/doc/' || CAST(doc_id AS VARCHAR) AS url,
+       'https://h' || CAST(doc_id % 8 AS VARCHAR) || '.example/doc/'
+         || CAST(doc_id AS VARCHAR) AS canonical,
+       CASE WHEN doc_id % 2 = 1 THEN 'article' ELSE 'website' END
+         AS og_type,
+       CAST(4 AS BIGINT) AS n_meta,
+       CAST(1 + doc_id % 3 AS BIGINT) AS n_links
+FROM documents
+"""
+
+
+@query("pipeline_wat_derive", _WAT_SQL)
+def pipeline_wat_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT derivation — CommonCrawl's metadata sidecar: per response
+    capture, a ``metadata`` record whose JSON payload carries the
+    page's head signals (canonical, og:type, meta count) and its
+    content-link count — what link-graph and URL-dedup jobs read
+    INSTEAD of re-parsing HTML at 100 TB. Pipeline: pages → WARC →
+    parse → head-meta Arrow pass + content-link pass aggregated to
+    counts, ONE hash join on doc_id → F.to_json payloads → metadata
+    records through the mixed sink → parse back → F.from_json →
+    typed columns. The oracle recomputes every JSON field from the
+    planted fixture formulas; a mis-serialized field, a dropped
+    record, or a from_json schema drift mismatches."""
+    import os
+
+    from razulibs_spark.operators.html import (
+        extract_links,
+        extract_page_meta,
+        synthesize_html_pages,
+    )
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_records,
+        write_warc_responses,
+    )
+
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = f"/root/repo/.scratch/wat_src_{sf_key}"
+    wat_dir = f"/root/repo/.scratch/wat_store_{sf_key}"
+    pages = synthesize_html_pages(T(spark, sf_dir, "documents")).select(
+        F.concat(F.lit("https://ex.org/doc/"), F.col("doc_id")).alias("uri"),
+        "html",
+    )
+    write_warc_responses(pages, src_dir, compress=True)
+    back = read_warc(spark, src_dir).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("body").cast("string").alias("html"),
+    ).cache()
+    meta = extract_page_meta(back.select("doc_id", "html"))
+    nlinks = (
+        extract_links(back.select("doc_id", "html"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_links"))
+    )
+    uri = F.concat(
+        F.lit("https://ex.org/doc/"), F.col("doc_id").cast("string")
+    )
+    wat_records = (
+        meta.join(nlinks, "doc_id")
+        .select(
+            F.lit("metadata").alias("warc_type"),
+            uri.alias("target_uri"),
+            F.lit("application/json").alias("content_type"),
+            F.to_json(
+                F.struct(
+                    uri.alias("url"),
+                    "canonical",
+                    "og_type",
+                    F.col("n_meta").cast("long").alias("n_meta"),
+                    F.col("n_links").cast("long").alias("n_links"),
+                )
+            ).cast("binary").alias("payload"),
+        )
+    )
+    write_warc_records(wat_records.repartition(8), wat_dir, compress=True)
+    parsed = read_warc(spark, wat_dir).select(
+        F.from_json(
+            F.col("body").cast("string"),
+            "url string, canonical string, og_type string, "
+            "n_meta long, n_links long",
+        ).alias("j")
+    )
+    return parsed.select(
+        F.regexp_extract("j.url", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("j.url").alias("url"),
+        F.col("j.canonical").alias("canonical"),
+        F.col("j.og_type").alias("og_type"),
+        F.col("j.n_meta").alias("n_meta"),
+        F.col("j.n_links").alias("n_links"),
+    )
+
+
 _REVISIT_SQL = """
 SELECT doc_id,
        CAST(304 AS BIGINT) AS revisit_status,

@@ -146,6 +146,76 @@ def _gunzip_members(content: bytes) -> bytes:
     return b"".join(out)
 
 
+def decode_chunked(data: bytes) -> bytes:
+    """Strict HTTP/1.1 ``Transfer-Encoding: chunked`` de-framing
+    (RFC 9112 §7.1): hex size line (chunk extensions after ``;``
+    ignored) + CRLF + data + CRLF, repeated, terminated by a 0-size
+    chunk and optional trailer fields. Real crawls record payloads AS
+    RECEIVED on the wire, so response bodies in .warc.gz files carry
+    this framing verbatim — a consumer that hands the raw framing to
+    an HTML parser sees hex noise spliced mid-markup. Raises
+    ValueError on malformed framing (caller decides liberality)."""
+    out: list[bytes] = []
+    pos = 0
+    n = len(data)
+    while True:
+        eol = data.find(_CRLF, pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line terminator")
+        size_tok = data[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as exc:
+            raise ValueError(
+                f"chunked: bad size line {data[pos:eol]!r}"
+            ) from exc
+        pos = eol + 2
+        if size == 0:
+            # trailer section: zero or more header lines, then CRLF.
+            # Liberal here — trailers are legal but rarely meaningful.
+            return b"".join(out)
+        if pos + size + 2 > n:
+            raise ValueError("chunked: chunk data overruns payload")
+        out.append(data[pos:pos + size])
+        if data[pos + size:pos + size + 2] != _CRLF:
+            raise ValueError("chunked: chunk data not CRLF-terminated")
+        pos += size + 2
+
+
+def _decode_http_body(body: bytes, http_headers: dict[str, str]) -> bytes:
+    """Undo the wire encodings an as-captured HTTP response body may
+    wear — ``Transfer-Encoding: chunked`` first (outermost on the
+    wire), then ``Content-Encoding: gzip/x-gzip/deflate``. Content-
+    level decode failures return the body UNCHANGED (liberal: a
+    mis-declared header in a real crawl must not kill the file scan —
+    structural WARC corruption still raises, this does not)."""
+    import zlib
+
+    te = http_headers.get("transfer-encoding", "").lower()
+    if "chunked" in te:
+        try:
+            body = decode_chunked(body)
+        except ValueError:
+            return body
+    ce = http_headers.get("content-encoding", "").strip().lower()
+    if ce in ("gzip", "x-gzip"):
+        try:
+            body = zlib.decompress(body, wbits=31)
+        except zlib.error:
+            return body
+    elif ce == "deflate":
+        try:
+            # zlib-wrapped per RFC 9110; real servers sometimes send
+            # raw deflate — try both before giving up.
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompress(body, wbits=-15)
+            except zlib.error:
+                return body
+    return body
+
+
 def parse_warc(content: bytes) -> list[tuple]:
     """One (possibly multi-member-gzip) WARC file → record tuples
     shaped as WARC_RECORD_SCHEMA."""
@@ -210,10 +280,16 @@ def parse_warc(content: bytes) -> list[tuple]:
                     f"warc: malformed http status line {status_line!r}"
                 )
             status = int(parts[1])
+            hmap: dict[str, str] = {}
             for hl in hlines:
                 hk, _, hv = hl.partition(b":")
-                if hk.decode().strip().lower() == "content-type":
-                    http_ct = hv.decode().strip()
+                hmap[hk.decode().strip().lower()] = hv.decode().strip()
+            http_ct = hmap.get("content-type")
+            # Undo wire encodings (chunked framing, gzip/deflate
+            # bodies) — crawls record payloads as received, so real
+            # response bodies arrive still wearing them.
+            if body:
+                body = _decode_http_body(body, hmap)
         else:
             # body stays BYTES: warc payloads are arbitrary (images,
             # gzip, mis-declared encodings, full HTTP request messages

@@ -181,3 +181,71 @@ def test_cdx_from_records(spark):
          "https://sub.example.org/p?x=1", 200, "text/html",
          hashlib.md5(b"<p>hi</p>").hexdigest(), 9),
     ]
+
+
+def test_decode_chunked():
+    """RFC 9112 chunked framing: sizes in hex, extensions ignored,
+    trailers tolerated, malformed framing raises."""
+    from razulibs_spark.sources.warc import decode_chunked
+
+    framed = b"4;ext=v\r\nabcd\r\na\r\n0123456789\r\n0\r\n\r\n"
+    assert decode_chunked(framed) == b"abcd0123456789"
+    # trailer fields after the 0-chunk are legal
+    assert decode_chunked(b"2\r\nhi\r\n0\r\nX-T: 1\r\n\r\n") == b"hi"
+    # empty body: just the terminal chunk
+    assert decode_chunked(b"0\r\n\r\n") == b""
+    for bad in (
+        b"zz\r\nabcd\r\n0\r\n\r\n",      # non-hex size
+        b"4\r\nab",                       # data overruns payload
+        b"4\r\nabcdXX0\r\n\r\n",          # chunk not CRLF-terminated
+        b"4 no terminator",               # missing size-line CRLF
+    ):
+        with pytest.raises(ValueError):
+            decode_chunked(bad)
+
+
+def test_http_body_wire_decoding():
+    """Response bodies wearing chunked / gzip / both decode back to
+    the original bytes through parse_warc; mis-declared encodings
+    keep the raw body instead of killing the scan (liberal at the
+    content level, strict at the WARC level)."""
+    import zlib
+
+    from razulibs_spark.sources.warc import encode_warc_record, parse_warc
+
+    body = b"<p>" + bytes(range(32, 127)) * 20 + b"</p>"
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    gz = co.compress(body) + co.flush()
+    chunked = b"".join(
+        b"%x\r\n%s\r\n" % (len(c), c)
+        for c in (gz[i:i + 64] for i in range(0, len(gz), 64))
+    ) + b"0\r\n\r\n"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n\r\n"
+        + chunked
+    )
+    rec = encode_warc_record("response", payload, "r1", "https://e/x")
+    rows = parse_warc(rec)
+    assert rows[0][4] == 200 and rows[0][6] == body
+
+    # deflate (zlib-wrapped) also decodes
+    dz = zlib.compress(body)
+    p2 = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: deflate\r\n"
+        b"Content-Length: %d\r\n\r\n" % len(dz) + dz
+    )
+    assert parse_warc(encode_warc_record("response", p2, "r2"))[0][6] == body
+
+    # declared gzip but NOT gzip bytes: raw body kept, no raise
+    p3 = (
+        b"HTTP/1.1 200 OK\r\nContent-Encoding: gzip\r\n\r\nnot-gzip"
+    )
+    assert parse_warc(encode_warc_record("response", p3, "r3"))[0][6] == (
+        b"not-gzip"
+    )
+    # declared chunked but malformed framing: raw body kept
+    p4 = b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\nzz\r\nx"
+    assert parse_warc(encode_warc_record("response", p4, "r4"))[0][6] == (
+        b"zz\r\nx"
+    )
