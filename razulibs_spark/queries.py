@@ -1193,6 +1193,57 @@ def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_text_stats(synthesize_pdf_media(docs))
 
 
+_DOCX_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+           FROM documents WHERE doc_id % 19 <> 7),
+p AS (SELECT doc_id,
+             ['AT&T <tag>' || chr(9) || '"padded" #'
+              || CAST(doc_id AS VARCHAR)]
+             || [array_to_string(ws[i:i+7], ' ')
+                 for i in generate_series(1, len(ws), 8)]
+             || (CASE WHEN doc_id % 5 = 0
+                 THEN ['cell A' || CAST(doc_id AS VARCHAR),
+                       'cell B' || CAST(doc_id AS VARCHAR)]
+                 ELSE [] END) AS ps
+      FROM w)
+SELECT doc_id, TRUE AS parsed,
+       CAST(len(ps) AS BIGINT) AS n_paragraphs,
+       md5(array_to_string(ps, chr(10))) AS text_md5,
+       CAST(NULL AS VARCHAR) AS note
+FROM p
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL,
+       'docx: main part word/document.xml missing'
+FROM documents WHERE doc_id % 19 = 7
+"""
+
+
+@query("text_docx_extract", _DOCX_SQL)
+def text_docx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX text extraction (operators/docx.py — the 11th file
+    format; office documents are the second-biggest non-HTML slice of
+    enterprise/government corpora, the reference's own DROID domain):
+    REAL OPC zip packages are built per doc ([Content_Types].xml,
+    _rels/.rels, word/document.xml), with a torture first paragraph
+    (entity escapes, a <w:tab/>, strip-vs-xml:space=preserve
+    whitespace), 8-word paragraphs whose middle word sits in its own
+    bolded run flanked by preserve-space runs (run transparency), and
+    a 1×2 table on every 5th doc — then parsed back the OPC-correct
+    way: .rels → officeDocument part → body walk in document order,
+    tables flattened. The oracle recomputes paragraph count and the
+    full text md5 from documents.text; docs with d%19 == 7 are valid
+    zips whose relationships point at a missing main part — the
+    fail-closed row is itself hash-verified. One Arrow pass each
+    way."""
+    from razulibs_spark.operators.docx import (
+        docx_text_stats,
+        synthesize_docx_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return docx_text_stats(synthesize_docx_media(docs))
+
+
 _HTML_EXTRACT_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 ch AS (SELECT doc_id,
