@@ -104,3 +104,43 @@ def canonical_url(url: Column) -> Column:
         url_path(url),
         F.when(query != "", F.concat(F.lit("?"), query)).otherwise(F.lit("")),
     )
+
+
+def registrable_domain(host: Column, suffixes: list[str]) -> Column:
+    """eTLD+1 (the "registrable domain") of a hostname against a
+    public-suffix list — the key URL blocklists, per-site crawl caps
+    (curate_source_cap) and cookie policies actually operate on:
+    ``news.bbc.co.uk`` must collapse to ``bbc.co.uk``, not ``co.uk``
+    (two sites) and not ``bbc.co.uk``'s subdomain forest (one site
+    split into millions of keys).
+
+    Algorithm (publicsuffix.org, plain-rules subset — wildcard and
+    exception rules are out of scope and documented): the public
+    suffix is the LONGEST list entry that suffix-matches the host on
+    label boundaries; the registrable domain is that suffix plus one
+    label. A host with no match falls back to its last label as the
+    suffix (the PSL's implicit ``*`` rule); a host that IS a public
+    suffix has no registrable domain (NULL).
+
+    Scale shape: the suffix list is a static artifact (~10k entries
+    for the real PSL), inlined as a LITERAL array — the expression is
+    pure whole-stage codegen, map-only, zero shuffle, zero Python:
+    candidate suffixes via transform/slice over the host's labels,
+    longest match = first hit in longest→shortest candidate order."""
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    cands = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    lit_sfx = F.array(*[F.lit(s) for s in suffixes])
+    matched = F.filter(
+        cands, lambda c: F.array_contains(lit_sfx, c)
+    )
+    # candidates run longest→shortest; try_: no match → NULL (the
+    # implicit-* fallback below), not an ANSI index error
+    pub = F.try_element_at(matched, F.lit(1))
+    k = F.coalesce(F.size(F.split(pub, r"\.")), F.lit(1))
+    return F.when(
+        n > k, F.array_join(F.slice(labels, n - k, k + 1), ".")
+    )

@@ -1193,6 +1193,178 @@ def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pdf_text_stats(synthesize_pdf_media(docs))
 
 
+_LINE_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+l0 AS (SELECT doc_id,
+              ['boilerplate-footer-' || CAST(doc_id % 3 AS VARCHAR)]
+              || [array_to_string(ws[i:i+9], ' ')
+                  for i in generate_series(1, len(ws), 10)] AS ls
+       FROM w),
+lx AS (SELECT doc_id, ls, unnest(range(0, len(ls))) AS idx FROM l0),
+lines AS (SELECT doc_id, idx, ls[idx + 1] AS line FROM lx),
+cnt AS (SELECT line, COUNT(DISTINCT doc_id) AS ndocs
+        FROM lines GROUP BY line)
+SELECT doc_id,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_removed,
+       md5(COALESCE(string_agg(CASE WHEN ndocs < 2 THEN lines.line END,
+                               chr(10) ORDER BY idx), '')) AS kept_md5
+FROM lines JOIN cnt ON lines.line = cnt.line
+GROUP BY doc_id
+"""
+
+
+@query("dedup_exact_lines", _LINE_DEDUP_SQL)
+def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact line-level corpus dedup — the RefinedWeb/MassiveWeb
+    cleaning rule HTML extraction can't give you: boilerplate that
+    survives as TEXT ("share this article", cookie banners) repeats
+    verbatim across millions of pages, so any line occurring in ≥ 2
+    distinct documents is removed from ALL of them and the document
+    reassembled in original line order. Lines here are the fixture's
+    10-word chunks plus a planted boilerplate line shared by every
+    doc_id % 3 class (so removal provably fires while content lines
+    survive). Plan: one explode, one count-distinct keyed by
+    md5(line) — 16-byte shuffle keys, never page-width strings — one
+    hash join back, one doc-keyed reassembly aggregate
+    (array_sort(collect_list(struct(idx, …)))). Two shuffles total,
+    both key-hashed; nothing quadratic, no windows. The oracle
+    recomputes the whole rule in DuckDB, kept-text md5 included."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split("text", " ")
+    n_chunks = F.floor((F.size(ws) - F.lit(1)) / F.lit(10)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks),
+        lambda i: F.array_join(F.slice(ws, i * 10 + 1, 10), " "),
+    )
+    boiler = F.concat(
+        F.lit("boilerplate-footer-"),
+        (F.col("doc_id") % 3).cast("string"),
+    )
+    exploded = docs.select(
+        "doc_id",
+        F.posexplode(F.concat(F.array(boiler), chunks)).alias(
+            "idx", "line"
+        ),
+    ).withColumn("lh", F.md5(F.col("line").cast("binary")))
+    counts = exploded.groupBy("lh").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    joined = exploded.join(counts, "lh")
+    keep = F.col("ndocs") < 2
+    kept_text = F.array_join(
+        F.transform(
+            F.filter(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("idx"), F.col("line"),
+                            keep.alias("keep"),
+                        )
+                    )
+                ),
+                lambda x: x["keep"],
+            ),
+            lambda x: x["line"],
+        ),
+        "\n",
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(keep, 0).otherwise(1)).cast("long").alias(
+            "n_removed"
+        ),
+        F.md5(kept_text.cast("binary")).alias("kept_md5"),
+    )
+
+
+_URL_BLOCKLIST_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 4
+              THEN 'h' || CAST(doc_id % 13 AS VARCHAR) || '.unknowntld'
+              WHEN doc_id % 17 = 9 THEN 'co.uk'
+              ELSE 'www.h' || CAST(doc_id % 13 AS VARCHAR) || '.'
+                   || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                      WHEN 2 THEN 'co.uk' ELSE 'ac.jp' END
+         END AS host
+  FROM documents)
+SELECT doc_id, host,
+       CASE WHEN doc_id % 17 = 9 THEN NULL
+            WHEN doc_id % 17 = 4
+              THEN 'h' || CAST(doc_id % 13 AS VARCHAR) || '.unknowntld'
+            ELSE 'h' || CAST(doc_id % 13 AS VARCHAR) || '.'
+                 || CASE doc_id % 4 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                    WHEN 2 THEN 'co.uk' ELSE 'ac.jp' END
+       END AS registrable,
+       CASE WHEN doc_id % 17 = 9 THEN TRUE
+            WHEN doc_id % 17 <> 4
+                 AND ('h' || CAST(doc_id % 13 AS VARCHAR) || '.'
+                      || CASE doc_id % 4 WHEN 0 THEN 'com'
+                         WHEN 1 THEN 'org' WHEN 2 THEN 'co.uk'
+                         ELSE 'ac.jp' END)
+                     IN ('h0.com', 'h5.org', 'h3.co.uk', 'h7.ac.jp')
+              THEN TRUE ELSE FALSE
+       END AS blocked
+FROM u
+"""
+
+
+@query("curate_url_blocklist", _URL_BLOCKLIST_SQL)
+def curate_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL blocklist gate on the REGISTRABLE domain (eTLD+1) — how
+    UT1/adult/spam blocklists are actually applied to a crawl
+    frontier: blocking ``bbc.co.uk`` must catch ``news.bbc.co.uk``
+    but never collateral-block all of ``co.uk``. The public-suffix
+    walk (functions/urls.registrable_domain) is pure codegen against
+    an inlined suffix list — longest label-boundary match, implicit-*
+    fallback for unknown TLDs, NULL when the host IS a public suffix
+    (those fail closed: blocked, since no site owns them). The
+    blocklist itself is a literal IN — the broadcast-dim shape at
+    real size. Every host shape is planted (multi-label suffix,
+    www. subdomain, unknown TLD, bare public suffix) and the oracle
+    recomputes registrable + verdict per doc from the formulas. Zero
+    shuffles, zero Python — the gate rides the scan projection."""
+    from razulibs_spark.functions.urls import registrable_domain
+
+    suffixes = ["com", "org", "co.uk", "uk", "ac.jp", "jp"]
+    blocklist = ["h0.com", "h5.org", "h3.co.uk", "h7.ac.jp"]
+    d = F.col("doc_id")
+    tld = F.element_at(
+        F.array(F.lit("com"), F.lit("org"), F.lit("co.uk"),
+                F.lit("ac.jp")),
+        (d % 4 + 1).cast("int"),
+    )
+    host = (
+        F.when(
+            d % 17 == 4,
+            F.concat(F.lit("h"), (d % 13).cast("string"),
+                     F.lit(".unknowntld")),
+        )
+        .when(d % 17 == 9, F.lit("co.uk"))
+        .otherwise(
+            F.concat(F.lit("www.h"), (d % 13).cast("string"),
+                     F.lit("."), tld)
+        )
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", host.alias("host")
+    )
+    reg = registrable_domain(F.col("host"), suffixes)
+    lit_block = F.array(*[F.lit(b) for b in blocklist])
+    return docs.select(
+        "doc_id",
+        "host",
+        reg.alias("registrable"),
+        # NULL registrable = the host IS a public suffix — fail
+        # closed (nobody should be fetching bare suffixes anyway)
+        F.when(reg.isNull(), F.lit(True))
+        .otherwise(F.array_contains(lit_block, reg))
+        .alias("blocked"),
+    )
+
+
 _DOCX_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
            FROM documents WHERE doc_id % 19 <> 7),

@@ -358,3 +358,36 @@ def test_image_ahash_known_grid_and_orientation(spark):
     )
     got2 = image_ahash(df2).collect()[0]
     assert got2["ahash"] != want and got2["bits_set"] == 2
+
+
+def test_registrable_domain_psl_semantics(spark):
+    """Longest label-boundary suffix wins; implicit-* fallback for
+    unknown TLDs; a host that IS a public suffix has no registrable
+    domain; matching never crosses label boundaries (notco.uk's
+    suffix is uk via fallback... no — 'notco.uk' ends in the listed
+    'uk', so registrable is 'notco.uk' — the trap is 'o.uk' vs
+    'co.uk')."""
+    from razulibs_spark.functions.urls import registrable_domain
+
+    sfx = ["com", "co.uk", "uk", "ac.jp", "jp"]
+    rows = [
+        ("news.bbc.co.uk", "bbc.co.uk"),   # multi-label suffix wins
+        ("bbc.co.uk", "bbc.co.uk"),
+        ("deep.a.b.example.com", "example.com"),
+        ("example.uk", "example.uk"),       # 'uk' alone also listed
+        ("x.o.uk", "o.uk"),                 # 'o.uk' is NOT 'co.uk'
+        ("h1.unknowntld", "h1.unknowntld"), # implicit-* fallback
+        ("co.uk", None),                    # bare public suffix
+        ("com", None),
+        ("localhost", None),                # single label, fallback
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "host string")
+    got = {
+        r["host"]: r["reg"]
+        for r in df.select(
+            "host",
+            registrable_domain(F.col("host"), sfx).alias("reg"),
+        ).collect()
+    }
+    for host, want in rows:
+        assert got[host] == want, (host, got[host], want)
