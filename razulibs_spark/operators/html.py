@@ -235,7 +235,17 @@ def synthesize_html_pages(documents: DataFrame) -> DataFrame:
                     f'"{"article" if d % 2 else "website"}">\n'
                     f'<meta name="description" '
                     f'content="Doc {d} &amp; more">\n'
-                    "</head>\n"
+                    # robots directives on two planted slices: the
+                    # noindex gate must drop %11==3 and keep %11==7
+                    # (whose value needs ws-trim + case-folding)
+                    + (
+                        '<meta name="robots" '
+                        'content="noindex,nofollow">\n'
+                        if d % 11 == 3 else
+                        '<meta name="ROBOTS" content="Index, Follow">\n'
+                        if d % 11 == 7 else ""
+                    )
+                    + "</head>\n"
                     "<body>\n"
                     f"<header><h1>Site {d % 7}</h1></header>\n"
                     f"<nav><ul>{nav_links}</ul></nav>\n"
@@ -491,6 +501,7 @@ HTML_META_SCHEMA = StructType(
         StructField("og_title", StringType(), True),
         StructField("og_type", StringType(), True),
         StructField("description", StringType(), True),
+        StructField("robots", StringType(), True),
         StructField("n_meta", LongType(), False),
     ]
 )
@@ -516,6 +527,7 @@ def extract_page_meta(pages: DataFrame) -> DataFrame:
                         meta.get("og:title"),
                         meta.get("og:type"),
                         meta.get("description"),
+                        meta.get("robots"),
                         len(meta),
                     )
                 )

@@ -987,3 +987,60 @@ def dsir_importance(
             ),
         )
     )
+
+
+def mojibake_repair(df: DataFrame, col: str = "text") -> DataFrame:
+    """Mojibake detection + repair — the crawl-cleaning step between
+    charset sniffing and any text operator: a page authored in UTF-8
+    but served/transcoded through windows-1252 arrives DOUBLE-encoded
+    ("naïve" → "naÃ¯ve"), and no amount of downstream filtering fixes
+    tokens that are already garbage. The reverse transform is exact:
+    re-encode the text as cp1252 and strictly decode the bytes as
+    UTF-8 — if BOTH steps succeed and change the text, it was
+    mojibake and the result is the original; if either fails (true
+    non-ASCII text almost never re-encodes into valid UTF-8 byte
+    sequences) the text is already clean. Deterministic, no
+    heuristics, no confidence scores — the ftfy core rule.
+
+    One Arrow pass appending ``was_mojibake`` + ``repaired``; ASCII
+    rows short-circuit (the transform is the identity on ASCII).
+
+    Scale: map-only, no shuffle; at 100 TB this rides the same
+    mapInPandas stage as charset decoding."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        BooleanType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def batches(it):
+        for pdf in it:
+            flags, fixed = [], []
+            for t in pdf[col]:
+                t = str(t)
+                repaired = t
+                flag = False
+                if not t.isascii():
+                    try:
+                        cand = t.encode("cp1252").decode("utf-8")
+                        if cand != t:
+                            repaired, flag = cand, True
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        pass
+                flags.append(flag)
+                fixed.append(repaired)
+            out = pdf.copy()
+            out["was_mojibake"] = flags
+            out["repaired"] = fixed
+            yield out
+
+    out_schema = StructType(
+        [
+            *df.schema.fields,
+            StructField("was_mojibake", BooleanType(), False),
+            StructField("repaired", StringType(), False),
+        ]
+    )
+    return df.mapInPandas(batches, schema=out_schema)

@@ -1279,6 +1279,66 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MOJIBAKE_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       doc_id % 3 = 1 AS was_mojibake,
+       md5(CASE WHEN doc_id % 3 = 0 THEN 'plain ascii: '
+                ELSE 'naïve café — déjà vu: ' END
+           || array_to_string(ws[1:5], ' ')) AS text_md5
+FROM w
+"""
+
+
+@query("text_mojibake_repair", _MOJIBAKE_SQL)
+def text_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mojibake repair (operators/text.py:mojibake_repair) — UTF-8
+    text that passed through a windows-1252 transcode arrives
+    double-encoded ("naïve café" → "naÃ¯ve cafÃ©"); the reverse
+    transform (re-encode cp1252, strictly decode UTF-8) is exact and
+    self-verifying. Three planted classes per doc_id % 3: clean ASCII
+    (the transform is the identity — must NOT flag), correctly-encoded
+    non-ASCII (cp1252 bytes of é/ï/— are not valid UTF-8 — must NOT
+    flag), and corrupted (utf-8 bytes mis-decoded as cp1252 in the
+    fixture stage — MUST flag and repair). The oracle pins md5 of the
+    CLEAN text for every class with no escape hatch: an unrepaired
+    corruption, a false positive on clean text, or a lossy repair all
+    mismatch. Two Arrow stages (fixture corruption + repair),
+    map-only."""
+    from razulibs_spark.operators.text import mojibake_repair
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def corrupt_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, raws = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                head = " ".join(str(text).split(" ")[:5])
+                if d % 3 == 0:
+                    raw = "plain ascii: " + head
+                else:
+                    raw = "naïve café — déjà vu: " + head
+                    if d % 3 == 1:
+                        # the transcode accident itself
+                        raw = raw.encode("utf-8").decode("cp1252")
+                ids.append(d)
+                raws.append(raw)
+            yield pd.DataFrame({"doc_id": ids, "raw": raws})
+
+    raw = docs.mapInPandas(
+        corrupt_batches, schema="doc_id long, raw string"
+    )
+    fixed = mojibake_repair(raw, col="raw")
+    return fixed.select(
+        "doc_id",
+        "was_mojibake",
+        F.md5(F.col("repaired").cast("binary")).alias("text_md5"),
+    )
+
+
 _URL_BLOCKLIST_SQL = """
 WITH u AS (
   SELECT doc_id,
@@ -1935,7 +1995,8 @@ SELECT doc_id,
          || CAST(doc_id AS VARCHAR) AS canonical,
        CASE WHEN doc_id % 2 = 1 THEN 'article' ELSE 'website' END
          AS og_type,
-       CAST(4 AS BIGINT) AS n_meta,
+       CAST(CASE WHEN doc_id % 11 IN (3, 7) THEN 5 ELSE 4 END AS BIGINT)
+         AS n_meta,
        CAST(1 + doc_id % 3 AS BIGINT) AS n_links
 FROM documents
 """
@@ -3082,7 +3143,10 @@ SELECT doc_id,
        CASE WHEN doc_id % 2 = 1 THEN 'article' ELSE 'website' END
          AS og_type,
        'Doc ' || CAST(doc_id AS VARCHAR) || ' & more' AS description,
-       CAST(4 AS BIGINT) AS n_meta
+       CASE WHEN doc_id % 11 = 3 THEN 'noindex,nofollow'
+            WHEN doc_id % 11 = 7 THEN 'Index, Follow' END AS robots,
+       CAST(CASE WHEN doc_id % 11 IN (3, 7) THEN 5 ELSE 4 END AS BIGINT)
+         AS n_meta
 FROM documents
 """
 
@@ -3105,6 +3169,56 @@ def text_html_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return extract_page_meta(synthesize_html_pages(docs))
+
+
+_NOINDEX_SQL = """
+SELECT doc_id,
+       CASE WHEN doc_id % 11 = 3 THEN 'noindex,nofollow'
+            WHEN doc_id % 11 = 7 THEN 'Index, Follow' END AS robots,
+       doc_id % 11 <> 3 AS indexable,
+       doc_id % 11 <> 3 AS followable
+FROM documents
+"""
+
+
+@query("pipeline_noindex_gate", _NOINDEX_SQL)
+def pipeline_noindex_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-robots gate — the page-level opt-out robots.txt cannot
+    express (RFC 9309 governs FETCHING; <meta name=robots> governs
+    INDEXING): a compliant corpus pipeline must drop noindex pages
+    after fetch, and a compliant frontier must stop expanding
+    nofollow pages' links. Directive parsing is the Google/Bing
+    documented grammar: comma-separated tokens, whitespace-trimmed,
+    case-folded ('Index, Follow' and 'ROBOTS' both normalize);
+    ``none`` ≡ noindex,nofollow; absent meta defaults to indexable.
+    The verdict is pure codegen (transform/array_contains over the
+    split token list) riding the head-meta Arrow pass — no extra
+    scan, no shuffle. Planted slices: %11==3 noindex,nofollow;
+    %11==7 an index,follow that exercises trim+fold; everyone else
+    has no robots meta at all."""
+    from razulibs_spark.operators.html import (
+        extract_page_meta,
+        synthesize_html_pages,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    meta = extract_page_meta(synthesize_html_pages(docs))
+    toks = F.transform(
+        F.split(F.coalesce(F.col("robots"), F.lit("")), ","),
+        lambda t: F.lower(F.trim(t)),
+    )
+    blocked_index = F.array_contains(toks, "noindex") | F.array_contains(
+        toks, "none"
+    )
+    blocked_follow = F.array_contains(
+        toks, "nofollow"
+    ) | F.array_contains(toks, "none")
+    return meta.select(
+        "doc_id",
+        "robots",
+        (~blocked_index).alias("indexable"),
+        (~blocked_follow).alias("followable"),
+    )
 
 
 @query("text_html_extract", _HTML_EXTRACT_SQL)
