@@ -39,7 +39,10 @@ def parse_robots(text: str, agent: str = "*") -> list[tuple[bool, str]]:
     agents: list[str] = []
     rules: list[tuple[bool, str]] = []
     in_rules = False
-    for raw in text.splitlines():
+    # UTF-8 BOM (RFC 9309 §2.3 allows it): without the strip the
+    # first line's key reads "\ufeffuser-agent", the whole group is
+    # silently skipped, and the file degrades to allow-everything.
+    for raw in text.lstrip("\ufeff").splitlines():
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
@@ -78,7 +81,7 @@ def crawl_delay(text: str, agent: str = "*") -> float | None:
     agents: list[str] = []
     delay: float | None = None
     in_rules = False
-    for raw in text.splitlines():
+    for raw in text.lstrip("\ufeff").splitlines():  # BOM: see parse_robots
         line = raw.split("#", 1)[0].strip()
         if not line:
             continue
@@ -257,7 +260,7 @@ def robots_sitemaps(text: str) -> list[str]:
     user-agent group). Only the FIRST colon splits — the value is
     itself a URL with its own colon."""
     out = []
-    for raw in text.splitlines():
+    for raw in text.lstrip("\ufeff").splitlines():  # BOM: see parse_robots
         line = raw.split("#", 1)[0].strip()
         key, sep, val = line.partition(":")
         if sep and key.strip().lower() == "sitemap" and val.strip():

@@ -1044,3 +1044,85 @@ def mojibake_repair(df: DataFrame, col: str = "text") -> DataFrame:
         ]
     )
     return df.mapInPandas(batches, schema=out_schema)
+
+
+def markdown_to_text(col: Column) -> Column:
+    """Markdown → plain text as ONE pure Column expression — the
+    other big non-HTML text format LLM corpora arrive in (GitHub,
+    docs sites, wikis). CommonMark subset, prose-preserving:
+
+    - fenced code blocks dropped whole (code is not prose; the
+      split-on-fence trick keeps even-index segments — no state),
+    - ATX headers / blockquote markers / list bullets stripped at
+      line start,
+    - images removed, links collapsed to their text,
+    - emphasis/strong/inline-code markers stripped,
+    - lines right-trimmed, blank lines dropped, rejoined with \\n.
+
+    Out of scope (documented, not silently wrong): setext headers,
+    reference-style links, tables, nested fences inside indented
+    blocks, intraword underscores (``snake_case`` loses its
+    underscores — acceptable for prose extraction, fatal for code,
+    which the fence rule already dropped).
+
+    Scale: zero Python, zero shuffle — whole-stage codegen in the
+    scan projection, like functions/urls.canonical_url."""
+    segs = F.split(col, "```")
+    kept = F.filter(segs, lambda s, i: i % 2 == F.lit(0))
+    lines = F.split(F.array_join(kept, ""), "\n")
+
+    def clean(line: Column) -> Column:
+        line = F.regexp_replace(line, r"^#{1,6} *", "")
+        line = F.regexp_replace(line, r"^> *", "")
+        line = F.regexp_replace(line, r"^[-*+] +", "")
+        line = F.regexp_replace(line, r"!\[[^\]]*\]\([^)]*\)", "")
+        line = F.regexp_replace(line, r"\[([^\]]*)\]\([^)]*\)", "$1")
+        line = F.regexp_replace(line, r"(\*\*|__|[*_`])", "")
+        return F.rtrim(line)
+
+    cleaned = F.transform(lines, clean)
+    return F.array_join(
+        F.filter(cleaned, lambda line: line != ""), "\n"
+    )
+
+
+def compression_signal(
+    df: DataFrame, col: str = "text", level: int = 6
+) -> DataFrame:
+    """zlib compression ratio per document — the cheap
+    information-density signal production quality filters run next to
+    the Gopher word-ratios (RefinedWeb/Dolma both gate on it):
+    machine-generated spam and template farms compress dramatically
+    better than prose, and the signal needs no tokenizer, no
+    vocabulary, no language model. Appends ``comp_len`` and
+    ``ratio_permille`` = ⌊1000·compressed/raw⌋ (integer — exact and
+    engine-stable; the raw float never leaves the stage).
+
+    One Arrow pass, map-only, no shuffle. zlib level 6 pinned: the
+    ratio must be a property of the TEXT, not of whichever level a
+    fleet machine defaults to."""
+    import zlib
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    def batches(it):
+        for pdf in it:
+            comp, ratio = [], []
+            for t in pdf[col]:
+                b = str(t).encode("utf-8")
+                c = len(zlib.compress(b, level))
+                comp.append(c)
+                ratio.append(1000 * c // len(b) if b else 1000)
+            out = pdf.copy()
+            out["comp_len"] = comp
+            out["ratio_permille"] = ratio
+            yield out
+
+    out_schema = StructType(
+        [
+            *df.schema.fields,
+            StructField("comp_len", LongType(), False),
+            StructField("ratio_permille", LongType(), False),
+        ]
+    )
+    return df.mapInPandas(batches, schema=out_schema)

@@ -1279,6 +1279,116 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MARKDOWN_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id,
+             'Doc ' || CAST(doc_id AS VARCHAR) || chr(10)
+             || 'intro quote' || chr(10)
+             || ws[1] || chr(10) || ws[2] || chr(10)
+             || rtrim(ws[3] || ' '
+                      || array_to_string(ws[4:len(ws)], ' ')) || chr(10)
+             || 'tail: ' || ws[1] AS expected
+      FROM w)
+SELECT doc_id,
+       CAST(6 AS BIGINT) AS n_lines,
+       md5(expected) AS text_md5
+FROM e
+"""
+
+
+@query("text_markdown_extract", _MARKDOWN_SQL)
+def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown → plain text (operators/text.py:markdown_to_text) —
+    the other big non-HTML text format in LLM corpora (GitHub, docs
+    sites). Each doc becomes a planted CommonMark page: ATX header,
+    blockquote carrying an image to drop, two bullets (one bolded),
+    an inline link, a fenced code block full of noise, a tail line —
+    and the extractor (ONE pure codegen expression: fence-split,
+    line-anchored regex strips, link collapse, marker removal, blank
+    drop) must recover exactly the prose. The oracle does NOT mirror
+    the regexes: it constructs the EXPECTED OUTPUT directly from
+    documents.text, so a header marker left behind, a code line
+    leaking through the fence, or a link URL surviving all mismatch.
+    Zero Python, zero shuffle — the whole entry is a scan
+    projection."""
+    from razulibs_spark.operators.text import markdown_to_text
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = F.split("text", " ")
+    d = F.col("doc_id").cast("string")
+    rest = F.array_join(F.slice(ws, 4, F.greatest(F.size(ws) - 3, F.lit(0))), " ")
+    md = F.concat(
+        F.lit("# Doc "), d, F.lit("\n\n"),
+        F.lit("> intro quote ![logo](https://ex.org/l.png)\n\n"),
+        F.lit("- "), F.try_element_at(ws, F.lit(1)), F.lit("\n"),
+        F.lit("- **"), F.try_element_at(ws, F.lit(2)), F.lit("**\n\n"),
+        F.lit("["), F.try_element_at(ws, F.lit(3)),
+        F.lit("](https://ex.org/"), d, F.lit(") "), rest,
+        F.lit("\n\n```\ncode noise "), d, F.lit("\nmore;\n```\n\ntail: "),
+        F.try_element_at(ws, F.lit(1)),
+    )
+    extracted = markdown_to_text(md)
+    return docs.select(
+        "doc_id",
+        F.size(F.split(extracted, "\n")).cast("long").alias("n_lines"),
+        F.md5(extracted.cast("binary")).alias("text_md5"),
+    )
+
+
+_COMPRESSION_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       CAST(CASE WHEN doc_id % 7 = 2
+            THEN strlen(repeat(ws[1] || ' ', 500)) - 1
+            ELSE strlen(array_to_string(ws, ' ')) END AS BIGINT)
+         AS raw_len,
+       doc_id % 7 = 2 AS is_template_spam,
+       TRUE AS ratio_sane
+FROM w
+"""
+
+
+@query("quality_compression_filter", _COMPRESSION_SQL)
+def quality_compression_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality gate
+    (operators/text.py:compression_signal) — the tokenizer-free
+    information-density signal RefinedWeb/Dolma gate on: template
+    spam compresses dramatically better than prose. Docs with
+    d%7 == 2 are replaced by their first word repeated 500× (the
+    template-farm shape); the Spark side computes the REAL zlib ratio
+    and gates at 50‰, and the oracle predicts the verdict per doc
+    with no access to zlib — a broken ratio, a mis-encoded doc, or a
+    threshold drift flips the boolean. ratio_sane pins the contract
+    0 < ratio ≤ 1300 for every row (the header overhead on the
+    shortest ~45-byte docs tops out measured at 1127‰; prose never
+    reaches 1300). raw_len is exact on both sides.
+    One Arrow pass, map-only."""
+    from razulibs_spark.operators.text import compression_signal
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    first = F.try_element_at(F.split("text", " "), F.lit(1))
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 2,
+            # repeat(word + ' ', 500) minus the trailing space
+            F.rtrim(F.repeat(F.concat(first, F.lit(" ")), 500)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sig = compression_signal(planted)
+    return sig.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("raw_len"),
+        (F.col("ratio_permille") < 50).alias("is_template_spam"),
+        (
+            (F.col("ratio_permille") > 0)
+            & (F.col("ratio_permille") <= 1300)
+        ).alias("ratio_sane"),
+    )
+
+
 _MOJIBAKE_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
 SELECT doc_id,

@@ -279,3 +279,21 @@ def test_politeness_schedule_stage(spark):
         "https://a/3": (2.0, 4.0),
         "https://b/1": (0.5, 0.0), "https://b/2": (0.5, 0.5),
     }
+
+
+def test_bom_prefixed_file_parses():
+    """A UTF-8 BOM before 'User-agent:' must not silently drop the
+    group (RFC 9309 §2.3 permits the BOM; real files carry it)."""
+    from razulibs_spark.operators.robots import (
+        crawl_delay,
+        parse_robots,
+        robots_sitemaps,
+    )
+
+    txt = (
+        "﻿User-agent: *\nDisallow: /private\nCrawl-delay: 2\n"
+        "Sitemap: https://e.x/s.xml\n"
+    )
+    assert parse_robots(txt) == [(False, "/private")]
+    assert crawl_delay(txt) == 2.0
+    assert robots_sitemaps(txt) == ["https://e.x/s.xml"]
