@@ -563,3 +563,43 @@ def extract_links(pages: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=cols)
 
     return pages.mapInPandas(batches, schema=LINK_SCHEMA)
+
+
+WAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("canonical", StringType(), True),
+        StructField("og_type", StringType(), True),
+        StructField("n_meta", LongType(), False),
+        StructField("n_links", LongType(), False),
+    ]
+)
+
+
+def extract_wat(pages: DataFrame) -> DataFrame:
+    """The WAT-record feed: head metadata AND the content-link count
+    from ONE parse of each page — extract_page already computes both,
+    so a WAT derivation that ran extract_page_meta and extract_links
+    separately would parse every page twice and then JOIN corpus-sized
+    frames back on doc_id (cache + shuffle). At 100 TB this single
+    Arrow pass is the whole metadata stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WAT_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                res = extract_page(str(html))
+                meta = res["meta"]
+                rows.append(
+                    (
+                        int(doc_id),
+                        meta.get("canonical"),
+                        meta.get("og:type"),
+                        len(meta),
+                        len(res["links"]),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return pages.mapInPandas(batches, schema=WAT_SCHEMA)

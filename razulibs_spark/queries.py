@@ -2119,17 +2119,18 @@ def pipeline_wat_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
     page's head signals (canonical, og:type, meta count) and its
     content-link count — what link-graph and URL-dedup jobs read
     INSTEAD of re-parsing HTML at 100 TB. Pipeline: pages → WARC →
-    parse → head-meta Arrow pass + content-link pass aggregated to
-    counts, ONE hash join on doc_id → F.to_json payloads → metadata
-    records through the mixed sink → parse back → F.from_json →
-    typed columns. The oracle recomputes every JSON field from the
-    planted fixture formulas; a mis-serialized field, a dropped
-    record, or a from_json schema drift mismatches."""
+    parse → ONE Arrow pass (extract_wat: head metadata AND the
+    content-link count from a single extract_page call — never two
+    parses of every page joined back on doc_id through a cache) →
+    F.to_json payloads → metadata records through the mixed sink →
+    parse back → F.from_json → typed columns. The oracle recomputes
+    every JSON field from the planted fixture formulas; a
+    mis-serialized field, a dropped record, or a from_json schema
+    drift mismatches. Zero joins, zero cache: scan → Arrow → sink."""
     import os
 
     from razulibs_spark.operators.html import (
-        extract_links,
-        extract_page_meta,
+        extract_wat,
         synthesize_html_pages,
     )
     from razulibs_spark.sources.warc import (
@@ -2150,20 +2151,13 @@ def pipeline_wat_derive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
         .cast("long")
         .alias("doc_id"),
-        "target_uri",
         F.col("body").cast("string").alias("html"),
-    ).cache()
-    meta = extract_page_meta(back.select("doc_id", "html"))
-    nlinks = (
-        extract_links(back.select("doc_id", "html"))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_links"))
     )
     uri = F.concat(
         F.lit("https://ex.org/doc/"), F.col("doc_id").cast("string")
     )
     wat_records = (
-        meta.join(nlinks, "doc_id")
+        extract_wat(back)
         .select(
             F.lit("metadata").alias("warc_type"),
             uri.alias("target_uri"),
