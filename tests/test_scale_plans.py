@@ -809,3 +809,53 @@ def test_streaming_warc_ingest_shares_batch_parse(spark):
     import razulibs_spark.sources.warc as w
 
     assert w._parse_batches is _parse_batches
+
+
+def test_markdown_extract_zero_exchange_zero_python(spark):
+    """The whole entry is a scan projection: no shuffle, no Python
+    stage — markdown_to_text must stay pure codegen."""
+    plan = _plan(Q.text_markdown_extract(spark, SF))
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_url_blocklist_zero_exchange_zero_python(spark):
+    """PSL walk + blocklist verdict ride the scan projection."""
+    plan = _plan(Q.curate_url_blocklist(spark, SF))
+    assert "Exchange" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_exact_lines_two_hashed_shuffles_no_cartesian(spark):
+    """Line dedup: count-distinct keyed by md5(line) + doc-keyed
+    reassembly — hash-partitioned exchanges only, no cartesian, no
+    single-partition window, and the join key is the 32-hex digest
+    (never the page-width line)."""
+    plan = _plan(Q.dedup_exact_lines(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "hashpartitioning(lh" in plan
+    assert "Window" not in plan
+
+
+def test_wat_derive_single_arrow_pass_no_join(spark):
+    """WAT metadata comes from ONE extract_page pass — a regression
+    to the two-pass shape reintroduces a join and an extra Python
+    stage over every page."""
+    import os
+
+    os.makedirs("/root/repo/.scratch", exist_ok=True)
+    df = Q.pipeline_wat_derive(spark, SF)
+    plan = _plan(df)
+    assert "Join" not in plan
+    assert "InMemoryTableScan" not in plan  # no .cache()
+
+
+def test_noindex_gate_verdict_rides_meta_pass(spark):
+    """The directive parse is codegen over the head-meta output: one
+    Python stage (the extractor), no shuffle."""
+    plan = _plan(Q.pipeline_noindex_gate(spark, SF))
+    # detail section: "(n) MapInPandas" once per node
+    assert plan.count(") MapInPandas") == 2  # synthesize + extract
+    assert "Exchange" not in plan
