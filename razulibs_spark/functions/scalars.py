@@ -226,3 +226,25 @@ def rd_to_wgs84(x: Column, y: Column) -> tuple[Column, Column]:
     lat = F.lit(_PHI0) + poly(_K_COEFFS) / 3600.0
     lon = F.lit(_LAM0) + poly(_L_COEFFS) / 3600.0
     return lat, lon
+
+
+def luhn_valid(col: Column) -> Column:
+    """Luhn checksum (ISO/IEC 7812) over a digit string — the
+    validity gate that separates a CREDIT CARD NUMBER from sixteen
+    arbitrary digits (an order id, a tracking code): a PII scrubber
+    that redacts on the bare \\d{16} pattern destroys harmless
+    identifiers, one that skips validation leaks real PANs. Pure
+    codegen: aggregate over the digit positions, doubling every
+    second digit from the right (minus 9 past 9), valid iff the sum
+    is ≡ 0 (mod 10). Zero Python, rides the scan projection."""
+    n = F.length(col)
+    digit = lambda i: F.substring(col, n - i + 1, 1).cast("int")  # noqa: E731
+
+    def term(acc: Column, i: Column) -> Column:
+        d = digit(i)
+        dd = d * 2
+        return acc + F.when(i % 2 == 1, d).otherwise(
+            F.when(dd > 9, dd - 9).otherwise(dd)
+        )
+
+    return F.aggregate(F.sequence(F.lit(1), n), F.lit(0), term) % 10 == 0

@@ -1279,6 +1279,147 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LUHN_SQL = """
+WITH b AS (SELECT doc_id,
+                  lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR),
+                       15, '0') AS b15
+           FROM documents),
+s AS (SELECT doc_id, b15,
+             list_sum([CASE WHEN j % 2 = 1 THEN
+                         CASE WHEN 2 * CAST(substr(b15, 16 - j, 1) AS INT) > 9
+                              THEN 2 * CAST(substr(b15, 16 - j, 1) AS INT) - 9
+                              ELSE 2 * CAST(substr(b15, 16 - j, 1) AS INT) END
+                       ELSE CAST(substr(b15, 16 - j, 1) AS INT) END
+                       for j in generate_series(1, 15)]) AS ls
+      FROM b),
+c AS (SELECT doc_id, b15, CAST((10 - ls % 10) % 10 AS INT) AS chk FROM s),
+cc AS (SELECT doc_id,
+              b15 || CAST(CASE WHEN doc_id % 5 = 1 THEN chk
+                          ELSE (chk + 5) % 10 END AS VARCHAR) AS card
+       FROM c)
+SELECT doc_id, card AS candidate,
+       doc_id % 5 = 1 AS luhn_ok,
+       md5(CASE WHEN doc_id % 5 = 1 THEN 'payment [CARD] ok'
+                ELSE 'payment ' || card || ' ok' END) AS redacted_md5
+FROM cc
+"""
+
+
+@query("text_pii_luhn", _LUHN_SQL)
+def text_pii_luhn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checksum-validated PAN redaction — the PII scrub step where a
+    bare \\d{16} regex is WRONG twice over: it redacts harmless order
+    ids (precision) and its absence leaks real card numbers (recall).
+    The Luhn gate (functions/scalars.luhn_valid, pure codegen)
+    separates the two. Three INDEPENDENT implementations must agree
+    for the hash to match: the fixture computes each doc's check
+    digit in plain Python (Arrow stage), the detector re-derives
+    validity with the codegen aggregate, and the oracle recomputes
+    digit-by-digit in DuckDB SQL — docs with d%5 == 1 carry a valid
+    PAN (must redact), everyone else carries the same digits with the
+    check digit shifted +5 (must NOT redact). Map-only, no shuffle."""
+    from razulibs_spark.functions.scalars import luhn_valid
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+
+    def fixture_batches(it):
+        import pandas as pd
+
+        def luhn_check_digit(b15: str) -> int:
+            total = 0
+            for j in range(1, 16):  # position from the right of b15
+                d = int(b15[15 - j])
+                if j % 2 == 1:  # even position of the 16-digit PAN
+                    d *= 2
+                    if d > 9:
+                        d -= 9
+                total += d
+            return (10 - total % 10) % 10
+
+        for pdf in it:
+            ids, raws = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                b15 = str(d * 7919 % 10**15).zfill(15)
+                chk = luhn_check_digit(b15)
+                digit = chk if d % 5 == 1 else (chk + 5) % 10
+                ids.append(d)
+                raws.append(f"payment {b15}{digit} ok")
+            yield pd.DataFrame({"doc_id": ids, "raw": raws})
+
+    raw = docs.mapInPandas(
+        fixture_batches, schema="doc_id long, raw string"
+    )
+    cand = F.regexp_extract("raw", r"\b(\d{16})\b", 1)
+    valid = luhn_valid(cand)
+    return raw.select(
+        "doc_id",
+        cand.alias("candidate"),
+        valid.alias("luhn_ok"),
+        F.md5(
+            F.when(
+                valid,
+                F.regexp_replace("raw", r"\b\d{16}\b", "[CARD]"),
+            )
+            .otherwise(F.col("raw"))
+            .cast("binary")
+        ).alias("redacted_md5"),
+    )
+
+
+_WIKITEXT_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+e AS (SELECT doc_id,
+             [rtrim(l) for l in
+              ['Doc ' || CAST(doc_id AS VARCHAR),
+               COALESCE(ws[1], '') || ' and ' || COALESCE(ws[2], ''),
+               'A ' || COALESCE(ws[3], '') || ' link, '
+                 || COALESCE(ws[4], '') || ', ' || COALESCE(ws[5], '')
+                 || ' end',
+               array_to_string(ws[6:len(ws)], ' ')]
+              if rtrim(l) <> ''] AS kept
+      FROM w)
+SELECT doc_id,
+       'Doc ' || CAST(doc_id AS VARCHAR) AS title,
+       CAST(len(kept) AS BIGINT) AS n_lines,
+       md5(array_to_string(kept, chr(10))) AS text_md5
+FROM e
+"""
+
+
+@query("text_wikitext_extract", _WIKITEXT_SQL)
+def text_wikitext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MediaWiki dump ingestion (operators/wikitext.py) — the most-
+    used LLM corpus source after the crawl: pages-articles.xml shards
+    parsed with iterparse (elements cleared page-by-page, O(page)
+    memory — one task can own a multi-GB shard) and the wikitext
+    layer stripped to prose in the SAME Arrow pass. The planted pages
+    exercise the grammar's traps: a NESTED template
+    ({{infobox|…{{coord|…}}}} — a non-greedy regex leaves the tail),
+    piped AND bare internal links, an external link with label, a
+    <ref> citation, quote-run bold/italic, a heading, a bullet. The
+    oracle constructs the EXPECTED prose directly from
+    documents.text — it never mirrors the stripping rules — so a
+    template tail, a surviving ``]]`` or a swallowed label all
+    mismatch. Scale: dump shards are the distribution unit
+    (binaryFile per-file tasks, the Wikimedia multistream layout);
+    write is executor-side per partition."""
+    import os
+
+    from razulibs_spark.operators.wikitext import (
+        read_wiki_dump,
+        write_wiki_dump,
+    )
+
+    dump_dir = (
+        "/root/repo/.scratch/wiki_dump_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    write_wiki_dump(docs.repartition(8), dump_dir)
+    return read_wiki_dump(spark, dump_dir)
+
+
 _MARKDOWN_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 e AS (SELECT doc_id,
@@ -9057,6 +9198,80 @@ def io_jsonl_gz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(F.length("text")).alias("sum_chars"),
         F.countDistinct("source").alias("n_sources"),
+    )
+
+
+_JSONL_BZ2_SQL = """
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id)) AS ids_md5
+FROM documents GROUP BY lang
+"""
+
+
+@query("io_bz2_foreign_roundtrip", _JSONL_BZ2_SQL)
+def io_bz2_foreign_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bzip2 interop with a FOREIGN producer — the compression that
+    actually matters for interchange at 100 TB: gzip is not
+    splittable (one 50 GB .json.gz = one task forever), bzip2 is —
+    Hadoop's Bzip2Codec finds block boundaries mid-file, so a single
+    fat shard still fans out. Wikipedia ships its dumps as .bz2 for
+    exactly this reason. Here the shards are written by PYTHON's bz2
+    (a producer that owes Spark nothing — executor-side, one shard
+    per partition), read back through the Hadoop codec with an
+    explicit schema, and the per-lang rollup plus an ORDER-exact
+    doc_id digest must hash-match the parquet oracle: one record
+    lost at a block boundary or one byte mangled in transcoding
+    mismatches."""
+    import os
+
+    base = (
+        "/root/repo/.scratch/jsonl_bz2_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(base, exist_ok=True)
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+
+    def write_partition(rows) -> None:
+        import bz2
+        import json
+
+        from pyspark import TaskContext
+
+        lines, pid = [], None
+        for row in rows:
+            pid = TaskContext.get().partitionId() if pid is None else pid
+            lines.append(
+                json.dumps(
+                    {
+                        "doc_id": row["doc_id"],
+                        "lang": row["lang"],
+                        "text": row["text"],
+                    },
+                    sort_keys=True,
+                )
+            )
+        if pid is not None:
+            with open(
+                os.path.join(base, f"part-{pid:05d}.jsonl.bz2"), "wb"
+            ) as fh:
+                fh.write(bz2.compress(("\n".join(lines)).encode("utf-8")))
+
+    docs.repartition(8).foreachPartition(write_partition)
+    back = spark.read.schema("doc_id long, lang string, text string").json(
+        base
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.md5(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("doc_id"))), ","
+            ).cast("binary")
+        ).alias("ids_md5"),
     )
 
 
