@@ -829,3 +829,85 @@ def test_pdf_text_roundtrips_any_lines(pages, compress):
     m = parse_pdf_text(encode_pdf(pages, compress=compress))
     assert m["n_pages"] == len(pages)
     assert m["text"] == "\f".join("\n".join(p) for p in pages)
+
+
+@given(
+    body=st.binary(min_size=0, max_size=2000),
+    sizes=st.lists(st.integers(min_value=1, max_value=97), min_size=1,
+                   max_size=20),
+)
+@settings(max_examples=150, deadline=None)
+def test_chunked_framing_roundtrips_any_body(body, sizes):
+    """Any byte body framed into chunks of arbitrary sizes de-frames
+    to the identical bytes — the chunk boundaries are pure transport
+    and must never leak into the payload."""
+    from razulibs_spark.sources.warc import decode_chunked
+
+    chunks, pos, i = [], 0, 0
+    while pos < len(body):
+        n = sizes[i % len(sizes)]
+        chunks.append(body[pos:pos + n])
+        pos += n
+        i += 1
+    framed = b"".join(
+        b"%x\r\n%s\r\n" % (len(c), c) for c in chunks
+    ) + b"0\r\n\r\n"
+    assert decode_chunked(framed) == body
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcdefghij", min_size=1, max_size=8),
+        min_size=1, max_size=40,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_markdown_to_text_is_identity_on_plain_prose(spark, words):
+    """Prose with no markdown syntax passes through untouched (modulo
+    the documented rtrim/blank-drop) — the stripper must never eat
+    plain text."""
+    from razulibs_spark.operators.text import markdown_to_text
+
+    prose = " ".join(words)
+    got = (
+        spark.range(1)
+        .select(markdown_to_text(F.lit(prose)).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got == prose.rstrip()
+
+
+def _psl_reference(host: str, suffixes: list[str]) -> str | None:
+    """Independent registrable-domain reference (label-set walk)."""
+    labels = host.split(".")
+    best = None
+    for k in range(len(labels), 0, -1):
+        cand = ".".join(labels[-k:])
+        if cand in suffixes:
+            best = k
+            break
+    if best is None:
+        best = 1  # implicit-* rule
+    if len(labels) <= best:
+        return None
+    return ".".join(labels[-(best + 1):])
+
+
+@given(
+    labels=st.lists(
+        st.sampled_from(["a", "bb", "co", "uk", "com", "x9"]),
+        min_size=1, max_size=5,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_registrable_domain_matches_reference(spark, labels):
+    from razulibs_spark.functions.urls import registrable_domain
+
+    sfx = ["com", "co.uk", "uk"]
+    host = ".".join(labels)
+    got = (
+        spark.range(1)
+        .select(registrable_domain(F.lit(host), sfx).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert got == _psl_reference(host, sfx), host
