@@ -282,6 +282,7 @@ def extract_main_text(
     pages: DataFrame,
     passthrough: tuple[str, ...] = (),
     include_text: bool = False,
+    include_meta: tuple[str, ...] = (),
 ) -> DataFrame:
     """Pages → per-page main-content summary: title, block count,
     boilerplate links removed, and md5 of the newline-joined block
@@ -296,7 +297,12 @@ def extract_main_text(
     ``include_text`` appends the newline-joined main text itself as a
     ``main_text`` column — the payload a WET derivation (conversion
     records) or a downstream tokenizer needs; hash-only stays the
-    default so summary consumers never shuffle page-sized strings."""
+    default so summary consumers never shuffle page-sized strings.
+
+    ``include_meta`` appends named head-meta values (e.g.
+    ``("robots",)``) as nullable string columns — a downstream gate
+    (noindex, canonical dedup) rides the SAME parse instead of
+    running extract_page_meta as a second pass over every page."""
     import hashlib
 
     extra = [pages.schema[c] for c in passthrough]
@@ -304,12 +310,16 @@ def extract_main_text(
         [StructField("main_text", StringType(), False)]
         if include_text else []
     )
+    meta_fields = [
+        StructField(m, StringType(), True) for m in include_meta
+    ]
     out_schema = StructType(
         [
             MAIN_TEXT_SCHEMA.fields[0],
             *extra,
             *MAIN_TEXT_SCHEMA.fields[1:],
             *text_fields,
+            *meta_fields,
         ]
     )
 
@@ -330,6 +340,9 @@ def extract_main_text(
                         hashlib.md5(main.encode("utf-8")).hexdigest(),
                     )
                     + ((main,) if include_text else ())
+                    + tuple(
+                        res["meta"].get(m) for m in include_meta
+                    )
                 )
             yield pd.DataFrame(rows, columns=cols)
 

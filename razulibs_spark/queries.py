@@ -2148,6 +2148,114 @@ def pipeline_warc_http_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CRAWL_CORPUS_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id, ws,
+              [array_to_string(ws[i:i+11], ' ')
+               for i in generate_series(1, len(ws), 12)] AS chunks
+       FROM w)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS n_words,
+       md5(array_to_string(chunks, chr(10))) AS text_md5,
+       TRUE AS refers_ok
+FROM ch
+WHERE doc_id % 11 <> 3 AND len(ws) >= 60
+"""
+
+
+@query("pipeline_corpus_from_crawl", _CRAWL_CORPUS_SQL)
+def pipeline_corpus_from_crawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 capstone — crawl shards to training corpus with every
+    verdict DERIVED FROM THE DATA, never from doc_id formulas: pages
+    (robots metas planted on two slices) → WARC response shards →
+    liberal parse → ONE Arrow pass yielding main text AND the robots
+    meta (extract_main_text include_text + include_meta — the gate
+    never re-parses the page) → noindex gate (codegen directive
+    parse) → token-count quality gate (≥ 60 words) → surviving docs
+    written as WET conversion records with WARC-Refers-To
+    back-pointers → parsed back for the final corpus frame. The
+    oracle recomputes the SURVIVOR SET and every survivor's text md5
+    / word count from documents.text alone, so a noindex page
+    leaking through, a short doc surviving, a boilerplate block in
+    the WET payload, or a broken back-pointer all mismatch. Scale:
+    two per-file scans, two Arrow stages, zero joins, zero shuffles
+    before the sink."""
+    import os
+
+    from razulibs_spark.operators.html import (
+        extract_main_text,
+        synthesize_html_pages,
+    )
+    from razulibs_spark.sources.warc import (
+        read_warc,
+        write_warc_records,
+        write_warc_responses,
+    )
+
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    src_dir = f"/root/repo/.scratch/crawlcorpus_src_{sf_key}"
+    wet_dir = f"/root/repo/.scratch/crawlcorpus_wet_{sf_key}"
+    pages = synthesize_html_pages(T(spark, sf_dir, "documents")).select(
+        F.concat(F.lit("https://ex.org/doc/"), F.col("doc_id")).alias("uri"),
+        "html",
+    )
+    write_warc_responses(pages, src_dir, compress=True)
+    back = read_warc(spark, src_dir).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "target_uri",
+        F.col("body").cast("string").alias("html"),
+    )
+    ext = extract_main_text(
+        back,
+        passthrough=("target_uri",),
+        include_text=True,
+        include_meta=("robots",),
+    )
+    toks = F.transform(
+        F.split(F.coalesce(F.col("robots"), F.lit("")), ","),
+        lambda t: F.lower(F.trim(t)),
+    )
+    indexable = ~(
+        F.array_contains(toks, "noindex") | F.array_contains(toks, "none")
+    )
+    n_words = F.size(F.split(F.col("main_text"), r"\s+"))
+    survivors = ext.filter(indexable & (n_words >= 60))
+    rid = F.md5(F.col("target_uri").cast("binary"))
+    write_warc_records(
+        survivors.select(
+            F.lit("conversion").alias("warc_type"),
+            "target_uri",
+            F.lit("text/plain").alias("content_type"),
+            F.col("main_text").cast("binary").alias("payload"),
+            F.concat(F.lit("wet-"), rid).alias("record_id"),
+            F.concat(F.lit("<urn:uuid:"), rid, F.lit(">")).alias(
+                "refers_to"
+            ),
+        ).repartition(8),
+        wet_dir,
+        compress=True,
+    )
+    return read_warc(spark, wet_dir).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.size(F.split(F.col("body").cast("string"), r"\s+"))
+        .cast("long")
+        .alias("n_words"),
+        F.md5("body").alias("text_md5"),
+        (
+            F.col("refers_to")
+            == F.concat(
+                F.lit("<urn:uuid:"),
+                F.md5(F.col("target_uri").cast("binary")),
+                F.lit(">"),
+            )
+        ).alias("refers_ok"),
+    )
+
+
 _WET_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 ch AS (SELECT doc_id,
