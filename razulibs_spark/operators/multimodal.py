@@ -1216,3 +1216,52 @@ def audio_spectral(media: DataFrame) -> DataFrame:
     return media.repartition(n_parts).mapInPandas(
         batches, schema=SPECTRAL_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 μ-law — the telephony/speech-corpus codec (every call-center
+# and voicemail corpus ships 8-bit μ-law, not PCM16)
+# ---------------------------------------------------------------------------
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode_sample(x: int) -> int:
+    """One PCM16 sample → one μ-law byte (ITU-T G.711, table-free
+    reference form). Fixture-side ONLY — the Spark decoder and the
+    DuckDB oracle each re-derive the transform independently, so all
+    three implementations must agree for the driver hash to match."""
+    sign = 0x80 if x < 0 else 0
+    if x < 0:
+        x = -x
+    if x > _MULAW_CLIP:
+        x = _MULAW_CLIP
+    x += _MULAW_BIAS
+    exponent = max((x >> 7).bit_length() - 1, 0)
+    mantissa = (x >> (exponent + 3)) & 0x0F
+    return ~(sign | (exponent << 4) | mantissa) & 0xFF
+
+
+def mulaw_decode_hex_col(hex_col, n_samples: int):
+    """Hex-encoded μ-law byte stream → array<int> of PCM16 samples as
+    a PURE CODEGEN expression: transform over sample positions, each
+    byte via conv(substring, 16, 10), then the G.711 expansion
+    ((8m+132) << e) - 132 with the sign bit restored — zero Python,
+    zero shuffle; the decode rides the scan projection. (Compare the
+    WAV/JPEG decoders, which need numpy: μ-law's fixed 1-byte cells
+    make it the one audio codec Catalyst can expand itself.)"""
+    pow2 = F.array(*[F.lit(1 << e) for e in range(8)])
+
+    def decode_byte(i):
+        b = F.conv(F.substring(hex_col, i * 2 + 1, 2), 16, 10).cast("int")
+        u = F.lit(255) - b  # ~code & 0xFF
+        sign = (u >= 128).cast("int")
+        e = F.floor(u / 16).cast("int") % 8
+        m = u % 16
+        mag = (m * 8 + _MULAW_BIAS) * F.element_at(pow2, e + 1) - _MULAW_BIAS
+        return (F.lit(1) - sign * 2) * mag
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_samples - 1)), decode_byte
+    )

@@ -1279,6 +1279,101 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MULAW_SQL = """
+WITH s AS (SELECT doc_id,
+                  [(doc_id * 31 + i * 7919) % 65536 - 32768
+                   for i in generate_series(0, 63)] AS pcm
+           FROM documents),
+q AS (SELECT doc_id,
+             [CASE WHEN x < 0 THEN -1 ELSE 1 END
+              * ((((least(abs(x), 32635) + 132)
+                   // CAST(pow(2, CASE
+                        WHEN least(abs(x), 32635) + 132 < 256 THEN 0
+                        WHEN least(abs(x), 32635) + 132 < 512 THEN 1
+                        WHEN least(abs(x), 32635) + 132 < 1024 THEN 2
+                        WHEN least(abs(x), 32635) + 132 < 2048 THEN 3
+                        WHEN least(abs(x), 32635) + 132 < 4096 THEN 4
+                        WHEN least(abs(x), 32635) + 132 < 8192 THEN 5
+                        WHEN least(abs(x), 32635) + 132 < 16384 THEN 6
+                        ELSE 7 END + 3) AS BIGINT)) % 16 * 8 + 132)
+                 * CAST(pow(2, CASE
+                        WHEN least(abs(x), 32635) + 132 < 256 THEN 0
+                        WHEN least(abs(x), 32635) + 132 < 512 THEN 1
+                        WHEN least(abs(x), 32635) + 132 < 1024 THEN 2
+                        WHEN least(abs(x), 32635) + 132 < 2048 THEN 3
+                        WHEN least(abs(x), 32635) + 132 < 4096 THEN 4
+                        WHEN least(abs(x), 32635) + 132 < 8192 THEN 5
+                        WHEN least(abs(x), 32635) + 132 < 16384 THEN 6
+                        ELSE 7 END) AS BIGINT) - 132)
+              for x in pcm] AS dec
+      FROM s)
+SELECT doc_id,
+       CAST(64 AS BIGINT) AS n_samples,
+       CAST(list_sum(dec) AS BIGINT) AS sum_pcm,
+       CAST(list_min(dec) AS BIGINT) AS min_pcm,
+       CAST(list_max(dec) AS BIGINT) AS max_pcm,
+       md5(array_to_string(dec, ',')) AS pcm_md5
+FROM q
+"""
+
+
+@query("multimodal_mulaw_decode", _MULAW_SQL)
+def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G.711 μ-law expansion — the telephony/speech-corpus codec
+    (call-center and voicemail audio ships as 8-bit μ-law): 64 PCM16
+    samples per doc from a pinned formula are COMPANDED in plain
+    Python (fixture Arrow stage, the ITU-T reference form), and the
+    decoder expands the byte stream back as PURE CODEGEN
+    (multimodal.mulaw_decode_hex_col — fixed 1-byte cells make μ-law
+    the one audio codec Catalyst can expand itself; compare the
+    numpy WAV/JPEG paths). The oracle recomputes the full
+    quantize-dequantize q(x) per sample in DuckDB via the segment
+    CASE ladder — three independent implementations of the companding
+    law must agree on every sample for the md5 to match. Map-only,
+    zero shuffle, zero Python on the decode side."""
+    from razulibs_spark.operators.multimodal import (
+        mulaw_decode_hex_col,
+        mulaw_encode_sample,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id")
+
+    def fixture_batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids, hexes = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pcm = [
+                    (d * 31 + i * 7919) % 65536 - 32768 for i in range(64)
+                ]
+                ids.append(d)
+                hexes.append(
+                    bytes(mulaw_encode_sample(x) for x in pcm).hex()
+                )
+            yield pd.DataFrame({"doc_id": ids, "mulaw_hex": hexes})
+
+    raw = docs.mapInPandas(
+        fixture_batches, schema="doc_id long, mulaw_hex string"
+    )
+    dec = mulaw_decode_hex_col(F.col("mulaw_hex"), 64)
+    return raw.select(
+        "doc_id",
+        F.lit(64).cast("long").alias("n_samples"),
+        F.aggregate(
+            dec, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("sum_pcm"),
+        F.array_min(dec).cast("long").alias("min_pcm"),
+        F.array_max(dec).cast("long").alias("max_pcm"),
+        F.md5(
+            F.array_join(
+                F.transform(dec, lambda x: x.cast("string")), ","
+            ).cast("binary")
+        ).alias("pcm_md5"),
+    )
+
+
 _LUHN_SQL = """
 WITH b AS (SELECT doc_id,
                   lpad(CAST(doc_id * 7919 % 1000000000000000 AS VARCHAR),

@@ -911,3 +911,29 @@ def test_registrable_domain_matches_reference(spark, labels):
         .collect()[0]["r"]
     )
     assert got == _psl_reference(host, sfx), host
+
+
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=1, max_size=64))
+@settings(max_examples=150, deadline=None)
+def test_mulaw_companding_is_idempotent_and_bounded(samples):
+    """decode(encode(x)) is a fixed point: re-companding the decoded
+    value returns the same code, the error is bounded by the segment
+    step, and zero is exact — the G.711 contract."""
+    from razulibs_spark.operators.multimodal import mulaw_encode_sample
+
+    def decode(code: int) -> int:
+        u = ~code & 0xFF
+        sign = u & 0x80
+        e = (u >> 4) & 7
+        m = u & 0x0F
+        mag = ((m * 8 + 0x84) << e) - 0x84
+        return -mag if sign else mag
+
+    assert decode(mulaw_encode_sample(0)) == 0
+    for x in samples:
+        code = mulaw_encode_sample(x)
+        q = decode(code)
+        assert mulaw_encode_sample(q) == code  # fixed point
+        step = 8 << ((~code & 0xFF) >> 4 & 7)
+        assert abs(q - min(max(x, -32635), 32635)) <= step
