@@ -1165,3 +1165,57 @@ def kmeans_lloyd(
         }
         assign = _assign(q)
     return assign.select("vec_id", "cluster_id", "dist_scaled")
+
+
+def hard_negatives(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    label_col: str = "label",
+    max_broadcast_queries: int | None = 100_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every
+    anchor, the k most cosine-similar vectors with a DIFFERENT label.
+    Random negatives are uninformative (the loss saturates); same-
+    label neighbors are FALSE negatives that poison the objective —
+    the training signal lives exactly in the near-but-wrong region
+    this selects. Same broadcast-anchor shape as :func:`cosine_topk`
+    with the label inequality applied BEFORE scoring, so excluded
+    pairs never pay the dot product."""
+    _guard_broadcast_queries(
+        queries, max_broadcast_queries, "hard_negatives",
+        "Mine negatives per IVF bucket (ivf_topk) for large anchor sets.",
+    )
+    q = queries.select(
+        F.col("vec_id").alias("anchor_id"),
+        as_double(F.col("embedding")).alias("qv"),
+        F.col(label_col).alias("anchor_label"),
+    ).withColumn("qn", norm(F.col("qv")))
+    c = embeddings.select(
+        F.col("vec_id").alias("negative_id"),
+        as_double(F.col("embedding")).alias("cv"),
+        F.col(label_col).alias("neg_label"),
+    ).withColumn("cn", norm(F.col("cv"))).repartition(
+        _parallelism(embeddings)
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "negative_id",
+            (dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+            .alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "anchor_id", "negative_id", "rnk",
+            F.round("_cos", 6).alias("cosine"),
+        )
+    )

@@ -1279,6 +1279,70 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_INCR_AGG_SQL = """
+SELECT event_type,
+       user_id % 50 AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_micro
+FROM events
+GROUP BY event_type, user_id % 50
+"""
+
+_INCR_CUTOVER = "2024-01-22"
+
+
+@query("o_incremental_agg", _INCR_AGG_SQL)
+def o_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh — the warehouse op that
+    makes daily rollups affordable at 100 TB: the standing MV holds
+    per-(event_type, user-bucket) count + exact micro-quantized sum,
+    and a refresh reads ONLY the new partition plus the (tiny) MV —
+    never the base corpus. COUNT and SUM are algebraic, so
+    merge = re-aggregate the union of (MV rows, delta partials);
+    the ts >= cutover filter on the delta scan is pushed to parquet
+    (plan-pinned), which at scale is partition pruning on the
+    date-partitioned events table. The oracle recomputes the rollup
+    over ALL events in one pass — a delta row double-counted, an MV
+    group lost in the merge, or float drift in the sum (micro-BIGINT
+    forbids it) all mismatch."""
+    import os
+
+    base_dir = (
+        "/root/repo/.scratch/incr_mv_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    events = T(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id", "value"
+    )
+    micro = F.round(F.col("value") * 1000000).cast("long")
+    cutover = F.lit(_INCR_CUTOVER).cast("timestamp")
+
+    def rollup(df):
+        return df.groupBy(
+            "event_type", (F.col("user_id") % 50).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("sum_micro"),
+        )
+
+    # the standing MV: built once from history, persisted
+    rollup(events.filter(F.col("ts") < cutover)).write.mode(
+        "overwrite"
+    ).parquet(base_dir)
+    # the refresh: delta partition + MV, algebraic merge
+    delta = rollup(events.filter(F.col("ts") >= cutover))
+    mv = spark.read.parquet(base_dir)
+    return (
+        mv.unionByName(delta)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_micro").cast("long").alias("sum_micro"),
+        )
+    )
+
+
 _MULAW_SQL = """
 WITH s AS (SELECT doc_id,
                   [(doc_id * 31 + i * 7919) % 65536 - 32768
@@ -3795,6 +3859,38 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast the queries, stream the corpus."""
     e = T(spark, sf_dir, "embeddings")
     return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
+
+
+_HARDNEG_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id % 25 = 0),
+scored AS (SELECT q.vec_id AS anchor_id, c.vec_id AS negative_id,
+                  list_cosine_similarity(q.v, c.v) AS cos
+           FROM q, e c WHERE c.label <> q.label),
+ranked AS (SELECT anchor_id, negative_id, cos,
+                  ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                     ORDER BY cos DESC, negative_id) AS rnk
+           FROM scored)
+SELECT anchor_id, negative_id, rnk, round(cos, 6) AS cosine
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("sim_hard_negatives", _HARDNEG_SQL)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives) — the
+    embedding-training curation step: per anchor, the 5 most similar
+    OTHER-label vectors. Random negatives saturate the contrastive
+    loss; same-label neighbors are false negatives that poison it —
+    the signal is exactly the near-but-wrong region. Broadcast-anchor
+    shape with the label inequality applied before any dot product;
+    the oracle re-ranks with DuckDB's list_cosine_similarity (the
+    IEEE agreement already proven by sim_cosine_topk)."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.hard_negatives(
+        e, e.filter(F.col("vec_id") % 25 == 0), k=5
+    )
 
 
 _NEARDUP_SQL = _EMB_CTE + """

@@ -859,3 +859,16 @@ def test_noindex_gate_verdict_rides_meta_pass(spark):
     # detail section: "(n) MapInPandas" once per node
     assert plan.count(") MapInPandas") == 2  # synthesize + extract
     assert "Exchange" not in plan
+
+
+def test_incremental_agg_delta_filter_pushed(spark):
+    """The refresh must read only the delta: the ts >= cutover
+    predicate reaches the parquet scan (at scale: partition pruning
+    on the date-partitioned events table)."""
+    plan = _plan(Q.o_incremental_agg(spark, SF))
+    pushed = [
+        seg.split("\n")[0]
+        for seg in plan.split("PushedFilters: ")[1:]
+    ]
+    assert any("ts" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
+    assert "CartesianProduct" not in plan
