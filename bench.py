@@ -345,6 +345,24 @@ R09_ADDITIONS = [
     "j_asof_nearest",
     "pipeline_revisit_resolve",
     "text_html_meta",
+    # session-2 additions
+    "pipeline_warc_http_decode",
+    "pipeline_wet_derive",
+    "pipeline_wat_derive",
+    "text_docx_extract",
+    "dedup_exact_lines",
+    "curate_url_blocklist",
+    "text_mojibake_repair",
+    "pipeline_noindex_gate",
+    "text_markdown_extract",
+    "quality_compression_filter",
+    "text_wikitext_extract",
+    "text_pii_luhn",
+    "io_bz2_foreign_roundtrip",
+    "pipeline_corpus_from_crawl",
+    "multimodal_mulaw_decode",
+    "o_incremental_agg",
+    "sim_hard_negatives",
 ]
 
 HEADLINE = (

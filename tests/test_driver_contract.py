@@ -85,3 +85,16 @@ def test_oracles_reference_only_known_tables():
                 name,
                 tbl,
             )
+
+
+def test_bench_headline_covers_every_registry_entry():
+    """A new queries() entry that never joins bench.HEADLINE is
+    silently unbenchmarked — the drift this pin forbids."""
+    import bench
+
+    import __spark_entry__ as entry
+
+    missing = set(entry.queries()) - set(bench.HEADLINE)
+    assert not missing, sorted(missing)
+    unknown = set(bench.HEADLINE) - set(entry.queries())
+    assert not unknown, sorted(unknown)
