@@ -363,6 +363,7 @@ R09_ADDITIONS = [
     "multimodal_mulaw_decode",
     "o_incremental_agg",
     "sim_hard_negatives",
+    "io_csv_dialect_sniff",
 ]
 
 HEADLINE = (

@@ -1279,6 +1279,143 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CSV_SNIFF_SQL = """
+WITH s AS (SELECT doc_id, doc_id % 8 AS shard FROM documents)
+SELECT shard,
+       CASE shard % 4 WHEN 0 THEN ',' WHEN 1 THEN ';'
+            WHEN 2 THEN '|' ELSE chr(9) END AS delimiter,
+       shard % 2 = 0 AS has_header,
+       COUNT(*) AS n_rows,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ','
+                      ORDER BY doc_id)) AS ids_md5
+FROM s GROUP BY shard
+"""
+
+
+@query("io_csv_dialect_sniff", _CSV_SNIFF_SQL)
+def io_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV dialect sniffing (sources/csv_source.sniff_csv_dialect) —
+    ingestion of the files nobody documented: Spark's csv reader
+    needs ``sep``/``header`` up front, so undocumented exports need a
+    per-file sniff before the distributed read. Eight shards are
+    written in eight dialect combinations (delimiter ∈ {, ; | tab} ×
+    header yes/no) through Python's csv.writer, and every row's note
+    field embeds ALL candidate delimiters plus a quote — naive
+    split() misparses every shard; only quote-aware parsing under the
+    CORRECT delimiter recovers the rows. The consistency scorer (same
+    field count > 1 on every line, highest wins) must land the right
+    dialect on all eight, and the oracle pins dialect, header flag,
+    row count and an order-exact id digest per shard. Per-FILE Arrow
+    tasks — the sniff reads a prefix, the parse is the same pass."""
+    import os
+
+    base = (
+        "/root/repo/.scratch/csv_dialects_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(base, exist_ok=True)
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 8).alias("shard")
+    )
+
+    def write_partition(rows) -> None:
+        import csv as _csv
+
+        by_shard: dict[int, list] = {}
+        for row in rows:
+            by_shard.setdefault(int(row["shard"]), []).append(
+                (int(row["doc_id"]), row["lang"])
+            )
+        for shard, items in by_shard.items():
+            delim = [",", ";", "|", "\t"][shard % 4]
+            path = os.path.join(base, f"shard-{shard}.csv")
+            with open(path, "w", newline="") as fh:
+                w = _csv.writer(fh, delimiter=delim,
+                                quoting=_csv.QUOTE_MINIMAL)
+                if shard % 2 == 0:
+                    w.writerow(["doc_id", "lang", "note"])
+                for doc_id, lang in sorted(items):
+                    w.writerow([doc_id, lang, f'q,{doc_id};x|y\t"z"'])
+
+    # repartition ON shard: a shard's rows land in one task (hash may
+    # co-locate two shards in one partition — the writer groups by
+    # shard internally; no shard splits across partitions, so each
+    # file is written exactly once)
+    docs.repartition(8, "shard").foreachPartition(write_partition)
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("shard", LongType(), False),
+            StructField("delimiter", StringType(), False),
+            StructField("has_header", BooleanType(), False),
+            StructField("n_rows", LongType(), False),
+            StructField("ids_md5", StringType(), False),
+        ]
+    )
+
+    def sniff_batches(it):
+        import csv as _csv
+        import hashlib
+        import io as _io
+        import re as _re
+
+        import pandas as pd
+
+        from razulibs_spark.sources.csv_source import sniff_csv_dialect
+
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(
+                    _re.search(r"shard-(\d+)\.csv", str(path)).group(1)
+                )
+                b = bytes(content)
+                d = sniff_csv_dialect(b)
+                parsed = list(
+                    _csv.reader(
+                        _io.StringIO(b.decode("utf-8")),
+                        delimiter=d["delimiter"],
+                    )
+                )
+                if d["has_header"]:
+                    parsed = parsed[1:]
+                ids = sorted(int(r[0]) for r in parsed if r)
+                rows.append(
+                    (
+                        shard,
+                        d["delimiter"],
+                        d["has_header"],
+                        len(ids),
+                        hashlib.md5(
+                            ",".join(map(str, ids)).encode()
+                        ).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard", "delimiter", "has_header", "n_rows",
+                    "ids_md5",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.csv")
+        .load(base)
+        .select("path", "content")
+        .mapInPandas(sniff_batches, schema=out_schema)
+    )
+
+
 _INCR_AGG_SQL = """
 SELECT event_type,
        user_id % 50 AS bucket,

@@ -33,3 +33,75 @@ def read_droid_csv(spark: SparkSession, path: str,
     if "SIZE" in df.columns:
         df = df.withColumn("SIZE", F.coalesce(F.col("SIZE").cast("long"), F.lit(0)))
     return df
+
+
+# ---------------------------------------------------------------------------
+# Dialect sniffing — ingestion of CSVs nobody documented
+# ---------------------------------------------------------------------------
+
+_CANDIDATE_DELIMS = (",", ";", "|", "\t")
+
+
+def sniff_csv_dialect(sample: bytes, max_lines: int = 20) -> dict:
+    """Detect (delimiter, has_header) of an undocumented CSV from its
+    first lines. Real data lakes are full of exports whose dialect
+    nobody recorded; Spark's csv reader needs the answer UP FRONT
+    (``sep`` is not inferred), so the sniff runs once per file on a
+    small prefix and the real distributed read follows.
+
+    Delimiter: each candidate is scored by parsing the sample with a
+    quote-aware reader — a candidate survives only if every line
+    yields the SAME field count > 1, and the highest consistent field
+    count wins (an embedded delimiter inside a quoted field produces
+    a consistent-but-lower count for the wrong candidate; ties break
+    by the candidate order above). Header: the first row is a header
+    iff none of its fields parses as an integer while some field of
+    the second row does — the numeric-shift heuristic.
+
+    Deliberately NOT stdlib csv.Sniffer: its regex heuristics guess
+    single-column files and quote styles unpredictably; this scoring
+    rule is deterministic and documented."""
+    import csv
+    import io
+
+    text = sample.decode("utf-8", "replace")
+    lines = text.splitlines()[:max_lines]
+    best: tuple[int, int] | None = None  # (field_count, -cand_idx)
+    best_delim = ","
+    for idx, d in enumerate(_CANDIDATE_DELIMS):
+        try:
+            rows = list(csv.reader(io.StringIO("\n".join(lines)),
+                                   delimiter=d))
+        except csv.Error:
+            continue
+        if not rows:
+            continue
+        counts = {len(r) for r in rows if r}
+        if len(counts) != 1:
+            continue
+        (n,) = counts
+        if n < 2:
+            continue
+        key = (n, -idx)
+        if best is None or key > best:
+            best = key
+            best_delim = d
+    def _is_int(s: str) -> bool:
+        try:
+            int(s)
+            return True
+        except ValueError:
+            return False
+
+    import csv as _csv
+    import io as _io
+
+    rows = list(
+        _csv.reader(_io.StringIO("\n".join(lines)), delimiter=best_delim)
+    )
+    has_header = (
+        len(rows) >= 2
+        and not any(_is_int(f) for f in rows[0])
+        and any(_is_int(f) for f in rows[1])
+    )
+    return {"delimiter": best_delim, "has_header": has_header}
