@@ -364,6 +364,9 @@ R09_ADDITIONS = [
     "o_incremental_agg",
     "sim_hard_negatives",
     "io_csv_dialect_sniff",
+    "split_cluster_safe",
+    "text_eml_extract",
+    "multimodal_srt_subtitles",
 ]
 
 HEADLINE = (

@@ -1,0 +1,187 @@
+"""EML / RFC 5322 + MIME email extraction — the 13th file format:
+mail archives (Enron, mailing-list dumps, e-discovery exports) are a
+standing text-corpus source, and their text layer hides behind THREE
+codecs at once: header encoded-words (RFC 2047), content transfer
+encodings (base64 / quoted-printable, RFC 2045), and per-part
+charsets — plus the multipart tree that decides WHICH part is the
+text at all.
+
+Synthesis and parsing are independent implementations: messages are
+assembled by hand (manual boundaries, base64/quopri encoding of the
+planted bodies), parsing goes through the stdlib ``email`` package
+(message_from_bytes → walk → get_payload(decode=True),
+decode_header for subjects). Extraction policy: the FIRST
+``text/plain`` leaf wins (the multipart/alternative convention —
+the html alternative is boilerplate to a text pipeline); headers
+decode through RFC 2047; part charsets honored with a utf-8
+fallback.
+
+Scale shape: one Arrow pass over (doc_id, payload) rows, map-only —
+same posture as operators/pdf.py / docx.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_EML_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+EML_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("subject_md5", StringType(), False),
+        StructField("body_md5", StringType(), True),
+        StructField("n_parts", LongType(), False),
+        StructField("cte", StringType(), True),
+    ]
+)
+
+
+def encode_eml(d: int, words: list[str]) -> bytes:
+    """One real message, variant by d % 3: plain 7bit singlepart,
+    multipart/alternative with a base64 text part + a
+    quoted-printable html part, or a quoted-printable singlepart —
+    the three transfer shapes real archives mix. Non-ASCII subjects
+    ride RFC 2047 encoded-words."""
+    import base64
+    import quopri
+
+    head = " ".join(words[:20])
+    v = d % 3
+    if v == 0:
+        subject = f"Report {d} plain"
+        body = f"plain summary: {head}"
+        return (
+            f"From: sender{d}@h{d % 8}.example\r\n"
+            "To: list@example.org\r\n"
+            f"Subject: {subject}\r\n"
+            "MIME-Version: 1.0\r\n"
+            "Content-Type: text/plain; charset=us-ascii\r\n"
+            "Content-Transfer-Encoding: 7bit\r\n\r\n"
+            f"{body}"
+        ).encode("ascii")
+    subject = f"Report {d} naïve"
+    subj_b64 = base64.b64encode(subject.encode("utf-8")).decode("ascii")
+    body = f"naïve résumé: {head}"
+    if v == 2:
+        qp = quopri.encodestring(body.encode("utf-8")).decode("ascii")
+        return (
+            f"From: sender{d}@h{d % 8}.example\r\n"
+            f"Subject: =?utf-8?B?{subj_b64}?=\r\n"
+            "MIME-Version: 1.0\r\n"
+            "Content-Type: text/plain; charset=utf-8\r\n"
+            "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+            f"{qp}"
+        ).encode("ascii")
+    b64 = base64.b64encode(body.encode("utf-8")).decode("ascii")
+    qp_html = quopri.encodestring(
+        f"<p>{body}</p>".encode("utf-8")
+    ).decode("ascii")
+    boundary = f"b{d}"
+    return (
+        f"From: sender{d}@h{d % 8}.example\r\n"
+        f"Subject: =?utf-8?B?{subj_b64}?=\r\n"
+        "MIME-Version: 1.0\r\n"
+        f'Content-Type: multipart/alternative; boundary="{boundary}"\r\n'
+        "\r\n"
+        f"--{boundary}\r\n"
+        "Content-Type: text/plain; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: base64\r\n\r\n"
+        f"{b64}\r\n"
+        f"--{boundary}\r\n"
+        "Content-Type: text/html; charset=utf-8\r\n"
+        "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+        f"{qp_html}\r\n"
+        f"--{boundary}--\r\n"
+    ).encode("ascii")
+
+
+def parse_eml(payload: bytes) -> dict:
+    """One message → {'subject', 'body', 'n_parts', 'cte'}."""
+    import email
+    from email.header import decode_header
+
+    msg = email.message_from_bytes(payload)
+    raw_subj = msg.get("Subject", "")
+    subject = "".join(
+        frag.decode(enc or "ascii") if isinstance(frag, bytes) else frag
+        for frag, enc in decode_header(raw_subj)
+    )
+    body = None
+    cte = None
+    leaves = 0
+    for part in msg.walk():
+        if part.is_multipart():
+            continue
+        leaves += 1
+        if body is None and part.get_content_type() == "text/plain":
+            raw = part.get_payload(decode=True) or b""
+            charset = part.get_content_charset() or "utf-8"
+            try:
+                body = raw.decode(charset)
+            except (UnicodeDecodeError, LookupError):
+                body = raw.decode("utf-8", "replace")
+            cte = (
+                part.get("Content-Transfer-Encoding") or "7bit"
+            ).strip().lower()
+    return {
+        "subject": subject,
+        "body": body,
+        "n_parts": leaves,
+        "cte": cte,
+    }
+
+
+def synthesize_eml_media(documents: DataFrame) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (int(doc_id), encode_eml(int(doc_id), str(text).split(" ")))
+                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=_EML_MEDIA_SCHEMA
+    )
+
+
+def eml_text_stats(media: DataFrame) -> DataFrame:
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EML_TEXT_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                m = parse_eml(bytes(payload))
+                rows.append(
+                    (
+                        int(doc_id),
+                        hashlib.md5(
+                            m["subject"].encode("utf-8")
+                        ).hexdigest(),
+                        hashlib.md5(m["body"].encode("utf-8")).hexdigest()
+                        if m["body"] is not None else None,
+                        m["n_parts"],
+                        m["cte"],
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=EML_TEXT_SCHEMA)

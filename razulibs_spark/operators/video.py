@@ -372,3 +372,118 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
     return videos.repartition(n, "doc_id").mapInPandas(
         batches, schema=VIDEO_FRAME_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# SubRip (SRT) subtitles — the TEXT half of video training pairs:
+# caption corpora (OpenSubtitles-class) ship as .srt next to the media
+# ---------------------------------------------------------------------------
+
+def _srt_ts(ms: int) -> str:
+    h, rem = divmod(ms, 3600000)
+    m, rem = divmod(rem, 60000)
+    s, milli = divmod(rem, 1000)
+    return f"{h:02d}:{m:02d}:{s:02d},{milli:03d}"
+
+
+def _parse_srt_ts(ts: str) -> int:
+    import re
+
+    m = re.fullmatch(r"(\d{2,}):(\d{2}):(\d{2}),(\d{3})", ts.strip())
+    if not m:
+        raise ValueError(f"srt: bad timestamp {ts!r}")
+    h, mi, s, milli = map(int, m.groups())
+    return ((h * 60 + mi) * 60 + s) * 1000 + milli
+
+
+def encode_srt(d: int, chunks: list[str]) -> str:
+    """One .srt: cue i runs [i*3000 + d%977, +1500 + (d+i)%700) ms —
+    the formula the DuckDB oracle mirrors."""
+    blocks = []
+    for i, chunk in enumerate(chunks):
+        start = i * 3000 + d % 977
+        end = start + 1500 + (d + i) % 700
+        blocks.append(
+            f"{i + 1}\n{_srt_ts(start)} --> {_srt_ts(end)}\n{chunk}\n"
+        )
+    return "\n".join(blocks)
+
+
+def parse_srt(src: str) -> dict:
+    """.srt → {'n_cues', 'dur_ms' (sum of cue spans), 'text'
+    (cue texts joined by newline)}. Strict on the timestamp grammar
+    (a drifted separator or missing millis names the defect), liberal
+    on cue indices (real files renumber badly — they are ignored)."""
+    cues = []
+    for block in src.split("\n\n"):
+        lines = [line for line in block.split("\n") if line.strip()]
+        if not lines:
+            continue
+        # index line optional/ignored; timestamp line is the anchor
+        ts_idx = 1 if "-->" not in lines[0] else 0
+        if ts_idx >= len(lines) or "-->" not in lines[ts_idx]:
+            raise ValueError(f"srt: block without timestamp {block!r}")
+        start_s, _, end_s = lines[ts_idx].partition("-->")
+        start, end = _parse_srt_ts(start_s), _parse_srt_ts(end_s)
+        if end < start:
+            raise ValueError("srt: cue ends before it starts")
+        text = " ".join(lines[ts_idx + 1:])
+        cues.append((end - start, text))
+    return {
+        "n_cues": len(cues),
+        "dur_ms": sum(c[0] for c in cues),
+        "text": "\n".join(c[1] for c in cues),
+    }
+
+
+def srt_stats(documents: DataFrame) -> DataFrame:
+    """documents → synthesize one .srt per doc (6-word cues) →
+    parse back → (doc_id, n_cues, dur_ms, text_md5). One Arrow pass;
+    synthesis and parsing exercise the HH:MM:SS,mmm grammar in both
+    directions."""
+    import hashlib
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType(), False),
+            StructField("n_cues", LongType(), False),
+            StructField("dur_ms", LongType(), False),
+            StructField("text_md5", StringType(), False),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                words = str(text).split(" ")
+                chunks = [
+                    " ".join(words[i:i + 6])
+                    for i in range(0, len(words), 6)
+                ]
+                m = parse_srt(encode_srt(d, chunks))
+                rows.append(
+                    (
+                        d,
+                        m["n_cues"],
+                        m["dur_ms"],
+                        hashlib.md5(m["text"].encode()).hexdigest(),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_cues", "dur_ms", "text_md5"]
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=out_schema
+    )

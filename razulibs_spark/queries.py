@@ -1279,6 +1279,135 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SRT_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+ch AS (SELECT doc_id,
+              [array_to_string(ws[i:i+5], ' ')
+               for i in generate_series(1, len(ws), 6)] AS chunks
+       FROM w)
+SELECT doc_id,
+       CAST(len(chunks) AS BIGINT) AS n_cues,
+       CAST(list_sum([1500 + (doc_id + i) % 700
+                      for i in generate_series(0, len(chunks) - 1)])
+            AS BIGINT) AS dur_ms,
+       md5(array_to_string(chunks, chr(10))) AS text_md5
+FROM ch
+"""
+
+
+@query("multimodal_srt_subtitles", _SRT_SQL)
+def multimodal_srt_subtitles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SubRip subtitle roundtrip (operators/video.py:srt_stats) — the
+    TEXT half of video training pairs (OpenSubtitles-class corpora
+    ship .srt next to the media): 6-word cues with formula-pinned
+    [start, end) spans serialize through the HH:MM:SS,mmm grammar and
+    parse back strictly (a drifted separator or missing millis
+    raises; cue indices are ignored — real files renumber badly).
+    The oracle recomputes cue count, the exact SUM of cue spans (the
+    value a caption-coverage filter keys on) and the cue-text md5
+    from documents.text — a millisecond lost in either timestamp
+    direction mismatches the duration sum. One Arrow pass,
+    map-only."""
+    from razulibs_spark.operators.video import srt_stats
+
+    return srt_stats(T(spark, sf_dir, "documents"))
+
+
+_EML_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id,
+       md5('Report ' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN ' plain'
+                   ELSE ' naïve' END) AS subject_md5,
+       md5(CASE WHEN doc_id % 3 = 0 THEN 'plain summary: '
+                ELSE 'naïve résumé: ' END
+           || array_to_string(ws[1:20], ' ')) AS body_md5,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_parts,
+       CASE doc_id % 3 WHEN 0 THEN '7bit' WHEN 1 THEN 'base64'
+            ELSE 'quoted-printable' END AS cte
+FROM w
+"""
+
+
+@query("text_eml_extract", _EML_SQL)
+def text_eml_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EML/MIME email extraction (operators/eml.py — the 13th file
+    format; mail archives are a standing corpus source): each doc
+    becomes a real RFC 5322 message in one of three transfer shapes —
+    plain 7bit singlepart, multipart/alternative whose text/plain
+    part is base64 (html alternative must be IGNORED by the
+    text-plain-wins policy), quoted-printable singlepart — with
+    RFC 2047 encoded-word subjects on the non-ASCII variants.
+    Synthesis is hand-assembled (manual boundaries, base64/quopri);
+    parsing is the stdlib email walk — independent implementations.
+    The oracle recomputes subject md5, body md5, leaf-part count and
+    the transfer-encoding label per doc; a mis-decoded encoded-word,
+    an html part leaking into the body, or one base64 byte off all
+    mismatch. One Arrow pass each way, map-only."""
+    from razulibs_spark.operators.eml import (
+        eml_text_stats,
+        synthesize_eml_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return eml_text_stats(synthesize_eml_media(docs))
+
+
+_CLUSTER_SPLIT_SQL = f"""
+WITH t AS (SELECT doc_id,
+                  CASE WHEN doc_id % 9 = 4
+                       THEN 'shared template ' || CAST(doc_id % 3 AS VARCHAR)
+                       ELSE text END AS tx
+           FROM documents),
+c AS (SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY md5(tx)) AS canon
+      FROM t),
+b AS (SELECT doc_id, canon, {sampling.bucket_sql('canon')} AS bk FROM c)
+SELECT doc_id, canon,
+       CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+@query("split_cluster_safe", _CLUSTER_SPLIT_SQL)
+def split_cluster_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the Lee-et-al trap
+    split_train_test cannot see: hashing DOC ids sends two copies of
+    the same document to different splits, so the model memorizes
+    test answers from train. The fix is to split by CLUSTER: content
+    hash → cluster canonical (min doc_id per hash, one window over
+    the 16-byte digest) → the SAME multiplicative-hash split applied
+    to the canonical, so every member of a duplicate cluster lands in
+    the same split by construction. Planted duplicates (d%9 == 4
+    collapses onto three shared templates) make the property
+    non-vacuous — under a doc-keyed split those clusters would span
+    all three splits with near certainty. One shuffle (the digest
+    window); the split itself stays a pure projection."""
+    from razulibs_spark.operators.sampling import hash_split
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 9 == 4,
+            F.concat(
+                F.lit("shared template "),
+                (F.col("doc_id") % 3).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("tx"),
+    )
+    w = Window.partitionBy(F.md5(F.col("tx").cast("binary")))
+    clustered = docs.select(
+        "doc_id", F.min("doc_id").over(w).alias("canon")
+    )
+    return hash_split(clustered, key="canon").select(
+        "doc_id", "canon", "split"
+    )
+
+
 _CSV_SNIFF_SQL = """
 WITH s AS (SELECT doc_id, doc_id % 8 AS shard FROM documents)
 SELECT shard,
