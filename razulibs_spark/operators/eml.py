@@ -66,14 +66,28 @@ def encode_eml(d: int, words: list[str]) -> bytes:
     if v == 0:
         subject = f"Report {d} plain"
         body = f"plain summary: {head}"
+        if body.isascii():
+            return (
+                f"From: sender{d}@h{d % 8}.example\r\n"
+                "To: list@example.org\r\n"
+                f"Subject: {subject}\r\n"
+                "MIME-Version: 1.0\r\n"
+                "Content-Type: text/plain; charset=us-ascii\r\n"
+                "Content-Transfer-Encoding: 7bit\r\n\r\n"
+                f"{body}"
+            ).encode("ascii")
+        # a 7bit message cannot carry non-ASCII — fall back to
+        # quoted-printable + utf-8, what a real encoder does (found
+        # by the hypothesis fuzz; the fixture corpus is ASCII, so the
+        # oracle's 7bit label is unaffected)
+        qp = quopri.encodestring(body.encode("utf-8")).decode("ascii")
         return (
             f"From: sender{d}@h{d % 8}.example\r\n"
-            "To: list@example.org\r\n"
             f"Subject: {subject}\r\n"
             "MIME-Version: 1.0\r\n"
-            "Content-Type: text/plain; charset=us-ascii\r\n"
-            "Content-Transfer-Encoding: 7bit\r\n\r\n"
-            f"{body}"
+            "Content-Type: text/plain; charset=utf-8\r\n"
+            "Content-Transfer-Encoding: quoted-printable\r\n\r\n"
+            f"{qp}"
         ).encode("ascii")
     subject = f"Report {d} naïve"
     subj_b64 = base64.b64encode(subject.encode("utf-8")).decode("ascii")

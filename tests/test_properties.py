@@ -937,3 +937,60 @@ def test_mulaw_companding_is_idempotent_and_bounded(samples):
         assert mulaw_encode_sample(q) == code  # fixed point
         step = 8 << ((~code & 0xFF) >> 4 & 7)
         assert abs(q - min(max(x, -32635), 32635)) <= step
+
+
+@given(
+    d=st.integers(min_value=0, max_value=10**6),
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "S"),
+                include_characters="=_?café",
+            ),
+            min_size=1, max_size=10,
+        ).filter(lambda w: " " not in w),
+        min_size=1, max_size=30,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_eml_roundtrip_any_words(d, words):
+    """Every transfer shape recovers subject and body exactly — '='
+    (the quoted-printable escape char), '?' (the encoded-word
+    delimiter) and arbitrary unicode in the payload must all survive
+    base64/qp encoding and RFC 2047 headers."""
+    from razulibs_spark.operators.eml import encode_eml, parse_eml
+
+    m = parse_eml(encode_eml(d, words))
+    head = " ".join(words[:20])
+    if d % 3 == 0:
+        assert m["subject"] == f"Report {d} plain"
+        assert m["body"] == f"plain summary: {head}"
+        assert m["cte"] in ("7bit", "quoted-printable")
+    else:
+        assert m["subject"] == f"Report {d} naïve"
+        assert m["body"] == f"naïve résumé: {head}"
+    assert m["n_parts"] == (2 if d % 3 == 1 else 1)
+
+
+@given(
+    d=st.integers(min_value=0, max_value=10**6),
+    chunks=st.lists(
+        st.text(alphabet="abc xyz", min_size=1, max_size=20).filter(
+            lambda c: c.strip() and "\n" not in c
+        ),
+        min_size=1, max_size=2000,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_srt_roundtrip_including_hour_boundaries(d, chunks):
+    """Cue spans survive the HH:MM:SS,mmm grammar exactly — 2000
+    cues push start times past the hour mark, so the hour field is
+    exercised, not just minutes/seconds."""
+    from razulibs_spark.operators.video import encode_srt, parse_srt
+
+    m = parse_srt(encode_srt(d, chunks))
+    assert m["n_cues"] == len(chunks)
+    assert m["dur_ms"] == sum(
+        1500 + (d + i) % 700 for i in range(len(chunks))
+    )
+    assert m["text"] == "\n".join(chunks)
