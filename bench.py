@@ -367,6 +367,7 @@ R09_ADDITIONS = [
     "split_cluster_safe",
     "text_eml_extract",
     "multimodal_srt_subtitles",
+    "text_unicode_nfc",
 ]
 
 HEADLINE = (

@@ -1279,6 +1279,76 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NFC_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+r AS (SELECT doc_id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN 'cafe' || chr(769) || ' resume' || chr(769)
+                       || ': '
+                  ELSE 'café resumé: ' END
+             || array_to_string(ws[1:10], ' ') AS raw
+      FROM w)
+SELECT doc_id,
+       doc_id % 2 = 0 AS changed,
+       md5(nfc_normalize(raw)) AS nfc_md5,
+       CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_codepoints
+FROM r
+"""
+
+
+@query("text_unicode_nfc", _NFC_SQL)
+def text_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the dedup prerequisite nobody
+    sees: 'café' composed (U+00E9) and decomposed (e + U+0301) are
+    byte-DIFFERENT but render identically, so un-normalized corpora
+    silently miss exact-dup pairs and split token statistics. Half
+    the docs carry decomposed sequences (combining acute), half
+    pre-composed; the Arrow stage normalizes with Python's
+    unicodedata and the oracle re-normalizes with DuckDB's utf8proc
+    ``nfc_normalize`` — two INDEPENDENT UAX #15 implementations must
+    agree on every byte (md5) and every codepoint count, and the
+    ``changed`` flag pins that composition actually fired on the
+    decomposed half. Map-only Arrow pass."""
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def nfc_batches(it):
+        import hashlib
+        import unicodedata
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                head = " ".join(str(text).split(" ")[:10])
+                if d % 2 == 0:
+                    # decomposed: e + COMBINING ACUTE — visually identical
+                    # to the other branch, byte-different
+                    raw = "cafe\u0301 resume\u0301: " + head
+                else:
+                    raw = "caf\u00e9 resum\u00e9: " + head  # pre-composed
+                norm = unicodedata.normalize("NFC", raw)
+                rows.append(
+                    (
+                        d,
+                        norm != raw,
+                        hashlib.md5(norm.encode("utf-8")).hexdigest(),
+                        len(norm),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "changed", "nfc_md5", "n_codepoints"],
+            )
+
+    return docs.mapInPandas(
+        nfc_batches,
+        schema="doc_id long, changed boolean, nfc_md5 string, "
+               "n_codepoints long",
+    )
+
+
 _SRT_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 ch AS (SELECT doc_id,
