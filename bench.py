@@ -368,6 +368,7 @@ R09_ADDITIONS = [
     "text_eml_extract",
     "multimodal_srt_subtitles",
     "text_unicode_nfc",
+    "io_parquet_footer_audit",
 ]
 
 HEADLINE = (

@@ -1279,6 +1279,128 @@ def dedup_exact_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_FOOTER_SQL = """
+WITH s AS (SELECT doc_id, doc_id % 8 AS shard FROM documents)
+SELECT shard,
+       COUNT(*) AS n_rows,
+       CAST(ceil(COUNT(*) / 100.0) AS BIGINT) AS n_row_groups,
+       MIN(doc_id) AS min_id,
+       MAX(doc_id) AS max_id,
+       TRUE AS stats_cover_rows
+FROM s GROUP BY shard
+"""
+
+
+@query("io_parquet_footer_audit", _PQ_FOOTER_SQL)
+def io_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet layout audit from FOOTERS ONLY — the data-skipping
+    machinery at 100 TB is row-group statistics, and an ops audit
+    must read them without scanning data: shards are written with a
+    pinned 100-row row-group size (pyarrow writer, executor-side),
+    then every answer — row counts, row-group counts, global min/max
+    of the sort key, and a stats_cover_rows invariant (per-group
+    [min,max] ranges actually contain their rows' ids and group row
+    counts sum to the file's) — comes from footer metadata alone in
+    one Arrow pass over binaryFile. The oracle recomputes everything
+    from the DATA; footer-vs-data agreement is exactly what makes
+    min/max pruning trustworthy. A writer that mis-sizes groups,
+    drops stats, or a reader that scans instead of trusting footers
+    all mismatch."""
+    import os
+
+    base = (
+        "/root/repo/.scratch/pq_footer_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(base, exist_ok=True)
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "lang", (F.col("doc_id") % 8).alias("shard")
+    )
+
+    def write_partition(rows) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        by_shard: dict[int, list] = {}
+        for row in rows:
+            by_shard.setdefault(int(row["shard"]), []).append(
+                (int(row["doc_id"]), row["lang"])
+            )
+        for shard, items in by_shard.items():
+            items.sort()
+            table = pa.table(
+                {
+                    "doc_id": [i for i, _ in items],
+                    "lang": [l for _, l in items],
+                }
+            )
+            pq.write_table(
+                table,
+                os.path.join(base, f"shard-{shard}.parquet"),
+                row_group_size=100,
+            )
+
+    docs.repartition(8, "shard").foreachPartition(write_partition)
+
+    def footer_batches(it):
+        import io as _io
+        import re as _re
+
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                shard = int(
+                    _re.search(r"shard-(\d+)\.parquet", str(path)).group(1)
+                )
+                md = pq.ParquetFile(_io.BytesIO(bytes(content))).metadata
+                n_rows = md.num_rows
+                mins, maxs, group_rows = [], [], 0
+                ok = True
+                for g in range(md.num_row_groups):
+                    col = md.row_group(g).column(0)  # doc_id
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        continue
+                    mins.append(st.min)
+                    maxs.append(st.max)
+                    group_rows += md.row_group(g).num_rows
+                    ok = ok and st.min <= st.max
+                ok = ok and group_rows == n_rows
+                rows.append(
+                    (
+                        shard,
+                        n_rows,
+                        md.num_row_groups,
+                        min(mins) if mins else None,
+                        max(maxs) if maxs else None,
+                        ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "shard", "n_rows", "n_row_groups", "min_id",
+                    "max_id", "stats_cover_rows",
+                ],
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(base)
+        .select("path", "content")
+        .mapInPandas(
+            footer_batches,
+            schema="shard long, n_rows long, n_row_groups long, "
+                   "min_id long, max_id long, stats_cover_rows boolean",
+        )
+    )
+
+
 _NFC_SQL = """
 WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
 r AS (SELECT doc_id,
