@@ -369,6 +369,7 @@ R09_ADDITIONS = [
     "multimodal_srt_subtitles",
     "text_unicode_nfc",
     "io_parquet_footer_audit",
+    "sim_mips_topk",
 ]
 
 HEADLINE = (

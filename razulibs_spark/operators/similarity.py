@@ -1219,3 +1219,76 @@ def hard_negatives(
             F.round("_cos", 6).alias("cosine"),
         )
     )
+
+
+def mips_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_broadcast_queries: int | None = 100_000,
+) -> DataFrame:
+    """Maximum-inner-product top-k via the Shrivastava–Li asymmetric
+    transform — the retrieval objective when embeddings are NOT
+    normalized (recommendation scores, unnormalized retrievers):
+    append sqrt(M² − ‖x‖²) to every corpus vector (M = max corpus
+    norm) and 0 to every query, and all transformed corpus vectors
+    have norm exactly M — so cosine ranking in the lifted space IS
+    inner-product ranking in the original. That reduction is what
+    lets every cosine-only ANN structure (the IVF/LSH/PQ paths here)
+    serve MIPS unchanged.
+
+    The emitted ``dot`` is the ORIGINAL inner product (computed
+    directly); the RANKING comes from the lifted cosine — the oracle
+    ranks by the dot product itself, so the entry hash-verifies the
+    reduction theorem on real data, not just the arithmetic. M rides
+    a 1-row broadcast; everything else matches cosine_topk's
+    broadcast-query/streaming-corpus shape."""
+    _guard_broadcast_queries(
+        queries, max_broadcast_queries, "mips_topk",
+        "Bucket the corpus (ivf_topk on the lifted vectors) for "
+        "large query sets.",
+    )
+    c0 = _with_vec(embeddings, "neighbor_id", "cv", "cn")
+    m = c0.agg(F.max("cn").alias("m"))
+    c = c0.crossJoin(F.broadcast(m)).withColumn(
+        "aug",
+        F.sqrt(
+            F.greatest(
+                F.col("m") * F.col("m") - F.col("cn") * F.col("cn"),
+                F.lit(0.0),
+            )
+        ),
+    ).repartition(_parallelism(embeddings))
+    q = _with_vec(queries, "query_id", "qv", "qn")
+    dot_qc = dot(F.col("qv"), F.col("cv"))
+    # lifted cosine over the ACTUAL augmented vectors: the query
+    # augment is 0 so the lifted dot equals the original dot, but the
+    # lifted corpus norm is COMPUTED (sqrt(‖x‖² + aug²)), not assumed
+    # = M — ranking by this is the theorem under test, not a tautology
+    # (numerically it equals M to ~1 ulp; ranking must still agree
+    # with the oracle's direct dot-product ranking on every row).
+    lifted_norm = F.sqrt(
+        F.col("cn") * F.col("cn") + F.col("aug") * F.col("aug")
+    )
+    lifted_cos = dot_qc / (F.col("qn") * lifted_norm)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            lifted_cos.alias("_rank_metric"),
+            dot_qc.alias("_dot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_rank_metric").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "query_id", "neighbor_id", "rnk",
+            F.round("_dot", 6).alias("dot"),
+        )
+    )

@@ -4319,6 +4319,36 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+_MIPS_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+q AS (SELECT * FROM e WHERE vec_id < 12),
+scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_inner_product(q.v, c.v) AS dp
+           FROM q, e c WHERE c.vec_id <> q.vec_id),
+ranked AS (SELECT query_id, neighbor_id, dp,
+                  ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY dp DESC, neighbor_id) AS rnk
+           FROM scored)
+SELECT query_id, neighbor_id, rnk, round(dp, 6) AS dot
+FROM ranked WHERE rnk <= 5
+"""
+
+
+@query("sim_mips_topk", _MIPS_SQL)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum-inner-product top-5 via the Shrivastava–Li asymmetric
+    transform (similarity.mips_topk): the oracle ranks by the INNER
+    PRODUCT directly (list_inner_product); the engine ranks by
+    COSINE over the lifted vectors (corpus augmented with
+    sqrt(M²−‖x‖²), query with 0) — the reduction theorem that lets
+    every cosine-only ANN structure serve unnormalized-retrieval
+    workloads. Identical rankings AND identical rounded dot values on
+    every row, or the hash mismatches."""
+    e = T(spark, sf_dir, "embeddings")
+    return similarity.mips_topk(e, e.filter(F.col("vec_id") < 12), k=5)
+
+
 _HARDNEG_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
            FROM embeddings),

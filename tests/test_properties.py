@@ -994,3 +994,33 @@ def test_srt_roundtrip_including_hour_boundaries(d, chunks):
         1500 + (d + i) % 700 for i in range(len(chunks))
     )
     assert m["text"] == "\n".join(chunks)
+
+
+@given(
+    d=st.integers(min_value=0, max_value=10**6),
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N"),
+                include_characters="&<>\"'",
+            ),
+            min_size=1, max_size=8,
+        ).filter(lambda w: " " not in w),
+        min_size=0, max_size=40,
+    ),
+)
+@settings(max_examples=100, deadline=None)
+def test_docx_roundtrip_any_words(d, words):
+    """Arbitrary word lists (including XML-special characters that
+    must entity-escape) survive the full OPC encode → parse cycle:
+    torture paragraph exact, 8-word content paragraphs exact, table
+    cells only on d%5==0."""
+    from razulibs_spark.operators.docx import encode_docx, parse_docx_text
+
+    paras = parse_docx_text(encode_docx(d, words))["paragraphs"]
+    assert paras[0] == f'AT&T <tag>\t"padded" #{d}'
+    expect = [
+        " ".join(words[i:i + 8]) for i in range(0, len(words), 8)
+    ]
+    tail = ["cell A%d" % d, "cell B%d" % d] if d % 5 == 0 else []
+    assert paras[1:] == expect + tail
