@@ -370,6 +370,7 @@ R09_ADDITIONS = [
     "text_unicode_nfc",
     "io_parquet_footer_audit",
     "sim_mips_topk",
+    "f_geojson_bbox",
 ]
 
 HEADLINE = (

@@ -4319,6 +4319,109 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+_GEOJSON_SQL = """
+WITH p AS (SELECT doc_id,
+                  CAST(doc_id % 100 AS DOUBLE) AS x0,
+                  CAST(doc_id % 53 AS DOUBLE) AS y0,
+                  CAST(1 + doc_id % 7 AS DOUBLE) AS w,
+                  CAST(1 + doc_id % 5 AS DOUBLE) AS h
+           FROM documents)
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 1 THEN 'MultiPolygon'
+            WHEN 2 THEN 'Point' ELSE 'Polygon' END AS gtype,
+       x0 AS xmin, y0 AS ymin,
+       CASE doc_id % 4 WHEN 1 THEN x0 + w + 200.0
+            WHEN 2 THEN x0 ELSE x0 + w END AS xmax,
+       CASE doc_id % 4 WHEN 1 THEN y0 + h + 200.0
+            WHEN 2 THEN y0 ELSE y0 + h END AS ymax
+FROM p
+"""
+
+
+@query("f_geojson_bbox", _GEOJSON_SQL)
+def f_geojson_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON (RFC 7946) geometry ingestion with HETEROGENEOUS
+    types — the trap in real GeoJSON is that ``coordinates`` changes
+    SHAPE per geometry type (Point: [x,y]; Polygon: ring list;
+    MultiPolygon: list of those), so no single from_json schema fits:
+    the engine parses the type tag first, then applies the
+    type-specific schema and normalizes every geometry to its
+    flattened point list — the standard Spark pattern for mixed
+    feature collections. The bbox (what a spatial index or the PBSM
+    grid join keys on) falls out of array_min/max over HOF
+    projections. All pure codegen: three from_json applications,
+    flatten, transform — zero Python, zero shuffle. The oracle
+    recomputes every bbox from the planted rectangle formulas
+    (MultiPolygon's second part is offset +200, so a dropped part
+    shows up in xmax/ymax)."""
+    d = F.col("doc_id")
+    x0 = (d % 100).cast("double")
+    y0 = (d % 53).cast("double")
+    w = (1 + d % 7).cast("double")
+    h = (1 + d % 5).cast("double")
+
+    def ring(ax, ay, bx, by):
+        return F.concat(
+            F.lit("[["), ax, F.lit(","), ay,
+            F.lit("],["), bx, F.lit(","), ay,
+            F.lit("],["), bx, F.lit(","), by,
+            F.lit("],["), ax, F.lit(","), by,
+            F.lit("],["), ax, F.lit(","), ay, F.lit("]]"),
+        )
+
+    r1 = ring(x0, y0, x0 + w, y0 + h)
+    r2 = ring(x0 + 200, y0 + 200, x0 + w + 200, y0 + h + 200)
+    gj = (
+        F.when(
+            d % 4 == 1,
+            F.concat(
+                F.lit('{"type":"MultiPolygon","coordinates":[['),
+                r1, F.lit("],["), r2, F.lit("]]}"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit('{"type":"Point","coordinates":['),
+                x0, F.lit(","), y0, F.lit("]}"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit('{"type":"Polygon","coordinates":['),
+                r1, F.lit("]}"),
+            )
+        )
+    )
+    docs = T(spark, sf_dir, "documents").select("doc_id", gj.alias("gj"))
+    gtype = F.get_json_object("gj", "$.type")
+    pt = F.from_json(
+        "gj", "type string, coordinates array<double>"
+    )["coordinates"]
+    poly = F.from_json(
+        "gj", "type string, coordinates array<array<array<double>>>"
+    )["coordinates"]
+    mpoly = F.from_json(
+        "gj",
+        "type string, coordinates array<array<array<array<double>>>>",
+    )["coordinates"]
+    points = (
+        F.when(gtype == "Point", F.array(pt))
+        .when(gtype == "Polygon", F.flatten(poly))
+        .otherwise(F.flatten(F.flatten(mpoly)))
+    )
+    xs = F.transform(points, lambda p: F.element_at(p, 1))
+    ys = F.transform(points, lambda p: F.element_at(p, 2))
+    return docs.select(
+        "doc_id",
+        gtype.alias("gtype"),
+        F.array_min(xs).alias("xmin"),
+        F.array_min(ys).alias("ymin"),
+        F.array_max(xs).alias("xmax"),
+        F.array_max(ys).alias("ymax"),
+    )
+
+
 _MIPS_SQL = """
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
            FROM embeddings),
