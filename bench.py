@@ -371,6 +371,8 @@ R09_ADDITIONS = [
     "io_parquet_footer_audit",
     "sim_mips_topk",
     "f_geojson_bbox",
+    "curate_license_filter",
+    "stats_benford_digits",
 ]
 
 HEADLINE = (

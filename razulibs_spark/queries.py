@@ -4319,6 +4319,159 @@ def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(e, e.filter(F.col("vec_id") < 10), k=5)
 
 
+_BENFORD_SQL = """
+WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+        AS digit FROM c),
+n AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+t AS (SELECT SUM(n) AS total FROM n)
+SELECT digit, n,
+       CAST(t.total * CASE digit
+             WHEN 1 THEN 301030 WHEN 2 THEN 176091 WHEN 3 THEN 124939
+             WHEN 4 THEN 96910 WHEN 5 THEN 79181 WHEN 6 THEN 66947
+             WHEN 7 THEN 57992 WHEN 8 THEN 51153 ELSE 45757 END
+            // 1000000 AS BIGINT) AS expected_n
+FROM n, t
+ORDER BY digit
+"""
+
+
+@query("stats_benford_digits", _BENFORD_SQL)
+def stats_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit — the data-quality screen for
+    fabricated or truncated numeric columns (real transaction amounts
+    follow log10(1+1/d); synthetic or clipped feeds don't): leading
+    digit of the EXACT cent value (the micro-quantize trick — a
+    float-formatted leading digit is not engine-stable), counts per
+    digit, and the Benford-expected count from integer-literal
+    probabilities (micro-ints; no runtime log10 — transcendentals
+    never cross the oracle boundary). One map-side-combinable
+    aggregate + a 1-row broadcast total."""
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("long")
+    counts = (
+        T(spark, sf_dir, "orders")
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    p_micro = F.element_at(
+        F.array(
+            F.lit(301030), F.lit(176091), F.lit(124939), F.lit(96910),
+            F.lit(79181), F.lit(66947), F.lit(57992), F.lit(51153),
+            F.lit(45757),
+        ),
+        F.col("digit").cast("int"),
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        F.floor(F.col("total") * p_micro / 1000000)
+        .cast("long")
+        .alias("expected_n"),
+    )
+
+
+_LICENSE_SQL = """
+SELECT doc_id,
+       CASE doc_id % 5
+            WHEN 0 THEN 'MIT'
+            WHEN 1 THEN 'Apache-2.0'
+            WHEN 2 THEN 'GPL-3.0-only'
+            WHEN 3 THEN 'unknown'
+            ELSE 'BSD-3-Clause' END AS license,
+       doc_id % 5 IN (0, 1, 4) AS permissive,
+       doc_id % 5 <> 3 AS detected
+FROM documents
+"""
+
+
+@query("curate_license_filter", _LICENSE_SQL)
+def curate_license_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License gating — the code-corpus curation step every
+    permissively-licensed training set runs (The Stack, StarCoder):
+    detect the license from header text, keep permissive
+    (MIT/Apache/BSD), drop copyleft, and treat NO detection as
+    non-permissive (fail closed — an unlabeled file is not a grant).
+    Detection is pure codegen: SPDX tags when present
+    (``SPDX-License-Identifier:``), else the distinctive header
+    phrases ('Permission is hereby granted' → MIT, 'Licensed under
+    the Apache License, Version 2.0', 'GNU General Public License',
+    'Redistribution and use in source and binary forms' → BSD) —
+    checked in that order, first match wins. Planted headers mix
+    BOTH channels (SPDX tags on some slices, phrase-only on others)
+    so tag parsing and phrase fallback are each load-bearing. Zero
+    Python, zero shuffle — the gate rides the scan projection."""
+    d = F.col("doc_id")
+    header = (
+        # SPDX tag channel for MIT and GPL; phrase channel for the rest
+        F.when(
+            d % 5 == 0,
+            F.lit("// SPDX-License-Identifier: MIT\n// lib code\n"),
+        )
+        .when(
+            d % 5 == 1,
+            F.lit(
+                "/* Licensed under the Apache License, Version 2.0 "
+                "(the \"License\"); */\n"
+            ),
+        )
+        .when(
+            d % 5 == 2,
+            F.lit("# SPDX-License-Identifier: GPL-3.0-only\n"),
+        )
+        .when(d % 5 == 3, F.lit("// no license header here\n"))
+        .otherwise(
+            F.lit(
+                "/* Redistribution and use in source and binary "
+                "forms, with or without modification */\n"
+            )
+        )
+    )
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(header, F.col("text")).alias("content")
+    )
+    spdx = F.regexp_extract(
+        "content", r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)", 1
+    )
+    license_col = (
+        F.when(spdx != "", spdx)
+        .when(
+            F.col("content").contains("Permission is hereby granted"),
+            F.lit("MIT"),
+        )
+        .when(
+            F.col("content").contains(
+                "Licensed under the Apache License, Version 2.0"
+            ),
+            F.lit("Apache-2.0"),
+        )
+        .when(
+            F.col("content").contains("GNU General Public License"),
+            F.lit("GPL-3.0-only"),
+        )
+        .when(
+            F.col("content").contains(
+                "Redistribution and use in source and binary forms"
+            ),
+            F.lit("BSD-3-Clause"),
+        )
+        .otherwise(F.lit("unknown"))
+    )
+    permissive_set = F.array(
+        F.lit("MIT"), F.lit("Apache-2.0"), F.lit("BSD-3-Clause"),
+        F.lit("BSD-2-Clause"), F.lit("ISC"), F.lit("Unlicense"),
+    )
+    return docs.select(
+        "doc_id",
+        license_col.alias("license"),
+        F.array_contains(permissive_set, license_col).alias("permissive"),
+        (license_col != "unknown").alias("detected"),
+    )
+
+
 _GEOJSON_SQL = """
 WITH p AS (SELECT doc_id,
                   CAST(doc_id % 100 AS DOUBLE) AS x0,
