@@ -373,6 +373,7 @@ R09_ADDITIONS = [
     "f_geojson_bbox",
     "curate_license_filter",
     "stats_benford_digits",
+    "streaming_mv_rollup",
 ]
 
 HEADLINE = (

@@ -1801,6 +1801,65 @@ def o_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("streaming_mv_rollup", _INCR_AGG_SQL)
+def streaming_mv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming materialized-view upkeep — the continuous twin of
+    o_incremental_agg (same oracle): the event stream drains through
+    foreachBatch, each micro-batch aggregates to PARTIAL rollups
+    (count + exact micro-sum are algebraic), and the partials land in
+    a per-batch-id partition written with overwrite — REPLAYING a
+    micro-batch after a crash rewrites its own partition with the
+    same rows, so exactly-once holds by idempotence, not by luck
+    (the classic portable streaming-agg layout; a transactional
+    format would MERGE instead). The served MV is one re-aggregation
+    over the partials, and it must equal the batch rollup over ALL
+    events bit-for-bit — a batch lost, replayed into a fresh
+    partition, or a float sum (micro-BIGINT forbids it) all
+    mismatch. Scale: partial aggregation bounds each micro-batch's
+    write to |groups|, not |events|; the final re-agg reads
+    partial-sized data only."""
+    import os
+    import shutil
+
+    from razulibs_spark.streaming.events_stream import read_events_stream
+
+    sf_key = os.path.basename(sf_dir.rstrip("/"))
+    mv_dir = f"/root/repo/.scratch/stream_mv_{sf_key}"
+    ckpt = f"/root/repo/.scratch/stream_mv_ckpt_{sf_key}"
+    shutil.rmtree(mv_dir, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    micro = F.round(F.col("value") * 1000000).cast("long")
+
+    def sink(batch: DataFrame, batch_id: int) -> None:
+        partial = batch.groupBy(
+            "event_type", (F.col("user_id") % 50).alias("bucket")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(micro).alias("sum_micro"),
+        )
+        partial.write.mode("overwrite").parquet(
+            f"{mv_dir}/batch={batch_id}"
+        )
+
+    q = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.option("basePath", mv_dir)
+        .parquet(mv_dir)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("sum_micro").cast("long").alias("sum_micro"),
+        )
+    )
+
+
 _MULAW_SQL = """
 WITH s AS (SELECT doc_id,
                   [(doc_id * 31 + i * 7919) % 65536 - 32768
