@@ -49,9 +49,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # the compression labels in its output — needs a fresh driver row.
 # text_charset_sniff: r9 widened the synthesis grid to d%8 with the
 # non-Latin legacy charsets — labels and hashes changed.
-_ROTATION_FORCE_REFRESH = frozenset({
-    "multimodal_tiff_decode", "text_charset_sniff",
-})
+_ROTATION_FORCE_REFRESH = frozenset({})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
@@ -60,10 +58,12 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "a_cube_price", "a_distinct_count", "a_exact_quantiles",
     "a_grouped_ols", "a_grouped_zscore", "a_grouping_sets",
     "a_heavy_hitters", "a_rollup_pricing", "a_winsorize",
-    "contamination_bloom", "contamination_ngram", "curate_source_cap",
-    "d6_premis_events", "dedup_cluster_canonical",
-    "dedup_cluster_sizes", "dedup_containment", "dedup_cross_source",
-    "dedup_edit_distance", "dedup_exact", "dedup_incremental",
+    "contamination_bloom", "contamination_ngram",
+    "curate_license_filter", "curate_source_cap",
+    "curate_url_blocklist", "d6_premis_events",
+    "dedup_cluster_canonical", "dedup_cluster_sizes",
+    "dedup_containment", "dedup_cross_source", "dedup_edit_distance",
+    "dedup_exact", "dedup_exact_lines", "dedup_incremental",
     "dedup_jaccard_prefix_filter", "dedup_lsh_tuning",
     "dedup_minhash_incremental", "dedup_minhash_lsh",
     "dedup_minhash_lsh_ml", "dedup_ngram_jaccard",
@@ -71,8 +71,8 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "dedup_substring_multik", "dedup_substring_spans",
     "dedup_url_canonical", "eval_ann_agreement", "eval_auc_ovr",
     "eval_calibration", "eval_cohens_kappa", "eval_confusion_matrix",
-    "eval_retrieval_pr", "events_anomaly_mad", "events_bounce_rate",
-    "events_changepoint", "events_cohort_ltv",
+    "eval_pass_at_k", "eval_retrieval_pr", "events_anomaly_mad",
+    "events_bounce_rate", "events_changepoint", "events_cohort_ltv",
     "events_copurchase_pairs", "events_enriched_nation",
     "events_funnel", "events_funnel_windowed", "events_hourly_rollup",
     "events_interarrival_quantiles", "events_markov",
@@ -86,37 +86,45 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "f1_date_type_classify", "f20_tool_signature",
     "f21_integer_validation", "f2_full_extension", "f3_mtime_iso",
     "f4_extract_id_parts", "f5_filename_stem", "f6_normalize_path",
-    "f8_identifier_templating", "f9_compose_filename",
+    "f8_identifier_templating", "f9_compose_filename", "f_geojson_bbox",
     "flagship_triples_oracle", "graph_bfs_levels", "graph_pagerank",
     "graph_triangle_count", "io_avro_roundtrip", "io_bucketed_join",
+    "io_bz2_foreign_roundtrip", "io_csv_dialect_sniff",
     "io_csv_malformed", "io_jsonl_gz_roundtrip", "io_orc_roundtrip",
-    "io_partitioned_pruning", "io_schema_evolution", "j1_lookup_join",
-    "j2_multilabel_resolve", "j2_vocab_resolve",
-    "j4_manifest_reconcile", "j5_changed_or_new", "j6_set_diff",
-    "j7_upload_verification", "j8_hierarchy_links", "j_asof_forward",
-    "j_asof_join", "j_interval_overlap", "j_pit_scd2",
-    "j_range_join_binned", "j_resample_ffill", "j_salted_skew_join",
-    "j_spatial_grid_join", "k1_jsonld_roundtrip",
-    "k2_ntriples_roundtrip", "k2_rdfxml_roundtrip", "k2_trig_roundtrip",
-    "k2_trix_roundtrip", "k2_turtle_roundtrip", "length_histogram",
-    "mixture_sample", "multimodal_audio_spectral",
-    "multimodal_chunk_audio", "multimodal_decode",
-    "multimodal_features", "multimodal_gif_decode",
+    "io_parquet_footer_audit", "io_partitioned_pruning",
+    "io_schema_evolution", "io_tar_gz_roundtrip", "io_variant_json",
+    "io_zip_roundtrip", "j1_lookup_join", "j2_multilabel_resolve",
+    "j2_vocab_resolve", "j4_manifest_reconcile", "j5_changed_or_new",
+    "j6_set_diff", "j7_upload_verification", "j8_hierarchy_links",
+    "j_asof_forward", "j_asof_join", "j_asof_nearest",
+    "j_interval_overlap", "j_pit_scd2", "j_range_join_binned",
+    "j_resample_ffill", "j_salted_skew_join", "j_spatial_grid_join",
+    "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
+    "k2_rdfxml_roundtrip", "k2_trig_roundtrip", "k2_trix_roundtrip",
+    "k2_turtle_roundtrip", "length_histogram", "mixture_sample",
+    "multimodal_audio_spectral", "multimodal_chunk_audio",
+    "multimodal_decode", "multimodal_features", "multimodal_gif_decode",
     "multimodal_image_ahash", "multimodal_mp4_metadata",
-    "multimodal_resize", "multimodal_sample_frames",
+    "multimodal_mulaw_decode", "multimodal_resize",
+    "multimodal_sample_frames", "multimodal_srt_subtitles",
     "multimodal_tiff_decode", "multimodal_video_frames",
     "o1_sequential_ids", "o2_entity_fanout", "o7_delete_batches",
-    "o_analyze_stats", "o_cdc_apply", "o_scd2_history",
-    "o_skew_profile", "o_write_plan", "o_zorder_key",
+    "o_analyze_stats", "o_cdc_apply", "o_incremental_agg",
+    "o_scd2_history", "o_skew_profile", "o_write_plan", "o_zorder_key",
     "p10_invalid_triple_filter", "p4_triple_first_value",
     "p5_subject_type_pivot", "p6_lock_predicate",
     "p7_suffix_scan_filter", "p8_date_filter_nullkeep",
-    "p9_only_if_new", "pack_sequences", "pipeline_cluster_best",
-    "pipeline_corpus_prep", "pipeline_dataset_card",
-    "pipeline_decon_split", "pipeline_frontier_assembly",
-    "pipeline_full_prep", "pipeline_link_graph",
-    "pipeline_robots_filter", "pipeline_sitemap_scan",
-    "pipeline_warc_extract", "q10_returned_items",
+    "p9_only_if_new", "pack_sequences", "pipeline_cdx_index",
+    "pipeline_cluster_best", "pipeline_corpus_from_crawl",
+    "pipeline_corpus_prep", "pipeline_crawl_schedule",
+    "pipeline_dataset_card", "pipeline_decon_split",
+    "pipeline_frontier_assembly", "pipeline_full_prep",
+    "pipeline_link_graph", "pipeline_noindex_gate",
+    "pipeline_recrawl_due", "pipeline_revisit_resolve",
+    "pipeline_robots_filter", "pipeline_sitemap_discovery",
+    "pipeline_sitemap_scan", "pipeline_warc_extract",
+    "pipeline_warc_http_decode", "pipeline_warc_mixed",
+    "pipeline_wat_derive", "pipeline_wet_derive", "q10_returned_items",
     "q11_important_parts", "q12_priority_by_linestatus",
     "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
     "q16_supplier_parts", "q17_small_qty_revenue", "q18_large_orders",
@@ -125,30 +133,37 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "q22_dormant_accounts", "q2_mincost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_regional_revenue",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
-    "q9_product_profit", "quality_filter_funnel",
-    "quality_gopher_filter", "quality_percentile_filter",
-    "rdf_ancestor_closure", "rdf_bgp_match", "rdf_shape_validation",
-    "s6_manifest_scan", "s7_manifest_map_scan", "s8_eventlog_maxid",
-    "sample_stratified", "sample_temperature_mix", "sim_centroid_shift",
-    "sim_cosine_topk", "sim_embedding_neardup", "sim_ivf_assign",
+    "q9_product_profit", "quality_compression_filter",
+    "quality_filter_funnel", "quality_gopher_filter",
+    "quality_percentile_filter", "rdf_ancestor_closure",
+    "rdf_bgp_match", "rdf_shape_validation", "s6_manifest_scan",
+    "s7_manifest_map_scan", "s8_eventlog_maxid", "sample_stratified",
+    "sample_temperature_mix", "sim_centroid_shift", "sim_cosine_topk",
+    "sim_embedding_neardup", "sim_hard_negatives", "sim_ivf_assign",
     "sim_ivf_topk", "sim_ivfpq_topk", "sim_kmeans_lloyd",
     "sim_knn_classify", "sim_label_centroids", "sim_maxsim_topk",
-    "sim_pca_power", "sim_pq_topk", "sim_quantize_int8",
-    "sim_random_projection", "sim_rp_lsh_neardup", "split_train_test",
-    "sql_adhoc_region_revenue", "stats_chi_square",
-    "stats_embedding_dims", "stats_group_gini", "stats_ks_drift",
-    "streaming_dedup", "streaming_enrich", "streaming_hourly_rollup",
+    "sim_mips_topk", "sim_pca_power", "sim_pq_topk",
+    "sim_quantize_int8", "sim_random_projection", "sim_rp_lsh_neardup",
+    "split_cluster_safe", "split_train_test",
+    "sql_adhoc_region_revenue", "stats_benford_digits",
+    "stats_chi_square", "stats_embedding_dims", "stats_group_gini",
+    "stats_ks_drift", "stats_welch_ttest", "streaming_dedup",
+    "streaming_enrich", "streaming_hourly_rollup",
     "streaming_interval_join", "streaming_interval_join_outer",
-    "streaming_session_window", "streaming_sessionize",
-    "t1_topk_orders", "t3_sorted_diff", "t_grouped_topk",
-    "text_bpe_encode", "text_bpe_merges", "text_bpe_pair_counts",
-    "text_charset_sniff", "text_chunk_dedup", "text_dsir_importance",
-    "text_fingerprints", "text_hash_classifier", "text_html_extract",
-    "text_language_id", "text_lm_score", "text_novelty_ratio",
+    "streaming_mv_rollup", "streaming_session_window",
+    "streaming_sessionize", "streaming_warc_ingest", "t1_topk_orders",
+    "t3_sorted_diff", "t_grouped_topk", "text_bpe_encode",
+    "text_bpe_merges", "text_bpe_pair_counts", "text_charset_sniff",
+    "text_chunk_dedup", "text_docx_extract", "text_dsir_importance",
+    "text_eml_extract", "text_fingerprints", "text_hash_classifier",
+    "text_html_extract", "text_html_meta", "text_language_id",
+    "text_lm_score", "text_markdown_extract", "text_mojibake_repair",
+    "text_novelty_ratio", "text_pdf_extract", "text_pii_luhn",
     "text_pii_scrub", "text_quality_scores", "text_rarity_score",
     "text_repetition_stats", "text_tfidf_topterms", "text_token_stats",
-    "text_vocab_coverage", "u2_graph_union_dedup", "u4_upsert_by_key",
-    "u_intersect_all", "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
+    "text_unicode_nfc", "text_vocab_coverage", "text_wikitext_extract",
+    "u2_graph_union_dedup", "u4_upsert_by_key", "u_intersect_all",
+    "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
     "w_running_distinct", "w_running_total",
 })
 
