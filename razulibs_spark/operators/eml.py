@@ -132,9 +132,20 @@ def parse_eml(payload: bytes) -> dict:
 
     msg = email.message_from_bytes(payload)
     raw_subj = msg.get("Subject", "")
+
+    def _frag(frag: "bytes | str", enc: "str | None") -> str:
+        # Fail-closed per fragment, matching the body/docx posture: a
+        # malformed encoded-word or unknown charset in ONE header must
+        # not kill the whole Arrow task (ADVICE r9).
+        if not isinstance(frag, bytes):
+            return frag
+        try:
+            return frag.decode(enc or "ascii", "replace")
+        except LookupError:
+            return frag.decode("latin-1", "replace")
+
     subject = "".join(
-        frag.decode(enc or "ascii") if isinstance(frag, bytes) else frag
-        for frag, enc in decode_header(raw_subj)
+        _frag(frag, enc) for frag, enc in decode_header(raw_subj)
     )
     body = None
     cte = None

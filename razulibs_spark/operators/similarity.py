@@ -1238,10 +1238,15 @@ def mips_topk(
     serve MIPS unchanged.
 
     The emitted ``dot`` is the ORIGINAL inner product (computed
-    directly); the RANKING comes from the lifted cosine — the oracle
-    ranks by the dot product itself, so the entry hash-verifies the
-    reduction theorem on real data, not just the arithmetic. M rides
-    a 1-row broadcast; everything else matches cosine_topk's
+    directly) and is also the RANKING key: the lifted cosine's
+    denominator (sqrt(‖x‖²+aug²)) equals M only to ~1 ulp per corpus
+    vector, so ranking by it can flip near-tied dot products against
+    an oracle that ranks by the raw inner product — an intermittent,
+    data-dependent hash mismatch (ADVICE r9). The lifted-space
+    construction is still verified in-plan: every row asserts
+    |lifted_norm − M| ≤ 1e-9·M (``assert_true`` — a wrong transform
+    fails the job, not just the ranking). M rides a 1-row broadcast;
+    everything else matches cosine_topk's
     broadcast-query/streaming-corpus shape."""
     _guard_broadcast_queries(
         queries, max_broadcast_queries, "mips_topk",
@@ -1261,28 +1266,31 @@ def mips_topk(
     ).repartition(_parallelism(embeddings))
     q = _with_vec(queries, "query_id", "qv", "qn")
     dot_qc = dot(F.col("qv"), F.col("cv"))
-    # lifted cosine over the ACTUAL augmented vectors: the query
-    # augment is 0 so the lifted dot equals the original dot, but the
-    # lifted corpus norm is COMPUTED (sqrt(‖x‖² + aug²)), not assumed
-    # = M — ranking by this is the theorem under test, not a tautology
-    # (numerically it equals M to ~1 ulp; ranking must still agree
-    # with the oracle's direct dot-product ranking on every row).
+    # lifted norm over the ACTUAL augmented vectors: sqrt(‖x‖²+aug²),
+    # not an assumed M. The theorem says it equals M exactly; float
+    # arithmetic delivers it to ~1 ulp, so it is VERIFIED per-row
+    # (assert_true: a wrong transform fails the job) but NOT used as
+    # the ranking key — a 1-ulp denominator can flip near-tied dot
+    # products against an oracle ranking by the raw inner product.
     lifted_norm = F.sqrt(
         F.col("cn") * F.col("cn") + F.col("aug") * F.col("aug")
     )
-    lifted_cos = dot_qc / (F.col("qn") * lifted_norm)
+    norm_check = F.assert_true(
+        F.abs(lifted_norm - F.col("m")) <= F.lit(1e-9) * F.col("m"),
+        F.lit("mips lifted-norm identity violated"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .filter(norm_check.isNull())
         .select(
             "query_id",
             "neighbor_id",
-            lifted_cos.alias("_rank_metric"),
             dot_qc.alias("_dot"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("_rank_metric").desc(), F.col("neighbor_id")
+        F.col("_dot").desc(), F.col("neighbor_id")
     )
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -205,7 +205,20 @@ def read_wiki_dump(spark: SparkSession, path: str) -> DataFrame:
             rows = []
             for content in pdf["content"]:
                 stream = io.BytesIO(bytes(content))
-                for _, el in ET.iterparse(stream, events=("end",)):
+                # Track the root: el.clear() empties each consumed
+                # <page>, but the cleared shells stay ATTACHED to the
+                # root, so memory still grows O(#pages) per shard on
+                # a multi-GB dump. Detaching them (del root[:]) after
+                # each page makes the claim O(page) actually true
+                # (ADVICE r9).
+                root = None
+                for ev, el in ET.iterparse(
+                    stream, events=("start", "end")
+                ):
+                    if ev == "start":
+                        if root is None:
+                            root = el
+                        continue
                     if el.tag != "{%s}page" % _MW_NS:
                         continue
                     title = el.findtext("{%s}title" % _MW_NS) or ""
@@ -229,7 +242,9 @@ def read_wiki_dump(spark: SparkSession, path: str) -> DataFrame:
                             ).hexdigest(),
                         )
                     )
-                    el.clear()  # O(page) memory, not O(shard)
+                    el.clear()
+                    if root is not None:
+                        del root[:]  # drop cleared page shells
             yield pd.DataFrame(rows, columns=cols)
 
     return (

@@ -1307,11 +1307,13 @@ def io_parquet_footer_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops stats, or a reader that scans instead of trusting footers
     all mismatch."""
     import os
+    import shutil
 
     base = (
         "/root/repo/.scratch/pq_footer_"
         + os.path.basename(sf_dir.rstrip("/"))
     )
+    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", (F.col("doc_id") % 8).alias("shard")
@@ -1629,11 +1631,13 @@ def io_csv_dialect_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count and an order-exact id digest per shard. Per-FILE Arrow
     tasks — the sniff reads a prefix, the parse is the same pass."""
     import os
+    import shutil
 
     base = (
         "/root/repo/.scratch/csv_dialects_"
         + os.path.basename(sf_dir.rstrip("/"))
     )
+    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", (F.col("doc_id") % 8).alias("shard")
@@ -2091,6 +2095,9 @@ def text_wikitext_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "/root/repo/.scratch/wiki_dump_"
         + os.path.basename(sf_dir.rstrip("/"))
     )
+    import shutil
+
+    shutil.rmtree(dump_dir, ignore_errors=True)
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     write_wiki_dump(docs.repartition(8), dump_dir)
     return read_wiki_dump(spark, dump_dir)
@@ -10327,11 +10334,13 @@ def io_bz2_foreign_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost at a block boundary or one byte mangled in transcoding
     mismatches."""
     import os
+    import shutil
 
     base = (
         "/root/repo/.scratch/jsonl_bz2_"
         + os.path.basename(sf_dir.rstrip("/"))
     )
+    shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     docs = T(spark, sf_dir, "documents").select(
         "doc_id", "lang", "text"

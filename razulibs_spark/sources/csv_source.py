@@ -42,7 +42,9 @@ def read_droid_csv(spark: SparkSession, path: str,
 _CANDIDATE_DELIMS = (",", ";", "|", "\t")
 
 
-def sniff_csv_dialect(sample: bytes, max_lines: int = 20) -> dict:
+def sniff_csv_dialect(
+    sample: bytes, max_lines: int = 20, byte_budget: int = 65536
+) -> dict:
     """Detect (delimiter, has_header) of an undocumented CSV from its
     first lines. Real data lakes are full of exports whose dialect
     nobody recorded; Spark's csv reader needs the answer UP FRONT
@@ -64,14 +66,32 @@ def sniff_csv_dialect(sample: bytes, max_lines: int = 20) -> dict:
     import csv
     import io
 
-    text = sample.decode("utf-8", "replace")
-    lines = text.splitlines()[:max_lines]
+    # Truncate by BYTE budget, never by splitlines(): a quoted field
+    # with an embedded newline would be broken into two records before
+    # the quote-aware parser ever sees it, defeating the
+    # consistent-field-count rule (ADVICE r9). Records are capped
+    # AFTER parsing instead.
+    truncated = len(sample) > byte_budget
+    text = sample[:byte_budget].decode("utf-8", "replace")
+
+    def _records(delim: str) -> list:
+        rows = []
+        rdr = csv.reader(io.StringIO(text), delimiter=delim)
+        for row in rdr:
+            rows.append(row)
+            if len(rows) >= max_lines:
+                break
+        # a byte-budget cut can split the final record mid-quote —
+        # discard it rather than let a mangled tail veto a candidate
+        if truncated and len(rows) < max_lines and rows:
+            rows.pop()
+        return rows
+
     best: tuple[int, int] | None = None  # (field_count, -cand_idx)
     best_delim = ","
     for idx, d in enumerate(_CANDIDATE_DELIMS):
         try:
-            rows = list(csv.reader(io.StringIO("\n".join(lines)),
-                                   delimiter=d))
+            rows = _records(d)
         except csv.Error:
             continue
         if not rows:
@@ -93,12 +113,7 @@ def sniff_csv_dialect(sample: bytes, max_lines: int = 20) -> dict:
         except ValueError:
             return False
 
-    import csv as _csv
-    import io as _io
-
-    rows = list(
-        _csv.reader(_io.StringIO("\n".join(lines)), delimiter=best_delim)
-    )
+    rows = _records(best_delim)
     has_header = (
         len(rows) >= 2
         and not any(_is_int(f) for f in rows[0])

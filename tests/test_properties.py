@@ -1024,3 +1024,58 @@ def test_docx_roundtrip_any_words(d, words):
     ]
     tail = ["cell A%d" % d, "cell B%d" % d] if d % 5 == 0 else []
     assert paras[1:] == expect + tail
+
+
+def test_eml_malformed_encoded_word_fails_closed():
+    """A malformed RFC 2047 encoded-word (bad charset, non-ASCII
+    bytes under an ascii label) must degrade per-fragment, never
+    raise — one poisoned header in a crawl batch must not kill the
+    Arrow task (ADVICE r9)."""
+    from razulibs_spark.operators.eml import parse_eml
+
+    # unknown charset in the encoded-word
+    m1 = parse_eml(
+        b"From: a@example\r\n"
+        b"Subject: =?x-no-such-charset?B?Y2Fmw6k=?=\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n\r\nhi\r\n"
+    )
+    assert isinstance(m1["subject"], str)
+    # declared ascii but payload is not
+    m2 = parse_eml(
+        b"From: a@example\r\n"
+        b"Subject: =?ascii?B?Y2Fmw6k=?=\r\n"
+        b"Content-Type: text/plain; charset=utf-8\r\n\r\nhi\r\n"
+    )
+    assert isinstance(m2["subject"], str)
+    assert m2["subject"].startswith("caf")
+
+
+def test_csv_sniff_quoted_embedded_newline():
+    """A quoted field containing a newline must not defeat the
+    consistent-field-count scorer: quote-aware parsing sees ONE
+    record where splitlines() saw two broken ones (ADVICE r9)."""
+    from razulibs_spark.sources.csv_source import sniff_csv_dialect
+
+    sample = (
+        b"id;name;note\n"
+        b'1;alice;"line one\nline two"\n'
+        b'2;bob;"x,y|z\tq"\n'
+        b"3;carol;plain\n"
+    )
+    d = sniff_csv_dialect(sample)
+    assert d == {"delimiter": ";", "has_header": True}
+
+
+def test_csv_sniff_byte_budget_truncation():
+    """A byte-budget cut mid-record must not veto the right
+    delimiter: the mangled final record is discarded before
+    scoring."""
+    from razulibs_spark.sources.csv_source import sniff_csv_dialect
+
+    full = b"id|name\n" + b"".join(
+        b'%d|"name %d"\n' % (i, i) for i in range(200)
+    )
+    budget = 256  # cuts mid-record
+    d = sniff_csv_dialect(full, byte_budget=budget)
+    assert d["delimiter"] == "|"
+    assert d["has_header"] is True
