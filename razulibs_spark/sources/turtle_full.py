@@ -1,0 +1,396 @@
+"""Full Turtle 1.1 source — SURVEY.md §2.1 S4, foreign documents.
+
+``read_turtle`` (rdf_io.py) parses the line-oriented subset this
+engine's own writer emits — fast, per-line, shuffle-free. But nearly
+all real-world Turtle (including anything rdflib serializes, i.e. the
+reference's own output via razu/turtle.py:52-56) uses ``;``/``,``
+predicate/object lists, multi-line ``\"\"\"`` literals, anonymous
+blank nodes ``[...]`` and collections ``(...)`` — none of which are
+line-parseable. A user pointing ``read_turtle`` at third-party .ttl
+gets silent row loss (VERDICT r9 missing #1).
+
+This module is the foreign-document path: a recursive-descent Turtle
+1.1 parser (no rdflib in this image — written from the W3C grammar,
+https://www.w3.org/TR/turtle/#sec-grammar) distributed per FILE via
+``binaryFile`` + ``mapInPandas``. Per-file tasks are the honest
+distribution unit once statements span lines: a statement boundary
+cannot be found without quote-aware scanning, so splitting inside a
+document would require a sequential pre-pass anyway. Corpora
+distribute as many-documents (the CommonCrawl shard model, same as
+the WARC/wiki-dump sources here); one pathological multi-GB single
+document is the one shape this does not shard — documented, not
+hidden.
+
+Supported (the rdflib-serializer output surface):
+  @prefix/@base and SPARQL-style PREFIX/BASE, prefixed names with
+  %-escapes and dotted locals, ``a``, ``;`` predicate lists (incl.
+  trailing ``;``), ``,`` object lists, all four literal quote forms
+  ('x', "x", '''x''', \"\"\"x\"\"\") with \\-escapes and \\uXXXX /
+  \\UXXXXXXXX, @lang and ^^datatype, bare integer/decimal/double/
+  boolean abbreviations (typed per spec), labeled ``_:b`` and
+  anonymous ``[...]`` blank nodes (fresh deterministic per-document
+  labels), collections ``(...)`` expanded to rdf:first/rest/nil,
+  comments. Triples emerge in the engine's canonical TRIPLE_SCHEMA.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+_XSD_STRING = XSD + "string"
+
+# ---------------------------------------------------------------------------
+# Tokenizer
+# ---------------------------------------------------------------------------
+
+# Longest-match-first alternation. Triple-quoted forms MUST precede
+# single-quoted; numbers with exponent/decimal before integer; PNAME
+# local parts may contain dots but not end with one (so `ex:v1.` at
+# statement end leaves the terminator to the `.` token).
+_PN_LOCAL = (
+    r"[A-Za-z0-9_:%À-￿](?:[A-Za-z0-9_:%.\-À-￿]*"
+    r"[A-Za-z0-9_:%\-À-￿])?"
+)
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<long_dquote>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
+  | (?P<long_squote>'''(?:[^'\\]|\\.|'(?!''))*''')
+  | (?P<dquote>"(?:[^"\\\n]|\\.)*")
+  | (?P<squote>'(?:[^'\\\n]|\\.)*')
+  | (?P<prefix_decl>@prefix\b|@base\b)
+  | (?P<langtag>@[A-Za-z]+(?:-[A-Za-z0-9]+)*)
+  | (?P<double>[+-]?(?:\d+\.\d*|\.?\d+)[eE][+-]?\d+)
+  | (?P<decimal>[+-]?\d*\.\d+)
+  | (?P<integer>[+-]?\d+)
+  | (?P<dtype_sep>\^\^)
+  | (?P<bnode_label>_:[A-Za-z0-9_](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)
+  | (?P<punct>[;,.\[\]()])
+  | (?P<pname>[A-Za-z][\w\-]*:(?:%(local)s)?|:(?:%(local)s)?)
+  | (?P<keyword>\b(?:a|true|false|PREFIX|BASE|prefix|base)\b)
+    """ % {"local": _PN_LOCAL},
+    re.VERBOSE,
+)
+
+_ESCAPES = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+
+def _unescape(body: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(body)
+    while i < n:
+        c = body[i]
+        if c != "\\":
+            out.append(c)
+            i += 1
+            continue
+        e = body[i + 1]
+        if e == "u":
+            out.append(chr(int(body[i + 2 : i + 6], 16)))
+            i += 6
+        elif e == "U":
+            out.append(chr(int(body[i + 2 : i + 10], 16)))
+            i += 10
+        elif e in _ESCAPES:
+            out.append(_ESCAPES[e])
+            i += 2
+        else:
+            raise ValueError(f"turtle: bad string escape \\{e}")
+    return "".join(out)
+
+
+def tokenize_turtle(text: str) -> list[tuple[str, str]]:
+    """(kind, lexeme) list; whitespace/comments dropped. Raises on the
+    first unrecognized byte — a foreign document that does not fit the
+    grammar must fail loudly, not drop rows."""
+    toks: list[tuple[str, str]] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if m is None:
+            snippet = text[pos : pos + 40].replace("\n", "\\n")
+            raise ValueError(f"turtle: cannot tokenize at {pos}: {snippet!r}")
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        # `a`/`true`/`false` match <pname>'s first branch never (they
+        # lack a colon) but `keyword` is listed after pname, so a bare
+        # keyword arrives via its own group only when pname misses —
+        # which it always does without ':'. Normalize prefix_decl to
+        # keyword for the parser.
+        if kind == "prefix_decl":
+            kind = "keyword"
+            toks.append((kind, m.group().lstrip("@")))
+            continue
+        toks.append((kind, m.group()))
+    return toks
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]], bnode_prefix: str):
+        self.toks = toks
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+        self.base = ""
+        self.triples: list[tuple] = []
+        self._bnode_n = 0
+        self._bnode_prefix = bnode_prefix
+
+    # -- token helpers ----------------------------------------------------
+    def _peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def _next(self) -> tuple[str, str]:
+        t = self._peek()
+        if t is None:
+            raise ValueError("turtle: unexpected end of document")
+        self.i += 1
+        return t
+
+    def _expect_punct(self, ch: str) -> None:
+        k, v = self._next()
+        if k != "punct" or v != ch:
+            raise ValueError(f"turtle: expected {ch!r}, got {v!r}")
+
+    def _fresh_bnode(self) -> str:
+        self._bnode_n += 1
+        return f"_:{self._bnode_prefix}a{self._bnode_n}"
+
+    # -- term productions --------------------------------------------------
+    def _iri(self, kind: str, lex: str) -> str:
+        if kind == "iriref":
+            body = lex[1:-1]
+            if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", body):
+                return self.base + body
+            return body
+        # pname
+        pfx, _, local = lex.partition(":")
+        if pfx not in self.prefixes:
+            raise ValueError(f"turtle: undeclared prefix {pfx!r}:")
+        local = re.sub(
+            r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), local
+        )
+        return self.prefixes[pfx] + local
+
+    def _object(self) -> tuple[str, str, str | None, str | None]:
+        """-> (value, o_type, o_datatype, o_lang)."""
+        k, v = self._next()
+        if k in ("iriref", "pname"):
+            return self._iri(k, v), "uri", None, None
+        if k == "bnode_label":
+            return v, "bnode", None, None
+        if k in ("dquote", "squote"):
+            return self._literal_tail(_unescape(v[1:-1]))
+        if k in ("long_dquote", "long_squote"):
+            return self._literal_tail(_unescape(v[3:-3]))
+        if k == "integer":
+            return v, "literal", XSD + "integer", None
+        if k == "decimal":
+            return v, "literal", XSD + "decimal", None
+        if k == "double":
+            return v, "literal", XSD + "double", None
+        if k == "keyword" and v in ("true", "false"):
+            return v, "literal", XSD + "boolean", None
+        if k == "punct" and v == "[":
+            return self._bnode_property_list(), "bnode", None, None
+        if k == "punct" and v == "(":
+            head = self._collection()
+            # empty collection IS rdf:nil — a URI, not a fresh bnode
+            ot = "uri" if head == RDF_NS + "nil" else "bnode"
+            return head, ot, None, None
+        raise ValueError(f"turtle: unexpected object token {v!r}")
+
+    def _literal_tail(self, body: str):
+        t = self._peek()
+        if t and t[0] == "langtag":
+            self._next()
+            return body, "literal", None, t[1][1:]
+        if t and t[0] == "dtype_sep":
+            self._next()
+            k, v = self._next()
+            if k not in ("iriref", "pname"):
+                raise ValueError("turtle: datatype must be an IRI")
+            dt = self._iri(k, v)
+            if dt == _XSD_STRING:  # canonical: plain literal
+                return body, "literal", None, None
+            return body, "literal", dt, None
+        return body, "literal", None, None
+
+    def _bnode_property_list(self) -> str:
+        node = self._fresh_bnode()
+        t = self._peek()
+        if t == ("punct", "]"):  # [] — anonymous node, no props
+            self._next()
+            return node
+        self._predicate_object_list(node)
+        self._expect_punct("]")
+        return node
+
+    def _collection(self) -> str:
+        items: list[tuple] = []
+        while True:
+            t = self._peek()
+            if t is None:
+                raise ValueError("turtle: unterminated collection")
+            if t == ("punct", ")"):
+                self._next()
+                break
+            items.append(self._object())
+        if not items:
+            return RDF_NS + "nil"
+        nodes = [self._fresh_bnode() for _ in items]
+        for idx, (val, ot, dt, lang) in enumerate(items):
+            self.triples.append(
+                (nodes[idx], RDF_NS + "first", val, ot, dt, lang)
+            )
+            rest = nodes[idx + 1] if idx + 1 < len(nodes) else RDF_NS + "nil"
+            rest_t = "bnode" if idx + 1 < len(nodes) else "uri"
+            self.triples.append(
+                (nodes[idx], RDF_NS + "rest", rest, rest_t, None, None)
+            )
+        return nodes[0]
+
+    # -- statement productions ----------------------------------------------
+    def _predicate_object_list(self, subj: str) -> None:
+        while True:
+            k, v = self._next()
+            if k == "keyword" and v == "a":
+                pred = RDF_NS + "type"
+            elif k in ("iriref", "pname"):
+                pred = self._iri(k, v)
+            else:
+                raise ValueError(f"turtle: expected predicate, got {v!r}")
+            while True:
+                val, ot, dt, lang = self._object()
+                self.triples.append((subj, pred, val, ot, dt, lang))
+                t = self._peek()
+                if t == ("punct", ","):
+                    self._next()
+                    continue
+                break
+            t = self._peek()
+            if t == ("punct", ";"):
+                self._next()
+                # trailing `;` before `.`/`]` is legal
+                t2 = self._peek()
+                if t2 in (("punct", "."), ("punct", "]")) or t2 is None:
+                    return
+                continue
+            return
+
+    def parse(self) -> list[tuple]:
+        while True:
+            t = self._peek()
+            if t is None:
+                return self.triples
+            k, v = t
+            if k == "keyword" and v.lower() in ("prefix", "base"):
+                self._next()
+                if v.lower() == "prefix":
+                    pk, pv = self._next()
+                    if pk != "pname" or not pv.endswith(":"):
+                        raise ValueError("turtle: bad @prefix name")
+                    ik, iv = self._next()
+                    if ik != "iriref":
+                        raise ValueError("turtle: @prefix needs an IRI")
+                    self.prefixes[pv[:-1]] = iv[1:-1]
+                else:
+                    ik, iv = self._next()
+                    if ik != "iriref":
+                        raise ValueError("turtle: @base needs an IRI")
+                    self.base = iv[1:-1]
+                # SPARQL PREFIX/BASE take no dot; @prefix/@base do
+                if v in ("prefix", "base") and self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            # triples statement
+            k, v = self._next()
+            if k in ("iriref", "pname"):
+                subj = self._iri(k, v)
+            elif k == "bnode_label":
+                subj = v
+            elif k == "punct" and v == "[":
+                subj = self._bnode_property_list()
+                # subject-form [ ... ] may stand alone as a statement
+                if self._peek() == ("punct", "."):
+                    self._next()
+                    continue
+            elif k == "punct" and v == "(":
+                subj = self._collection()
+            else:
+                raise ValueError(f"turtle: unexpected subject token {v!r}")
+            self._predicate_object_list(subj)
+            self._expect_punct(".")
+
+
+def parse_turtle(text: str, bnode_prefix: str = "") -> list[dict]:
+    """Full-grammar Turtle document → list of triple dicts in
+    TRIPLE_SCHEMA field order. ``bnode_prefix`` namespaces the fresh
+    labels minted for anonymous nodes so labels from different
+    documents in one corpus never collide (pass e.g. a document
+    hash)."""
+    p = _Parser(tokenize_turtle(text), bnode_prefix)
+    rows = p.parse()
+    return [
+        {
+            "s": s, "p": pr, "o": o, "o_type": ot,
+            "o_datatype": dt, "o_lang": lang,
+        }
+        for (s, pr, o, ot, dt, lang) in rows
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Distributed source
+# ---------------------------------------------------------------------------
+
+
+def read_turtle_full(
+    spark: SparkSession, path: str, glob: str = "*.ttl"
+) -> DataFrame:
+    """Foreign-Turtle corpus → triples DataFrame: one Arrow task per
+    .ttl document (binaryFile), full-grammar parse inside the task,
+    rows in the engine's canonical TRIPLE_SCHEMA. Anonymous-bnode
+    labels are prefixed with md5(file path) so cross-document labels
+    never collide after union."""
+    import pandas as pd
+
+    from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
+
+    cols = [f.name for f in TRIPLE_SCHEMA.fields]
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import hashlib
+
+        for pdf in it:
+            rows: list[dict] = []
+            for pth, content in zip(pdf["path"], pdf["content"]):
+                doc = bytes(content).decode("utf-8")
+                pfx = hashlib.md5(str(pth).encode()).hexdigest()[:8]
+                rows.extend(parse_turtle(doc, bnode_prefix=pfx))
+            yield pd.DataFrame(
+                [[r[c] for c in cols] for r in rows], columns=cols
+            )
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(batches, schema=TRIPLE_SCHEMA)
+    )
