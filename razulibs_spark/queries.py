@@ -1157,7 +1157,8 @@ SELECT doc_id, TRUE AS parsed,
        CAST(CASE WHEN doc_id % 2 = 0 THEN len(ps) ELSE 0 END AS BIGINT)
          AS compressed_pages,
        md5(array_to_string(ps, chr(12))) AS text_md5,
-       CAST(NULL AS VARCHAR) AS note
+       CASE WHEN doc_id % 23 = 11
+            THEN 'pdf: 1 unmapped CID codes flagged' END AS note
 FROM p
 UNION ALL
 SELECT doc_id, FALSE, NULL, NULL, NULL,

@@ -40,9 +40,9 @@ def test_content_tokenizer_show_ops_only():
         b"(apostrophe) ' "
         b"ET (after) Tj"
     )
-    assert _content_text(stream) == [
-        "shown", "ker", "ned", "Hello", "apostrophe"
-    ]
+    texts, unmapped = _content_text(stream)
+    assert texts == ["shown", "ker", "ned", "Hello", "apostrophe"]
+    assert unmapped == 0
 
 
 def test_strictness_and_poison_paths():
@@ -128,3 +128,65 @@ def test_object_stream_layout_roundtrips():
     bad = blob[:at] + b"\x00\x00\x00\x00" + blob[at + 4:]
     with pytest.raises(ValueError, match="object stream .* corrupt"):
         parse_pdf_text(bad)
+
+
+def test_cid_font_tounicode_roundtrip():
+    """Type0 /Identity-H text shown as 2-byte-code hex strings is
+    unreadable without the embedded /ToUnicode CMap — mapping it must
+    recover the exact text, both stream compressions."""
+    pages = [["CJK-ish (text) with \\escapes", "second line"], ["page 2"]]
+    for comp in (True, False):
+        m = parse_pdf_text(encode_pdf(pages, compress=comp, cid_font=True))
+        assert m["text"].split("\f") == ["\n".join(p) for p in pages]
+        assert m["unmapped_codes"] == 0
+
+
+def test_cid_unmapped_codes_flagged_not_emitted():
+    """A code missing from the CMap must be counted and ABSENT from
+    the text — never emitted as raw code bytes (the garbage-CJK
+    failure mode of naive extractors)."""
+    m = parse_pdf_text(encode_pdf(
+        [["ab#cd", "x#y"]], cid_font=True, cmap_skip=frozenset("#"),
+    ))
+    assert m["text"] == "abcd\nxy"
+    assert m["unmapped_codes"] == 2
+
+
+def test_cid_without_tounicode_flags_everything():
+    """A Type0 font with NO ToUnicode at all: nothing decodable, every
+    code flagged, zero garbage."""
+    blob = encode_pdf([["abc"]], cid_font=True)
+    import re as _re
+
+    # strip the /ToUnicode ref from the font dict
+    blob2 = _re.sub(rb"/ToUnicode \d+ 0 R ", b"", blob)
+    m = parse_pdf_text(blob2)
+    assert m["text"] == ""
+    assert m["unmapped_codes"] == 3
+
+
+def test_cid_inside_object_streams():
+    """cid_font and /ObjStm compose: the font dict lives inside the
+    object stream, the ToUnicode stream stays top-level."""
+    pages = [["alpha"], ["beta gamma"]]
+    m = parse_pdf_text(
+        encode_pdf(pages, cid_font=True, object_streams=True)
+    )
+    assert m["text"].split("\f") == ["\n".join(p) for p in pages]
+    assert m["unmapped_codes"] == 0
+
+
+def test_bfrange_forms():
+    """Both bfrange shapes of the CMap spec decode: increment runs and
+    per-code arrays."""
+    from razulibs_spark.operators.pdf import _parse_tounicode
+
+    cm = _parse_tounicode(
+        b"2 beginbfrange\n"
+        b"<0001> <0003> <0041>\n"
+        b"<0010> <0011> [<0058> <005a>]\n"
+        b"endbfrange\n"
+        b"1 beginbfchar\n<00ff> <20ac>\nendbfchar\n"
+    )
+    assert cm == {1: "A", 2: "B", 3: "C", 0x10: "X", 0x11: "Z",
+                  0xFF: "\u20ac"}
