@@ -49,8 +49,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs, d%23==11 unmapped-code flag notes) — output changed.
 # sim_mips_topk: r10 switched the ranking key from the lifted cosine
 # to the exact dot product (ADVICE r9 tie-break fix).
+# multimodal_tiff_decode: r10 added the planar-2 axis (d%19==4 RGB
+# non-tiled docs) — compression labels changed.
 _ROTATION_FORCE_REFRESH = frozenset({
-    "text_pdf_extract", "sim_mips_topk",
+    "text_pdf_extract", "sim_mips_topk", "multimodal_tiff_decode",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

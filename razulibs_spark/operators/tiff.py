@@ -15,9 +15,11 @@ tiles), 8- and 16-bit grayscale and RGB (16-bit samples honor the
 file byte order), Compression 1 (none), 5 (LZW, spec §13 — MSB-first
 packing, EarlyChange width bumps) and 32773 (PackBits, the spec's own
 RLE), Predictor 2 (horizontal differencing at the sample level).
-JPEG-in-TIFF, planar configuration 2 and non-8/16 sample widths raise
-ValueError naming the feature — the honest-rejection posture of the
-rest of the family.
+Planar configuration 2 (tag 284 — per-component strips, the last
+archival-master variant, VERDICT r9 item 7) decodes via the same
+per-plane machinery plus one interleave pass. JPEG-in-TIFF, planar-2
+TILES and non-8/16 sample widths raise ValueError naming the feature
+— the honest-rejection posture of the rest of the family.
 """
 
 from __future__ import annotations
@@ -246,6 +248,7 @@ def encode_tiff(
     bits: int = 8,
     tiled: bool = False,
     tile_size: int = 16,
+    planar2: bool = False,
 ) -> bytes:
     """Minimal valid TIFF: header + pixel chunks + one IFD. ``pixels``
     is row-major — ints for grayscale, (r, g, b) tuples for RGB;
@@ -262,6 +265,10 @@ def encode_tiff(
         raise ValueError("tiff: bits must be 8 or 16")
     if tiled and tile_size % 16:
         raise ValueError("tiff: tile_size must be a multiple of 16")
+    if planar2 and not rgb:
+        raise ValueError("tiff: planar configuration 2 needs spp > 1")
+    if planar2 and tiled:
+        raise ValueError("tiff: planar-2 writer emits strips only")
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
     samples: list[int] = []
@@ -305,6 +312,24 @@ def encode_tiff(
                         else:
                             tile.extend([0] * spp)  # edge padding
                 chunks.append(prep(tile, tile_size))
+    elif planar2:
+        # PlanarConfiguration 2 (§Section 8, tag 284): component
+        # planes stored in SEPARATE strips — all of plane 0's strips,
+        # then plane 1's, etc.; predictor/compression apply per plane
+        # (stride 1 within a strip).
+        for c in range(spp):
+            plane = samples[c::spp]
+            for y0 in range(0, height, rows_per_strip):
+                rows = min(rows_per_strip, height - y0)
+                seq = plane[y0 * width:(y0 + rows) * width]
+                if predictor2:
+                    seq = _predict2_encode(seq, width, 1, mod)
+                chunk = pack(seq)
+                if packbits:
+                    chunk = packbits_encode(chunk)
+                elif lzw:
+                    chunk = lzw_encode(chunk)
+                chunks.append(chunk)
     else:
         row_samples = width * spp
         for y0 in range(0, height, rows_per_strip):
@@ -368,6 +393,8 @@ def encode_tiff(
         add(279, 4, [len(s) for s in chunks])
     if predictor2:
         add(317, 3, [2])
+    if planar2:
+        add(284, 3, [2])
 
     ifd_size = 2 + 12 * len(entries) + 4
     extra_base = ifd_offset + ifd_size
@@ -459,8 +486,9 @@ def decode_tiff(payload: bytes) -> dict:
     pred = one(317, 1)
     if pred not in (1, 2):
         raise ValueError(f"tiff: unsupported predictor {pred}")
-    if one(284, 1) != 1:
-        raise ValueError("tiff: planar configuration 2 not supported")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"tiff: unsupported planar configuration {planar}")
     samp_bytes = bits_per // 8
     mod = 1 << bits_per
 
@@ -485,7 +513,46 @@ def decode_tiff(payload: bytes) -> dict:
         return to_samples(chunk)
 
     tiled = 322 in tags or 323 in tags
-    if tiled:
+    if planar == 2 and tiled:
+        # per-plane TILES are legal but unseen in archival practice
+        # (scanner masters emit planar strips); honest rejection.
+        raise ValueError("tiff: planar-2 tiled layout not supported")
+    if planar == 2:
+        # PlanarConfiguration 2: strips hold ONE component each — all
+        # of plane 0's strips first, then plane 1's, … (tag 284 §8).
+        # Each plane decodes exactly like a 1-sample image (the
+        # existing LZW/PackBits/predictor machinery with spp=1), then
+        # one interleave pass restores the row-major pixel order.
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing/mismatched strip tables")
+        rps = one(278, height)
+        spc = -(-height // rps)  # strips per component
+        if len(offsets) != spc * spp:
+            raise ValueError(
+                f"tiff: planar-2 has {len(offsets)} strips, expected "
+                f"{spc * spp} ({spc} per component × {spp})"
+            )
+        planes: list[list[int]] = []
+        for c in range(spp):
+            plane: list[int] = []
+            for si in range(spc):
+                i = c * spc + si
+                rows = min(rps, height - si * rps)
+                chunk = read_chunk(
+                    i, offsets[i], counts[i],
+                    rows * width * samp_bytes, "strip",
+                )
+                if pred == 2:
+                    chunk = _predict2_decode(chunk, width, 1, mod)
+                plane.extend(chunk)
+            planes.append(plane)
+        out = [0] * (width * height * spp)
+        for c in range(spp):
+            out[c::spp] = planes[c]
+        layout = "strips"
+    elif tiled:
         tw, th = one(322), one(323)
         offsets = tags.get(324)
         counts = tags.get(325)
@@ -545,6 +612,7 @@ def decode_tiff(payload: bytes) -> dict:
         "byte_order": "MM" if e == ">" else "II",
         "bits": bits_per,
         "layout": layout,
+        "planar": planar,
         # 8-bit keeps the compact bytes form; 16-bit is a sample list
         # (values, not bytes — byte order already resolved above)
         "pixels": bytes(out) if bits_per == 8 else out,
@@ -606,6 +674,9 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
     tiles, zero-padded edges); compression sweeps PackBits (d%3 == 0),
     LZW (d%3 == 1, with Predictor 2 when additionally d%7 < 3) and
     none — the full variant grid of the subset across the corpus.
+    PLANAR configuration 2 (per-component strips, tag 284) for RGB
+    docs with d%19 == 4 that are not tiled — pixel values identical,
+    only the storage layout changes, so the means must not move.
     Docs with d%17 == 9 carry a POISON payload (valid header, IFD
     offset past EOF)."""
 
@@ -652,6 +723,9 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                         predictor2=(d % 3 == 1 and d % 7 < 3),
                         bits=(16 if d % 13 == 6 else 8),
                         tiled=tiled,
+                        planar2=(
+                            d % 2 == 1 and d % 19 == 4 and not tiled
+                        ),
                     )
                 )
             yield pd.DataFrame(
@@ -697,6 +771,7 @@ def tiff_stats(media: DataFrame) -> DataFrame:
                     + ("+pred" if m["predictor"] == 2 else "")
                     + ("+tiled" if m["layout"] == "tiled" else "")
                     + ("+16" if m["bits"] == 16 else "")
+                    + ("+planar" if m["planar"] == 2 else "")
                 )
                 rows.append(
                     (

@@ -12064,6 +12064,8 @@ rgb_out AS (
               ELSE 'none' END
            || CASE WHEN doc_id % 11 = 3 THEN '+tiled' ELSE '' END
            || CASE WHEN doc_id % 13 = 6 THEN '+16' ELSE '' END
+           || CASE WHEN doc_id % 19 = 4 AND doc_id % 11 <> 3
+                   THEN '+planar' ELSE '' END
            AS compression,
          CAST(3 AS BIGINT) AS n_channels,
          CAST(MAX(w) AS BIGINT) AS width, CAST(MAX(h) AS BIGINT) AS height,
