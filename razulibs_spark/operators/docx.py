@@ -262,25 +262,104 @@ def encode_docx(d: int, words: list[str], poison: bool = False) -> bytes:
     return buf.getvalue()
 
 
+def _document_xml_etree(d: int, words: list[str]) -> bytes:
+    """The SAME planted body as _document_xml, serialized by a SECOND
+    implementation — ElementTree (VERDICT r9 item 6): its own prefix
+    declarations, attribute quoting, self-closing form and xml
+    declaration, none of which the template writer produces."""
+    ET.register_namespace("w", _W_NS)
+
+    def W(t: str) -> str:
+        return f"{{{_W_NS}}}{t}"
+
+    doc = ET.Element(W("document"))
+    body = ET.SubElement(doc, W("body"))
+
+    def add_run(p, text, preserve=False, bold=False):
+        r = ET.SubElement(p, W("r"))
+        if bold:
+            rpr = ET.SubElement(r, W("rPr"))
+            ET.SubElement(rpr, W("b"))
+        t = ET.SubElement(r, W("t"))
+        if preserve:
+            t.set(_XML_SPACE, "preserve")
+        t.text = text
+
+    p = ET.SubElement(body, W("p"))
+    add_run(p, "  AT&T <tag>  ")
+    r = ET.SubElement(p, W("r"))
+    ET.SubElement(r, W("tab"))
+    add_run(p, '"padded" #', preserve=True)
+    add_run(p, str(d))
+    for i in range(0, len(words), _WORDS_PER_PARA):
+        c = words[i:i + _WORDS_PER_PARA]
+        p = ET.SubElement(body, W("p"))
+        if len(c) >= 3:
+            mid = len(c) // 2
+            add_run(p, " ".join(c[:mid]) + " ", preserve=True)
+            add_run(p, c[mid], bold=True)
+            add_run(p, " " + " ".join(c[mid + 1:]), preserve=True)
+        else:
+            add_run(p, " ".join(c))
+    if d % 5 == 0:
+        tbl = ET.SubElement(body, W("tbl"))
+        tr = ET.SubElement(tbl, W("tr"))
+        for label in ("A", "B"):
+            tc = ET.SubElement(tr, W("tc"))
+            pc = ET.SubElement(tc, W("p"))
+            add_run(pc, f"cell {label}{d}")
+    ET.SubElement(body, W("sectPr"))
+    return ET.tostring(doc, encoding="UTF-8", xml_declaration=True)
+
+
+def encode_docx_foreign(d: int, words: list[str]) -> bytes:
+    """Second-producer .docx: ElementTree-serialized main part under a
+    NON-default part name (word/doc-main.xml) that only the OPC
+    relationship walk can find, stored UNCOMPRESSED — a package shaped
+    the way another exporter would shape it, with identical logical
+    content (the extraction output must not move)."""
+    alt = "word/doc-main.xml"
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
+        stamp = (1980, 1, 1, 0, 0, 0)
+
+        def add(name: str, data) -> None:
+            zi = zipfile.ZipInfo(name, date_time=stamp)
+            zi.compress_type = zipfile.ZIP_STORED
+            zf.writestr(zi, data)
+
+        add(
+            "[Content_Types].xml",
+            _CONTENT_TYPES_XML.replace("/word/document.xml", "/" + alt),
+        )
+        add(
+            "_rels/.rels",
+            _RELS_XML.replace("word/document.xml", alt),
+        )
+        add(alt, _document_xml_etree(d, words))
+    return buf.getvalue()
+
+
 def synthesize_docx_media(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload) real .docx packages; every doc
-    with d % 19 == 7 is the poison slot (main part missing)."""
+    with d % 19 == 7 is the poison slot (main part missing); every
+    non-poison doc with d % 23 == 13 comes from the ElementTree-based
+    SECOND producer (encode_docx_foreign — alternate part name,
+    stored members) with identical logical content."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 d = int(doc_id)
-                rows.append(
-                    (
-                        d,
-                        encode_docx(
-                            d,
-                            str(text).split(" "),
-                            poison=(d % 19 == 7),
-                        ),
-                    )
-                )
+                ws = str(text).split(" ")
+                if d % 19 == 7:
+                    payload = encode_docx(d, ws, poison=True)
+                elif d % 23 == 13:
+                    payload = encode_docx_foreign(d, ws)
+                else:
+                    payload = encode_docx(d, ws)
+                rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

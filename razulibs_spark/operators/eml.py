@@ -172,13 +172,53 @@ def parse_eml(payload: bytes) -> dict:
     }
 
 
+def encode_eml_foreign(d: int, words: list[str]) -> bytes:
+    """The SAME three logical messages as encode_eml, produced by a
+    SECOND implementation — stdlib ``EmailMessage`` +
+    ``email.generator`` under the SMTP policy (VERDICT r9 item 6:
+    fixtures must survive a producer the parser's author did not
+    write). The generator makes its own choices the hand assembler
+    never does: CRLF canonicalization (bodies gain a trailing CRLF —
+    honest, oracle-encoded), its own boundary/header folding, and its
+    own RFC 2047 subject encoding."""
+    from email import policy
+    from email.message import EmailMessage
+
+    head = " ".join(words[:20])
+    v = d % 3
+    msg = EmailMessage(policy=policy.SMTP)
+    msg["From"] = f"sender{d}@h{d % 8}.example"
+    if v == 0:
+        msg["Subject"] = f"Report {d} plain"
+        msg["To"] = "list@example.org"
+        msg.set_content(f"plain summary: {head}", cte="7bit")
+    elif v == 2:
+        msg["Subject"] = f"Report {d} naïve"
+        msg.set_content(
+            f"naïve résumé: {head}", cte="quoted-printable"
+        )
+    else:
+        msg["Subject"] = f"Report {d} naïve"
+        body = f"naïve résumé: {head}"
+        msg.set_content(body, cte="base64")
+        msg.add_alternative(
+            f"<p>{body}</p>", subtype="html", cte="quoted-printable"
+        )
+    return msg.as_bytes()
+
+
 def synthesize_eml_media(documents: DataFrame) -> DataFrame:
+    """(doc_id, payload) real messages; docs with d%7 == 3 come from
+    the email.generator-based SECOND producer (encode_eml_foreign),
+    the rest from the hand assembler."""
+
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            rows = [
-                (int(doc_id), encode_eml(int(doc_id), str(text).split(" ")))
-                for doc_id, text in zip(pdf["doc_id"], pdf["text"])
-            ]
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                enc = encode_eml_foreign if d % 7 == 3 else encode_eml
+                rows.append((d, enc(d, str(text).split(" "))))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

@@ -164,28 +164,57 @@ def write_wiki_dump(documents: DataFrame, directory: str) -> None:
     def write_partition(rows) -> None:
         from pyspark import TaskContext
 
-        chunks: list[str] = []
+        pages: list[tuple[int, str]] = []
         pid = None
         for row in rows:
             pid = TaskContext.get().partitionId() if pid is None else pid
             d = int(row["doc_id"])
             body = synthesize_wiki_text(d, str(row["text"]).split(" "))
-            chunks.append(
-                f"  <page>\n    <title>Doc {d}</title>\n"
-                f"    <ns>0</ns>\n    <id>{d}</id>\n"
-                "    <revision>\n"
-                f"      <id>{d * 10 + 1}</id>\n"
-                f'      <text bytes="{len(body.encode())}">'
-                f"{_escape_xml(body)}</text>\n"
-                "    </revision>\n  </page>\n"
+            pages.append((d, body))
+        if pid is None:
+            return
+        out = os.path.join(directory, f"part-{pid:05d}.xml")
+        if pid % 2 == 1:
+            # SECOND serializer for odd shards (VERDICT r9 item 6):
+            # ElementTree builds and writes the export tree — its own
+            # namespace prefixing, attribute quoting and entity
+            # escaping, nothing shared with the template writer. Same
+            # logical pages; the reader must not care which producer
+            # wrote a shard.
+            from xml.etree import ElementTree as ET
+
+            ET.register_namespace("", _MW_NS)
+            root = ET.Element(f"{{{_MW_NS}}}mediawiki")
+            for d, body in pages:
+                pg = ET.SubElement(root, f"{{{_MW_NS}}}page")
+                ET.SubElement(pg, f"{{{_MW_NS}}}title").text = f"Doc {d}"
+                ET.SubElement(pg, f"{{{_MW_NS}}}ns").text = "0"
+                ET.SubElement(pg, f"{{{_MW_NS}}}id").text = str(d)
+                rev = ET.SubElement(pg, f"{{{_MW_NS}}}revision")
+                ET.SubElement(rev, f"{{{_MW_NS}}}id").text = str(
+                    d * 10 + 1
+                )
+                t = ET.SubElement(rev, f"{{{_MW_NS}}}text")
+                t.set("bytes", str(len(body.encode())))
+                t.text = body
+            ET.ElementTree(root).write(
+                out, encoding="UTF-8", xml_declaration=True
             )
-        if pid is not None:
-            with open(
-                os.path.join(directory, f"part-{pid:05d}.xml"), "w"
-            ) as fh:
-                fh.write(f'<mediawiki xmlns="{_MW_NS}">\n')
-                fh.write("".join(chunks))
-                fh.write("</mediawiki>\n")
+            return
+        chunks = [
+            f"  <page>\n    <title>Doc {d}</title>\n"
+            f"    <ns>0</ns>\n    <id>{d}</id>\n"
+            "    <revision>\n"
+            f"      <id>{d * 10 + 1}</id>\n"
+            f'      <text bytes="{len(body.encode())}">'
+            f"{_escape_xml(body)}</text>\n"
+            "    </revision>\n  </page>\n"
+            for d, body in pages
+        ]
+        with open(out, "w") as fh:
+            fh.write(f'<mediawiki xmlns="{_MW_NS}">\n')
+            fh.write("".join(chunks))
+            fh.write("</mediawiki>\n")
 
     documents.select("doc_id", "text").foreachPartition(write_partition)
 

@@ -1516,7 +1516,11 @@ SELECT doc_id,
                    ELSE ' naïve' END) AS subject_md5,
        md5(CASE WHEN doc_id % 3 = 0 THEN 'plain summary: '
                 ELSE 'naïve résumé: ' END
-           || array_to_string(ws[1:20], ' ')) AS body_md5,
+           || array_to_string(ws[1:20], ' ')
+           -- the email.generator-produced docs (second producer,
+           -- d%7==3) CRLF-canonicalize: bodies end with one CRLF
+           || CASE WHEN doc_id % 7 = 3 THEN chr(13) || chr(10)
+                   ELSE '' END) AS body_md5,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
          AS n_parts,
        CASE doc_id % 3 WHEN 0 THEN '7bit' WHEN 1 THEN 'base64'
@@ -2152,7 +2156,26 @@ def text_markdown_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("\n\n```\ncode noise "), d, F.lit("\nmore;\n```\n\ntail: "),
         F.try_element_at(ws, F.lit(1)),
     )
-    extracted = markdown_to_text(md)
+    # Dialect-variant SECOND form for odd docs (VERDICT r9 item 6 —
+    # markdown has no stdlib second producer, so the foreign axis is
+    # the alternate CommonMark spellings another author would use):
+    # ATX-3 header, '+' bullets, __strong__, _emphasized_ link text,
+    # different image alt/URLs — the extracted prose must be
+    # IDENTICAL, so the oracle expression does not change.
+    md_alt = F.concat(
+        F.lit("### Doc "), d, F.lit("\n\n"),
+        F.lit(">  intro quote ![alt text](https://alt.example/i.gif)\n\n"),
+        F.lit("+ "), F.try_element_at(ws, F.lit(1)), F.lit("\n"),
+        F.lit("+ __"), F.try_element_at(ws, F.lit(2)), F.lit("__\n\n"),
+        F.lit("[_"), F.try_element_at(ws, F.lit(3)),
+        F.lit("_](https://alt.example/"), d, F.lit(") "), rest,
+        F.lit("\n\n```\n~ other noise "), d,
+        F.lit(" ~\n```\n\ntail: "),
+        F.try_element_at(ws, F.lit(1)),
+    )
+    extracted = markdown_to_text(
+        F.when(F.col("doc_id") % 2 == 1, md_alt).otherwise(md)
+    )
     return docs.select(
         "doc_id",
         F.size(F.split(extracted, "\n")).cast("long").alias("n_lines"),
