@@ -37,15 +37,28 @@ from pyspark.sql import functions as F
 DELETE_BATCH_SIZE = 1000  # edepot.py:216-221 API limit
 
 
-def make_boto3_client_factory(**session_kwargs) -> Callable[[], "object"]:
+def make_boto3_client_factory(
+    endpoint_url: str | None = None, **session_kwargs
+) -> Callable[[], "object"]:
     """Real-S3 factory (razu/s3storage.py:24-43). Import-gated: boto3
     is not in the test container; calling the factory without it
-    raises, constructing it does not."""
+    raises, constructing it does not. ``endpoint_url`` points the
+    client at an S3-compatible store (MinIO, moto, Ceph RGW) — the
+    integration recipe in README.md §"Real object store" uses it via
+    the OBJECT_STORE_ENDPOINT env var; credentials ride the standard
+    AWS env/config chain or explicit ``session_kwargs``. The factory
+    closes over plain strings only, so it serializes into
+    foreachPartition tasks unchanged."""
 
     def factory():
         import boto3  # noqa: PLC0415
 
-        return boto3.session.Session(**session_kwargs).client("s3")
+        client_kwargs = (
+            {"endpoint_url": endpoint_url} if endpoint_url else {}
+        )
+        return boto3.session.Session(**session_kwargs).client(
+            "s3", **client_kwargs
+        )
 
     return factory
 

@@ -75,3 +75,61 @@ def test_acl_and_metadata_rewrite(spark, store):
     base = os.path.join(root, "edepot", "661/000/doc_0.txt")
     assert open(base + ".acl").read() == "public-read"
     assert '"razu"' in open(base + ".meta.json").read()
+
+
+# ---------------------------------------------------------------------------
+# Real-endpoint integration (skipped unless OBJECT_STORE_ENDPOINT is
+# set — VERDICT r9 item 8). Run against MinIO/moto:
+#   pip install boto3 moto[server] && moto_server -p 5000 &
+#   export OBJECT_STORE_ENDPOINT=http://127.0.0.1:5000 \
+#          AWS_ACCESS_KEY_ID=x AWS_SECRET_ACCESS_KEY=y \
+#          AWS_DEFAULT_REGION=us-east-1
+#   python -m pytest tests/test_object_store.py -k real_endpoint -v
+# ---------------------------------------------------------------------------
+
+_ENDPOINT = os.environ.get("OBJECT_STORE_ENDPOINT")
+
+
+@pytest.mark.skipif(
+    not _ENDPOINT,
+    reason="set OBJECT_STORE_ENDPOINT to an S3-compatible URL "
+    "(MinIO/moto) to run the real-boto3 integration path",
+)
+def test_real_endpoint_upload_list_delete(spark, tmp_path):
+    """The boto3 factory against a REAL S3-compatible endpoint: the
+    same upload → list → only-if-new → batched-delete → reconcile
+    cycle the LocalFSClient tests pin, now over the wire."""
+    boto3 = pytest.importorskip("boto3")
+
+    factory = obs.make_boto3_client_factory(endpoint_url=_ENDPOINT)
+    bucket = "razulibs-spark-it"
+    client = factory()
+    try:
+        client.create_bucket(Bucket=bucket)
+    except boto3.exceptions.Boto3Error:
+        pass
+
+    payload = tmp_path / "payload"
+    payload.mkdir()
+    rows = []
+    for i in range(5):
+        p = payload / f"doc_{i}.txt"
+        p.write_text(f"content-{i}")
+        rows.append((f"it/{i:03d}/doc_{i}.txt", str(p), "razu", "ds"))
+    manifest = spark.createDataFrame(
+        rows, "key string, local_path string, source string, dataset string"
+    )
+    shipped = obs.upload_from_manifest(
+        manifest, bucket, factory, meta_cols=["source", "dataset"]
+    )
+    assert shipped == 5
+    listing = obs.list_objects(spark, factory, bucket, prefix="it/")
+    assert listing.count() == 5
+    # only-if-new: a second run against the fresh listing ships nothing
+    assert obs.upload_from_manifest(
+        manifest, bucket, factory, listing=listing
+    ) == 0
+    # delete + reconcile comes back empty
+    keys = manifest.select("key")
+    leftovers = obs.delete_and_reconcile(spark, keys, bucket, factory)
+    assert leftovers.count() == 0
