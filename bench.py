@@ -379,6 +379,7 @@ R09_ADDITIONS = [
 # Round-10 additions.
 R10_ADDITIONS = [
     "k2_turtle_foreign",
+    "text_xlsx_extract",
 ]
 
 HEADLINE = (

@@ -13175,3 +13175,64 @@ def k2_turtle_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pred")
     )
+
+
+_XLSX_SQL = """
+WITH w AS (SELECT doc_id AS d, string_split(text, ' ') AS ws
+           FROM documents),
+dig AS (SELECT d,
+        'A1=id' || chr(1) || 'B1=word' || chr(1)
+        || 'D1=w-' || CAST(d AS VARCHAR)
+        || chr(1) || 'A2=' || CAST(d*10+0 AS VARCHAR)
+        || chr(1) || 'B2=' || ws[(0 % len(ws)) + 1]
+        || chr(1) || 'C2=' || CASE WHEN (d+0) % 2 = 1
+             THEN 'TRUE' ELSE 'FALSE' END
+        || chr(1) || 'E2=f' || CAST(d+0 AS VARCHAR)
+        || chr(1) || 'A3=' || CAST(d*10+1 AS VARCHAR)
+        || chr(1) || 'B3=' || ws[(1 % len(ws)) + 1]
+        || chr(1) || 'C3=' || CASE WHEN (d+1) % 2 = 1
+             THEN 'TRUE' ELSE 'FALSE' END
+        || chr(1) || 'E3=f' || CAST(d+1 AS VARCHAR)
+        || chr(1) || 'A4=' || CAST(d*10+2 AS VARCHAR)
+        || chr(1) || 'B4=' || ws[(2 % len(ws)) + 1]
+        || chr(1) || 'C4=' || CASE WHEN (d+2) % 2 = 1
+             THEN 'TRUE' ELSE 'FALSE' END
+        || chr(1) || 'E4=f' || CAST(d+2 AS VARCHAR)
+        AS flat
+        FROM w WHERE d % 29 <> 21)
+SELECT d AS doc_id, TRUE AS parsed, 'Data' AS sheet_name,
+       CAST(4 AS BIGINT) AS n_rows, CAST(15 AS BIGINT) AS n_cells,
+       md5(flat) AS cell_digest, CAST(NULL AS VARCHAR) AS note
+FROM dig
+UNION ALL
+SELECT d, FALSE, NULL, NULL, NULL, NULL,
+       'xlsx: sheet part xl/worksheets/sheetA.xml missing from package'
+FROM w WHERE d % 29 = 21
+"""
+
+
+@query("text_xlsx_extract", _XLSX_SQL)
+def text_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX value extraction (operators/xlsx.py — the 14th file
+    format; open-data portals and enterprise exports ship tables as
+    .xlsx far more often than CSV): each doc becomes a REAL OPC
+    workbook whose first sheet plants every value-layer trap — a
+    RICH-TEXT shared string (two <r> runs that must concatenate),
+    plain shared strings, inline strings, booleans (0/1 → TRUE/FALSE),
+    raw numbers kept lexical, a cached-formula string whose <f>
+    formula must NOT leak, and a sparse grid (column D exists only in
+    the header; cell REFERENCES carry the geometry). The sheet part is
+    deliberately named sheetA.xml and resolved ONLY through the OPC
+    relationship walk — hardcoded-sheet1 readers never find it. The
+    oracle reconstructs the order-exact ref=value digest straight from
+    documents; docs with d%29 == 21 are the fail-closed poison (rels
+    point at a missing part). Writer is template-string, parser is
+    ElementTree — independent implementations. One Arrow pass each
+    way, map-only."""
+    from razulibs_spark.operators.xlsx import (
+        synthesize_xlsx_media,
+        xlsx_stats,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return xlsx_stats(synthesize_xlsx_media(docs))

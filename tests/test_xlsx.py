@@ -1,0 +1,89 @@
+"""XLSX value extraction (operators/xlsx.py)."""
+
+from __future__ import annotations
+
+import re
+import zipfile
+
+import pytest
+
+from razulibs_spark.operators.xlsx import encode_xlsx, parse_xlsx
+
+
+def test_value_layer_traps():
+    m = parse_xlsx(encode_xlsx(7, ["alpha", "beta", "gamma"]))
+    cells = dict(m["cells"])
+    assert m["sheet_name"] == "Data"
+    assert (m["n_rows"], m["n_cells"]) == (4, 15)
+    # rich-text shared string concatenates its runs
+    assert cells["D1"] == "w-7"
+    # shared / inline / bool / number / cached-formula
+    assert cells["A1"] == "id" and cells["B2"] == "alpha"
+    assert cells["C2"] == "TRUE" and cells["C3"] == "FALSE"
+    assert cells["A4"] == "72"
+    assert cells["E2"] == "f7"  # cached value, not CONCAT("f",7)
+    # sparse grid: no D2..D4, no C1/E1
+    assert "D2" not in cells and "C1" not in cells
+
+
+def test_sheet_resolved_via_opc_walk_not_name():
+    """The fixture's sheet part is sheetA.xml; only the relationship
+    walk finds it. Breaking the rels must fail by name."""
+    blob = encode_xlsx(3, ["w"])
+    with zipfile.ZipFile(__import__("io").BytesIO(blob)) as zf:
+        assert "xl/worksheets/sheetA.xml" in zf.namelist()
+        assert "xl/worksheets/sheet1.xml" not in zf.namelist()
+    # members are deflated — rebuild the package with broken rels
+    import io as _io
+
+    src = zipfile.ZipFile(_io.BytesIO(blob))
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "xl/_rels/workbook.xml.rels":
+                data = data.replace(b'Id="rId7"', b'Id="rIdX"')
+            out.writestr(name, data)
+    with pytest.raises(ValueError, match="relationship rId7 not found"):
+        parse_xlsx(buf.getvalue())
+
+
+def test_fail_closed_paths():
+    with pytest.raises(ValueError, match="not an OPC package"):
+        parse_xlsx(b"PK\x03\x04 garbage")
+    with pytest.raises(ValueError, match="missing from package"):
+        parse_xlsx(encode_xlsx(21, ["x"], poison=True))
+    # shared-string index out of range is NAMED, not IndexError
+    blob = encode_xlsx(3, ["w"])
+    bad = blob  # rebuild with a bumped index
+    import io as _io
+
+    src = zipfile.ZipFile(_io.BytesIO(blob))
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name.endswith("sheetA.xml"):
+                data = data.replace(
+                    b'<c r="D1" t="s"><v>2</v></c>',
+                    b'<c r="D1" t="s"><v>99</v></c>',
+                )
+            out.writestr(name, data)
+    with pytest.raises(ValueError, match="shared string 99 out of range"):
+        parse_xlsx(buf.getvalue())
+
+
+def test_xlsx_stage_fail_closed(spark):
+    from razulibs_spark.operators.xlsx import (
+        synthesize_xlsx_media,
+        xlsx_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (21, "poisoned")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r
+            for r in xlsx_stats(synthesize_xlsx_media(docs)).collect()}
+    assert rows[0]["parsed"] is True and rows[0]["n_cells"] == 15
+    assert rows[21]["parsed"] is False
+    assert "missing from package" in rows[21]["note"]
