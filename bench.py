@@ -380,6 +380,7 @@ R09_ADDITIONS = [
 R10_ADDITIONS = [
     "k2_turtle_foreign",
     "text_xlsx_extract",
+    "text_rtf_extract",
 ]
 
 HEADLINE = (

@@ -1,0 +1,325 @@
+"""RTF text extraction — the 15th file format: two decades of
+government archives, court filings and e-mail attachments are .rtf
+(it was the interchange default before OOXML), and the reference's
+archival domain is exactly where they pile up. No external RTF lib
+exists in this container and none is needed for the TEXT layer: RTF
+is a brace-grouped control-word stream (Word 1.x spec shape, stable
+since RTF 1.5).
+
+The parser implements the subset that decides whether extracted text
+is right or garbage:
+- groups ``{...}`` with per-group state save/restore (``\\uc`` is
+  group-scoped per spec),
+- control words ``\\word[-]N`` with their space delimiter, control
+  symbols (``\\{`` ``\\}`` ``\\\\`` literals, ``\\~`` nbsp, ``\\-``
+  soft hyphen dropped),
+- DESTINATION groups dropped whole (fonttbl/colortbl/stylesheet/
+  info/pict and every ``{\\*...}`` starred destination — the classic
+  naive-extractor bug is the font table leaking into the text),
+- ``\\'hh`` codepage bytes decoded via the header's ``\\ansicpgN``
+  (single-byte codepages; double-byte CJK codepages are an honest
+  ValueError, not mojibake),
+- ``\\uN`` Unicode escapes incl. negative-16-bit form, with the
+  ``\\uc``-counted fallback characters SKIPPED (emitting both the
+  codepoint and its '?' fallback doubles every non-ANSI char),
+- ``\\bin N`` raw-byte runs skipped exactly,
+- ``\\par``/``\\line`` → newline, ``\\tab`` → tab.
+
+Structural corruption (not an RTF header, unbalanced braces, a
+truncated ``\\bin``) raises ValueError naming the defect; the Spark
+stage is fail-closed per row. One Arrow ``mapInPandas`` pass,
+map-only — the media-family shape.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_CW_RE = re.compile(rb"\\([a-z]{1,32})(-?\d{1,10})? ?")
+
+# group-opening control words whose whole group is non-text
+_DESTINATIONS = frozenset(
+    {
+        b"fonttbl", b"colortbl", b"stylesheet", b"info", b"pict",
+        b"header", b"footer", b"footnote", b"object", b"field",
+        b"themedata", b"listtable", b"revtbl",
+    }
+)
+
+# control words that EMIT text
+_EMITTERS = {
+    b"par": "\n", b"line": "\n", b"tab": "\t",
+    b"emdash": "\u2014", b"endash": "\u2013",
+    b"lquote": "\u2018", b"rquote": "\u2019",
+    b"ldblquote": "\u201c", b"rdblquote": "\u201d",
+    b"bullet": "\u2022",
+}
+
+_SINGLE_BYTE_CODECS = {
+    437: "cp437", 850: "cp850", 1250: "cp1250", 1251: "cp1251",
+    1252: "cp1252", 1253: "cp1253", 1254: "cp1254", 1255: "cp1255",
+    1256: "cp1256", 1257: "cp1257", 1258: "cp1258",
+    28591: "iso-8859-1",
+}
+
+
+def rtf_to_text(payload: bytes) -> str:
+    """One RTF document → its plain text."""
+    buf = bytes(payload)
+    if not buf.startswith(b"{\\rtf"):
+        raise ValueError(f"rtf: not an RTF document: {buf[:8]!r}")
+    codec = "cp1252"
+    out: list[str] = []
+    uc = 1
+    uc_stack: list[int] = []
+    depth = 0
+    skip_depth: int | None = None  # group depth where a destination began
+    pending_skip = 0  # \u fallback chars still to swallow
+    just_opened = False
+    i, n = 0, len(buf)
+    while i < n:
+        c = buf[i]
+        if c == 0x7B:  # {
+            depth += 1
+            uc_stack.append(uc)
+            just_opened = True
+            i += 1
+            continue
+        if c == 0x7D:  # }
+            depth -= 1
+            if depth < 0:
+                raise ValueError("rtf: unbalanced closing brace")
+            uc = uc_stack.pop()
+            if skip_depth is not None and depth < skip_depth:
+                skip_depth = None
+            just_opened = False
+            i += 1
+            continue
+        skipping = skip_depth is not None
+        if c == 0x5C:  # backslash
+            sym = buf[i + 1:i + 2]
+            if sym == b"'":
+                if not skipping:
+                    byte = bytes([int(buf[i + 2:i + 4], 16)])
+                    if pending_skip:
+                        pending_skip -= 1
+                    else:
+                        out.append(byte.decode(codec))
+                i += 4
+                just_opened = False
+                continue
+            if sym in (b"{", b"}", b"\\"):
+                if not skipping:
+                    if pending_skip:
+                        pending_skip -= 1
+                    else:
+                        out.append(sym.decode("ascii"))
+                i += 2
+                just_opened = False
+                continue
+            if sym == b"~":
+                if not skipping and not pending_skip:
+                    out.append("\u00a0")
+                i += 2
+                just_opened = False
+                continue
+            if sym in (b"-", b"_"):  # soft/non-breaking hyphen
+                if not skipping and not pending_skip:
+                    out.append("" if sym == b"-" else "\u2011")
+                i += 2
+                just_opened = False
+                continue
+            if sym == b"*":
+                # {\*\dest ...}: every starred group is a destination
+                if not skipping:
+                    skip_depth = depth
+                i += 2
+                just_opened = False
+                continue
+            m = _CW_RE.match(buf, i)
+            if not m:
+                # lone backslash before EOF or an unknown symbol:
+                # symbols are single chars, drop the pair
+                i += 2
+                just_opened = False
+                continue
+            word, param = m.group(1), m.group(2)
+            i = m.end()
+            if word == b"bin":
+                nbytes = int(param or 0)
+                if i + nbytes > n:
+                    raise ValueError("rtf: \\bin overruns document")
+                i += nbytes
+                just_opened = False
+                continue
+            if word == b"ansicpg" and param:
+                cp = int(param)
+                codec = _SINGLE_BYTE_CODECS.get(cp)
+                if codec is None:
+                    raise ValueError(
+                        f"rtf: unsupported (double-byte?) codepage {cp}"
+                    )
+                just_opened = False
+                continue
+            if word == b"uc" and param:
+                uc = int(param)
+                just_opened = False
+                continue
+            if word == b"u" and param:
+                if not skipping:
+                    cp = int(param)
+                    if cp < 0:
+                        cp += 65536
+                    out.append(chr(cp))
+                    pending_skip = uc
+                just_opened = False
+                continue
+            if just_opened and word in _DESTINATIONS and not skipping:
+                skip_depth = depth
+                just_opened = False
+                continue
+            if not skipping and word in _EMITTERS:
+                out.append(_EMITTERS[word])
+            just_opened = False
+            continue
+        # plain character
+        if c in (0x0D, 0x0A):  # raw CR/LF are NOT text in RTF
+            i += 1
+            continue
+        if not skipping:
+            if pending_skip:
+                pending_skip -= 1
+            else:
+                out.append(chr(c))
+        just_opened = False
+        i += 1
+    if depth != 0:
+        raise ValueError(f"rtf: {depth} unclosed brace(s)")
+    return "".join(out)
+
+
+# ---------------------------------------------------------------------------
+# Writer (independent implementation: emits the constructs above)
+# ---------------------------------------------------------------------------
+
+
+def _rtf_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        if ch in "\\{}":
+            out.append("\\" + ch)
+        elif ord(ch) < 128:
+            out.append(ch)
+        else:
+            out.append(f"\\u{ord(ch)}?")
+    return "".join(out)
+
+
+_WORDS_PER_LINE = 8
+
+
+def encode_rtf(d: int, words: list[str]) -> bytes:
+    """One real RTF document from doc d: header destinations that must
+    NOT leak (font/color tables, an info group, a starred generator
+    group), a title line, a torture line (codepage é via \\'e9, a
+    Unicode € with its uc-counted '?' fallback, a bold group, escaped
+    braces/backslash, a \\tab), then 8-word body lines."""
+    lines = [
+        " ".join(words[i:i + _WORDS_PER_LINE])
+        for i in range(0, len(words), _WORDS_PER_LINE)
+    ]
+    body = "\\par\n".join(_rtf_escape(ln) for ln in lines)
+    w0 = _rtf_escape(words[0]) if words else "x"
+    return (
+        "{\\rtf1\\ansi\\ansicpg1252\\uc1\n"
+        "{\\fonttbl{\\f0\\froman Times New Roman;}}\n"
+        "{\\colortbl;\\red0\\green0\\blue0;}\n"
+        "{\\info{\\author synth}{\\title secret}}\n"
+        "{\\*\\generator razulibs-spark 1.0;}\n"
+        f"\\pard Doc {d}\\par\n"
+        f"caf\\'e9 \\u8364? and {{\\b {w0}}} plus "
+        "\\{braced\\} back\\\\slash\\tab end\\par\n"
+        + body
+        + "}"
+    ).encode("ascii")
+
+
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+
+_RTF_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+RTF_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("parsed", BooleanType(), False),
+        StructField("n_lines", LongType(), True),
+        StructField("text_md5", StringType(), True),
+        StructField("note", StringType(), True),
+    ]
+)
+
+
+def synthesize_rtf_media(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload) real RTF; d%31 == 17 is the
+    poison slot (a non-RTF payload under the .rtf claim)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                if d % 31 == 17:
+                    rows.append((d, b"{\\pwned1 not rtf}"))
+                    continue
+                rows.append((d, encode_rtf(d, str(text).split(" "))))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=_RTF_MEDIA_SCHEMA
+    )
+
+
+def rtf_text_stats(media: DataFrame) -> DataFrame:
+    """Parse each payload for real; fail-closed per row."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in RTF_TEXT_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                try:
+                    text = rtf_to_text(bytes(payload))
+                except ValueError as exc:
+                    rows.append((d, False, None, None, str(exc)))
+                    continue
+                rows.append(
+                    (
+                        d, True, len(text.split("\n")),
+                        hashlib.md5(text.encode("utf-8")).hexdigest(),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=RTF_TEXT_SCHEMA)

@@ -13236,3 +13236,51 @@ def text_xlsx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return xlsx_stats(synthesize_xlsx_media(docs))
+
+
+_RTF_SQL = """
+WITH w AS (SELECT doc_id AS d, string_split(text, ' ') AS ws
+           FROM documents),
+e AS (SELECT d,
+             'Doc ' || CAST(d AS VARCHAR) || chr(10)
+             || 'café € and ' || ws[1]
+             || ' plus {braced} back\\slash' || chr(9) || 'end'
+             || chr(10)
+             || array_to_string(
+                  [array_to_string(ws[i:i+7], ' ')
+                   for i in generate_series(1, len(ws), 8)], chr(10))
+               AS expected,
+             CAST(2 + ceil(len(ws) / 8.0) AS BIGINT) AS nl
+      FROM w WHERE d % 31 <> 17)
+SELECT d AS doc_id, TRUE AS parsed, nl AS n_lines,
+       md5(expected) AS text_md5, CAST(NULL AS VARCHAR) AS note
+FROM e
+UNION ALL
+SELECT d, FALSE, NULL, NULL,
+       'rtf: not an RTF document: b''{\\\\pwned1'''
+FROM w WHERE d % 31 = 17
+"""
+
+
+@query("text_rtf_extract", _RTF_SQL)
+def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF text extraction (operators/rtf.py — the 15th file format;
+    two decades of archives and court filings are .rtf): each doc
+    becomes a real brace-grouped control-word document planting every
+    extraction trap — font/color/info tables and a starred generator
+    destination that must NOT leak, a codepage byte (\\'e9 → é under
+    \\ansicpg1252), a Unicode escape with its uc-counted '?' fallback
+    that must be SWALLOWED (\\u8364? → € alone), a bold group
+    (formatting transparent), escaped braces/backslash, \\tab, and
+    8-word \\par lines. The oracle constructs the EXPECTED text from
+    documents.text — a leaked font name, a doubled fallback char or a
+    swallowed escape all flip the md5. Docs with d%31 == 17 carry a
+    non-RTF payload: the fail-closed note is itself hash-pinned. One
+    Arrow pass each way, map-only."""
+    from razulibs_spark.operators.rtf import (
+        rtf_text_stats,
+        synthesize_rtf_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return rtf_text_stats(synthesize_rtf_media(docs))

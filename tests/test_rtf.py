@@ -1,0 +1,73 @@
+"""RTF text extraction (operators/rtf.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from razulibs_spark.operators.rtf import encode_rtf, rtf_to_text
+
+
+def test_roundtrip_and_destination_drop():
+    t = rtf_to_text(encode_rtf(7, "a b c d e f g h i j".split()))
+    lines = t.split("\n")
+    assert lines[0] == "Doc 7"
+    assert lines[1] == "café € and a plus {braced} back\\slash\tend"
+    assert lines[2] == "a b c d e f g h"
+    assert lines[3] == "i j"
+    # destinations never leak
+    assert "Times" not in t and "secret" not in t
+    assert "razulibs-spark" not in t and "generator" not in t
+
+
+def test_unicode_fallback_skipping():
+    # \uc1: one fallback char swallowed; \uc2: two (incl. \'hh forms)
+    assert rtf_to_text(rb"{\rtf1\uc1 x\u8364?y}") == "x€y"
+    assert rtf_to_text(rb"{\rtf1\uc2 x\u8364??y}") == "x€y"
+    assert rtf_to_text(rb"{\rtf1\uc2 x\u8364\'3f\'3fy}") == "x€y"
+    # negative 16-bit form
+    assert rtf_to_text(rb"{\rtf1\uc0 \u-3812}") == chr(65536 - 3812)
+    # \uc is GROUP-scoped: inner \uc2 must not leak out
+    assert (
+        rtf_to_text(rb"{\rtf1\uc1 {\uc2 \u8364??}\u8364?x}") == "€€x"
+    )
+
+
+def test_control_symbols_and_bin():
+    assert rtf_to_text(rb"{\rtf1 a\{b\}c\\d}") == "a{b}c\\d"
+    assert rtf_to_text(rb"{\rtf1 a\~b}") == "a b"
+    # \bin skips raw bytes exactly (even braces inside)
+    assert rtf_to_text(rb"{\rtf1 a\bin4 }}{{b}") == "ab"
+    with pytest.raises(ValueError, match="bin overruns"):
+        rtf_to_text(rb"{\rtf1 \bin999 xy}")
+
+
+def test_codepage_bytes():
+    assert rtf_to_text(rb"{\rtf1\ansicpg1252 caf\'e9}") == "café"
+    assert rtf_to_text(rb"{\rtf1\ansicpg1251 \'e4\'ee\'ec}") == "дом"
+    with pytest.raises(ValueError, match="codepage 932"):
+        rtf_to_text(rb"{\rtf1\ansicpg932 x}")
+
+
+def test_structural_strictness():
+    with pytest.raises(ValueError, match="not an RTF document"):
+        rtf_to_text(b"plain text")
+    with pytest.raises(ValueError, match="unclosed"):
+        rtf_to_text(rb"{\rtf1 {x")
+    with pytest.raises(ValueError, match="unbalanced"):
+        rtf_to_text(rb"{\rtf1 x}}")
+
+
+def test_rtf_stage_fail_closed(spark):
+    from razulibs_spark.operators.rtf import (
+        rtf_text_stats,
+        synthesize_rtf_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (17, "poisoned")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r
+            for r in rtf_text_stats(synthesize_rtf_media(docs)).collect()}
+    assert rows[0]["parsed"] is True and rows[0]["n_lines"] == 3
+    assert rows[17]["parsed"] is False
+    assert "not an RTF document" in rows[17]["note"]
