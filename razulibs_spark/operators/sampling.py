@@ -244,3 +244,4 @@ def source_cap(
         "quality_score",
         F.col("rank_in_source").cast("long").alias("rank_in_source"),
     )
+

@@ -1076,3 +1076,4 @@ def test_substring_span_multik_separates_block_lengths(spark):
     assert got[(2, 32)][1] == 0
     assert got[(4, 32)][1] == 0
     assert got[(5, 8)] == (3, 0)
+
