@@ -109,7 +109,7 @@ def parse_xlsx(payload: bytes) -> dict:
     part = "xl/" + target.lstrip("/") if not target.startswith("xl/") \
         else target
     if part not in names:
-        raise ValueError(f"xlsx: sheet part {part} missing from package")
+        raise ValueError(f"xlsx: sheet part {part} missing in package")
 
     shared: list[str] = []
     if "xl/sharedStrings.xml" in names:

@@ -13206,7 +13206,7 @@ SELECT d AS doc_id, TRUE AS parsed, 'Data' AS sheet_name,
 FROM dig
 UNION ALL
 SELECT d, FALSE, NULL, NULL, NULL, NULL,
-       'xlsx: sheet part xl/worksheets/sheetA.xml missing from package'
+       'xlsx: sheet part xl/worksheets/sheetA.xml missing in package'
 FROM w WHERE d % 29 = 21
 """
 

@@ -51,7 +51,7 @@ def test_sheet_resolved_via_opc_walk_not_name():
 def test_fail_closed_paths():
     with pytest.raises(ValueError, match="not an OPC package"):
         parse_xlsx(b"PK\x03\x04 garbage")
-    with pytest.raises(ValueError, match="missing from package"):
+    with pytest.raises(ValueError, match="missing in package"):
         parse_xlsx(encode_xlsx(21, ["x"], poison=True))
     # shared-string index out of range is NAMED, not IndexError
     blob = encode_xlsx(3, ["w"])
@@ -86,4 +86,4 @@ def test_xlsx_stage_fail_closed(spark):
             for r in xlsx_stats(synthesize_xlsx_media(docs)).collect()}
     assert rows[0]["parsed"] is True and rows[0]["n_cells"] == 15
     assert rows[21]["parsed"] is False
-    assert "missing from package" in rows[21]["note"]
+    assert "missing in package" in rows[21]["note"]
