@@ -381,6 +381,7 @@ R10_ADDITIONS = [
     "k2_turtle_foreign",
     "text_xlsx_extract",
     "text_rtf_extract",
+    "k2_turtle_grouped_roundtrip",
 ]
 
 HEADLINE = (

@@ -13284,3 +13284,36 @@ def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return rtf_text_stats(synthesize_rtf_media(docs))
+
+
+_K2_TTL_GROUPED_SQL = f"""
+WITH triples AS ({_O2_SQL})
+SELECT s, p, o FROM triples
+"""
+
+
+@query("k2_turtle_grouped_roundtrip", _K2_TTL_GROUPED_SQL)
+def k2_turtle_grouped_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Grouped (rdflib-style) Turtle sink + full-grammar source
+    round-trip: write PREDICATE-LIST Turtle (per-subject ``;``/``,``
+    blocks — the form the reference's own writer emits via rdflib,
+    razu/turtle.py:52-56; sources/turtle_full.write_turtle_grouped),
+    read it back with the recursive-descent full parser (the
+    line-oriented reader CANNOT see this form), compact, and the
+    oracle checks the cycle is the identity on the full O2 triple
+    set. Write side is pure codegen + two partial-aggregating
+    groupBys; read side is per-file Arrow tasks."""
+    from razulibs_spark.operators.rdf import compact_triples, expand_triples
+    from razulibs_spark.sources.turtle_full import (
+        read_turtle_full,
+        write_turtle_grouped,
+    )
+
+    path = "/root/repo/.scratch/turtle_grouped_rt"
+    write_turtle_grouped(
+        expand_triples(_o2_triples_full(spark, sf_dir)), path
+    )
+    raw = read_turtle_full(spark, path, glob="part-*")
+    return compact_triples(raw).select("s", "p", "o")

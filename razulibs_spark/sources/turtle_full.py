@@ -394,3 +394,81 @@ def read_turtle_full(
         .select("path", "content")
         .mapInPandas(batches, schema=TRIPLE_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped (rdflib-style) Turtle sink — the compact real-world form
+# ---------------------------------------------------------------------------
+
+
+def write_turtle_grouped(triples: DataFrame, path: str) -> None:
+    """K2 sink, predicate-list Turtle: per-SUBJECT blocks with ``;``
+    predicate lists and ``,`` object lists — the form rdflib (and so
+    the reference, razu/turtle.py:52-56) actually serializes, where
+    write_turtle's one-triple-per-line output is the machine-friendly
+    subset. Entirely JVM-side: terms format in codegen, the grouping
+    is two partial-aggregating groupBys (s,p → object list, then s →
+    predicate list; sorted for byte-deterministic output), the prefix
+    header rides each partition's first row. Embedded newlines inside
+    a block are literal text-sink bytes; literals themselves carry
+    N-Triples escapes so no literal can smuggle a fake statement
+    terminator. Parse back with read_turtle_full (the line reader
+    cannot see this form — that asymmetry is the point)."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators.rdf import EXPANSIONS
+    from razulibs_spark.sources.rdf_io import (
+        TURTLE_FULL_HEADER,
+        _escape_literal,
+        _turtle_uri,
+        _widen,
+    )
+
+    t = _widen(triples)
+    s, p, o = F.col("s"), F.col("p"), F.col("o")
+    rdf_type = EXPANSIONS["rdf"] + "type"
+    subj = F.when(
+        s.startswith("bnode:"), F.concat(F.lit("_:"), F.md5(s))
+    ).otherwise(_turtle_uri(s))
+    pred = F.when(p == rdf_type, F.lit("a")).otherwise(_turtle_uri(p))
+    lit_body = F.concat(F.lit('"'), _escape_literal(o), F.lit('"'))
+    obj = (
+        F.when(F.col("o_type") == "uri", _turtle_uri(o))
+        .when(F.col("o_type") == "bnode", F.concat(F.lit("_:"), F.md5(o)))
+        .when(
+            F.col("o_lang").isNotNull(),
+            F.concat(lit_body, F.lit("@"), F.col("o_lang")),
+        )
+        .when(
+            F.col("o_datatype").isNotNull(),
+            F.concat(
+                lit_body, F.lit("^^"), _turtle_uri(F.col("o_datatype"))
+            ),
+        )
+        .otherwise(lit_body)
+    )
+    terms = t.select(subj.alias("sj"), pred.alias("pd"), obj.alias("ob"))
+    by_pred = terms.groupBy("sj", "pd").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("ob")), ", "
+        ).alias("objs")
+    )
+    blocks = by_pred.groupBy("sj").agg(
+        F.array_join(
+            F.sort_array(
+                F.collect_list(
+                    F.concat(F.col("pd"), F.lit(" "), F.col("objs"))
+                )
+            ),
+            " ;\n    ",
+        ).alias("po")
+    )
+    block = F.concat(F.col("sj"), F.lit(" "), F.col("po"), F.lit(" ."))
+    header = TURTLE_FULL_HEADER.rstrip("\n") + "\n"
+    first_in_partition = (
+        F.monotonically_increasing_id() % F.lit(1 << 33)
+    ) == 0
+    value = F.when(
+        first_in_partition, F.concat(F.lit(header), block)
+    ).otherwise(block)
+    blocks.select(value.alias("value")).write.mode("overwrite").text(path)

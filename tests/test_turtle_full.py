@@ -163,3 +163,34 @@ def test_read_turtle_full_distributed(spark, tmp_path):
     note = [r["o"] for r in rows if r["p"] == EX + "note"]
     assert note == ["m\nn"]
     df.unpersist()
+
+
+def test_write_turtle_grouped_emits_predicate_lists(spark, tmp_path):
+    """The grouped sink must actually EMIT ';'/',' syntax (not fall
+    back to one-triple-per-line) and round-trip through the full
+    parser."""
+    from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
+    from razulibs_spark.sources.turtle_full import (
+        read_turtle_full,
+        write_turtle_grouped,
+    )
+
+    rows = [
+        ("http://e/s1", "http://e/p1", "a", "literal", None, None),
+        ("http://e/s1", "http://e/p1", "b", "literal", None, None),
+        ("http://e/s1", "http://e/p2", "http://e/o", "uri", None, None),
+        ("http://e/s2", "http://e/p1", "solo", "literal", None, "nl"),
+    ]
+    df = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    out = tmp_path / "grouped"
+    write_turtle_grouped(df, str(out))
+    import glob as _glob
+
+    text = "".join(
+        open(f).read() for f in _glob.glob(str(out / "part-*"))
+    )
+    assert " ;\n" in text  # predicate list
+    assert '"a", "b"' in text  # object list
+    back = read_turtle_full(spark, str(out), glob="part-*")
+    got = {(r["s"], r["p"], r["o"], r["o_lang"]) for r in back.collect()}
+    assert got == {(s, p, o, lang) for s, p, o, _, _, lang in rows}
