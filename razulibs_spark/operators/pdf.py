@@ -78,6 +78,7 @@ def encode_pdf(
     object_streams: bool = False,
     cid_font: bool = False,
     cmap_skip: frozenset[str] = frozenset(),
+    split_contents: bool = False,
 ) -> bytes:
     """Minimal valid PDF: catalog → pages tree → one content stream
     per page, each line a ``(…) Tj`` show plus a ``T*`` line feed,
@@ -93,7 +94,11 @@ def encode_pdf(
     strings decodable ONLY through the embedded /ToUnicode CMap —
     the common case for CJK and most modern generators (VERDICT r9
     missing #4); ``cmap_skip`` omits named characters from the CMap
-    so their codes are deliberately unmappable."""
+    so their codes are deliberately unmappable. With
+    ``split_contents`` each page's /Contents is an ARRAY of two
+    stream objects split at a token boundary — per ISO 32000 §7.8.2
+    the streams concatenate into one logical content stream, a layout
+    many generators emit per drawing layer."""
     n_pages = len(pages)
     # object numbering: 1=catalog, 2=pages, 3=font, then per page i:
     # page dict (4+2i), content stream (5+2i); the ToUnicode CMap
@@ -116,7 +121,12 @@ def encode_pdf(
         (3, font_obj),
     ]
     stream_objs: list[tuple[int, bytes]] = []
+    split_base = 7 + 2 * n_pages  # second-half stream numbers
     for i, lines in enumerate(pages):
+        contents_ref = (
+            f"[{5 + 2 * i} 0 R {split_base + i} 0 R]"
+            if split_contents else f"{5 + 2 * i} 0 R"
+        )
         dict_objs.append(
             (
                 4 + 2 * i,
@@ -124,7 +134,7 @@ def encode_pdf(
                     f"<< /Type /Page /Parent 2 0 R "
                     f"/MediaBox [0 0 612 792] "
                     f"/Resources << /Font << /F1 3 0 R >> >> "
-                    f"/Contents {5 + 2 * i} 0 R >>"
+                    f"/Contents {contents_ref} >>"
                 ).encode(),
             )
         )
@@ -140,19 +150,32 @@ def encode_pdf(
             body = "BT /F1 12 Tf 14 TL 72 720 Td\n" + "\n".join(
                 f"({_pdf_escape(ln)}) Tj T*" for ln in lines
             ) + "\nET"
-        raw = body.encode("utf-8")
-        if compress:
-            data = zlib.compress(raw, 6)
-            head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
-        else:
-            data = raw
-            head = f"<< /Length {len(data)} >>"
-        stream_objs.append(
-            (
-                5 + 2 * i,
+        def _stream_obj(num: int, raw: bytes) -> tuple[int, bytes]:
+            if compress:
+                data = zlib.compress(raw, 6)
+                head = f"<< /Length {len(data)} /Filter /FlateDecode >>"
+            else:
+                data = raw
+                head = f"<< /Length {len(data)} >>"
+            return (
+                num,
                 head.encode() + b"\nstream\n" + data + b"\nendstream",
             )
-        )
+
+        raw = body.encode("utf-8")
+        if split_contents:
+            # split at a LINE (token) boundary — §7.8.2 allows the
+            # division only between lexical tokens
+            blines = raw.split(b"\n")
+            mid = max(1, len(blines) // 2)
+            stream_objs.append(
+                _stream_obj(5 + 2 * i, b"\n".join(blines[:mid]))
+            )
+            stream_objs.append(
+                _stream_obj(split_base + i, b"\n".join(blines[mid:]))
+            )
+        else:
+            stream_objs.append(_stream_obj(5 + 2 * i, raw))
     if cid_font:
         cm = _tounicode_cmap(chars, cmap_skip)
         if compress:
@@ -560,20 +583,34 @@ def parse_pdf_text(payload: bytes) -> dict:
             raise ValueError(f"pdf: /Kids references missing object {kn}")
         page = objects[kn][1]
         prefs = {k.decode(): int(v) for k, v in _REF_RE.findall(page)}
-        cn = prefs.get("Contents")
-        if cn is None:
-            raise ValueError(f"pdf: page {kn} without /Contents")
-        if cn not in objects:
-            raise ValueError(
-                f"pdf: page {kn} /Contents points at missing object {cn}"
-            )
+        # /Contents may be one stream or an ARRAY of streams that
+        # concatenate into the page's logical content (§7.8.2 — the
+        # per-layer layout many generators emit). The division is
+        # only legal between tokens, so a newline joint is sound.
+        arr = re.search(rb"/Contents\s*\[([^\]]*)\]", page)
+        if arr:
+            cns = [int(x) for x in _NUM_REF_RE.findall(arr.group(1))]
+            if not cns:
+                raise ValueError(f"pdf: page {kn} /Contents array empty")
+        else:
+            cn = prefs.get("Contents")
+            if cn is None:
+                raise ValueError(f"pdf: page {kn} without /Contents")
+            cns = [cn]
+        for cn in cns:
+            if cn not in objects:
+                raise ValueError(
+                    f"pdf: page {kn} /Contents points at missing "
+                    f"object {cn}"
+                )
         fonts = {
             name: font_cmap(num)
             for name, num in prefs.items()
             if name not in ("Parent", "Contents")
         }
-        data, flate = stream_data(cn)
-        if flate:
+        parts = [stream_data(cn) for cn in cns]
+        data = b"\n".join(p[0] for p in parts)
+        if any(p[1] for p in parts):
             n_compressed += 1
         texts, unmapped = _content_text(data, fonts)
         n_unmapped += unmapped
@@ -635,7 +672,9 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
     compressed object stream) for d%5 == 1 — the parse must expand it
     or the page tree is invisible; a CID-keyed Type0 /Identity-H font
     with an embedded /ToUnicode CMap for d%5 == 2 (hex-string 2-byte
-    codes — unreadable without the CMap); every doc plants a
+    codes — unreadable without the CMap); a /Contents ARRAY of two
+    token-boundary-split streams for d%7 == 4 (§7.8.2 concatenation);
+    every doc plants a
     parens+backslash escape torture line first — `Tj (a(b)c\\) …)`
     must round-trip. Docs with d%23 == 17 carry a POISON payload
     (valid header + catalog, /Contents pointing at a missing object);
@@ -685,6 +724,7 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                         object_streams=(d % 5 == 1),
                         cid_font=(d % 5 == 2 or gap),
                         cmap_skip=frozenset("#") if gap else frozenset(),
+                        split_contents=(d % 7 == 4),
                     )
                 )
             yield pd.DataFrame(

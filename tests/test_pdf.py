@@ -190,3 +190,23 @@ def test_bfrange_forms():
     )
     assert cm == {1: "A", 2: "B", 3: "C", 0x10: "X", 0x11: "Z",
                   0xFF: "\u20ac"}
+
+
+def test_contents_array_concatenation():
+    """A /Contents ARRAY of streams concatenates into one logical
+    content stream (§7.8.2) — split pages must extract identically,
+    in every compression/font combination, and the page still counts
+    once toward compressed_pages."""
+    pages = [["alpha beta", "gamma (delta)"], ["second page"]]
+    for comp in (True, False):
+        for cid in (True, False):
+            m = parse_pdf_text(encode_pdf(
+                pages, compress=comp, cid_font=cid, split_contents=True,
+            ))
+            assert m["text"].split("\f") == ["\n".join(p) for p in pages]
+            assert m["compressed_pages"] == (2 if comp else 0)
+    # an array entry pointing nowhere is NAMED
+    blob = encode_pdf(pages, split_contents=True)
+    bad = blob.replace(b"11 0 R]", b"99 0 R]")
+    with pytest.raises(ValueError, match="missing object 99"):
+        parse_pdf_text(bad)
