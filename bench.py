@@ -382,6 +382,7 @@ R10_ADDITIONS = [
     "text_xlsx_extract",
     "text_rtf_extract",
     "k2_turtle_grouped_roundtrip",
+    "text_odt_extract",
 ]
 
 HEADLINE = (

@@ -13317,3 +13317,50 @@ def k2_turtle_grouped_roundtrip(
     )
     raw = read_turtle_full(spark, path, glob="part-*")
     return compact_triples(raw).select("s", "p", "o")
+
+
+_ODT_SQL = """
+WITH w AS (SELECT doc_id AS d, string_split(text, ' ') AS ws
+           FROM documents),
+e AS (SELECT d,
+             'Doc ' || CAST(d AS VARCHAR) || chr(10)
+             || 'a   b' || chr(9) || 'c' || chr(10)
+             || 'd tail-kept ' || ws[1] || ' nested end' || chr(10)
+             || array_to_string(
+                  [array_to_string(ws[i:i+7], ' ')
+                   for i in generate_series(1, len(ws), 8)], chr(10))
+               AS expected,
+             CAST(2 + ceil(len(ws) / 8.0) AS BIGINT) AS np
+      FROM w WHERE d % 37 <> 13)
+SELECT d AS doc_id, TRUE AS parsed, np AS n_paragraphs,
+       md5(expected) AS text_md5, CAST(NULL AS VARCHAR) AS note
+FROM e
+UNION ALL
+SELECT d, FALSE, NULL, NULL, 'odt: content.xml missing in the package'
+FROM w WHERE d % 37 = 13
+"""
+
+
+@query("text_odt_extract", _ODT_SQL)
+def text_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ODT text extraction (operators/odt.py — the 16th file format;
+    EU/Dutch government bodies, the reference's own domain, mandate
+    OpenDocument): each doc becomes a real OCF package (mimetype
+    member FIRST and STORED per spec) whose content.xml plants the
+    format's defining traps — ``<text:s text:c="3"/>`` whitespace
+    elision that must expand to exactly three spaces, ``<text:tab/>``
+    and ``<text:line-break/>``, a footnote and an annotation whose
+    BODIES drop while their tails stay in the paragraph, and nested
+    formatting spans that must be transparent. The oracle constructs
+    the expected prose from documents.text — a collapsed text:s, a
+    leaked footnote or a lost tail all flip the md5. Docs with
+    d%37 == 13 are the fail-closed poison (valid OCF + mimetype, no
+    content.xml). Writer is template XML, parser is ElementTree —
+    independent implementations. One Arrow pass each way."""
+    from razulibs_spark.operators.odt import (
+        odt_text_stats,
+        synthesize_odt_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return odt_text_stats(synthesize_odt_media(docs))
