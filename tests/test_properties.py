@@ -1079,3 +1079,136 @@ def test_csv_sniff_byte_budget_truncation():
     d = sniff_csv_dialect(full, byte_budget=budget)
     assert d["delimiter"] == "|"
     assert d["has_header"] is True
+
+
+@given(
+    lits=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=("L", "N", "P", "S", "Zs"),
+                include_characters='"\\\n\t\'',
+            ),
+            min_size=0, max_size=40,
+        ),
+        min_size=1, max_size=10,
+    ),
+)
+@settings(max_examples=150, deadline=None)
+def test_turtle_full_literal_escape_roundtrip(lits):
+    """Any literal survives serialize → full-grammar parse: quotes,
+    backslashes, newlines, tabs and arbitrary unicode must round-trip
+    through the grouped writer's N-Triples-style escapes AND the
+    triple-quoted form."""
+    from razulibs_spark.sources.turtle_full import parse_turtle
+
+    def esc(s: str) -> str:
+        return (
+            s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r")
+            .replace("\t", "\\t")
+        )
+
+    doc = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s ex:p{i} "{esc(v)}" .\n' for i, v in enumerate(lits)
+    )
+    rows = parse_turtle(doc)
+    assert [r["o"] for r in rows] == lits
+    # triple-quoted form: raw newlines/quotes legal, only \ and """
+    # need care — escape every backslash and double-quote
+    doc2 = "@prefix ex: <http://e/> .\n" + "".join(
+        f'ex:s ex:p{i} """'
+        + v.replace("\\", "\\\\").replace('"', '\\"')
+        + '""" .\n'
+        for i, v in enumerate(lits)
+    )
+    rows2 = parse_turtle(doc2)
+    # \r inside a triple-quoted literal is fine raw
+    assert [r["o"] for r in rows2] == lits
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "S"),
+                include_characters="\\{}#",
+            ),
+            min_size=1, max_size=12,
+        ).filter(lambda w: " " not in w and "\n" not in w),
+        min_size=1, max_size=40,
+    ),
+    d=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_rtf_roundtrip_any_words(words, d):
+    """encode_rtf → rtf_to_text recovers the body lines exactly for
+    arbitrary unicode incl. RTF metachars (braces, backslash, #)."""
+    from razulibs_spark.operators.rtf import encode_rtf, rtf_to_text
+
+    t = rtf_to_text(encode_rtf(d, words))
+    lines = t.split("\n")
+    assert lines[0] == f"Doc {d}"
+    body = lines[2:]
+    expected = [
+        " ".join(words[i:i + 8]) for i in range(0, len(words), 8)
+    ]
+    assert body == expected
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "S"),
+                include_characters="&<>\"'",
+            ),
+            min_size=1, max_size=12,
+        ).filter(lambda w: " " not in w and "\n" not in w
+                 and "\r" not in w and "\t" not in w),
+        min_size=1, max_size=40,
+    ),
+    d=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_odt_roundtrip_any_words(words, d):
+    """encode_odt → parse_odt recovers the word paragraphs exactly for
+    arbitrary unicode incl. XML metachars."""
+    from razulibs_spark.operators.odt import encode_odt, parse_odt
+
+    m = parse_odt(encode_odt(d, words))
+    paras = m["text"].split("\n")
+    assert paras[0] == f"Doc {d}"
+    body = paras[3:]  # heading, torture (2 lines via line-break)
+    expected = [
+        " ".join(words[i:i + 8]) for i in range(0, len(words), 8)
+    ]
+    assert body == expected
+
+
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8", categories=("L", "N", "P", "S"),
+                include_characters="&<>\"'",
+            ),
+            min_size=1, max_size=12,
+        ).filter(lambda w: " " not in w),
+        min_size=1, max_size=10,
+    ),
+    d=st.integers(min_value=0, max_value=10**6),
+)
+@settings(max_examples=100, deadline=None)
+def test_xlsx_roundtrip_any_words(words, d):
+    """encode_xlsx → parse_xlsx: inline strings carry arbitrary
+    unicode/XML metachars; the grid stays exact."""
+    from razulibs_spark.operators.xlsx import encode_xlsx, parse_xlsx
+
+    m = parse_xlsx(encode_xlsx(d, words))
+    cells = dict(m["cells"])
+    assert m["n_cells"] == 15
+    assert cells["D1"] == f"w-{d}"
+    for i in range(3):
+        assert cells[f"B{i + 2}"] == words[i % len(words)]
+        assert cells[f"A{i + 2}"] == str(d * 10 + i)
