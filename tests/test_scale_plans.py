@@ -872,3 +872,54 @@ def test_incremental_agg_delta_filter_pushed(spark):
     ]
     assert any("ts" in p and "GreaterThanOrEqual" in p for p in pushed), pushed
     assert "CartesianProduct" not in plan
+
+
+def test_new_format_extractors_single_arrow_pass(spark):
+    """XLSX/RTF/ODT extraction entries are each ONE Arrow pipeline —
+    synthesis and parse fuse into consecutive MapInPandas stages over
+    the documents scan with no shuffle anywhere."""
+    for entry in (Q.text_xlsx_extract, Q.text_rtf_extract,
+                  Q.text_odt_extract):
+        plan = _plan(entry(spark, SF))
+        assert "Exchange" not in plan, entry.__name__
+        # formatted explain names each node twice (tree + details)
+        assert plan.count("MapInPandas") == 4, entry.__name__
+        assert "BatchEvalPython" not in plan, entry.__name__
+
+
+def test_turtle_grouped_write_two_partial_aggs(spark):
+    """write_turtle_grouped: term formatting is codegen; the grouping
+    is two hash aggregations with map-side partials — no sort-based
+    fallback, no Python."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
+    from razulibs_spark.sources.rdf_io import (
+        _escape_literal,
+        _turtle_uri,
+    )
+
+    t = spark.createDataFrame(
+        [("http://e/s", "http://e/p", "v", "literal", None, None)],
+        TRIPLE_SCHEMA,
+    )
+    # reproduce the sink's plan up to (not including) the text write
+    subj = _turtle_uri(F.col("s"))
+    pred = _turtle_uri(F.col("p"))
+    obj = F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'))
+    terms = t.select(subj.alias("sj"), pred.alias("pd"), obj.alias("ob"))
+    by_pred = terms.groupBy("sj", "pd").agg(
+        F.array_join(F.sort_array(F.collect_list("ob")), ", ").alias("objs")
+    )
+    blocks = by_pred.groupBy("sj").agg(
+        F.array_join(F.sort_array(F.collect_list("objs")), " ;\n").alias("po")
+    )
+    plan = _plan(blocks)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # two shuffle nodes, each named twice + once in a detail header
+    # (formatted explain repeats nodes); count the tree entries only
+    import re as _re
+
+    exchanges = _re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, plan[:400]
+    assert "ObjectHashAggregate" in plan
