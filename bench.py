@@ -383,6 +383,7 @@ R10_ADDITIONS = [
     "text_rtf_extract",
     "k2_turtle_grouped_roundtrip",
     "text_odt_extract",
+    "text_epub_extract",
 ]
 
 HEADLINE = (

@@ -1,0 +1,296 @@
+"""EPUB extraction — the 17th file format: books are the most prized
+long-form training text there is (Gutenberg, the books corpora), and
+they ship as EPUB — an OCF zip whose READING ORDER lives in the OPF
+spine, not in the zip listing and not in the manifest.
+
+The traps this parser covers (each planted in the fixture corpus):
+- OCF container rules: ``mimetype`` member = application/epub+zip,
+  ``META-INF/container.xml`` names the OPF package by full-path —
+  hardcoding OEBPS/content.opf breaks on real books,
+- the MANIFEST is an unordered inventory; the SPINE is the reading
+  order. The fixture scrambles the manifest and plants a cover
+  document that is in the manifest but NOT in the spine — a parser
+  that walks the manifest (or the zip) reads covers and apparatus
+  into the text and shuffles chapters,
+- hrefs resolve relative to the OPF's own directory,
+- dc:title / dc:language come from OPF metadata (chapter <title>
+  elements are navigation chrome, not the book title),
+- chapter XHTML goes through the SAME battle-tested HTML main-text
+  extractor as the crawl family (operators/html.extract_page) — one
+  text-layer implementation, not a second ad-hoc one.
+
+Structural corruption (wrong mimetype, container pointing at a
+missing OPF, a spine idref with no manifest entry, a chapter absent
+from the zip) raises ValueError naming the defect; the Spark stage is
+fail-closed per row. One Arrow ``mapInPandas`` pass, map-only.
+"""
+
+from __future__ import annotations
+
+import io
+import posixpath
+import zipfile
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+from xml.etree import ElementTree as ET
+
+_CONTAINER_NS = "urn:oasis:names:tc:opendocument:xmlns:container"
+_OPF_NS = "http://www.idpf.org/2007/opf"
+_DC_NS = "http://purl.org/dc/elements/1.1/"
+_EPUB_MIME = "application/epub+zip"
+
+
+def parse_epub(payload: bytes) -> dict:
+    """One .epub → {'title', 'language', 'n_chapters', 'text'
+    (chapters in SPINE order, joined by \\f; each chapter's blocks
+    joined by \\n)}."""
+    from razulibs_spark.operators.html import extract_page
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(bytes(payload)))
+    except zipfile.BadZipFile as exc:
+        raise ValueError(f"epub: not an OCF package: {exc}") from exc
+    names = set(zf.namelist())
+    if "mimetype" not in names:
+        raise ValueError("epub: OCF package without mimetype member")
+    mime = zf.read("mimetype").decode("ascii", "replace")
+    if mime != _EPUB_MIME:
+        raise ValueError(f"epub: mimetype is {mime!r}")
+    if "META-INF/container.xml" not in names:
+        raise ValueError("epub: META-INF/container.xml missing")
+    container = ET.fromstring(zf.read("META-INF/container.xml"))
+    rootfile = container.find(
+        f"{{{_CONTAINER_NS}}}rootfiles/{{{_CONTAINER_NS}}}rootfile"
+    )
+    if rootfile is None:
+        raise ValueError("epub: container names no rootfile")
+    opf_path = rootfile.get("full-path", "")
+    if opf_path not in names:
+        raise ValueError(f"epub: OPF package {opf_path} missing")
+    opf_dir = posixpath.dirname(opf_path)
+    opf = ET.fromstring(zf.read(opf_path))
+    title = opf.findtext(f".//{{{_DC_NS}}}title") or ""
+    language = opf.findtext(f".//{{{_DC_NS}}}language") or ""
+    manifest = {
+        item.get("id"): item.get("href")
+        for item in opf.findall(
+            f"{{{_OPF_NS}}}manifest/{{{_OPF_NS}}}item"
+        )
+    }
+    spine = [
+        ref.get("idref")
+        for ref in opf.findall(
+            f"{{{_OPF_NS}}}spine/{{{_OPF_NS}}}itemref"
+        )
+    ]
+    if not spine:
+        raise ValueError("epub: empty spine")
+    chapters: list[str] = []
+    for idref in spine:
+        href = manifest.get(idref)
+        if href is None:
+            raise ValueError(f"epub: spine idref {idref!r} not in manifest")
+        part = posixpath.join(opf_dir, href) if opf_dir else href
+        if part not in names:
+            raise ValueError(f"epub: chapter {part} missing")
+        page = extract_page(zf.read(part).decode("utf-8"))
+        chapters.append("\n".join(page["blocks"]))
+    return {
+        "title": title,
+        "language": language,
+        "n_chapters": len(chapters),
+        "text": "\f".join(chapters),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Writer (template strings — independent of the ET/HTMLParser readers)
+# ---------------------------------------------------------------------------
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    )
+
+
+_WORDS_PER_PARA = 8
+
+
+def _chapter_xhtml(k: int, words: list[str]) -> str:
+    paras = [f"<p>Chapter {k}</p>"]
+    for i in range(0, len(words), _WORDS_PER_PARA):
+        c = words[i:i + _WORDS_PER_PARA]
+        if len(c) >= 3:
+            mid = len(c) // 2
+            body = (
+                _esc(" ".join(c[:mid]))
+                + " <em>" + _esc(c[mid]) + "</em> "
+                + _esc(" ".join(c[mid + 1:]))
+            )
+        else:
+            body = _esc(" ".join(c))
+        paras.append(f"<p>{body}</p>")
+    return (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+        f"<title>nav chrome {k}</title></head><body>"
+        + "".join(paras)
+        + "</body></html>"
+    )
+
+
+def encode_epub(
+    d: int, lang: str, words: list[str], poison: bool = False
+) -> bytes:
+    """One real .epub from doc d: two chapters (words split in half),
+    an OPF whose MANIFEST is deliberately scrambled (ch2, cover, ch1)
+    while the SPINE orders ch1 → ch2, and a cover document present in
+    manifest and zip but NOT in the spine — reading the manifest or
+    the zip listing instead of the spine is detected. The package
+    lives under a non-default dir (book/pkg.opf). ``poison``:
+    container.xml points at an OPF that is not in the package."""
+    h = (len(words) + 1) // 2
+    c1, c2 = words[:h], words[h:]
+    opf = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<package xmlns="{_OPF_NS}" version="3.0" '
+        'unique-identifier="uid">'
+        f'<metadata xmlns:dc="{_DC_NS}">'
+        f"<dc:title>Doc {d}</dc:title>"
+        f"<dc:language>{_esc(lang)}</dc:language>"
+        f'<dc:identifier id="uid">doc-{d}</dc:identifier></metadata>'
+        "<manifest>"
+        '<item id="c2" href="ch2.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="cover" href="cover.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="c1" href="ch1.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        '<spine><itemref idref="c1"/><itemref idref="c2"/></spine>'
+        "</package>"
+    )
+    container = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<container xmlns="{_CONTAINER_NS}" version="1.0">'
+        '<rootfiles><rootfile full-path="book/pkg.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        stamp = (1980, 1, 1, 0, 0, 0)
+        zi = zipfile.ZipInfo("mimetype", date_time=stamp)
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _EPUB_MIME)
+
+        def add(name: str, data: str) -> None:
+            zi = zipfile.ZipInfo(name, date_time=stamp)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+
+        add("META-INF/container.xml", container)
+        if not poison:
+            add("book/pkg.opf", opf)
+        add("book/ch1.xhtml", _chapter_xhtml(1, c1))
+        add("book/ch2.xhtml", _chapter_xhtml(2, c2))
+        add(
+            "book/cover.xhtml",
+            '<html xmlns="http://www.w3.org/1999/xhtml><body>'
+            "<p>COVER APPARATUS not prose</p></body></html>",
+        )
+    return buf.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# Spark stages
+# ---------------------------------------------------------------------------
+
+_EPUB_MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+EPUB_TEXT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("parsed", BooleanType(), False),
+        StructField("title", StringType(), True),
+        StructField("language", StringType(), True),
+        StructField("n_chapters", LongType(), True),
+        StructField("text_md5", StringType(), True),
+        StructField("note", StringType(), True),
+    ]
+)
+
+
+def synthesize_epub_media(documents: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload) real .epub; d%41 == 19 is the
+    poison slot (container points at a missing OPF)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                (
+                    int(doc_id),
+                    encode_epub(
+                        int(doc_id),
+                        str(lang),
+                        str(text).split(" "),
+                        poison=(int(doc_id) % 41 == 19),
+                    ),
+                )
+                for doc_id, lang, text in zip(
+                    pdf["doc_id"], pdf["lang"], pdf["text"]
+                )
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    return documents.select("doc_id", "lang", "text").mapInPandas(
+        batches, schema=_EPUB_MEDIA_SCHEMA
+    )
+
+
+def epub_text_stats(media: DataFrame) -> DataFrame:
+    """Parse each payload for real; fail-closed per row."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in EPUB_TEXT_SCHEMA.fields]
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                d = int(doc_id)
+                try:
+                    m = parse_epub(bytes(payload))
+                except ValueError as exc:
+                    rows.append(
+                        (d, False, None, None, None, None, str(exc))
+                    )
+                    continue
+                rows.append(
+                    (
+                        d, True, m["title"], m["language"],
+                        m["n_chapters"],
+                        hashlib.md5(
+                            m["text"].encode("utf-8")
+                        ).hexdigest(),
+                        None,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, schema=EPUB_TEXT_SCHEMA)

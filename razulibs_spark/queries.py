@@ -13364,3 +13364,60 @@ def text_odt_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return odt_text_stats(synthesize_odt_media(docs))
+
+
+_EPUB_SQL = """
+WITH w AS (SELECT doc_id AS d, lang, string_split(text, ' ') AS ws
+           FROM documents),
+s AS (SELECT d, lang, ws,
+             CAST(ceil(len(ws) / 2.0) AS INT) AS h FROM w),
+ch AS (SELECT d, lang,
+              ws[1:h] AS c1, ws[h+1:len(ws)] AS c2 FROM s),
+e AS (SELECT d, lang,
+             array_to_string(
+               ['Chapter 1'] ||
+               [array_to_string(c1[i:i+7], ' ')
+                for i in generate_series(1, len(c1), 8)], chr(10))
+             || chr(12) ||
+             array_to_string(
+               ['Chapter 2'] ||
+               [array_to_string(c2[i:i+7], ' ')
+                for i in generate_series(1, len(c2), 8)], chr(10))
+               AS expected
+      FROM ch WHERE d % 41 <> 19)
+SELECT d AS doc_id, TRUE AS parsed,
+       'Doc ' || CAST(d AS VARCHAR) AS title, lang AS language,
+       CAST(2 AS BIGINT) AS n_chapters,
+       md5(expected) AS text_md5, CAST(NULL AS VARCHAR) AS note
+FROM e
+UNION ALL
+SELECT d, FALSE, NULL, NULL, NULL, NULL,
+       'epub: OPF package book/pkg.opf missing'
+FROM w WHERE d % 41 = 19
+"""
+
+
+@query("text_epub_extract", _EPUB_SQL)
+def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB extraction (operators/epub.py — the 17th file format;
+    books are the most prized long-form training text and they ship
+    as EPUB): each doc becomes a real OCF book whose READING ORDER
+    lives only in the OPF spine — the manifest is deliberately
+    scrambled (ch2, cover, ch1) and a cover document sits in the
+    manifest and the zip but NOT in the spine, so walking anything
+    but the spine shuffles chapters or leaks cover apparatus into the
+    text. The package resolves through META-INF/container.xml to a
+    non-default path (book/pkg.opf); dc:title/dc:language come from
+    OPF metadata, never from chapter <title> chrome; chapter XHTML
+    goes through the SAME html main-text extractor as the crawl
+    family (one text-layer implementation). The oracle reconstructs
+    the two-chapter text (words split in half, 8-word paragraphs)
+    from documents. Docs with d%41 == 19 carry the fail-closed poison
+    (container names a missing OPF). One Arrow pass each way."""
+    from razulibs_spark.operators.epub import (
+        epub_text_stats,
+        synthesize_epub_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return epub_text_stats(synthesize_epub_media(docs))

@@ -1,0 +1,69 @@
+"""EPUB extraction (operators/epub.py)."""
+
+from __future__ import annotations
+
+import io
+import zipfile
+
+import pytest
+
+from razulibs_spark.operators.epub import encode_epub, parse_epub
+
+
+def test_spine_order_not_manifest_order():
+    m = parse_epub(encode_epub(7, "nl", "a b c d e f".split()))
+    chapters = m["text"].split("\f")
+    assert chapters[0].startswith("Chapter 1")
+    assert chapters[1].startswith("Chapter 2")
+    assert m["n_chapters"] == 2
+    # the cover is in the manifest + zip but NOT in the spine
+    assert "COVER APPARATUS" not in m["text"]
+    # book metadata from OPF, not chapter <title> chrome
+    assert m["title"] == "Doc 7" and m["language"] == "nl"
+    assert "nav chrome" not in m["text"]
+
+
+def test_container_resolution_and_fail_closed():
+    with pytest.raises(ValueError, match="not an OCF package"):
+        parse_epub(b"PK\x03\x04junk")
+    with pytest.raises(ValueError, match="OPF package .* missing"):
+        parse_epub(encode_epub(19, "en", ["x"], poison=True))
+    # wrong mimetype is NAMED
+    blob = encode_epub(3, "en", ["w"])
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "mimetype":
+                data = b"application/zip"
+            out.writestr(name, data)
+    with pytest.raises(ValueError, match="mimetype is"):
+        parse_epub(buf.getvalue())
+    # a spine idref with no manifest entry is NAMED
+    buf2 = io.BytesIO()
+    with zipfile.ZipFile(buf2, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "book/pkg.opf":
+                data = data.replace(b'idref="c2"', b'idref="ghost"')
+            out.writestr(name, data)
+    with pytest.raises(ValueError, match="'ghost' not in manifest"):
+        parse_epub(buf2.getvalue())
+
+
+def test_epub_stage_fail_closed(spark):
+    from razulibs_spark.operators.epub import (
+        epub_text_stats,
+        synthesize_epub_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "nl", "a b c d"), (19, "en", "poisoned")],
+        "doc_id long, lang string, text string",
+    )
+    rows = {r["doc_id"]: r
+            for r in epub_text_stats(synthesize_epub_media(docs)).collect()}
+    assert rows[0]["parsed"] is True and rows[0]["n_chapters"] == 2
+    assert rows[19]["parsed"] is False
+    assert "missing" in rows[19]["note"]
