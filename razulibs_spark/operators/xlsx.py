@@ -35,7 +35,6 @@ stateless, linear — the media-family shape.
 from __future__ import annotations
 
 import io
-import re
 import zipfile
 from typing import Iterator
 
