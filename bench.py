@@ -384,6 +384,7 @@ R10_ADDITIONS = [
     "k2_turtle_grouped_roundtrip",
     "text_odt_extract",
     "text_epub_extract",
+    "io_zorder_pruning",
 ]
 
 HEADLINE = (

@@ -13421,3 +13421,71 @@ def text_epub_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = T(spark, sf_dir, "documents")
     return epub_text_stats(synthesize_epub_media(docs))
+
+
+def _zorder_oracle() -> str:
+    from razulibs_spark.operators.layout import zorder_sql
+
+    z = zorder_sql("d1", "d2", 8)
+    stats = """
+  SELECT COUNT(*) AS n_groups,
+         SUM(CASE WHEN d1_min <= 47 AND d1_max >= 32
+                  THEN 1 ELSE 0 END) AS scanned_d1,
+         SUM(CASE WHEN d2_min <= 131 AND d2_max >= 100
+                  THEN 1 ELSE 0 END) AS scanned_d2,
+         SUM(CASE WHEN d1_min <= 47 AND d1_max >= 32
+                   AND d2_min <= 131 AND d2_max >= 100
+                  THEN 1 ELSE 0 END) AS scanned_both,
+         SUM(n) AS rows_total
+"""
+    return f"""
+WITH k AS (SELECT (o_custkey % 256) AS d1,
+                  (dayofyear(o_orderdate) % 256) AS d2 FROM orders),
+z AS (SELECT d1, d2, {z} AS z FROM k),
+zg AS (SELECT (z >> 10) AS g, COUNT(*) AS n,
+              MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+              MIN(d2) AS d2_min, MAX(d2) AS d2_max
+       FROM z GROUP BY 1),
+lg AS (SELECT (d2 >> 2) AS g, COUNT(*) AS n,
+              MIN(d1) AS d1_min, MAX(d1) AS d1_max,
+              MIN(d2) AS d2_min, MAX(d2) AS d2_max
+       FROM k GROUP BY 1),
+zs AS (SELECT 'zorder' AS layout, * FROM ({stats} FROM zg)),
+ls AS (SELECT 'linear_d2' AS layout, * FROM ({stats} FROM lg))
+SELECT layout, CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(scanned_d1 AS BIGINT) AS scanned_d1,
+       CAST(scanned_d2 AS BIGINT) AS scanned_d2,
+       CAST(scanned_both AS BIGINT) AS scanned_both,
+       CAST(rows_total AS BIGINT) AS rows_total
+FROM (SELECT * FROM ls UNION ALL SELECT * FROM zs)
+ORDER BY layout
+"""
+
+
+@query("io_zorder_pruning", _zorder_oracle())
+def io_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering vs linear sort for min/max
+    pruning (operators/layout.py) — at 100 TB the biggest read-path
+    lever after partitioning is row-group SKIPPING, and min/max only
+    bites on columns the data is clustered by. Rows key on
+    (customer-bucket, day-of-year) from `orders`; both layouts get
+    the SAME 64-group budget (z >> 10 vs d2 >> 2 — data-independent
+    boundaries, the deterministic analog of fixed-size row groups);
+    three probes (a d1 range, a d2 range, their conjunction) count
+    the groups each layout would scan. The interleave is exact
+    integer shift/mask codegen the oracle reproduces bit-for-bit —
+    the expected (and verified) shape: linear prunes only its own
+    sort key and scans everything for d1, Z-order prunes BOTH. Scale:
+    two partial-aggregating groupBys over ≤64 integer keys and a
+    2-row union — statistics cost is independent of input size."""
+    from razulibs_spark.operators.layout import layout_pruning_stats
+
+    o = T(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("c"),
+        (F.dayofyear("o_orderdate") % 256).alias("doy"),
+    )
+    return layout_pruning_stats(
+        o, F.col("c"), F.col("doy"),
+        bits=8, group_shift=10,
+        d1_lo=32, d1_hi=47, d2_lo=100, d2_hi=131,
+    )

@@ -1077,3 +1077,39 @@ def test_substring_span_multik_separates_block_lengths(spark):
     assert got[(4, 32)][1] == 0
     assert got[(5, 8)] == (3, 0)
 
+
+
+def test_zorder_prunes_both_dimensions(spark):
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators.layout import (
+        layout_pruning_stats,
+        zorder_key,
+    )
+
+    # pinned interleave vectors: z(1,0)=1, z(0,1)=2, z(3,5)=0b100111
+    rows = spark.createDataFrame(
+        [(1, 0), (0, 1), (3, 5), (255, 255)], "a long, b long"
+    ).select(zorder_key(F.col("a"), F.col("b")).alias("z"))
+    assert [r["z"] for r in rows.collect()] == [1, 2, 39, 65535]
+
+    # a full 256x256 grid: both layouts, same group budget; z-order
+    # must prune the non-sort dimension where linear cannot
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("d1"),
+        (F.col("id") / 256).cast("long").alias("d2"),
+    )
+    out = {
+        r["layout"]: r
+        for r in layout_pruning_stats(
+            grid, F.col("d1"), F.col("d2"),
+            bits=8, group_shift=10,
+            d1_lo=32, d1_hi=47, d2_lo=100, d2_hi=131,
+        ).collect()
+    }
+    z, lin = out["zorder"], out["linear_d2"]
+    assert z["n_groups"] == 64 and lin["n_groups"] == 64
+    assert lin["scanned_d1"] == 64          # linear: no pruning on d1
+    assert z["scanned_d1"] < 64 // 4        # z-order: most groups skip
+    assert z["scanned_both"] <= lin["scanned_both"]
+    assert z["rows_total"] == lin["rows_total"] == 256 * 256
