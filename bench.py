@@ -385,6 +385,7 @@ R10_ADDITIONS = [
     "text_odt_extract",
     "text_epub_extract",
     "io_zorder_pruning",
+    "io_compaction_plan",
 ]
 
 HEADLINE = (

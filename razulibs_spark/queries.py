@@ -13489,3 +13489,70 @@ def io_zorder_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         bits=8, group_shift=10,
         d1_lo=32, d1_hi=47, d2_lo=100, d2_hi=131,
     )
+
+
+_COMPACTION_SQL = """
+WITH f AS (SELECT doc_id AS fid, lang,
+                  128 + (doc_id * 2654435761) % 4294967296 % 3969
+                    AS kb
+           FROM documents),
+o AS (SELECT fid, lang, kb,
+             SUM(kb) OVER (PARTITION BY lang
+                           ORDER BY kb DESC, fid
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - kb AS before_kb
+      FROM f),
+b AS (SELECT lang, kb, CAST(before_kb // 4096 AS BIGINT) AS bin
+      FROM o)
+SELECT lang, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(kb) AS BIGINT) AS bin_kb,
+       CAST(1000 * SUM(kb) // 4096 AS BIGINT) AS fill_permille
+FROM b GROUP BY lang, bin
+ORDER BY lang, bin
+"""
+
+
+@query("io_compaction_plan", _COMPACTION_SQL)
+def io_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the OPTIMIZE primitive every
+    100 TB lake runs nightly: streaming ingest and fine-grained
+    partitioning leave thousands of KB-scale files whose per-file
+    open/footer cost dominates scans, so files bin into target-size
+    (4 MB here) rewrite groups. The binning is the cumulative-sum
+    rule real compactors use (sort by size desc within the partition,
+    bin = floor(preceding-bytes / target)) — fully deterministic and
+    window-expressible, unlike first-fit heuristics. File sizes are a
+    Knuth-hash function of doc_id (exact integer, engine-portable);
+    the plan is one window + one aggregate per partition key. The
+    oracle reproduces every bin's file count, byte total and fill
+    ratio. Scale: the window partitions by the lake partition key
+    (lang) — no global sort, no single-partition window; the plan
+    output is dimension-sized (bins, not files)."""
+    kb = (
+        F.lit(128)
+        + (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+        % F.lit(3969)
+    ).alias("kb")
+    f = T(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("fid"), "lang", kb
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("kb").desc(), F.col("fid"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    before = (F.sum("kb").over(w) - F.col("kb")).alias("before_kb")
+    b = f.select("lang", "kb", before).select(
+        "lang", "kb",
+        F.expr("before_kb DIV 4096").alias("bin"),
+    )
+    return (
+        b.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("kb").cast("long").alias("bin_kb"),
+            F.expr("1000 * sum(kb) DIV 4096").alias("fill_permille"),
+        )
+        .orderBy("lang", "bin")
+    )
