@@ -386,6 +386,7 @@ R10_ADDITIONS = [
     "text_epub_extract",
     "io_zorder_pruning",
     "io_compaction_plan",
+    "io_schema_contract_diff",
 ]
 
 HEADLINE = (

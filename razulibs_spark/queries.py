@@ -13556,3 +13556,112 @@ def io_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+_SCHEMA_DIFF_SQL = """
+WITH n AS (SELECT COUNT(*) AS total,
+                  SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                    AS note_nulls,
+                  SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                    AS lang_nulls,
+                  SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                    AS tag_nulls
+           FROM documents)
+SELECT * FROM (
+SELECT 'doc_id' AS col, TRUE AS in_a, TRUE AS in_b,
+       'bigint' AS type_a, 'bigint' AS type_b, 'ok' AS verdict,
+       CAST(0 AS BIGINT) AS null_pm_a, CAST(0 AS BIGINT) AS null_pm_b
+UNION ALL
+SELECT 'lang', TRUE, TRUE, 'string', 'string', 'ok',
+       0, (SELECT 1000 * lang_nulls // total FROM n)
+UNION ALL
+SELECT 'note', TRUE, FALSE, 'string', NULL, 'removed',
+       (SELECT 1000 * note_nulls // total FROM n), NULL
+UNION ALL
+SELECT 'score', TRUE, TRUE, 'bigint', 'double', 'type_changed',
+       0, 0
+UNION ALL
+SELECT 'tags', FALSE, TRUE, NULL, 'string', 'added',
+       NULL, (SELECT 1000 * tag_nulls // total FROM n)
+) ORDER BY col
+"""
+
+
+@query("io_schema_contract_diff", _SCHEMA_DIFF_SQL)
+def io_schema_contract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract diff between two ingest snapshots — the
+    data-contract gate a lake runs before promoting a new batch: a
+    silently added column, a dropped one, a long→double widening or a
+    null-rate spike are exactly the upstream regressions that corrupt
+    downstream consumers. Two snapshots are WRITTEN as real parquet
+    (A: doc_id/lang/score:long/note with planted nulls; B: score
+    becomes DOUBLE, note disappears, tags appears, lang gains nulls)
+    and the verdicts come from the READ-BACK schemas and data — the
+    parquet layer is genuinely exercised, not mocked. Per column:
+    presence, physical type per side, verdict (ok / added / removed /
+    type_changed) and exact integer null-permille per side; the
+    oracle predicts every row from the construction. Scale: the diff
+    is schema metadata (driver-side, O(columns)) plus one
+    null-counting aggregate per snapshot — no joins, no shuffle
+    beyond the two 1-row aggs."""
+    import os
+    import shutil
+
+    base = (
+        "/root/repo/.scratch/schema_diff_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    docs = T(spark, sf_dir, "documents")
+    a = docs.select(
+        "doc_id", "lang",
+        (F.col("doc_id") % 100).alias("score"),
+        F.when(F.col("doc_id") % 5 != 0, F.lit("n")).alias("note"),
+    )
+    b = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 != 0, F.col("lang")).alias("lang"),
+        (F.col("doc_id") % 100).cast("double").alias("score"),
+        F.when(F.col("doc_id") % 3 != 0, F.lit("t")).alias("tags"),
+    )
+    a.write.mode("overwrite").parquet(base + "/a")
+    b.write.mode("overwrite").parquet(base + "/b")
+    ra = spark.read.parquet(base + "/a")
+    rb = spark.read.parquet(base + "/b")
+
+    def null_pm(df):
+        aggs = [
+            F.expr(
+                f"1000 * sum(cast(({c} is null) as long)) DIV count(1)"
+            ).alias(c)
+            for c in df.columns
+        ]
+        return df.agg(*aggs).first().asDict()
+
+    pa, pb = null_pm(ra), null_pm(rb)
+    ta = dict(ra.dtypes)
+    tb = dict(rb.dtypes)
+    rows = []
+    for col in sorted(set(ta) | set(tb)):
+        in_a, in_b = col in ta, col in tb
+        if not in_a:
+            verdict = "added"
+        elif not in_b:
+            verdict = "removed"
+        elif ta[col] != tb[col]:
+            verdict = "type_changed"
+        else:
+            verdict = "ok"
+        rows.append(
+            (
+                col, in_a, in_b,
+                ta.get(col), tb.get(col), verdict,
+                pa.get(col), pb.get(col),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "col string, in_a boolean, in_b boolean, type_a string, "
+        "type_b string, verdict string, null_pm_a long, "
+        "null_pm_b long",
+    ).orderBy("col")
