@@ -387,6 +387,7 @@ R10_ADDITIONS = [
     "io_zorder_pruning",
     "io_compaction_plan",
     "io_schema_contract_diff",
+    "j_bloom_semijoin_reduction",
 ]
 
 HEADLINE = (

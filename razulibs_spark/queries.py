@@ -13665,3 +13665,108 @@ def io_schema_contract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "type_b string, verdict string, null_pm_a long, "
         "null_pm_b long",
     ).orderBy("col")
+
+
+_BLOOM_SQL = """
+WITH dim AS (SELECT DISTINCT c_custkey AS k FROM customer
+             WHERE c_acctbal > 9000),
+pos AS (SELECT DISTINCT p FROM (
+          SELECT (k * 2654435761) % 4294967296 % 16384 AS p FROM dim
+          UNION ALL
+          SELECT ((k + 77) * 2654435761) % 4294967296 % 16384 FROM dim)),
+facts AS (SELECT o_orderkey, o_custkey,
+                 (o_custkey * 2654435761) % 4294967296 % 16384 AS p1,
+                 ((o_custkey + 77) * 2654435761) % 4294967296 % 16384
+                   AS p2
+          FROM orders),
+cand AS (SELECT f.* FROM facts f
+         WHERE EXISTS (SELECT 1 FROM pos WHERE pos.p = f.p1)
+           AND EXISTS (SELECT 1 FROM pos WHERE pos.p = f.p2)),
+tru AS (SELECT f.o_orderkey FROM facts f
+        JOIN dim ON dim.k = f.o_custkey)
+SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim_keys,
+       CAST((SELECT COUNT(*) FROM pos) AS BIGINT) AS n_bits_set,
+       CAST((SELECT COUNT(*) FROM facts) AS BIGINT) AS n_facts,
+       CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT COUNT(*) FROM tru) AS BIGINT) AS n_true,
+       CAST((SELECT COUNT(*) FROM cand) -
+            (SELECT COUNT(*) FROM tru) AS BIGINT)
+         AS n_false_positives
+"""
+
+
+@query("j_bloom_semijoin_reduction", _BLOOM_SQL)
+def j_bloom_semijoin_reduction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bloom-filter semi-join reduction — the RUNTIME FILTER that
+    makes selective dim→fact joins survive 100 TB: instead of
+    shuffling every fact row to discover most match nothing, the dim
+    side's keys build a Bloom filter that prunes facts at the SCAN.
+    The filter is exact integer arithmetic (two Knuth hashes into a
+    2^14-bit space — no RNG, no JVM Bloom internals), built
+    distributedly as a distinct bit-position dimension and applied as
+    two broadcast LEFT SEMI joins; the exact semi-join then counts
+    true matches so the FALSE-POSITIVE overhead — the quantity that
+    decides the filter's size budget — is measured, not assumed. The
+    oracle replays the identical construction. Scale: the bit table
+    is ≤16384 rows whatever the data size (broadcast), facts stream
+    map-side; the expensive exact join runs only to audit the
+    filter."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    dim = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("k"))
+        .distinct()
+    )
+
+    def h(col: F.Column, salt: int) -> F.Column:
+        return (
+            (col + F.lit(salt)) * F.lit(2654435761)
+        ) % F.lit(4294967296) % F.lit(16384)
+
+    pos = (
+        dim.select(h(F.col("k"), 0).alias("p"))
+        .unionAll(dim.select(h(F.col("k"), 77).alias("p")))
+        .distinct()
+    )
+    facts = orders.select(
+        "o_orderkey", "o_custkey",
+        h(F.col("o_custkey"), 0).alias("p1"),
+        h(F.col("o_custkey"), 77).alias("p2"),
+    )
+    # ONE job: broadcast flag-joins mark bloom membership and exact
+    # membership per fact row; everything aggregates in a single pass
+    # (five separate .count() actions would recompute the plan).
+    pos1 = pos.select(F.col("p").alias("p1"), F.lit(1).alias("m1"))
+    pos2 = pos.select(F.col("p").alias("p2"), F.lit(1).alias("m2"))
+    dimm = dim.select(
+        F.col("k").alias("o_custkey"), F.lit(1).alias("mt")
+    )
+    flagged = (
+        facts.join(F.broadcast(pos1), "p1", "left")
+        .join(F.broadcast(pos2), "p2", "left")
+        .join(F.broadcast(dimm), "o_custkey", "left")
+    )
+    fact_stats = flagged.agg(
+        F.count(F.lit(1)).alias("n_facts"),
+        F.sum(
+            (F.col("m1").isNotNull() & F.col("m2").isNotNull())
+            .cast("long")
+        ).alias("n_candidates"),
+        F.sum(F.col("mt").isNotNull().cast("long")).alias("n_true"),
+    )
+    dim_stats = dim.agg(F.count(F.lit(1)).alias("n_dim_keys"))
+    pos_stats = pos.agg(F.count(F.lit(1)).alias("n_bits_set"))
+    return (
+        dim_stats.crossJoin(pos_stats)
+        .crossJoin(fact_stats)
+        .select(
+            "n_dim_keys", "n_bits_set", "n_facts", "n_candidates",
+            "n_true",
+            (F.col("n_candidates") - F.col("n_true")).alias(
+                "n_false_positives"
+            ),
+        )
+    )
