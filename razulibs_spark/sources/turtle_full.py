@@ -361,13 +361,14 @@ def parse_turtle(text: str, bnode_prefix: str = "") -> list[dict]:
 
 
 def read_turtle_full(
-    spark: SparkSession, path: str, glob: str = "*.ttl"
+    spark: SparkSession, path: str, glob: str = "*.ttl*"
 ) -> DataFrame:
     """Foreign-Turtle corpus → triples DataFrame: one Arrow task per
-    .ttl document (binaryFile), full-grammar parse inside the task,
-    rows in the engine's canonical TRIPLE_SCHEMA. Anonymous-bnode
-    labels are prefixed with md5(file path) so cross-document labels
-    never collide after union."""
+    .ttl / .ttl.gz document (binaryFile; gzip sniffed by magic — the
+    shape wikidata and most public RDF dumps ship in), full-grammar
+    parse inside the task, rows in the engine's canonical
+    TRIPLE_SCHEMA. Anonymous-bnode labels are prefixed with md5(file
+    path) so cross-document labels never collide after union."""
     import pandas as pd
 
     from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
@@ -375,12 +376,18 @@ def read_turtle_full(
     cols = [f.name for f in TRIPLE_SCHEMA.fields]
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import gzip
         import hashlib
 
         for pdf in it:
             rows: list[dict] = []
             for pth, content in zip(pdf["path"], pdf["content"]):
-                doc = bytes(content).decode("utf-8")
+                raw = bytes(content)
+                # real RDF corpora ship gzipped (wikidata's .ttl.gz);
+                # sniff the member magic, not the file name
+                if raw[:2] == b"\x1f\x8b":
+                    raw = gzip.decompress(raw)
+                doc = raw.decode("utf-8")
                 pfx = hashlib.md5(str(pth).encode()).hexdigest()[:8]
                 rows.extend(parse_turtle(doc, bnode_prefix=pfx))
             yield pd.DataFrame(

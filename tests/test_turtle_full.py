@@ -194,3 +194,19 @@ def test_write_turtle_grouped_emits_predicate_lists(spark, tmp_path):
     back = read_turtle_full(spark, str(out), glob="part-*")
     got = {(r["s"], r["p"], r["o"], r["o_lang"]) for r in back.collect()}
     assert got == {(s, p, o, lang) for s, p, o, _, _, lang in rows}
+
+
+def test_read_turtle_full_gzipped_documents(spark, tmp_path):
+    """Public RDF dumps ship as .ttl.gz (wikidata's shape): the gzip
+    member is sniffed by MAGIC, mixed plain + gz corpora read in one
+    scan."""
+    import gzip
+
+    (tmp_path / "a.ttl").write_text(_ttl('ex:d1 ex:v 1 .\n'))
+    (tmp_path / "b.ttl.gz").write_bytes(
+        gzip.compress(_ttl('ex:d2 ex:v 2, 3 .\n').encode())
+    )
+    from razulibs_spark.sources.turtle_full import read_turtle_full
+
+    rows = read_turtle_full(spark, str(tmp_path)).collect()
+    assert sorted(r["o"] for r in rows) == ["1", "2", "3"]
