@@ -13024,48 +13024,82 @@ seqs AS (
   FROM docs WHERE d % 4 > 0
 ),
 notes AS (
-  SELECT fw || chr(10) || l || ' with "q" and \\ b' AS note FROM docs
+  SELECT fw || chr(10) || l || ' with "q" and \ b' AS note FROM docs
 )
 SELECT * FROM (
 SELECT 'type' AS pred,
        CAST((SELECT count(*) FROM docs) AS BIGINT) AS n,
        CAST((SELECT count(*) FROM docs) AS BIGINT) AS n_uri,
        CAST(0 AS BIGINT) AS n_bnode, CAST(0 AS BIGINT) AS n_tagged,
-       CAST(0 AS BIGINT) AS int_sum, md5('') AS lit_digest
+       CAST(0 AS BIGINT) AS int_sum, md5('') AS lit_digest,
+       (SELECT md5(string_agg('http://example.org/Document', chr(1)))
+        FROM docs) AS uri_digest
 UNION ALL
 SELECT 'lang', (SELECT count(*) FROM docs), 0, 0,
        (SELECT count(*) FROM docs), 0,
-       (SELECT md5(string_agg(l, chr(1) ORDER BY l)) FROM docs)
+       (SELECT md5(string_agg(l, chr(1) ORDER BY l)) FROM docs),
+       md5('')
 UNION ALL
 SELECT 'words', (SELECT count(*) FROM words), 0, 0, 0,
        (SELECT CAST(sum(d * 10 + i) AS BIGINT) FROM words),
        (SELECT md5(string_agg(CAST(d * 10 + i AS VARCHAR), chr(1)
-                   ORDER BY CAST(d * 10 + i AS VARCHAR))) FROM words)
+                   ORDER BY CAST(d * 10 + i AS VARCHAR))) FROM words),
+       md5('')
 UNION ALL
 SELECT 'note', (SELECT count(*) FROM docs), 0, 0, 0, 0,
-       (SELECT md5(string_agg(note, chr(1) ORDER BY note)) FROM notes)
+       (SELECT md5(string_agg(note, chr(1) ORDER BY note)) FROM notes),
+       md5('')
 UNION ALL
 SELECT 'ref', (SELECT count(*) FROM docs), 0,
-       (SELECT count(*) FROM docs), 0, 0, md5('')
+       (SELECT count(*) FROM docs), 0, 0, md5(''), md5('')
 UNION ALL
 SELECT 'pos', (SELECT count(*) FROM docs), 0, 0, 0,
        (SELECT CAST(sum(d) AS BIGINT) FROM docs),
        (SELECT md5(string_agg(CAST(d AS VARCHAR), chr(1)
-                   ORDER BY CAST(d AS VARCHAR))) FROM docs)
+                   ORDER BY CAST(d AS VARCHAR))) FROM docs),
+       md5('')
+UNION ALL
+SELECT 'sub', (SELECT count(*) FROM docs), 0,
+       (SELECT count(*) FROM docs), 0, 0, md5(''), md5('')
+UNION ALL
+SELECT 'deep', (SELECT count(*) FROM docs), 0, 0, 0, 0,
+       (SELECT md5(string_agg('x' || CAST(d AS VARCHAR), chr(1)
+                   ORDER BY 'x' || CAST(d AS VARCHAR))) FROM docs),
+       md5('')
+UNION ALL
+SELECT 'mark', (SELECT count(*) FROM docs), 0, 0, 0,
+       (SELECT CAST(sum(d) AS BIGINT) FROM docs),
+       (SELECT md5(string_agg(CAST(d AS VARCHAR), chr(1)
+                   ORDER BY CAST(d AS VARCHAR))) FROM docs),
+       md5('')
+UNION ALL
+SELECT 'rel', (SELECT count(*) FROM docs),
+       (SELECT count(*) FROM docs), 0, 0, 0, md5(''),
+       (SELECT md5(string_agg('http://base.example/r/'
+                              || CAST(d AS VARCHAR), chr(1)
+                   ORDER BY 'http://base.example/r/'
+                              || CAST(d AS VARCHAR))) FROM docs)
 UNION ALL
 SELECT 'seq', (SELECT count(*) FROM docs),
        (SELECT count(*) FROM docs WHERE d % 4 = 0),
-       (SELECT count(*) FROM docs WHERE d % 4 > 0), 0, 0, md5('')
+       (SELECT count(*) FROM docs WHERE d % 4 > 0), 0, 0, md5(''),
+       (SELECT md5(coalesce(string_agg(
+          'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', chr(1)),
+          '')) FROM docs WHERE d % 4 = 0)
 UNION ALL
 SELECT 'first', (SELECT count(*) FROM seqs), 0, 0, 0,
        (SELECT CAST(sum(d + i) AS BIGINT) FROM seqs),
        (SELECT md5(string_agg(CAST(d + i AS VARCHAR), chr(1)
-                   ORDER BY CAST(d + i AS VARCHAR))) FROM seqs)
+                   ORDER BY CAST(d + i AS VARCHAR))) FROM seqs),
+       md5('')
 UNION ALL
 SELECT 'rest', (SELECT count(*) FROM seqs),
        (SELECT count(*) FROM docs WHERE d % 4 > 0),
        (SELECT CAST(sum(d % 4 - 1) AS BIGINT) FROM docs WHERE d % 4 > 0),
-       0, 0, md5('')
+       0, 0, md5(''),
+       (SELECT md5(coalesce(string_agg(
+          'http://www.w3.org/1999/02/22-rdf-syntax-ns#nil', chr(1)),
+          '')) FROM docs WHERE d % 4 > 0)
 ) ORDER BY pred
 """
 
@@ -13077,9 +13111,11 @@ def k2_turtle_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     real-world grammar the line-oriented read_turtle cannot see —
     ``;`` predicate lists, ``,`` object lists, a triple-quoted
     MULTI-LINE literal with an embedded quote and backslash escape, a
-    lang-tagged literal, bare-integer abbreviations, an anonymous
-    ``[...]`` blank node, and an ``(...)`` collection (empty every
-    4th doc — the rdf:nil-as-URI case). The reference parses this
+    lang-tagged literal, bare-integer abbreviations, a NESTED
+    anonymous ``[...]`` blank node (two levels), a LABELED ``_:``
+    blank-node subject, a RELATIVE IRI resolved against ``@base``
+    (pinned by a uri digest), and an ``(...)`` collection (empty
+    every 4th doc — the rdf:nil-as-URI case). The reference parses this
     surface via rdflib (razu/turtle.py:6-32); here a first-principles
     recursive-descent Turtle 1.1 parser runs one Arrow task per
     document. The oracle never sees the Turtle: it reconstructs every
@@ -13132,9 +13168,16 @@ def k2_turtle_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" ;\n    ex:words "), words,
         F.lit(" ;\n    ex:note \"\"\""), fw, F.lit("\n"), F.col("lang"),
         F.lit(" with \"q\" and \\\\ b\"\"\" ;\n    ex:ref [ ex:pos "),
-        i(d), F.lit(" ] ;\n    ex:seq "), seq, F.lit(" ."),
+        i(d),
+        F.lit(" ; ex:sub [ ex:deep \"x"), i(d),
+        F.lit("\" ] ] ;\n    ex:rel <r/"), i(d),
+        F.lit("> ;\n    ex:seq "), seq,
+        F.lit(" .\n_:m"), i(d), F.lit(" ex:mark "), i(d), F.lit(" ."),
     )
-    header = "@prefix ex: <http://example.org/> .\n"
+    header = (
+        "@prefix ex: <http://example.org/> .\n"
+        "@base <http://base.example/> .\n"
+    )
     first_in_partition = (
         F.monotonically_increasing_id() % F.lit(1 << 33)
     ) == 0
@@ -13152,6 +13195,7 @@ def k2_turtle_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = read_turtle_full(spark, base, glob="part-*")
     short = F.regexp_extract("p", r"([^/#]+)$", 1)
     lit = F.when(F.col("o_type") == "literal", F.col("o"))
+    uri = F.when(F.col("o_type") == "uri", F.col("o"))
     ints = F.when(
         F.col("o_datatype") == XSD + "integer", F.col("o").cast("long")
     )
@@ -13172,6 +13216,9 @@ def k2_turtle_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(
                 F.concat_ws("\x01", F.sort_array(F.collect_list(lit)))
             ).alias("lit_digest"),
+            F.md5(
+                F.concat_ws("\x01", F.sort_array(F.collect_list(uri)))
+            ).alias("uri_digest"),
         )
         .orderBy("pred")
     )
