@@ -923,3 +923,23 @@ def test_turtle_grouped_write_two_partial_aggs(spark):
     exchanges = _re.findall(r"\(\d+\) Exchange", plan)
     assert len(exchanges) == 2, plan[:400]
     assert "ObjectHashAggregate" in plan
+
+
+def test_bloom_reduction_all_broadcast_no_smj(spark):
+    """The runtime-filter entry must never shuffle the fact side for
+    a join: the bit-position dim and the exact-audit dim are both
+    broadcast; the only Exchanges are the dim-side distincts and the
+    final 1-row aggregates."""
+    plan = _plan(Q.j_bloom_semijoin_reduction(spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_zorder_and_compaction_no_python_stage(spark):
+    """Layout arithmetic is pure codegen — no Python anywhere."""
+    for entry in (Q.io_zorder_pruning, Q.io_compaction_plan):
+        plan = _plan(entry(spark, SF))
+        assert "ArrowEvalPython" not in plan, entry.__name__
+        assert "MapInPandas" not in plan, entry.__name__
+        assert "BatchEvalPython" not in plan, entry.__name__
