@@ -51,9 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # to the exact dot product (ADVICE r9 tie-break fix).
 # multimodal_tiff_decode: r10 added the planar-2 axis (d%19==4 RGB
 # non-tiled docs) — compression labels changed.
-_ROTATION_FORCE_REFRESH = frozenset({
-    "text_pdf_extract", "sim_mips_topk", "multimodal_tiff_decode",
-})
+_ROTATION_FORCE_REFRESH = frozenset({})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
@@ -93,18 +91,21 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "f8_identifier_templating", "f9_compose_filename", "f_geojson_bbox",
     "flagship_triples_oracle", "graph_bfs_levels", "graph_pagerank",
     "graph_triangle_count", "io_avro_roundtrip", "io_bucketed_join",
-    "io_bz2_foreign_roundtrip", "io_csv_dialect_sniff",
-    "io_csv_malformed", "io_jsonl_gz_roundtrip", "io_orc_roundtrip",
-    "io_parquet_footer_audit", "io_partitioned_pruning",
+    "io_bz2_foreign_roundtrip", "io_compaction_plan",
+    "io_csv_dialect_sniff", "io_csv_malformed", "io_jsonl_gz_roundtrip",
+    "io_orc_roundtrip", "io_parquet_footer_audit",
+    "io_partitioned_pruning", "io_schema_contract_diff",
     "io_schema_evolution", "io_tar_gz_roundtrip", "io_variant_json",
-    "io_zip_roundtrip", "j1_lookup_join", "j2_multilabel_resolve",
-    "j2_vocab_resolve", "j4_manifest_reconcile", "j5_changed_or_new",
-    "j6_set_diff", "j7_upload_verification", "j8_hierarchy_links",
-    "j_asof_forward", "j_asof_join", "j_asof_nearest",
+    "io_zip_roundtrip", "io_zorder_pruning", "j1_lookup_join",
+    "j2_multilabel_resolve", "j2_vocab_resolve",
+    "j4_manifest_reconcile", "j5_changed_or_new", "j6_set_diff",
+    "j7_upload_verification", "j8_hierarchy_links", "j_asof_forward",
+    "j_asof_join", "j_asof_nearest", "j_bloom_semijoin_reduction",
     "j_interval_overlap", "j_pit_scd2", "j_range_join_binned",
     "j_resample_ffill", "j_salted_skew_join", "j_spatial_grid_join",
     "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
     "k2_rdfxml_roundtrip", "k2_trig_roundtrip", "k2_trix_roundtrip",
+    "k2_turtle_foreign", "k2_turtle_grouped_roundtrip",
     "k2_turtle_roundtrip", "length_histogram", "mixture_sample",
     "multimodal_audio_spectral", "multimodal_chunk_audio",
     "multimodal_decode", "multimodal_features", "multimodal_gif_decode",
@@ -159,15 +160,16 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "t3_sorted_diff", "t_grouped_topk", "text_bpe_encode",
     "text_bpe_merges", "text_bpe_pair_counts", "text_charset_sniff",
     "text_chunk_dedup", "text_docx_extract", "text_dsir_importance",
-    "text_eml_extract", "text_fingerprints", "text_hash_classifier",
-    "text_html_extract", "text_html_meta", "text_language_id",
-    "text_lm_score", "text_markdown_extract", "text_mojibake_repair",
-    "text_novelty_ratio", "text_pdf_extract", "text_pii_luhn",
-    "text_pii_scrub", "text_quality_scores", "text_rarity_score",
-    "text_repetition_stats", "text_tfidf_topterms", "text_token_stats",
+    "text_eml_extract", "text_epub_extract", "text_fingerprints",
+    "text_hash_classifier", "text_html_extract", "text_html_meta",
+    "text_language_id", "text_lm_score", "text_markdown_extract",
+    "text_mojibake_repair", "text_novelty_ratio", "text_odt_extract",
+    "text_pdf_extract", "text_pii_luhn", "text_pii_scrub",
+    "text_quality_scores", "text_rarity_score", "text_repetition_stats",
+    "text_rtf_extract", "text_tfidf_topterms", "text_token_stats",
     "text_unicode_nfc", "text_vocab_coverage", "text_wikitext_extract",
-    "u2_graph_union_dedup", "u4_upsert_by_key", "u_intersect_all",
-    "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
+    "text_xlsx_extract", "u2_graph_union_dedup", "u4_upsert_by_key",
+    "u_intersect_all", "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
     "w_running_distinct", "w_running_total",
 })
 
