@@ -45,12 +45,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/update_rotation.py clears a name from this set as soon as a
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
-# text_pdf_extract: r10 added CID/ToUnicode fixture axes (d%5==2 CID
-# docs, d%23==11 unmapped-code flag notes) — output changed.
-# sim_mips_topk: r10 switched the ranking key from the lifted cosine
-# to the exact dot product (ADVICE r9 tie-break fix).
-# multimodal_tiff_decode: r10 added the planar-2 axis (d%19==4 RGB
-# non-tiled docs) — compression labels changed.
+# k2_turtle_grouped_roundtrip: r11 block-capped the grouped sink
+# (windowed block-id salting, VERDICT r10 item 1) and added the
+# ldto:hub0 super-subject fixture — output rows changed.
 _ROTATION_FORCE_REFRESH = frozenset({})
 
 _PREVIOUSLY_VERIFIED = frozenset({

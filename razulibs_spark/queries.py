@@ -13336,6 +13336,10 @@ def text_rtf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K2_TTL_GROUPED_SQL = f"""
 WITH triples AS ({_O2_SQL})
 SELECT s, p, o FROM triples
+UNION ALL
+SELECT 'ldto:hub0' AS s, 'schema:member' AS p,
+       'ldto:cust' || CAST(c_custkey AS VARCHAR) AS o
+FROM customer
 """
 
 
@@ -13350,17 +13354,34 @@ def k2_turtle_grouped_roundtrip(
     read it back with the recursive-descent full parser (the
     line-oriented reader CANNOT see this form), compact, and the
     oracle checks the cycle is the identity on the full O2 triple
-    set. Write side is pure codegen + two partial-aggregating
-    groupBys; read side is per-file Arrow tasks."""
+    set PLUS a deliberate super-node: subject ldto:hub0 holds one
+    schema:member triple per customer (1500 at sf0.01 — far above
+    the explicit obj_cap=100/pred_cap=4 passed here), so the sink's
+    block-salting actually fires at the driver gate: the hub spills
+    across ~15 object blocks and 4-entry predicate blocks, and the
+    roundtrip proves splitting is triple-invariant. Write side is
+    pure codegen + windowed block ids + partial-aggregating groupBys
+    (no unbounded per-subject collect_list — the r10 scale hazard);
+    read side is per-file Arrow tasks."""
     from razulibs_spark.operators.rdf import compact_triples, expand_triples
     from razulibs_spark.sources.turtle_full import (
         read_turtle_full,
         write_turtle_grouped,
     )
 
+    hub = T(spark, sf_dir, "customer").select(
+        F.lit("ldto:hub0").alias("s"),
+        F.lit("schema:member").alias("p"),
+        F.concat(F.lit("ldto:cust"), F.col("c_custkey").cast("string"))
+        .alias("o"),
+        F.lit("uri").alias("o_type"),
+        F.lit(None).cast("string").alias("o_datatype"),
+        F.lit(None).cast("string").alias("o_lang"),
+    )
+    triples = _o2_triples_full(spark, sf_dir).unionByName(hub)
     path = "/root/repo/.scratch/turtle_grouped_rt"
     write_turtle_grouped(
-        expand_triples(_o2_triples_full(spark, sf_dir)), path
+        expand_triples(triples), path, obj_cap=100, pred_cap=4
     )
     raw = read_turtle_full(spark, path, glob="part-*")
     return compact_triples(raw).select("s", "p", "o")

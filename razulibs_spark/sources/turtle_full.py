@@ -408,24 +408,63 @@ def read_turtle_full(
 # ---------------------------------------------------------------------------
 
 
-def write_turtle_grouped(triples: DataFrame, path: str) -> None:
+def write_turtle_grouped(
+    triples: DataFrame,
+    path: str,
+    obj_cap: int = 1024,
+    pred_cap: int = 64,
+) -> None:
     """K2 sink, predicate-list Turtle: per-SUBJECT blocks with ``;``
     predicate lists and ``,`` object lists — the form rdflib (and so
     the reference, razu/turtle.py:52-56) actually serializes, where
     write_turtle's one-triple-per-line output is the machine-friendly
-    subset. Entirely JVM-side: terms format in codegen, the grouping
-    is two partial-aggregating groupBys (s,p → object list, then s →
-    predicate list; sorted for byte-deterministic output), the prefix
-    header rides each partition's first row. Embedded newlines inside
-    a block are literal text-sink bytes; literals themselves carry
-    N-Triples escapes so no literal can smuggle a fake statement
-    terminator. Parse back with read_turtle_full (the line reader
-    cannot see this form — that asymmetry is the point)."""
+    subset (and ``write_ntriples`` remains the bulk path for raw
+    triple volume). Entirely JVM-side: terms format in codegen; the
+    grouping keys are SALTED by block id so no aggregation buffer and
+    no output row is ever unbounded on a skewed subject — Turtle
+    explicitly permits repeating a subject across blocks, so a
+    super-node subject (a provenance hub with 10⁶+ triples at 100×)
+    spills across blocks of at most ``obj_cap`` objects per
+    objectList and ``pred_cap`` predicate entries per block instead
+    of becoming one multi-GB collect_list row that AQE cannot split.
+    Block ids come from windowed row_numbers (partitioned narrowly by
+    (s,p) then s; Spark's window sorter spills to disk, unlike a
+    collect_list buffer), so output stays byte-deterministic and —
+    for every subject under the caps — byte-identical to the uncapped
+    form. The prefix header rides each partition's first row.
+    Embedded newlines inside a block are literal text-sink bytes;
+    literals themselves carry N-Triples escapes so no literal can
+    smuggle a fake statement terminator. Parse back with
+    read_turtle_full (the line reader cannot see this form — that
+    asymmetry is the point)."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.sources.rdf_io import TURTLE_FULL_HEADER
+
+    blocks = grouped_turtle_blocks(triples, obj_cap, pred_cap)
+    block = F.concat(F.col("sj"), F.lit(" "), F.col("po"), F.lit(" ."))
+    header = TURTLE_FULL_HEADER.rstrip("\n") + "\n"
+    first_in_partition = (
+        F.monotonically_increasing_id() % F.lit(1 << 33)
+    ) == 0
+    value = F.when(
+        first_in_partition, F.concat(F.lit(header), block)
+    ).otherwise(block)
+    blocks.select(value.alias("value")).write.mode("overwrite").text(path)
+
+
+def grouped_turtle_blocks(
+    triples: DataFrame, obj_cap: int, pred_cap: int
+) -> DataFrame:
+    """The sink's pre-write frame: one row per (subject, pred_blk)
+    with the rendered predicate-object list in ``po``. Exposed so
+    plan tests can assert the block-cap shape (no unbounded
+    per-subject aggregation) without a filesystem write."""
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from razulibs_spark.operators.rdf import EXPANSIONS
     from razulibs_spark.sources.rdf_io import (
-        TURTLE_FULL_HEADER,
         _escape_literal,
         _turtle_uri,
         _widen,
@@ -455,27 +494,37 @@ def write_turtle_grouped(triples: DataFrame, path: str) -> None:
         .otherwise(lit_body)
     )
     terms = t.select(subj.alias("sj"), pred.alias("pd"), obj.alias("ob"))
-    by_pred = terms.groupBy("sj", "pd").agg(
-        F.array_join(
-            F.sort_array(F.collect_list("ob")), ", "
-        ).alias("objs")
+    w_obj = Window.partitionBy("sj", "pd").orderBy("ob")
+    by_pred = (
+        terms.withColumn(
+            "obj_blk",
+            ((F.row_number().over(w_obj) - 1) / F.lit(obj_cap))
+            .cast("long"),
+        )
+        .groupBy("sj", "pd", "obj_blk")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("ob")), ", "
+            ).alias("objs")
+        )
     )
-    blocks = by_pred.groupBy("sj").agg(
-        F.array_join(
-            F.sort_array(
-                F.collect_list(
-                    F.concat(F.col("pd"), F.lit(" "), F.col("objs"))
-                )
-            ),
-            " ;\n    ",
-        ).alias("po")
+    w_pred = Window.partitionBy("sj").orderBy("pd", "obj_blk")
+    blocks = (
+        by_pred.withColumn(
+            "pred_blk",
+            ((F.row_number().over(w_pred) - 1) / F.lit(pred_cap))
+            .cast("long"),
+        )
+        .groupBy("sj", "pred_blk")
+        .agg(
+            F.array_join(
+                F.sort_array(
+                    F.collect_list(
+                        F.concat(F.col("pd"), F.lit(" "), F.col("objs"))
+                    )
+                ),
+                " ;\n    ",
+            ).alias("po")
+        )
     )
-    block = F.concat(F.col("sj"), F.lit(" "), F.col("po"), F.lit(" ."))
-    header = TURTLE_FULL_HEADER.rstrip("\n") + "\n"
-    first_in_partition = (
-        F.monotonically_increasing_id() % F.lit(1 << 33)
-    ) == 0
-    value = F.when(
-        first_in_partition, F.concat(F.lit(header), block)
-    ).otherwise(block)
-    blocks.select(value.alias("value")).write.mode("overwrite").text(path)
+    return blocks

@@ -887,42 +887,75 @@ def test_new_format_extractors_single_arrow_pass(spark):
         assert "BatchEvalPython" not in plan, entry.__name__
 
 
-def test_turtle_grouped_write_two_partial_aggs(spark):
-    """write_turtle_grouped: term formatting is codegen; the grouping
-    is two hash aggregations with map-side partials — no sort-based
-    fallback, no Python."""
-    from pyspark.sql import functions as F
-
+def test_turtle_grouped_write_block_capped(spark):
+    """write_turtle_grouped: term formatting is codegen and the
+    grouping keys are salted by windowed block ids, so the plan has
+    NO unbounded per-subject aggregation — every collect_list groups
+    on a key that includes a block id, every aggregation buffer is
+    bounded by obj_cap·pred_cap, and no Python stage appears. The
+    window sorter spills; the r10 scale hazard (one multi-GB
+    collect_list row for a super-node subject) is structurally
+    impossible."""
     from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
-    from razulibs_spark.sources.rdf_io import (
-        _escape_literal,
-        _turtle_uri,
-    )
+    from razulibs_spark.sources.turtle_full import grouped_turtle_blocks
 
     t = spark.createDataFrame(
         [("http://e/s", "http://e/p", "v", "literal", None, None)],
         TRIPLE_SCHEMA,
     )
-    # reproduce the sink's plan up to (not including) the text write
-    subj = _turtle_uri(F.col("s"))
-    pred = _turtle_uri(F.col("p"))
-    obj = F.concat(F.lit('"'), _escape_literal(F.col("o")), F.lit('"'))
-    terms = t.select(subj.alias("sj"), pred.alias("pd"), obj.alias("ob"))
-    by_pred = terms.groupBy("sj", "pd").agg(
-        F.array_join(F.sort_array(F.collect_list("ob")), ", ").alias("objs")
-    )
-    blocks = by_pred.groupBy("sj").agg(
-        F.array_join(F.sort_array(F.collect_list("objs")), " ;\n").alias("po")
-    )
+    blocks = grouped_turtle_blocks(t, obj_cap=1024, pred_cap=64)
     plan = _plan(blocks)
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
-    # two shuffle nodes, each named twice + once in a detail header
-    # (formatted explain repeats nodes); count the tree entries only
+    # both grouping keys carry their block-id salt
+    assert "obj_blk" in plan and "pred_blk" in plan
+    assert "ObjectHashAggregate" in plan
+    # two windows (the block-id row_numbers) feed the two aggregations
     import re as _re
 
-    exchanges = _re.findall(r"\(\d+\) Exchange", plan)
-    assert len(exchanges) == 2, plan[:400]
-    assert "ObjectHashAggregate" in plan
+    windows = _re.findall(r"\(\d+\) Window", plan)
+    assert len(windows) == 2, plan[:600]
+
+
+def test_turtle_grouped_super_subject_splits(spark):
+    """A subject with ≫obj_cap objects spills across multiple blocks
+    (Turtle permits repeated subjects), each block holds at most
+    obj_cap·pred_cap terms, and the union of blocks is exactly the
+    input objects — the cap changes layout, never triples."""
+    from pyspark.sql import Row
+
+    from razulibs_spark.operators.rdf import TRIPLE_SCHEMA
+    from razulibs_spark.sources.turtle_full import grouped_turtle_blocks
+
+    rows = [
+        ("http://e/hub", "http://e/member", f"http://e/m{i:04d}",
+         "uri", None, None)
+        for i in range(57)
+    ] + [
+        ("http://e/hub", f"http://e/p{j}", f"v{j}", "literal", None, None)
+        for j in range(9)
+    ]
+    t = spark.createDataFrame(rows, TRIPLE_SCHEMA)
+    out = [
+        r.asDict()
+        for r in grouped_turtle_blocks(t, obj_cap=10, pred_cap=3)
+        .collect()
+    ]
+    # 57 members / 10 per objectList = 6 object blocks, + 9 literal
+    # predicates = 15 predicate entries / 3 per block = 5 blocks
+    assert len(out) == 5
+    assert all(r["sj"] == "<http://e/hub>" for r in out)
+    terms: list[str] = []
+    for r in out:
+        for entry in r["po"].split(" ;\n    "):
+            pd, objs = entry.split(" ", 1)
+            for ob in objs.split(", "):
+                terms.append((pd, ob))
+                assert len(objs.split(", ")) <= 10
+    assert len(terms) == len(set(terms)) == 57 + 9
+    member_objs = sorted(
+        ob for pd, ob in terms if pd == "<http://e/member>"
+    )
+    assert member_objs == [f"<http://e/m{i:04d}>" for i in range(57)]
 
 
 def test_bloom_reduction_all_broadcast_no_smj(spark):
