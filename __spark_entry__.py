@@ -45,10 +45,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # scripts/update_rotation.py clears a name from this set as soon as a
 # newer CORRECTNESS artifact records it again, so stale entries cannot
 # permanently occupy window slots.
+# Entries are round-stamped "name@N": the name re-enters the window
+# and update_rotation.py clears it only once a CORRECTNESS_r{M}.json
+# with M >= N records it — an OLDER green row (from before the code
+# change that motivated the refresh) must not clear it.
 # k2_turtle_grouped_roundtrip: r11 block-capped the grouped sink
 # (windowed block-id salting, VERDICT r10 item 1) and added the
 # ldto:hub0 super-subject fixture — output rows changed.
-_ROTATION_FORCE_REFRESH = frozenset({})
+_ROTATION_FORCE_REFRESH = frozenset({
+    "k2_turtle_grouped_roundtrip@11",
+})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
@@ -172,8 +178,12 @@ _PREVIOUSLY_VERIFIED = frozenset({
 
 
 # The set the rotation actually orders by: force-refreshed names are
-# treated as never-verified so they re-enter the window.
-_EFFECTIVE_VERIFIED = _PREVIOUSLY_VERIFIED - _ROTATION_FORCE_REFRESH
+# treated as never-verified so they re-enter the window. Entries may
+# carry a round stamp ("name@N") consumed by update_rotation.py; the
+# bare name is what the ordering subtracts.
+_EFFECTIVE_VERIFIED = _PREVIOUSLY_VERIFIED - frozenset(
+    n.split("@", 1)[0] for n in _ROTATION_FORCE_REFRESH
+)
 
 
 def _round_counter() -> int:

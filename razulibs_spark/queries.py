@@ -47,7 +47,29 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
+    """Register a driver-contract query. Refuses duplicates AT IMPORT
+    TIME: in both r9 (`events_markov_transitions`) and r10 (`aa3afc9`)
+    a later def silently shadowed an earlier registration of the same
+    name, breaking the earlier operator's test — a re-registration now
+    raises instead of replacing (VERDICT r10 item 4). Function-object
+    identity is also checked so an accidental double-decoration of the
+    same def raises rather than passing as a harmless no-op."""
+
     def deco(fn):
+        if name in QUERIES:
+            raise ValueError(
+                f"@query({name!r}) already registered by "
+                f"{QUERIES[name].__name__!r} — duplicate registry "
+                "entry; pick a fresh name or delete the old def"
+            )
+        clash = next(
+            (n for n, f in QUERIES.items() if f is fn), None
+        )
+        if clash is not None:
+            raise ValueError(
+                f"@query({name!r}) reuses the function object already "
+                f"registered as {clash!r} — double decoration"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

@@ -54,20 +54,35 @@ def main() -> None:
     if n != 1:
         raise SystemExit("could not find _PREVIOUSLY_VERIFIED block")
 
-    # Clear force-refresh names once the LATEST artifact has re-recorded
-    # them: a stale _ROTATION_FORCE_REFRESH would keep treating them as
-    # never-verified forever, permanently consuming window slots.
-    latest_paths = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
-    latest = set()
-    if latest_paths:
-        with open(latest_paths[-1]) as f:
-            latest = set(json.load(f))
+    # Clear force-refresh names once an artifact AT OR AFTER the name's
+    # round stamp has re-recorded them: a stale _ROTATION_FORCE_REFRESH
+    # would keep treating them as never-verified forever, permanently
+    # consuming window slots — but an OLDER green row (predating the
+    # code change that motivated the refresh, e.g. the name happened to
+    # sit in the latest round's window already) must NOT clear it.
+    # Entries are "name@N" (clear when CORRECTNESS_r{M>=N} records the
+    # name); a bare "name" behaves as "@0" (any artifact clears it).
+    recorded_by_round: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd_m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(rnd_m.group(1)) if rnd_m else 0
+        with open(path) as f:
+            for name in json.load(f):
+                recorded_by_round[name] = max(
+                    recorded_by_round.get(name, -1), rnd
+                )
     m = re.search(
         r"_ROTATION_FORCE_REFRESH = frozenset\(\{(.*?)\}\)", new_src, re.S
     )
     if m:
         current = set(re.findall(r'"([^"]+)"', m.group(1)))
-        remaining = sorted(current - latest)
+
+        def _cleared(entry: str) -> bool:
+            name, _, stamp = entry.partition("@")
+            needed = int(stamp) if stamp else 0
+            return recorded_by_round.get(name, -1) >= needed
+
+        remaining = sorted(e for e in current if not _cleared(e))
         if remaining != sorted(current):
             inner = (
                 "\n    " + ", ".join(f'"{r}"' for r in remaining) + ",\n"

@@ -98,3 +98,42 @@ def test_bench_headline_covers_every_registry_entry():
     assert not missing, sorted(missing)
     unknown = set(bench.HEADLINE) - set(entry.queries())
     assert not unknown, sorted(unknown)
+
+
+def test_query_decorator_refuses_duplicate_name():
+    """The registry shadow-guard (VERDICT r10 item 4): re-registering
+    an existing @query name must raise at decoration time, not
+    silently shadow the earlier def — the trap hit in both r9
+    (events_markov_transitions) and r10 (aa3afc9)."""
+    import pytest
+
+    from razulibs_spark import queries as Q
+
+    existing = next(iter(Q.QUERIES))
+    with pytest.raises(ValueError, match="already registered"):
+
+        @Q.query(existing)
+        def dupe(spark, sf_dir):  # pragma: no cover - must not register
+            raise AssertionError
+
+    assert Q.QUERIES[existing].__name__ != "dupe"
+
+
+def test_query_decorator_refuses_double_decoration():
+    """The same function object registered under two names is a
+    double decoration, not a new operator — raise, then roll back the
+    probe registration so the registry is untouched."""
+    import pytest
+
+    from razulibs_spark import queries as Q
+
+    @Q.query("zz_probe_entry_for_shadow_guard")
+    def probe(spark, sf_dir):  # pragma: no cover
+        raise AssertionError
+
+    try:
+        with pytest.raises(ValueError, match="double decoration"):
+            Q.query("zz_probe_entry_2")(probe)
+        assert "zz_probe_entry_2" not in Q.QUERIES
+    finally:
+        del Q.QUERIES["zz_probe_entry_for_shadow_guard"]
