@@ -207,7 +207,7 @@ def encode_epub(
         add("book/ch2.xhtml", _chapter_xhtml(2, c2))
         add(
             "book/cover.xhtml",
-            '<html xmlns="http://www.w3.org/1999/xhtml><body>'
+            '<html xmlns="http://www.w3.org/1999/xhtml"><body>'
             "<p>COVER APPARATUS not prose</p></body></html>",
         )
     return buf.getvalue()
@@ -276,7 +276,7 @@ def epub_text_stats(media: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 try:
                     m = parse_epub(bytes(payload))
-                except ValueError as exc:
+                except (ValueError, ET.ParseError) as exc:
                     rows.append(
                         (d, False, None, None, None, None, str(exc))
                     )

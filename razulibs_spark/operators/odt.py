@@ -259,7 +259,7 @@ def odt_text_stats(media: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 try:
                     m = parse_odt(bytes(payload))
-                except ValueError as exc:
+                except (ValueError, ET.ParseError) as exc:
                     rows.append((d, False, None, None, str(exc)))
                     continue
                 rows.append(

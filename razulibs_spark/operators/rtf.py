@@ -130,14 +130,24 @@ def rtf_to_text(payload: bytes) -> str:
                 just_opened = False
                 continue
             if sym == b"~":
-                if not skipping and not pending_skip:
-                    out.append("\u00a0")
+                # \uN fallback counting includes control symbols: a
+                # pending skip CONSUMES this symbol (decrement, emit
+                # nothing) \u2014 suppressing without decrementing would
+                # swallow the wrong following character instead.
+                if not skipping:
+                    if pending_skip:
+                        pending_skip -= 1
+                    else:
+                        out.append("\u00a0")
                 i += 2
                 just_opened = False
                 continue
             if sym in (b"-", b"_"):  # soft/non-breaking hyphen
-                if not skipping and not pending_skip:
-                    out.append("" if sym == b"-" else "\u2011")
+                if not skipping:
+                    if pending_skip:
+                        pending_skip -= 1
+                    else:
+                        out.append("" if sym == b"-" else "\u2011")
                 i += 2
                 just_opened = False
                 continue

@@ -35,6 +35,7 @@ stateless, linear — the media-family shape.
 from __future__ import annotations
 
 import io
+import posixpath
 import zipfile
 from typing import Iterator
 
@@ -105,8 +106,14 @@ def parse_xlsx(payload: bytes) -> dict:
             break
     if target is None:
         raise ValueError(f"xlsx: relationship {rid} not found")
-    part = "xl/" + target.lstrip("/") if not target.startswith("xl/") \
-        else target
+    # OPC target resolution (ECMA-376 pt.2 §9.2): a leading '/' is a
+    # package-absolute part name; anything else resolves relative to
+    # the SOURCE part's directory (xl/ for workbook.xml.rels), with
+    # ../ segments normalized — foreign producers emit both forms.
+    if target.startswith("/"):
+        part = target.lstrip("/")
+    else:
+        part = posixpath.normpath(posixpath.join("xl", target))
     if part not in names:
         raise ValueError(f"xlsx: sheet part {part} missing in package")
 
@@ -334,7 +341,7 @@ def xlsx_stats(media: DataFrame) -> DataFrame:
                 d = int(doc_id)
                 try:
                     m = parse_xlsx(bytes(payload))
-                except ValueError as exc:
+                except (ValueError, ET.ParseError) as exc:
                     rows.append(
                         (d, False, None, None, None, None, str(exc))
                     )

@@ -286,7 +286,12 @@ class _Parser:
             t = self._peek()
             if t == ("punct", ";"):
                 self._next()
-                # trailing `;` before `.`/`]` is legal
+                # the grammar is (';' (verb objectList)?)* — EVERY
+                # `;` may carry an empty tail, so consecutive `;`
+                # separators are legal (lenient serializers emit
+                # them), as is a trailing `;` before `.`/`]`
+                while self._peek() == ("punct", ";"):
+                    self._next()
                 t2 = self._peek()
                 if t2 in (("punct", "."), ("punct", "]")) or t2 is None:
                     return

@@ -41,6 +41,16 @@ def test_control_symbols_and_bin():
         rtf_to_text(rb"{\rtf1 \bin999 xy}")
 
 
+def test_fallback_consumes_control_symbols():
+    # fallback counting includes CONTROL SYMBOLS (\\~ \\- \\_): each is
+    # consumed as one fallback char, so the character AFTER it stays
+    # (ADVICE r10: suppress-without-decrement swallowed the wrong
+    # following character)
+    assert rtf_to_text(rb"{\rtf1\uc1 x\u8364\~y}") == "x\u20acy"
+    assert rtf_to_text(rb"{\rtf1\uc1 x\u8364\-y}") == "x\u20acy"
+    assert rtf_to_text(rb"{\rtf1\uc2 x\u8364\~\_y}") == "x\u20acy"
+
+
 def test_codepage_bytes():
     assert rtf_to_text(rb"{\rtf1\ansicpg1252 caf\'e9}") == "café"
     assert rtf_to_text(rb"{\rtf1\ansicpg1251 \'e4\'ee\'ec}") == "дом"

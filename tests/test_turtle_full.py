@@ -210,3 +210,14 @@ def test_read_turtle_full_gzipped_documents(spark, tmp_path):
 
     rows = read_turtle_full(spark, str(tmp_path)).collect()
     assert sorted(r["o"] for r in rows) == ["1", "2", "3"]
+
+
+def test_consecutive_semicolons_are_legal():
+    # grammar: predicateObjectList ::= verb objectList (';' (verb
+    # objectList)?)* — every ';' may carry an empty tail, so lenient
+    # serializers legally emit ';' runs (ADVICE r10)
+    rows = parse_turtle(_ttl('ex:s ex:p 1 ; ; ex:q 2 ; ; .\n'))
+    assert [(r["p"], r["o"]) for r in rows] == [
+        ("http://example.org/p", "1"),
+        ("http://example.org/q", "2"),
+    ]

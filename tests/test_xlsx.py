@@ -87,3 +87,55 @@ def test_xlsx_stage_fail_closed(spark):
     assert rows[0]["parsed"] is True and rows[0]["n_cells"] == 15
     assert rows[21]["parsed"] is False
     assert "missing in package" in rows[21]["note"]
+
+
+def test_opc_absolute_and_updir_targets_resolve():
+    """ECMA-376 pt.2 §9.2: Target="/xl/worksheets/sheetA.xml" is
+    package-absolute; Target="../xl/worksheets/sheetA.xml"-style
+    updir segments normalize against the source part's directory
+    (ADVICE r10: absolute targets used to double the xl/ prefix)."""
+    import io as _io
+
+    for new_target in (b'"/xl/worksheets/sheetA.xml"',
+                       b'"../xl/worksheets/sheetA.xml"'):
+        blob = encode_xlsx(3, ["w"])
+        src = zipfile.ZipFile(_io.BytesIO(blob))
+        buf = _io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as out:
+            for name in src.namelist():
+                data = src.read(name)
+                if name == "xl/_rels/workbook.xml.rels":
+                    assert b'"worksheets/sheetA.xml"' in data
+                    data = data.replace(
+                        b'"worksheets/sheetA.xml"', new_target
+                    )
+                out.writestr(name, data)
+        m = parse_xlsx(buf.getvalue())
+        assert m["n_cells"] > 0, new_target
+
+
+def test_malformed_xml_is_fail_closed_not_task_fatal(spark):
+    """A well-formed zip holding malformed XML must become a
+    parsed=false row, not kill the Arrow task (ADVICE r10:
+    ET.ParseError is a SyntaxError, not a ValueError)."""
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators.xlsx import xlsx_stats
+
+    blob = encode_xlsx(3, ["w"])
+    src = zipfile.ZipFile(_io.BytesIO(blob))
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "xl/workbook.xml":
+                data = b"<workbook><unclosed"
+            out.writestr(name, data)
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    rows = xlsx_stats(media).collect()
+    assert len(rows) == 1 and rows[0]["parsed"] is False
+    assert rows[0]["note"]
