@@ -52,8 +52,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # k2_turtle_grouped_roundtrip: r11 block-capped the grouped sink
 # (windowed block-id salting, VERDICT r10 item 1) and added the
 # ldto:hub0 super-subject fixture — output rows changed.
+# text_xlsx_extract: r11 added the date/styles layer (row 5 serials)
+# and the foreign-producer 1904/absolute-target axis — output changed.
 _ROTATION_FORCE_REFRESH = frozenset({
     "k2_turtle_grouped_roundtrip@11",
+    "text_xlsx_extract@11",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

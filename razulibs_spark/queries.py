@@ -13267,12 +13267,31 @@ dig AS (SELECT d,
         || chr(1) || 'C4=' || CASE WHEN (d+2) % 2 = 1
              THEN 'TRUE' ELSE 'FALSE' END
         || chr(1) || 'E4=f' || CAST(d+2 AS VARCHAR)
+        || chr(1) || 'F5='
+        || strftime(DATE '1899-12-30' + CAST(45000 + d % 1000 AS INTEGER), '%Y-%m-%d')
+        || chr(1) || 'G5='
+        || strftime(DATE '1899-12-30' + CAST(45000 + d % 1000 AS INTEGER), '%Y-%m-%d')
+        || 'T06:00:00'
+        || chr(1) || 'H5='
+        || strftime(DATE '1899-12-31' + CAST(1 + d % 59 AS INTEGER), '%Y-%m-%d')
+        || chr(1) || 'I5=3.14'
+        || chr(1) || 'J5=18:00:00'
+        || chr(1) || 'K5=1900-02-29'
         AS flat
-        FROM w WHERE d % 29 <> 21)
+        FROM w WHERE d % 29 <> 21 AND d % 17 <> 3),
+fdig AS (SELECT d,
+        'A1=id' || chr(1) || 'B1='
+        || strftime(DATE '1904-01-01' + CAST(100 + d % 20000 AS INTEGER), '%Y-%m-%d')
+        || chr(1) || 'A2=' || CAST(d AS VARCHAR) AS flat
+        FROM w WHERE d % 29 <> 21 AND d % 17 = 3)
 SELECT d AS doc_id, TRUE AS parsed, 'Data' AS sheet_name,
-       CAST(4 AS BIGINT) AS n_rows, CAST(15 AS BIGINT) AS n_cells,
+       CAST(5 AS BIGINT) AS n_rows, CAST(21 AS BIGINT) AS n_cells,
        md5(flat) AS cell_digest, CAST(NULL AS VARCHAR) AS note
 FROM dig
+UNION ALL
+SELECT d, TRUE, 'Foreign', CAST(2 AS BIGINT), CAST(3 AS BIGINT),
+       md5(flat), CAST(NULL AS VARCHAR)
+FROM fdig
 UNION ALL
 SELECT d, FALSE, NULL, NULL, NULL, NULL,
        'xlsx: sheet part xl/worksheets/sheetA.xml missing in package'

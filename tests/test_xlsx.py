@@ -14,7 +14,7 @@ def test_value_layer_traps():
     m = parse_xlsx(encode_xlsx(7, ["alpha", "beta", "gamma"]))
     cells = dict(m["cells"])
     assert m["sheet_name"] == "Data"
-    assert (m["n_rows"], m["n_cells"]) == (4, 15)
+    assert (m["n_rows"], m["n_cells"]) == (5, 21)
     # rich-text shared string concatenates its runs
     assert cells["D1"] == "w-7"
     # shared / inline / bool / number / cached-formula
@@ -24,6 +24,13 @@ def test_value_layer_traps():
     assert cells["E2"] == "f7"  # cached value, not CONCAT("f",7)
     # sparse grid: no D2..D4, no C1/E1
     assert "D2" not in cells and "C1" not in cells
+    # date layer: styled serials render as what a user READS
+    assert cells["F5"] == "2023-03-22"       # builtin 14, serial 45007
+    assert cells["G5"] == "2023-03-22T06:00:00"   # builtin 22, .25 day
+    assert cells["H5"] == "1900-01-08"       # custom 164, Lotus zone
+    assert cells["I5"] == "3.14"             # 0.00 is NOT a date
+    assert cells["J5"] == "18:00:00"         # builtin 18, time-only
+    assert cells["K5"] == "1900-02-29"       # the Lotus ghost day
 
 
 def test_sheet_resolved_via_opc_walk_not_name():
@@ -84,7 +91,7 @@ def test_xlsx_stage_fail_closed(spark):
     )
     rows = {r["doc_id"]: r
             for r in xlsx_stats(synthesize_xlsx_media(docs)).collect()}
-    assert rows[0]["parsed"] is True and rows[0]["n_cells"] == 15
+    assert rows[0]["parsed"] is True and rows[0]["n_cells"] == 21
     assert rows[21]["parsed"] is False
     assert "missing in package" in rows[21]["note"]
 
@@ -139,3 +146,55 @@ def test_malformed_xml_is_fail_closed_not_task_fatal(spark):
     rows = xlsx_stats(media).collect()
     assert len(rows) == 1 and rows[0]["parsed"] is False
     assert rows[0]["note"]
+
+
+def test_foreign_producer_1904_absolute_target():
+    """Second-producer axis: package-absolute rels Target, 1904
+    epoch, inline strings, no sharedStrings part — extraction is
+    producer-invariant and the epoch flag changes the calendar."""
+    from razulibs_spark.operators.xlsx import encode_xlsx_foreign
+
+    m = parse_xlsx(encode_xlsx_foreign(3))
+    cells = dict(m["cells"])
+    assert m["sheet_name"] == "Foreign"
+    assert (m["n_rows"], m["n_cells"]) == (2, 3)
+    assert cells["A1"] == "id"
+    assert cells["B1"] == "1904-04-13"  # serial 103, 1904 system
+    assert cells["A2"] == "3"
+
+
+def test_date_serial_edges():
+    """Serial 60 is the nonexistent 1900-02-29 (Lotus bug, rendered
+    as Excel displays it); 59/61 straddle it correctly; negative
+    serials fail closed."""
+    import pytest as _pt
+
+    from razulibs_spark.operators.xlsx import _serial_to_iso
+
+    assert _serial_to_iso("59", False) == "1900-02-28"
+    assert _serial_to_iso("60", False) == "1900-02-29"
+    assert _serial_to_iso("60.5", False) == "1900-02-29T12:00:00"
+    assert _serial_to_iso("61", False) == "1900-03-01"
+    assert _serial_to_iso("1", False) == "1900-01-01"
+    assert _serial_to_iso("0.5", False) == "12:00:00"
+    assert _serial_to_iso("0", True) == "1904-01-01"
+    with _pt.raises(ValueError, match="negative date serial"):
+        _serial_to_iso("-1", False)
+
+
+def test_custom_format_token_scan():
+    """Custom formatCode classification: quoted literals, escapes and
+    color sections must not trigger; elapsed [h]/[mm] must."""
+    from razulibs_spark.operators.xlsx import _is_date_fmt
+
+    c = {164: 'yyyy"/"mm"/"dd;@', 165: '"yes"0"no";@',
+         166: "[Red]0.00", 167: "[h]:mm:ss", 168: "0.00E+00",
+         169: '\\d0.0', 170: "#,##0_);[Red](#,##0)"}
+    assert _is_date_fmt(164, c)
+    assert not _is_date_fmt(165, c)   # y/m only inside quotes
+    assert not _is_date_fmt(166, c)   # [Red] is a color, not a token
+    assert _is_date_fmt(167, c)       # elapsed-time brackets
+    assert not _is_date_fmt(168, c)   # scientific E is not a token
+    assert not _is_date_fmt(169, c)   # \d is an escaped literal
+    assert not _is_date_fmt(170, c)
+    assert _is_date_fmt(14, {}) and not _is_date_fmt(2, {})
