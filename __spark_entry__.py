@@ -54,9 +54,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # ldto:hub0 super-subject fixture — output rows changed.
 # text_xlsx_extract: r11 added the date/styles layer (row 5 serials)
 # and the foreign-producer 1904/absolute-target axis — output changed.
+# text_pdf_extract: r11 added encryption axes (d%23 in {5,7} RC4
+# empty-password, d%89==3 password-protected fail-closed rows).
 _ROTATION_FORCE_REFRESH = frozenset({
     "k2_turtle_grouped_roundtrip@11",
     "text_xlsx_extract@11",
+    "text_pdf_extract@11",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

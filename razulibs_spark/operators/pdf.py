@@ -25,6 +25,7 @@ embarrassingly parallel, linear in document bytes.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 
@@ -79,6 +80,8 @@ def encode_pdf(
     cid_font: bool = False,
     cmap_skip: frozenset[str] = frozenset(),
     split_contents: bool = False,
+    encrypt: str | None = None,
+    user_password: str = "",
 ) -> bytes:
     """Minimal valid PDF: catalog → pages tree → one content stream
     per page, each line a ``(…) Tj`` show plus a ``T*`` line feed,
@@ -98,7 +101,13 @@ def encode_pdf(
     ``split_contents`` each page's /Contents is an ARRAY of two
     stream objects split at a token boundary — per ISO 32000 §7.8.2
     the streams concatenate into one logical content stream, a layout
-    many generators emit per drawing layer."""
+    many generators emit per drawing layer. ``encrypt`` ("rc4-40" =
+    V1/R2, "rc4-128" = V2/R3) applies the standard security handler:
+    every stream encrypts under its per-object RC4 key (AFTER
+    compression — encryption is the outermost layer), an /Encrypt
+    dict + /ID land in the trailer, and /O//U are computed from a
+    fixed owner password and ``user_password`` (empty = the
+    print-protected form every conforming reader silently opens)."""
     n_pages = len(pages)
     # object numbering: 1=catalog, 2=pages, 3=font, then per page i:
     # page dict (4+2i), content stream (5+2i); the ToUnicode CMap
@@ -219,6 +228,57 @@ def encode_pdf(
         objs = dict_objs + stream_objs
     objs.sort()
 
+    trailer_extra = ""
+    if encrypt is not None:
+        from razulibs_spark.operators.pdf_crypto import (
+            compute_o,
+            compute_u,
+            file_key,
+            object_key,
+            rc4,
+        )
+
+        if encrypt == "rc4-40":
+            v, r, bits = 1, 2, 40
+        elif encrypt == "rc4-128":
+            v, r, bits = 2, 3, 128
+        else:
+            raise ValueError(f"encode_pdf: unknown encrypt {encrypt!r}")
+        pwd = user_password.encode("latin-1")
+        perm = -44  # print allowed, modify/copy denied — typical
+        id0 = hashlib.md5(
+            b"razulibs-pdf-id" + repr(pages).encode()
+        ).digest()
+        o_val = compute_o(b"fixture-owner", pwd, r, bits)
+        key = file_key(o_val, perm, id0, r, bits, pwd)
+        u_val = compute_u(key, id0, r)
+        stream_head = re.compile(rb"stream\r?\n")
+        enc_objs = []
+        for n, body in objs:
+            st = stream_head.search(body)
+            if st:
+                lm = re.search(rb"/Length\s+(\d+)", body)
+                ln = int(lm.group(1))
+                data = body[st.end():st.end() + ln]
+                data = rc4(object_key(key, n, 0), data)
+                body = body[:st.end()] + data + body[st.end() + ln:]
+            enc_objs.append((n, body))
+        enc_num = max(n for n, _ in enc_objs) + 1
+        enc_objs.append(
+            (
+                enc_num,
+                (
+                    f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+                    f"/P {perm} /O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+                ).encode(),
+            )
+        )
+        objs = enc_objs
+        trailer_extra = (
+            f" /Encrypt {enc_num} 0 R"
+            f" /ID [<{id0.hex()}> <{id0.hex()}>]"
+        )
+
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for n, body in objs:
@@ -234,7 +294,8 @@ def encode_pdf(
         # entries; the parser never reads the table either way)
         out += f"{offsets.get(n, 0):010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {max_num + 1} /Root 1 0 R"
+        f"{trailer_extra} >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -290,6 +351,23 @@ def _parse_string_literal(data: bytes, pos: int) -> tuple[bytes, int]:
             out.append(c)
             i += 1
     raise ValueError("pdf: unterminated string literal")
+
+
+def _dict_string(body: bytes, name: bytes) -> bytes:
+    """/Name value as raw bytes, accepting both forms producers emit:
+    hex (<…>) and literal ((…) with escapes). Used for the /O and /U
+    entries of the encrypt dictionary."""
+    m = re.search(rb"/" + name + rb"\s*(<[0-9A-Fa-f\s]*>|\()", body)
+    if not m:
+        raise ValueError(f"pdf: encrypt dict without /{name.decode()}")
+    tok = m.group(1)
+    if tok.startswith(b"<"):
+        hexs = re.sub(rb"\s", b"", tok[1:-1])
+        if len(hexs) % 2:
+            hexs += b"0"
+        return bytes.fromhex(hexs.decode())
+    val, _ = _parse_string_literal(body, m.start(1))
+    return val
 
 
 _OPERATOR_RE = re.compile(rb"[A-Za-z'\"*]+")
@@ -459,10 +537,72 @@ def parse_pdf_text(payload: bytes) -> dict:
     # sf0.01 corpus: a Flate stream ending in 0x0D lost its last byte
     # to the \\r?\\nendstream delimiter).
     objects: dict[int, tuple[int, bytes]] = {}
+    gens: dict[int, int] = {}
     for m in _OBJ_RE.finditer(buf):
         objects[int(m.group(1))] = (m.start(3), m.group(3))
+        gens[int(m.group(1))] = int(m.group(2))
     if not objects:
         raise ValueError("pdf: no objects")
+
+    # Standard security handler (§7.6.3): a trailer /Encrypt means
+    # every stream (and string) is RC4-encrypted under a per-object
+    # key. Print-protected corpora have an EMPTY user password — we
+    # derive the file key from it (Algorithm 2), verify against /U
+    # (Algorithm 6), and decrypt transparently; a real user password
+    # fails CLOSED with a named error.
+    file_enc_key: bytes | None = None
+    enc_num = -1
+    enc_m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", buf)
+    if enc_m:
+        from razulibs_spark.operators.pdf_crypto import (
+            file_key,
+            object_key,
+            rc4,
+            verify_user_password,
+        )
+
+        enc_num = int(enc_m.group(1))
+        if enc_num not in objects:
+            raise ValueError(
+                f"pdf: /Encrypt points at missing object {enc_num}"
+            )
+        ebody = objects[enc_num][1]
+        if b"/Standard" not in ebody:
+            raise ValueError(
+                "pdf: unsupported security handler (not /Standard)"
+            )
+        v_m = re.search(rb"/V\s+(\d+)", ebody)
+        r_m = re.search(rb"/R\s+(\d+)", ebody)
+        p_m = re.search(rb"/P\s+(-?\d+)", ebody)
+        v = int(v_m.group(1)) if v_m else 0
+        r = int(r_m.group(1)) if r_m else 2
+        if v not in (1, 2) or r not in (2, 3):
+            raise ValueError(
+                f"pdf: unsupported encryption V{v} R{r} (RC4 V1/V2 "
+                "only; AES handlers not implemented)"
+            )
+        if p_m is None:
+            raise ValueError("pdf: encrypt dict without /P")
+        len_m = re.search(rb"/Length\s+(\d+)", ebody)
+        length_bits = int(len_m.group(1)) if len_m else 40
+        o_val = _dict_string(ebody, b"O")
+        u_val = _dict_string(ebody, b"U")
+        id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", buf)
+        id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
+        cand = file_key(
+            o_val, int(p_m.group(1)), id0, r, length_bits, b""
+        )
+        if not verify_user_password(cand, u_val, id0, r):
+            raise ValueError(
+                "pdf: password required (user password verification "
+                "failed)"
+            )
+        file_enc_key = cand
+
+    def _decrypt(num: int, data: bytes) -> bytes:
+        if file_enc_key is None or num == enc_num:
+            return data
+        return rc4(object_key(file_enc_key, num, gens.get(num, 0)), data)
 
     # PDF 1.5+ object streams: virtually every modern producer packs
     # its dict objects (catalog, page tree, pages) into FlateDecode
@@ -478,6 +618,7 @@ def parse_pdf_text(payload: bytes) -> dict:
         if not (st and lm and fm and nm):
             raise ValueError(f"pdf: malformed object stream {num}")
         data = buf[at + st.end():at + st.end() + int(lm.group(1))]
+        data = _decrypt(num, data)
         if b"/FlateDecode" in body[:st.start()]:
             try:
                 data = zlib.decompress(data)
@@ -535,6 +676,8 @@ def parse_pdf_text(payload: bytes) -> dict:
             if not sm:
                 raise ValueError(f"pdf: stream {num} unterminated")
             data = sm.group(1)
+        if at >= 0:  # in-ObjStm members were decrypted as a container
+            data = _decrypt(num, data)
         flate = b"/FlateDecode" in body[:st.start()]
         if flate:
             try:
@@ -681,7 +824,13 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
     docs with d%23 == 11 are CID docs whose CMap deliberately omits a
     planted '#' — the unmapped code must be FLAGGED in the note and
     absent from the text (garbage emission impossible by
-    construction)."""
+    construction). Encryption axes (r11): d%23 == 5 docs are RC4
+    V2/R3 128-bit and d%23 == 7 docs RC4 V1/R2 40-bit, both with an
+    EMPTY user password (the print-protected form) — extraction must
+    be byte-identical to the plain construction, so the oracle needs
+    no new branch and a wrong object key flips the hash; d%89 == 3
+    docs carry a REAL user password and must fail closed with the
+    named password error."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in it:
@@ -716,6 +865,14 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                     lines[j:j + _LINES_PER_PAGE]
                     for j in range(0, len(lines), _LINES_PER_PAGE)
                 ]
+                if d % 89 == 3:
+                    enc, pwd = "rc4-128", "secret"
+                elif d % 23 == 5:
+                    enc, pwd = "rc4-128", ""
+                elif d % 23 == 7:
+                    enc, pwd = "rc4-40", ""
+                else:
+                    enc, pwd = None, ""
                 ids.append(d)
                 payloads.append(
                     encode_pdf(
@@ -725,6 +882,8 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                         cid_font=(d % 5 == 2 or gap),
                         cmap_skip=frozenset("#") if gap else frozenset(),
                         split_contents=(d % 7 == 4),
+                        encrypt=enc,
+                        user_password=pwd,
                     )
                 )
             yield pd.DataFrame(

@@ -1165,7 +1165,8 @@ _PDF_SQL = """
 WITH w AS (SELECT doc_id,
                   string_split('w()' || CAST(doc_id AS VARCHAR)
                                || '\\esc ' || text, ' ') AS ws
-           FROM documents WHERE doc_id % 23 <> 17),
+           FROM documents
+           WHERE doc_id % 23 <> 17 AND doc_id % 89 <> 3),
 l AS (SELECT doc_id,
              [array_to_string(ws[i:i+5], ' ')
               for i in generate_series(1, len(ws), 6)] AS ls
@@ -1186,6 +1187,10 @@ UNION ALL
 SELECT doc_id, FALSE, NULL, NULL, NULL,
        'pdf: page 4 /Contents points at missing object 9'
 FROM documents WHERE doc_id % 23 = 17
+UNION ALL
+SELECT doc_id, FALSE, NULL, NULL, NULL,
+       'pdf: password required (user password verification failed)'
+FROM documents WHERE doc_id % 89 = 3 AND doc_id % 23 <> 17
 """
 
 

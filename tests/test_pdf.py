@@ -210,3 +210,70 @@ def test_contents_array_concatenation():
     bad = blob.replace(b"11 0 R]", b"99 0 R]")
     with pytest.raises(ValueError, match="missing object 99"):
         parse_pdf_text(bad)
+
+
+def test_encrypted_pdf_roundtrips_all_layouts():
+    """RC4 V1/R2 and V2/R3 with an empty user password decrypt to
+    byte-identical text across every layout axis (compression, CID
+    fonts, ObjStm packing, split /Contents) — encryption composes
+    with, never replaces, the rest of the format."""
+    pages = [["hello world", "line two"], ["page two"]]
+    plain = parse_pdf_text(encode_pdf(pages))
+    for enc in ("rc4-40", "rc4-128"):
+        for kw in (
+            {"compress": False},
+            {"cid_font": True},
+            {"object_streams": True},
+            {"split_contents": True},
+        ):
+            m = parse_pdf_text(encode_pdf(pages, encrypt=enc, **kw))
+            assert m["text"] == plain["text"], (enc, kw)
+
+
+def test_encrypted_pdf_password_fails_closed():
+    pages = [["secret stuff"]]
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf_text(
+            encode_pdf(pages, encrypt="rc4-128", user_password="pw")
+        )
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf_text(
+            encode_pdf(pages, encrypt="rc4-40", user_password="pw")
+        )
+
+
+def test_pdf_crypto_algorithms():
+    """The standard-handler algebra: /O round-trips the user pad
+    under the owner key, Algorithm 6 accepts the right key and
+    rejects a wrong one, object keys truncate per Algorithm 1, RC4
+    is symmetric."""
+    from razulibs_spark.operators.pdf_crypto import (
+        PAD,
+        compute_o,
+        compute_u,
+        file_key,
+        object_key,
+        owner_key_bytes,
+        rc4,
+        verify_user_password,
+    )
+
+    assert rc4(b"k", rc4(b"k", b"payload")) == b"payload"
+    for r, bits in ((2, 40), (3, 128)):
+        o = compute_o(b"owner", b"", r, bits)
+        # decrypting /O with the owner key yields the padded user pwd
+        okey = owner_key_bytes(b"owner", r, bits)
+        x = o
+        if r >= 3:
+            for i in range(19, 0, -1):
+                x = rc4(bytes(b ^ i for b in okey), x)
+        assert rc4(okey, x) == PAD  # empty user password
+        key = file_key(o, -44, b"\x01" * 16, r, bits, b"")
+        assert len(key) == (5 if r == 2 else 16)
+        u = compute_u(key, b"\x01" * 16, r)
+        assert verify_user_password(key, u, b"\x01" * 16, r)
+        bad = file_key(o, -44, b"\x01" * 16, r, bits, b"wrong")
+        assert not verify_user_password(bad, u, b"\x01" * 16, r)
+    assert len(object_key(b"\x00" * 5, 7, 0)) == 10
+    assert len(object_key(b"\x00" * 16, 7, 0)) == 16
+    assert object_key(b"\x00" * 16, 7, 0) != object_key(b"\x00" * 16, 8, 0)
