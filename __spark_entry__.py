@@ -60,6 +60,7 @@ _ROTATION_FORCE_REFRESH = frozenset({
     "k2_turtle_grouped_roundtrip@11",
     "text_xlsx_extract@11",
     "text_pdf_extract@11",
+    "text_rtf_extract@11",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

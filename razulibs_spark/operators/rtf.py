@@ -17,8 +17,12 @@ is right or garbage:
   info/pict and every ``{\\*...}`` starred destination — the classic
   naive-extractor bug is the font table leaking into the text),
 - ``\\'hh`` codepage bytes decoded via the header's ``\\ansicpgN``
-  (single-byte codepages; double-byte CJK codepages are an honest
-  ValueError, not mojibake),
+  — single-byte codepages AND the double-byte CJK family (cp932/
+  936/949/950, VERDICT r10 item 7: East Asian government archives
+  are RTF-heavy): a lead byte pairs with its trail byte, which may
+  arrive as a second ``\\'hh`` OR as a raw ASCII character (both
+  forms are legal and real writers emit both); a lead byte with no
+  trail is an honest ValueError, never mojibake,
 - ``\\uN`` Unicode escapes incl. negative-16-bit form, with the
   ``\\uc``-counted fallback characters SKIPPED (emitting both the
   codepoint and its '?' fallback doubles every non-ANSI char),
@@ -74,6 +78,17 @@ _SINGLE_BYTE_CODECS = {
     28591: "iso-8859-1",
 }
 
+# Double-byte (CJK) codepages: codec + the LEAD byte ranges that open
+# a two-byte sequence (trail byte may be a second \'hh or a raw
+# ASCII char). Shift-JIS leads exclude 0xA0-0xDF (half-width kana are
+# single bytes); the GBK/UHC/Big5 family leads span 0x81-0xFE.
+_DOUBLE_BYTE_CODECS = {
+    932: ("cp932", ((0x81, 0x9F), (0xE0, 0xFC))),
+    936: ("cp936", ((0x81, 0xFE),)),
+    949: ("cp949", ((0x81, 0xFE),)),
+    950: ("cp950", ((0x81, 0xFE),)),
+}
+
 
 def rtf_to_text(payload: bytes) -> str:
     """One RTF document → its plain text."""
@@ -81,6 +96,7 @@ def rtf_to_text(payload: bytes) -> str:
     if not buf.startswith(b"{\\rtf"):
         raise ValueError(f"rtf: not an RTF document: {buf[:8]!r}")
     codec = "cp1252"
+    dbcs_lead: tuple = ()
     out: list[str] = []
     uc = 1
     uc_stack: list[int] = []
@@ -111,13 +127,36 @@ def rtf_to_text(payload: bytes) -> str:
         if c == 0x5C:  # backslash
             sym = buf[i + 1:i + 2]
             if sym == b"'":
+                b0 = int(buf[i + 2:i + 4], 16)
+                i += 4
+                raw = bytes([b0])
+                if any(lo <= b0 <= hi for lo, hi in dbcs_lead):
+                    # DBCS lead: the trail byte follows as a second
+                    # \'hh or as a raw character — both legal forms
+                    if buf[i:i + 2] == b"\\'":
+                        raw += bytes([int(buf[i + 2:i + 4], 16)])
+                        i += 4
+                    elif i < n and buf[i] not in (
+                        0x5C, 0x7B, 0x7D, 0x0D, 0x0A,
+                    ):
+                        raw += bytes([buf[i]])
+                        i += 1
+                    else:
+                        raise ValueError(
+                            f"rtf: DBCS lead byte 0x{b0:02x} without "
+                            "a trail byte"
+                        )
                 if not skipping:
-                    byte = bytes([int(buf[i + 2:i + 4], 16)])
                     if pending_skip:
                         pending_skip -= 1
                     else:
-                        out.append(byte.decode(codec))
-                i += 4
+                        try:
+                            out.append(raw.decode(codec))
+                        except UnicodeDecodeError as exc:
+                            raise ValueError(
+                                f"rtf: undecodable sequence "
+                                f"{raw!r} under {codec}"
+                            ) from exc
                 just_opened = False
                 continue
             if sym in (b"{", b"}", b"\\"):
@@ -176,10 +215,13 @@ def rtf_to_text(payload: bytes) -> str:
                 continue
             if word == b"ansicpg" and param:
                 cp = int(param)
-                codec = _SINGLE_BYTE_CODECS.get(cp)
-                if codec is None:
+                if cp in _SINGLE_BYTE_CODECS:
+                    codec, dbcs_lead = _SINGLE_BYTE_CODECS[cp], ()
+                elif cp in _DOUBLE_BYTE_CODECS:
+                    codec, dbcs_lead = _DOUBLE_BYTE_CODECS[cp]
+                else:
                     raise ValueError(
-                        f"rtf: unsupported (double-byte?) codepage {cp}"
+                        f"rtf: unsupported codepage {cp}"
                     )
                 just_opened = False
                 continue
@@ -240,26 +282,42 @@ def _rtf_escape(s: str) -> str:
 _WORDS_PER_LINE = 8
 
 
-def encode_rtf(d: int, words: list[str]) -> bytes:
+def encode_rtf(d: int, words: list[str], cp932: bool = False) -> bytes:
     """One real RTF document from doc d: header destinations that must
     NOT leak (font/color tables, an info group, a starred generator
     group), a title line, a torture line (codepage é via \\'e9, a
     Unicode € with its uc-counted '?' fallback, a bold group, escaped
-    braces/backslash, a \\tab), then 8-word body lines."""
+    braces/backslash, a \\tab), then 8-word body lines. With
+    ``cp932`` the header declares the Shift-JIS DOUBLE-BYTE codepage
+    and the torture line opens with 日本語テキスト written as \\'hh
+    lead/trail pairs — two of them with the trail byte as a RAW
+    ASCII character (テ = \\'83e, ト = \\'83g), the form real CJK
+    writers emit that single-byte decoders turn into mojibake."""
     lines = [
         " ".join(words[i:i + _WORDS_PER_LINE])
         for i in range(0, len(words), _WORDS_PER_LINE)
     ]
     body = "\\par\n".join(_rtf_escape(ln) for ln in lines)
     w0 = _rtf_escape(words[0]) if words else "x"
+    if cp932:
+        header = "{\\rtf1\\ansi\\ansicpg932\\uc1\n"
+        # 日本語テキスト in cp932: pairs \'93\'fa \'96\'7b \'8c\'ea,
+        # then テ/キ/ス/ト with mixed raw-char trails
+        opener = (
+            "\\'93\\'fa\\'96\\'7b\\'8c\\'ea"
+            "\\'83e\\'83\\'4c\\'83\\'58\\'83g"
+        )
+    else:
+        header = "{\\rtf1\\ansi\\ansicpg1252\\uc1\n"
+        opener = "caf\\'e9"
     return (
-        "{\\rtf1\\ansi\\ansicpg1252\\uc1\n"
-        "{\\fonttbl{\\f0\\froman Times New Roman;}}\n"
+        header
+        + "{\\fonttbl{\\f0\\froman Times New Roman;}}\n"
         "{\\colortbl;\\red0\\green0\\blue0;}\n"
         "{\\info{\\author synth}{\\title secret}}\n"
         "{\\*\\generator razulibs-spark 1.0;}\n"
         f"\\pard Doc {d}\\par\n"
-        f"caf\\'e9 \\u8364? and {{\\b {w0}}} plus "
+        f"{opener} \\u8364? and {{\\b {w0}}} plus "
         "\\{braced\\} back\\\\slash\\tab end\\par\n"
         + body
         + "}"
@@ -290,7 +348,9 @@ RTF_TEXT_SCHEMA = StructType(
 
 def synthesize_rtf_media(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload) real RTF; d%31 == 17 is the
-    poison slot (a non-RTF payload under the .rtf claim)."""
+    poison slot (a non-RTF payload under the .rtf claim); of the
+    rest, d%43 == 9 is the Shift-JIS axis (\\ansicpg932 double-byte
+    pairs with mixed raw-char trails — VERDICT r10 item 7)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -300,7 +360,15 @@ def synthesize_rtf_media(documents: DataFrame) -> DataFrame:
                 if d % 31 == 17:
                     rows.append((d, b"{\\pwned1 not rtf}"))
                     continue
-                rows.append((d, encode_rtf(d, str(text).split(" "))))
+                rows.append(
+                    (
+                        d,
+                        encode_rtf(
+                            d, str(text).split(" "),
+                            cp932=(d % 43 == 9),
+                        ),
+                    )
+                )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

@@ -13336,7 +13336,9 @@ WITH w AS (SELECT doc_id AS d, string_split(text, ' ') AS ws
            FROM documents),
 e AS (SELECT d,
              'Doc ' || CAST(d AS VARCHAR) || chr(10)
-             || 'café € and ' || ws[1]
+             || CASE WHEN d % 43 = 9 THEN '日本語テキスト'
+                     ELSE 'café' END
+             || ' € and ' || ws[1]
              || ' plus {braced} back\\slash' || chr(9) || 'end'
              || chr(10)
              || array_to_string(

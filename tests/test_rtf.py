@@ -54,8 +54,8 @@ def test_fallback_consumes_control_symbols():
 def test_codepage_bytes():
     assert rtf_to_text(rb"{\rtf1\ansicpg1252 caf\'e9}") == "café"
     assert rtf_to_text(rb"{\rtf1\ansicpg1251 \'e4\'ee\'ec}") == "дом"
-    with pytest.raises(ValueError, match="codepage 932"):
-        rtf_to_text(rb"{\rtf1\ansicpg932 x}")
+    # double-byte codepages are now SUPPORTED, not rejected
+    assert rtf_to_text(rb"{\rtf1\ansicpg932 x}") == "x"
 
 
 def test_structural_strictness():
@@ -81,3 +81,32 @@ def test_rtf_stage_fail_closed(spark):
     assert rows[0]["parsed"] is True and rows[0]["n_lines"] == 3
     assert rows[17]["parsed"] is False
     assert "not an RTF document" in rows[17]["note"]
+
+
+def test_double_byte_codepages():
+    """cp932/936/949/950: lead/trail pairs decode whether the trail
+    arrives as a second \\'hh or as a raw ASCII char; half-width
+    katakana stay single bytes; a dangling lead fails closed."""
+    t = rtf_to_text(
+        rb"{\rtf1\ansicpg932 \'93\'fa\'96\'7b\'8c\'ea\'83e\'83\'4c\'83\'58\'83g}"
+    )
+    assert t == "日本語テキスト"  # 日本語テキスト
+    assert rtf_to_text(rb"{\rtf1\ansicpg932 \'b1}") == "ｱ"  # ｱ
+    assert rtf_to_text(rb"{\rtf1\ansicpg936 \'d6\'d0\'b9\'fa}") == "中国"
+    assert rtf_to_text(rb"{\rtf1\ansicpg949 \'c7\'d1}") == "한"
+    assert rtf_to_text(rb"{\rtf1\ansicpg950 \'a4\'a4}") == "中"
+    with pytest.raises(ValueError, match="without a trail byte"):
+        rtf_to_text(rb"{\rtf1\ansicpg932 \'93}")
+    with pytest.raises(ValueError, match="unsupported codepage"):
+        rtf_to_text(rb"{\rtf1\ansicpg54321 x}")
+
+
+def test_cp932_fixture_roundtrip():
+    from razulibs_spark.operators.rtf import encode_rtf
+
+    t = rtf_to_text(encode_rtf(9, ["alpha", "beta"], cp932=True))
+    first_two = t.split("\n")[:2]
+    assert first_two[0] == "Doc 9"
+    assert first_two[1].startswith(
+        "日本語テキスト € and alpha"
+    )
