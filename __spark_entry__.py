@@ -61,6 +61,8 @@ _ROTATION_FORCE_REFRESH = frozenset({
     "text_xlsx_extract@11",
     "text_pdf_extract@11",
     "text_rtf_extract@11",
+    "text_odt_extract@11",
+    "text_epub_extract@11",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

@@ -213,6 +213,71 @@ def encode_epub(
     return buf.getvalue()
 
 
+def encode_epub_foreign(d: int, lang: str, words: list[str]) -> bytes:
+    """Second-producer book, the classic EPUB2 shape most converters
+    still emit: OPF at the DEFAULT path (OEBPS/content.opf), package
+    version 2.0 with a flat in-order manifest led by an NCX toc item
+    (media-type application/x-dtbncx+xml — in the manifest and the
+    zip, never a chapter), spine with the toc attribute, chapter
+    parts named chapter1/chapter2.xhtml. Extraction must be
+    producer-invariant: same title/language/chapters/text as
+    encode_epub, so the oracle needs no new branch."""
+    h = (len(words) + 1) // 2
+    c1, c2 = words[:h], words[h:]
+    opf = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<package xmlns="{_OPF_NS}" version="2.0" '
+        'unique-identifier="bookid">'
+        f'<metadata xmlns:dc="{_DC_NS}">'
+        f"<dc:title>Doc {d}</dc:title>"
+        f"<dc:language>{_esc(lang)}</dc:language>"
+        f'<dc:identifier id="bookid">doc-{d}</dc:identifier></metadata>'
+        "<manifest>"
+        '<item id="ncx" href="toc.ncx" '
+        'media-type="application/x-dtbncx+xml"/>'
+        '<item id="chapter1" href="chapter1.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="chapter2" href="chapter2.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        '<spine toc="ncx"><itemref idref="chapter1"/>'
+        '<itemref idref="chapter2"/></spine>'
+        "</package>"
+    )
+    ncx = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<ncx xmlns="http://www.daisy.org/z3986/2005/ncx/" '
+        'version="2005-1"><navMap><navPoint id="n1" playOrder="1">'
+        "<navLabel><text>Chapter 1</text></navLabel>"
+        '<content src="chapter1.xhtml"/></navPoint></navMap></ncx>'
+    )
+    container = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<container xmlns="{_CONTAINER_NS}" version="1.0">'
+        '<rootfiles><rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        stamp = (1980, 1, 1, 0, 0, 0)
+        zi = zipfile.ZipInfo("mimetype", date_time=stamp)
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _EPUB_MIME)
+
+        def add(name: str, data: str) -> None:
+            zi = zipfile.ZipInfo(name, date_time=stamp)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+
+        add("META-INF/container.xml", container)
+        add("OEBPS/content.opf", opf)
+        add("OEBPS/toc.ncx", ncx)
+        add("OEBPS/chapter1.xhtml", _chapter_xhtml(1, c1))
+        add("OEBPS/chapter2.xhtml", _chapter_xhtml(2, c2))
+    return buf.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # Spark stages
 # ---------------------------------------------------------------------------
@@ -239,20 +304,23 @@ EPUB_TEXT_SCHEMA = StructType(
 
 def synthesize_epub_media(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload) real .epub; d%41 == 19 is the
-    poison slot (container points at a missing OPF)."""
+    poison slot (container points at a missing OPF); of the rest,
+    d%47 == 6 comes from the FOREIGN producer (EPUB2 layout: default
+    OEBPS/content.opf path, flat manifest with an NCX item, spine
+    toc attribute) — extraction is producer-invariant so the oracle
+    is unchanged."""
+
+    def _one(d: int, lang: str, text: str) -> bytes:
+        if d % 41 == 19:
+            return encode_epub(d, lang, text.split(" "), poison=True)
+        if d % 47 == 6:
+            return encode_epub_foreign(d, lang, text.split(" "))
+        return encode_epub(d, lang, text.split(" "))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = [
-                (
-                    int(doc_id),
-                    encode_epub(
-                        int(doc_id),
-                        str(lang),
-                        str(text).split(" "),
-                        poison=(int(doc_id) % 41 == 19),
-                    ),
-                )
+                (int(doc_id), _one(int(doc_id), str(lang), str(text)))
                 for doc_id, lang, text in zip(
                     pdf["doc_id"], pdf["lang"], pdf["text"]
                 )

@@ -201,6 +201,99 @@ def encode_odt(d: int, words: list[str], poison: bool = False) -> bytes:
     return buf.getvalue()
 
 
+def encode_odt_foreign(d: int, words: list[str]) -> bytes:
+    """Second-producer .odt: the same logical document SERIALIZED BY
+    ElementTree (auto ns0:/ns1: prefixes — namespace-URI parsing is
+    what survives, prefix string-matching is what breaks), with the
+    structural noise real office suites add: an office:automatic-
+    styles element before the body, a text:sequence-decls child
+    inside office:text, and styles.xml/meta.xml members listed in a
+    richer manifest. Extraction must be producer-invariant — same
+    paragraphs, same text — so the oracle needs no new branch."""
+    root = ET.Element(_o("document-content"), {_o("version"): "1.2"})
+    ET.SubElement(root, _o("automatic-styles"))
+    body = ET.SubElement(root, _o("body"))
+    txt = ET.SubElement(body, _o("text"))
+    ET.SubElement(txt, _t("sequence-decls"))
+    head = ET.SubElement(txt, _t("h"), {_t("outline-level"): "1"})
+    head.text = f"Doc {d}"
+    w0 = words[0] if words else "x"
+    p = ET.SubElement(txt, _t("p"))
+    p.text = "a"
+    sp = ET.SubElement(p, _t("s"), {_t("c"): "3"})
+    sp.tail = "b"
+    tab = ET.SubElement(p, _t("tab"))
+    tab.tail = "c"
+    br = ET.SubElement(p, _t("line-break"))
+    br.tail = "d"
+    note = ET.SubElement(p, _t("note"), {_t("note-class"): "footnote"})
+    nb = ET.SubElement(note, _t("note-body"))
+    ET.SubElement(nb, _t("p")).text = "dropped footnote"
+    note.tail = " tail-kept"
+    ann = ET.SubElement(p, _o("annotation"))
+    ET.SubElement(ann, _t("p")).text = "dropped comment"
+    ann.tail = " "
+    span = ET.SubElement(p, _t("span"), {_t("style-name"): "B"})
+    span.text = w0
+    ET.SubElement(span, _t("span")).text = " nested"
+    span.tail = " end"
+    for i in range(0, len(words), _WORDS_PER_PARA):
+        c = words[i:i + _WORDS_PER_PARA]
+        para = ET.SubElement(txt, _t("p"))
+        if len(c) >= 3:
+            mid = len(c) // 2
+            para.text = " ".join(c[:mid]) + " "
+            mid_span = ET.SubElement(
+                para, _t("span"), {_t("style-name"): "T1"}
+            )
+            mid_span.text = c[mid]
+            mid_span.tail = " " + " ".join(c[mid + 1:])
+        else:
+            para.text = " ".join(c)
+    content = ET.tostring(root, encoding="unicode")
+    manifest = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        '<manifest:manifest xmlns:manifest="urn:oasis:names:tc:'
+        'opendocument:xmlns:manifest:1.0">'
+        '<manifest:file-entry manifest:full-path="/" '
+        f'manifest:media-type="{_ODT_MIME}"/>'
+        '<manifest:file-entry manifest:full-path="content.xml" '
+        'manifest:media-type="text/xml"/>'
+        '<manifest:file-entry manifest:full-path="styles.xml" '
+        'manifest:media-type="text/xml"/>'
+        '<manifest:file-entry manifest:full-path="meta.xml" '
+        'manifest:media-type="text/xml"/></manifest:manifest>'
+    )
+    styles = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-styles xmlns:office="{_OFFICE_NS}" '
+        'office:version="1.2"><office:styles/>'
+        "</office:document-styles>"
+    )
+    meta = (
+        '<?xml version="1.0" encoding="UTF-8"?>'
+        f'<office:document-meta xmlns:office="{_OFFICE_NS}" '
+        'office:version="1.2"><office:meta/></office:document-meta>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        stamp = (1980, 1, 1, 0, 0, 0)
+        zi = zipfile.ZipInfo("mimetype", date_time=stamp)
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _ODT_MIME)
+
+        def add(name: str, data: str) -> None:
+            zi = zipfile.ZipInfo(name, date_time=stamp)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+
+        add("META-INF/manifest.xml", manifest)
+        add("content.xml", content)
+        add("styles.xml", styles)
+        add("meta.xml", meta)
+    return buf.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # Spark stages
 # ---------------------------------------------------------------------------
@@ -225,19 +318,23 @@ ODT_TEXT_SCHEMA = StructType(
 
 def synthesize_odt_media(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload) real .odt; d%37 == 13 is the
-    poison slot (valid OCF + mimetype, content.xml missing)."""
+    poison slot (valid OCF + mimetype, content.xml missing); of the
+    rest, d%41 == 7 comes from the FOREIGN producer (ElementTree
+    serialization with auto ns0:/ns1: prefixes, automatic-styles and
+    sequence-decls noise, styles.xml/meta.xml members) — extraction
+    is producer-invariant so the oracle is unchanged."""
+
+    def _one(d: int, text: str) -> bytes:
+        if d % 37 == 13:
+            return encode_odt(d, text.split(" "), poison=True)
+        if d % 41 == 7:
+            return encode_odt_foreign(d, text.split(" "))
+        return encode_odt(d, text.split(" "))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = [
-                (
-                    int(doc_id),
-                    encode_odt(
-                        int(doc_id),
-                        str(text).split(" "),
-                        poison=(int(doc_id) % 37 == 13),
-                    ),
-                )
+                (int(doc_id), _one(int(doc_id), str(text)))
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"])
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])

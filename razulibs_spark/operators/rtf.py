@@ -324,6 +324,35 @@ def encode_rtf(d: int, words: list[str], cp932: bool = False) -> bytes:
     ).encode("ascii")
 
 
+def encode_rtf_foreign(d: int, words: list[str]) -> bytes:
+    """Second-producer RTF, the Word-export shape: CRLF line endings
+    between groups (raw CR/LF are NOT text), \\uc2 with two-character
+    fallbacks, a \\stylesheet destination and a starred \\xmlnstbl
+    that must not leak, \\plain/\\f0\\fs24 formatting runs whose
+    delimiter spaces must be eaten exactly once, and paragraphs
+    carried in their own braced groups. Extracted text must be
+    byte-identical to encode_rtf's — the oracle has no new branch."""
+    lines = [
+        " ".join(words[i:i + _WORDS_PER_LINE])
+        for i in range(0, len(words), _WORDS_PER_LINE)
+    ]
+    body = "\\par\r\n".join(_rtf_escape(ln) for ln in lines)
+    w0 = _rtf_escape(words[0]) if words else "x"
+    return (
+        "{\\rtf1\\adeflang1025\\ansi\\ansicpg1252\\uc2\\deff0\r\n"
+        "{\\fonttbl{\\f0\\fbidi \\froman Times New Roman;}"
+        "{\\f1\\fswiss Arial;}}\r\n"
+        "{\\colortbl;\\red255\\green0\\blue0;}\r\n"
+        "{\\stylesheet{\\ql \\f0\\fs24 Normal;}}\r\n"
+        "{\\info{\\title hidden}{\\author word}}\r\n"
+        "{\\*\\xmlnstbl {\\xmlns1 http://example.invalid/ns}}\r\n"
+        f"\\pard\\plain \\f0\\fs24 Doc {d}\\par\r\n"
+        f"caf\\'e9 \\u8364?? and {{\\b\\f1 {w0}}} plus "
+        "\\{braced\\} back\\\\slash\\tab end\\par\r\n"
+        "{\\pard\\sa200 " + body + "}}"
+    ).encode("ascii")
+
+
 # ---------------------------------------------------------------------------
 # Spark stages
 # ---------------------------------------------------------------------------
@@ -350,7 +379,10 @@ def synthesize_rtf_media(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload) real RTF; d%31 == 17 is the
     poison slot (a non-RTF payload under the .rtf claim); of the
     rest, d%43 == 9 is the Shift-JIS axis (\\ansicpg932 double-byte
-    pairs with mixed raw-char trails — VERDICT r10 item 7)."""
+    pairs with mixed raw-char trails — VERDICT r10 item 7) and
+    d%47 == 11 the FOREIGN-producer axis (Word-export shape: CRLF,
+    \\uc2, stylesheet/xmlnstbl destinations, formatting runs) whose
+    extracted text is byte-identical — oracle unchanged."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -360,15 +392,15 @@ def synthesize_rtf_media(documents: DataFrame) -> DataFrame:
                 if d % 31 == 17:
                     rows.append((d, b"{\\pwned1 not rtf}"))
                     continue
-                rows.append(
-                    (
-                        d,
-                        encode_rtf(
-                            d, str(text).split(" "),
-                            cp932=(d % 43 == 9),
-                        ),
+                if d % 43 == 9:
+                    payload = encode_rtf(
+                        d, str(text).split(" "), cp932=True
                     )
-                )
+                elif d % 47 == 11:
+                    payload = encode_rtf_foreign(d, str(text).split(" "))
+                else:
+                    payload = encode_rtf(d, str(text).split(" "))
+                rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
     return documents.select("doc_id", "text").mapInPandas(

@@ -67,3 +67,24 @@ def test_epub_stage_fail_closed(spark):
     assert rows[0]["parsed"] is True and rows[0]["n_chapters"] == 2
     assert rows[19]["parsed"] is False
     assert "missing" in rows[19]["note"]
+
+
+def test_foreign_producer_invariance():
+    from razulibs_spark.operators.epub import (
+        encode_epub,
+        encode_epub_foreign,
+        parse_epub,
+    )
+
+    words = "alpha beta gamma delta eps zeta eta theta iota".split(" ")
+    assert parse_epub(encode_epub_foreign(5, "nl", words)) == parse_epub(
+        encode_epub(5, "nl", words)
+    )
+    # really foreign: EPUB2, default path, NCX in manifest
+    import io
+    import zipfile
+
+    blob = encode_epub_foreign(5, "nl", words)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert "OEBPS/content.opf" in zf.namelist()
+    assert b'version="2.0"' in zf.read("OEBPS/content.opf")

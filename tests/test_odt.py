@@ -62,3 +62,24 @@ def test_odt_stage_fail_closed(spark):
     assert rows[0]["parsed"] is True and rows[0]["n_paragraphs"] == 3
     assert rows[13]["parsed"] is False
     assert "content.xml missing" in rows[13]["note"]
+
+
+def test_foreign_producer_invariance():
+    from razulibs_spark.operators.odt import (
+        encode_odt,
+        encode_odt_foreign,
+        parse_odt,
+    )
+
+    words = "alpha beta gamma delta eps zeta eta theta iota".split(" ")
+    assert parse_odt(encode_odt_foreign(5, words)) == parse_odt(
+        encode_odt(5, words)
+    )
+    # the foreign producer really is foreign: ET prefixes, extra parts
+    import io
+    import zipfile
+
+    blob = encode_odt_foreign(5, words)
+    zf = zipfile.ZipFile(io.BytesIO(blob))
+    assert "styles.xml" in zf.namelist()
+    assert b"ns0:" in zf.read("content.xml")

@@ -110,3 +110,12 @@ def test_cp932_fixture_roundtrip():
     assert first_two[1].startswith(
         "日本語テキスト € and alpha"
     )
+
+
+def test_foreign_producer_invariance():
+    from razulibs_spark.operators.rtf import encode_rtf_foreign
+
+    words = "alpha beta gamma delta eps zeta eta theta iota".split(" ")
+    assert rtf_to_text(encode_rtf_foreign(5, words)) == rtf_to_text(
+        encode_rtf(5, words)
+    )
