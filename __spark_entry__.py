@@ -63,6 +63,7 @@ _ROTATION_FORCE_REFRESH = frozenset({
     "text_rtf_extract@11",
     "text_odt_extract@11",
     "text_epub_extract@11",
+    "multimodal_tiff_decode@11",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

@@ -267,8 +267,6 @@ def encode_tiff(
         raise ValueError("tiff: tile_size must be a multiple of 16")
     if planar2 and not rgb:
         raise ValueError("tiff: planar configuration 2 needs spp > 1")
-    if planar2 and tiled:
-        raise ValueError("tiff: planar-2 writer emits strips only")
     e = ">" if big_endian else "<"
     spp = 3 if rgb else 1
     samples: list[int] = []
@@ -296,7 +294,34 @@ def encode_tiff(
         return chunk
 
     chunks: list[bytes] = []
-    if tiled:
+    if tiled and planar2:
+        # PlanarConfiguration 2 + §15 tiles: per-plane tile grids,
+        # plane-major (all of component 0's tiles, then 1's, …);
+        # predictor/compression apply per tile with stride 1.
+        ta = -(-width // tile_size)
+        td = -(-height // tile_size)
+        for c in range(spp):
+            plane = samples[c::spp]
+            for ty in range(td):
+                for tx in range(ta):
+                    tile: list[int] = []
+                    for yy in range(tile_size):
+                        y = ty * tile_size + yy
+                        for xx in range(tile_size):
+                            x = tx * tile_size + xx
+                            tile.append(
+                                plane[y * width + x]
+                                if x < width and y < height else 0
+                            )
+                    if predictor2:
+                        tile = _predict2_encode(tile, tile_size, 1, mod)
+                    chunk = pack(tile)
+                    if packbits:
+                        chunk = packbits_encode(chunk)
+                    elif lzw:
+                        chunk = lzw_encode(chunk)
+                    chunks.append(chunk)
+    elif tiled:
         ta = -(-width // tile_size)
         td = -(-height // tile_size)
         for ty in range(td):
@@ -514,10 +539,47 @@ def decode_tiff(payload: bytes) -> dict:
 
     tiled = 322 in tags or 323 in tags
     if planar == 2 and tiled:
-        # per-plane TILES are legal but unseen in archival practice
-        # (scanner masters emit planar strips); honest rejection.
-        raise ValueError("tiff: planar-2 tiled layout not supported")
-    if planar == 2:
+        # PlanarConfiguration 2 + §15 tiles (the last r10 TIFF
+        # rejection, VERDICT item 9): plane-major per-component tile
+        # grids — each tile decodes like a 1-sample tile (stride-1
+        # predictor), lands in its plane, then one interleave pass
+        # restores row-major pixel order.
+        tw, th = one(322), one(323)
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("tiff: missing/mismatched tile tables")
+        ta = -(-width // tw)
+        td = -(-height // th)
+        if len(offsets) != ta * td * spp:
+            raise ValueError(
+                f"tiff: planar-2 has {len(offsets)} tiles, expected "
+                f"{ta * td * spp} ({ta * td} per component × {spp})"
+            )
+        tile_expected = tw * th * samp_bytes
+        planes = []
+        for c in range(spp):
+            plane = [0] * (width * height)
+            for t in range(ta * td):
+                i = c * ta * td + t
+                tile = read_chunk(
+                    i, offsets[i], counts[i], tile_expected, "tile"
+                )
+                if pred == 2:
+                    tile = _predict2_decode(tile, tw, 1, mod)
+                tx, ty = t % ta, t // ta
+                vw = min(tw, width - tx * tw)
+                vh = min(th, height - ty * th)
+                for yy in range(vh):
+                    src = yy * tw
+                    dst = (ty * th + yy) * width + tx * tw
+                    plane[dst:dst + vw] = tile[src:src + vw]
+            planes.append(plane)
+        out = [0] * (width * height * spp)
+        for c in range(spp):
+            out[c::spp] = planes[c]
+        layout = "tiled"
+    elif planar == 2:
         # PlanarConfiguration 2: strips hold ONE component each — all
         # of plane 0's strips first, then plane 1's, … (tag 284 §8).
         # Each plane decodes exactly like a 1-sample image (the
@@ -723,9 +785,7 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                         predictor2=(d % 3 == 1 and d % 7 < 3),
                         bits=(16 if d % 13 == 6 else 8),
                         tiled=tiled,
-                        planar2=(
-                            d % 2 == 1 and d % 19 == 4 and not tiled
-                        ),
+                        planar2=(d % 2 == 1 and d % 19 == 4),
                     )
                 )
             yield pd.DataFrame(

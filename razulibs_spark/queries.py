@@ -12114,7 +12114,7 @@ rgb_out AS (
               ELSE 'none' END
            || CASE WHEN doc_id % 11 = 3 THEN '+tiled' ELSE '' END
            || CASE WHEN doc_id % 13 = 6 THEN '+16' ELSE '' END
-           || CASE WHEN doc_id % 19 = 4 AND doc_id % 11 <> 3
+           || CASE WHEN doc_id % 19 = 4
                    THEN '+planar' ELSE '' END
            AS compression,
          CAST(3 AS BIGINT) AS n_channels,

@@ -444,11 +444,11 @@ def test_tiff_lzw_flush_boundary_regression():
 
 
 def test_tiff_planar2_roundtrip_and_rejections():
-    """PlanarConfiguration 2 (per-component strips — the last
-    archival-master variant, VERDICT r9 item 7): pixel values must be
-    IDENTICAL to the chunky layout across compression/predictor/depth
-    variants; per-plane tiles and single-sample planar files stay
-    honest rejections."""
+    """PlanarConfiguration 2: pixel values must be IDENTICAL to the
+    chunky layout across compression/predictor/depth variants, for
+    both per-component STRIPS (r10) and per-component TILES (r11,
+    the last TIFF rejection retired); single-sample planar files
+    stay honest rejections."""
     import pytest as _pytest
 
     from razulibs_spark.operators.tiff import decode_tiff, encode_tiff
@@ -472,19 +472,27 @@ def test_tiff_planar2_roundtrip_and_rejections():
     assert m["pixels"] == [v for p in pix16 for v in p]
     with _pytest.raises(ValueError, match="spp > 1"):
         encode_tiff(3, 2, [1, 2, 3, 4, 5, 6], planar2=True)
-    with _pytest.raises(ValueError, match="strips only"):
-        encode_tiff(16, 16, [(0, 0, 0)] * 256, rgb=True, planar2=True,
-                    tiled=True)
-    # a planar-2 TILED file (foreign) is rejected by NAME: patch tag
-    # 284 into a tiled chunky file
+    # planar-2 TILED (r11): per-plane tile grids round-trip exactly,
+    # edge tiles zero-padded, across compression/predictor/endian
+    tw, th = 37, 21  # spills past 16x16 tiles on both axes
+    tpix = [((3 * x + 5 * y) % 256, (7 * x + y) % 256, (x + 2 * y) % 256)
+            for y in range(th) for x in range(tw)]
+    tflat = [v for p in tpix for v in p]
+    for kw in (
+        {}, {"packbits": True}, {"lzw": True, "predictor2": True},
+        {"big_endian": True, "bits": 16},
+    ):
+        px = ([tuple(v * 257 for v in p) for p in tpix]
+              if kw.get("bits") == 16 else tpix)
+        m = decode_tiff(
+            encode_tiff(tw, th, px, rgb=True, planar2=True, tiled=True,
+                        **kw)
+        )
+        assert list(m["pixels"]) == [v for p in px for v in p], kw
+        assert m["layout"] == "tiled" and m["planar"] == 2
     import struct as _s
 
-    blob = encode_tiff(16, 16, [(x % 7, x % 5, x % 3) for x in range(256)],
-                       rgb=True, tiled=True)
-    idx = blob.find(_s.pack("<HHI", 277, 3, 1))
-    assert idx > 0
-    # splice a fake 284=2 by rewriting SamplesPerPixel's neighbor is
-    # fragile; instead decode a strip planar file claiming bad planar
+    # decode a strip planar file claiming bad planar
     strip = encode_tiff(3, 2, [(1, 2, 3)] * 6, rgb=True)
     idx = strip.find(_s.pack("<HHI", 262, 3, 1))
     patched = (strip[:idx] + _s.pack("<HHI", 284, 3, 1)
