@@ -82,6 +82,7 @@ def encode_pdf(
     split_contents: bool = False,
     encrypt: str | None = None,
     user_password: str = "",
+    cid_predefined: bool = False,
 ) -> bytes:
     """Minimal valid PDF: catalog → pages tree → one content stream
     per page, each line a ``(…) Tj`` show plus a ``T*`` line feed,
@@ -115,7 +116,16 @@ def encode_pdf(
     # free numbers, in that order.
     kids = " ".join(f"{4 + 2 * i} 0 R" for i in range(n_pages))
     tu_num = 5 + 2 * n_pages
-    if cid_font:
+    if cid_font and cid_predefined:
+        # predefined UCS2-coded CMap: no embedded ToUnicode anywhere —
+        # the 2-byte codes ARE the code points (BMP text only)
+        chars = sorted({c for lines in pages for ln in lines for c in ln})
+        code_of = {c: ord(c) for c in chars}
+        font_obj = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth "
+            b"/Encoding /UniJIS-UCS2-H >>"
+        )
+    elif cid_font:
         chars = sorted({c for lines in pages for ln in lines for c in ln})
         code_of = {c: i + 1 for i, c in enumerate(chars)}
         font_obj = (
@@ -185,7 +195,7 @@ def encode_pdf(
             )
         else:
             stream_objs.append(_stream_obj(5 + 2 * i, raw))
-    if cid_font:
+    if cid_font and not cid_predefined:
         cm = _tounicode_cmap(chars, cmap_skip)
         if compress:
             data = zlib.compress(cm, 6)
@@ -428,6 +438,27 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                 for k in range(hi - lo + 1):
                     cmap[lo + k] = chr(start + k)
     return cmap
+
+
+class _Ucs2IdentityCMap:
+    """Predefined Uni*-UCS2-H/V CMaps (UniJIS-UCS2-H, UniGB-UCS2-H,
+    UniKS-UCS2-H, UniCNS-UCS2-H and their -V forms): their CODE space
+    is UCS-2 itself — the 2-byte code IS the Unicode code point (the
+    CID tables they also carry matter only for glyph selection, not
+    text), so extraction needs no embedded table at all (VERDICT r10
+    item 8). Surrogate halves are not characters: flagged, never
+    emitted."""
+
+    @staticmethod
+    def get(code: int) -> str | None:
+        if 0xD800 <= code <= 0xDFFF:
+            return None
+        return chr(code)
+
+
+_UCS2_CMAP = _Ucs2IdentityCMap()
+
+_PREDEF_UCS2_RE = re.compile(rb"Uni(?:JIS|GB|KS|CNS)-UCS2-[HV]$")
 
 
 def _show(
@@ -711,10 +742,18 @@ def parse_pdf_text(payload: bytes) -> dict:
                         )
                     cmap = _parse_tounicode(stream_data(tu)[0])
                 else:
-                    # CID text with no ToUnicode is undecodable by
-                    # construction: an empty map flags every code
-                    # instead of emitting garbage bytes.
-                    cmap = {}
+                    enc_m = re.search(
+                        rb"/Encoding\s*/([A-Za-z0-9\-]+)", fbody
+                    )
+                    if enc_m and _PREDEF_UCS2_RE.match(enc_m.group(1)):
+                        # predefined UCS2 CMap: code == code point
+                        cmap = _UCS2_CMAP
+                    else:
+                        # CID text with no ToUnicode and no UCS2-coded
+                        # predefined CMap is undecodable by
+                        # construction: an empty map flags every code
+                        # instead of emitting garbage bytes.
+                        cmap = {}
         cmap_cache[fnum] = cmap
         return cmap
 
@@ -830,7 +869,11 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
     be byte-identical to the plain construction, so the oracle needs
     no new branch and a wrong object key flips the hash; d%89 == 3
     docs carry a REAL user password and must fail closed with the
-    named password error."""
+    named password error. d%23 == 13 docs (r11) use a PREDEFINED
+    UCS2-coded CMap (/Encoding /UniJIS-UCS2-H, NO embedded
+    /ToUnicode anywhere) — the 2-byte codes are the code points
+    themselves, so extraction is again byte-identical and needs no
+    oracle branch."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf_ in it:
@@ -879,7 +922,10 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                         pages,
                         compress=(d % 2 == 0),
                         object_streams=(d % 5 == 1),
-                        cid_font=(d % 5 == 2 or gap),
+                        cid_font=(
+                            d % 5 == 2 or gap or d % 23 == 13
+                        ),
+                        cid_predefined=(d % 23 == 13),
                         cmap_skip=frozenset("#") if gap else frozenset(),
                         split_contents=(d % 7 == 4),
                         encrypt=enc,
