@@ -241,6 +241,7 @@ def encode_pdf(
     trailer_extra = ""
     if encrypt is not None:
         from razulibs_spark.operators.pdf_crypto import (
+            aes_cbc_encrypt,
             compute_o,
             compute_u,
             file_key,
@@ -252,6 +253,8 @@ def encode_pdf(
             v, r, bits = 1, 2, 40
         elif encrypt == "rc4-128":
             v, r, bits = 2, 3, 128
+        elif encrypt == "aes-128":
+            v, r, bits = 4, 4, 128
         else:
             raise ValueError(f"encode_pdf: unknown encrypt {encrypt!r}")
         pwd = user_password.encode("latin-1")
@@ -270,15 +273,41 @@ def encode_pdf(
                 lm = re.search(rb"/Length\s+(\d+)", body)
                 ln = int(lm.group(1))
                 data = body[st.end():st.end() + ln]
-                data = rc4(object_key(key, n, 0), data)
-                body = body[:st.end()] + data + body[st.end() + ln:]
+                okey = object_key(key, n, 0, aes=(v == 4))
+                if v == 4:
+                    # deterministic fixture IV (the spec wants it
+                    # unpredictable, not secret; fixtures want bytes
+                    # stable across runs)
+                    iv = hashlib.md5(
+                        b"iv" + n.to_bytes(4, "little") + id0
+                    ).digest()
+                    data = aes_cbc_encrypt(okey, iv, data)
+                    head = body[:st.start()].replace(
+                        f"/Length {ln}".encode(),
+                        f"/Length {len(data)}".encode(),
+                    )
+                    body = (
+                        head + body[st.start():st.end()]
+                        + data + body[st.end() + ln:]
+                    )
+                else:
+                    data = rc4(okey, data)
+                    body = (
+                        body[:st.end()] + data + body[st.end() + ln:]
+                    )
             enc_objs.append((n, body))
         enc_num = max(n for n, _ in enc_objs) + 1
+        cf = (
+            " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+            "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            if v == 4 else ""
+        )
         enc_objs.append(
             (
                 enc_num,
                 (
-                    f"<< /Filter /Standard /V {v} /R {r} /Length {bits} "
+                    f"<< /Filter /Standard /V {v} /R {r} /Length {bits}"
+                    f"{cf} "
                     f"/P {perm} /O <{o_val.hex()}> /U <{u_val.hex()}> >>"
                 ).encode(),
             )
@@ -586,6 +615,7 @@ def parse_pdf_text(payload: bytes) -> dict:
     enc_m = re.search(rb"/Encrypt\s+(\d+)\s+(\d+)\s+R", buf)
     if enc_m:
         from razulibs_spark.operators.pdf_crypto import (
+            aes_cbc_decrypt,
             file_key,
             object_key,
             rc4,
@@ -607,21 +637,38 @@ def parse_pdf_text(payload: bytes) -> dict:
         p_m = re.search(rb"/P\s+(-?\d+)", ebody)
         v = int(v_m.group(1)) if v_m else 0
         r = int(r_m.group(1)) if r_m else 2
-        if v not in (1, 2) or r not in (2, 3):
+        enc_aes = False
+        if v == 4 or r == 4:
+            # crypt-filter form: the only CFM this engine speaks is
+            # AESV2 (AES-128-CBC); V5/R6 (AES-256) stays a named
+            # rejection.
+            cfm = re.search(rb"/CFM\s*/(\w+)", ebody)
+            if (
+                v != 4 or r != 4
+                or cfm is None or cfm.group(1) != b"AESV2"
+            ):
+                raise ValueError(
+                    f"pdf: unsupported encryption V{v} R{r} "
+                    f"CFM={(cfm.group(1).decode() if cfm else None)!r}"
+                )
+            enc_aes = True
+        elif v not in (1, 2) or r not in (2, 3):
             raise ValueError(
                 f"pdf: unsupported encryption V{v} R{r} (RC4 V1/V2 "
-                "only; AES handlers not implemented)"
+                "and AESV2 V4/R4 only)"
             )
         if p_m is None:
             raise ValueError("pdf: encrypt dict without /P")
         len_m = re.search(rb"/Length\s+(\d+)", ebody)
         length_bits = int(len_m.group(1)) if len_m else 40
+        meta = not re.search(rb"/EncryptMetadata\s+false", ebody)
         o_val = _dict_string(ebody, b"O")
         u_val = _dict_string(ebody, b"U")
         id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", buf)
         id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
         cand = file_key(
-            o_val, int(p_m.group(1)), id0, r, length_bits, b""
+            o_val, int(p_m.group(1)), id0, r, length_bits, b"",
+            encrypt_metadata=meta,
         )
         if not verify_user_password(cand, u_val, id0, r):
             raise ValueError(
@@ -633,7 +680,12 @@ def parse_pdf_text(payload: bytes) -> dict:
     def _decrypt(num: int, data: bytes) -> bytes:
         if file_enc_key is None or num == enc_num:
             return data
-        return rc4(object_key(file_enc_key, num, gens.get(num, 0)), data)
+        okey = object_key(
+            file_enc_key, num, gens.get(num, 0), aes=enc_aes
+        )
+        if enc_aes:
+            return aes_cbc_decrypt(okey, data)
+        return rc4(okey, data)
 
     # PDF 1.5+ object streams: virtually every modern producer packs
     # its dict objects (catalog, page tree, pages) into FlateDecode
@@ -864,7 +916,8 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
     planted '#' — the unmapped code must be FLAGGED in the note and
     absent from the text (garbage emission impossible by
     construction). Encryption axes (r11): d%23 == 5 docs are RC4
-    V2/R3 128-bit and d%23 == 7 docs RC4 V1/R2 40-bit, both with an
+    V2/R3 128-bit, d%23 == 7 docs RC4 V1/R2 40-bit, and d%23 == 19
+    docs AES-128 V4/R4 /AESV2 (IV+CBC+PKCS#7 streams), all with an
     EMPTY user password (the print-protected form) — extraction must
     be byte-identical to the plain construction, so the oracle needs
     no new branch and a wrong object key flips the hash; d%89 == 3
@@ -914,6 +967,8 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                     enc, pwd = "rc4-128", ""
                 elif d % 23 == 7:
                     enc, pwd = "rc4-40", ""
+                elif d % 23 == 19:
+                    enc, pwd = "aes-128", ""
                 else:
                     enc, pwd = None, ""
                 ids.append(d)

@@ -66,13 +66,16 @@ def file_key(
     r: int,
     length_bits: int = 40,
     password: bytes = b"",
+    encrypt_metadata: bool = True,
 ) -> bytes:
     """Algorithm 2: the file encryption key from the (user) password.
-    R2 keys are always 40-bit; R3 honors /Length and re-hashes the
-    first n bytes 50 times."""
+    R2 keys are always 40-bit; R3/R4 honor /Length and re-hash the
+    first n bytes 50 times; R4 with /EncryptMetadata false appends
+    0xFFFFFFFF to the hash input per spec."""
     n = 5 if r == 2 else length_bits // 8
+    extra = b"" if encrypt_metadata or r < 4 else b"\xff\xff\xff\xff"
     h = hashlib.md5(
-        _padded(password) + o[:32] + struct.pack("<i", p) + id0
+        _padded(password) + o[:32] + struct.pack("<i", p) + id0 + extra
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -130,11 +133,183 @@ def verify_user_password(key: bytes, u: bytes, id0: bytes, r: int) -> bool:
     return u[:16] == expect[:16] if r >= 3 else u[:32] == expect[:32]
 
 
-def object_key(key: bytes, num: int, gen: int) -> bytes:
-    """Algorithm 1: per-object RC4 key = MD5(file key + 3 low bytes
-    of the object number + 2 low bytes of the generation), truncated
-    to min(len(key)+5, 16)."""
+def object_key(key: bytes, num: int, gen: int, aes: bool = False) -> bytes:
+    """Algorithm 1: per-object key = MD5(file key + 3 low bytes of
+    the object number + 2 low bytes of the generation [+ the 'sAlT'
+    constant for AESV2]), truncated to min(len(key)+5, 16)."""
     h = hashlib.md5(
-        key + struct.pack("<i", num)[:3] + struct.pack("<i", gen)[:2]
+        key
+        + struct.pack("<i", num)[:3]
+        + struct.pack("<i", gen)[:2]
+        + (b"sAlT" if aes else b"")
     ).digest()
     return h[: min(len(key) + 5, 16)]
+
+
+# ---------------------------------------------------------------------------
+# AES-128 (FIPS-197) — decryption-side implementation for the /AESV2
+# crypt filter (V4/R4). Pure Python from the published standard: the
+# S-box is generated from the GF(2^8) inverse + affine map at import,
+# the inverse cipher applies InvShiftRows/InvSubBytes/InvMixColumns
+# per round. PDF AESV2 data = 16-byte IV + CBC ciphertext with
+# PKCS#7 padding (ISO 32000-1 §7.6.2).
+# ---------------------------------------------------------------------------
+
+
+def _gf_mul(a: int, b: int) -> int:
+    p = 0
+    for _ in range(8):
+        if b & 1:
+            p ^= a
+        hi = a & 0x80
+        a = (a << 1) & 0xFF
+        if hi:
+            a ^= 0x1B
+        b >>= 1
+    return p
+
+
+def _build_sbox() -> tuple[bytes, bytes]:
+    # multiplicative inverses in GF(2^8) via exponentiation tables
+    exp = [0] * 512
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x = _gf_mul(x, 3)
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+    sbox = bytearray(256)
+    for i in range(256):
+        inv = 0 if i == 0 else exp[255 - log[i]]
+        # affine transformation
+        s = inv
+        for sh in (1, 2, 3, 4):
+            s ^= ((inv << sh) | (inv >> (8 - sh))) & 0xFF
+        sbox[i] = s ^ 0x63
+    inv_sbox = bytearray(256)
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+    return bytes(sbox), bytes(inv_sbox)
+
+
+_SBOX, _INV_SBOX = _build_sbox()
+_RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
+
+
+def _expand_key(key: bytes) -> list[list[int]]:
+    """128-bit key schedule → 11 round keys of 16 bytes each."""
+    words = [list(key[i:i + 4]) for i in range(0, 16, 4)]
+    for i in range(4, 44):
+        t = list(words[i - 1])
+        if i % 4 == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= _RCON[i // 4 - 1]
+        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+    return [
+        sum(words[4 * r:4 * r + 4], []) for r in range(11)
+    ]
+
+
+def _inv_mix_columns(st: list[int]) -> list[int]:
+    out = [0] * 16
+    for c in range(4):
+        a = st[4 * c:4 * c + 4]
+        out[4 * c + 0] = (
+            _gf_mul(a[0], 14) ^ _gf_mul(a[1], 11)
+            ^ _gf_mul(a[2], 13) ^ _gf_mul(a[3], 9)
+        )
+        out[4 * c + 1] = (
+            _gf_mul(a[0], 9) ^ _gf_mul(a[1], 14)
+            ^ _gf_mul(a[2], 11) ^ _gf_mul(a[3], 13)
+        )
+        out[4 * c + 2] = (
+            _gf_mul(a[0], 13) ^ _gf_mul(a[1], 9)
+            ^ _gf_mul(a[2], 14) ^ _gf_mul(a[3], 11)
+        )
+        out[4 * c + 3] = (
+            _gf_mul(a[0], 11) ^ _gf_mul(a[1], 13)
+            ^ _gf_mul(a[2], 9) ^ _gf_mul(a[3], 14)
+        )
+    return out
+
+
+def _mix_columns(st: list[int]) -> list[int]:
+    out = [0] * 16
+    for c in range(4):
+        a = st[4 * c:4 * c + 4]
+        out[4 * c + 0] = _gf_mul(a[0], 2) ^ _gf_mul(a[1], 3) ^ a[2] ^ a[3]
+        out[4 * c + 1] = a[0] ^ _gf_mul(a[1], 2) ^ _gf_mul(a[2], 3) ^ a[3]
+        out[4 * c + 2] = a[0] ^ a[1] ^ _gf_mul(a[2], 2) ^ _gf_mul(a[3], 3)
+        out[4 * c + 3] = _gf_mul(a[0], 3) ^ a[1] ^ a[2] ^ _gf_mul(a[3], 2)
+    return out
+
+
+# state layout: column-major per FIPS-197 (byte i of the block is
+# state[i], columns of 4) — shift rows operate on indices i % 4
+_SHIFT = [0, 5, 10, 15, 4, 9, 14, 3, 8, 13, 2, 7, 12, 1, 6, 11]
+_INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
+
+
+def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    st = [b ^ k for b, k in zip(block, rks[0])]
+    for rnd in range(1, 10):
+        st = [_SBOX[b] for b in st]
+        st = [st[_SHIFT[i]] for i in range(16)]
+        st = _mix_columns(st)
+        st = [b ^ k for b, k in zip(st, rks[rnd])]
+    st = [_SBOX[b] for b in st]
+    st = [st[_SHIFT[i]] for i in range(16)]
+    return bytes(b ^ k for b, k in zip(st, rks[10]))
+
+
+def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    st = [b ^ k for b, k in zip(block, rks[10])]
+    for rnd in range(9, 0, -1):
+        st = [st[_INV_SHIFT[i]] for i in range(16)]
+        st = [_INV_SBOX[b] for b in st]
+        st = [b ^ k for b, k in zip(st, rks[rnd])]
+        st = _inv_mix_columns(st)
+    st = [st[_INV_SHIFT[i]] for i in range(16)]
+    st = [_INV_SBOX[b] for b in st]
+    return bytes(b ^ k for b, k in zip(st, rks[0]))
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-128-CBC with PKCS#7 padding; returns IV + ciphertext (the
+    AESV2 wire form)."""
+    rks = _expand_key(key)
+    pad = 16 - len(data) % 16
+    data = data + bytes([pad]) * pad
+    out = bytearray(iv)
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
+    """Inverse of aes_cbc_encrypt: data = IV + ciphertext; strips the
+    PKCS#7 padding, failing closed on malformed input."""
+    if len(data) < 32 or len(data) % 16:
+        raise ValueError(
+            f"pdf: AES stream length {len(data)} not IV + blocks"
+        )
+    rks = _expand_key(key)
+    iv, ct = data[:16], data[16:]
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(ct), 16):
+        blk = ct[i:i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_decrypt_block(blk, rks), prev)
+        )
+        prev = blk
+    pad = out[-1]
+    if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
+        raise ValueError("pdf: AES padding invalid (wrong key?)")
+    return bytes(out[:-pad])

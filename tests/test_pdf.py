@@ -301,3 +301,50 @@ def test_predefined_ucs2_cmap():
 
     assert _UCS2_CMAP.get(0xD800) is None
     assert _UCS2_CMAP.get(0x20AC) == "€"
+
+
+def test_aes128_encrypted_pdf():
+    """AES-128 V4/R4 /AESV2: per-object keys carry the sAlT suffix,
+    streams are IV + CBC + PKCS#7, and extraction is byte-identical
+    across layouts; AES-256 (V5) stays a named rejection."""
+    pages = [["hello world", "line two"], ["page two"]]
+    plain = parse_pdf_text(encode_pdf(pages))
+    for kw in (
+        {}, {"compress": False}, {"cid_font": True},
+        {"object_streams": True},
+    ):
+        m = parse_pdf_text(encode_pdf(pages, encrypt="aes-128", **kw))
+        assert m["text"] == plain["text"], kw
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf_text(
+            encode_pdf(pages, encrypt="aes-128", user_password="pw")
+        )
+    # V5/AESV3 is named, not silently garbled
+    blob = encode_pdf(pages, encrypt="aes-128")
+    import re as _re
+
+    bad = _re.sub(rb"/V 4 /R 4", rb"/V 5 /R 6", blob)
+    bad = bad.replace(b"/CFM /AESV2", b"/CFM /AESV3")
+    with pytest.raises(ValueError, match="unsupported encryption V5"):
+        parse_pdf_text(bad)
+
+
+def test_aes_fips_vectors():
+    from razulibs_spark.operators.pdf_crypto import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+    )
+
+    key = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    pt = bytes.fromhex("3243f6a8885a308d313198a2e0370734")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct == bytes.fromhex("3925841d02dc09fbdc118597196a0b32")
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+    blob = b"x" * 33
+    w = aes_cbc_encrypt(key, b"\x01" * 16, blob)
+    assert aes_cbc_decrypt(key, w) == blob
+    with pytest.raises(ValueError, match="padding invalid"):
+        aes_cbc_decrypt(b"k" * 16, w)  # wrong key fails closed
