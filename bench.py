@@ -390,9 +390,14 @@ R10_ADDITIONS = [
     "j_bloom_semijoin_reduction",
 ]
 
+R11_ADDITIONS = [
+    "text_pptx_extract",
+]
+
 HEADLINE = (
     R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS
     + R07_ADDITIONS + R08_ADDITIONS + R09_ADDITIONS + R10_ADDITIONS
+    + R11_ADDITIONS
 )
 
 # Benched OUTSIDE the registry-pinned HEADLINE (the 293-vs-291

@@ -13886,3 +13886,61 @@ def j_bloom_semijoin_reduction(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PPTX extraction (r11 — the 18th file format; the OPC office triad
+# completed: DOCX words, XLSX tables, PPTX slides)
+# ---------------------------------------------------------------------------
+
+_PPTX_SQL = """
+WITH w AS (SELECT doc_id AS d, string_split(text, ' ') AS ws
+           FROM documents),
+pz AS (SELECT d, ws,
+              CAST(1 + ceil(ceil(len(ws) / 8.0) / 4.0) AS BIGINT)
+                AS ns
+       FROM w),
+p AS (SELECT d, ns,
+             [array_to_string(ws[i:i+7], ' ')
+              for i in generate_series(1, len(ws), 8)] AS ps
+      FROM pz WHERE d % 31 <> 11),
+s AS (SELECT d, ns,
+             [array_to_string(ps[j:j+3], chr(10))
+              for j in generate_series(1, len(ps), 4)] AS sl
+      FROM p),
+e AS (SELECT d, ns,
+             'Doc ' || CAST(d AS VARCHAR) || chr(10)
+             || 'w-' || CAST(d AS VARCHAR) || chr(10) || 'after'
+             || chr(12) || array_to_string(sl, chr(12)) AS expected
+      FROM s)
+SELECT d AS doc_id, TRUE AS parsed, ns AS n_slides, ns AS n_shapes,
+       md5(expected) AS text_md5, CAST(NULL AS VARCHAR) AS note
+FROM e
+UNION ALL
+SELECT d, FALSE, NULL, NULL, NULL,
+       'pptx: slide part ppt/slides/slide' || CAST(ns AS VARCHAR)
+       || '.xml missing in package'
+FROM pz WHERE d % 31 = 11
+"""
+
+
+@query("text_pptx_extract", _PPTX_SQL)
+def text_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX slide-text extraction (operators/pptx.py — the 18th file
+    format, completing the OPC office triad): each doc becomes a real
+    deck whose READING ORDER lives only in p:sldIdLst + the rels walk
+    — slide parts are numbered in REVERSE so zip order and file names
+    both lie; the torture slide splits words across runs, plants an
+    <a:br/> and an <a:fld> slide-number field that must NOT leak; an
+    ORPHAN slide sits in the package but not in sldIdLst; a textless
+    picture shape contributes nothing. Docs with d%31 == 11 name a
+    slide part the package lacks — fail-closed with the part named
+    (the oracle derives the reverse-numbered part name from the word
+    count). One Arrow pass each way, map-only."""
+    from razulibs_spark.operators.pptx import (
+        pptx_text_stats,
+        synthesize_pptx_media,
+    )
+
+    docs = T(spark, sf_dir, "documents")
+    return pptx_text_stats(synthesize_pptx_media(docs))

@@ -1,0 +1,75 @@
+"""PPTX extraction — reading-order, run/field semantics, fail-closed."""
+
+from __future__ import annotations
+
+import pytest
+
+from razulibs_spark.operators.pptx import encode_pptx, parse_pptx
+
+WORDS = (
+    "alpha beta gamma delta eps zeta eta theta iota kappa lam mu nu "
+    "xi omicron pi rho sigma tau upsilon phi chi psi omega one two "
+    "three four five six seven eight nine ten"
+).split(" ")
+
+
+def test_slide_order_runs_and_fields():
+    m = parse_pptx(encode_pptx(7, WORDS))
+    slides = m["text"].split("\f")
+    # torture slide first despite reverse part numbering
+    assert slides[0] == "Doc 7\nw-7\nafter"
+    # body slides in word order, 8-word paragraphs, 4 per slide
+    assert slides[1].split("\n")[0] == " ".join(WORDS[:8])
+    assert m["n_slides"] == len(slides)
+    # the slide-number field and the orphan slide never leak
+    assert "99" not in m["text"] and "ORPHAN" not in m["text"]
+
+
+def test_fail_closed_paths():
+    with pytest.raises(ValueError, match="not an OPC package"):
+        parse_pptx(b"PK\x03\x04 junk")
+    with pytest.raises(ValueError, match="missing in package"):
+        parse_pptx(encode_pptx(3, WORDS, poison=True))
+
+
+def test_pptx_stage_fail_closed(spark):
+    from razulibs_spark.operators.pptx import (
+        pptx_text_stats,
+        synthesize_pptx_media,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, " ".join(WORDS)), (11, "poisoned deck")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in pptx_text_stats(synthesize_pptx_media(docs)).collect()
+    }
+    assert rows[0]["parsed"] is True and rows[0]["n_slides"] == 3
+    assert rows[11]["parsed"] is False
+    assert "missing in package" in rows[11]["note"]
+
+
+def test_malformed_xml_fail_closed(spark):
+    import io
+    import zipfile
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from razulibs_spark.operators.pptx import pptx_text_stats
+
+    blob = encode_pptx(3, WORDS)
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "ppt/presentation.xml":
+                data = b"<p:presentation><unclosed"
+            out.writestr(name, data)
+    media = spark.createDataFrame(
+        [(1, bytearray(buf.getvalue()))], "doc_id long, payload binary"
+    )
+    rows = pptx_text_stats(media).collect()
+    assert rows[0]["parsed"] is False and rows[0]["note"]
