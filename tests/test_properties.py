@@ -1207,7 +1207,7 @@ def test_xlsx_roundtrip_any_words(words, d):
 
     m = parse_xlsx(encode_xlsx(d, words))
     cells = dict(m["cells"])
-    assert m["n_cells"] == 15
+    assert m["n_cells"] == 21  # 15 value cells + the r11 date row
     assert cells["D1"] == f"w-{d}"
     for i in range(3):
         assert cells[f"B{i + 2}"] == words[i % len(words)]
