@@ -393,6 +393,7 @@ R10_ADDITIONS = [
 R11_ADDITIONS = [
     "text_pptx_extract",
     "k2_turtle_sharded_roundtrip",
+    "text_mbox_extract",
 ]
 
 HEADLINE = (

@@ -13993,3 +13993,70 @@ def k2_turtle_sharded_roundtrip(
     ).text(path)
     raw = read_turtle_sharded(spark, path, min_partitions=8)
     return compact_triples(raw).select("s", "p", "o")
+
+
+_MBOX_SQL = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+SELECT doc_id, TRUE AS parsed,
+       md5('Report ' || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 3 = 0 THEN ' plain'
+                   ELSE ' naïve' END) AS subject_md5,
+       md5(CASE WHEN doc_id % 3 = 0 THEN 'plain summary: '
+                ELSE 'naïve résumé: ' END
+           || array_to_string(ws[1:20], ' ')) AS body_md5,
+       CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
+         AS n_parts,
+       CASE doc_id % 3 WHEN 0 THEN '7bit' WHEN 1 THEN 'base64'
+            ELSE 'quoted-printable' END AS cte,
+       CAST(NULL AS VARCHAR) AS note
+FROM w
+"""
+
+
+@query("text_mbox_extract", _MBOX_SQL)
+def text_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MBOX mail-archive extraction (operators/mbox.py — the 19th
+    file format; list archives and mail spools arrive as ONE
+    multi-GB file): every document's RFC 5322 message (the same
+    three transfer shapes as text_eml_extract) concatenates into a
+    single mboxrd file — bodies containing ``From ``-leading lines
+    are quoted on write and must un-quote on read — which
+    ``read_mbox_sharded`` then distributes across 8 FORCED input
+    splits: separator counting is the two-pass parallel scan, so
+    messages straddling split boundaries reassemble exactly; doc_id
+    is recovered from each message's own (RFC 2047-decoded) Subject
+    so correctness never leans on file order. The oracle recomputes
+    subject/body md5, leaf-part count and the CTE label per doc. At
+    100 TB: ~800 tasks per 100 GB spool, one bounded shuffle, one
+    long per partition of driver traffic."""
+    from razulibs_spark.operators.eml import encode_eml
+    from razulibs_spark.operators.mbox import (
+        _FROM_LINE,
+        mbox_escape,
+        mbox_message_stats,
+        read_mbox_sharded,
+    )
+
+    def chunks(it):
+        import pandas as pd
+
+        for pdf in it:
+            vals = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                msg = encode_eml(
+                    int(doc_id), str(text).split(" ")
+                ).decode("utf-8")
+                vals.append(_FROM_LINE + "\n" + mbox_escape(msg))
+            yield pd.DataFrame({"value": vals})
+
+    path = "/root/repo/.scratch/mbox_rt"
+    (
+        T(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(chunks, schema="value string")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(path)
+    )
+    msgs = read_mbox_sharded(spark, path, min_partitions=8)
+    return mbox_message_stats(msgs)
