@@ -879,7 +879,7 @@ def test_new_format_extractors_single_arrow_pass(spark):
     synthesis and parse fuse into consecutive MapInPandas stages over
     the documents scan with no shuffle anywhere."""
     for entry in (Q.text_xlsx_extract, Q.text_rtf_extract,
-                  Q.text_odt_extract):
+                  Q.text_odt_extract, Q.text_pptx_extract):
         plan = _plan(entry(spark, SF))
         assert "Exchange" not in plan, entry.__name__
         # formatted explain names each node twice (tree + details)
@@ -976,3 +976,38 @@ def test_zorder_and_compaction_no_python_stage(spark):
         assert "ArrowEvalPython" not in plan, entry.__name__
         assert "MapInPandas" not in plan, entry.__name__
         assert "BatchEvalPython" not in plan, entry.__name__
+
+
+def test_sharded_single_file_reassembly_bounded(spark, tmp_path):
+    """read_mbox_sharded: the ONLY shuffle is the message-reassembly
+    hash aggregation (bounded by message size, never file size);
+    parsing is an Arrow stage, never row-wise Python; the per-line
+    sort key is inside the aggregation (sort_array), not a global
+    Sort."""
+    from razulibs_spark.operators.eml import encode_eml
+    from razulibs_spark.operators.mbox import (
+        _FROM_LINE,
+        mbox_escape,
+        mbox_message_stats,
+        read_mbox_sharded,
+    )
+
+    p = tmp_path / "s.mbox"
+    p.write_text(
+        "\n".join(
+            _FROM_LINE + "\n"
+            + mbox_escape(encode_eml(d, ["w1", "w2"]).decode())
+            for d in range(4)
+        )
+    )
+    df = mbox_message_stats(read_mbox_sharded(spark, str(p)))
+    plan = _plan(df)
+    import re as _re
+
+    exchanges = _re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 1, plan[:500]
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "ObjectHashAggregate" in plan  # collect_list w/ partials
+    # no global Sort node — ordering is per-group sort_array
+    assert _re.search(r"\(\d+\) Sort\b", plan) is None, plan[:500]
