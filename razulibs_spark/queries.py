@@ -13985,10 +13985,13 @@ def k2_turtle_sharded_roundtrip(
         F.lit(TURTLE_FULL_HEADER.rstrip("\n")).alias("value")
     )
     path = "/root/repo/.scratch/turtle_sharded_rt"
-    # ONE physical file, the dump shape (coalesce(1) is the fixture
-    # constructor, not the engine plan — real dumps arrive as one
-    # file; the point under test is reading it back distributed)
-    header.unionAll(blocks.select(value)).coalesce(1).write.mode(
+    # ONE physical file, the dump shape (the single-file write is the
+    # fixture constructor, not the engine plan — real dumps arrive as
+    # one file; the point under test is reading it back distributed).
+    # repartition(1), NOT coalesce(1): coalesce propagates up and
+    # collapses the whole block-building stage into one task, while
+    # repartition keeps it parallel and single-tasks only the write.
+    header.unionAll(blocks.select(value)).repartition(1).write.mode(
         "overwrite"
     ).text(path)
     raw = read_turtle_sharded(spark, path, min_partitions=8)

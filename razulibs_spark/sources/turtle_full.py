@@ -343,13 +343,26 @@ class _Parser:
             self._expect_punct(".")
 
 
-def parse_turtle(text: str, bnode_prefix: str = "") -> list[dict]:
+def parse_turtle(
+    text: str,
+    bnode_prefix: str = "",
+    prefixes: dict[str, str] | None = None,
+    base: str = "",
+) -> list[dict]:
     """Full-grammar Turtle document → list of triple dicts in
     TRIPLE_SCHEMA field order. ``bnode_prefix`` namespaces the fresh
     labels minted for anonymous nodes so labels from different
     documents in one corpus never collide (pass e.g. a document
-    hash)."""
+    hash). ``prefixes``/``base`` seed the directive environment —
+    the sharded reader parses the dump's directive header ONCE and
+    seeds every statement with the result instead of re-tokenizing
+    the header per statement (the cost that dominated the first
+    sharded-roundtrip bench)."""
     p = _Parser(tokenize_turtle(text), bnode_prefix)
+    if prefixes:
+        p.prefixes.update(prefixes)
+    if base:
+        p.base = base
     rows = p.parse()
     return [
         {
@@ -643,7 +656,14 @@ def read_turtle_sharded(
     header = "\n".join(
         r["line"] for r in sorted(header_rows, key=lambda r: r["line_no"])
     )
-    bc_header = sc.broadcast(header)
+    # parse the directive header ONCE here; statements are seeded
+    # with the resulting (prefixes, base) environment instead of
+    # re-tokenizing the header text per statement — at 300k+
+    # statements per sf0.1 dump the repeated header tokenization was
+    # the single largest cost of the whole roundtrip
+    hdr_parser = _Parser(tokenize_turtle(header), "hdr")
+    hdr_parser.parse()
+    bc_env = sc.broadcast((dict(hdr_parser.prefixes), hdr_parser.base))
 
     # directive lines stay INLINE too (a SPARQL-style PREFIX has no
     # terminating '.', so it shares a stmt_id with the statement after
@@ -669,15 +689,17 @@ def read_turtle_sharded(
     def batches(it):
         import hashlib
 
-        hdr = bc_header.value
+        pfx_env, base_env = bc_env.value
         for pdf in it:
             rows: list[list] = []
             for sid, stmt in zip(pdf["stmt_id"], pdf["stmt"]):
                 if not stmt.strip():
                     continue
                 pfx = hashlib.md5(str(int(sid)).encode()).hexdigest()[:8]
-                doc = hdr + "\n" + stmt if hdr else stmt
-                for r in parse_turtle(doc, bnode_prefix=pfx):
+                for r in parse_turtle(
+                    stmt, bnode_prefix=pfx,
+                    prefixes=pfx_env, base=base_env,
+                ):
                     rows.append([r[c] for c in cols])
             yield pd.DataFrame(rows, columns=cols)
 
