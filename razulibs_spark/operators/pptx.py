@@ -129,13 +129,33 @@ def parse_pptx(payload: bytes) -> dict:
         if tree is None:
             raise ValueError(f"pptx: slide {part} has no shape tree")
         paras: list[str] = []
-        for sp in tree.findall(_p("sp")):
-            n_shapes += 1
-            tx = sp.find(f"{_p('txBody')}")
-            if tx is None:
-                continue  # picture/connector shapes carry no prose
-            for p_el in tx.findall(_a("p")):
-                paras.append(_paragraph_text(p_el))
+
+        def walk(container: ET.Element) -> None:
+            """Document-order shape walk: plain shapes, GROUP shapes
+            (p:grpSp — decks nest constantly; a non-recursive walk
+            silently drops every grouped text box) and tables
+            (p:graphicFrame → a:tbl — rows → cells → txBody, the
+            slide-table layout)."""
+            nonlocal n_shapes
+            for child in container:
+                if child.tag == _p("sp"):
+                    n_shapes += 1
+                    tx = child.find(_p("txBody"))
+                    if tx is None:
+                        continue  # pictures/connectors: no prose
+                    for p_el in tx.findall(_a("p")):
+                        paras.append(_paragraph_text(p_el))
+                elif child.tag == _p("grpSp"):
+                    walk(child)
+                elif child.tag == _p("graphicFrame"):
+                    for tc in child.iter(_a("tc")):
+                        tx = tc.find(_a("txBody"))
+                        if tx is None:
+                            continue
+                        for p_el in tx.findall(_a("p")):
+                            paras.append(_paragraph_text(p_el))
+
+        walk(tree)
         slide_texts.append("\n".join(paras))
     return {
         "n_slides": len(slide_texts),
@@ -186,7 +206,9 @@ def encode_pptx(d: int, words: list[str], poison: bool = False) -> bytes:
     """One real deck from doc d. Slide 1 is the torture slide: a
     title of TWO runs ('Doc ' + str(d)), a paragraph whose word is
     split mid-token across runs ('w-' + d), an <a:br/> line break,
-    and an <a:fld> slide-number field whose text must NOT leak. Body
+    an <a:fld> slide-number field whose text must NOT leak, a GROUP
+    shape wrapping a text box ('grouped' — flat walks drop it) and a
+    1x2 table in a graphicFrame ('cellA'/'cellB'). Body
     slides hold 8-word paragraphs, 4 per slide. Slide parts are
     numbered in REVERSE (slide9 is first in reading order) and an
     orphan slide (orphan.xml, in the zip, not in sldIdLst) plants
@@ -214,7 +236,24 @@ def encode_pptx(d: int, words: list[str], poison: bool = False) -> bytes:
             + '<a:fld id="{X}" type="slidenum"><a:t>99</a:t></a:fld>',
         ]
     )
-    slide_xmls = [_slide_xml([torture])] + [
+    # a GROUP shape wrapping a text box (nested walk required) and a
+    # 1x2 TABLE in a graphicFrame (rows → cells → txBody)
+    grouped = (
+        "<p:grpSp><p:nvGrpSpPr/><p:grpSpPr/>"
+        + _shape([_run("grouped")])
+        + "</p:grpSp>"
+    )
+    table = (
+        "<p:graphicFrame><p:nvGraphicFramePr/>"
+        '<a:graphic><a:graphicData uri="http://schemas.openxmlformats.'
+        'org/drawingml/2006/table"><a:tbl><a:tr>'
+        "<a:tc><a:txBody><a:bodyPr/><a:p>" + _run("cellA")
+        + "</a:p></a:txBody></a:tc>"
+        "<a:tc><a:txBody><a:bodyPr/><a:p>" + _run("cellB")
+        + "</a:p></a:txBody></a:tc>"
+        "</a:tr></a:tbl></a:graphicData></a:graphic></p:graphicFrame>"
+    )
+    slide_xmls = [_slide_xml([torture, grouped, table])] + [
         _slide_xml([_shape([_run(p) for p in paras])])
         for paras in body_slides
     ]

@@ -13911,9 +13911,12 @@ s AS (SELECT d, ns,
 e AS (SELECT d, ns,
              'Doc ' || CAST(d AS VARCHAR) || chr(10)
              || 'w-' || CAST(d AS VARCHAR) || chr(10) || 'after'
+             || chr(10) || 'grouped' || chr(10) || 'cellA'
+             || chr(10) || 'cellB'
              || chr(12) || array_to_string(sl, chr(12)) AS expected
       FROM s)
-SELECT d AS doc_id, TRUE AS parsed, ns AS n_slides, ns AS n_shapes,
+SELECT d AS doc_id, TRUE AS parsed, ns AS n_slides,
+       ns + 1 AS n_shapes,
        md5(expected) AS text_md5, CAST(NULL AS VARCHAR) AS note
 FROM e
 UNION ALL

@@ -16,8 +16,9 @@ WORDS = (
 def test_slide_order_runs_and_fields():
     m = parse_pptx(encode_pptx(7, WORDS))
     slides = m["text"].split("\f")
-    # torture slide first despite reverse part numbering
-    assert slides[0] == "Doc 7\nw-7\nafter"
+    # torture slide first despite reverse part numbering; grouped
+    # shape and table text extract in document order
+    assert slides[0] == "Doc 7\nw-7\nafter\ngrouped\ncellA\ncellB"
     # body slides in word order, 8-word paragraphs, 4 per slide
     assert slides[1].split("\n")[0] == " ".join(WORDS[:8])
     assert m["n_slides"] == len(slides)
