@@ -324,6 +324,99 @@ def encode_pptx(d: int, words: list[str], poison: bool = False) -> bytes:
     return buf.getvalue()
 
 
+def encode_pptx_foreign(d: int, words: list[str]) -> bytes:
+    """Second-producer deck, the PowerPoint-export shape: slide parts
+    named sequentially in reading order, rels Targets written
+    PACKAGE-ABSOLUTE (``/ppt/slides/slide1.xml`` — the OPC form naive
+    resolvers double-prefix), and a notesSlide part per slide whose
+    speaker notes are APPARATUS that must not extract. Same text as
+    encode_pptx minus the torture extras — the oracle branches on the
+    axis only for the first slide's constant."""
+    para_chunks = [
+        " ".join(words[i:i + _WORDS_PER_PARA])
+        for i in range(0, len(words), _WORDS_PER_PARA)
+    ]
+    body_slides = [
+        para_chunks[j:j + _PARAS_PER_SLIDE]
+        for j in range(0, len(para_chunks), _PARAS_PER_SLIDE)
+    ]
+    n_slides = 1 + len(body_slides)
+    slide_xmls = [
+        _slide_xml([_shape([_run("Doc ") + _run(str(d))])])
+    ] + [
+        _slide_xml([_shape([_run(p) for p in paras])])
+        for paras in body_slides
+    ]
+    sld_ids = "".join(
+        f'<p:sldId id="{256 + k}" r:id="rId{k + 2}"/>'
+        for k in range(n_slides)
+    )
+    pres = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:presentation xmlns:p="{_P_NS}" xmlns:r="{_DOC_REL_NS}">'
+        f"<p:sldIdLst>{sld_ids}</p:sldIdLst></p:presentation>"
+    )
+    rel_rows = "".join(
+        f'<Relationship Id="rId{k + 2}" Type="http://schemas.'
+        "openxmlformats.org/officeDocument/2006/relationships/slide"
+        f'" Target="/ppt/slides/slide{k + 1}.xml"/>'
+        for k in range(n_slides)
+    )
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS}">{rel_rows}</Relationships>'
+    )
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<Relationships xmlns="{_REL_NS}">'
+        '<Relationship Id="rId1" Type="http://schemas.openxmlformats.'
+        'org/officeDocument/2006/relationships/officeDocument" '
+        'Target="ppt/presentation.xml"/></Relationships>'
+    )
+    overrides = "".join(
+        f'<Override PartName="/ppt/slides/slide{k + 1}.xml" '
+        'ContentType="application/vnd.openxmlformats-officedocument.'
+        'presentationml.slide+xml"/>'
+        for k in range(n_slides)
+    )
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/content-types">'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'presentationml.presentation.main+xml"/>'
+        + overrides + "</Types>"
+    )
+    notes = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<p:notes xmlns:p="{_P_NS}" xmlns:a="{_A_NS}">'
+        "<p:cSld><p:spTree>"
+        + _shape([_run("SPEAKER NOTES apparatus")])
+        + "</p:spTree></p:cSld></p:notes>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        stamp = (1980, 1, 1, 0, 0, 0)
+
+        def add(name: str, data: str) -> None:
+            zi = zipfile.ZipInfo(name, date_time=stamp)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+
+        add("[Content_Types].xml", content_types)
+        add("_rels/.rels", root_rels)
+        add("ppt/presentation.xml", pres)
+        add("ppt/_rels/presentation.xml.rels", pres_rels)
+        for k in range(n_slides):
+            add(f"ppt/slides/slide{k + 1}.xml", slide_xmls[k])
+            add(f"ppt/notesSlides/notesSlide{k + 1}.xml", notes)
+    return buf.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # Spark stages
 # ---------------------------------------------------------------------------
@@ -349,19 +442,22 @@ PPTX_TEXT_SCHEMA = StructType(
 
 def synthesize_pptx_media(documents: DataFrame) -> DataFrame:
     """documents → (doc_id, payload) real decks; d%31 == 11 is the
-    poison slot (rels name a slide part missing from the package)."""
+    poison slot (rels name a slide part missing from the package);
+    of the rest, d%53 == 7 comes from the FOREIGN producer
+    (package-absolute rels targets, sequential slide names, speaker
+    notesSlide parts that must not extract)."""
+
+    def _one(d: int, text: str) -> bytes:
+        if d % 31 == 11:
+            return encode_pptx(d, text.split(" "), poison=True)
+        if d % 53 == 7:
+            return encode_pptx_foreign(d, text.split(" "))
+        return encode_pptx(d, text.split(" "))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = [
-                (
-                    int(doc_id),
-                    encode_pptx(
-                        int(doc_id),
-                        str(text).split(" "),
-                        poison=(int(doc_id) % 31 == 11),
-                    ),
-                )
+                (int(doc_id), _one(int(doc_id), str(text)))
                 for doc_id, text in zip(pdf["doc_id"], pdf["text"])
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])

@@ -13909,14 +13909,16 @@ s AS (SELECT d, ns,
               for j in generate_series(1, len(ps), 4)] AS sl
       FROM p),
 e AS (SELECT d, ns,
-             'Doc ' || CAST(d AS VARCHAR) || chr(10)
-             || 'w-' || CAST(d AS VARCHAR) || chr(10) || 'after'
-             || chr(10) || 'grouped' || chr(10) || 'cellA'
-             || chr(10) || 'cellB'
+             'Doc ' || CAST(d AS VARCHAR)
+             || CASE WHEN d % 53 = 7 THEN ''
+                     ELSE chr(10) || 'w-' || CAST(d AS VARCHAR)
+                          || chr(10) || 'after'
+                          || chr(10) || 'grouped' || chr(10) || 'cellA'
+                          || chr(10) || 'cellB' END
              || chr(12) || array_to_string(sl, chr(12)) AS expected
       FROM s)
 SELECT d AS doc_id, TRUE AS parsed, ns AS n_slides,
-       ns + 1 AS n_shapes,
+       CASE WHEN d % 53 = 7 THEN ns ELSE ns + 1 END AS n_shapes,
        md5(expected) AS text_md5, CAST(NULL AS VARCHAR) AS note
 FROM e
 UNION ALL

@@ -74,3 +74,13 @@ def test_malformed_xml_fail_closed(spark):
     )
     rows = pptx_text_stats(media).collect()
     assert rows[0]["parsed"] is False and rows[0]["note"]
+
+
+def test_foreign_producer_absolute_targets_and_notes():
+    from razulibs_spark.operators.pptx import encode_pptx_foreign
+
+    m = parse_pptx(encode_pptx_foreign(7, WORDS))
+    slides = m["text"].split("\f")
+    assert slides[0] == "Doc 7"
+    assert slides[1].split("\n")[0] == " ".join(WORDS[:8])
+    assert "SPEAKER NOTES" not in m["text"]
