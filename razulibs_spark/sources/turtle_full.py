@@ -566,7 +566,10 @@ def read_turtle_sharded(
     read_turtle_full):
     - @prefix/@base directives precede all data statements,
     - no multi-line ('''…'''/\"\"\"…\"\"\") literals — a statement
-      terminator ``.`` at end-of-line really ends a statement.
+      terminator ``.`` at end-of-line really ends a statement,
+    - no TRAILING comments ending in ``.`` on unterminated lines
+      (``ex:s ex:p 1 ; # note.`` would mis-count as a terminator;
+      full-line ``#`` comments are fine and dumps emit no others).
 
     Plan shape (all linear, no driver bottleneck, no global sort):
     1. ``textFile`` splits the document into line blocks (HDFS-style
