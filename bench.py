@@ -394,6 +394,7 @@ R11_ADDITIONS = [
     "text_pptx_extract",
     "k2_turtle_sharded_roundtrip",
     "text_mbox_extract",
+    "text_wiki_sharded_extract",
 ]
 
 HEADLINE = (

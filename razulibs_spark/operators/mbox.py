@@ -56,60 +56,19 @@ def read_mbox_sharded(
     the first separator (a preamble, rare but legal) are dropped."""
     from pyspark.sql import functions as F
 
-    sc = spark.sparkContext
-    lines = (
-        sc.textFile(path, min_partitions)
-        if min_partitions else sc.textFile(path)
+    from razulibs_spark.sources.sharded_text import separator_records
+
+    recs = separator_records(
+        spark, path,
+        is_separator=lambda ln: ln.startswith("From "),
+        min_partitions=min_partitions,
+        keep_separator=False,  # the From_ line is framing, not content
     )
-
-    def _is_sep(ln: str) -> bool:
-        return ln.startswith("From ")
-
-    def _count(idx: int, it):
-        n = 0
-        for ln in it:
-            if _is_sep(ln):
-                n += 1
-        yield idx, n
-
-    counts = dict(lines.mapPartitionsWithIndex(_count).collect())
-    offsets: dict[int, int] = {}
-    acc = 0
-    for i in sorted(counts):
-        offsets[i] = acc
-        acc += counts[i]
-    bc = sc.broadcast(offsets)
-
-    def _label(idx: int, it):
-        base = bc.value[idx]
-        seen = 0
-        for j, ln in enumerate(it):
-            if _is_sep(ln):
-                seen += 1
-                continue  # the separator line is framing, not content
-            yield base + seen, (idx << 32) | j, ln
-
-    labeled = spark.createDataFrame(
-        lines.mapPartitionsWithIndex(_label),
-        "msg_id long, line_no long, line string",
-    )
-    raw = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("line_no", "line"))),
-            lambda s: s["line"],
-        ),
-        "\n",
-    )
-    return (
-        labeled.filter(F.col("msg_id") > 0)  # 0 = pre-separator preamble
-        .groupBy("msg_id")
-        .agg(raw.alias("raw"))
-        .select(
-            "msg_id",
-            F.regexp_replace(
-                "raw", r"(?m)^>((?:>*)From )", r"$1"
-            ).alias("raw"),
-        )
+    return recs.select(
+        F.col("rec_id").alias("msg_id"),
+        F.regexp_replace(
+            "rec", r"(?m)^>((?:>*)From )", r"$1"
+        ).alias("raw"),
     )
 
 

@@ -14068,3 +14068,39 @@ def text_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     msgs = read_mbox_sharded(spark, path, min_partitions=8)
     return mbox_message_stats(msgs)
+
+
+@query("text_wiki_sharded_extract", _WIKITEXT_SQL)
+def text_wiki_sharded_extract(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sharded SINGLE-dump MediaWiki ingestion (r11 — the shape
+    Wikipedia actually publishes: pages-articles.xml is ONE ~100 GB
+    document, where text_wikitext_extract's per-file tasks need the
+    multistream shard layout): the same synthesized pages write as
+    ONE dump file (coalesce(1) through the template producer — the
+    fixture constructor, not the engine plan), then
+    ``read_wiki_dump_sharded`` distributes that single document
+    across 8 FORCED input splits — <page> boundary lines frame the
+    records, the shared two-pass split-scan reassembles pages that
+    straddle split boundaries, and the SAME wikitext stripping runs
+    in the Arrow stage. Identical oracle to the per-file entry:
+    sharding must be invisible to extraction."""
+    import os
+    import shutil
+
+    from razulibs_spark.operators.wikitext import (
+        read_wiki_dump_sharded,
+        write_wiki_dump,
+    )
+
+    dump_dir = (
+        "/root/repo/.scratch/wiki_dump1_"
+        + os.path.basename(sf_dir.rstrip("/"))
+    )
+    shutil.rmtree(dump_dir, ignore_errors=True)
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    write_wiki_dump(docs.coalesce(1), dump_dir)
+    return read_wiki_dump_sharded(
+        spark, dump_dir + "/part-00000.xml", min_partitions=8
+    )

@@ -39,3 +39,34 @@ def test_planted_page_parity_across_word_counts():
         words = [f"w{i}" for i in range(k)]
         got = wikitext_to_text(synthesize_wiki_text(9, words))
         assert got == expected_plain_text(9, words), (k, got)
+
+
+def test_sharded_single_dump_across_splits(spark, tmp_path):
+    """One dump file forced through 8 input splits must extract the
+    identical rows as the per-file reader — page reassembly across
+    split boundaries included."""
+    from razulibs_spark.operators.wikitext import (
+        read_wiki_dump,
+        read_wiki_dump_sharded,
+        write_wiki_dump,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "alpha beta gamma delta eps zeta") for d in range(30)],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "dump1")
+    write_wiki_dump(docs.coalesce(1), out)
+    a = {
+        r["doc_id"]: r
+        for r in read_wiki_dump(spark, out).collect()
+    }
+    b = {
+        r["doc_id"]: r
+        for r in read_wiki_dump_sharded(
+            spark, out + "/part-00000.xml", min_partitions=8
+        ).collect()
+    }
+    assert set(a) == set(b) == set(range(30))
+    for d in a:
+        assert a[d] == b[d]
