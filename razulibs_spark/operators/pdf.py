@@ -687,6 +687,28 @@ def parse_pdf_text(payload: bytes) -> dict:
             return aes_cbc_decrypt(okey, data)
         return rc4(okey, data)
 
+    def _stream_length(body: bytes) -> int | None:
+        """/Length value, resolving the INDIRECT form (``/Length 12 0
+        R`` — extremely common in real producers, which write the
+        stream before they know its size). Treating the object number
+        as the byte count silently truncates every such stream."""
+        m = re.search(rb"/Length\s+(\d+)(?:\s+(\d+)\s+R)?", body)
+        if not m:
+            return None
+        if m.group(2) is not None:
+            ref = int(m.group(1))
+            if ref not in objects:
+                raise ValueError(
+                    f"pdf: /Length points at missing object {ref}"
+                )
+            try:
+                return int(objects[ref][1].strip())
+            except ValueError as exc:
+                raise ValueError(
+                    f"pdf: /Length object {ref} is not an integer"
+                ) from exc
+        return int(m.group(1))
+
     # PDF 1.5+ object streams: virtually every modern producer packs
     # its dict objects (catalog, page tree, pages) into FlateDecode
     # /ObjStm containers — invisible to the span scan until expanded.
@@ -695,12 +717,12 @@ def parse_pdf_text(payload: bytes) -> dict:
         if b"/ObjStm" not in body:
             continue
         st = re.search(rb"stream\r?\n", body)
-        lm = re.search(rb"/Length\s+(\d+)", body)
+        s_len = _stream_length(body)
         fm = re.search(rb"/First\s+(\d+)", body)
         nm = re.search(rb"/N\s+(\d+)", body)
-        if not (st and lm and fm and nm):
+        if not (st and s_len is not None and fm and nm):
             raise ValueError(f"pdf: malformed object stream {num}")
-        data = buf[at + st.end():at + st.end() + int(lm.group(1))]
+        data = buf[at + st.end():at + st.end() + s_len]
         data = _decrypt(num, data)
         if b"/FlateDecode" in body[:st.start()]:
             try:
@@ -746,11 +768,11 @@ def parse_pdf_text(payload: bytes) -> dict:
         st = re.search(rb"stream\r?\n", body)
         if not st:
             raise ValueError(f"pdf: content object {num} has no stream")
-        lm = re.search(rb"/Length\s+(\d+)", body)
-        if lm and at >= 0:
+        s_len = _stream_length(body)
+        if s_len is not None and at >= 0:
             data_at = at + st.end()
-            data = buf[data_at:data_at + int(lm.group(1))]
-            if len(data) < int(lm.group(1)):
+            data = buf[data_at:data_at + s_len]
+            if len(data) < s_len:
                 raise ValueError(
                     f"pdf: stream {num} shorter than its /Length"
                 )

@@ -348,3 +348,29 @@ def test_aes_fips_vectors():
     assert aes_cbc_decrypt(key, w) == blob
     with pytest.raises(ValueError, match="padding invalid"):
         aes_cbc_decrypt(b"k" * 16, w)  # wrong key fails closed
+
+
+def test_indirect_stream_length_resolves():
+    """/Length as an INDIRECT reference (``/Length 99 0 R``) — the
+    form most real producers emit because they write the stream
+    before knowing its size. Treating the object number as the byte
+    count silently truncates the stream; a dangling reference fails
+    closed by name."""
+    import re as _re
+
+    pages = [["hello world", "line two"]]
+    plain = parse_pdf_text(encode_pdf(pages))
+    blob = encode_pdf(pages)
+    m = _re.search(rb"<< /Length (\d+) /Filter /FlateDecode >>", blob)
+    ln = m.group(1)
+    patched = blob.replace(
+        b"<< /Length " + ln + b" /Filter /FlateDecode >>",
+        b"<< /Length 99 0 R /Filter /FlateDecode >>", 1,
+    ) + b"\n99 0 obj\n" + ln + b"\nendobj\n"
+    assert parse_pdf_text(patched)["text"] == plain["text"]
+    bad = blob.replace(
+        b"<< /Length " + ln + b" /Filter /FlateDecode >>",
+        b"<< /Length 98 0 R /Filter /FlateDecode >>", 1,
+    )
+    with pytest.raises(ValueError, match="missing object 98"):
+        parse_pdf_text(bad)
