@@ -195,10 +195,12 @@ def parse_xlsx(payload: bytes) -> dict:
         raise ValueError("xlsx: workbook has no relationships part")
     rels = ET.fromstring(zf.read(rels_name))
     target = None
+    by_type: dict[str, str] = {}
     for rel in rels.findall(f"{{{_REL_NS}}}Relationship"):
+        rtype = rel.get("Type", "")
+        by_type[rtype.rsplit("/", 1)[-1]] = rel.get("Target", "")
         if rel.get("Id") == rid:
             target = rel.get("Target")
-            break
     if target is None:
         raise ValueError(f"xlsx: relationship {rid} not found")
     # OPC target resolution (ECMA-376 pt.2 §9.2): a leading '/' is a
@@ -212,16 +214,32 @@ def parse_xlsx(payload: bytes) -> dict:
     if part not in names:
         raise ValueError(f"xlsx: sheet part {part} missing in package")
 
+    def _aux_part(rel_kind: str, default: str) -> str | None:
+        """sharedStrings/styles part names resolve through the
+        workbook rels when declared (foreign producers rename them),
+        falling back to the canonical defaults."""
+        t = by_type.get(rel_kind)
+        if t:
+            p = (
+                t.lstrip("/") if t.startswith("/")
+                else posixpath.normpath(posixpath.join("xl", t))
+            )
+            if p in names:
+                return p
+        return default if default in names else None
+
     shared: list[str] = []
-    if "xl/sharedStrings.xml" in names:
-        sst = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+    sst_part = _aux_part("sharedStrings", "xl/sharedStrings.xml")
+    if sst_part:
+        sst = ET.fromstring(zf.read(sst_part))
         shared = [_si_text(si) for si in sst.findall(_s("si"))]
 
     # style layer: cellXfs index → numFmtId, plus custom formatCodes
     xf_fmt: list[int] = []
     custom_fmts: dict[int, str] = {}
-    if "xl/styles.xml" in names:
-        st = ET.fromstring(zf.read("xl/styles.xml"))
+    styles_part = _aux_part("styles", "xl/styles.xml")
+    if styles_part:
+        st = ET.fromstring(zf.read(styles_part))
         nf = st.find(_s("numFmts"))
         if nf is not None:
             for f_el in nf.findall(_s("numFmt")):

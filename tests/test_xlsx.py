@@ -198,3 +198,28 @@ def test_custom_format_token_scan():
     assert not _is_date_fmt(169, c)   # \d is an escaped literal
     assert not _is_date_fmt(170, c)
     assert _is_date_fmt(14, {}) and not _is_date_fmt(2, {})
+
+
+def test_aux_parts_resolve_via_rels_types():
+    """sharedStrings/styles at NON-default part names, declared via
+    the workbook rels Types — foreign producers rename freely; the
+    resolver must follow the rels, not the canonical names."""
+    import io as _io
+
+    blob = encode_xlsx(3, ["w"])
+    src = zipfile.ZipFile(_io.BytesIO(blob))
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "xl/_rels/workbook.xml.rels":
+                data = data.replace(
+                    b'Target="sharedStrings.xml"',
+                    b'Target="strings9.xml"',
+                )
+            if name == "xl/sharedStrings.xml":
+                name = "xl/strings9.xml"
+            out.writestr(name, data)
+    m = parse_xlsx(buf.getvalue())
+    cells = dict(m["cells"])
+    assert cells["A1"] == "id" and cells["D1"] == "w-3"
