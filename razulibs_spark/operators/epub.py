@@ -96,10 +96,16 @@ def parse_epub(payload: bytes) -> dict:
     if not spine:
         raise ValueError("epub: empty spine")
     chapters: list[str] = []
+    from urllib.parse import unquote
+
     for idref in spine:
         href = manifest.get(idref)
         if href is None:
             raise ValueError(f"epub: spine idref {idref!r} not in manifest")
+        # manifest hrefs are IRIs: percent-decoding applies before the
+        # zip lookup (real books have spaces in chapter names), and a
+        # fragment suffix addresses INTO the part, not a different one
+        href = unquote(href.split("#", 1)[0])
         part = posixpath.join(opf_dir, href) if opf_dir else href
         if part not in names:
             raise ValueError(f"epub: chapter {part} missing")

@@ -59,7 +59,7 @@ _PN_LOCAL = (
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+|\#[^\n]*)
-  | (?P<iriref><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<iriref><(?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
   | (?P<long_dquote>\"\"\"(?:[^"\\]|\\.|"(?!""))*\"\"\")
   | (?P<long_squote>'''(?:[^'\\]|\\.|'(?!''))*''')
   | (?P<dquote>"(?:[^"\\\n]|\\.)*")
@@ -175,6 +175,15 @@ class _Parser:
     def _iri(self, kind: str, lex: str) -> str:
         if kind == "iriref":
             body = lex[1:-1]
+            if "\\" in body:
+                # UCHAR escapes inside IRIREF (\\uXXXX/\\UXXXXXXXX —
+                # grammar production [18]; some exporters emit them
+                # for non-ASCII IRI characters)
+                body = re.sub(
+                    r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})",
+                    lambda m: chr(int(m.group(1) or m.group(2), 16)),
+                    body,
+                )
             if self.base and not re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", body):
                 return self.base + body
             return body

@@ -88,3 +88,28 @@ def test_foreign_producer_invariance():
     zf = zipfile.ZipFile(io.BytesIO(blob))
     assert "OEBPS/content.opf" in zf.namelist()
     assert b'version="2.0"' in zf.read("OEBPS/content.opf")
+
+
+def test_percent_encoded_hrefs_resolve(spark=None):
+    """Manifest hrefs are IRIs: percent-decoding applies before the
+    zip lookup and fragments address INTO a part."""
+    import io
+    import zipfile
+
+    from razulibs_spark.operators.epub import encode_epub, parse_epub
+
+    words = "alpha beta gamma delta".split(" ")
+    blob = encode_epub(5, "nl", words)
+    src = zipfile.ZipFile(io.BytesIO(blob))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as out:
+        for name in src.namelist():
+            data = src.read(name)
+            if name == "book/pkg.opf":
+                data = data.replace(
+                    b'href="ch1.xhtml"', b'href="ch%201.xhtml#top"'
+                )
+            if name == "book/ch1.xhtml":
+                name = "book/ch 1.xhtml"
+            out.writestr(name, data)
+    assert parse_epub(buf.getvalue())["text"] == parse_epub(blob)["text"]

@@ -221,3 +221,13 @@ def test_consecutive_semicolons_are_legal():
         ("http://example.org/p", "1"),
         ("http://example.org/q", "2"),
     ]
+
+
+def test_iriref_uchar_escapes():
+    # grammar production [18] IRIREF allows UCHAR — some exporters
+    # escape non-ASCII IRI characters as \uXXXX / \UXXXXXXXX
+    rows = parse_turtle(
+        "<http://e/caf\\u00e9> <http://e/p> <http://e/\\U0001F600x> ."
+    )
+    assert rows[0]["s"] == "http://e/café"
+    assert rows[0]["o"] == "http://e/\U0001F600x"
