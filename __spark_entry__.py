@@ -56,15 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the foreign-producer 1904/absolute-target axis — output changed.
 # text_pdf_extract: r11 added encryption axes (d%23 in {5,7} RC4
 # empty-password, d%89==3 password-protected fail-closed rows).
-_ROTATION_FORCE_REFRESH = frozenset({
-    "k2_turtle_grouped_roundtrip@11",
-    "text_xlsx_extract@11",
-    "text_pdf_extract@11",
-    "text_rtf_extract@11",
-    "text_odt_extract@11",
-    "text_epub_extract@11",
-    "multimodal_tiff_decode@11",
-})
+_ROTATION_FORCE_REFRESH = frozenset({})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
@@ -119,9 +111,10 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "k1_jsonld_roundtrip", "k2_ntriples_roundtrip",
     "k2_rdfxml_roundtrip", "k2_trig_roundtrip", "k2_trix_roundtrip",
     "k2_turtle_foreign", "k2_turtle_grouped_roundtrip",
-    "k2_turtle_roundtrip", "length_histogram", "mixture_sample",
-    "multimodal_audio_spectral", "multimodal_chunk_audio",
-    "multimodal_decode", "multimodal_features", "multimodal_gif_decode",
+    "k2_turtle_roundtrip", "k2_turtle_sharded_roundtrip",
+    "length_histogram", "mixture_sample", "multimodal_audio_spectral",
+    "multimodal_chunk_audio", "multimodal_decode",
+    "multimodal_features", "multimodal_gif_decode",
     "multimodal_image_ahash", "multimodal_mp4_metadata",
     "multimodal_mulaw_decode", "multimodal_resize",
     "multimodal_sample_frames", "multimodal_srt_subtitles",
@@ -176,13 +169,15 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "text_eml_extract", "text_epub_extract", "text_fingerprints",
     "text_hash_classifier", "text_html_extract", "text_html_meta",
     "text_language_id", "text_lm_score", "text_markdown_extract",
-    "text_mojibake_repair", "text_novelty_ratio", "text_odt_extract",
-    "text_pdf_extract", "text_pii_luhn", "text_pii_scrub",
-    "text_quality_scores", "text_rarity_score", "text_repetition_stats",
-    "text_rtf_extract", "text_tfidf_topterms", "text_token_stats",
-    "text_unicode_nfc", "text_vocab_coverage", "text_wikitext_extract",
-    "text_xlsx_extract", "u2_graph_union_dedup", "u4_upsert_by_key",
-    "u_intersect_all", "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
+    "text_mbox_extract", "text_mojibake_repair", "text_novelty_ratio",
+    "text_odt_extract", "text_pdf_extract", "text_pii_luhn",
+    "text_pii_scrub", "text_pptx_extract", "text_quality_scores",
+    "text_rarity_score", "text_repetition_stats", "text_rtf_extract",
+    "text_tfidf_topterms", "text_token_stats", "text_unicode_nfc",
+    "text_vocab_coverage", "text_wiki_sharded_extract",
+    "text_wikitext_extract", "text_xlsx_extract",
+    "u2_graph_union_dedup", "u4_upsert_by_key", "u_intersect_all",
+    "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
     "w_running_distinct", "w_running_total",
 })
 
