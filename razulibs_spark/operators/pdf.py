@@ -659,8 +659,30 @@ def parse_pdf_text(payload: bytes) -> dict:
             )
         if p_m is None:
             raise ValueError("pdf: encrypt dict without /P")
-        len_m = re.search(rb"/Length\s+(\d+)", ebody)
-        length_bits = int(len_m.group(1)) if len_m else 40
+        if enc_aes:
+            # For V4/AESV2 the crypt filter's own /Length (in BYTES,
+            # default 16 = 128-bit) is authoritative; scanning for the
+            # FIRST /Length in the dict body picks up the StdCF value
+            # when a foreign producer orders /CF before the top-level
+            # /Length (16 bytes misread as 16 bits), and a dict with
+            # no top-level /Length at all must not default to 40.
+            std_m = re.search(
+                rb"/StdCF\s*<<(.*?)>>", ebody, re.DOTALL
+            )
+            cf_len = (
+                re.search(rb"/Length\s+(\d+)", std_m.group(1))
+                if std_m else None
+            )
+            if cf_len:
+                # Acrobat writes bytes (16); some producers write
+                # bits (128). Values >= 40 can only be bits.
+                lv = int(cf_len.group(1))
+                length_bits = lv if lv >= 40 else lv * 8
+            else:
+                length_bits = 128
+        else:
+            len_m = re.search(rb"/Length\s+(\d+)", ebody)
+            length_bits = int(len_m.group(1)) if len_m else 40
         meta = not re.search(rb"/EncryptMetadata\s+false", ebody)
         o_val = _dict_string(ebody, b"O")
         u_val = _dict_string(ebody, b"U")

@@ -136,6 +136,14 @@ def rtf_to_text(payload: bytes) -> str:
                     if buf[i:i + 2] == b"\\'":
                         raw += bytes([int(buf[i + 2:i + 4], 16)])
                         i += 4
+                    elif buf[i:i + 1] == b"\\" and buf[i + 1:i + 2] in (
+                        b"\\", b"{", b"}",
+                    ):
+                        # 0x5C/0x7B/0x7D are valid cp932/936/949/950
+                        # trail bytes and are legally written as the
+                        # two-byte escapes \\ \{ \} after the lead
+                        raw += buf[i + 1:i + 2]
+                        i += 2
                     elif i < n and buf[i] not in (
                         0x5C, 0x7B, 0x7D, 0x0D, 0x0A,
                     ):

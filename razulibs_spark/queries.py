@@ -13036,7 +13036,7 @@ def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # §2.1 S4 — foreign Turtle (round 10): the full-grammar path
 # ---------------------------------------------------------------------------
 
-_TTL_FOREIGN_SQL = """
+_TTL_FOREIGN_SQL = r"""
 WITH docs AS (
   SELECT doc_id AS d, lang AS l,
          regexp_replace(string_split(text, ' ')[1],

@@ -613,7 +613,9 @@ def read_turtle_sharded(
     )
 
     def _is_terminated(ln: str) -> bool:
-        s = ln.rstrip()
+        # strip() not rstrip(): an INDENTED full-line comment ending
+        # in "." ("  # note.") must not count as a terminator.
+        s = ln.strip()
         return s.endswith(".") and not s.startswith("#")
 
     # pass 1: terminators per partition (one long each — tiny)

@@ -374,3 +374,58 @@ def test_indirect_stream_length_resolves():
     )
     with pytest.raises(ValueError, match="missing object 98"):
         parse_pdf_text(bad)
+
+
+def test_unsigned_p_value_accepted():
+    """Foreign producers commonly serialize /P as an unsigned 32-bit
+    value (4294967252 == -44 mod 2^32); both forms must derive the
+    SAME file key instead of struct.error killing the stage
+    (ADVICE r11)."""
+    from razulibs_spark.operators.pdf_crypto import file_key
+
+    o = bytes(range(32))
+    id0 = b"\x01" * 16
+    assert file_key(o, -44, id0, 3, 128) == file_key(
+        o, 4294967252, id0, 3, 128
+    )
+    pages = [["hello world"]]
+    plain = parse_pdf_text(encode_pdf(pages))
+    for enc in ("rc4-128", "aes-128"):
+        blob = encode_pdf(pages, encrypt=enc)
+        assert b"/P -44" in blob
+        m = parse_pdf_text(blob.replace(b"/P -44", b"/P 4294967252"))
+        assert m["text"] == plain["text"], enc
+
+
+def test_aes_key_length_from_stdcf_not_first_match():
+    """For V4/AESV2 the StdCF /Length (BYTES, default 16) is
+    authoritative: a dict ordering /CF before the top-level /Length
+    must not misread '16' as 16 bits, and one omitting the top-level
+    /Length entirely must not default to 40 (ADVICE r11)."""
+    import re as _re
+
+    pages = [["hello world", "line two"]]
+    plain = parse_pdf_text(encode_pdf(pages))
+    blob = encode_pdf(pages, encrypt="aes-128")
+    enc_m = _re.search(
+        rb"/Filter /Standard /V 4 /R 4 /Length 128(.*?)/P -44",
+        blob, _re.DOTALL,
+    )
+    assert enc_m is not None
+    # (a) omit the top-level /Length entirely
+    no_len = blob.replace(b"/V 4 /R 4 /Length 128", b"/V 4 /R 4")
+    assert parse_pdf_text(no_len)["text"] == plain["text"]
+    # (b) reorder: /CF block FIRST, top-level /Length after it
+    cf = _re.search(rb" /CF << .*? /StrF /StdCF", blob, _re.DOTALL)
+    reordered = blob.replace(cf.group(0), b"")
+    reordered = reordered.replace(
+        b"/Filter /Standard /V 4 /R 4 /Length 128",
+        b"/Filter /Standard /V 4 /R 4" + cf.group(0) + b" /Length 128",
+    )
+    assert parse_pdf_text(reordered)["text"] == plain["text"]
+    # (c) a bits-form StdCF /Length (128) still reads as 128-bit
+    bits_form = blob.replace(
+        b"/CFM /AESV2 /AuthEvent /DocOpen /Length 16",
+        b"/CFM /AESV2 /AuthEvent /DocOpen /Length 128",
+    )
+    assert parse_pdf_text(bits_form)["text"] == plain["text"]

@@ -119,3 +119,17 @@ def test_foreign_producer_invariance():
     assert rtf_to_text(encode_rtf_foreign(5, words)) == rtf_to_text(
         encode_rtf(5, words)
     )
+
+
+def test_dbcs_escaped_trail_bytes():
+    """0x5C/0x7B/0x7D are valid cp932 trail bytes and are legally
+    written as the two-byte escapes \\\\ \\{ \\} after a \\'hh lead —
+    accept them as the trail instead of rejecting valid CJK docs
+    (ADVICE r11)."""
+    # cp932: 0x935C=貼 0x937B=怒 0x937D=党
+    assert rtf_to_text(rb"{\rtf1\ansicpg932 \'93\\}") == "貼"
+    assert rtf_to_text(rb"{\rtf1\ansicpg932 \'93\{}") == "怒"
+    assert rtf_to_text(rb"{\rtf1\ansicpg932 \'93\}}") == "党"
+    # a lead followed by a NON-trail escape still fails closed
+    with pytest.raises(ValueError, match="without a trail byte"):
+        rtf_to_text(rb"{\rtf1\ansicpg932 \'93\par x}")

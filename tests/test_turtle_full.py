@@ -231,3 +231,32 @@ def test_iriref_uchar_escapes():
     )
     assert rows[0]["s"] == "http://e/café"
     assert rows[0]["o"] == "http://e/\U0001F600x"
+
+
+def test_sharded_indented_comment_not_a_terminator(spark, tmp_path):
+    """An INDENTED full-line comment ending in '.' ('  # note.')
+    inside a multi-line statement must not count as a statement
+    terminator — _is_terminated strips LEADING whitespace before the
+    '#' check (ADVICE r11)."""
+    from razulibs_spark.sources.turtle_full import read_turtle_sharded
+
+    body = (
+        "@prefix ex: <http://example.org/> .\n"
+        + "\n".join(
+            f"ex:s{i} ex:p {i} ;\n"
+            f"  # annotation no. {i}.\n"
+            f"  ex:q {i + 1} ."
+            for i in range(6)
+        )
+        + "\n"
+    )
+    p = tmp_path / "dump.ttl"
+    p.write_text(body)
+    df = read_turtle_sharded(spark, str(p), min_partitions=4)
+    rows = df.collect()
+    assert len(rows) == 12
+    by_s = {}
+    for r in rows:
+        by_s.setdefault(r["s"], set()).add(r["p"])
+    # every subject keeps BOTH predicates in one statement frame
+    assert all(len(ps) == 2 for ps in by_s.values()), by_s
