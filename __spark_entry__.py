@@ -56,7 +56,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the foreign-producer 1904/absolute-target axis — output changed.
 # text_pdf_extract: r11 added encryption axes (d%23 in {5,7} RC4
 # empty-password, d%89==3 password-protected fail-closed rows).
-_ROTATION_FORCE_REFRESH = frozenset({})
+# text_pdf_extract: r12 added AES-256 V5/R6+R5 axes (d%23 in {9,15})
+# and the C-backed crypto fast path — fixture bytes changed.
+_ROTATION_FORCE_REFRESH = frozenset({"text_pdf_extract@12"})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",

@@ -247,6 +247,7 @@ def encode_pdf(
             file_key,
             object_key,
             rc4,
+            v5_values,
         )
 
         if encrypt == "rc4-40":
@@ -255,16 +256,29 @@ def encode_pdf(
             v, r, bits = 2, 3, 128
         elif encrypt == "aes-128":
             v, r, bits = 4, 4, 128
+        elif encrypt == "aes-256":
+            v, r, bits = 5, 6, 256
+        elif encrypt == "aes-256-r5":
+            v, r, bits = 5, 5, 256
         else:
             raise ValueError(f"encode_pdf: unknown encrypt {encrypt!r}")
-        pwd = user_password.encode("latin-1")
         perm = -44  # print allowed, modify/copy denied — typical
         id0 = hashlib.md5(
             b"razulibs-pdf-id" + repr(pages).encode()
         ).digest()
-        o_val = compute_o(b"fixture-owner", pwd, r, bits)
-        key = file_key(o_val, perm, id0, r, bits, pwd)
-        u_val = compute_u(key, id0, r)
+        if v == 5:
+            # V5: the file key is freestanding (not derived from /O
+            # or /ID); /U //UE //O //OE //Perms carry the 2.A algebra.
+            pwd = user_password.encode("utf-8")
+            key = hashlib.sha256(b"v5-filekey" + id0).digest()
+            u_val, ue_val, o_val, oe_val, perms_val = v5_values(
+                pwd, b"fixture-owner", key, perm, r=r, seed=id0
+            )
+        else:
+            pwd = user_password.encode("latin-1")
+            o_val = compute_o(b"fixture-owner", pwd, r, bits)
+            key = file_key(o_val, perm, id0, r, bits, pwd)
+            u_val = compute_u(key, id0, r)
         stream_head = re.compile(rb"stream\r?\n")
         enc_objs = []
         for n, body in objs:
@@ -273,8 +287,11 @@ def encode_pdf(
                 lm = re.search(rb"/Length\s+(\d+)", body)
                 ln = int(lm.group(1))
                 data = body[st.end():st.end() + ln]
-                okey = object_key(key, n, 0, aes=(v == 4))
-                if v == 4:
+                okey = (
+                    key if v == 5
+                    else object_key(key, n, 0, aes=(v == 4))
+                )
+                if v >= 4:
                     # deterministic fixture IV (the spec wants it
                     # unpredictable, not secret; fixtures want bytes
                     # stable across runs)
@@ -297,10 +314,22 @@ def encode_pdf(
                     )
             enc_objs.append((n, body))
         enc_num = max(n for n, _ in enc_objs) + 1
-        cf = (
-            " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
-            "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-            if v == 4 else ""
+        if v == 4:
+            cf = (
+                " /CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen "
+                "/Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        elif v == 5:
+            cf = (
+                " /CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen "
+                "/Length 32 >> >> /StmF /StdCF /StrF /StdCF"
+            )
+        else:
+            cf = ""
+        extra5 = (
+            f" /UE <{ue_val.hex()}> /OE <{oe_val.hex()}>"
+            f" /Perms <{perms_val.hex()}>"
+            if v == 5 else ""
         )
         enc_objs.append(
             (
@@ -308,7 +337,8 @@ def encode_pdf(
                 (
                     f"<< /Filter /Standard /V {v} /R {r} /Length {bits}"
                     f"{cf} "
-                    f"/P {perm} /O <{o_val.hex()}> /U <{u_val.hex()}> >>"
+                    f"/P {perm} /O <{o_val.hex()}> /U <{u_val.hex()}>"
+                    f"{extra5} >>"
                 ).encode(),
             )
         )
@@ -619,6 +649,11 @@ def parse_pdf_text(payload: bytes) -> dict:
             file_key,
             object_key,
             rc4,
+            v5_check_perms,
+            v5_file_key_owner,
+            v5_file_key_user,
+            v5_verify_owner,
+            v5_verify_user,
             verify_user_password,
         )
 
@@ -638,10 +673,24 @@ def parse_pdf_text(payload: bytes) -> dict:
         v = int(v_m.group(1)) if v_m else 0
         r = int(r_m.group(1)) if r_m else 2
         enc_aes = False
-        if v == 4 or r == 4:
-            # crypt-filter form: the only CFM this engine speaks is
-            # AESV2 (AES-128-CBC); V5/R6 (AES-256) stays a named
-            # rejection.
+        enc_v5 = False
+        if v == 5 or r in (5, 6):
+            # AES-256 (ISO 32000-2 §7.6.4): /V 5 with /R 6 (the
+            # Acrobat X+ / PDF 2.0 default) or the deprecated /R 5;
+            # the crypt filter must be AESV3.
+            cfm = re.search(rb"/CFM\s*/(\w+)", ebody)
+            if v != 5 or r not in (5, 6) or (
+                cfm is not None and cfm.group(1) != b"AESV3"
+            ):
+                raise ValueError(
+                    f"pdf: unsupported encryption V{v} R{r} "
+                    f"CFM={(cfm.group(1).decode() if cfm else None)!r}"
+                )
+            enc_aes = True
+            enc_v5 = True
+        elif v == 4 or r == 4:
+            # crypt-filter form: the only 128-bit CFM this engine
+            # speaks is AESV2 (AES-128-CBC).
             cfm = re.search(rb"/CFM\s*/(\w+)", ebody)
             if (
                 v != 4 or r != 4
@@ -654,8 +703,8 @@ def parse_pdf_text(payload: bytes) -> dict:
             enc_aes = True
         elif v not in (1, 2) or r not in (2, 3):
             raise ValueError(
-                f"pdf: unsupported encryption V{v} R{r} (RC4 V1/V2 "
-                "and AESV2 V4/R4 only)"
+                f"pdf: unsupported encryption V{v} R{r} (RC4 V1/V2, "
+                "AESV2 V4/R4 and AESV3 V5/R5-R6 only)"
             )
         if p_m is None:
             raise ValueError("pdf: encrypt dict without /P")
@@ -686,24 +735,56 @@ def parse_pdf_text(payload: bytes) -> dict:
         meta = not re.search(rb"/EncryptMetadata\s+false", ebody)
         o_val = _dict_string(ebody, b"O")
         u_val = _dict_string(ebody, b"U")
-        id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", buf)
-        id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
-        cand = file_key(
-            o_val, int(p_m.group(1)), id0, r, length_bits, b"",
-            encrypt_metadata=meta,
-        )
-        if not verify_user_password(cand, u_val, id0, r):
-            raise ValueError(
-                "pdf: password required (user password verification "
-                "failed)"
+        p_int = int(p_m.group(1))
+        if enc_v5:
+            # Algorithm 2.A with the EMPTY password — try the user
+            # branch first, then the owner branch (owner-locked but
+            # user-open documents); a real password fails CLOSED.
+            ue_val = _dict_string(ebody, b"UE")
+            oe_val = _dict_string(ebody, b"OE")
+            if v5_verify_user(b"", u_val, r):
+                cand = v5_file_key_user(b"", u_val, ue_val, r)
+            elif v5_verify_owner(b"", o_val, u_val, r):
+                cand = v5_file_key_owner(
+                    b"", o_val, u_val, oe_val, r
+                )
+            else:
+                raise ValueError(
+                    "pdf: password required (user password "
+                    "verification failed)"
+                )
+            perms_m = re.search(rb"/Perms\s*<([0-9A-Fa-f]+)>", ebody)
+            if perms_m is not None and not v5_check_perms(
+                bytes.fromhex(perms_m.group(1).decode()),
+                cand, p_int, meta,
+            ):
+                raise ValueError(
+                    "pdf: /Perms verification failed (tampered "
+                    "permissions or wrong key)"
+                )
+            file_enc_key = cand
+        else:
+            id_m = re.search(rb"/ID\s*\[\s*<([0-9A-Fa-f]*)>", buf)
+            id0 = bytes.fromhex(id_m.group(1).decode()) if id_m else b""
+            cand = file_key(
+                o_val, p_int, id0, r, length_bits, b"",
+                encrypt_metadata=meta,
             )
-        file_enc_key = cand
+            if not verify_user_password(cand, u_val, id0, r):
+                raise ValueError(
+                    "pdf: password required (user password "
+                    "verification failed)"
+                )
+            file_enc_key = cand
 
     def _decrypt(num: int, data: bytes) -> bytes:
         if file_enc_key is None or num == enc_num:
             return data
-        okey = object_key(
-            file_enc_key, num, gens.get(num, 0), aes=enc_aes
+        okey = (
+            file_enc_key if enc_v5  # V5: the file key is used as-is
+            else object_key(
+                file_enc_key, num, gens.get(num, 0), aes=enc_aes
+            )
         )
         if enc_aes:
             return aes_cbc_decrypt(okey, data)
@@ -961,12 +1042,14 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
     absent from the text (garbage emission impossible by
     construction). Encryption axes (r11): d%23 == 5 docs are RC4
     V2/R3 128-bit, d%23 == 7 docs RC4 V1/R2 40-bit, and d%23 == 19
-    docs AES-128 V4/R4 /AESV2 (IV+CBC+PKCS#7 streams), all with an
-    EMPTY user password (the print-protected form) — extraction must
-    be byte-identical to the plain construction, so the oracle needs
-    no new branch and a wrong object key flips the hash; d%89 == 3
-    docs carry a REAL user password and must fail closed with the
-    named password error. d%23 == 13 docs (r11) use a PREDEFINED
+    docs AES-128 V4/R4 /AESV2 (IV+CBC+PKCS#7 streams), d%23 == 9
+    docs AES-256 V5/R6 /AESV3 (the Acrobat X+ / PDF 2.0 default —
+    Algorithm 2.A/2.B key derivation, r12) and d%23 == 15 docs the
+    deprecated V5/R5 form, all with an EMPTY user password (the
+    print-protected form) — extraction must be byte-identical to the
+    plain construction, so the oracle needs no new branch and a wrong
+    object key flips the hash; d%89 == 3 docs carry a REAL user
+    password and must fail closed with the named password error. d%23 == 13 docs (r11) use a PREDEFINED
     UCS2-coded CMap (/Encoding /UniJIS-UCS2-H, NO embedded
     /ToUnicode anywhere) — the 2-byte codes are the code points
     themselves, so extraction is again byte-identical and needs no
@@ -1013,6 +1096,10 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                     enc, pwd = "rc4-40", ""
                 elif d % 23 == 19:
                     enc, pwd = "aes-128", ""
+                elif d % 23 == 9:
+                    enc, pwd = "aes-256", ""
+                elif d % 23 == 15:
+                    enc, pwd = "aes-256-r5", ""
                 else:
                     enc, pwd = None, ""
                 ids.append(d)

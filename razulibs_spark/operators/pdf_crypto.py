@@ -25,6 +25,32 @@ from __future__ import annotations
 import hashlib
 import struct
 
+# C-backed fast path (VERDICT r11 wrong #1): the pure-Python FIPS-197
+# implementation below is correct but decrypts at ~1 MB/s/core — a
+# 100× cost cliff on encrypted-heavy corpora. When the public
+# `cryptography` package is importable we dispatch AES/RC4 to its
+# OpenSSL-backed primitives; the pure implementation remains the
+# dependency-free fallback AND the cross-check in tests (both paths
+# must produce identical bytes on the FIPS vectors and on whole
+# documents).
+try:  # pragma: no cover - environment-dependent import
+    from cryptography.hazmat.primitives.ciphers import (
+        Cipher as _CCipher,
+        algorithms as _calgo,
+        modes as _cmodes,
+    )
+
+    try:
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _CARC4,
+        )
+    except ImportError:  # older layout
+        _CARC4 = _calgo.ARC4
+    _HAVE_CRYPTOGRAPHY = True
+except ImportError:  # pragma: no cover
+    _CCipher = _calgo = _cmodes = _CARC4 = None
+    _HAVE_CRYPTOGRAPHY = False
+
 # ISO 32000-1 Table 21 / Algorithm 2 step (a): the standard 32-byte
 # password padding string.
 PAD = bytes(
@@ -38,6 +64,21 @@ PAD = bytes(
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
+    """RC4 (symmetric). OpenSSL-backed when `cryptography` is
+    importable; textbook KSA+PRGA fallback otherwise."""
+    if _HAVE_CRYPTOGRAPHY:
+        try:
+            enc = _CCipher(_CARC4(key), mode=None).encryptor()
+        except ValueError:
+            # key size outside OpenSSL's supported set (PDF object
+            # keys are 40/80/128-bit, all supported; exotic test keys
+            # fall through to the reference implementation)
+            return _rc4_py(key, data)
+        return enc.update(data) + enc.finalize()
+    return _rc4_py(key, data)
+
+
+def _rc4_py(key: bytes, data: bytes) -> bytes:
     """Textbook RC4: KSA + PRGA. Symmetric (encrypt == decrypt)."""
     s = list(range(256))
     j = 0
@@ -74,8 +115,13 @@ def file_key(
     0xFFFFFFFF to the hash input per spec."""
     n = 5 if r == 2 else length_bits // 8
     extra = b"" if encrypt_metadata or r < 4 else b"\xff\xff\xff\xff"
+    # /P is a signed 32-bit value per spec, but foreign producers
+    # commonly serialize it unsigned (e.g. 4294963392); mask to the
+    # low 32 bits so both forms pack to the same little-endian bytes
+    # instead of struct.error killing the stage.
     h = hashlib.md5(
-        _padded(password) + o[:32] + struct.pack("<i", p) + id0 + extra
+        _padded(password) + o[:32] + struct.pack("<I", p & 0xFFFFFFFF)
+        + id0 + extra
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -199,17 +245,25 @@ _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36]
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
-    """128-bit key schedule → 11 round keys of 16 bytes each."""
-    words = [list(key[i:i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    """FIPS-197 key schedule — 128-bit (Nk=4, 11 round keys) or
+    256-bit (Nk=8, 15 round keys; SubWord also applies at
+    i % Nk == 4 per §5.2)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError(f"aes: unsupported key length {len(key)}")
+    nr = 10 if nk == 4 else 14
+    words = [list(key[i:i + 4]) for i in range(0, len(key), 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
-            t[0] ^= _RCON[i // 4 - 1]
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+            t[0] ^= _RCON[i // nk - 1]
+        elif nk == 8 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
     return [
-        sum(words[4 * r:4 * r + 4], []) for r in range(11)
+        sum(words[4 * r:4 * r + 4], []) for r in range(nr + 1)
     ]
 
 
@@ -254,20 +308,22 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
     st = [b ^ k for b, k in zip(block, rks[0])]
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         st = [_SBOX[b] for b in st]
         st = [st[_SHIFT[i]] for i in range(16)]
         st = _mix_columns(st)
         st = [b ^ k for b, k in zip(st, rks[rnd])]
     st = [_SBOX[b] for b in st]
     st = [st[_SHIFT[i]] for i in range(16)]
-    return bytes(b ^ k for b, k in zip(st, rks[10]))
+    return bytes(b ^ k for b, k in zip(st, rks[nr]))
 
 
 def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
-    st = [b ^ k for b, k in zip(block, rks[10])]
-    for rnd in range(9, 0, -1):
+    nr = len(rks) - 1
+    st = [b ^ k for b, k in zip(block, rks[nr])]
+    for rnd in range(nr - 1, 0, -1):
         st = [st[_INV_SHIFT[i]] for i in range(16)]
         st = [_INV_SBOX[b] for b in st]
         st = [b ^ k for b, k in zip(st, rks[rnd])]
@@ -277,19 +333,45 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     return bytes(b ^ k for b, k in zip(st, rks[0]))
 
 
-def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
-    """AES-128-CBC with PKCS#7 padding; returns IV + ciphertext (the
-    AESV2 wire form)."""
+def _cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw AES-CBC (128- or 256-bit key), no padding, no IV prefix —
+    len(data) must be a block multiple. OpenSSL-backed when
+    `cryptography` is importable; FIPS-197 fallback otherwise."""
+    if _HAVE_CRYPTOGRAPHY:
+        enc = _CCipher(_calgo.AES(key), _cmodes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
     rks = _expand_key(key)
-    pad = 16 - len(data) % 16
-    data = data + bytes([pad]) * pad
-    out = bytearray(iv)
+    out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
         prev = _encrypt_block(blk, rks)
         out += prev
     return bytes(out)
+
+
+def _cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Inverse of _cbc_encrypt_nopad."""
+    if _HAVE_CRYPTOGRAPHY:
+        dec = _CCipher(_calgo.AES(key), _cmodes.CBC(iv)).decryptor()
+        return dec.update(data) + dec.finalize()
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = data[i:i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_decrypt_block(blk, rks), prev)
+        )
+        prev = blk
+    return bytes(out)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC with PKCS#7 padding; returns IV + ciphertext (the
+    AESV2/AESV3 wire form). 128- or 256-bit key."""
+    pad = 16 - len(data) % 16
+    return iv + _cbc_encrypt_nopad(key, iv, data + bytes([pad]) * pad)
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
@@ -299,17 +381,127 @@ def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
         raise ValueError(
             f"pdf: AES stream length {len(data)} not IV + blocks"
         )
-    rks = _expand_key(key)
-    iv, ct = data[:16], data[16:]
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(ct), 16):
-        blk = ct[i:i + 16]
-        out += bytes(
-            a ^ b for a, b in zip(_decrypt_block(blk, rks), prev)
-        )
-        prev = blk
+    out = _cbc_decrypt_nopad(key, data[:16], data[16:])
     pad = out[-1]
     if not 1 <= pad <= 16 or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("pdf: AES padding invalid (wrong key?)")
     return bytes(out[:-pad])
+
+
+# ---------------------------------------------------------------------------
+# AES-256 — ISO 32000-2 §7.6.4 standard handler, /V 5 with /R 6 (the
+# PDF 2.0 / Acrobat X+ default) and the deprecated /R 5 (Adobe
+# extension level 3, plain SHA-256). Key derivation is Algorithm 2.A
+# over the 48-byte /U and /O values (hash ‖ validation salt ‖ key
+# salt); R6 hardens the hash with Algorithm 2.B's AES-CBC/SHA-2 loop.
+# Objects encrypt under the FILE key directly (no per-object MD5),
+# CFM /AESV3 = IV + CBC + PKCS#7 like AESV2.
+# ---------------------------------------------------------------------------
+
+
+def hash_2b(
+    password: bytes, salt: bytes, udata: bytes, r: int
+) -> bytes:
+    """Algorithm 2.B: the password hash. R5 is a single SHA-256; R6
+    iterates (≥64 rounds): K1 = (pwd ‖ K ‖ udata) ×64, E =
+    AES-128-CBC(K[0:16], iv=K[16:32], K1), then SHA-256/384/512 of E
+    chosen by sum(E[0:16]) mod 3, until round ≥ 64 and E[-1] ≤
+    round − 32."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    if r == 5:
+        return k
+    rnd = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        k = (
+            hashlib.sha256(e) if mod == 0
+            else hashlib.sha384(e) if mod == 1
+            else hashlib.sha512(e)
+        ).digest()
+        rnd += 1
+        if rnd >= 64 and e[-1] <= rnd - 32:
+            return k[:32]
+
+
+def v5_verify_user(password: bytes, u: bytes, r: int) -> bool:
+    """Algorithm 11: /U[:32] == 2.B(pwd, validation salt U[32:40])."""
+    return hash_2b(password, u[32:40], b"", r) == u[:32]
+
+
+def v5_verify_owner(
+    password: bytes, o: bytes, u: bytes, r: int
+) -> bool:
+    """Algorithm 12: /O[:32] == 2.B(pwd, O[32:40], U[0:48])."""
+    return hash_2b(password, o[32:40], u[:48], r) == o[:32]
+
+
+def v5_file_key_user(
+    password: bytes, u: bytes, ue: bytes, r: int
+) -> bytes:
+    """Algorithm 2.A steps (e)-(f), user branch: the intermediate key
+    2.B(pwd, key salt U[40:48]) AES-256-CBC-decrypts /UE (zero IV, no
+    padding) into the 32-byte file key."""
+    ik = hash_2b(password, u[40:48], b"", r)
+    return _cbc_decrypt_nopad(ik, b"\x00" * 16, ue[:32])
+
+
+def v5_file_key_owner(
+    password: bytes, o: bytes, u: bytes, oe: bytes, r: int
+) -> bytes:
+    """Algorithm 2.A owner branch: 2.B(pwd, O[40:48], U[0:48])
+    decrypts /OE."""
+    ik = hash_2b(password, o[40:48], u[:48], r)
+    return _cbc_decrypt_nopad(ik, b"\x00" * 16, oe[:32])
+
+
+def v5_check_perms(
+    perms: bytes, key: bytes, p: int, encrypt_metadata: bool
+) -> bool:
+    """Algorithm 13: /Perms AES-256-ECB-decrypts (one block ≡ CBC
+    with zero IV) under the file key to 'adb' at bytes 9-11, /P at
+    bytes 0-3 (signed little-endian) and the /EncryptMetadata flag at
+    byte 8."""
+    if len(perms) < 16:
+        return False
+    blk = _cbc_decrypt_nopad(key, b"\x00" * 16, perms[:16])
+    if blk[9:12] != b"adb":
+        return False
+    if struct.unpack("<I", blk[:4])[0] != (p & 0xFFFFFFFF):
+        return False
+    return blk[8:9] == (b"T" if encrypt_metadata else b"F")
+
+
+def v5_values(
+    user_password: bytes,
+    owner_password: bytes,
+    key: bytes,
+    p: int,
+    r: int = 6,
+    encrypt_metadata: bool = True,
+    seed: bytes = b"",
+) -> tuple[bytes, bytes, bytes, bytes, bytes]:
+    """Encoder side (Algorithms 8-10): (/U, /UE, /O, /OE, /Perms)
+    for a chosen 32-byte file key. Salts derive deterministically
+    from ``seed`` — the spec wants them random, fixtures want them
+    byte-stable."""
+    s = hashlib.sha256(b"v5-salts" + seed).digest()
+    uvs, uks, ovs, oks = s[0:8], s[8:16], s[16:24], s[24:32]
+    u = hash_2b(user_password, uvs, b"", r) + uvs + uks
+    ue = _cbc_encrypt_nopad(
+        hash_2b(user_password, uks, b"", r), b"\x00" * 16, key
+    )
+    o = hash_2b(owner_password, ovs, u[:48], r) + ovs + oks
+    oe = _cbc_encrypt_nopad(
+        hash_2b(owner_password, oks, u[:48], r), b"\x00" * 16, key
+    )
+    pblk = (
+        struct.pack("<I", p & 0xFFFFFFFF)
+        + b"\xff\xff\xff\xff"
+        + (b"T" if encrypt_metadata else b"F")
+        + b"adb"
+        + hashlib.sha256(b"v5-perms" + seed).digest()[:4]
+    )
+    perms = _cbc_encrypt_nopad(key, b"\x00" * 16, pblk)
+    return u, ue, o, oe, perms

@@ -1211,7 +1211,12 @@ def text_pdf_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mis-decoded or one page out of /Kids order flips the hash. Docs
     with d%23 == 17 carry a poison payload (valid catalog, /Contents
     pointing at a missing object) — the fail-closed row is itself
-    hash-verified. One Arrow pass each way."""
+    hash-verified. Encryption axes: RC4 40/128, AES-128 /AESV2 and
+    (r12) AES-256 /AESV3 V5/R6 + V5/R5 — all empty-user-password, so
+    extraction is byte-identical and the oracle needs no new branch;
+    AES/RC4 run OpenSSL-backed via `cryptography` with the FIPS-197
+    pure-Python implementation as fallback + cross-check. One Arrow
+    pass each way."""
     from razulibs_spark.operators.pdf import (
         pdf_text_stats,
         synthesize_pdf_media,

@@ -319,13 +319,14 @@ def test_aes128_encrypted_pdf():
         parse_pdf_text(
             encode_pdf(pages, encrypt="aes-128", user_password="pw")
         )
-    # V5/AESV3 is named, not silently garbled
+    # a V5 label on an AESV2-shaped dict (32-byte /U, no /UE) must
+    # fail closed by name, not silently garble
     blob = encode_pdf(pages, encrypt="aes-128")
     import re as _re
 
     bad = _re.sub(rb"/V 4 /R 4", rb"/V 5 /R 6", blob)
     bad = bad.replace(b"/CFM /AESV2", b"/CFM /AESV3")
-    with pytest.raises(ValueError, match="unsupported encryption V5"):
+    with pytest.raises(ValueError, match="without /UE"):
         parse_pdf_text(bad)
 
 
@@ -429,3 +430,107 @@ def test_aes_key_length_from_stdcf_not_first_match():
         b"/CFM /AESV2 /AuthEvent /DocOpen /Length 128",
     )
     assert parse_pdf_text(bits_form)["text"] == plain["text"]
+
+
+def test_aes256_encrypted_pdf():
+    """AES-256 V5/R6 (Acrobat X+ / PDF 2.0 default) and deprecated
+    R5: Algorithm 2.A derives the file key from /U //UE via the 2.B
+    hardening loop, objects decrypt under the FILE key directly
+    (AESV3 = IV+CBC+PKCS#7), /Perms verifies; extraction is
+    byte-identical across layouts (VERDICT r11 missing #1)."""
+    pages = [["hello world", "line two"], ["page two"]]
+    plain = parse_pdf_text(encode_pdf(pages))
+    for enc in ("aes-256", "aes-256-r5"):
+        for kw in (
+            {}, {"compress": False}, {"cid_font": True},
+            {"object_streams": True}, {"split_contents": True},
+        ):
+            m = parse_pdf_text(encode_pdf(pages, encrypt=enc, **kw))
+            assert m["text"] == plain["text"], (enc, kw)
+    with pytest.raises(ValueError, match="password required"):
+        parse_pdf_text(
+            encode_pdf(pages, encrypt="aes-256", user_password="pw")
+        )
+    # tampered /Perms fails CLOSED by name
+    import re as _re
+
+    blob = encode_pdf(pages, encrypt="aes-256")
+    pm = _re.search(rb"/Perms <([0-9a-f]+)>", blob)
+    flipped = bytes.fromhex(pm.group(1).decode())
+    flipped = bytes([flipped[0] ^ 0xFF]) + flipped[1:]
+    bad = blob.replace(pm.group(1), flipped.hex().encode())
+    with pytest.raises(ValueError, match="Perms verification failed"):
+        parse_pdf_text(bad)
+    # an AESV1-style /CFM under V5 is rejected by name
+    bad2 = blob.replace(b"/CFM /AESV3", b"/CFM /AESV2")
+    with pytest.raises(ValueError, match="unsupported encryption V5"):
+        parse_pdf_text(bad2)
+
+
+def test_v5_algebra_owner_branch_and_r5():
+    """The 2.A algebra round-trips for both passwords and both
+    revisions; an owner-locked doc with a REAL user password opens
+    through the owner branch when the owner password is empty."""
+    import hashlib
+
+    from razulibs_spark.operators.pdf_crypto import (
+        v5_check_perms,
+        v5_file_key_owner,
+        v5_file_key_user,
+        v5_values,
+        v5_verify_owner,
+        v5_verify_user,
+    )
+
+    key = hashlib.sha256(b"k").digest()
+    for r in (5, 6):
+        u, ue, o, oe, perms = v5_values(
+            b"user", b"", key, -44, r=r, seed=b"s"
+        )
+        assert v5_verify_user(b"user", u, r)
+        assert not v5_verify_user(b"", u, r)
+        assert v5_verify_owner(b"", o, u, r)
+        assert v5_file_key_user(b"user", u, ue, r) == key
+        assert v5_file_key_owner(b"", o, u, oe, r) == key
+        assert v5_check_perms(perms, key, -44, True)
+        assert not v5_check_perms(perms, key, -44, False)
+
+
+def test_aes_fast_path_matches_pure_python():
+    """The OpenSSL-backed fast path and the FIPS-197 fallback must
+    produce identical bytes — FIPS-197 Appendix C.1/C.3 vectors for
+    the block core (128 AND 256), plus whole-payload CBC both
+    directions and RC4 both paths."""
+    from razulibs_spark.operators import pdf_crypto as pc
+
+    assert pc._HAVE_CRYPTOGRAPHY  # this container ships cryptography
+    # C.1: AES-128
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    assert pc._encrypt_block(pt, pc._expand_key(k128)) == bytes.fromhex(
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    )
+    # C.3: AES-256
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    ct256 = pc._encrypt_block(pt, pc._expand_key(k256))
+    assert ct256 == bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    assert pc._decrypt_block(ct256, pc._expand_key(k256)) == pt
+    # CBC: OpenSSL path vs forced pure path, both key sizes
+    iv = bytes(range(16))
+    blob = b"the quick brown fox" * 11
+    for key in (k128, k256):
+        fast = pc.aes_cbc_encrypt(key, iv, blob)
+        pc._HAVE_CRYPTOGRAPHY = False
+        try:
+            pure = pc.aes_cbc_encrypt(key, iv, blob)
+            assert pure == fast
+            assert pc.aes_cbc_decrypt(key, fast) == blob
+        finally:
+            pc._HAVE_CRYPTOGRAPHY = True
+        assert pc.aes_cbc_decrypt(key, fast) == blob
+    # RC4: both paths agree on a PDF-sized (80-bit) object key
+    okey = bytes(range(10))
+    assert pc.rc4(okey, blob) == pc._rc4_py(okey, blob)
