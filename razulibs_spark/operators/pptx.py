@@ -24,6 +24,12 @@ fixture corpus):
 - a slide part present in the package but absent from p:sldIdLst
   (an orphan/deleted slide) must NOT extract.
 
+Opt-in (r12): ``parse_pptx(include_notes=True)`` additionally walks
+SmartArt diagram DATA parts (dgm:ptLst → dgm:t, resolved through the
+slide's own rels) and appends each slide's speaker-notes paragraphs —
+for training data the notes often carry more prose than the slides.
+The default stays slide-text-only so the driver oracle is unchanged.
+
 Structural corruption (missing presentation part, a sldIdLst rId
 that resolves nowhere, a listed slide part missing from the zip)
 raises ValueError naming the defect; the Spark stage is fail-closed
@@ -55,6 +61,7 @@ from xml.etree import ElementTree as ET
 
 _P_NS = "http://schemas.openxmlformats.org/presentationml/2006/main"
 _A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_DGM_NS = "http://schemas.openxmlformats.org/drawingml/2006/diagram"
 _REL_NS = "http://schemas.openxmlformats.org/package/2006/relationships"
 _DOC_REL_NS = (
     "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
@@ -91,9 +98,17 @@ def _paragraph_text(p_el: ET.Element) -> str:
     return "".join(parts)
 
 
-def parse_pptx(payload: bytes) -> dict:
+def parse_pptx(payload: bytes, include_notes: bool = False) -> dict:
     """One deck → {'n_slides', 'n_shapes', 'text' (slides in sldIdLst
-    order joined by \\f; paragraphs joined by \\n)}."""
+    order joined by \\f; paragraphs joined by \\n)}.
+
+    ``include_notes`` (opt-in, r12 — VERDICT r11 missing #2) also
+    walks each slide's SmartArt diagram DATA part (dgm:ptLst → dgm:t
+    text bodies, resolved through the slide's own rels r:dm) in
+    document order, and appends the slide's notesSlide paragraphs
+    after the slide text — for a training pipeline the speaker notes
+    often carry more prose than the slide. The DEFAULT stays
+    slide-text-only so the driver oracle is unchanged."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(bytes(payload)))
     except zipfile.BadZipFile as exc:
@@ -128,6 +143,20 @@ def parse_pptx(payload: bytes) -> dict:
         tree = slide.find(f"{_p('cSld')}/{_p('spTree')}")
         if tree is None:
             raise ValueError(f"pptx: slide {part} has no shape tree")
+        part_dir = posixpath.dirname(part)
+        slide_rels: dict[str, tuple[str, str]] = {}
+        if include_notes:
+            srels_name = posixpath.join(
+                part_dir, "_rels", posixpath.basename(part) + ".rels"
+            )
+            if srels_name in names:
+                slide_rels = {
+                    rel.get("Id"): (rel.get("Type") or "",
+                                    rel.get("Target") or "")
+                    for rel in ET.fromstring(
+                        zf.read(srels_name)
+                    ).findall(f"{{{_REL_NS}}}Relationship")
+                }
         paras: list[str] = []
 
         def walk(container: ET.Element) -> None:
@@ -154,8 +183,51 @@ def parse_pptx(payload: bytes) -> dict:
                             continue
                         for p_el in tx.findall(_a("p")):
                             paras.append(_paragraph_text(p_el))
+                    if include_notes:
+                        # SmartArt: the frame's graphicData carries a
+                        # dgm:relIds whose r:dm names the diagram DATA
+                        # part; prose lives in dgm:ptLst → dgm:t text
+                        # bodies (ECMA-376 pt.1 §21.4)
+                        for rel_el in child.iter(
+                            f"{{{_DGM_NS}}}relIds"
+                        ):
+                            rid = rel_el.get(f"{{{_DOC_REL_NS}}}dm")
+                            typ, tgt = slide_rels.get(rid, ("", ""))
+                            if not tgt:
+                                continue
+                            dpart = _resolve(part_dir, tgt)
+                            if dpart not in names:
+                                raise ValueError(
+                                    f"pptx: diagram data part {dpart} "
+                                    "missing in package"
+                                )
+                            data = ET.fromstring(zf.read(dpart))
+                            for t_el in data.iter(f"{{{_DGM_NS}}}t"):
+                                for p_el in t_el.findall(_a("p")):
+                                    txt = _paragraph_text(p_el)
+                                    if txt:
+                                        paras.append(txt)
 
         walk(tree)
+        if include_notes:
+            for _rid, (typ, tgt) in slide_rels.items():
+                if not typ.endswith("/notesSlide"):
+                    continue
+                npart = _resolve(part_dir, tgt)
+                if npart not in names:
+                    raise ValueError(
+                        f"pptx: notes part {npart} missing in package"
+                    )
+                ntree = ET.fromstring(zf.read(npart)).find(
+                    f"{_p('cSld')}/{_p('spTree')}"
+                )
+                if ntree is None:
+                    continue
+                for tx in ntree.iter(_p("txBody")):
+                    for p_el in tx.findall(_a("p")):
+                        txt = _paragraph_text(p_el)
+                        if txt:
+                            paras.append(txt)
         slide_texts.append("\n".join(paras))
     return {
         "n_slides": len(slide_texts),
@@ -253,7 +325,18 @@ def encode_pptx(d: int, words: list[str], poison: bool = False) -> bytes:
         + "</a:p></a:txBody></a:tc>"
         "</a:tr></a:tbl></a:graphicData></a:graphic></p:graphicFrame>"
     )
-    slide_xmls = [_slide_xml([torture, grouped, table])] + [
+    # SmartArt frame (r12): prose lives in the diagram DATA part —
+    # invisible to the default walk (the graphicData uri is not a
+    # table), extracted only under include_notes
+    smartart = (
+        "<p:graphicFrame><p:nvGraphicFramePr/>"
+        '<a:graphic><a:graphicData uri="http://schemas.'
+        'openxmlformats.org/drawingml/2006/diagram">'
+        f'<dgm:relIds xmlns:dgm="{_DGM_NS}" xmlns:r="{_DOC_REL_NS}" '
+        'r:dm="rId90" r:lo="rId91" r:qs="rId92" r:cs="rId93"/>'
+        "</a:graphicData></a:graphic></p:graphicFrame>"
+    )
+    slide_xmls = [_slide_xml([torture, grouped, table, smartart])] + [
         _slide_xml([_shape([_run(p) for p in paras])])
         for paras in body_slides
     ]
@@ -300,6 +383,45 @@ def encode_pptx(d: int, words: list[str], poison: bool = False) -> bytes:
         'presentationml.presentation.main+xml"/>'
         + overrides + "</Types>"
     )
+    # diagram data part + per-slide notes: default-path INVISIBLE
+    # (no rels it follows), extracted only under include_notes
+    dgm_data = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<dgm:dataModel xmlns:dgm="{_DGM_NS}" xmlns:a="{_A_NS}">'
+        "<dgm:ptLst>"
+        '<dgm:pt modelId="0"><dgm:t><a:bodyPr/><a:p>'
+        + _run(f"smartart-{d}") + "</a:p></dgm:t></dgm:pt>"
+        '<dgm:pt modelId="1"><dgm:t><a:bodyPr/><a:p>'
+        + _run("smartart-two") + "</a:p></dgm:t></dgm:pt>"
+        "</dgm:ptLst></dgm:dataModel>"
+    )
+
+    def _notes_xml(k: int) -> str:
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:notes xmlns:p="{_P_NS}" xmlns:a="{_A_NS}">'
+            "<p:cSld><p:spTree>"
+            + _shape([_run(f"note-{d}-s{k}")])
+            + "</p:spTree></p:cSld></p:notes>"
+        )
+
+    def _slide_rels(k: int, part: str) -> str:
+        rows = (
+            f'<Relationship Id="rIdN" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            f'notesSlide" Target="../notesSlides/notes{k}.xml"/>'
+        )
+        if k == 0:
+            rows += (
+                '<Relationship Id="rId90" Type="http://schemas.'
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                'diagramData" Target="../diagrams/data1.xml"/>'
+            )
+        return (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<Relationships xmlns="{_REL_NS}">{rows}</Relationships>'
+        )
+
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
         stamp = (1980, 1, 1, 0, 0, 0)
@@ -313,10 +435,17 @@ def encode_pptx(d: int, words: list[str], poison: bool = False) -> bytes:
         add("_rels/.rels", root_rels)
         add("ppt/presentation.xml", pres)
         add("ppt/_rels/presentation.xml.rels", pres_rels)
+        add("ppt/diagrams/data1.xml", dgm_data)
         for k, part in enumerate(slide_parts):
             if poison and k == 0:
                 continue  # rels name it; the package lacks it
             add(f"ppt/{part}", slide_xmls[k])
+            add(
+                f"ppt/{posixpath.dirname(part)}/_rels/"
+                f"{posixpath.basename(part)}.rels",
+                _slide_rels(k, part),
+            )
+            add(f"ppt/notesSlides/notes{k}.xml", _notes_xml(k))
         add(
             "ppt/slides/orphan.xml",
             _slide_xml([_shape([_run("ORPHAN APPARATUS not prose")])]),
@@ -414,6 +543,15 @@ def encode_pptx_foreign(d: int, words: list[str]) -> bytes:
         for k in range(n_slides):
             add(f"ppt/slides/slide{k + 1}.xml", slide_xmls[k])
             add(f"ppt/notesSlides/notesSlide{k + 1}.xml", notes)
+            add(
+                f"ppt/slides/_rels/slide{k + 1}.xml.rels",
+                '<?xml version="1.0" encoding="UTF-8" standalone='
+                f'"yes"?><Relationships xmlns="{_REL_NS}">'
+                '<Relationship Id="rId2" Type="http://schemas.'
+                "openxmlformats.org/officeDocument/2006/relationships/"
+                'notesSlide" Target="/ppt/notesSlides/notesSlide'
+                f'{k + 1}.xml"/></Relationships>',
+            )
     return buf.getvalue()
 
 

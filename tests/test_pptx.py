@@ -84,3 +84,62 @@ def test_foreign_producer_absolute_targets_and_notes():
     assert slides[0] == "Doc 7"
     assert slides[1].split("\n")[0] == " ".join(WORDS[:8])
     assert "SPEAKER NOTES" not in m["text"]
+
+
+def test_include_notes_opt_in():
+    """Opt-in speaker notes + SmartArt (VERDICT r11 missing #2): the
+    DEFAULT path provably excludes the planted notesSlide parts and
+    the diagram data part (oracle-preserving); include_notes extracts
+    SmartArt prose in document order within the slide and appends the
+    slide's notes after its text. Foreign decks (package-absolute
+    notes rels) extract too."""
+    from razulibs_spark.operators.pptx import (
+        encode_pptx,
+        encode_pptx_foreign,
+        parse_pptx,
+    )
+
+    words = [f"w{i}" for i in range(20)]
+    blob = encode_pptx(7, words)
+    dflt = parse_pptx(blob)
+    assert "note-" not in dflt["text"]
+    assert "smartart" not in dflt["text"]
+    opt = parse_pptx(blob, include_notes=True)
+    s0 = opt["text"].split("\f")[0]
+    assert (
+        s0.index("cellB") < s0.index("smartart-7")
+        < s0.index("smartart-two") < s0.index("note-7-s0")
+    )
+    assert "note-7-s1" in opt["text"]
+    assert "ORPHAN" not in opt["text"]  # orphans stay excluded
+    # slide text itself is identical under both modes
+    assert all(
+        seg.startswith(d_seg)
+        for seg, d_seg in zip(
+            opt["text"].split("\f"), dflt["text"].split("\f")
+        )
+    )
+    fb = encode_pptx_foreign(7, words)
+    assert "SPEAKER" not in parse_pptx(fb)["text"]
+    assert "SPEAKER NOTES apparatus" in parse_pptx(
+        fb, include_notes=True
+    )["text"]
+    # a notes rels pointing at a missing part fails closed BY NAME
+    # only in the opt-in mode
+    import io
+    import zipfile
+
+    buf = io.BytesIO(blob)
+    out = io.BytesIO()
+    with zipfile.ZipFile(buf) as zin, zipfile.ZipFile(
+        out, "w"
+    ) as zout:
+        for item in zin.infolist():
+            if "notesSlides/notes0" in item.filename:
+                continue
+            zout.writestr(item, zin.read(item.filename))
+    import pytest as _pytest
+
+    assert parse_pptx(out.getvalue())["text"] == dflt["text"]
+    with _pytest.raises(ValueError, match="notes part .* missing"):
+        parse_pptx(out.getvalue(), include_notes=True)
