@@ -27,19 +27,41 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 
 
+def record_line_expr():
+    """The reassembly aggregate shared by the grouped paths: lines of
+    one record, sorted by the (partition << 32 | ordinal) key, joined
+    with newlines."""
+    from pyspark.sql import functions as F
+
+    return F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("line_no", "line"))),
+            lambda s: s["line"],
+        ),
+        "\n",
+    )
+
+
 def separator_records(
     spark,
     path: str,
     is_separator: Callable[[str], bool],
     min_partitions: int | None = None,
     keep_separator: bool = False,
+    return_lines: bool = False,
 ) -> DataFrame:
     """(rec_id long, rec string), one row per separator-introduced
     record, lines re-joined with ``\\n`` in document order. Lines
     before the first separator (a preamble/header) carry rec_id 0 and
     are DROPPED; ``keep_separator`` controls whether the separator
     line itself opens the record text (wiki ``<page>`` lines do, mbox
-    ``From `` framing lines do not)."""
+    ``From `` framing lines do not).
+
+    ``return_lines`` (r12, the Content-Length mbox dialects): return
+    the LABELED LINE frame (rec_id, line_no, line, is_sep) instead of
+    grouping — callers that must re-map record boundaries (stitching
+    falsely-split records) do so at line level and pay the reassembly
+    shuffle only once."""
     from pyspark.sql import functions as F
 
     sc = spark.sparkContext
@@ -67,25 +89,20 @@ def separator_records(
         base = bc.value[idx]
         seen = 0
         for j, ln in enumerate(it):
-            if is_separator(ln):
+            sep = is_separator(ln)
+            if sep:
                 seen += 1
                 if not keep_separator:
                     continue
-            yield base + seen, (idx << 32) | j, ln
+            yield base + seen, (idx << 32) | j, ln, sep
 
     labeled = spark.createDataFrame(
         lines.mapPartitionsWithIndex(_label),
-        "rec_id long, line_no long, line string",
-    )
-    rec = F.array_join(
-        F.transform(
-            F.sort_array(F.collect_list(F.struct("line_no", "line"))),
-            lambda s: s["line"],
-        ),
-        "\n",
-    )
+        "rec_id long, line_no long, line string, is_sep boolean",
+    ).filter(F.col("rec_id") > 0)
+    if return_lines:
+        return labeled
     return (
-        labeled.filter(F.col("rec_id") > 0)
-        .groupBy("rec_id")
-        .agg(rec.alias("rec"))
+        labeled.groupBy("rec_id")
+        .agg(record_line_expr().alias("rec"))
     )
