@@ -87,11 +87,15 @@ def parse_epub(payload: bytes) -> dict:
             f"{{{_OPF_NS}}}manifest/{{{_OPF_NS}}}item"
         )
     }
+    # linear="no" itemrefs are auxiliary content presented out of
+    # band (EPUB3 books commonly spine their nav document this way) —
+    # they are not part of the reading order and must not extract
     spine = [
         ref.get("idref")
         for ref in opf.findall(
             f"{{{_OPF_NS}}}spine/{{{_OPF_NS}}}itemref"
         )
+        if ref.get("linear") != "no"
     ]
     if not spine:
         raise ValueError("epub: empty spine")
@@ -284,6 +288,71 @@ def encode_epub_foreign(d: int, lang: str, words: list[str]) -> bytes:
     return buf.getvalue()
 
 
+def encode_epub3_nav(d: int, lang: str, words: list[str]) -> bytes:
+    """Third-producer book, the pure-EPUB3 shape (VERDICT r11 next
+    #7): NO NCX anywhere — navigation is the EPUB3 nav DOCUMENT
+    (manifest item with properties="nav"), which this producer also
+    places IN the spine as linear="no" (many exporters do). The nav
+    text is chrome and must not extract; chapters and metadata match
+    encode_epub exactly, so the oracle needs no new branch."""
+    h = (len(words) + 1) // 2
+    c1, c2 = words[:h], words[h:]
+    opf = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<package xmlns="{_OPF_NS}" version="3.0" '
+        'unique-identifier="uid">'
+        f'<metadata xmlns:dc="{_DC_NS}">'
+        f"<dc:title>Doc {d}</dc:title>"
+        f"<dc:language>{_esc(lang)}</dc:language>"
+        f'<dc:identifier id="uid">doc-{d}</dc:identifier></metadata>'
+        "<manifest>"
+        '<item id="nav" href="nav.xhtml" properties="nav" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="c1" href="ch1.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        '<item id="c2" href="ch2.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        "</manifest>"
+        '<spine><itemref idref="nav" linear="no"/>'
+        '<itemref idref="c1"/><itemref idref="c2"/></spine>'
+        "</package>"
+    )
+    nav = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        '<html xmlns="http://www.w3.org/1999/xhtml" '
+        'xmlns:epub="http://www.idpf.org/2007/ops"><body>'
+        '<nav epub:type="toc"><ol>'
+        '<li><a href="ch1.xhtml">NAV APPARATUS chapter one</a></li>'
+        '<li><a href="ch2.xhtml">NAV APPARATUS chapter two</a></li>'
+        "</ol></nav></body></html>"
+    )
+    container = (
+        '<?xml version="1.0" encoding="utf-8"?>'
+        f'<container xmlns="{_CONTAINER_NS}" version="1.0">'
+        '<rootfiles><rootfile full-path="EPUB/package.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles>'
+        "</container>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        stamp = (1980, 1, 1, 0, 0, 0)
+        zi = zipfile.ZipInfo("mimetype", date_time=stamp)
+        zi.compress_type = zipfile.ZIP_STORED
+        zf.writestr(zi, _EPUB_MIME)
+
+        def add(name: str, data: str) -> None:
+            zi = zipfile.ZipInfo(name, date_time=stamp)
+            zi.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(zi, data)
+
+        add("META-INF/container.xml", container)
+        add("EPUB/package.opf", opf)
+        add("EPUB/nav.xhtml", nav)
+        add("EPUB/ch1.xhtml", _chapter_xhtml(1, c1))
+        add("EPUB/ch2.xhtml", _chapter_xhtml(2, c2))
+    return buf.getvalue()
+
+
 # ---------------------------------------------------------------------------
 # Spark stages
 # ---------------------------------------------------------------------------
@@ -313,7 +382,9 @@ def synthesize_epub_media(documents: DataFrame) -> DataFrame:
     poison slot (container points at a missing OPF); of the rest,
     d%47 == 6 comes from the FOREIGN producer (EPUB2 layout: default
     OEBPS/content.opf path, flat manifest with an NCX item, spine
-    toc attribute) — extraction is producer-invariant so the oracle
+    toc attribute) and d%47 == 21 (r12) from the pure-EPUB3 producer
+    (nav document with properties="nav", NO NCX, nav spined
+    linear="no") — extraction is producer-invariant so the oracle
     is unchanged."""
 
     def _one(d: int, lang: str, text: str) -> bytes:
@@ -321,6 +392,10 @@ def synthesize_epub_media(documents: DataFrame) -> DataFrame:
             return encode_epub(d, lang, text.split(" "), poison=True)
         if d % 47 == 6:
             return encode_epub_foreign(d, lang, text.split(" "))
+        if d % 47 == 21:
+            # pure-EPUB3 axis (r12): nav document, no NCX, nav
+            # spined linear="no" — chrome must not extract
+            return encode_epub3_nav(d, lang, text.split(" "))
         return encode_epub(d, lang, text.split(" "))
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -113,3 +113,29 @@ def test_percent_encoded_hrefs_resolve(spark=None):
                 name = "book/ch 1.xhtml"
             out.writestr(name, data)
     assert parse_epub(buf.getvalue())["text"] == parse_epub(blob)["text"]
+
+
+def test_epub3_nav_only_producer_invariant():
+    """Pure-EPUB3 books (VERDICT r11 next #7): navigation is the nav
+    DOCUMENT (properties="nav"), no NCX anywhere, and the producer
+    spines the nav as linear="no" — the chrome must not extract and
+    the result is byte-identical to the default producer."""
+    from razulibs_spark.operators.epub import (
+        encode_epub,
+        encode_epub3_nav,
+        parse_epub,
+    )
+
+    words = [f"w{i}" for i in range(30)]
+    base = parse_epub(encode_epub(9, "nl", words))
+    nav = parse_epub(encode_epub3_nav(9, "nl", words))
+    assert nav == base
+    assert "NAV APPARATUS" not in nav["text"]
+    import io
+    import zipfile
+
+    zf = zipfile.ZipFile(io.BytesIO(encode_epub3_nav(9, "nl", words)))
+    assert not any("ncx" in n for n in zf.namelist())  # NCX-free
+    opf = zf.read("EPUB/package.opf").decode()
+    # the nav doc really is in the spine (the trap exists)
+    assert '<itemref idref="nav" linear="no"/>' in opf
