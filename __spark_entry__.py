@@ -58,7 +58,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # empty-password, d%89==3 password-protected fail-closed rows).
 # text_pdf_extract: r12 added AES-256 V5/R6+R5 axes (d%23 in {9,15})
 # and the C-backed crypto fast path — fixture bytes changed.
-_ROTATION_FORCE_REFRESH = frozenset({"text_pdf_extract@12"})
+# text_mbox_extract: r12 added the mboxcl2 Content-Length axis
+# (d%41==5) and the auto-dialect stitcher — fixture + plan changed.
+# text_epub_extract: r12 added the pure-EPUB3 nav-document axis
+# (d%47==21) and linear="no" spine skipping.
+# text_pptx_extract: r12 fixture gained notes/SmartArt parts (default
+# path provably excludes them; opt-in include_notes extracts).
+# multimodal_decode: r12 added the SOF9 arithmetic-JPEG axis (d%5==4
+# in the JPEG slot) — fixture bytes changed, stats oracle unchanged.
+_ROTATION_FORCE_REFRESH = frozenset({
+    "text_pdf_extract@12",
+    "text_mbox_extract@12",
+    "text_epub_extract@12",
+    "text_pptx_extract@12",
+    "multimodal_decode@12",
+})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",

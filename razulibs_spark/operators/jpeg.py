@@ -8,18 +8,21 @@ payloads are JPEGs (BASELINE.md demo set;
 `/root/reference/razu/demo/csv_luchtfotos` droid.csv SIZE column), so
 the one format the reference ships is now decodable in-container.
 
-Decoder (`decode_jpeg`): marker walk (APPn/COM skipped, DQT/DHT/DRI
-parsed), baseline sequential SOF0/SOF1 AND progressive SOF2 frames
+Decoder (`decode_jpeg`): marker walk (APPn/COM skipped, DQT/DHT/DRI/
+DAC parsed), baseline sequential SOF0/SOF1, progressive SOF2 frames
 (T.81 Annex G: spectral selection, successive approximation, EOB
-runs — coefficients accumulate across scans and IDCT once at EOI);
-arithmetic-coded and lossless variants rejected with a ValueError
-naming the SOF marker. Entropy decode with byte-unstuffing and
+runs — coefficients accumulate across scans and IDCT once at EOI)
+AND sequential ARITHMETIC SOF9 frames (T.81 Annex D QM-coder +
+§F.2.4 statistics model, operators/jpeg_arith.py — r12);
+progressive-arithmetic and lossless variants rejected with a
+ValueError naming the SOF marker. Entropy decode with byte-unstuffing and
 restart-marker segmentation, per-block Huffman DC-diff + AC
 run-length decode, dequantize → dezigzag → float IDCT, sampling-factor
 upsample (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Returns the same
 width/height/per-channel-mean stats dict as the BMP/PPM/PNG decoders.
 
-Encoders: `encode_jpeg` (baseline sequential) and
+Encoders: `encode_jpeg` (baseline sequential), `encode_jpeg_arith`
+(SOF9 sequential arithmetic, r12) and
 `encode_jpeg_progressive` (SOF2 — DC-first + DC-refine bit plane, two
 spectral AC bands per component each with an Al=1 first pass and an
 Al=0 refinement), both with all-ones quantization tables (the
@@ -122,9 +125,10 @@ _AC_CHROMA_VALS = [
 ]
 
 # SOF markers this decoder rejects (lossless, hierarchical,
-# arithmetic-coded variants; Huffman progressive SOF2 is SUPPORTED).
+# progressive-arithmetic variants; Huffman SOF0/SOF1/SOF2 AND
+# sequential-arithmetic SOF9 are SUPPORTED).
 _SOF_UNSUPPORTED = frozenset(
-    {0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    {0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 )
 
 
@@ -281,6 +285,8 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
     qt: dict[int, np.ndarray] = {}
     dc_tabs: dict[int, _Huff] = {}
     ac_tabs: dict[int, _Huff] = {}
+    dc_cond: dict[int, tuple[int, int]] = {}  # DAC: DC (L, U)
+    ac_cond: dict[int, int] = {}              # DAC: AC Kx
     frame = None
     restart = 0
     planes = None
@@ -335,7 +341,8 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                     raise ValueError("truncated JPEG DHT")
                 pos += 17 + nv
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, values)
-        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/SOF1 sequential, SOF2 prog.
+        elif m in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1 seq, SOF2 prog,
+            # SOF9 sequential ARITHMETIC (T.81 Annex D QM-coder, r12)
             if body[0] != 8:
                 raise ValueError("unsupported JPEG sample precision")
             h_img = int.from_bytes(body[1:3], "big")
@@ -352,7 +359,7 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                      "tq": body[8 + 3 * c]}
                 )
             frame = {"w": w_img, "h": h_img, "comps": comps,
-                     "progressive": m == 0xC2}
+                     "progressive": m == 0xC2, "arith": m == 0xC9}
         elif m in _SOF_UNSUPPORTED:
             # Name the marker so pipeline operators can ROUTE payloads
             # to a library-backed decoder on clusters that ship one,
@@ -365,6 +372,25 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             )
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(body[0:2], "big")
+        elif m == 0xCC:  # DAC — arithmetic conditioning (B.2.4.3)
+            pos = 0
+            while pos + 2 <= len(body):
+                tc, tb = body[pos] >> 4, body[pos] & 15
+                cs = body[pos + 1]
+                pos += 2
+                if tc == 0:
+                    lo, up = cs & 15, cs >> 4
+                    if lo > up or up > 15:
+                        raise ValueError(
+                            "invalid JPEG DAC DC conditioning"
+                        )
+                    dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ValueError(
+                            "invalid JPEG DAC AC conditioning Kx"
+                        )
+                    ac_cond[tb] = cs
         elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("no SOF0 frame header")
@@ -383,7 +409,12 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             segs, i = _split_entropy(data, i)
-            if frame["progressive"]:
+            if frame.get("arith"):
+                spec = {sc["cid"]: (sc["td"], sc["ta"]) for sc in scomps}
+                planes = _decode_scan_arith(
+                    frame, spec, qt, dc_cond, ac_cond, segs, restart
+                )
+            elif frame["progressive"]:
                 if prog_store is None:
                     prog_store = _alloc_coef_store(frame)
                 _decode_scan_progressive(
@@ -706,6 +737,105 @@ def _decode_scan(
                         blk = _decode_block(
                             br, c["dc"], c["ac"], c["q"], c["pred"]
                         )
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        plane[y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu += 1
+    out: dict[int, np.ndarray] = {}
+    for c in comps:
+        plane = planes[c["id"]] + 128.0
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        plane = plane[:ch, :cw]
+        plane = np.repeat(
+            np.repeat(plane, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+        )
+        out[c["id"]] = plane[:h_img, :w_img]
+    return out
+
+
+def _decode_scan_arith(
+    frame: dict,
+    spec: dict[int, tuple[int, int]],
+    qt: dict[int, np.ndarray],
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+    segs: list[bytes],
+    restart: int,
+) -> dict[int, np.ndarray]:
+    """Sequential arithmetic scan (SOF9): same MCU geometry as the
+    Huffman path, entropy decode via the T.81 Annex D QM-coder with
+    the §F.2.4 DCT statistics model. A restart resets the coder, the
+    statistics AND the DC state (§F.1.4.1), so each restart segment
+    decodes with fresh state."""
+    from razulibs_spark.operators.jpeg_arith import (
+        AC_STAT_BINS,
+        DC_STAT_BINS,
+        ArithDecoder,
+        Stats,
+        decode_ac,
+        decode_dc,
+    )
+
+    comps = [c for c in frame["comps"] if c["id"] in spec]
+    if len(comps) != len(frame["comps"]):
+        raise ValueError("JPEG scan does not cover all frame components")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax < 1 or vmax < 1:
+        raise ValueError("invalid JPEG sampling factors")
+    for c in comps:
+        if hmax % c["h"] or vmax % c["v"]:
+            raise ValueError("unsupported fractional JPEG sampling")
+    w_img, h_img = frame["w"], frame["h"]
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+    planes: dict[int, np.ndarray] = {}
+    for c in comps:
+        planes[c["id"]] = np.zeros(
+            (mcus_y * c["v"] * 8, mcus_x * c["h"] * 8)
+        )
+        if c["tq"] not in qt:
+            raise ValueError("JPEG frame references a missing quant table")
+        c["q"] = qt[c["tq"]]
+
+    def fresh(seg: bytes):
+        dec = ArithDecoder(seg)
+        dstats: dict[int, Stats] = {}
+        astats: dict[int, Stats] = {}
+        for c in comps:
+            td, ta = spec[c["id"]]
+            dstats.setdefault(td, Stats(DC_STAT_BINS))
+            astats.setdefault(ta, Stats(AC_STAT_BINS))
+            c["arith"] = {"dc_ctx": 0, "pred": 0}
+        return dec, dstats, astats
+
+    dec, dstats, astats = fresh(segs[0])
+    seg_idx = 0
+    mcu = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu and mcu % restart == 0:
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG restart segment missing")
+                dec, dstats, astats = fresh(segs[seg_idx])
+            for c in comps:
+                td, ta = spec[c["id"]]
+                lo, up = dc_cond.get(td, (0, 1))
+                kx = ac_cond.get(ta, 5)
+                plane = planes[c["id"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = [0] * 64
+                        zz[0] = decode_dc(
+                            dec, dstats[td], c["arith"], lo, up
+                        )
+                        decode_ac(dec, astats[ta], kx, zz)
+                        coefs = np.array(zz, dtype=np.float64) * c["q"]
+                        blk = np.zeros((8, 8))
+                        blk[_ZZ_ROWS, _ZZ_COLS] = coefs
+                        blk = _DCT.T @ blk @ _DCT
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         plane[y0 : y0 + 8, x0 : x0 + 8] = blk
@@ -1187,6 +1317,143 @@ def _emit_ac_refine_scan(
     flush_eob()
 
 
+def encode_jpeg_arith(
+    pixels: np.ndarray,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """Encode a uint8 array — (H, W) grayscale or (H, W, 3) RGB — as
+    a SEQUENTIAL ARITHMETIC JPEG (SOF9, T.81 Annex D QM-coder),
+    all-ones quantization, explicit DAC conditioning (DC L=0/U=1,
+    AC Kx=5). The entropy bytes get §B.1.1.5 stuffing (0xFF →
+    0xFF 0x00) like every other entropy-coded segment. Decodable by
+    `decode_jpeg` — and, since the QM round-trip is exact and quant
+    is 1, pixel stats round-trip within IDCT rounding exactly like
+    the Huffman encoder's output."""
+    from razulibs_spark.operators.jpeg_arith import (
+        AC_STAT_BINS,
+        DC_STAT_BINS,
+        ArithEncoder,
+        Stats,
+        encode_ac,
+        encode_dc,
+    )
+
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise ValueError("pixels must be (H, W) gray or (H, W, 3) RGB")
+    h_img, w_img = pixels.shape[:2]
+    if h_img == 0 or w_img == 0:
+        raise ValueError("degenerate image dimensions")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4' or '4:2:0'")
+    sub = (not gray) and subsampling == "4:2:0"
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += (
+        b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    ones = bytes([1] * 64)
+    out += b"\xff\xdb\x00\x43\x00" + ones
+    if not gray:
+        out += b"\xff\xdb\x00\x43\x01" + ones
+    nc = 1 if gray else 3
+    sof = bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big")
+    sof += bytes([nc])
+    if gray:
+        sof += bytes([1, 0x11, 0])
+    else:
+        luma_hv = 0x22 if sub else 0x11
+        sof += bytes([1, luma_hv, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += b"\xff\xc9" + (len(sof) + 2).to_bytes(2, "big") + sof
+    # DAC: explicit defaults for conditioning tables 0 (and 1)
+    dac = bytes([0x00, 0x10, 0x10, 5])
+    if not gray:
+        dac += bytes([0x01, 0x10, 0x11, 5])
+    out += b"\xff\xcc" + (len(dac) + 2).to_bytes(2, "big") + dac
+    sos = bytes([nc])
+    if gray:
+        sos += bytes([1, 0x00])
+    else:
+        sos += bytes([1, 0x00, 2, 0x11, 3, 0x11])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+
+    def pad_to(arr: np.ndarray, mult: int) -> np.ndarray:
+        ph = (-arr.shape[0]) % mult
+        pw = (-arr.shape[1]) % mult
+        return np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+
+    enc = ArithEncoder()
+    dstats: dict[int, Stats] = {}
+    astats: dict[int, Stats] = {}
+    states: list[dict] = []
+
+    def block_zz(plane: np.ndarray, y0: int, x0: int) -> list[int]:
+        coefs = _DCT @ plane[y0 : y0 + 8, x0 : x0 + 8] @ _DCT.T
+        return [int(v) for v in
+                np.round(coefs[_ZZ_ROWS, _ZZ_COLS]).astype(np.int64)]
+
+    def emit(plane: np.ndarray, y0: int, x0: int, tbl: int,
+             st: dict) -> None:
+        zz = block_zz(plane, y0, x0)
+        encode_dc(enc, dstats[tbl], st, zz[0], 0, 1)
+        encode_ac(enc, astats[tbl], 5, zz)
+
+    if gray:
+        dstats[0] = Stats(DC_STAT_BINS)
+        astats[0] = Stats(AC_STAT_BINS)
+        st = {"dc_ctx": 0, "pred": 0}
+        plane = pad_to(pixels.astype(np.float64), 8) - 128.0
+        for y0 in range(0, plane.shape[0], 8):
+            for x0 in range(0, plane.shape[1], 8):
+                emit(plane, y0, x0, 0, st)
+    else:
+        rgb = pixels.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        ycc = [
+            np.round(0.299 * r + 0.587 * g + 0.114 * b),
+            np.round(128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b),
+            np.round(128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b),
+        ]
+        ycc = [np.clip(p, 0, 255) for p in ycc]
+        dstats[0] = Stats(DC_STAT_BINS)
+        astats[0] = Stats(AC_STAT_BINS)
+        dstats[1] = Stats(DC_STAT_BINS)
+        astats[1] = Stats(AC_STAT_BINS)
+        states = [{"dc_ctx": 0, "pred": 0} for _ in range(3)]
+        if sub:
+            yp = pad_to(ycc[0], 16) - 128.0
+            chroma = []
+            for p in ycc[1:]:
+                p2 = pad_to(p, 2)
+                p2 = (
+                    p2.reshape(p2.shape[0] // 2, 2, p2.shape[1] // 2, 2)
+                    .mean(axis=(1, 3))
+                )
+                chroma.append(pad_to(np.round(p2), 8) - 128.0)
+            for my in range(yp.shape[0] // 16):
+                for mx in range(yp.shape[1] // 16):
+                    for by in range(2):
+                        for bx in range(2):
+                            emit(yp, (2 * my + by) * 8,
+                                 (2 * mx + bx) * 8, 0, states[0])
+                    for ci in (0, 1):
+                        emit(chroma[ci], my * 8, mx * 8, 1,
+                             states[ci + 1])
+        else:
+            planes3 = [pad_to(p, 8) - 128.0 for p in ycc]
+            for my in range(planes3[0].shape[0] // 8):
+                for mx in range(planes3[0].shape[1] // 8):
+                    for ci in range(3):
+                        emit(planes3[ci], my * 8, mx * 8,
+                             0 if ci == 0 else 1, states[ci])
+    coded = enc.flush()
+    out += coded.replace(b"\xff", b"\xff\x00")  # B.1.1.5 stuffing
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     subsampling: str = "4:4:4",
@@ -1315,21 +1582,26 @@ def encode_jpeg_progressive(
 
 
 def encode_jpeg_flat_tiles(
-    width: int, height: int, tile_fn, progressive: bool = False
+    width: int, height: int, tile_fn, progressive: bool = False,
+    arith: bool = False,
 ) -> bytes:
     """Grayscale JPEG from flat 8×8 tiles: ``tile_fn(tx, ty)
     -> 0..255``. width/height must be multiples of 8. A constant
     block's DCT is DC-only with an integer DC (8·(v−128)), so with
     all-ones quant tables the roundtrip is bit-exact — the property
     `multimodal_decode`'s first-principles SQL oracle relies on,
-    equally true for the progressive (SOF2) encoding since it codes
-    the identical coefficients."""
+    equally true for the progressive (SOF2) and arithmetic (SOF9,
+    r12) encodings since they code the identical coefficients."""
     if width % 8 or height % 8 or width <= 0 or height <= 0:
         raise ValueError("flat-tile JPEG needs positive multiples of 8")
+    if progressive and arith:
+        raise ValueError("progressive-arithmetic (SOF10) not emitted")
     img = np.zeros((height, width), dtype=np.uint8)
     for ty in range(height // 8):
         for tx in range(width // 8):
             img[ty * 8 : ty * 8 + 8, tx * 8 : tx * 8 + 8] = (
                 int(tile_fn(tx, ty)) % 256
             )
+    if arith:
+        return encode_jpeg_arith(img)
     return encode_jpeg_progressive(img) if progressive else encode_jpeg(img)
