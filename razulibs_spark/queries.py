@@ -9466,6 +9466,96 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEQ_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+  FROM documents),
+ cums AS (
+  SELECT doc_id, source, tk,
+         SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks),
+ spans AS (
+  SELECT source, doc_id, tk, cum,
+         CAST((cum - tk) // 512 AS BIGINT) AS s0,
+         CAST((cum - 1) // 512 AS BIGINT) AS s1
+  FROM cums),
+ seqs AS (
+  SELECT source, doc_id,
+         CAST(unnest(generate_series(s0, s1)) AS BIGINT) AS seq_id
+  FROM spans),
+ tot AS (SELECT source, SUM(tk) AS total FROM toks GROUP BY source)
+SELECT s.source, s.seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(s.doc_id) AS first_doc, MAX(s.doc_id) AS last_doc,
+       CAST(LEAST(512, t.total - s.seq_id * 512) AS BIGINT)
+         AS n_tokens
+FROM seqs s JOIN tot t ON s.source = t.source
+GROUP BY s.source, s.seq_id, t.total
+"""
+
+
+@query("pipeline_sequence_packing", _SEQ_PACK_SQL)
+def pipeline_sequence_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Training-sequence packing (r12): the GPT-style
+    concatenate-and-chunk layout — within each source, documents
+    concatenate in doc_id order and split into fixed 512-token
+    sequences (documents may straddle boundaries; the packing is the
+    cumulative-sum bucket, not a bin-packing heuristic — exactly what
+    large-scale pretraining pipelines do before writing token
+    shards). One row per SEQUENCE: how many documents touch it, the
+    first/last of them, and its token fill (the final sequence of a
+    source is the only short one).
+
+    Scale shape: the cumulative sum is a window PARTITIONED BY source
+    (never a global sort), the span→sequence fan-out is a narrow
+    ``sequence()``/``explode`` (each document touches
+    ceil(len/512)+1 sequences, bounded by document length), and the
+    per-sequence rollup is one hash aggregation — at 100 TB each
+    source packs independently, so adding sources adds parallelism,
+    not shuffle width."""
+    C = 512
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("tk"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    spans = toks.withColumn("cum", F.sum("tk").over(w)).select(
+        "source", "doc_id", "tk", "cum",
+        F.floor((F.col("cum") - F.col("tk")) / C).alias("s0"),
+        F.floor((F.col("cum") - 1) / C).alias("s1"),
+    )
+    seqs = spans.select(
+        "source", "doc_id",
+        F.explode(F.sequence("s0", "s1")).alias("seq_id"),
+    )
+    tot = toks.groupBy("source").agg(F.sum("tk").alias("total"))
+    return (
+        seqs.groupBy("source", "seq_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .join(tot, "source")
+        .select(
+            "source", "seq_id", "n_docs", "first_doc", "last_doc",
+            F.least(
+                F.lit(C).cast("long"),
+                F.col("total") - F.col("seq_id") * C,
+            ).alias("n_tokens"),
+        )
+    )
+
+
 _DATASET_CARD_SQL = """
 WITH base AS (
   SELECT COUNT(*) AS n_docs,
@@ -13959,6 +14049,12 @@ def text_pptx_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K2_TTL_SHARDED_SQL = f"""
 WITH triples AS ({_O2_SQL})
 SELECT s, p, o FROM triples
+UNION ALL
+SELECT 'ldto:mld' || CAST(doc_id AS VARCHAR) AS s,
+       'ldto:note' AS p,
+       'ml ' || CAST(doc_id AS VARCHAR) || chr(10)
+         || 'mid . line' || chr(10) || 'tail' AS o
+FROM documents WHERE doc_id % 13 = 4
 """
 
 
@@ -13973,10 +14069,15 @@ def k2_turtle_sharded_roundtrip(
     distributes that single document — 8 forced input splits at
     sf0.01, so statements straddle split boundaries and the two-pass
     parallel statement-numbering scan is actually exercised — and
-    the oracle checks the cycle is the identity on the O2 set. At
-    100 TB the same plan is ~800 tasks per 100 GB dump with one
-    bounded-size shuffle (statement reassembly) and a per-partition
-    long as the only driver traffic."""
+    the oracle checks the cycle is the identity on the O2 set. Docs
+    with d%13 == 4 additionally append MULTI-LINE long-string
+    statements with '.' inside the literal plus trailing comments
+    after terminators (r12 — the r11 contract exclusions, retired):
+    the 3-state per-partition transfer-function scan must frame them
+    across split boundaries, and the oracle models the reassembled
+    literal text exactly. At 100 TB the same plan is ~800 tasks per
+    100 GB dump with one bounded-size shuffle (statement reassembly)
+    and two small tuples per partition as the only driver traffic."""
     from razulibs_spark.operators.rdf import compact_triples, expand_triples
     from razulibs_spark.sources.rdf_io import TURTLE_FULL_HEADER
     from razulibs_spark.sources.turtle_full import (
@@ -14001,9 +14102,22 @@ def k2_turtle_sharded_roundtrip(
     # repartition(1), NOT coalesce(1): coalesce propagates up and
     # collapses the whole block-building stage into one task, while
     # repartition keeps it parallel and single-tasks only the write.
-    header.unionAll(blocks.select(value)).repartition(1).write.mode(
-        "overwrite"
-    ).text(path)
+    ml = (
+        T(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 13 == 4)
+        .select(
+            F.concat(
+                F.lit("ldto:mld"), F.col("doc_id"),
+                F.lit(' ldto:note """ml '), F.col("doc_id"),
+                F.lit("\nmid . line\ntail\"\"\""),
+                F.lit(" . # trailing note for "),
+                F.col("doc_id"), F.lit("."),
+            ).alias("value")
+        )
+    )
+    header.unionAll(blocks.select(value)).unionAll(ml).repartition(
+        1
+    ).write.mode("overwrite").text(path)
     raw = read_turtle_sharded(spark, path, min_partitions=8)
     return compact_triples(raw).select("s", "p", "o")
 
@@ -14016,7 +14130,10 @@ SELECT doc_id, TRUE AS parsed,
                    ELSE ' naïve' END) AS subject_md5,
        md5(CASE WHEN doc_id % 3 = 0 THEN 'plain summary: '
                 ELSE 'naïve résumé: ' END
-           || array_to_string(ws[1:20], ' ')) AS body_md5,
+           || array_to_string(ws[1:20], ' ')
+           || CASE WHEN doc_id % 41 = 5 AND doc_id % 3 = 0
+                   THEN chr(10) || 'From cl2 dialect' ELSE '' END)
+         AS body_md5,
        CAST(CASE WHEN doc_id % 3 = 1 THEN 2 ELSE 1 END AS BIGINT)
          AS n_parts,
        CASE doc_id % 3 WHEN 0 THEN '7bit' WHEN 1 THEN 'base64'
@@ -14038,7 +14155,12 @@ def text_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     splits: separator counting is the two-pass parallel scan, so
     messages straddling split boundaries reassemble exactly; doc_id
     is recovered from each message's own (RFC 2047-decoded) Subject
-    so correctness never leans on file order. The oracle recomputes
+    so correctness never leans on file order. Docs with d%41 == 5
+    (r12) write as mboxcl2 — Content-Length framed, bodies unquoted,
+    the 7bit ones planting a bare ``From `` body line — and the
+    auto-dialect reader must frame them by length (the oracle models
+    the planted line, so a mis-split flips both body hash and row
+    count). The oracle recomputes
     subject/body md5, leaf-part count and the CTE label per doc. At
     100 TB: ~800 tasks per 100 GB spool, one bounded shuffle, one
     long per partition of driver traffic."""
@@ -14056,10 +14178,29 @@ def text_mbox_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             vals = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                msg = encode_eml(
-                    int(doc_id), str(text).split(" ")
-                ).decode("utf-8")
-                vals.append(_FROM_LINE + "\n" + mbox_escape(msg))
+                d = int(doc_id)
+                msg = encode_eml(d, str(text).split(" ")).decode(
+                    "utf-8"
+                )
+                if d % 41 == 5:
+                    # mboxcl2 axis (r12): Content-Length framed,
+                    # bodies UNQUOTED — the 7bit docs plant a bare
+                    # 'From ' body line that would mis-split under
+                    # mboxrd framing; the oracle models the extra
+                    # line, so a framing error flips the hash.
+                    # LF-native like real Unix spools: CL counts
+                    # stored bytes, and the stored form is LF.
+                    msg = msg.replace("\r\n", "\n")
+                    head, body = msg.split("\n\n", 1)
+                    if d % 3 == 0:
+                        body += "\nFrom cl2 dialect"
+                    cl = len(body.encode("utf-8"))
+                    msg = (
+                        head + f"\nContent-Length: {cl}\n\n" + body
+                    )
+                    vals.append(_FROM_LINE + "\n" + msg)
+                else:
+                    vals.append(_FROM_LINE + "\n" + mbox_escape(msg))
             yield pd.DataFrame({"value": vals})
 
     path = "/root/repo/.scratch/mbox_rt"

@@ -562,6 +562,100 @@ def grouped_turtle_blocks(
 # ---------------------------------------------------------------------------
 
 
+DQ3 = '"' * 3
+SQ3 = "'" * 3
+
+
+def _skip_long_close(ln: str, i: int, q: str) -> int:
+    """From position i INSIDE a long string of quote-kind q (three
+    chars), return the index just past the closing delimiter, or -1
+    if the string continues past this line. Backslash escapes any
+    following char (including a quote)."""
+    n = len(ln)
+    while i < n:
+        c = ln[i]
+        if c == "\\":
+            i += 2
+            continue
+        if c == q[0] and ln.startswith(q, i):
+            return i + 3
+        i += 1
+    return -1
+
+
+def _scan_stmt_line(ln: str, state: int) -> tuple[bool, int]:
+    """One step of the 3-state statement-framing automaton used by
+    ``read_turtle_sharded``: states 0 = outside any long string,
+    1 = inside a triple-double-quoted literal, 2 = inside a
+    triple-single-quoted one. Returns (line_terminates_statement,
+    next_state): the line terminates iff, with string contents and
+    comments masked, its last effective character is ``.`` at state
+    0. A ``.`` inside any string or behind a ``#`` comment never
+    terminates; a terminator followed by a trailing comment does."""
+    # fast path (the overwhelmingly common dump line): outside any
+    # long string, no comment, no long-quote delimiter — short
+    # strings cannot span lines and cannot end in an unquoted '.', so
+    # the terminator test is just the stripped last character. This
+    # keeps the per-line cost at C speed; the char scan below runs
+    # only for lines with '#' or triple quotes (or inside one).
+    if state == 0 and "#" not in ln and DQ3 not in ln and SQ3 not in ln:
+        return ln.rstrip().endswith("."), 0
+    if state and (DQ3 if state == 1 else SQ3) not in ln:
+        # inside a long string and the closing delimiter substring is
+        # absent: the whole line is content (C-speed containment test
+        # instead of a Python char scan — the pass-1 automaton tracks
+        # the in-string states through EVERY line, so this is hot)
+        return False, state
+    i, n = 0, len(ln)
+    last = ""
+    st = state
+    dq3, sq3 = DQ3, SQ3
+    while i < n:
+        if st:
+            j = _skip_long_close(ln, i, dq3 if st == 1 else sq3)
+            if j < 0:
+                return False, st
+            i = j
+            st = 0
+            last = '"'  # the closed literal is a non-dot term
+            continue
+        c = ln[i]
+        if c == "#":
+            break
+        if c in " \t\r":
+            i += 1
+            continue
+        if ln.startswith(dq3, i):
+            st = 1
+            i += 3
+            continue
+        if ln.startswith(sq3, i):
+            st = 2
+            i += 3
+            continue
+        if c == '"' or c == "'":
+            # short string: cannot span lines per grammar; scan to the
+            # closing quote honoring escapes (malformed docs fail
+            # loudly at the full parse, not here)
+            j = i + 1
+            while j < n:
+                if ln[j] == "\\":
+                    j += 2
+                elif ln[j] == c:
+                    j += 1
+                    break
+                else:
+                    j += 1
+            i = j
+            last = c
+            continue
+        last = c
+        i += 1
+    if st:
+        return False, st
+    return last == ".", 0
+
+
 def read_turtle_sharded(
     spark, path: str, min_partitions: int | None = None
 ) -> DataFrame:
@@ -573,12 +667,22 @@ def read_turtle_sharded(
     Contract (documented, dump-style Turtle — every real RDF dump
     satisfies it; for full-grammar small-file corpora use
     read_turtle_full):
-    - @prefix/@base directives precede all data statements,
-    - no multi-line ('''…'''/\"\"\"…\"\"\") literals — a statement
-      terminator ``.`` at end-of-line really ends a statement,
-    - no TRAILING comments ending in ``.`` on unterminated lines
-      (``ex:s ex:p 1 ; # note.`` would mis-count as a terminator;
-      full-line ``#`` comments are fine and dumps emit no others).
+    - @prefix/@base directives precede all data statements (a literal
+      whose CONTENT contains a line starting with a directive keyword
+      after the data began would be mis-collected into the header).
+
+    Multi-line long-string literals (\"\"\"…\"\"\" / \'\'\'…\'\'\') and
+    trailing ``# comments`` ARE handled (r12 — the r11 contract
+    exclusions, retired): statement framing runs a 3-state line
+    automaton (outside / inside-\"\"\" / inside-\'\'\') whose per-
+    partition TRANSFER FUNCTION is computed in pass 1 — the classic
+    parallel prefix-scan over a DFA: each partition reports, for all
+    3 possible entry states, its terminator count and exit state; the
+    driver composes the per-partition functions in split order
+    (O(partitions), trivially small) and broadcasts each partition's
+    true entry state with its statement-id offset. A ``.`` inside a
+    string or behind a comment never terminates; a terminator
+    followed by a trailing comment does.
 
     Plan shape (all linear, no driver bottleneck, no global sort):
     1. ``textFile`` splits the document into line blocks (HDFS-style
@@ -612,41 +716,55 @@ def read_turtle_sharded(
         if min_partitions else sc.textFile(path)
     )
 
-    def _is_terminated(ln: str) -> bool:
-        # strip() not rstrip(): an INDENTED full-line comment ending
-        # in "." ("  # note.") must not count as a terminator.
-        s = ln.strip()
-        return s.endswith(".") and not s.startswith("#")
-
-    # pass 1: terminators per partition (one long each — tiny)
-    def _count(_idx: int, it):
-        n = 0
+    # pass 1: each partition's TRANSFER FUNCTION — for every possible
+    # entry state of the 3-state line automaton, the terminator count
+    # and exit state (two small tuples per partition — tiny)
+    def _count(idx: int, it):
+        terms = [0, 0, 0]
+        state = [0, 1, 2]
         for ln in it:
-            if _is_terminated(ln):
-                n += 1
-        yield _idx, n
+            cache: dict[int, tuple[bool, int]] = {}
+            for s in range(3):
+                cur = state[s]
+                if cur not in cache:
+                    cache[cur] = _scan_stmt_line(ln, cur)
+                t, ns = cache[cur]
+                if t:
+                    terms[s] += 1
+                state[s] = ns
+        yield idx, (tuple(terms), tuple(state))
 
-    counts = dict(lines.mapPartitionsWithIndex(_count).collect())
+    transfer = dict(lines.mapPartitionsWithIndex(_count).collect())
+    # compose the per-partition functions in split order: partition 0
+    # enters at state 0 (outside any string)
     offsets: dict[int, int] = {}
+    entry_state: dict[int, int] = {}
     acc = 0
-    for i in sorted(counts):
+    cur_state = 0
+    for i in sorted(transfer):
         offsets[i] = acc
-        acc += counts[i]
-    bc_offsets = sc.broadcast(offsets)
+        entry_state[i] = cur_state
+        terms, exits = transfer[i]
+        acc += terms[cur_state]
+        cur_state = exits[cur_state]
+    bc_offsets = sc.broadcast((offsets, entry_state))
 
     # pass 2: label each line with its statement id; a line BELONGS
     # to the statement whose terminator it precedes (running count of
-    # terminators BEFORE the line, plus the partition's offset). The
-    # line's ordinal WITHIN its partition rides along so multi-line
+    # terminators BEFORE the line, plus the partition's offset),
+    # re-scanning from the partition's TRUE entry state. The line's
+    # ordinal WITHIN its partition rides along so multi-line
     # statements reassemble in document order (collect_list has no
     # order of its own) — (partition, ordinal) sorts correctly
     # because partitions are in split-offset order for a text file.
     def _label(idx: int, it):
-        base = bc_offsets.value[idx]
+        base = bc_offsets.value[0][idx]
+        st = bc_offsets.value[1][idx]
         seen = 0
         for j, ln in enumerate(it):
             yield base + seen, (idx << 32) | j, ln
-            if _is_terminated(ln):
+            t, st = _scan_stmt_line(ln, st)
+            if t:
                 seen += 1
 
     labeled = spark.createDataFrame(

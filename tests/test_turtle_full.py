@@ -260,3 +260,49 @@ def test_sharded_indented_comment_not_a_terminator(spark, tmp_path):
         by_s.setdefault(r["s"], set()).add(r["p"])
     # every subject keeps BOTH predicates in one statement frame
     assert all(len(ps) == 2 for ps in by_s.values()), by_s
+
+
+def test_sharded_multiline_literals_and_trailing_comments(spark, tmp_path):
+    """r12: the sharded reader's 3-state transfer-function scan —
+    multi-line long-string literals (both quote kinds) spanning
+    forced split boundaries, '.' inside strings, trailing comments
+    after terminators, and full-line comments ending in '.' all frame
+    correctly; the per-partition entry state comes from composing the
+    partition transfer functions on the driver."""
+    from razulibs_spark.sources.turtle_full import read_turtle_sharded
+
+    body = "@prefix ex: <http://example.org/> .\n"
+    stmts = []
+    for d in range(10):
+        stmts.append(f"ex:s{d} ex:p {d} . # trailing note {d}.")
+        stmts.append(
+            f'ex:s{d} ex:note """multi {d}\n'
+            "mid . line with dot\n"
+            f'tail {d}""" .'
+        )
+        stmts.append(f"ex:s{d} ex:alt '''other\nkind {d}''' .")
+        stmts.append(f"  # full-line indented comment {d}.")
+    p = tmp_path / "dump.ttl"
+    p.write_text(body + "\n".join(stmts) + "\n")
+    df = read_turtle_sharded(spark, str(p), min_partitions=8)
+    rows = df.collect()
+    assert len(rows) == 30
+    notes = {r["s"]: r["o"] for r in rows
+             if r["p"].endswith("note")}
+    assert notes[EX + "s3"] == "multi 3\nmid . line with dot\ntail 3"
+    alts = {r["s"]: r["o"] for r in rows if r["p"].endswith("alt")}
+    assert alts[EX + "s7"] == "other\nkind 7"
+
+
+def test_scan_stmt_line_automaton():
+    from razulibs_spark.sources.turtle_full import _scan_stmt_line
+
+    assert _scan_stmt_line("ex:s ex:p 1 .", 0) == (True, 0)
+    assert _scan_stmt_line("ex:s ex:p 1 . # done.", 0) == (True, 0)
+    assert _scan_stmt_line('ex:s ex:p "a . b" .', 0) == (True, 0)
+    assert _scan_stmt_line('ex:s ex:p "ends."', 0) == (False, 0)
+    assert _scan_stmt_line('ex:s ex:p """open', 0) == (False, 1)
+    assert _scan_stmt_line("inside . # not a comment", 1) == (False, 1)
+    assert _scan_stmt_line('closed""" .', 1) == (True, 0)
+    assert _scan_stmt_line("x''' ;", 2) == (False, 0)
+    assert _scan_stmt_line('esc\\"""still open', 1) == (False, 1)
