@@ -124,11 +124,12 @@ _AC_CHROMA_VALS = [
     0xF9, 0xFA,
 ]
 
-# SOF markers this decoder rejects (lossless, hierarchical,
-# progressive-arithmetic variants; Huffman SOF0/SOF1/SOF2 AND
-# sequential-arithmetic SOF9 are SUPPORTED).
+# SOF markers this decoder rejects (hierarchical and
+# arithmetic-progressive/-lossless variants; Huffman SOF0/SOF1/SOF2,
+# Huffman LOSSLESS SOF3 and sequential-arithmetic SOF9 are
+# SUPPORTED).
 _SOF_UNSUPPORTED = frozenset(
-    {0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    {0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 )
 
 
@@ -341,10 +342,13 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                     raise ValueError("truncated JPEG DHT")
                 pos += 17 + nv
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, values)
-        elif m in (0xC0, 0xC1, 0xC2, 0xC9):  # SOF0/1 seq, SOF2 prog,
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1 seq,
+            # SOF2 prog, SOF3 LOSSLESS (Annex H predictors, r12),
             # SOF9 sequential ARITHMETIC (T.81 Annex D QM-coder, r12)
             if body[0] != 8:
                 raise ValueError("unsupported JPEG sample precision")
+            # (lossless allows 2-16 bit samples; this engine speaks
+            # the 8-bit form every camera/scanner emits)
             h_img = int.from_bytes(body[1:3], "big")
             w_img = int.from_bytes(body[3:5], "big")
             nc = body[5]
@@ -359,7 +363,8 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                      "tq": body[8 + 3 * c]}
                 )
             frame = {"w": w_img, "h": h_img, "comps": comps,
-                     "progressive": m == 0xC2, "arith": m == 0xC9}
+                     "progressive": m == 0xC2, "arith": m == 0xC9,
+                     "lossless": m == 0xC3}
         elif m in _SOF_UNSUPPORTED:
             # Name the marker so pipeline operators can ROUTE payloads
             # to a library-backed decoder on clusters that ship one,
@@ -409,7 +414,12 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
             ahal = body[3 + 2 * ns]
             ah, al = ahal >> 4, ahal & 15
             segs, i = _split_entropy(data, i)
-            if frame.get("arith"):
+            if frame.get("lossless"):
+                spec = {sc["cid"]: (sc["td"], sc["ta"]) for sc in scomps}
+                planes = _decode_scan_lossless(
+                    frame, spec, dc_tabs, segs, restart, ss, al
+                )
+            elif frame.get("arith"):
                 spec = {sc["cid"]: (sc["td"], sc["ta"]) for sc in scomps}
                 planes = _decode_scan_arith(
                     frame, spec, qt, dc_cond, ac_cond, segs, restart
@@ -851,6 +861,79 @@ def _decode_scan_arith(
         )
         out[c["id"]] = plane[:h_img, :w_img]
     return out
+
+
+def _decode_scan_lossless(
+    frame: dict,
+    spec: dict[int, tuple[int, int]],
+    dc_tabs: dict[int, _Huff],
+    segs: list[bytes],
+    restart: int,
+    predictor: int,
+    pt: int,
+) -> dict[int, np.ndarray]:
+    """Lossless scan (SOF3, T.81 Annex H): per-sample prediction
+    (selectors 1-7 in the SOS Ss field) with DC-style Huffman
+    difference coding; reconstruction is modulo 2^16 and EXACT, so
+    the decoded plane is bit-identical to the encoder input. Scope:
+    the single-component 8-bit Pt=0 form (what scanners emit);
+    multi-component interleave, point transforms and restart
+    intervals reject by name."""
+    comps = frame["comps"]
+    if len(comps) != 1 or len(spec) != 1:
+        raise ValueError(
+            "lossless JPEG: single-component (grayscale) scans only"
+        )
+    if pt:
+        raise ValueError(
+            "lossless JPEG: nonzero point transform unsupported"
+        )
+    if restart:
+        raise ValueError("lossless JPEG: restart intervals unsupported")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"lossless JPEG: invalid predictor {predictor}")
+    td, _ta = spec[comps[0]["id"]]
+    if td not in dc_tabs:
+        raise ValueError("JPEG scan references a missing Huffman table")
+    tab = dc_tabs[td]
+    w_img, h_img = frame["w"], frame["h"]
+    br = _BitReader(segs[0])
+    out = np.zeros((h_img, w_img), dtype=np.int64)
+    for y in range(h_img):
+        row = out[y]
+        prev = out[y - 1] if y else None
+        for x in range(w_img):
+            s = br.decode(tab)
+            if s == 16:  # SSSS=16: diff is 32768, no extra bits
+                diff = 32768
+            elif s:
+                diff = _extend(br.read_bits(s), s)
+            else:
+                diff = 0
+            if y == 0:
+                px = 128 if x == 0 else row[x - 1]
+            elif x == 0:
+                px = prev[0]
+            else:
+                ra = int(row[x - 1])
+                rb = int(prev[x])
+                rc = int(prev[x - 1])
+                if predictor == 1:
+                    px = ra
+                elif predictor == 2:
+                    px = rb
+                elif predictor == 3:
+                    px = rc
+                elif predictor == 4:
+                    px = ra + rb - rc
+                elif predictor == 5:
+                    px = ra + ((rb - rc) >> 1)
+                elif predictor == 6:
+                    px = rb + ((ra - rc) >> 1)
+                else:
+                    px = (ra + rb) >> 1
+            row[x] = (int(px) + diff) & 0xFFFF
+    return {comps[0]["id"]: (out & 0xFF).astype(np.float64)}
 
 
 def _stats(frame: dict, planes: dict[int, np.ndarray]) -> dict:
@@ -1317,6 +1400,63 @@ def _emit_ac_refine_scan(
     flush_eob()
 
 
+def encode_jpeg_lossless(
+    pixels: np.ndarray, predictor: int = 4
+) -> bytes:
+    """Encode a (H, W) uint8 grayscale array as a LOSSLESS JPEG
+    (SOF3, Annex H): per-sample prediction with the chosen selector,
+    differences Huffman-coded DC-style. Decode is bit-exact, so the
+    stats oracle needs no DCT-rounding allowance at all."""
+    pixels = np.asarray(pixels, dtype=np.uint8)
+    if pixels.ndim != 2:
+        raise ValueError("lossless encoder: grayscale (H, W) only")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid predictor {predictor}")
+    h_img, w_img = pixels.shape
+    if h_img == 0 or w_img == 0:
+        raise ValueError("degenerate image dimensions")
+    out = bytearray(b"\xff\xd8")
+    sof = bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big")
+    sof += bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc3" + (len(sof) + 2).to_bytes(2, "big") + sof
+    out += _dht_segment(0, 0, _DC_LUMA_BITS, _DC_LUMA_VALS)
+    sos = bytes([1, 1, 0x00, predictor, 0, 0])
+    out += b"\xff\xda" + (len(sos) + 2).to_bytes(2, "big") + sos
+    codes = _huff_codes(_DC_LUMA_BITS, _DC_LUMA_VALS)
+    bw = _BitWriter()
+    px_i = pixels.astype(np.int64)
+    for y in range(h_img):
+        row = px_i[y]
+        prev = px_i[y - 1] if y else None
+        for x in range(w_img):
+            if y == 0:
+                p = 128 if x == 0 else int(row[x - 1])
+            elif x == 0:
+                p = int(prev[0])
+            else:
+                ra, rb, rc = int(row[x - 1]), int(prev[x]), int(prev[x - 1])
+                p = (
+                    ra if predictor == 1 else
+                    rb if predictor == 2 else
+                    rc if predictor == 3 else
+                    ra + rb - rc if predictor == 4 else
+                    ra + ((rb - rc) >> 1) if predictor == 5 else
+                    rb + ((ra - rc) >> 1) if predictor == 6 else
+                    (ra + rb) >> 1
+                )
+            diff = int(row[x]) - p
+            cat = _category(diff)
+            code, ln = codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1,
+                         cat)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_arith(
     pixels: np.ndarray,
     subsampling: str = "4:4:4",
@@ -1583,7 +1723,7 @@ def encode_jpeg_progressive(
 
 def encode_jpeg_flat_tiles(
     width: int, height: int, tile_fn, progressive: bool = False,
-    arith: bool = False,
+    arith: bool = False, lossless: bool = False,
 ) -> bytes:
     """Grayscale JPEG from flat 8×8 tiles: ``tile_fn(tx, ty)
     -> 0..255``. width/height must be multiples of 8. A constant
@@ -1591,11 +1731,12 @@ def encode_jpeg_flat_tiles(
     all-ones quant tables the roundtrip is bit-exact — the property
     `multimodal_decode`'s first-principles SQL oracle relies on,
     equally true for the progressive (SOF2) and arithmetic (SOF9,
-    r12) encodings since they code the identical coefficients."""
+    r12) encodings since they code the identical coefficients — and
+    trivially true for the lossless (SOF3, r12) encoding."""
     if width % 8 or height % 8 or width <= 0 or height <= 0:
         raise ValueError("flat-tile JPEG needs positive multiples of 8")
-    if progressive and arith:
-        raise ValueError("progressive-arithmetic (SOF10) not emitted")
+    if progressive + arith + lossless > 1:
+        raise ValueError("pick one of progressive/arith/lossless")
     img = np.zeros((height, width), dtype=np.uint8)
     for ty in range(height // 8):
         for tx in range(width // 8):
@@ -1604,4 +1745,6 @@ def encode_jpeg_flat_tiles(
             )
     if arith:
         return encode_jpeg_arith(img)
+    if lossless:
+        return encode_jpeg_lossless(img)
     return encode_jpeg_progressive(img) if progressive else encode_jpeg(img)

@@ -777,9 +777,11 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
                     # recomputes the stats from the same integer tile
                     # formula. Every 5th one is encoded PROGRESSIVE
                     # (SOF2 — spectral selection + successive
-                    # approximation) and the d%5==4 slot ARITHMETIC
-                    # (SOF9, T.81 QM-coder, r12); same coefficients,
-                    # same stats, so the oracle needs no new branch.
+                    # approximation), the d%5==4 slot ARITHMETIC
+                    # (SOF9, T.81 QM-coder, r12) and the d%5==3 slot
+                    # LOSSLESS (SOF3 Annex H predictors, r12); same
+                    # pixels, same stats, so the oracle needs no new
+                    # branch.
                     w = 8 * (1 + d % 3)
                     h = 8 * (1 + (d // 3) % 2)
                     payload = encode_jpeg_flat_tiles(
@@ -787,6 +789,7 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
                         lambda tx, ty, d=d: (5 * d + 11 * tx + 23 * ty) % 256,
                         progressive=(d % 5 == 2),
                         arith=(d % 5 == 4),
+                        lossless=(d % 5 == 3),
                     )
                     fmt = "image/jpeg"
                 out_ids.append(d)

