@@ -407,6 +407,7 @@ def write_warc_records(
     records: DataFrame,
     directory: str,
     compress: bool = True,
+    max_records_per_file: int = 2048,
 ) -> None:
     """Generic WARC sink: one record per row of ``(warc_type,
     target_uri, content_type, payload)`` — the shape a REAL crawl
@@ -418,10 +419,23 @@ def write_warc_records(
     else md5 over (type, uri, payload) — deterministic,
     collision-irrelevant at fixture scale. An optional ``refers_to``
     column writes WARC-Refers-To (how revisit records name the
-    capture they deduplicated against)."""
+    capture they deduplicated against).
+
+    ``max_records_per_file`` (r12): each task ROLLS OVER to a new
+    ``part-<pid>-<seq>`` shard every N records, bounding shard size
+    independently of upstream partitioning — a parquet split packs
+    ~25k documents into 128 MB, but those same rows inflate ~10× as
+    HTML-in-WARC, so inheriting the scan partitioning makes read_warc
+    parse one multi-GB file per task (a 76× wall-time cliff at the
+    10× rehearsal, SCALE.md). Rollover keeps the per-file task model
+    honest at every scale with zero shuffle."""
     import hashlib
     import os
+    import shutil
 
+    # an overwrite sink: stale shards from a previous run (possibly
+    # under an older naming scheme) must not survive into the read
+    shutil.rmtree(directory, ignore_errors=True)
     os.makedirs(directory, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
     has_rid = "record_id" in records.columns
@@ -433,6 +447,21 @@ def write_warc_records(
     def write_partition(rows) -> None:
         chunks: list[bytes] = []
         pid = None
+        seq = 0
+
+        def flush() -> None:
+            nonlocal chunks, seq
+            if chunks:
+                with open(
+                    os.path.join(
+                        directory, f"part-{pid:05d}-{seq:04d}{ext}"
+                    ),
+                    "wb",
+                ) as fh:
+                    fh.write(b"".join(chunks))
+                chunks = []
+                seq += 1
+
         for row in rows:
             from pyspark import TaskContext
 
@@ -455,11 +484,9 @@ def write_warc_records(
                 refers_to=row["refers_to"] if has_refers else None,
             )
             chunks.append(gzip_member(rec) if compress else rec)
-        if pid is not None:
-            with open(
-                os.path.join(directory, f"part-{pid:05d}{ext}"), "wb"
-            ) as fh:
-                fh.write(b"".join(chunks))
+            if len(chunks) >= max_records_per_file:
+                flush()
+        flush()
 
     records.select(*cols).foreachPartition(write_partition)
 
@@ -470,21 +497,41 @@ def write_warc_responses(
     uri_col: str = "uri",
     html_col: str = "html",
     compress: bool = True,
+    max_records_per_file: int = 2048,
 ) -> None:
-    """Sink: one ``part-<partition>.warc[.gz]`` file per partition,
-    each row one response record (record id = md5 of the target URI —
+    """Sink: ``part-<partition>-<seq>.warc[.gz]`` files, each row one
+    response record (record id = md5 of the target URI —
     deterministic, collision-irrelevant at fixture scale). Executor
     writes on a shared filesystem, the write_jsonld_per_entity
-    (distributed=True) contract."""
+    (distributed=True) contract. Tasks roll over to a new shard every
+    ``max_records_per_file`` records — see write_warc_records for why
+    shard size must not inherit the upstream scan partitioning."""
     import hashlib
     import os
+    import shutil
 
+    shutil.rmtree(directory, ignore_errors=True)  # overwrite sink
     os.makedirs(directory, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 
     def write_partition(rows) -> None:
         chunks: list[bytes] = []
         pid = None
+        seq = 0
+
+        def flush() -> None:
+            nonlocal chunks, seq
+            if chunks:
+                with open(
+                    os.path.join(
+                        directory, f"part-{pid:05d}-{seq:04d}{ext}"
+                    ),
+                    "wb",
+                ) as fh:
+                    fh.write(b"".join(chunks))
+                chunks = []
+                seq += 1
+
         for row in rows:
             from pyspark import TaskContext
 
@@ -496,10 +543,8 @@ def write_warc_responses(
                 target_uri=row[uri_col],
             )
             chunks.append(gzip_member(rec) if compress else rec)
-        if pid is not None:
-            with open(
-                os.path.join(directory, f"part-{pid:05d}{ext}"), "wb"
-            ) as fh:
-                fh.write(b"".join(chunks))
+            if len(chunks) >= max_records_per_file:
+                flush()
+        flush()
 
     pages.select(uri_col, html_col).foreachPartition(write_partition)

@@ -1011,3 +1011,19 @@ def test_sharded_single_file_reassembly_bounded(spark, tmp_path):
     assert "ObjectHashAggregate" in plan  # collect_list w/ partials
     # no global Sort node — ordering is per-group sort_array
     assert _re.search(r"\(\d+\) Sort\b", plan) is None, plan[:500]
+
+
+def test_sequence_packing_windows_partitioned_no_global_sort(spark):
+    """pipeline_sequence_packing: the cumulative sum is PARTITIONED
+    BY source (no single-partition window warning, no global Sort
+    outside the window), the span fan-out is a narrow explode, and
+    the rollup is hash aggregation."""
+    import re as _re
+
+    plan = _plan(Q.pipeline_sequence_packing(spark, SF))
+    # every Window node carries a partition spec
+    for m in _re.finditer(r"Arguments: \[.*?windowspecdefinition\((.*?)\)", plan):
+        assert "source" in m.group(1), m.group(0)[:120]
+    assert "Generate explode" in plan or "explode" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
