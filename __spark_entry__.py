@@ -72,6 +72,7 @@ _ROTATION_FORCE_REFRESH = frozenset({
     "text_epub_extract@12",
     "text_pptx_extract@12",
     "multimodal_decode@12",
+    "k2_turtle_sharded_roundtrip@12",
 })
 
 _PREVIOUSLY_VERIFIED = frozenset({

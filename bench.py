@@ -397,10 +397,14 @@ R11_ADDITIONS = [
     "text_wiki_sharded_extract",
 ]
 
+R12_ADDITIONS = [
+    "pipeline_sequence_packing",
+]
+
 HEADLINE = (
     R03_HEADLINE + R04_ADDITIONS + R05_ADDITIONS + R06_ADDITIONS
     + R07_ADDITIONS + R08_ADDITIONS + R09_ADDITIONS + R10_ADDITIONS
-    + R11_ADDITIONS
+    + R11_ADDITIONS + R12_ADDITIONS
 )
 
 # Benched OUTSIDE the registry-pinned HEADLINE (the 293-vs-291
