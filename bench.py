@@ -399,6 +399,7 @@ R11_ADDITIONS = [
 
 R12_ADDITIONS = [
     "pipeline_sequence_packing",
+    "text_pptx_notes_extract",
 ]
 
 HEADLINE = (

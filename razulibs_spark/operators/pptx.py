@@ -605,10 +605,14 @@ def synthesize_pptx_media(documents: DataFrame) -> DataFrame:
     )
 
 
-def pptx_text_stats(media: DataFrame) -> DataFrame:
+def pptx_text_stats(
+    media: DataFrame, include_notes: bool = False
+) -> DataFrame:
     """Parse each payload for real; fail-closed per row. The digest
     is over the full slide-ordered text — a leaked field, a dropped
-    run, an orphan slide or a shuffled slide order all flip it."""
+    run, an orphan slide or a shuffled slide order all flip it.
+    ``include_notes`` runs the opt-in speaker-notes + SmartArt walk
+    (r12) — a separate registry entry gates that surface."""
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -618,7 +622,9 @@ def pptx_text_stats(media: DataFrame) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 d = int(doc_id)
                 try:
-                    m = parse_pptx(bytes(payload))
+                    m = parse_pptx(
+                        bytes(payload), include_notes=include_notes
+                    )
                 except (ValueError, ET.ParseError) as exc:
                     rows.append((d, False, None, None, None, str(exc)))
                     continue
