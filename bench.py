@@ -398,7 +398,7 @@ R11_ADDITIONS = [
 ]
 
 R12_ADDITIONS = [
-    "pipeline_sequence_packing",
+    "pipeline_example_packing",
     "text_pptx_notes_extract",
 ]
 

@@ -9466,92 +9466,86 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SEQ_PACK_SQL = """
+_EX_PACK_SQL = """
 WITH toks AS (
   SELECT doc_id, source,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS tk
+         LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 512)
+           AS tk
   FROM documents),
- cums AS (
+ cls AS (
   SELECT doc_id, source, tk,
-         SUM(tk) OVER (PARTITION BY source ORDER BY doc_id
-                       ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(CEIL(LOG2(GREATEST(tk, 2))) AS BIGINT) AS len_class
   FROM toks),
- spans AS (
-  SELECT source, doc_id, tk, cum,
-         CAST((cum - tk) // 512 AS BIGINT) AS s0,
-         CAST((cum - 1) // 512 AS BIGINT) AS s1
-  FROM cums),
- seqs AS (
-  SELECT source, doc_id,
-         CAST(unnest(generate_series(s0, s1)) AS BIGINT) AS seq_id
-  FROM spans),
- tot AS (SELECT source, SUM(tk) AS total FROM toks GROUP BY source)
-SELECT s.source, s.seq_id,
+ cap AS (
+  SELECT doc_id, source, tk, len_class,
+         CAST(512 // (1 << len_class) AS BIGINT) AS per_seq
+  FROM cls),
+ ranked AS (
+  SELECT source, len_class, per_seq, tk,
+         ROW_NUMBER() OVER (PARTITION BY source, len_class
+                            ORDER BY doc_id) - 1 AS rk
+  FROM cap)
+SELECT source, len_class,
+       CAST(rk // per_seq AS BIGINT) AS seq_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       MIN(s.doc_id) AS first_doc, MAX(s.doc_id) AS last_doc,
-       CAST(LEAST(512, t.total - s.seq_id * 512) AS BIGINT)
-         AS n_tokens
-FROM seqs s JOIN tot t ON s.source = t.source
-GROUP BY s.source, s.seq_id, t.total
+       CAST(SUM(tk) AS BIGINT) AS used_tokens,
+       CAST(512 - SUM(tk) AS BIGINT) AS pad_tokens
+FROM ranked
+GROUP BY source, len_class, rk // per_seq
 """
 
 
-@query("pipeline_sequence_packing", _SEQ_PACK_SQL)
-def pipeline_sequence_packing(
+@query("pipeline_example_packing", _EX_PACK_SQL)
+def pipeline_example_packing(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Training-sequence packing (r12): the GPT-style
-    concatenate-and-chunk layout — within each source, documents
-    concatenate in doc_id order and split into fixed 512-token
-    sequences (documents may straddle boundaries; the packing is the
-    cumulative-sum bucket, not a bin-packing heuristic — exactly what
-    large-scale pretraining pipelines do before writing token
-    shards). One row per SEQUENCE: how many documents touch it, the
-    first/last of them, and its token fill (the final sequence of a
-    source is the only short one).
+    """Boundary-respecting EXAMPLE packing (r12) — the
+    no-cross-contamination layout instruction-tuning and T5-style
+    pipelines use, where a document must never straddle a sequence
+    (attention would bleed across unrelated examples; contrast
+    ``pack_sequences``, the concat-and-chop pretraining layout where
+    straddling is fine). Whole documents pack into 512-token
+    sequences via LENGTH-BUCKETED first-fit: docs are truncated to
+    the context, classed by power-of-two length, and each
+    (source, class) bucket packs floor(512 / 2^class) docs per
+    sequence — deterministic, fully parallel, no sequential greedy
+    scan. One row per packed sequence: docs, used tokens, padding
+    waste (the metric this layout trades for isolation).
 
-    Scale shape: the cumulative sum is a window PARTITIONED BY source
-    (never a global sort), the span→sequence fan-out is a narrow
-    ``sequence()``/``explode`` (each document touches
-    ceil(len/512)+1 sequences, bounded by document length), and the
-    per-sequence rollup is one hash aggregation — at 100 TB each
-    source packs independently, so adding sources adds parallelism,
-    not shuffle width."""
+    Scale shape: one narrow projection, ONE window partitioned by
+    (source, len_class) — never global — and one hash aggregation;
+    each bucket packs independently, so both more sources and longer
+    corpora add parallelism, not shuffle width."""
     C = 512
     docs = T(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "source",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("tk"),
+        F.least(
+            F.size(F.split(F.col("text"), " ")).cast("long"),
+            F.lit(C).cast("long"),
+        ).alias("tk"),
     )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cls = toks.withColumn(
+        "len_class",
+        F.ceil(F.log2(F.greatest(F.col("tk"), F.lit(2)))).cast("long"),
+    ).withColumn(
+        "per_seq",
+        F.floor(F.lit(C) / F.pow(F.lit(2.0), F.col("len_class")))
+        .cast("long"),
     )
-    spans = toks.withColumn("cum", F.sum("tk").over(w)).select(
-        "source", "doc_id", "tk", "cum",
-        F.floor((F.col("cum") - F.col("tk")) / C).alias("s0"),
-        F.floor((F.col("cum") - 1) / C).alias("s1"),
-    )
-    seqs = spans.select(
-        "source", "doc_id",
-        F.explode(F.sequence("s0", "s1")).alias("seq_id"),
-    )
-    tot = toks.groupBy("source").agg(F.sum("tk").alias("total"))
+    w = Window.partitionBy("source", "len_class").orderBy("doc_id")
+    ranked = cls.withColumn("rk", F.row_number().over(w) - 1)
     return (
-        seqs.groupBy("source", "seq_id")
+        ranked.groupBy(
+            "source", "len_class",
+            F.floor(F.col("rk") / F.col("per_seq"))
+            .cast("long")
+            .alias("seq_id"),
+        )
         .agg(
             F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
-        .join(tot, "source")
-        .select(
-            "source", "seq_id", "n_docs", "first_doc", "last_doc",
-            F.least(
-                F.lit(C).cast("long"),
-                F.col("total") - F.col("seq_id") * C,
-            ).alias("n_tokens"),
+            F.sum("tk").alias("used_tokens"),
+            (F.lit(C) - F.sum("tk")).cast("long").alias("pad_tokens"),
         )
     )
 

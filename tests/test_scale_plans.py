@@ -1013,17 +1013,17 @@ def test_sharded_single_file_reassembly_bounded(spark, tmp_path):
     assert _re.search(r"\(\d+\) Sort\b", plan) is None, plan[:500]
 
 
-def test_sequence_packing_windows_partitioned_no_global_sort(spark):
-    """pipeline_sequence_packing: the cumulative sum is PARTITIONED
-    BY source (no single-partition window warning, no global Sort
-    outside the window), the span fan-out is a narrow explode, and
-    the rollup is hash aggregation."""
+def test_example_packing_windows_partitioned_no_global_sort(spark):
+    """pipeline_example_packing: the ranking window is PARTITIONED BY
+    (source, len_class) — never global — and the rollup is hash
+    aggregation; no Python stage anywhere."""
     import re as _re
 
-    plan = _plan(Q.pipeline_sequence_packing(spark, SF))
-    # every Window node carries a partition spec
-    for m in _re.finditer(r"Arguments: \[.*?windowspecdefinition\((.*?)\)", plan):
+    plan = _plan(Q.pipeline_example_packing(spark, SF))
+    for m in _re.finditer(
+        r"windowspecdefinition\((.*?)\)", plan
+    ):
         assert "source" in m.group(1), m.group(0)[:120]
-    assert "Generate explode" in plan or "explode" in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
