@@ -9,13 +9,15 @@ payloads are JPEGs (BASELINE.md demo set;
 the one format the reference ships is now decodable in-container.
 
 Decoder (`decode_jpeg`): marker walk (APPn/COM skipped, DQT/DHT/DRI/
-DAC parsed), baseline sequential SOF0/SOF1, progressive SOF2 frames
-(T.81 Annex G: spectral selection, successive approximation, EOB
-runs — coefficients accumulate across scans and IDCT once at EOI)
-AND sequential ARITHMETIC SOF9 frames (T.81 Annex D QM-coder +
-§F.2.4 statistics model, operators/jpeg_arith.py — r12);
-progressive-arithmetic and lossless variants rejected with a
-ValueError naming the SOF marker. Entropy decode with byte-unstuffing and
+DAC parsed) across the full T.81 DCT + lossless mode matrix —
+baseline sequential SOF0/SOF1, progressive SOF2 (Annex G: spectral
+selection, successive approximation, EOB runs — coefficients
+accumulate across scans and IDCT once at EOI), LOSSLESS SOF3
+(Annex H predictors, bit-exact), sequential ARITHMETIC SOF9 and
+progressive ARITHMETIC SOF10 (Annex D QM-coder + §F.2.4/G.1.2
+statistics models, operators/jpeg_arith.py — r12); hierarchical and
+arithmetic-lossless variants rejected with a ValueError naming the
+SOF marker. Entropy decode with byte-unstuffing and
 restart-marker segmentation, per-block Huffman DC-diff + AC
 run-length decode, dequantize → dezigzag → float IDCT, sampling-factor
 upsample (4:4:4 / 4:2:2 / 4:2:0), JFIF YCbCr→RGB. Returns the same
@@ -125,11 +127,11 @@ _AC_CHROMA_VALS = [
 ]
 
 # SOF markers this decoder rejects (hierarchical and
-# arithmetic-progressive/-lossless variants; Huffman SOF0/SOF1/SOF2,
-# Huffman LOSSLESS SOF3 and sequential-arithmetic SOF9 are
-# SUPPORTED).
+# arithmetic-lossless variants; Huffman SOF0/SOF1/SOF2, Huffman
+# LOSSLESS SOF3, sequential-arithmetic SOF9 and
+# progressive-arithmetic SOF10 are SUPPORTED).
 _SOF_UNSUPPORTED = frozenset(
-    {0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+    {0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF}
 )
 
 
@@ -342,9 +344,9 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                     raise ValueError("truncated JPEG DHT")
                 pos += 17 + nv
                 (dc_tabs if tc == 0 else ac_tabs)[th] = _Huff(bits, values)
-        elif m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9):  # SOF0/1 seq,
-            # SOF2 prog, SOF3 LOSSLESS (Annex H predictors, r12),
-            # SOF9 sequential ARITHMETIC (T.81 Annex D QM-coder, r12)
+        elif m in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):  # SOF0/1
+            # seq, SOF2 prog, SOF3 LOSSLESS (Annex H, r12), SOF9/10
+            # sequential/progressive ARITHMETIC (Annex D QM, r12)
             if body[0] != 8:
                 raise ValueError("unsupported JPEG sample precision")
             # (lossless allows 2-16 bit samples; this engine speaks
@@ -363,7 +365,8 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                      "tq": body[8 + 3 * c]}
                 )
             frame = {"w": w_img, "h": h_img, "comps": comps,
-                     "progressive": m == 0xC2, "arith": m == 0xC9,
+                     "progressive": m in (0xC2, 0xCA),
+                     "arith": m in (0xC9, 0xCA),
                      "lossless": m == 0xC3}
         elif m in _SOF_UNSUPPORTED:
             # Name the marker so pipeline operators can ROUTE payloads
@@ -418,6 +421,13 @@ def _decode_jpeg_impl(payload: bytes) -> dict:
                 spec = {sc["cid"]: (sc["td"], sc["ta"]) for sc in scomps}
                 planes = _decode_scan_lossless(
                     frame, spec, dc_tabs, segs, restart, ss, al
+                )
+            elif frame.get("arith") and frame["progressive"]:
+                if prog_store is None:
+                    prog_store = _alloc_coef_store(frame)
+                _decode_scan_progressive_arith(
+                    frame, scomps, dc_cond, ac_cond, segs, restart,
+                    ss, se, ah, al, prog_store,
                 )
             elif frame.get("arith"):
                 spec = {sc["cid"]: (sc["td"], sc["ta"]) for sc in scomps}
@@ -654,6 +664,129 @@ def _decode_scan_progressive(
             for bx in range(bw_):
                 if restart and unit and unit % restart == 0:
                     br = next_segment()
+                do_block(sc, arr[by, bx])
+                unit += 1
+
+
+def _decode_scan_progressive_arith(
+    frame: dict,
+    scomps: list[dict],
+    dc_cond: dict[int, tuple[int, int]],
+    ac_cond: dict[int, int],
+    segs: list[bytes],
+    restart: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    store: dict[int, np.ndarray],
+) -> None:
+    """Progressive ARITHMETIC scan (SOF10): same scan sequencing and
+    coefficient store as the Huffman progressive path, entropy coded
+    with the QM-coder progressive models (jpeg_arith). Restarts reset
+    the coder, statistics and DC state."""
+    from razulibs_spark.operators.jpeg_arith import (
+        AC_STAT_BINS,
+        DC_STAT_BINS,
+        ArithDecoder,
+        Stats,
+        decode_ac_first,
+        decode_ac_refine,
+        decode_dc,
+    )
+
+    hmax, vmax, mcus_x, mcus_y = _mcu_grid(frame)
+    byid = {c["id"]: c for c in frame["comps"]}
+    if ss == 0:
+        if se != 0:
+            raise ValueError("JPEG progressive DC scan must have Se=0")
+    else:
+        if len(scomps) != 1:
+            raise ValueError(
+                "JPEG progressive AC scan must cover exactly one component"
+            )
+        if not ss <= se <= 63:
+            raise ValueError("JPEG invalid spectral band")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("JPEG successive approximation must refine one bit")
+    for sc in scomps:
+        c = byid.get(sc["cid"])
+        if c is None:
+            raise ValueError("JPEG scan references an unknown component")
+        sc["c"] = c
+
+    state: dict = {}
+
+    def fresh(seg: bytes) -> None:
+        state["dec"] = ArithDecoder(seg)
+        state["dstats"] = {}
+        state["astats"] = {}
+        for sc in scomps:
+            state["dstats"].setdefault(sc["td"], Stats(DC_STAT_BINS))
+            state["astats"].setdefault(sc["ta"], Stats(AC_STAT_BINS))
+            sc["arith"] = {"dc_ctx": 0, "pred": 0}
+
+    fresh(segs[0])
+    seg_idx = 0
+
+    def next_segment() -> None:
+        nonlocal seg_idx
+        seg_idx += 1
+        if seg_idx >= len(segs):
+            raise ValueError("JPEG restart segment missing")
+        fresh(segs[seg_idx])
+
+    def do_block(sc: dict, blk: np.ndarray) -> None:
+        dec = state["dec"]
+        if ss == 0:
+            if ah == 0:
+                lo, up = dc_cond.get(sc["td"], (0, 1))
+                dc = decode_dc(
+                    dec, state["dstats"][sc["td"]], sc["arith"], lo, up
+                )
+                blk[0] = dc << al
+            elif dec.decode_fixed():
+                blk[0] = int(blk[0]) | (1 << al)
+        else:
+            kx = ac_cond.get(sc["ta"], 5)
+            zz = [int(v) for v in blk]
+            if ah == 0:
+                decode_ac_first(
+                    dec, state["astats"][sc["ta"]], kx, zz, ss, se, al
+                )
+            else:
+                decode_ac_refine(
+                    dec, state["astats"][sc["ta"]], zz, ss, se, al
+                )
+            blk[:] = zz
+
+    if len(scomps) > 1:  # interleaved (DC only, enforced above)
+        unit = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and unit and unit % restart == 0:
+                    next_segment()
+                for sc in scomps:
+                    c = sc["c"]
+                    arr = store[sc["cid"]]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            do_block(
+                                sc, arr[my * c["v"] + by, mx * c["h"] + bx]
+                            )
+                unit += 1
+    else:
+        sc = scomps[0]
+        c = sc["c"]
+        cw = -(-frame["w"] * c["h"] // hmax)
+        ch = -(-frame["h"] * c["v"] // vmax)
+        bw_, bh_ = -(-cw // 8), -(-ch // 8)
+        arr = store[sc["cid"]]
+        unit = 0
+        for by in range(bh_):
+            for bx in range(bw_):
+                if restart and unit and unit % restart == 0:
+                    next_segment()
                 do_block(sc, arr[by, bx])
                 unit += 1
 
@@ -1594,6 +1727,136 @@ def encode_jpeg_arith(
     return bytes(out)
 
 
+def encode_jpeg_progressive_arith(
+    pixels: np.ndarray,
+    subsampling: str = "4:4:4",
+    ac_split: int = 5,
+) -> bytes:
+    """Encode as a PROGRESSIVE ARITHMETIC (SOF10) JPEG with all-ones
+    quantization — the same scan plan as encode_jpeg_progressive
+    (interleaved DC-first at Al=1, DC refinement bit-plane, two
+    spectral AC bands per component at Al=1 + their refinements),
+    entropy coded with the QM-coder progressive models. The
+    coefficient progression reconstructs exactly, so decode stats are
+    bit-identical to every other encoding of the same image."""
+    from razulibs_spark.operators.jpeg_arith import (
+        AC_STAT_BINS,
+        DC_STAT_BINS,
+        ArithEncoder,
+        Stats,
+        encode_ac_first,
+        encode_ac_refine,
+        encode_dc,
+    )
+
+    if not 1 <= ac_split <= 62:
+        raise ValueError("ac_split must be in 1..62")
+    comps, grids, h_img, w_img = _coef_grids(pixels, subsampling)
+    gray = len(comps) == 1
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w_img // (8 * hmax))
+    mcus_y = -(-h_img // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    ones = bytes([1] * 64)
+    out += b"\xff\xdb\x00\x43\x00" + ones
+    if not gray:
+        out += b"\xff\xdb\x00\x43\x01" + ones
+    sof = bytes([8]) + h_img.to_bytes(2, "big") + w_img.to_bytes(2, "big")
+    sof += bytes([len(comps)])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += b"\xff\xca" + (len(sof) + 2).to_bytes(2, "big") + sof
+    dac = bytes([0x00, 0x10, 0x10, 5])
+    if not gray:
+        dac += bytes([0x01, 0x10, 0x11, 5])
+    out += b"\xff\xcc" + (len(dac) + 2).to_bytes(2, "big") + dac
+
+    dstats: dict[int, Stats] = {}
+    astats: dict[int, Stats] = {}
+    dstate: list[dict] = [
+        {"dc_ctx": 0, "pred": 0} for _ in comps
+    ]
+
+    def sos(scan_comps: list[int], ss: int, se: int, ah: int,
+            al: int, coded: bytes) -> None:
+        hdr = bytes([len(scan_comps)])
+        for ci in scan_comps:
+            c = comps[ci]
+            t = 0 if c["tq"] == 0 else 1
+            hdr += bytes([c["id"], (t << 4) | t])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out.extend(b"\xff\xda" + (len(hdr) + 2).to_bytes(2, "big") + hdr)
+        out.extend(coded.replace(b"\xff", b"\xff\x00"))
+
+    def tbl_of(ci: int) -> int:
+        return 0 if comps[ci]["tq"] == 0 else 1
+
+    # Scan 1: interleaved DC first at Al=1
+    enc = ArithEncoder()
+    for ci in range(len(comps)):
+        dstats.setdefault(tbl_of(ci), Stats(DC_STAT_BINS))
+        dstate[ci] = {"dc_ctx": 0, "pred": 0}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        dc = int(
+                            grids[ci][my * c["v"] + by, mx * c["h"] + bx, 0]
+                        ) >> 1
+                        encode_dc(
+                            enc, dstats[tbl_of(ci)], dstate[ci], dc, 0, 1
+                        )
+    sos(list(range(len(comps))), 0, 0, 0, 1, enc.flush())
+
+    # Scan 2: DC refinement — one fixed-bin bit per block
+    enc = ArithEncoder()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, c in enumerate(comps):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        enc.encode_fixed(
+                            int(
+                                grids[ci][
+                                    my * c["v"] + by, mx * c["h"] + bx, 0
+                                ]
+                            )
+                            & 1
+                        )
+    sos(list(range(len(comps))), 0, 0, 1, 0, enc.flush())
+
+    bands = [(1, ac_split), (ac_split + 1, 63)]
+
+    def comp_blocks(ci: int):
+        c = comps[ci]
+        cw = -(-w_img * c["h"] // hmax)
+        ch = -(-h_img * c["v"] // vmax)
+        for by in range(-(-ch // 8)):
+            for bx in range(-(-cw // 8)):
+                yield grids[ci][by, bx]
+
+    for ss_, se_ in bands:
+        for ci in range(len(comps)):
+            enc = ArithEncoder()
+            st = Stats(AC_STAT_BINS)
+            for blk in comp_blocks(ci):
+                encode_ac_first(enc, st, 5, blk, ss_, se_, 1)
+            sos([ci], ss_, se_, 0, 1, enc.flush())
+    for ss_, se_ in bands:
+        for ci in range(len(comps)):
+            enc = ArithEncoder()
+            st = Stats(AC_STAT_BINS)
+            for blk in comp_blocks(ci):
+                encode_ac_refine(enc, st, blk, ss_, se_, 0)
+            sos([ci], ss_, se_, 1, 0, enc.flush())
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     subsampling: str = "4:4:4",
@@ -1724,6 +1987,7 @@ def encode_jpeg_progressive(
 def encode_jpeg_flat_tiles(
     width: int, height: int, tile_fn, progressive: bool = False,
     arith: bool = False, lossless: bool = False,
+    progressive_arith: bool = False,
 ) -> bytes:
     """Grayscale JPEG from flat 8×8 tiles: ``tile_fn(tx, ty)
     -> 0..255``. width/height must be multiples of 8. A constant
@@ -1735,8 +1999,8 @@ def encode_jpeg_flat_tiles(
     trivially true for the lossless (SOF3, r12) encoding."""
     if width % 8 or height % 8 or width <= 0 or height <= 0:
         raise ValueError("flat-tile JPEG needs positive multiples of 8")
-    if progressive + arith + lossless > 1:
-        raise ValueError("pick one of progressive/arith/lossless")
+    if progressive + arith + lossless + progressive_arith > 1:
+        raise ValueError("pick one JPEG mode")
     img = np.zeros((height, width), dtype=np.uint8)
     for ty in range(height // 8):
         for tx in range(width // 8):
@@ -1747,4 +2011,6 @@ def encode_jpeg_flat_tiles(
         return encode_jpeg_arith(img)
     if lossless:
         return encode_jpeg_lossless(img)
+    if progressive_arith:
+        return encode_jpeg_progressive_arith(img)
     return encode_jpeg_progressive(img) if progressive else encode_jpeg(img)

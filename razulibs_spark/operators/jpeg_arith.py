@@ -452,3 +452,159 @@ def encode_ac(enc: ArithEncoder, st: Stats, kx: int,
         k += 1
     if k <= 63:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+# ---------------------------------------------------------------------------
+# Progressive statistics models (T.81 Annex G with arithmetic coding,
+# §G.1.2 point transforms + the F.2.4 context layout — the structure
+# libjpeg's progressive jcarith/jdarith implement). DC-first scans
+# reuse decode_dc/encode_dc on the Al-scaled values; DC refinement is
+# one fixed-bin bit per block. AC scans are band-limited (Ss..Se):
+# the first pass is the sequential model with coefficients scaled by
+# Al, the refinement pass codes correction bits for known-nonzero
+# coefficients and newly-significant ±2^Al insertions, with the EOB
+# decision gated past the previous stage's last nonzero index.
+# ---------------------------------------------------------------------------
+
+
+def decode_ac_first(dec: ArithDecoder, st: Stats, kx: int,
+                    zz: list[int], ss: int, se: int, al: int) -> None:
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):  # EOB
+            return
+        while dec.decode(st, base + 1) == 0:
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC index overflow")
+            base = 3 * (k - 1)
+        sign = dec.decode_fixed()
+        st_i = base + 2
+        m = dec.decode(st, st_i)
+        if m:
+            if dec.decode(st, st_i):
+                m = 2
+                st_i = 189 if k <= kx else 217
+                while dec.decode(st, st_i):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError(
+                            "JPEG arithmetic AC magnitude overflow"
+                        )
+                    st_i += 1
+        v = m
+        st_i += 14
+        mm = m
+        while mm > 1:
+            mm >>= 1
+            if dec.decode(st, st_i):
+                v |= mm
+        v += 1
+        zz[k] = -(v << al) if sign else (v << al)
+        k += 1
+
+
+def encode_ac_first(enc: ArithEncoder, st: Stats, kx: int,
+                    zz, ss: int, se: int, al: int) -> None:
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB yet
+        while (abs(int(zz[k])) >> al) == 0:
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        enc.encode(st, base + 1, 1)
+        c = int(zz[k])
+        v = abs(c) >> al
+        enc.encode_fixed(1 if c < 0 else 0)
+        st_i = base + 2
+        m = 0
+        v -= 1
+        if v:
+            enc.encode(st, st_i, 1)
+            m = 1
+            v2 = v
+            if v2 > 1:
+                v2 >>= 1
+                enc.encode(st, st_i, 1)
+                m = 2
+                st_i = 189 if k <= kx else 217
+                while v2 > 1:
+                    v2 >>= 1
+                    enc.encode(st, st_i, 1)
+                    m <<= 1
+                    st_i += 1
+        enc.encode(st, st_i, 0)
+        st_i += 14
+        while m > 1:
+            m >>= 1
+            enc.encode(st, st_i, 1 if (m & v) else 0)
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def decode_ac_refine(dec: ArithDecoder, st: Stats,
+                     zz: list[int], ss: int, se: int, al: int) -> None:
+    p1 = 1 << al
+    m1 = -(1 << al)
+    kex = se
+    while kex > 0 and zz[kex] == 0:
+        kex -= 1
+    k = ss
+    while k <= se:
+        base = 3 * (k - 1)
+        if k > kex:
+            if dec.decode(st, base):  # EOB
+                return
+        while True:
+            c = zz[k]
+            if c:
+                if dec.decode(st, base + 2):  # correction bit = 1
+                    zz[k] = c + (m1 if c < 0 else p1)
+                break
+            if dec.decode(st, base + 1):  # newly significant
+                zz[k] = m1 if dec.decode_fixed() else p1
+                break
+            k += 1
+            if k > se:
+                raise ValueError("JPEG arithmetic AC refine overflow")
+            base = 3 * (k - 1)
+        k += 1
+
+
+def encode_ac_refine(enc: ArithEncoder, st: Stats,
+                     zz, ss: int, se: int, al: int) -> None:
+    # ke: last index significant at THIS stage; kex: last index
+    # already significant after the PREVIOUS stage (abs >> Al > 1)
+    ke = se
+    while ke >= ss and (abs(int(zz[ke])) >> al) == 0:
+        ke -= 1
+    kex = ke
+    while kex >= ss and (abs(int(zz[kex])) >> al) <= 1:
+        kex -= 1
+    k = ss
+    while k <= ke:
+        base = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, base, 0)  # not EOB yet
+        while True:
+            v = abs(int(zz[k])) >> al
+            if v > 1:  # previously nonzero: correction bit
+                enc.encode(st, base + 2, v & 1)
+                break
+            if v == 1:  # newly significant at this stage
+                enc.encode(st, base + 1, 1)
+                enc.encode_fixed(1 if int(zz[k]) < 0 else 0)
+                break
+            enc.encode(st, base + 1, 0)
+            k += 1
+            base = 3 * (k - 1)
+        k += 1
+    if k <= se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB

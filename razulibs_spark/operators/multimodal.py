@@ -777,19 +777,22 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
                     # recomputes the stats from the same integer tile
                     # formula. Every 5th one is encoded PROGRESSIVE
                     # (SOF2 — spectral selection + successive
-                    # approximation), the d%5==4 slot ARITHMETIC
-                    # (SOF9, T.81 QM-coder, r12) and the d%5==3 slot
-                    # LOSSLESS (SOF3 Annex H predictors, r12); same
-                    # pixels, same stats, so the oracle needs no new
-                    # branch.
+                    # approximation — every 7th of those instead
+                    # PROGRESSIVE-ARITHMETIC SOF10, r12), the d%5==4
+                    # slot sequential ARITHMETIC (SOF9, T.81
+                    # QM-coder, r12) and the d%5==3 slot LOSSLESS
+                    # (SOF3 Annex H predictors, r12); same pixels,
+                    # same stats, so the oracle needs no new branch.
                     w = 8 * (1 + d % 3)
                     h = 8 * (1 + (d // 3) % 2)
+                    pa = d % 5 == 2 and d % 7 == 2
                     payload = encode_jpeg_flat_tiles(
                         w, h,
                         lambda tx, ty, d=d: (5 * d + 11 * tx + 23 * ty) % 256,
-                        progressive=(d % 5 == 2),
+                        progressive=(d % 5 == 2 and not pa),
                         arith=(d % 5 == 4),
                         lossless=(d % 5 == 3),
+                        progressive_arith=pa,
                     )
                     fmt = "image/jpeg"
                 out_ids.append(d)

@@ -534,9 +534,10 @@ def test_arithmetic_jpeg_roundtrip():
     )
     assert decode_jpeg(base) == decode_jpeg(ar)
     assert b"\xff\xc9" in ar and b"\xff\xcc" in ar  # SOF9 + DAC
-    # SOF10 (progressive arithmetic) stays rejected BY NAME
+    # a SOF10 label on a SEQUENTIAL-shaped scan (Ss=0, Se=63) fails
+    # closed by name under the progressive scan rules
     bad = ar.replace(b"\xff\xc9", b"\xff\xca")
-    with pytest.raises(ValueError, match="SOF10.*arithmetic"):
+    with pytest.raises(ValueError, match="DC scan must have Se=0"):
         decode_jpeg(bad)
     # malformed DAC fails closed
     # cs=0x0F → L=15 > U=0: invalid conditioning
@@ -622,3 +623,37 @@ def test_lossless_jpeg_roundtrip():
     b = encode_jpeg_flat_tiles(24, 16, lambda tx, ty: 7 + 13 * ty)
     assert decode_jpeg(a) == decode_jpeg(b)
     assert b"\xff\xc3" in a
+
+
+def test_progressive_arithmetic_jpeg_roundtrip():
+    """SOF10 progressive arithmetic (the last JPEG DCT mode): the
+    full scan chain — interleaved DC first at Al=1, fixed-bin DC
+    refinement, band-split AC first passes and their refinements —
+    reconstructs the exact coefficients, so decode stats are
+    bit-identical to the baseline Huffman encoding across gray/RGB/
+    odd sizes/4:2:0."""
+    import numpy as np
+
+    from razulibs_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_flat_tiles,
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(5)
+    for shape in [(8, 8), (13, 19), (40, 40, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        assert decode_jpeg(encode_jpeg_progressive_arith(px)) == \
+            decode_jpeg(encode_jpeg(px)), shape
+    px = rng.integers(0, 256, size=(34, 50, 3), dtype=np.uint8)
+    assert decode_jpeg(
+        encode_jpeg_progressive_arith(px, subsampling="4:2:0")
+    ) == decode_jpeg(encode_jpeg(px, subsampling="4:2:0"))
+    blob = encode_jpeg_flat_tiles(
+        24, 16, lambda tx, ty: 9 + 17 * tx, progressive_arith=True
+    )
+    assert b"\xff\xca" in blob and b"\xff\xcc" in blob
+    assert decode_jpeg(blob) == decode_jpeg(
+        encode_jpeg_flat_tiles(24, 16, lambda tx, ty: 9 + 17 * tx)
+    )
