@@ -9,7 +9,9 @@ records wall-time plus the max per-stage shuffle write/read bytes
 from the local Spark UI REST API — the empirical point behind
 SCALE.md's 100×-posture arguments.
 
-Usage: python scripts/scale_rehearsal.py [entry ...]
+Usage:
+  python scripts/scale_rehearsal.py --build   # materialize .scratch/sf1
+  python scripts/scale_rehearsal.py [entry ...]
 """
 
 from __future__ import annotations
@@ -63,7 +65,64 @@ def _max_shuffle_bytes(seen_stages: set[int]) -> tuple[int, int, set]:
     return w, r, new_seen
 
 
+def build_sf1() -> None:
+    """Materialize the 10× set at .scratch/sf1 from sf0.1: big tables
+    replicated 10× with shifted keys (order/lineitem keys shift
+    together so joins stay consistent), per-copy text prefix and
+    vector perturbation keep dedup/ANN collision rates realistic,
+    dims copied verbatim."""
+    import os
+
+    import duckdb
+
+    src = "/root/testdata/sf0.1"
+    dst = "/root/repo/.scratch/sf1"
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    for t in ["customer", "part", "supplier", "nation", "region"]:
+        con.execute(
+            f"COPY (SELECT * FROM '{src}/{t}.parquet') "
+            f"TO '{dst}/{t}.parquet' (FORMAT parquet)"
+        )
+    ks = "(SELECT unnest(generate_series(0,9)) AS k)"
+    con.execute(f"""
+        COPY (SELECT doc_id + k*5000 AS doc_id,
+                     CASE WHEN k = 0 THEN text
+                          ELSE 'c' || k || ' ' || text END AS text,
+                     lang, source, n_chars
+              FROM '{src}/documents.parquet', {ks})
+        TO '{dst}/documents.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT l_orderkey + k*150000 AS l_orderkey,
+                     * EXCLUDE (l_orderkey)
+              FROM '{src}/lineitem.parquet', {ks})
+        TO '{dst}/lineitem.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT o_orderkey + k*150000 AS o_orderkey,
+                     * EXCLUDE (o_orderkey)
+              FROM '{src}/orders.parquet', {ks})
+        TO '{dst}/orders.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT event_id + k*100000 AS event_id,
+                     user_id + k*100000 AS user_id,
+                     * EXCLUDE (event_id, user_id)
+              FROM '{src}/events.parquet', {ks})
+        TO '{dst}/events.parquet' (FORMAT parquet)""")
+    con.execute(f"""
+        COPY (SELECT vec_id + k*2000 AS vec_id,
+                     list_transform(embedding, x -> x + k * 0.0003)
+                       AS embedding,
+                     label
+              FROM '{src}/embeddings.parquet', {ks})
+        TO '{dst}/embeddings.parquet' (FORMAT parquet)""")
+    print("built .scratch/sf1")
+
+
 def main() -> None:
+    if sys.argv[1:2] == ["--build"]:
+        build_sf1()
+        return
+
     import __spark_entry__ as E
     from razulibs_spark.session import get_spark
 
