@@ -896,10 +896,12 @@ def test_jpeg_codec_roundtrips():
     prog[sof + 1] = 0xC2
     with _pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(prog))
-    # Arithmetic-coded SOF10 stays an honest rejection naming the mode.
+    # A SOF10 label on a sequential-shaped scan (Ss=0, Se=63) fails
+    # closed under the progressive scan rules (SOF10 itself is
+    # SUPPORTED since r12 — see test_video.py).
     arith = bytearray(payload)
     arith[sof + 1] = 0xCA
-    with _pytest.raises(ValueError, match="SOF10"):
+    with _pytest.raises(ValueError, match="DC scan must have Se=0"):
         decode_jpeg(bytes(arith))
 
 
