@@ -306,3 +306,40 @@ def test_scan_stmt_line_automaton():
     assert _scan_stmt_line('closed""" .', 1) == (True, 0)
     assert _scan_stmt_line("x''' ;", 2) == (False, 0)
     assert _scan_stmt_line('esc\\"""still open', 1) == (False, 1)
+
+
+def test_sharded_equals_per_file_reader(spark, tmp_path):
+    """Equivalence invariant: for dump-compatible content — now
+    including multi-line long strings, trailing comments, predicate
+    lists and all literal forms — the SHARDED reader at forced splits
+    and the per-file full-grammar reader must produce the same
+    triples (bnode-free fixture so labels don't differ)."""
+    from razulibs_spark.sources.turtle_full import (
+        read_turtle_full,
+        read_turtle_sharded,
+    )
+
+    body = ["@prefix ex: <http://example.org/> ."]
+    for d in range(8):
+        body.append(f"ex:s{d} ex:a {d} ;")
+        body.append(f'  ex:b "v{d}" , "w{d}" ;')
+        body.append(f"  ex:c {d}.5 . # done {d}.")
+        body.append(f'ex:s{d} ex:note """line one {d}')
+        body.append("two . three")
+        body.append(f'four {d}""" .')
+        body.append(f"ex:s{d} ex:flag true .")
+    text = "\n".join(body) + "\n"
+    p = tmp_path / "dump.ttl"
+    p.write_text(text)
+    sharded = {
+        (r["s"], r["p"], r["o"], r["o_type"])
+        for r in read_turtle_sharded(
+            spark, str(p), min_partitions=8
+        ).collect()
+    }
+    perfile = {
+        (r["s"], r["p"], r["o"], r["o_type"])
+        for r in read_turtle_full(spark, str(p)).collect()
+    }
+    assert sharded == perfile
+    assert len(sharded) == 8 * 6

@@ -657,3 +657,106 @@ def test_progressive_arithmetic_jpeg_roundtrip():
     assert decode_jpeg(blob) == decode_jpeg(
         encode_jpeg_flat_tiles(24, 16, lambda tx, ty: 9 + 17 * tx)
     )
+
+
+def test_qm_coder_fuzz_roundtrip():
+    """The QM arithmetic coder round-trips EXACTLY: random decision
+    streams through adaptive contexts + the fixed bin, plus the
+    carry/renorm stress patterns (all-MPS, all-LPS, alternating) —
+    the invariant every JPEG arithmetic mode rests on."""
+    import random
+
+    from razulibs_spark.operators.jpeg_arith import (
+        ArithDecoder,
+        ArithEncoder,
+        Stats,
+    )
+
+    rng = random.Random(12345)
+    for trial in range(60):
+        n_ctx = rng.randint(1, 8)
+        seq = []
+        for _ in range(rng.randint(1, 400)):
+            if rng.random() < 0.1:
+                seq.append(("fixed", rng.randint(0, 1)))
+            else:
+                ctx = rng.randrange(n_ctx)
+                bit = 1 if rng.random() < (
+                    0.05 + 0.9 * (ctx / max(1, n_ctx - 1))
+                ) else 0
+                seq.append((ctx, bit))
+        enc = ArithEncoder()
+        st_e = Stats(n_ctx)
+        for ctx, bit in seq:
+            if ctx == "fixed":
+                enc.encode_fixed(bit)
+            else:
+                enc.encode(st_e, ctx, bit)
+        data = enc.flush()
+        dec = ArithDecoder(data)
+        st_d = Stats(n_ctx)
+        for j, (ctx, bit) in enumerate(seq):
+            got = (
+                dec.decode_fixed() if ctx == "fixed"
+                else dec.decode(st_d, ctx)
+            )
+            assert got == bit, (trial, j)
+    for pattern in ([0] * 2000, [1] * 2000, [0, 1] * 1000):
+        enc = ArithEncoder()
+        st = Stats(1)
+        for b in pattern:
+            enc.encode(st, 0, b)
+        dec = ArithDecoder(enc.flush())
+        st2 = Stats(1)
+        for j, b in enumerate(pattern):
+            assert dec.decode(st2, 0) == b, j
+
+
+def test_progressive_arith_band_models_fuzz():
+    """AC first (Al=1) + AC refine (Al=0) reconstruct random band
+    coefficients exactly across random spectral bands — the
+    scan-pair invariant behind SOF10."""
+    import random
+
+    from razulibs_spark.operators.jpeg_arith import (
+        AC_STAT_BINS,
+        ArithDecoder,
+        ArithEncoder,
+        Stats,
+        decode_ac_first,
+        decode_ac_refine,
+        encode_ac_first,
+        encode_ac_refine,
+    )
+
+    rng = random.Random(99)
+    for trial in range(40):
+        ss, se = sorted(rng.sample(range(1, 64), 2))
+        blocks = []
+        for _ in range(rng.randint(1, 30)):
+            zz = [0] * 64
+            for k in range(ss, se + 1):
+                if rng.random() < 0.2:
+                    zz[k] = rng.choice([1, -1, 2, -2, 3, -3]) * \
+                        rng.choice([1, 4, 16])
+            blocks.append(zz)
+        enc1 = ArithEncoder()
+        st1 = Stats(AC_STAT_BINS)
+        for zz in blocks:
+            encode_ac_first(enc1, st1, 5, zz, ss, se, 1)
+        d1 = enc1.flush()
+        enc2 = ArithEncoder()
+        st2 = Stats(AC_STAT_BINS)
+        for zz in blocks:
+            encode_ac_refine(enc2, st2, zz, ss, se, 0)
+        d2 = enc2.flush()
+        dec1 = ArithDecoder(d1)
+        s1 = Stats(AC_STAT_BINS)
+        store = [[0] * 64 for _ in blocks]
+        for zz in store:
+            decode_ac_first(dec1, s1, 5, zz, ss, se, 1)
+        dec2 = ArithDecoder(d2)
+        s2 = Stats(AC_STAT_BINS)
+        for zz in store:
+            decode_ac_refine(dec2, s2, zz, ss, se, 0)
+        assert store == blocks, (trial, ss, se)
