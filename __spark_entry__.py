@@ -66,14 +66,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path provably excludes them; opt-in include_notes extracts).
 # multimodal_decode: r12 added the SOF9 arithmetic-JPEG axis (d%5==4
 # in the JPEG slot) — fixture bytes changed, stats oracle unchanged.
-_ROTATION_FORCE_REFRESH = frozenset({
-    "text_pdf_extract@12",
-    "text_mbox_extract@12",
-    "text_epub_extract@12",
-    "text_pptx_extract@12",
-    "multimodal_decode@12",
-    "k2_turtle_sharded_roundtrip@12",
-})
+_ROTATION_FORCE_REFRESH = frozenset({})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
@@ -146,16 +139,17 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "pipeline_cluster_best", "pipeline_corpus_from_crawl",
     "pipeline_corpus_prep", "pipeline_crawl_schedule",
     "pipeline_dataset_card", "pipeline_decon_split",
-    "pipeline_frontier_assembly", "pipeline_full_prep",
-    "pipeline_link_graph", "pipeline_noindex_gate",
-    "pipeline_recrawl_due", "pipeline_revisit_resolve",
-    "pipeline_robots_filter", "pipeline_sitemap_discovery",
-    "pipeline_sitemap_scan", "pipeline_warc_extract",
-    "pipeline_warc_http_decode", "pipeline_warc_mixed",
-    "pipeline_wat_derive", "pipeline_wet_derive", "q10_returned_items",
-    "q11_important_parts", "q12_priority_by_linestatus",
-    "q13_order_distribution", "q14_promo_effect", "q15_top_supplier",
-    "q16_supplier_parts", "q17_small_qty_revenue", "q18_large_orders",
+    "pipeline_example_packing", "pipeline_frontier_assembly",
+    "pipeline_full_prep", "pipeline_link_graph",
+    "pipeline_noindex_gate", "pipeline_recrawl_due",
+    "pipeline_revisit_resolve", "pipeline_robots_filter",
+    "pipeline_sitemap_discovery", "pipeline_sitemap_scan",
+    "pipeline_warc_extract", "pipeline_warc_http_decode",
+    "pipeline_warc_mixed", "pipeline_wat_derive", "pipeline_wet_derive",
+    "q10_returned_items", "q11_important_parts",
+    "q12_priority_by_linestatus", "q13_order_distribution",
+    "q14_promo_effect", "q15_top_supplier", "q16_supplier_parts",
+    "q17_small_qty_revenue", "q18_large_orders",
     "q19_brand_size_revenue", "q1_pricing_summary",
     "q20_promotion_suppliers", "q21_waiting_suppliers",
     "q22_dormant_accounts", "q2_mincost_supplier",
@@ -188,13 +182,13 @@ _PREVIOUSLY_VERIFIED = frozenset({
     "text_language_id", "text_lm_score", "text_markdown_extract",
     "text_mbox_extract", "text_mojibake_repair", "text_novelty_ratio",
     "text_odt_extract", "text_pdf_extract", "text_pii_luhn",
-    "text_pii_scrub", "text_pptx_extract", "text_quality_scores",
-    "text_rarity_score", "text_repetition_stats", "text_rtf_extract",
-    "text_tfidf_topterms", "text_token_stats", "text_unicode_nfc",
-    "text_vocab_coverage", "text_wiki_sharded_extract",
-    "text_wikitext_extract", "text_xlsx_extract",
-    "u2_graph_union_dedup", "u4_upsert_by_key", "u_intersect_all",
-    "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
+    "text_pii_scrub", "text_pptx_extract", "text_pptx_notes_extract",
+    "text_quality_scores", "text_rarity_score", "text_repetition_stats",
+    "text_rtf_extract", "text_tfidf_topterms", "text_token_stats",
+    "text_unicode_nfc", "text_vocab_coverage",
+    "text_wiki_sharded_extract", "text_wikitext_extract",
+    "text_xlsx_extract", "u2_graph_union_dedup", "u4_upsert_by_key",
+    "u_intersect_all", "w_ewma", "w_lag_lead_gaps", "w_rolling_stats",
     "w_running_distinct", "w_running_total",
 })
 
