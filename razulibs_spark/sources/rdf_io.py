@@ -81,9 +81,13 @@ TURTLE_HEADER = "".join(
     f"@prefix {k}: <{v}> .\n" for k, v in sorted(NAMESPACES.items())
 )
 
+# Literal bodies use the UNROLLED loop form [^"\\]*(?:\\.[^"\\]*)*
+# (same language as (?:[^"\\]|\\.)*): the per-character alternation
+# makes java.util.regex re-branch on every byte of every literal —
+# unrolling measured ~2x on the whole-line match at sf0.1.
 _NT_RE = (
     r'^(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+'
-    r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+    r'(?:<([^>]*)>|(_:\S+)|"([^"\\]*(?:\\.[^"\\]*)*)"'
     r'(?:@([A-Za-z-]+)|\^\^<([^>]*)>)?)\s*\.\s*$'
 )
 
@@ -101,24 +105,41 @@ _NT_RE = (
 # so they take the exact per-group regexp_extract path instead; the
 # contains() test is cheap and such lines are vanishingly rare in
 # machine-generated RDF.
+#
+# CRITICAL (r13): the split array must be ALIASED in its own
+# projection before the groups index into it. Handing the same Column
+# expression to n_groups sibling columns copies the whole
+# split(regexp_replace(...)) tree into each of them — the regex then
+# executes ~2·n_groups times per line (measured 26 copies in the
+# executed plan for the 13-group Turtle reader, 4.3 s of the 10 s
+# roundtrip at sf0.1). With the array as a named column in a producer
+# projection, CollapseProject keeps it materialized (a non-cheap
+# producer expression referenced more than once is never inlined) and
+# the regex runs exactly once per line.
 _SEP = "\x01"
 
 
-def _packed_groups(value, regex: str, n_groups: int):
-    """List of n_groups columns; one regex execution per row on the
-    fast path, per-group extraction only for \x01-tainted lines."""
+def _packed_groups_df(df: DataFrame, value, regex: str, n_groups: int):
+    """(projected df, group columns): `df` reduced to the packed
+    array + raw value, plus n_groups extraction columns to select FROM
+    that frame. One regex execution per row on the fast path,
+    per-group extraction only for \x01-tainted lines."""
     repl = _SEP.join(f"${i}" for i in range(1, n_groups + 1))
     arr = F.split(F.regexp_replace(value, regex, repl), _SEP, -1)
-    ok = F.size(arr) == n_groups
-    tainted = value.contains(_SEP)
-    return [
-        F.when(tainted, F.regexp_extract(value, regex, i + 1)).otherwise(
-            F.when(ok, F.coalesce(F.get(arr, i), F.lit(""))).otherwise(
-                F.lit("")
-            )
+    base = df.select(value.alias("_v"), arr.alias("_arr"))
+    ok = F.size("_arr") == n_groups
+    tainted = F.col("_v").contains(_SEP)
+    gs = [
+        F.when(
+            tainted, F.regexp_extract(F.col("_v"), regex, i + 1)
+        ).otherwise(
+            F.when(
+                ok, F.coalesce(F.get(F.col("_arr"), i), F.lit(""))
+            ).otherwise(F.lit(""))
         )
         for i in range(n_groups)
     ]
+    return base, gs
 
 
 
@@ -165,8 +186,8 @@ def read_ntriples(spark, path: str) -> DataFrame:
     """S4 source: parse N-Triples lines back into the triples schema
     with per-line regexes — distributed, no document-level state."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    gs = _packed_groups(F.col("value"), _NT_RE, 8)
-    raw = lines.select(
+    base, gs = _packed_groups_df(lines, F.col("value"), _NT_RE, 8)
+    raw = base.select(
         gs[0].alias("s_uri"), gs[1].alias("s_bnode"), gs[2].alias("p"),
         gs[3].alias("o_uri"), gs[4].alias("o_bnode"), gs[5].alias("o_lit"),
         gs[6].alias("o_lang_m"), gs[7].alias("o_dt_m"),
@@ -287,7 +308,7 @@ _PNAME = r'[A-Za-z][\w\-]*:[^\s<>"]+'
 _TTL_RE = (
     rf'^(?:<([^>]*)>|(_:\S+)|({_PNAME}))\s+'
     rf'(?:<([^>]*)>|({_PNAME})|(a))\s+'
-    rf'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+    rf'(?:<([^>]*)>|(_:\S+)|"([^"\\]*(?:\\.[^"\\]*)*)"'
     rf'(?:@([A-Za-z\-]+)|\^\^<([^>]*)>|\^\^({_PNAME}))?|({_PNAME}))\s*\.\s*$'
 )
 
@@ -324,8 +345,8 @@ def read_turtle(spark, path: str) -> DataFrame:
     body = lines.filter(
         ~F.col("value").startswith("@prefix") & ~F.col("value").startswith("#")
     )
-    gs = _packed_groups(F.col("value"), _TTL_RE, 13)
-    raw = body.select(
+    base, gs = _packed_groups_df(body, F.col("value"), _TTL_RE, 13)
+    raw = base.select(
         gs[0].alias("s_uri"), gs[1].alias("s_bnode"), gs[2].alias("s_pn"),
         gs[3].alias("p_uri"), gs[4].alias("p_pn"), gs[5].alias("p_a"),
         gs[6].alias("o_uri"), gs[7].alias("o_bnode"), gs[8].alias("o_lit"),
@@ -363,7 +384,7 @@ def read_turtle(spark, path: str) -> DataFrame:
 # N-Quads (S4): N-Triples + optional graph label as 4th term.
 _NQ_RE = (
     r'^(?:<([^>]*)>|(_:\S+))\s+<([^>]*)>\s+'
-    r'(?:<([^>]*)>|(_:\S+)|"((?:[^"\\]|\\.)*)"'
+    r'(?:<([^>]*)>|(_:\S+)|"([^"\\]*(?:\\.[^"\\]*)*)"'
     r'(?:@([A-Za-z\-]+)|\^\^<([^>]*)>)?)'
     r'(?:\s+(?:<([^>]*)>|(_:\S+)))?\s*\.\s*$'
 )
@@ -373,8 +394,8 @@ def read_nquads(spark, path: str) -> DataFrame:
     """S4 source: N-Quads → triples DataFrame + nullable `g` graph
     column (null = default graph)."""
     lines = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    gs = _packed_groups(F.col("value"), _NQ_RE, 10)
-    raw = lines.select(
+    base, gs = _packed_groups_df(lines, F.col("value"), _NQ_RE, 10)
+    raw = base.select(
         gs[0].alias("s_uri"), gs[1].alias("s_bnode"), gs[2].alias("p"),
         gs[3].alias("o_uri"), gs[4].alias("o_bnode"), gs[5].alias("o_lit"),
         gs[6].alias("o_lang_m"), gs[7].alias("o_dt_m"),
