@@ -494,10 +494,22 @@ def grouped_turtle_blocks(
     from razulibs_spark.sources.rdf_io import (
         _escape_literal,
         _turtle_uri,
-        _widen,
     )
 
-    t = _widen(triples)
+    # r13 shuffle shape: ONE full-size exchange, keyed on the RAW
+    # (s, p) columns, with every formatting expression evaluated
+    # AFTER it — the pre-shuffle side ships unformatted rows and does
+    # no string work, so no round-robin widen (and its
+    # sort-before-repartition) is needed for parallelism. Term
+    # formatting is injective (a pname and its <IRI> form are
+    # distinct strings; bnodes hash md5), so raw-keyed partitions
+    # equal formatted-keyed partitions and every window/aggregate
+    # below reuses the same exchange: w_obj/groupBy(s,p,obj_blk) sit
+    # on hash(s,p); only the block-sized (100×+ smaller) rows
+    # re-shuffle on s for the predicate blocking. Subject/predicate
+    # terms format once per BLOCK, not once per triple.
+    spark = triples.sparkSession
+    par = spark.sparkContext.defaultParallelism
     s, p, o = F.col("s"), F.col("p"), F.col("o")
     rdf_type = EXPANSIONS["rdf"] + "type"
     subj = F.when(
@@ -520,29 +532,32 @@ def grouped_turtle_blocks(
         )
         .otherwise(lit_body)
     )
-    terms = t.select(subj.alias("sj"), pred.alias("pd"), obj.alias("ob"))
-    w_obj = Window.partitionBy("sj", "pd").orderBy("ob")
+    terms = triples.repartition(par, "s", "p").select(
+        "s", "p", obj.alias("ob")
+    )
+    w_obj = Window.partitionBy("s", "p").orderBy("ob")
     by_pred = (
         terms.withColumn(
             "obj_blk",
             ((F.row_number().over(w_obj) - 1) / F.lit(obj_cap))
             .cast("long"),
         )
-        .groupBy("sj", "pd", "obj_blk")
+        .groupBy("s", "p", "obj_blk")
         .agg(
             F.array_join(
                 F.sort_array(F.collect_list("ob")), ", "
             ).alias("objs")
         )
+        .select("s", pred.alias("pd"), "obj_blk", "objs")
     )
-    w_pred = Window.partitionBy("sj").orderBy("pd", "obj_blk")
+    w_pred = Window.partitionBy("s").orderBy("pd", "obj_blk")
     blocks = (
         by_pred.withColumn(
             "pred_blk",
             ((F.row_number().over(w_pred) - 1) / F.lit(pred_cap))
             .cast("long"),
         )
-        .groupBy("sj", "pred_blk")
+        .groupBy("s", "pred_blk")
         .agg(
             F.array_join(
                 F.sort_array(
@@ -553,6 +568,7 @@ def grouped_turtle_blocks(
                 " ;\n    ",
             ).alias("po")
         )
+        .select(subj.alias("sj"), "pred_blk", "po")
     )
     return blocks
 
@@ -564,6 +580,11 @@ def grouped_turtle_blocks(
 
 DQ3 = '"' * 3
 SQ3 = "'" * 3
+
+# IRIREF span for statement framing: grammar production [18] forbids
+# whitespace, quotes, <, > inside <...>, so the span never crosses a
+# line and masking it cannot swallow a quote or comment delimiter.
+_IRIREF_RE = re.compile(r"<[^<>\s]*>")
 
 
 def _skip_long_close(ln: str, i: int, q: str) -> int:
@@ -598,8 +619,20 @@ def _scan_stmt_line(ln: str, state: int) -> tuple[bool, int]:
     # the terminator test is just the stripped last character. This
     # keeps the per-line cost at C speed; the char scan below runs
     # only for lines with '#' or triple quotes (or inside one).
-    if state == 0 and "#" not in ln and DQ3 not in ln and SQ3 not in ln:
-        return ln.rstrip().endswith("."), 0
+    # A '#' is only a comment OUTSIDE IRIREFs and strings: fragment
+    # IRIs (<...ns#type>, ubiquitous in full-IRI dumps) must not
+    # trigger comment handling (ADVICE r12 high). Lines whose every
+    # '#' sits inside <...> still take this fast path: the cheap
+    # pre-test masks IRIREFs before looking for '#'. IRIREF cannot
+    # contain whitespace or quotes, so masking <...> spans cannot hide
+    # a real comment marker or a quote delimiter.
+    if state == 0 and DQ3 not in ln and SQ3 not in ln:
+        if "#" not in ln:
+            return ln.rstrip().endswith("."), 0
+        if "'" not in ln and '"' not in ln:
+            masked = _IRIREF_RE.sub("<>", ln)
+            if "#" not in masked:
+                return ln.rstrip().endswith("."), 0
     if state and (DQ3 if state == 1 else SQ3) not in ln:
         # inside a long string and the closing delimiter substring is
         # absent: the whole line is content (C-speed containment test
@@ -624,6 +657,21 @@ def _scan_stmt_line(ln: str, state: int) -> tuple[bool, int]:
             break
         if c in " \t\r":
             i += 1
+            continue
+        if c == "<":
+            # IRIREF: skip to the closing '>' — '#', quotes and dots
+            # inside are literal IRI characters, never comment/string
+            # delimiters or terminators (ADVICE r12 high). IRIREF
+            # cannot span lines; a '<' with no '>' on the line is
+            # malformed input that the full parse rejects later —
+            # treat the rest of the line as content.
+            j = ln.find(">", i + 1)
+            if j < 0:
+                last = c
+                i = n
+                continue
+            i = j + 1
+            last = ">"
             continue
         if ln.startswith(dq3, i):
             st = 1
@@ -687,16 +735,21 @@ def read_turtle_sharded(
     Plan shape (all linear, no driver bottleneck, no global sort):
     1. ``textFile`` splits the document into line blocks (HDFS-style
        input splits — a 100 GB dump becomes ~800 tasks at 128 MB).
-    2. Parallel-scan statement numbering: one map pass counts
-       statement terminators per partition (tiny: one long per
-       partition, collected + cumulative-summed on the driver — the
-       classic two-pass prefix scan), a second pass labels each line
-       with its global statement id = partition offset + local
-       running count. No shuffle yet.
-    3. Lines group by statement id (the only shuffle — pure hash
-       aggregation, each group is ONE statement, bounded by
-       statement size not document size) and concatenate in
-       line-order.
+    2. Parallel-scan statement numbering: one map pass computes each
+       partition's transfer function (terminator count + exit state
+       per possible entry state — two small tuples per partition) AND
+       gathers the handful of directive lines; the driver composes
+       the functions in split order and broadcasts each partition's
+       statement-id offset and true entry state.
+    3. Statements reassemble LOCALLY: each partition concatenates its
+       own complete statements with no shuffle at all; only the
+       FRAGMENTS at split boundaries (the first statement of a
+       partition, which may have begun in the previous split, and the
+       tail after the last terminator — at most two rows per
+       partition) go through a shuffle to be stitched, so shuffle
+       volume is O(splits × statement size), not the document (r13;
+       previously every line shuffled by statement id — 100 GB of
+       shuffle for a 100 GB dump).
     4. Each reassembled statement parses with the full
        recursive-descent grammar under the broadcast prefix header,
        inside an Arrow ``mapInPandas`` stage — so ``;``/``,``
@@ -718,11 +771,19 @@ def read_turtle_sharded(
 
     # pass 1: each partition's TRANSFER FUNCTION — for every possible
     # entry state of the 3-state line automaton, the terminator count
-    # and exit state (two small tuples per partition — tiny)
+    # and exit state — plus the partition's directive lines (tiny; at
+    # the head by contract, so the prefix header is their split-order
+    # concatenation — folding this into pass 1 saves the separate
+    # full-document header-filter job the r11/r12 shape paid).
+    _DIRECTIVES = ("@prefix", "@base", "PREFIX", "BASE")
+
     def _count(idx: int, it):
         terms = [0, 0, 0]
         state = [0, 1, 2]
-        for ln in it:
+        dirs: list[tuple[int, str]] = []
+        for j, ln in enumerate(it):
+            if ln.strip().startswith(_DIRECTIVES):
+                dirs.append((j, ln))
             cache: dict[int, tuple[bool, int]] = {}
             for s in range(3):
                 cur = state[s]
@@ -732,7 +793,7 @@ def read_turtle_sharded(
                 if t:
                     terms[s] += 1
                 state[s] = ns
-        yield idx, (tuple(terms), tuple(state))
+        yield idx, (tuple(terms), tuple(state), dirs)
 
     transfer = dict(lines.mapPartitionsWithIndex(_count).collect())
     # compose the per-partition functions in split order: partition 0
@@ -744,49 +805,15 @@ def read_turtle_sharded(
     for i in sorted(transfer):
         offsets[i] = acc
         entry_state[i] = cur_state
-        terms, exits = transfer[i]
+        terms, exits, _ = transfer[i]
         acc += terms[cur_state]
         cur_state = exits[cur_state]
     bc_offsets = sc.broadcast((offsets, entry_state))
 
-    # pass 2: label each line with its statement id; a line BELONGS
-    # to the statement whose terminator it precedes (running count of
-    # terminators BEFORE the line, plus the partition's offset),
-    # re-scanning from the partition's TRUE entry state. The line's
-    # ordinal WITHIN its partition rides along so multi-line
-    # statements reassemble in document order (collect_list has no
-    # order of its own) — (partition, ordinal) sorts correctly
-    # because partitions are in split-offset order for a text file.
-    def _label(idx: int, it):
-        base = bc_offsets.value[0][idx]
-        st = bc_offsets.value[1][idx]
-        seen = 0
-        for j, ln in enumerate(it):
-            yield base + seen, (idx << 32) | j, ln
-            t, st = _scan_stmt_line(ln, st)
-            if t:
-                seen += 1
-
-    labeled = spark.createDataFrame(
-        lines.mapPartitionsWithIndex(_label),
-        "stmt_id long, line_no long, line string",
-    )
-    # directives are statements too (they end with '.') — they sit at
-    # the head by contract, so the prefix header is the concatenation
-    # of the first statements that start with a directive keyword.
-    # They are tiny: collect + broadcast.
-    header_rows = (
-        labeled.filter(
-            F.trim(F.col("line")).startswith("@prefix")
-            | F.trim(F.col("line")).startswith("@base")
-            | F.trim(F.col("line")).startswith("PREFIX")
-            | F.trim(F.col("line")).startswith("BASE")
-        )
-        .select("line_no", "line")
-        .collect()
-    )
     header = "\n".join(
-        r["line"] for r in sorted(header_rows, key=lambda r: r["line_no"])
+        ln
+        for i in sorted(transfer)
+        for _, ln in transfer[i][2]
     )
     # parse the directive header ONCE here; statements are seeded
     # with the resulting (prefixes, base) environment instead of
@@ -797,22 +824,65 @@ def read_turtle_sharded(
     hdr_parser.parse()
     bc_env = sc.broadcast((dict(hdr_parser.prefixes), hdr_parser.base))
 
-    # directive lines stay INLINE too (a SPARQL-style PREFIX has no
-    # terminating '.', so it shares a stmt_id with the statement after
-    # it — re-declaring a prefix already in the broadcast header is
-    # harmless, dropping the data lines that share its id would not
-    # be); a statement that is only directives yields no triples.
-    stmts = labeled.groupBy("stmt_id").agg(
-        F.array_join(
-            F.transform(
-                F.sort_array(
-                    F.collect_list(F.struct("line_no", "line"))
-                ),
-                lambda s: s["line"],
-            ),
-            "\n",
-        ).alias("stmt")
+    # statement assembly (r13): complete statements — begun AND
+    # terminated inside one partition — concatenate locally and never
+    # shuffle. Only boundary pieces become FRAGMENT rows: the first
+    # statement closed in a partition (its head may live in the
+    # previous split), the tail after the last terminator, and whole
+    # terminator-less partitions (a statement spanning 3+ splits).
+    # Fragments share their global statement id across partitions and
+    # stitch in split order through a shuffle whose volume is
+    # O(splits × statement size). Directive lines stay INLINE (a
+    # SPARQL-style PREFIX has no terminating '.', so it shares a
+    # stmt_id with the statement after it — re-declaring a prefix
+    # already in the broadcast header is harmless); a statement that
+    # is only directives yields no triples.
+    def _assemble(idx: int, it):
+        base = bc_offsets.value[0][idx]
+        st = bc_offsets.value[1][idx]
+        buf: list[str] = []
+        seen = 0
+        first_closed = False
+        for ln in it:
+            buf.append(ln)
+            t, st = _scan_stmt_line(ln, st)
+            if t:
+                text = "\n".join(buf)
+                buf = []
+                if first_closed:
+                    yield 0, base + seen, idx, text  # complete
+                else:
+                    # the partition's first closed statement may have
+                    # begun in the previous split — always a fragment
+                    yield 1, base + seen, idx, text
+                    first_closed = True
+                seen += 1
+        if buf:
+            yield 1, base + seen, idx, "\n".join(buf)  # tail fragment
+
+    assembled = spark.createDataFrame(
+        lines.mapPartitionsWithIndex(_assemble),
+        "kind int, stmt_id long, part long, stmt string",
     )
+    complete = assembled.filter(F.col("kind") == 0).select(
+        "stmt_id", "stmt"
+    )
+    stitched = (
+        assembled.filter(F.col("kind") == 1)
+        .groupBy("stmt_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("part", "stmt"))
+                    ),
+                    lambda s: s["stmt"],
+                ),
+                "\n",
+            ).alias("stmt")
+        )
+    )
+    stmts = complete.unionByName(stitched)
 
     import pandas as pd  # noqa: F811
 

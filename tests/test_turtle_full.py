@@ -308,6 +308,27 @@ def test_scan_stmt_line_automaton():
     assert _scan_stmt_line('esc\\"""still open', 1) == (False, 1)
 
 
+def test_scan_stmt_line_iriref_hash_and_quote(ttl=None):
+    """ADVICE r12 high: '#' and apostrophes INSIDE <...> are literal
+    IRI characters — fragment IRIs (<...ns#type>) must not be read as
+    trailing comments (which silently merged consecutive statements),
+    and an IRI apostrophe must not open a short string."""
+    from razulibs_spark.sources.turtle_full import _scan_stmt_line
+
+    ns = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+    assert _scan_stmt_line(f"<http://e/s> {ns} <http://e/o> .", 0) == (True, 0)
+    assert _scan_stmt_line("<http://e/s> <http://e/it's> <http://e/o> .", 0) == (True, 0)
+    # '#' inside an IRI on a line that also carries a real trailing
+    # comment after the terminator
+    assert _scan_stmt_line(f"<http://e/s> {ns} <http://e/o> . # c", 0) == (True, 0)
+    # '#' inside an IRI but the statement does NOT terminate here
+    assert _scan_stmt_line(f"<http://e/s> {ns} <http://e/o> ;", 0) == (False, 0)
+    # IRI-with-hash + a long-string opener on the same line
+    assert _scan_stmt_line(f'<http://e/s> <http://e/p#f> """open', 0) == (False, 1)
+    # a quote-free '#' line whose '#' is NOT inside an IRI is still a comment
+    assert _scan_stmt_line("<http://e/s> <http://e/p> 1 # no dot", 0) == (False, 0)
+
+
 def test_sharded_equals_per_file_reader(spark, tmp_path):
     """Equivalence invariant: for dump-compatible content — now
     including multi-line long strings, trailing comments, predicate
