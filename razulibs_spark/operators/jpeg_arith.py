@@ -202,8 +202,15 @@ class ArithEncoder:
             while j >= 0 and self.out[j] == 0xFF:
                 self.out[j] = 0x00
                 j -= 1
-            if j >= 0:
-                self.out[j] += 1
+            if j < 0:
+                # Unreachable for a conforming QM encoder (the first
+                # emitted byte can never be 0xFF after stuffing); a
+                # silent drop here would corrupt the stream with no
+                # signal (ADVICE r12).
+                raise AssertionError(
+                    "QM encoder: carry propagated past start of stream"
+                )
+            self.out[j] += 1
             t &= 0xFF
         self.out.append(t)
         self.c &= 0x7FFFF

@@ -47,12 +47,15 @@ def mbox_unescape(message_text: str) -> str:
     return re.sub(r"^>((?:>*)From )", r"\1", message_text, flags=re.M)
 
 
-_CL_RE = re.compile(r"^[Cc]ontent-[Ll]ength:\s*(\d+)\s*$")
+# RFC 5322 header names are fully case-insensitive (ADVICE r12): a
+# foreign spool writing CONTENT-LENGTH: must still route to the
+# Content-Length dialects in auto mode.
+_CL_RE = re.compile(r"^content-length:\s*(\d+)\s*$", re.IGNORECASE)
 
 
 def _fragment_meta(it):
     """Arrow stage over reassembled candidate fragments → the three
-    longs the driver-side stitcher needs: total byte length, the
+    longs the stitch fold needs: total byte length, the
     Content-Length value found in the fragment's own header block
     (-1 when absent), and the stored-body tail length (bytes after
     the header/blank-line boundary). All byte counts are UTF-8 —
@@ -112,19 +115,26 @@ def read_mbox_sharded(
       A pure mboxrd spool behaves exactly like ``"rd"``; a cl/cl2
       spool frames by length.
 
-    Scale shape for the CL dialects: the candidate fragments are
-    reassembled once (the same bounded shuffle), a side job reduces
-    each to THREE LONGS (byte length, CL value, body-tail length)
-    which the driver stitches into a fragment→message mapping in one
-    linear pass — driver traffic is O(#candidate separators), the
-    same order as the prefix-scan counts — and the mapping joins back
-    as a broadcast, so the RETURNED plan still has exactly one
-    shuffle. Exhaustion tolerance is ≤1 byte (producers disagree on
+    Scale shape for the CL dialects (r13 — VERDICT r12 next #1, the
+    stitch is now fully distributed with ZERO driver collect): the
+    candidate fragments are reassembled once (the same bounded
+    shuffle), a map-only Arrow stage reduces each to THREE LONGS
+    (byte length, CL value, body-tail length), and the inherently
+    sequential Content-Length chain recurrence runs as an
+    ``applyInPandas`` fold over those meta rows in ONE executor task
+    (input is metadata-only — O(#candidate separators) × 32 B — never
+    message content). The resulting fragment→message mapping joins
+    back onto the FRAGMENT frame on rec_id, reusing the reassembly
+    exchange, and messages concatenate from whole fragments — the
+    per-line frame is never shuffled a second time (the r12 shape
+    grouped all lines twice AND collected per-record metadata to the
+    driver). Exhaustion tolerance is ≤1 byte (producers disagree on
     whether CL counts the trailing newline). Contract: byte-exact for
     LF-native spools — the Unix norm every MDA writes; a spool
     storing CRLF line endings whose CL counts the \r bytes would
     undercount here (textFile strips \r), so such producers need CL
     in LF-normalized bytes."""
+    import pandas as pd
     from pyspark.sql import functions as F
 
     from razulibs_spark.sources.sharded_text import (
@@ -156,44 +166,74 @@ def read_mbox_sharded(
         return_lines=True,
     )
     frags = lines.groupBy("rec_id").agg(record_line_expr().alias("rec"))
-    meta = sorted(
-        frags.mapInPandas(
-            _fragment_meta, "rec_id long, nbytes long, cl long, tail long"
-        ).collect()
+    meta = frags.mapInPandas(
+        _fragment_meta, "rec_id long, nbytes long, cl long, tail long"
     )
+
     # linear stitch: while the current message's Content-Length is
     # unexhausted, the next fragment (its From_ line included, plus
-    # the newline that joined it) is body, not a new message
-    mapping = []  # (rec_id, msg_id, is_start, cl_framed)
-    remaining = 0
-    msg = 0
-    cl_framed = False
-    for row in meta:
-        if remaining > 1:
-            mapping.append((row.rec_id, msg, False, cl_framed))
-            remaining -= 1 + row.nbytes
-        else:
-            msg += 1
-            cl_framed = row.cl >= 0
-            mapping.append((row.rec_id, msg, True, cl_framed))
-            remaining = (row.cl - row.tail) if cl_framed else 0
-    map_df = F.broadcast(
-        spark.createDataFrame(
-            mapping,
-            "rec_id long, msg_id long, is_start boolean, "
-            "cl_framed boolean",
+    # the newline that joined it) is body, not a new message. The
+    # chain recurrence is sequential WITHIN the spool, so it folds in
+    # one applyInPandas task over the metadata rows — a message's id
+    # is its first fragment's rec_id (deterministic, document-
+    # ordered); nothing touches the driver.
+    def _stitch_fold(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("rec_id")
+        out = []
+        remaining = 0
+        msg = 0
+        cl_framed = False
+        for row in pdf.itertuples(index=False):
+            if remaining > 1:
+                out.append((row.rec_id, msg, False, cl_framed))
+                remaining -= 1 + row.nbytes
+            else:
+                msg = int(row.rec_id)
+                cl_framed = row.cl >= 0
+                out.append((row.rec_id, msg, True, cl_framed))
+                remaining = (row.cl - row.tail) if cl_framed else 0
+        return pd.DataFrame(
+            out, columns=["rec_id", "msg_id", "is_start", "cl_framed"]
         )
+
+    mapping = meta.groupBy(F.lit(0).alias("_spool")).applyInPandas(
+        _stitch_fold,
+        "rec_id long, msg_id long, is_start boolean, cl_framed boolean",
+    )
+    # the From_ line of a TRUE start is framing (stripped); of a
+    # stitched continuation it is content and stays. A start fragment
+    # that is ONLY its From_ line contributes no lines (NULL), and a
+    # message whose every fragment is empty never materializes —
+    # byte-identical to the r12 line-level filter+regroup.
+    nl = F.locate("\n", F.col("rec"))
+    content = (
+        F.when(~F.col("is_start"), F.col("rec"))
+        .when(nl > 0, F.col("rec").substr(nl + 1, F.lit(2_147_483_647)))
     )
     stitched = (
-        lines.join(map_df, "rec_id")
-        # the From_ line of a TRUE start is framing; of a stitched
-        # continuation it is content and stays
-        .filter(~(F.col("is_sep") & F.col("is_start")))
+        frags.join(mapping, "rec_id")
+        .select("rec_id", "msg_id", "cl_framed", content.alias("content"))
         .groupBy("msg_id")
         .agg(
-            record_line_expr().alias("rec"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("content").isNotNull(),
+                                F.struct("rec_id", "content"),
+                            )
+                        )
+                    ),
+                    lambda s: s["content"],
+                ),
+                "\n",
+            ).alias("rec"),
+            F.count("content").alias("_n"),
             F.first("cl_framed").alias("cl_framed"),
         )
+        .filter(F.col("_n") > 0)
+        .drop("_n")
     )
     if dialect == "cl":
         do_unquote = F.lit(True)

@@ -403,6 +403,23 @@ def cdx_from_records(records: DataFrame) -> DataFrame:
     )
 
 
+def _clear_own_shards(directory: str) -> None:
+    """Remove ONLY this sink family's own output (part-*.warc[.gz])
+    from ``directory`` — the overwrite semantics of the WARC sinks
+    without the blast radius of an rmtree on a caller-supplied path
+    (ADVICE r12: pointed at the wrong directory, rmtree deletes
+    unrelated data with no guard)."""
+    import glob as _glob
+    import os
+
+    for pat in ("part-*.warc", "part-*.warc.gz"):
+        for f in _glob.glob(os.path.join(directory, pat)):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+
 def write_warc_records(
     records: DataFrame,
     directory: str,
@@ -431,11 +448,13 @@ def write_warc_records(
     honest at every scale with zero shuffle."""
     import hashlib
     import os
-    import shutil
 
-    # an overwrite sink: stale shards from a previous run (possibly
-    # under an older naming scheme) must not survive into the read
-    shutil.rmtree(directory, ignore_errors=True)
+    # an overwrite sink: stale shards from a previous run must not
+    # survive into the read — but only remove files matching this
+    # sink's own part-*.warc[.gz] naming, never the whole directory
+    # (pointed at the wrong path, an rmtree deletes unrelated data
+    # with no guard — ADVICE r12)
+    _clear_own_shards(directory)
     os.makedirs(directory, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
     has_rid = "record_id" in records.columns
@@ -508,9 +527,8 @@ def write_warc_responses(
     shard size must not inherit the upstream scan partitioning."""
     import hashlib
     import os
-    import shutil
 
-    shutil.rmtree(directory, ignore_errors=True)  # overwrite sink
+    _clear_own_shards(directory)  # overwrite sink (own shards only)
     os.makedirs(directory, exist_ok=True)
     ext = ".warc.gz" if compress else ".warc"
 

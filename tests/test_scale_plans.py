@@ -1000,7 +1000,14 @@ def test_sharded_single_file_reassembly_bounded(spark, tmp_path):
             for d in range(4)
         )
     )
-    df = mbox_message_stats(read_mbox_sharded(spark, str(p)))
+    # the rd dialect IS the single-shuffle shape; the CL dialects add
+    # the (metadata-sized) stitch exchanges and are plan-guarded in
+    # test_mbox_cl_stitch_fully_distributed below. Before r13 the
+    # default (auto) path hid its extra shuffles by running them
+    # EAGERLY at construction time behind a driver collect.
+    df = mbox_message_stats(
+        read_mbox_sharded(spark, str(p), dialect="rd")
+    )
     plan = _plan(df)
     import re as _re
 
@@ -1011,6 +1018,51 @@ def test_sharded_single_file_reassembly_bounded(spark, tmp_path):
     assert "ObjectHashAggregate" in plan  # collect_list w/ partials
     # no global Sort node — ordering is per-group sort_array
     assert _re.search(r"\(\d+\) Sort\b", plan) is None, plan[:500]
+
+
+def test_mbox_cl_stitch_fully_distributed(spark, tmp_path):
+    """r13 (VERDICT r12 next #1): the Content-Length dialects run the
+    stitch fold as an applyInPandas task over metadata rows — zero
+    ``.collect()`` anywhere in operators/mbox.py (source-level guard),
+    the fold node present in the plan (FlatMapGroupsInPandas), and
+    the per-LINE frame shuffled exactly once (its reassembly into
+    fragments; message assembly regroups fragments, never lines)."""
+    import inspect
+    import re as _re
+
+    from razulibs_spark.operators import mbox as mbox_mod
+    from razulibs_spark.operators.eml import encode_eml
+    from razulibs_spark.operators.mbox import (
+        _FROM_LINE,
+        mbox_escape,
+        read_mbox_sharded,
+    )
+
+    assert ".collect()" not in inspect.getsource(mbox_mod)
+
+    p = tmp_path / "s.mbox"
+    p.write_text(
+        "\n".join(
+            _FROM_LINE + "\n"
+            + mbox_escape(encode_eml(d, ["w1", "w2"]).decode())
+            for d in range(4)
+        )
+    )
+    df = read_mbox_sharded(spark, str(p), dialect="auto")
+    plan = _plan(df)
+    assert "FlatMapGroupsInPandas" in plan  # the distributed fold
+    # 5 exchanges in the LAZY plan: rec_id reassembly ×2 (meta branch
+    # + join branch — identical subtrees, deduplicated by exchange
+    # reuse at runtime), the one-group fold, the metadata-sized
+    # mapping-by-rec_id, and the fragment-level msg_id regroup. The
+    # line frame itself sits under only the rec_id exchanges; message
+    # assembly regroups FRAGMENTS.
+    exchanges = _re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) <= 5, plan[:500]
+    assert "BatchEvalPython" not in plan
+    # correctness of the stitched content is pinned by
+    # tests/test_mbox.py; here we only guard the plan shape
+    assert _re.search(r"Scan ExistingRDD", plan), plan[:300]
 
 
 def test_example_packing_windows_partitioned_no_global_sort(spark):
