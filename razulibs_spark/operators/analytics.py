@@ -121,7 +121,10 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
             / 10000.0
         ).alias("monetary"),
     )
-    corpus_max = events.agg(F.max("ts").alias("corpus_max_ts"))
+    # max over the per-user maxima == corpus max, and the user-dim agg
+    # subtree is shared with the join side (exchange reuse) — one
+    # event-log scan instead of two (r13).
+    corpus_max = per_user.agg(F.max("last_ts").alias("corpus_max_ts"))
     scored = per_user.join(F.broadcast(corpus_max)).withColumn(
         "recency_days",
         F.datediff(F.col("corpus_max_ts"), F.col("last_ts")),

@@ -590,6 +590,13 @@ def minhash_lsh_ml(
     tf = HashingTF(
         inputCol="sh", outputCol="features", numFeatures=num_features, binary=True
     )
+    # SELF-join: approxSimilarityJoin consumes `vecs` on both sides —
+    # the shingle subtree computes twice. r13 tried persisting vecs to
+    # deduplicate that work: measurably WORSE (8.9 -> 25 s at sf0.1) —
+    # the InMemoryRelation hides runtime statistics, so the joins
+    # inside approxSimilarityJoin lose their AQE broadcast conversion
+    # and fall back to sort-merge. Recomputing the subtree is the
+    # cheaper side of that trade; left as-is deliberately.
     vecs = tf.transform(docs).select("doc_id", "features")
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes",

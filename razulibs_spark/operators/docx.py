@@ -41,6 +41,7 @@ from xml.etree import ElementTree as ET
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -362,7 +363,9 @@ def synthesize_docx_media(documents: DataFrame) -> DataFrame:
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return widen_python_stage(
+        documents.select("doc_id", "text")
+    ).mapInPandas(
         batches, schema=_DOCX_MEDIA_SCHEMA
     )
 

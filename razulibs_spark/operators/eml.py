@@ -26,6 +26,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -221,7 +222,9 @@ def synthesize_eml_media(documents: DataFrame) -> DataFrame:
                 rows.append((d, enc(d, str(text).split(" "))))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return widen_python_stage(
+        documents.select("doc_id", "text")
+    ).mapInPandas(
         batches, schema=_EML_MEDIA_SCHEMA
     )
 

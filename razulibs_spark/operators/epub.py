@@ -34,6 +34,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -408,7 +409,9 @@ def synthesize_epub_media(documents: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return documents.select("doc_id", "lang", "text").mapInPandas(
+    return widen_python_stage(
+        documents.select("doc_id", "lang", "text")
+    ).mapInPandas(
         batches, schema=_EPUB_MEDIA_SCHEMA
     )
 

@@ -18,6 +18,8 @@ nothing driver-side ever holds edges.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -80,52 +82,36 @@ def pagerank(
     aggregate — parity is pinned against a pure-Python reference in
     tests (rank mass conserved to 1e-6).
     """
+    from pyspark.sql.window import Window
+
     spark = edges.sparkSession
     par = spark.sparkContext.defaultParallelism
     # Width sizing reads only edges.count() (a cheap count-star scan —
-    # the share join is NOT executed for it; every inner-join row
-    # survives by construction, so the counts are equal).
+    # the share table is NOT executed for it).
     n_edges = edges.count()
     e_width = max(1, min(par, -(-n_edges // 500_000)))
-    out_w = edges.groupBy("src").agg(F.sum("weight").alias("out_w"))
-    # Edge share table computed once, persisted: the only edge-sized
-    # state; partitioned by src so the per-iteration broadcast join
-    # never reshuffles it. Materialized by the first iteration's
-    # action — no separate pre-count pass over the join.
-    real_shares = edges.join(out_w, "src").select(
-        "src", "dst", (F.col("weight") / F.col("out_w")).alias("share")
-    )
-    # Node table: persist the raw distinct BEFORE counting so the
-    # union+distinct executes once (the count materializes the cache
-    # the dangling-flag join below reuses).
-    nodes_raw = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    n = nodes_raw.count()
-    if n == 0:
-        nodes_raw.unpersist()
-        return nodes_raw.select(
-            "node", F.lit(0.0).alias("rank")
-        )
-    n_width = max(1, min(par, -(-n // 50_000)))
-    # is_dangling is static: precompute it on the node table so the
-    # per-iteration dangling mass is a conditional sum, not an
-    # anti-join.
+    # Node table + dangling flag in ONE aggregation (r13 — previously
+    # a distinct, a persist+count, a left join against the out-weight
+    # table and a second persist+count): a node is dangling iff it
+    # never appears as src. n_width must be picked before the count,
+    # so bound it by 2·|edges| (every node comes from an edge
+    # endpoint); a dense graph gets slightly more, still-tiny
+    # partitions.
+    n_width = max(1, min(par, -(-min(2 * n_edges, 10**12) // 50_000)))
     nodes = (
-        nodes_raw.join(
-            out_w.select(F.col("src").alias("node"), F.lit(False).alias("_d")),
-            "node",
-            "left",
+        edges.select(F.col("src").alias("node"), F.lit(1).alias("_o"))
+        .unionAll(
+            edges.select(F.col("dst").alias("node"), F.lit(0).alias("_o"))
         )
-        .select("node", F.coalesce(F.col("_d"), F.lit(True)).alias("dangling"))
+        .groupBy("node")
+        .agg((F.max("_o") == 0).alias("dangling"))
         .repartition(n_width, "node")
         .persist()
     )
-    nodes.count()
-    nodes_raw.unpersist()
+    n = nodes.count()
+    if n == 0:
+        nodes.unpersist()
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     # Virtual dangling-mass source: share-1/N edges to every node,
     # unioned into the persisted share table ONCE. Redistribution then
     # happens inside the normal dst-keyed contribution sum — no
@@ -137,11 +123,23 @@ def pagerank(
         F.col("node").alias("dst"),
         F.lit(1.0 / n).alias("share"),
     )
-    shares = (
-        real_shares.unionByName(dm_edges)
-        .repartition(e_width, "src")
-        .persist()
+    # Edge share table computed once, persisted: the only edge-sized
+    # state. share = weight / Σ weight over src via a whole-partition
+    # window on the SAME src-keyed exchange that sizes the iteration
+    # tasks (r13 — previously a separate out-weight aggregation joined
+    # back, costing a second edge-sized shuffle). Broadcast joins in
+    # the loop are partitioning-agnostic, so the union with the
+    # n_width dm partitions needs no re-repartition.
+    w_src = Window.partitionBy("src")
+    real_shares = (
+        edges.repartition(e_width, "src")
+        .select(
+            "src",
+            "dst",
+            (F.col("weight") / F.sum("weight").over(w_src)).alias("share"),
+        )
     )
+    shares = real_shares.unionByName(dm_edges).persist()
     # Each iteration references `ranks` twice (dangling-mass row +
     # contributions): without lineage truncation the logical plan
     # doubles per round and Catalyst analysis goes exponential.
@@ -400,7 +398,12 @@ def triangle_count(
         # case); when the edge set itself is hash-table sized,
         # broadcasting it for the closure probe keeps those wedges
         # from ever shuffling. The count is free — it materializes
-        # the cache the stats job needs anyway.
+        # the cache the stats job needs anyway. (r13 evaluated
+        # delegating the strategy to AQE and dropping the count
+        # pre-pass: measurably WORSE — without the forced broadcast
+        # the probe planned sort-merge and shuffled every stream row
+        # with its full adjacency array attached, 6.2 -> 10.0 s at
+        # sf0.1. The explicit decision stays.)
         small = canon.count() <= 4_000_000
         adj = _forward_adjacency(canon).persist()
         try:
@@ -465,9 +468,13 @@ def bfs_levels(
             .distinct()
             .transform(pin_iteration)
         )
-        visited = frontier.select(
-            "node", F.lit(0).alias("level")
-        ).transform(pin_iteration)
+        # visited stays a LAZY union of the per-level pinned frontiers
+        # (r13 — previously the whole growing set was re-checkpointed
+        # every round: an O(V) copy + one extra job per level). Every
+        # leg is already pinned, so the union's lineage stays shallow;
+        # the anti-join reads the same bytes either way.
+        levels = [frontier.select("node", F.lit(0).alias("level"))]
+        visited = levels[0]
         for depth in range(1, max_depth + 1):
             nxt = (
                 e.join(maybe_b(frontier), frontier["node"] == e["_u"])
@@ -478,9 +485,8 @@ def bfs_levels(
             )
             if not nxt.take(1):
                 break
-            visited = visited.unionByName(
-                nxt.select("node", F.lit(depth).alias("level"))
-            ).transform(pin_iteration)
+            levels.append(nxt.select("node", F.lit(depth).alias("level")))
+            visited = reduce(DataFrame.unionByName, levels)
             frontier = nxt
     finally:
         e.unpersist()

@@ -23,6 +23,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (
     BinaryType,
     LongType,
@@ -273,9 +274,9 @@ def synthesize_html_pages(documents: DataFrame) -> DataFrame:
                 pages.append(page)
             yield pd.DataFrame({"doc_id": ids, "html": pages})
 
-    return documents.select("doc_id", "text").mapInPandas(
-        batches, schema=_PAGE_SCHEMA
-    )
+    return widen_python_stage(
+        documents.select("doc_id", "text")
+    ).mapInPandas(batches, schema=_PAGE_SCHEMA)
 
 
 def extract_main_text(
@@ -496,7 +497,9 @@ def synthesize_encoded_pages(documents: DataFrame) -> DataFrame:
                 bodies.append(body)
             yield pd.DataFrame(dict(zip(out_schema_cols, (ids, bodies))))
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return widen_python_stage(
+        documents.select("doc_id", "text")
+    ).mapInPandas(
         batches,
         schema=StructType(
             [

@@ -26,6 +26,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -372,7 +373,7 @@ def synthesize_mp4_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return widen_python_stage(documents.select("doc_id")).mapInPandas(
         batches, schema=_MP4_MEDIA_SCHEMA
     )
 

@@ -26,6 +26,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -494,8 +495,10 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
                 }
             )
 
-    n = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n, "doc_id").mapInPandas(batches, schema=FEATURE_SCHEMA)
+    # Conditional widen (r13): re-hashing every payload byte by doc_id
+    # was a full-corpus shuffle that is pure overhead once the input is
+    # already as wide as the core count (always true at cluster scale).
+    return widen_python_stage(media).mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
 RESIZE_SCHEMA = StructType(
@@ -538,9 +541,8 @@ def resize_images(media: DataFrame, box: int = 256) -> DataFrame:
                 }
             )
 
-    n = media.sparkSession.sparkContext.defaultParallelism
     images = media.filter(F.col("media_format").startswith("image/"))
-    return images.repartition(n, "doc_id").mapInPandas(batches, schema=RESIZE_SCHEMA)
+    return widen_python_stage(images).mapInPandas(batches, schema=RESIZE_SCHEMA)
 
 
 CHUNK_SCHEMA = StructType(
@@ -580,9 +582,8 @@ def chunk_audio(media: DataFrame, chunk_bytes: int = 128) -> DataFrame:
                 {"doc_id": ids, "chunk_idx": idxs, "chunk_md5": hashes}
             )
 
-    n = media.sparkSession.sparkContext.defaultParallelism
     audio = media.filter(F.col("media_format").startswith("audio/"))
-    return audio.repartition(n, "doc_id").mapInPandas(batches, schema=CHUNK_SCHEMA)
+    return widen_python_stage(audio).mapInPandas(batches, schema=CHUNK_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -621,8 +622,7 @@ def sample_frames(media: DataFrame, every: int = 10) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs,
                                 "frame_md5": hashes})
 
-    n = media.sparkSession.sparkContext.defaultParallelism
-    return media.repartition(n, "doc_id").mapInPandas(batches, schema=FRAME_SCHEMA)
+    return widen_python_stage(media).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -813,7 +813,9 @@ def synthesize_decodable_media(documents: DataFrame) -> DataFrame:
             StructField("media_format", StringType(), True),
         ]
     )
-    return documents.select("doc_id").mapInPandas(batches, schema=schema)
+    return widen_python_stage(
+        documents.select("doc_id")
+    ).mapInPandas(batches, schema=schema)
 
 
 DECODE_SCHEMA = StructType(
@@ -897,14 +899,12 @@ def decode_media(media: DataFrame) -> DataFrame:
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in DECODE_SCHEMA])
 
-    n_parts = max(
-        1,
-        min(
-            media.sparkSession.sparkContext.defaultParallelism,
-            media.rdd.getNumPartitions() * 4,
-        ),
-    )
-    return media.repartition(n_parts, "doc_id").mapInPandas(
+    # Conditional widen (r13): the synthesize stages upstream are now
+    # split-aware, so the old unconditional doc_id re-hash of every
+    # payload byte (capped at 4x the input split count — which widened a
+    # single-split fixture to only 4 tasks) is gone. No-op at cluster
+    # scale; round-robin to the core count locally.
+    return widen_python_stage(media).mapInPandas(
         batches, schema=DECODE_SCHEMA
     )
 
@@ -973,7 +973,9 @@ def synthesize_gif_media(documents: DataFrame) -> DataFrame:
             StructField("media_format", StringType(), True),
         ]
     )
-    return documents.select("doc_id").mapInPandas(batches, schema=schema)
+    return widen_python_stage(
+        documents.select("doc_id")
+    ).mapInPandas(batches, schema=schema)
 
 
 def _pixels_rgb(payload: bytes, fmt: str):
@@ -1080,11 +1082,7 @@ def image_ahash(media: DataFrame) -> DataFrame:
                 rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in AHASH_SCHEMA])
 
-    n_parts = max(
-        media.sparkSession.sparkContext.defaultParallelism,
-        media.rdd.getNumPartitions(),
-    )
-    return media.repartition(n_parts).mapInPandas(
+    return widen_python_stage(media).mapInPandas(
         batches, schema=AHASH_SCHEMA
     )
 
@@ -1146,7 +1144,9 @@ def synthesize_tonal_wav_media(documents: DataFrame) -> DataFrame:
             StructField("media_format", StringType(), True),
         ]
     )
-    return documents.select("doc_id").mapInPandas(batches, schema=schema)
+    return widen_python_stage(
+        documents.select("doc_id")
+    ).mapInPandas(batches, schema=schema)
 
 
 SPECTRAL_SCHEMA = StructType(
@@ -1218,11 +1218,7 @@ def audio_spectral(media: DataFrame) -> DataFrame:
                 rows, columns=[f.name for f in SPECTRAL_SCHEMA]
             )
 
-    n_parts = max(
-        media.sparkSession.sparkContext.defaultParallelism,
-        media.rdd.getNumPartitions(),
-    )
-    return media.repartition(n_parts).mapInPandas(
+    return widen_python_stage(media).mapInPandas(
         batches, schema=SPECTRAL_SCHEMA
     )
 

@@ -992,6 +992,7 @@ from typing import Iterator  # noqa: E402
 
 import pandas as pd  # noqa: E402
 from pyspark.sql import DataFrame  # noqa: E402
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (  # noqa: E402
     BinaryType,
     BooleanType,
@@ -1126,7 +1127,9 @@ def synthesize_pdf_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return widen_python_stage(
+        documents.select("doc_id", "text")
+    ).mapInPandas(
         batches, schema=_PDF_MEDIA_SCHEMA
     )
 

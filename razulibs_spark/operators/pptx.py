@@ -49,6 +49,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -600,7 +601,9 @@ def synthesize_pptx_media(documents: DataFrame) -> DataFrame:
             ]
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return widen_python_stage(
+        documents.select("doc_id", "text")
+    ).mapInPandas(
         batches, schema=_PPTX_MEDIA_SCHEMA
     )
 

@@ -42,6 +42,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (
     BinaryType,
     BooleanType,
@@ -411,7 +412,9 @@ def synthesize_rtf_media(documents: DataFrame) -> DataFrame:
                 rows.append((d, payload))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 
-    return documents.select("doc_id", "text").mapInPandas(
+    return widen_python_stage(
+        documents.select("doc_id", "text")
+    ).mapInPandas(
         batches, schema=_RTF_MEDIA_SCHEMA
     )
 

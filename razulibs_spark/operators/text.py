@@ -546,6 +546,12 @@ def bpe_train(
         symtab.unpersist()
         symtab = resized
     merges: list[tuple[int, str, str, int]] = []
+    # One job per round, not two (r13): the argmax collect is a
+    # TakeOrdered over EVERY partition, so it fully materializes the
+    # current round's persisted table as a side effect — the previous
+    # round's table can then be released without a dedicated
+    # materializing count job (which doubled the round's job count).
+    prev = None
     try:
         for rank in range(n_merges):
             top = (
@@ -554,17 +560,20 @@ def bpe_train(
                 .limit(1)
                 .collect()
             )
+            if prev is not None:
+                prev.unpersist()
+                prev = None
             if not top:
                 break
             pair, n = top[0].pair, top[0].n
             a, b = pair.split(" ", 1)
             merges.append((rank, pair, a + b, n))
             nxt = bpe_apply_merge(symtab, a, b).persist()
-            nxt.count()
-            symtab.unpersist()
-            symtab = nxt
+            prev, symtab = symtab, nxt
     finally:
         symtab.unpersist()
+        if prev is not None:
+            prev.unpersist()
     return merges
 
 

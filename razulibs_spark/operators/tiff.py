@@ -690,6 +690,7 @@ from typing import Iterator  # noqa: E402
 
 import pandas as pd  # noqa: E402
 from pyspark.sql import DataFrame  # noqa: E402
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql.types import (  # noqa: E402
     BinaryType,
     BooleanType,
@@ -796,7 +797,7 @@ def synthesize_tiff_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(
+    return widen_python_stage(documents.select("doc_id")).mapInPandas(
         batches, schema=_TIFF_MEDIA_SCHEMA
     )
 

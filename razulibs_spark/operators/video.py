@@ -38,6 +38,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from razulibs_spark.tables import widen_python_stage
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -285,7 +286,9 @@ def synthesize_video_media(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(batches, schema=_VIDEO_SCHEMA)
+    return widen_python_stage(
+        documents.select("doc_id")
+    ).mapInPandas(batches, schema=_VIDEO_SCHEMA)
 
 
 VIDEO_FRAME_SCHEMA = StructType(
@@ -367,9 +370,12 @@ def sample_video_frames(media: DataFrame, every: int = 2) -> DataFrame:
                         )
             yield pd.DataFrame(rows, columns=cols)
 
-    n = media.sparkSession.sparkContext.defaultParallelism
+    # Conditional widen (r13): the synthesize stage upstream is already
+    # split-aware, so unconditionally re-hashing every payload byte by
+    # doc_id was a second full-corpus shuffle with no effect at cluster
+    # scale. No-op when the input is already as wide as the core count.
     videos = media.filter(F.col("media_format").startswith("video/"))
-    return videos.repartition(n, "doc_id").mapInPandas(
+    return widen_python_stage(videos).mapInPandas(
         batches, schema=VIDEO_FRAME_SCHEMA
     )
 

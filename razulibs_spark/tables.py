@@ -38,3 +38,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def widen_python_stage(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to defaultParallelism iff the frame has
+    FEWER partitions — the Arrow/Python stages downstream are pure
+    per-row work, so their parallelism is exactly the input split
+    count. A single-file scan (small SF, one parquet part) otherwise
+    funnels the whole encode/parse chain through ONE task while the
+    other cores idle. At cluster scale a 100 TB scan has far more
+    splits than cores, so this is a no-op and adds no shuffle
+    (guide §2.6/§4: widen the cheap side of the Python boundary, never
+    unconditionally reshuffle the payload bytes)."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < sc.defaultParallelism:
+        return df.repartition(sc.defaultParallelism)
+    return df

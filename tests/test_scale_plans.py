@@ -854,11 +854,18 @@ def test_wat_derive_single_arrow_pass_no_join(spark):
 
 def test_noindex_gate_verdict_rides_meta_pass(spark):
     """The directive parse is codegen over the head-meta output: one
-    Python stage (the extractor), no shuffle."""
+    Python stage (the extractor), no payload shuffle. The r13
+    conditional widen may add ONE round-robin exchange of the narrow
+    fixture input (a no-op at cluster scale where the scan is already
+    wide); a hash exchange of the synthesized payload is still a
+    regression."""
     plan = _plan(Q.pipeline_noindex_gate(spark, SF))
     # detail section: "(n) MapInPandas" once per node
     assert plan.count(") MapInPandas") == 2  # synthesize + extract
-    assert "Exchange" not in plan
+    assert "hashpartitioning" not in plan
+    assert "SinglePartition" not in plan
+    # any exchange present must be the round-robin widen
+    assert plan.count("Exchange") == 0 or "RoundRobinPartitioning" in plan
 
 
 def test_incremental_agg_delta_filter_pushed(spark):
@@ -877,11 +884,15 @@ def test_incremental_agg_delta_filter_pushed(spark):
 def test_new_format_extractors_single_arrow_pass(spark):
     """XLSX/RTF/ODT extraction entries are each ONE Arrow pipeline —
     synthesis and parse fuse into consecutive MapInPandas stages over
-    the documents scan with no shuffle anywhere."""
+    the documents scan with no payload shuffle. The r13 conditional
+    widen may add ONE round-robin exchange of the narrow fixture input
+    (no-op at cluster scale); a hash exchange is a regression."""
     for entry in (Q.text_xlsx_extract, Q.text_rtf_extract,
                   Q.text_odt_extract, Q.text_pptx_extract):
         plan = _plan(entry(spark, SF))
-        assert "Exchange" not in plan, entry.__name__
+        assert "hashpartitioning" not in plan, entry.__name__
+        assert "SinglePartition" not in plan, entry.__name__
+        assert plan.count("Exchange") == 0 or "RoundRobinPartitioning" in plan, entry.__name__
         # formatted explain names each node twice (tree + details)
         assert plan.count("MapInPandas") == 4, entry.__name__
         assert "BatchEvalPython" not in plan, entry.__name__
