@@ -349,17 +349,27 @@ def connected_components(
         edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
         .union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
         .distinct()
+        # Pre-partition on the per-iteration join key: the persisted
+        # edge table then never re-shuffles inside the loop (only the
+        # label side moves each round).
+        .repartition("src")
         .persist()
     )
     labels = nodes.select(
         F.col("doc_id"), F.col("doc_id").alias("component")
     ).persist()
+    pinned_state = labels
     for _ in range(max_iter):
         neighbour_min = (
             sym.join(labels, sym.src == labels.doc_id)
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("component").alias("_nmin"))
         )
+        # The convergence test rides the update itself: a label can
+        # only DECREASE, and it decreases exactly when the neighbour
+        # minimum beats the current label — so the changed flag is
+        # computable in the same projection (no new-vs-old diff join,
+        # which previously cost a second shuffle join per round).
         new_labels = (
             labels.join(neighbour_min, "doc_id", "left")
             .select(
@@ -367,18 +377,17 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("_nmin", F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("_nmin") < F.col("component"), F.lit(False)
+                ).alias("_changed"),
             )
             .transform(pin_iteration)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        # Narrow scan over the just-pinned state — no join, no shuffle.
+        changed = new_labels.filter("_changed").limit(1).count()
+        pinned_state.unpersist()
+        pinned_state = new_labels
+        labels = new_labels.select("doc_id", "component")
         if changed == 0:
             break
     sym.unpersist()

@@ -993,6 +993,9 @@ def dedup_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Global precision invariant over everything the ml join emitted:
     # map shifted ids back to source texts, drop identity pairs (exact
     # Jaccard 1 by construction), verify the rest candidate-driven.
+    # Persisted: traversed three times (candidate-id set, pair join,
+    # checked left join) — without the pin each traversal re-runs the
+    # distinct shuffle over the emitted pair table (r13).
     nonid = (
         emitted.select(
             F.pmod("d1", shift).alias("a"), F.pmod("d2", shift).alias("b")
@@ -1002,11 +1005,16 @@ def dedup_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("a", "b").alias("d1"), F.greatest("a", "b").alias("d2")
         )
         .distinct()
+        .persist()
     )
     member = nonid.select(F.col("d1").alias("doc_id")).union(
         nonid.select("d2")
     ).distinct()
-    sh = dedup.word_shingles(docs.join(member, "doc_id"))
+    # member is bounded by 2x the emitted NON-IDENTITY pairs — the ml
+    # join at threshold 0.9 emits a sparse near-dup set, so this stays
+    # a broadcast-sized dimension at corpus scale (same trade as
+    # jaccard_pairs's internal candidate-id semi-join).
+    sh = dedup.word_shingles(docs.join(F.broadcast(member), "doc_id"))
     exact = dedup.jaccard_pairs(sh, 0.0, candidates=nonid)
     checked = nonid.join(exact, ["d1", "d2"], "left").agg(
         F.coalesce(
