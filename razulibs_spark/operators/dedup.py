@@ -604,8 +604,14 @@ def minhash_lsh_ml(
     # deduplicate that work: measurably WORSE (8.9 -> 25 s at sf0.1) —
     # the InMemoryRelation hides runtime statistics, so the joins
     # inside approxSimilarityJoin lose their AQE broadcast conversion
-    # and fall back to sort-merge. Recomputing the subtree is the
-    # cheaper side of that trade; left as-is deliberately.
+    # and fall back to sort-merge. Persisting the PRE-HashingTF
+    # aggregate instead (idle A/B, best-of-3) won at sf0.1/32-core
+    # (8.9 -> 6.6 s) but REGRESSED sf0.01/8-core by ~40% (15.2 ->
+    # 20.9 s) — the same stats-hiding failure mode surfaces at the
+    # smaller scale, and the driver measures core-count scaling, so a
+    # 32-core-only win is the wrong trade. Recomputing the subtree is
+    # the cheaper side; left as-is deliberately (twice-measured
+    # negative result).
     vecs = tf.transform(docs).select("doc_id", "features")
     lsh = MinHashLSH(
         inputCol="features", outputCol="hashes",

@@ -425,6 +425,7 @@ def bfs_levels(
     max_depth: int = 6,
     undirected: bool = True,
     broadcast_frontier: bool = True,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Min-distance BFS levels from a seed set over a general edge
     list: returns (node, level) with level = shortest hop count, the
@@ -453,9 +454,16 @@ def bfs_levels(
     doubled list); the reversed copy is unioned without a second
     distinct — if a caller feeds both orientations of the same edge
     the only cost is up-to-2× join fan-out before the per-round
-    distinct, never a wrong level.
+    distinct, never a wrong level. Min-level is invariant to parallel
+    edges, so callers whose edge list is already (near-)unique can
+    pass ``dedup_edges=False`` and skip that edge-sized shuffle
+    entirely — duplicates only widen the per-round join fan-out by
+    the duplication factor (r13: the co-purchase feed measured 0.3%
+    dupes; the upfront distinct shuffled 1.2M rows to remove 4k).
     """
-    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v")).distinct()
+    e = edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+    if dedup_edges:
+        e = e.distinct()
     if undirected:
         e = e.unionByName(
             e.select(F.col("_v").alias("_u"), F.col("_u").alias("_v"))
@@ -476,11 +484,18 @@ def bfs_levels(
         levels = [frontier.select("node", F.lit(0).alias("level"))]
         visited = levels[0]
         for depth in range(1, max_depth + 1):
+            # Anti-join BEFORE the distinct (r13, guide §2.3 "shuffle
+            # fewer bytes"): the visited filter is a broadcast hash
+            # anti join — no shuffle — so running it on the raw
+            # neighbor stream prunes the distinct's exchange input to
+            # the genuinely-new nodes. In a small-world graph rounds
+            # 2+ emit mostly-visited neighbors, so this collapses the
+            # per-round shuffle; distinct∘filter ≡ filter∘distinct.
             nxt = (
                 e.join(maybe_b(frontier), frontier["node"] == e["_u"])
                 .select(F.col("_v").alias("node"))
-                .distinct()
                 .join(maybe_b(visited.select("node")), "node", "left_anti")
+                .distinct()
                 .transform(pin_iteration)
             )
             if not nxt.take(1):

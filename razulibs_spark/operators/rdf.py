@@ -188,11 +188,51 @@ def _ordered_expansions() -> list[tuple[str, str]]:
 _assert_prefix_free(EXPANSIONS)
 
 
-def expand_prefixed(col: Column) -> Column:
+def _sq(s: str) -> str:
+    """SQL single-quote a string literal (namespaces/keys contain no
+    quotes; escape defensively anyway)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _expand_case_sql(ref: str) -> str:
+    """The expand_prefixed when-chain as ONE SQL CASE string over
+    column reference ``ref`` (r13, guide §1.2 driver overhead): the
+    Column-builder form issued ~4 py4j round-trips per branch × 15
+    branches ≈ 85 ms of driver time PER CALL — ~0.5 s per RDF
+    round-trip query construction across its s/p/o/o_datatype
+    columns. The parsed expression tree is identical (StartsWith /
+    Substring / Concat / CaseWhen)."""
+    arms = "".join(
+        f"WHEN startswith({ref}, {_sq(k + ':')}) THEN "
+        f"concat({_sq(ns)}, substring({ref}, {len(k) + 2}, 1000000)) "
+        for k, ns in _ordered_expansions()
+    )
+    return f"CASE {arms}ELSE {ref} END"
+
+
+def _compact_case_sql(ref: str) -> str:
+    """Inverse of :func:`_expand_case_sql` — one SQL CASE string."""
+    arms = "".join(
+        f"WHEN startswith({ref}, {_sq(ns)}) THEN "
+        f"concat({_sq(k + ':')}, substring({ref}, {len(ns) + 1}, 1000000)) "
+        for k, ns in _ordered_expansions()
+    )
+    return f"CASE {arms}ELSE {ref} END"
+
+
+def expand_prefixed(col: Column | str) -> Column:
     """`ldto:naam` → full URI; absolute URIs and unknown prefixes pass
     through. Engine-internal triples use compact names (cheaper to
     store and shuffle); expansion happens at the serialization edge so
-    emitted N-Triples/JSON-LD are standards-valid."""
+    emitted N-Triples/JSON-LD are standards-valid.
+
+    Pass a column NAME (str) on hot construction paths: the chain then
+    builds as one ``F.expr`` CASE parse (single py4j round-trip)
+    instead of ~60 Column-builder calls — same expression tree, ~85 ms
+    less driver time per call. Column input keeps the builder form for
+    arbitrary expressions."""
+    if isinstance(col, str):
+        return F.expr(_expand_case_sql(f"`{col}`"))
     out = None
     for k, ns in _ordered_expansions():
         cond = col.startswith(f"{k}:")
@@ -201,9 +241,13 @@ def expand_prefixed(col: Column) -> Column:
     return out.otherwise(col)
 
 
-def compact_prefixed(col: Column) -> Column:
+def compact_prefixed(col: Column | str) -> Column:
     """Inverse of expand_prefixed (frequency-ordered chain — safe
-    because the namespace set is pairwise prefix-free, see above)."""
+    because the namespace set is pairwise prefix-free, see above).
+    Accepts a column name for the cheap-construction path, like
+    :func:`expand_prefixed`."""
+    if isinstance(col, str):
+        return F.expr(_compact_case_sql(f"`{col}`"))
     out = None
     for k, ns in _ordered_expansions():
         cond = col.startswith(ns)
@@ -214,28 +258,29 @@ def compact_prefixed(col: Column) -> Column:
 
 def expand_triples(triples: DataFrame) -> DataFrame:
     """Expand s/p/o_datatype (and uri-typed objects) to absolute URIs
-    for standards-valid serialization."""
-    return triples.select(
-        expand_prefixed(F.col("s")).alias("s"),
-        expand_prefixed(F.col("p")).alias("p"),
-        F.when(F.col("o_type") == "uri", expand_prefixed(F.col("o")))
-        .otherwise(F.col("o")).alias("o"),
-        F.col("o_type"),
-        expand_prefixed(F.col("o_datatype")).alias("o_datatype"),
-        F.col("o_lang"),
+    for standards-valid serialization. selectExpr + the CASE-string
+    chains: 6 py4j calls total instead of ~250 (r13)."""
+    return triples.selectExpr(
+        f"{_expand_case_sql('s')} AS s",
+        f"{_expand_case_sql('p')} AS p",
+        f"CASE WHEN o_type = 'uri' THEN {_expand_case_sql('o')} "
+        f"ELSE o END AS o",
+        "o_type",
+        f"{_expand_case_sql('o_datatype')} AS o_datatype",
+        "o_lang",
     )
 
 
 def compact_triples(triples: DataFrame) -> DataFrame:
     """Inverse of expand_triples."""
-    return triples.select(
-        compact_prefixed(F.col("s")).alias("s"),
-        compact_prefixed(F.col("p")).alias("p"),
-        F.when(F.col("o_type") == "uri", compact_prefixed(F.col("o")))
-        .otherwise(F.col("o")).alias("o"),
-        F.col("o_type"),
-        compact_prefixed(F.col("o_datatype")).alias("o_datatype"),
-        F.col("o_lang"),
+    return triples.selectExpr(
+        f"{_compact_case_sql('s')} AS s",
+        f"{_compact_case_sql('p')} AS p",
+        f"CASE WHEN o_type = 'uri' THEN {_compact_case_sql('o')} "
+        f"ELSE o END AS o",
+        "o_type",
+        f"{_compact_case_sql('o_datatype')} AS o_datatype",
+        "o_lang",
     )
 
 

@@ -5738,6 +5738,8 @@ def _quads_for_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     URIs for standards-valid serialization — g carried through."""
     from razulibs_spark.operators.rdf import expand_prefixed
 
+    from razulibs_spark.operators.rdf import _expand_case_sql
+
     t = _o2_triples_full(spark, sf_dir).withColumn(
         "g",
         F.when(
@@ -5748,25 +5750,25 @@ def _quads_for_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ),
     )
-    return t.select(
-        expand_prefixed(F.col("s")).alias("s"),
-        expand_prefixed(F.col("p")).alias("p"),
-        F.when(F.col("o_type") == "uri", expand_prefixed(F.col("o")))
-        .otherwise(F.col("o")).alias("o"),
+    return t.selectExpr(
+        f"{_expand_case_sql('s')} AS s",
+        f"{_expand_case_sql('p')} AS p",
+        f"CASE WHEN o_type = 'uri' THEN {_expand_case_sql('o')} "
+        f"ELSE o END AS o",
         "o_type",
-        expand_prefixed(F.col("o_datatype")).alias("o_datatype"),
+        f"{_expand_case_sql('o_datatype')} AS o_datatype",
         "o_lang", "g",
     )
 
 
 def _compact_quads(quads: DataFrame) -> DataFrame:
-    from razulibs_spark.operators.rdf import compact_prefixed
+    from razulibs_spark.operators.rdf import _compact_case_sql
 
-    return quads.select(
-        compact_prefixed(F.col("s")).alias("s"),
-        compact_prefixed(F.col("p")).alias("p"),
-        F.when(F.col("o_type") == "uri", compact_prefixed(F.col("o")))
-        .otherwise(F.col("o")).alias("o"),
+    return quads.selectExpr(
+        f"{_compact_case_sql('s')} AS s",
+        f"{_compact_case_sql('p')} AS p",
+        f"CASE WHEN o_type = 'uri' THEN {_compact_case_sql('o')} "
+        f"ELSE o END AS o",
         "g",
     )
 
@@ -9102,15 +9104,28 @@ def _ann_recall_contract(
     oracle's TRUE. Everything is DataFrame ops — the hit count is one
     equi-join of two k·n_q-row frames."""
     q = e.filter(F.col("vec_id") < 10)
-    exact = similarity.cosine_topk(e, q, k=k).persist()
-    try:
-        hits = exact.join(
-            approx_topk.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-        ).count()
-        top1 = exact.filter(F.col("rnk") == 1).collect()
-    finally:
-        exact.unpersist()
+    exact = similarity.cosine_topk(e, q, k=k)
+    # ONE distributed job (r13, guide §1.2/§5): left-join the k·n_q
+    # exact rows against the approximate set and collect them WITH the
+    # hit marker — the old persist + inner-join count + second top1
+    # collect ran the whole pipeline as two jobs. Row multiplicity
+    # under the left join equals the inner join's, so `hits` is the
+    # same number; top1 dedups by query (duplicate matches carry
+    # identical exact values).
+    marked = exact.join(
+        approx_topk.select(
+            "query_id", "neighbor_id"
+        ).withColumn("_hit", F.lit(1)),
+        ["query_id", "neighbor_id"],
+        "left",
+    ).select("query_id", "neighbor_id", "rnk", "cosine", "_hit")
+    rows = marked.collect()
+    hits = sum(1 for r in rows if r["_hit"] is not None)
+    top1_by_q = {}
+    for r in rows:
+        if r["rnk"] == 1 and r["query_id"] not in top1_by_q:
+            top1_by_q[r["query_id"]] = r
+    top1 = list(top1_by_q.values())
     n_q = len(top1)
     ok = hits >= floor * n_q * k
     spark = e.sparkSession
@@ -10399,23 +10414,31 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     different algorithm, identical exact answer, one global row."""
     from razulibs_spark.operators import graph
 
-    items = (
-        T(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # Edge build via per-order collect_set + in-array pair expansion
+    # (r13 — the same build graph_bfs_levels uses): ONE groupBy
+    # shuffle of the lineitem keys instead of the distinct + self-join
+    # + join-output shuffle chain. Baskets are small (TPC-H ≤ 7), the
+    # sorted set gives src < dst for free, and canonical_edges'
+    # distinct inside triangle_count dedupes cross-order repeats —
+    # the canonical edge set (and so the count) is identical.
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
-    edges = (
-        items.alias("i1")
-        .join(
-            items.alias("i2"),
-            (F.col("i1.l_orderkey") == F.col("i2.l_orderkey"))
-            & (F.col("i1.l_partkey") < F.col("i2.l_partkey")),
-        )
-        .select(
-            F.col("i1.l_partkey").alias("src"),
-            F.col("i2.l_partkey").alias("dst"),
+    pairs = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("parts"), i + 2, F.size(F.col("parts")) - i - 1
+                ),
+                lambda y: F.struct(x.alias("src"), y.alias("dst")),
+            ),
         )
     )
+    edges = baskets.select(
+        F.explode(pairs).alias("p")
+    ).select("p.src", "p.dst")
     return graph.triangle_count(edges)
 
 
@@ -12933,7 +12956,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = li.sparkSession.range(1).select(
         F.lit(0).cast("long").alias("node")
     )
-    levels = bfs_levels(edges, seeds, max_depth=4)
+    # dedup_edges=False (r13): the basket expansion already emits each
+    # pair once per order and cross-order repeats measured 0.3%
+    # (1,199,858 raw vs 1,196,000 distinct at sf0.1) — the upfront
+    # distinct shuffled the whole edge list to remove almost nothing;
+    # min-level BFS is invariant to the remaining parallel edges.
+    levels = bfs_levels(edges, seeds, max_depth=4, dedup_edges=False)
     return levels.groupBy("level").agg(
         F.count("*").cast("long").alias("n_parts"),
         F.min("node").alias("min_part"),

@@ -230,15 +230,27 @@ TURTLE_FULL_HEADER = "".join(
 _PN_LOCAL_RE = r"^[A-Za-z0-9_][A-Za-z0-9_.\-]*$"
 
 
-def _compactable(col: Column) -> Column:
+def _compactable(col: Column | str) -> Column:
     """Prefixed-name form of an absolute URI when the local part is
     safe to emit, else null. Frequency-ordered chain (r13): safe
     because the namespace set is pairwise prefix-free (guarded in
     operators/rdf.py) — and the per-branch rlike then runs only for
     the branch whose startswith matches, ~2 branches in instead of
-    ~11."""
-    from razulibs_spark.operators.rdf import _ordered_expansions
+    ~11. A column NAME (str) builds the chain as one F.expr CASE
+    parse — ~90 py4j round-trips fewer per call (r13, driver-side
+    construction cost; same expression tree)."""
+    from razulibs_spark.operators.rdf import _ordered_expansions, _sq
 
+    if isinstance(col, str):
+        arms = "".join(
+            f"WHEN startswith(`{col}`, {_sq(ns)}) AND "
+            f"substring(`{col}`, {len(ns) + 1}, 1000000) RLIKE "
+            f"{_sq(_PN_LOCAL_RE)} THEN "
+            f"concat({_sq(k + ':')}, "
+            f"substring(`{col}`, {len(ns) + 1}, 1000000)) "
+            for k, ns in _ordered_expansions()
+        )
+        return F.expr(f"CASE {arms}ELSE CAST(NULL AS STRING) END")
     out = None
     for k, ns in _ordered_expansions():
         local = F.substring(col, len(ns) + 1, 1_000_000)
@@ -248,9 +260,10 @@ def _compactable(col: Column) -> Column:
     return out.otherwise(F.lit(None).cast("string"))
 
 
-def _turtle_uri(col: Column) -> Column:
+def _turtle_uri(col: Column | str) -> Column:
+    inner = F.col(col) if isinstance(col, str) else col
     return F.coalesce(
-        _compactable(col), F.concat(F.lit("<"), col, F.lit(">"))
+        _compactable(col), F.concat(F.lit("<"), inner, F.lit(">"))
     )
 
 
@@ -260,18 +273,18 @@ def turtle_line() -> Column:
     escapes for literals."""
     s, p, o = F.col("s"), F.col("p"), F.col("o")
     subj = F.when(s.startswith("bnode:"), F.concat(F.lit("_:"), F.md5(s))).otherwise(
-        _turtle_uri(s)
+        _turtle_uri("s")
     )
     rdf_type = EXPANSIONS["rdf"] + "type"
-    pred = F.when(p == rdf_type, F.lit("a")).otherwise(_turtle_uri(p))
+    pred = F.when(p == rdf_type, F.lit("a")).otherwise(_turtle_uri("p"))
     lit_body = F.concat(F.lit('"'), _escape_literal(o), F.lit('"'))
     obj = (
-        F.when(F.col("o_type") == "uri", _turtle_uri(o))
+        F.when(F.col("o_type") == "uri", _turtle_uri("o"))
         .when(F.col("o_type") == "bnode", F.concat(F.lit("_:"), F.md5(o)))
         .when(F.col("o_lang").isNotNull(), F.concat(lit_body, F.lit("@"), F.col("o_lang")))
         .when(
             F.col("o_datatype").isNotNull(),
-            F.concat(lit_body, F.lit("^^"), _turtle_uri(F.col("o_datatype"))),
+            F.concat(lit_body, F.lit("^^"), _turtle_uri("o_datatype")),
         )
         .otherwise(lit_body)
     )

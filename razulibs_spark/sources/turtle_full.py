@@ -514,11 +514,11 @@ def grouped_turtle_blocks(
     rdf_type = EXPANSIONS["rdf"] + "type"
     subj = F.when(
         s.startswith("bnode:"), F.concat(F.lit("_:"), F.md5(s))
-    ).otherwise(_turtle_uri(s))
-    pred = F.when(p == rdf_type, F.lit("a")).otherwise(_turtle_uri(p))
+    ).otherwise(_turtle_uri("s"))
+    pred = F.when(p == rdf_type, F.lit("a")).otherwise(_turtle_uri("p"))
     lit_body = F.concat(F.lit('"'), _escape_literal(o), F.lit('"'))
     obj = (
-        F.when(F.col("o_type") == "uri", _turtle_uri(o))
+        F.when(F.col("o_type") == "uri", _turtle_uri("o"))
         .when(F.col("o_type") == "bnode", F.concat(F.lit("_:"), F.md5(o)))
         .when(
             F.col("o_lang").isNotNull(),
@@ -527,7 +527,7 @@ def grouped_turtle_blocks(
         .when(
             F.col("o_datatype").isNotNull(),
             F.concat(
-                lit_body, F.lit("^^"), _turtle_uri(F.col("o_datatype"))
+                lit_body, F.lit("^^"), _turtle_uri("o_datatype")
             ),
         )
         .otherwise(lit_body)

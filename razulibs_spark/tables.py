@@ -25,6 +25,17 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Schema memo (r13, guide §1.2 driver overhead): schema-INFERENCE was
+# ~80% of every load() call (~52 of 64 ms — Spark reads a parquet
+# footer eagerly on the driver when no schema is given). The memo
+# holds METADATA ONLY — the inferred StructType, the role a catalog/
+# metastore plays in production — keyed per (sf_dir, table); every
+# action still lists files and scans parquet afresh, nothing about
+# the DATA is cached. First touch of a table per process infers and
+# remembers; a changed table LAYOUT (new columns) needs a new process
+# or a _SCHEMA_MEMO.clear(), same as any metastore refresh.
+_SCHEMA_MEMO: dict = {}
+
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
@@ -33,7 +44,14 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # it NTZ so collected values match DuckDB's naive timestamps exactly.
     # Queries needing epoch arithmetic use timestampdiff / INTERVAL,
     # both of which accept NTZ.
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    key = (sf_dir, name)
+    schema = _SCHEMA_MEMO.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

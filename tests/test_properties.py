@@ -1212,3 +1212,46 @@ def test_xlsx_roundtrip_any_words(words, d):
     for i in range(3):
         assert cells[f"B{i + 2}"] == words[i % len(words)]
         assert cells[f"A{i + 2}"] == str(d * 10 + i)
+
+
+def test_prefix_expr_path_equals_builder_path(spark):
+    """r13: the F.expr CASE-string forms of the prefix chains (built
+    for cheap driver-side construction) must compute exactly what the
+    Column-builder when-chains compute — expansion, compaction and
+    the Turtle _compactable gate, including pass-through, null and
+    unsafe-local-part cases."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators.rdf import (
+        compact_prefixed,
+        expand_prefixed,
+    )
+    from razulibs_spark.sources.rdf_io import _compactable
+
+    rows = [
+        ("ldto:naam",),
+        ("xsd:decimal",),
+        ("rdf:type",),
+        ("rdfs:label",),
+        ("schema:name",),
+        ("https://data.razu.nl/def/ldto/naam",),
+        ("http://www.w3.org/2001/XMLSchema#date",),
+        ("http://example.org/unbound",),
+        ("plainstring",),
+        ("https://data.razu.nl/def/ldto/bad local!",),  # unsafe local
+        ("http://www.w3.org/1999/02/22-rdf-syntax-ns#type",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, "v string")
+    out = df.select(
+        expand_prefixed(F.col("v")).alias("e_col"),
+        expand_prefixed("v").alias("e_str"),
+        compact_prefixed(F.col("v")).alias("c_col"),
+        compact_prefixed("v").alias("c_str"),
+        _compactable(F.col("v")).alias("t_col"),
+        _compactable("v").alias("t_str"),
+    ).collect()
+    for r in out:
+        assert r["e_col"] == r["e_str"]
+        assert r["c_col"] == r["c_str"]
+        assert r["t_col"] == r["t_str"]
