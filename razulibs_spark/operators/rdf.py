@@ -76,22 +76,38 @@ def entity_to_triples(df: DataFrame, subject: Column, props: list[PropertyMap]) 
     field semantics of csv2rdf.py:188-200 / pandasutils.py:5-8).
     Entirely whole-stage-codegen — one narrow transformation, no
     shuffle, linear at any scale.
+
+    Construction (r13, guide §1.2 driver overhead): the subject and
+    property-value COLUMNS project once under reserved names, and the
+    array<struct> assembles as ONE F.expr parse over those names plus
+    the literal predicate/o_type/datatype/lang strings — ~12 py4j
+    round-trips instead of ~15 per property (measured 223 → ~35 ms
+    per call; this ran inside every O2-familied query's timed
+    construction). The planned expression tree is unchanged —
+    CollapseProject inlines the value projection into the Generate
+    input exactly as the inline-struct form planned.
     """
-    structs = [
-        F.struct(
-            subject.cast("string").alias("s"),
-            F.lit(p.predicate).alias("p"),
-            p.value.cast("string").alias("o"),
-            F.lit(p.o_type).alias("o_type"),
-            (
-                p.datatype if isinstance(p.datatype, Column) else F.lit(p.datatype)
-            ).cast("string").alias("o_datatype"),
-            F.lit(p.lang).cast("string").alias("o_lang"),
+    sel = [subject.cast("string").alias("__ett_s")]
+    parts = []
+    for i, p in enumerate(props):
+        sel.append(p.value.alias(f"__ett_v{i}"))
+        if isinstance(p.datatype, Column):
+            sel.append(p.datatype.alias(f"__ett_d{i}"))
+            dt = f"CAST(__ett_d{i} AS STRING)"
+        elif p.datatype is None:
+            dt = "CAST(NULL AS STRING)"
+        else:
+            dt = _sq(p.datatype)
+        lang = _sq(p.lang) if p.lang is not None else "CAST(NULL AS STRING)"
+        parts.append(
+            f"struct(__ett_s AS s, {_sq(p.predicate)} AS p, "
+            f"CAST(__ett_v{i} AS STRING) AS o, {_sq(p.o_type)} AS o_type, "
+            f"{dt} AS o_datatype, {lang} AS o_lang)"
         )
-        for p in props
-    ]
+    arr = ", ".join(parts)
     return (
-        df.select(F.explode(F.array(*structs)).alias("t"))
+        df.select(*sel)
+        .select(F.expr(f"explode(array({arr}))").alias("t"))
         .select("t.*")
         .filter(F.col("o").isNotNull())
     )
