@@ -345,9 +345,18 @@ def connected_components(
     Returns ``(doc_id, component)`` with component = min doc_id
     reachable.
     """
+    # Materialize the PAIR LIST once before symmetrizing (r13 10×
+    # rehearsal finding): the union's two branches are separate plan
+    # subtrees — Spark does no cross-branch CSE — so `edges` (often an
+    # expensive candidate-pair pipeline: shingle prefix-filter joins,
+    # LSH banding) would compute TWICE inside the sym job. At the sf1
+    # rehearsal that doubled ~35 s of pair generation; the pinned pair
+    # list is near-dup-pair sized (≪ corpus), so block storage holds
+    # it trivially at any scale.
+    e0 = edges.select("d1", "d2").transform(pin_iteration)
     sym = (
-        edges.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
-        .union(edges.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
+        e0.select(F.col("d1").alias("src"), F.col("d2").alias("dst"))
+        .union(e0.select(F.col("d2").alias("src"), F.col("d1").alias("dst")))
         .distinct()
         # Pre-partition on the per-iteration join key: the persisted
         # edge table then never re-shuffles inside the loop (only the
