@@ -136,28 +136,76 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
         F.round("monetary", 4).alias("monetary"),
     ).persist()
     # The user dimension is orders of magnitude smaller than the event
-    # log: size the three range-sorts to IT (loop-width pattern — a
-    # 1k-user table must not schedule 3 × defaultParallelism-task
-    # stage chains; a 100M-user table still fans out fully).
+    # log: size the range-sort to IT (loop-width pattern — a 1k-user
+    # table must not schedule defaultParallelism-task stage chains; a
+    # 100M-user table still fans out fully).
     n_users = scored.count()
     par = events.sparkSession.sparkContext.defaultParallelism
     width = max(1, min(par, -(-n_users // 50_000)))
-    scored = ntile_scalable(
-        scored,
-        [(-F.col("recency_days")).cast("long"), F.col("user_id")],
-        buckets,
-        "r_score",
-        n_parts=width,
+    # All three NTILEs ride ONE two-phase rank (r13): unpivot to 3
+    # rows per user keyed (metric, vl, vd, user_id) — within a metric
+    # block that order reduces exactly to the original per-metric
+    # ordering ((-recency, user), (frequency, user), (monetary,
+    # user)); each block holds exactly n_users rows, so the global
+    # dense id minus metric·n_users is the per-metric rank. One
+    # repartitionByRange + one counts collect instead of three full
+    # sort pipelines; the pivot back is a keyed aggregate on the
+    # 3·n_users-row frame.
+    from razulibs_spark.operators.ids import dense_ids
+
+    unp = scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.posexplode(
+            F.array(
+                F.struct(
+                    (-F.col("recency_days")).cast("long").alias("vl"),
+                    F.lit(0.0).alias("vd"),
+                ),
+                F.struct(
+                    F.col("frequency").cast("long").alias("vl"),
+                    F.lit(0.0).alias("vd"),
+                ),
+                F.struct(
+                    F.lit(0).cast("long").alias("vl"),
+                    F.col("monetary").cast("double").alias("vd"),
+                ),
+            )
+        ).alias("_metric", "_mv"),
+    ).select(
+        "user_id", "recency_days", "frequency", "monetary", "_metric",
+        F.col("_mv.vl").alias("_vl"), F.col("_mv.vd").alias("_vd"),
     )
-    scored = ntile_scalable(
-        scored, [F.col("frequency"), F.col("user_id")], buckets, "f_score",
-        n_parts=width,
+    ranked = dense_ids(
+        unp, ["_metric", "_vl", "_vd", "user_id"], "_gid",
+        start=0, n_parts=width,
     )
-    scored = ntile_scalable(
-        scored, [F.col("monetary"), F.col("user_id")], buckets, "m_score",
-        n_parts=width,
+    # Exact SQL NTILE bucket formula (first n % b buckets get
+    # n // b + 1 rows) — same expression ntile_scalable applies, with
+    # the already-collected n_users as the 1-row-broadcast equivalent.
+    r = F.col("_gid") - F.col("_metric").cast("long") * n_users + 1
+    n = F.lit(n_users)
+    b = F.lit(buckets)
+    q = F.floor(n / b)
+    m = n % b
+    bucket = F.when(
+        r <= m * (q + 1), F.lit(1) + F.floor((r - 1) / (q + 1))
+    ).otherwise(F.lit(1) + m + F.floor((r - 1 - m * (q + 1)) / q))
+    scores = ranked.withColumn("_score", bucket.cast("int"))
+    pick = lambda i: F.max(
+        F.when(F.col("_metric") == i, F.col("_score"))
     )
-    return scored.withColumn(
+    out = scores.groupBy("user_id").agg(
+        F.first("recency_days").alias("recency_days"),
+        F.first("frequency").alias("frequency"),
+        F.first("monetary").alias("monetary"),
+        pick(0).alias("r_score"),
+        pick(1).alias("f_score"),
+        pick(2).alias("m_score"),
+    )
+    return out.withColumn(
         "rfm_segment",
         F.concat_ws(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")

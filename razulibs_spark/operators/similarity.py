@@ -1116,24 +1116,21 @@ def kmeans_lloyd(
     }
 
     def _assign(frame: DataFrame) -> DataFrame:
-        choices = F.array(
-            *[
-                F.struct(
-                    F.aggregate(
-                        F.zip_with(
-                            F.col("q"),
-                            F.array(*[F.lit(m) for m in mvec]),
-                            lambda a, b: (a * shift - b) * (a * shift - b),
-                        ),
-                        F.lit(0).cast("long"),
-                        lambda acc, x: acc + x,
-                    ).alias("dist"),
-                    F.lit(cid).cast("long").alias("cid"),
-                )
-                for cid, mvec in sorted(cents.items())
-            ]
+        # The k·dim centroid literals are rendered into ONE SQL string
+        # parsed by a single F.expr: the Column-builder form issued
+        # ~k·(dim+2) py4j round-trips per call (~1000 at k=8/dim=64,
+        # ≈2.5 s of pure driver time across the iterations — measured
+        # r13), the parsed tree is identical.
+        structs = ", ".join(
+            "named_struct('dist', aggregate(zip_with(q, array({mv}), "
+            "(a, b) -> (a * {shift} - b) * (a * {shift} - b)), "
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x), "
+            "'cid', CAST({cid} AS BIGINT))".format(
+                mv=", ".join(str(m) for m in mvec), shift=shift, cid=cid
+            )
+            for cid, mvec in sorted(cents.items())
         )
-        best = F.array_min(choices)
+        best = F.expr(f"array_min(array({structs}))")
         return frame.select(
             "vec_id",
             "q",

@@ -888,7 +888,14 @@ def hash_classifier(
     Reference has no counterpart (LLM-pipeline north star;
     BASELINE.json).
     """
-    tok = documents.select("doc_id", F.explode(unigram_bigram_tokens()).alias("tok"))
+    from razulibs_spark.tables import widen_python_stage
+
+    # The per-token md5 fan-out is the cost; widen the narrow doc
+    # input iff the scan has fewer splits than cores (no-op at
+    # cluster scale — guide §2.5).
+    tok = widen_python_stage(documents.select("doc_id", "text")).select(
+        "doc_id", F.explode(unigram_bigram_tokens()).alias("tok")
+    )
     bucket = feature_bucket(F.col("tok"), n_buckets)
     weight = (bucket * F.lit(_HASH_CLF_KNUTH)) % F.lit(2001) - F.lit(1000)
     agg = tok.select("doc_id", weight.alias("_w")).groupBy("doc_id").agg(
@@ -939,7 +946,16 @@ def dsir_importance(
     back onto the token stream; the corpus shuffles once (doc-keyed
     sum). Reference has no counterpart (LLM-pipeline north star).
     """
-    bucketed = documents.select(
+    from razulibs_spark.tables import widen_python_stage
+
+    # The token stream is computed twice (counts + join side) by
+    # design — recompute beats persisting a corpus-sized token table.
+    # Widen the narrow doc input iff the scan has fewer splits than
+    # cores so BOTH tokenize passes fan out (no-op at cluster scale —
+    # guide §2.5).
+    bucketed = widen_python_stage(
+        documents.select("doc_id", "lang", "text")
+    ).select(
         "doc_id", "lang", F.explode(unigram_bigram_tokens()).alias("tok")
     ).select(
         "doc_id", "lang", feature_bucket(F.col("tok"), n_buckets).alias("b")

@@ -491,7 +491,16 @@ FROM d
 def f1_date_type_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 date_type (razu/util.py:9-30): regex classify + Dutch
     d-m-yyyy → ISO normalization, as a when/rlike chain."""
-    li = T(spark, sf_dir, "lineitem")
+    from razulibs_spark.tables import widen_python_stage
+
+    # The date_format + 5-rlike chain per row dominates the row's
+    # bytes: widen the narrow 3-column frame iff the scan has fewer
+    # splits than cores (no-op at cluster scale — guide §2.5).
+    li = widen_python_stage(
+        T(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate"
+        )
+    )
     date_str = (
         F.when((F.col("l_linenumber") % 3) == 0, F.date_format("l_shipdate", "yyyy-MM-dd"))
         .when((F.col("l_linenumber") % 3) == 1, F.date_format("l_shipdate", "yyyy"))
@@ -1965,8 +1974,9 @@ def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         mulaw_decode_hex_col,
         mulaw_encode_sample,
     )
+    from razulibs_spark.tables import widen_python_stage
 
-    docs = T(spark, sf_dir, "documents").select("doc_id")
+    docs = widen_python_stage(T(spark, sf_dir, "documents").select("doc_id"))
 
     def fixture_batches(it):
         import pandas as pd
@@ -1987,8 +1997,18 @@ def multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.mapInPandas(
         fixture_batches, schema="doc_id long, mulaw_hex string"
     )
-    dec = mulaw_decode_hex_col(F.col("mulaw_hex"), 64)
-    return raw.select(
+    # The decoded array is ALIASED in its own producer projection so
+    # the 64-element transform/conv chain executes once per row, not
+    # once per consuming aggregate: HOFs are CodegenFallback, so the
+    # four sibling references would each re-evaluate the full decode
+    # (same duplicated-producer fix as the RDF packed extraction,
+    # r13 item 1; CollapseProject keeps a non-cheap producer that is
+    # referenced more than once).
+    dec_once = raw.select(
+        "doc_id", mulaw_decode_hex_col(F.col("mulaw_hex"), 64).alias("_dec")
+    )
+    dec = F.col("_dec")
+    return dec_once.select(
         "doc_id",
         F.lit(64).cast("long").alias("n_samples"),
         F.aggregate(

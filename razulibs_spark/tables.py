@@ -67,7 +67,14 @@ def widen_python_stage(df: DataFrame) -> DataFrame:
     other cores idle. At cluster scale a 100 TB scan has far more
     splits than cores, so this is a no-op and adds no shuffle
     (guide §2.6/§4: widen the cheap side of the Python boundary, never
-    unconditionally reshuffle the payload bytes)."""
+    unconditionally reshuffle the payload bytes).
+
+    The same guard applies to heavy JVM map chains (per-token md5
+    fan-outs, multi-regex classify chains): when the per-row work
+    dominates the row's bytes, widening the narrow input is the
+    guide-§2.5 "repartition immediately after the read" move for a
+    source whose split count is below the core count, and a no-op
+    everywhere else."""
     sc = df.sparkSession.sparkContext
     if df.rdd.getNumPartitions() < sc.defaultParallelism:
         return df.repartition(sc.defaultParallelism)

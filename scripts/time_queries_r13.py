@@ -31,6 +31,9 @@ def main() -> None:
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+        # Same posture as bench.py: caches released after each query's
+        # runs so later queries don't inherit memory pressure.
+        spark.catalog.clearCache()
         print(f"{best:8.3f}  {name}", flush=True)
     spark.stop()
 
