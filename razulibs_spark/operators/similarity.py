@@ -989,22 +989,21 @@ def random_projection(
     re-pivot to arrays.
     """
     signs = projection_signs(in_dim, out_dim)
-    v = as_double(F.col("embedding"))
-    dims = []
-    for j in range(out_dim):
-        srow = F.array(*[F.lit(s) for s in signs[j]])
-        contrib = F.zip_with(
-            v,
-            srow,
-            lambda a, s: F.floor(a * s * F.lit(scale) + F.lit(0.5)).cast(
-                "long"
-            ),
+    # One F.expr parse for the whole out_dim·in_dim literal matrix:
+    # the Column-builder form issued ~out_dim·(in_dim+3) py4j round
+    # trips (~1000 at 16×64 — the same driver-overhead class as the
+    # kmeans assign, r13). The double-cast vector is ALIASED in its
+    # own producer projection so the 64-element cast runs once per
+    # row instead of once per output dim (HOFs are CodegenFallback —
+    # no subexpression elimination).
+    dim_sql = ", ".join(
+        "aggregate(zip_with(_v, array({sr}), "
+        "(a, s) -> CAST(FLOOR(a * s * {scale} + 0.5D) AS BIGINT)), "
+        "CAST(0 AS BIGINT), (acc, x) -> acc + x)".format(
+            sr=", ".join(str(s) for s in signs[j]), scale=scale
         )
-        dims.append(
-            F.aggregate(
-                contrib, F.lit(0).cast("long"), lambda acc, x: acc + x
-            )
-        )
+        for j in range(out_dim)
+    )
     import math
 
     # No final round(): t / norm on exact operands is bit-identical in
@@ -1013,7 +1012,9 @@ def random_projection(
     # string repr and other engines round the binary value.
     norm = math.sqrt(in_dim) * scale
     return embeddings.select(
-        "vec_id", F.posexplode(F.array(*dims)).alias("dim", "t")
+        "vec_id", as_double(F.col("embedding")).alias("_v")
+    ).select(
+        "vec_id", F.posexplode(F.expr(f"array({dim_sql})")).alias("dim", "t")
     ).select(
         "vec_id",
         F.col("dim").cast("int").alias("dim"),
