@@ -419,6 +419,31 @@ N_RUNS = 2
 FAST_CUTOFF = 1.0  # s: first run under this skips the confirm run
 
 
+def _calibrate_host_speed() -> float:
+    """Fixed single-thread CPU work, timed BEFORE Spark starts — a
+    host-speed normalizer for the artifact (VERDICT r13 next #2). The
+    loadavg contention guard cannot see hypervisor steal or frequency
+    scaling (r13 documented a 2.2x same-tree throughput swing across
+    sweeps the guard labeled identically); a fixed-work token lets any
+    two artifacts be compared in host-relative terms. Work = 256 MiB
+    of sha256 (C-speed, allocation-free) + a 2M-iteration pure-Python
+    loop (interpreter/py4j-side speed) — deterministic, no I/O.
+    Additions-only: methodology and stdout contract are unchanged."""
+    import hashlib
+
+    t0 = time.time()
+    buf = b"\xa5" * (1 << 20)
+    h = hashlib.sha256()
+    for _ in range(256):
+        h.update(buf)
+    acc = 0
+    for i in range(2_000_000):
+        acc += i ^ (i >> 3)
+    # fold the results in so the work cannot be dead-code-eliminated
+    _ = (h.hexdigest(), acc)
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -427,6 +452,7 @@ def main() -> None:
     # finish would mostly measure the bench's own local[n] load, not
     # the external tenants the guard is about.
     loadavg_start = os.getloadavg()[0]
+    calib_sec = _calibrate_host_speed()
     spark = get_spark("razulibs-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -552,6 +578,8 @@ def main() -> None:
     contended = loadavg_start > 4.0
     full["loadavg_1m"] = round(loadavg_1m, 2)
     full["loadavg_start_1m"] = round(loadavg_start, 2)
+    full["calib_sec"] = calib_sec
+    full["calib_sec_end"] = _calibrate_host_speed()
     full_name = (
         "bench_full_contended.json" if contended else "bench_full_latest.json"
     )
@@ -588,6 +616,8 @@ def main() -> None:
         # bench's own local[n] load.
         "loadavg_1m": round(loadavg_1m, 2),
         "loadavg_start_1m": round(loadavg_start, 2),
+        "calib_sec": calib_sec,
+        "calib_sec_end": full["calib_sec_end"],
         "sf": sf,
     }
     line = json.dumps(summary)

@@ -141,7 +141,10 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
     # 100M-user table still fans out fully).
     n_users = scored.count()
     par = events.sparkSession.sparkContext.defaultParallelism
-    width = max(1, min(par, -(-n_users // 50_000)))
+    # the range-sorted frame is the UNPIVOTED one (3 rows per user), so
+    # the 50k-rows-per-partition target sizes from 3·n_users (ADVICE
+    # r13): width from n_users alone put ~150k rows in each sort task.
+    width = max(1, min(par, -(-3 * n_users // 50_000)))
     # All three NTILEs ride ONE two-phase rank (r13): unpivot to 3
     # rows per user keyed (metric, vl, vd, user_id) — within a metric
     # block that order reduces exactly to the original per-metric
@@ -197,10 +200,14 @@ def rfm_segments(events: DataFrame, buckets: int = 4) -> DataFrame:
     pick = lambda i: F.max(
         F.when(F.col("_metric") == i, F.col("_score"))
     )
+    # passenger columns are identical across a user's 3 unpivoted rows;
+    # max() keeps the aggregate DETERMINISTIC for Catalyst (first()
+    # marks it non-deterministic and can block optimizer rules —
+    # ADVICE r13). Same values, same results.
     out = scores.groupBy("user_id").agg(
-        F.first("recency_days").alias("recency_days"),
-        F.first("frequency").alias("frequency"),
-        F.first("monetary").alias("monetary"),
+        F.max("recency_days").alias("recency_days"),
+        F.max("frequency").alias("frequency"),
+        F.max("monetary").alias("monetary"),
         pick(0).alias("r_score"),
         pick(1).alias("f_score"),
         pick(2).alias("m_score"),

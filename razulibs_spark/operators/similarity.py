@@ -989,6 +989,12 @@ def random_projection(
     re-pivot to arrays.
     """
     signs = projection_signs(in_dim, out_dim)
+    # SQL-string literal rendering assumes INT parameters: a float
+    # would render as a decimal literal that Spark parses as DECIMAL
+    # (unlike F.lit's DoubleType), silently changing arithmetic typing
+    # (ADVICE r13). Pin the previous F.lit(int) semantics loudly.
+    if not isinstance(scale, int):
+        raise TypeError(f"random_projection: scale must be int, got {scale!r}")
     # One F.expr parse for the whole out_dim·in_dim literal matrix:
     # the Column-builder form issued ~out_dim·(in_dim+3) py4j round
     # trips (~1000 at 16×64 — the same driver-overhead class as the
@@ -1104,6 +1110,10 @@ def kmeans_lloyd(
     """
     if k < 1 or iters < 1:
         raise ValueError("k and iters must be >= 1")
+    # shift is rendered into SQL text as an int literal (ADVICE r13 —
+    # a float would parse as DECIMAL and change arithmetic typing).
+    if not isinstance(shift, int):
+        raise TypeError(f"kmeans_lloyd: shift must be int, got {shift!r}")
     q = embeddings.select(
         "vec_id",
         F.transform(
