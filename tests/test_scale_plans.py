@@ -1032,12 +1032,15 @@ def test_sharded_single_file_reassembly_bounded(spark, tmp_path):
 
 
 def test_mbox_cl_stitch_fully_distributed(spark, tmp_path):
-    """r13 (VERDICT r12 next #1): the Content-Length dialects run the
-    stitch fold as an applyInPandas task over metadata rows — zero
-    ``.collect()`` anywhere in operators/mbox.py (source-level guard),
-    the fold node present in the plan (FlatMapGroupsInPandas), and
-    the per-LINE frame shuffled exactly once (its reassembly into
-    fragments; message assembly regroups fragments, never lines)."""
+    """r13 (VERDICT r12 next #1) removed the O(corpus) driver collect;
+    r14 (VERDICT r13 next #6) distributed the fold itself: the only
+    collects left in operators/mbox.py are O(partitions) summary
+    tuples off ``mapPartitionsWithIndex`` (the turtle-sharded
+    prefix-scan posture — source-level guard below), the per-segment
+    fold is a GROUPED applyInPandas (no ``groupBy(lit(...))``
+    single-group key anywhere), and the per-LINE frame is shuffled
+    exactly once (its reassembly into fragments; message assembly
+    regroups fragments, never lines)."""
     import inspect
     import re as _re
 
@@ -1049,7 +1052,13 @@ def test_mbox_cl_stitch_fully_distributed(spark, tmp_path):
         read_mbox_sharded,
     )
 
-    assert ".collect()" not in inspect.getsource(mbox_mod)
+    src = inspect.getsource(mbox_mod)
+    for line in src.splitlines():
+        if ".collect()" in line:
+            # every collect is a per-split summary — O(partitions),
+            # never row data
+            assert "mapPartitionsWithIndex" in line, line
+    assert "groupBy(F.lit" not in src  # no single-group fold key
 
     p = tmp_path / "s.mbox"
     p.write_text(
