@@ -987,6 +987,19 @@ def dedup_minhash_lsh_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(
         docs.withColumn("doc_id", (F.col("doc_id") + shift).cast("long"))
     )
+    # r14 (VERDICT r13 next #5) decided the approxSimilarityJoin
+    # double-compute question by MEASUREMENT: a hand-rolled banded
+    # join over the same MinHashLSH.fit/transform signatures — band
+    # self-join with ReusedExchange so the shingle→TF subtree computes
+    # ONCE, inline int-array Jaccard verify, byte-identical query
+    # output at sf0.001/sf0.01 — was NOT faster: operator-standalone
+    # equal (1.68 vs 1.84 s warm), in-query 0.87× (7.5-7.8 vs
+    # 6.5-6.7 s, 3 interleaved rounds, 32-core sf0.1). The doubled
+    # subtree is therefore NOT this query's bottleneck (emitted is
+    # ~6k pairs; the bound-contract tail dominates), and the ml join
+    # stays — the spark.ml coverage price is ~zero here. A first
+    # attempt that verified with exact word-shingle Jaccard was 2×
+    # WORSE (231k band candidates × full collect_set pass).
     emitted = dedup.minhash_lsh_ml(corpus, threshold=0.9).persist()
 
     planted = docs.filter(F.size(F.split("text", " ")) >= 3).select(

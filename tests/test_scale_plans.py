@@ -755,6 +755,50 @@ def test_minhash_lsh_ml_precision_check_is_bounded(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_minhash_ml_reverted_persists_stay_out(spark):
+    """r13 measured and REVERTED two persist points inside the ml
+    minhash pipeline: persisting ``vecs`` cost 8.9 → 25.4 s (the
+    InMemoryRelation hides runtime stats, so approxSimilarityJoin's
+    internal joins lose their AQE broadcast conversion) and the
+    pre-HashingTF aggregate variant regressed the 8-core posture ~40%.
+    r14 additionally measured a full hand-rolled banded replacement
+    (ReusedExchange self-join, inline int-array verify): NOT faster —
+    the doubled subtree is not the bottleneck (closing writeup in
+    OPTIMIZATION_r14.md). VERDICT r13 next #10: guard the operator's
+    plan so a future round cannot silently re-land a persist."""
+    from razulibs_spark.operators import dedup
+    from razulibs_spark.tables import load
+
+    docs = load(spark, SF, "documents")
+    plan = _plan(dedup.minhash_lsh_ml(docs, threshold=0.9))
+    assert "InMemoryTableScan" not in plan
+    assert "InMemoryRelation" not in plan
+
+
+def test_triangle_count_closure_probe_stays_broadcast(spark):
+    """r13 measured and REVERTED the AQE-decided closure probe in
+    graph_triangle_count (6.2 → 10.0 s: without the forced broadcast
+    the probe planned sort-merge and shuffled every wedge-stream row
+    with its full adjacency array attached). The query's own plan is
+    an ExistingRDD (the stats row collects at construction), so the
+    guard targets the internal stats frame on the small-graph path:
+    the probe must be a broadcast hash join, never sort-merge."""
+    from pyspark.sql import functions as F
+
+    from razulibs_spark.operators import graph
+    from razulibs_spark.tables import load
+
+    li = load(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    canon = graph.canonical_edges(edges, "src", "dst")
+    adj = graph._forward_adjacency(canon)
+    plan = _plan(graph._stats_from_adj(canon, adj, broadcast_adj=True))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_frontier_assembly_broadcasts_robots_no_cartesian(spark):
     """The crawl capstone: the per-host robots dim must broadcast, the
     seen-probe is an equi join on the canonical url, and nothing in
