@@ -66,7 +66,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # path provably excludes them; opt-in include_notes extracts).
 # multimodal_decode: r12 added the SOF9 arithmetic-JPEG axis (d%5==4
 # in the JPEG slot) — fixture bytes changed, stats oracle unchanged.
-_ROTATION_FORCE_REFRESH = frozenset({})
+# r14-touched queries (VERDICT r13 next #8 — the round's touched
+# entries re-enter the driver window for fresh rows):
+# text_mbox_extract: r14 distributed the Content-Length stitch fold
+# (size-adaptive sync-point scan) — plan changed for >par spools.
+# events_rfm: r14 took the ADVICE width/determinism fixes (3·n_users
+# range fan-out, max() passenger aggregate).
+# sim_random_projection / sim_kmeans_lloyd: r14 added int-literal
+# type guards on the SQL-rendered parameters.
+_ROTATION_FORCE_REFRESH = frozenset({
+    "events_rfm@14", "sim_kmeans_lloyd@14", "sim_random_projection@14",
+    "text_mbox_extract@14",
+})
 
 _PREVIOUSLY_VERIFIED = frozenset({
     "a1_global_minmax", "a2_min_across_runs", "a4_outcome_buckets",
