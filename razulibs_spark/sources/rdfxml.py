@@ -74,7 +74,15 @@ def _reject_xml_illegal(col, what: str) -> None:
 
 def _files(spark: SparkSession, path: str) -> DataFrame:
     """One row per file (path, content) — per-file task granularity.
-    Hidden/_SUCCESS files are skipped by the source's default filter."""
+    Hidden/_SUCCESS files are skipped by the source's default filter.
+
+    Task packing is left to the source: binaryFile sizes splits at
+    min(maxPartitionBytes, max(openCost, totalBytes/parallelism)), so
+    a small-file fixture already fans out to ~core-count tasks and a
+    100 TB corpus gets byte-bounded splits. (r14 measured the
+    alternative — a conditional round-robin widen of the (path,
+    content) rows: with ≤ cores files it cannot raise parallelism,
+    only shuffle the payload bytes; reverted.)"""
     return (
         spark.read.format("binaryFile")
         .option("recursiveFileLookup", "true")
@@ -290,12 +298,15 @@ def read_rdfxml(spark: SparkSession, path: str) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in TRIPLE_SCHEMA.fields]
         for pdf in it:
-            rows: list[tuple] = []
+            # one frame PER FILE: bounds memory at one document's rows
+            # and keeps construction linear when binaryFile packs
+            # several files into a task (r14)
             for p, content in zip(pdf["path"], pdf["content"]):
                 if not bytes(content).strip():
                     continue  # empty part file (empty writer partition)
-                rows.extend(_parse_rdfxml(bytes(content), str(p)))
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(
+                    _parse_rdfxml(bytes(content), str(p)), columns=cols
+                )
 
     return _files(spark, path).mapInPandas(batches, schema=TRIPLE_SCHEMA)
 
@@ -519,12 +530,13 @@ def read_trix(spark: SparkSession, path: str) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in QUAD_SCHEMA.fields]
         for pdf in it:
-            rows: list[tuple] = []
+            # one frame per file (r14) — see read_rdfxml
             for p, content in zip(pdf["path"], pdf["content"]):
                 if not bytes(content).strip():
                     continue  # empty part file (empty writer partition)
-                rows.extend(_parse_trix(bytes(content), str(p)))
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(
+                    _parse_trix(bytes(content), str(p)), columns=cols
+                )
 
     return _files(spark, path).mapInPandas(batches, schema=QUAD_SCHEMA)
 
@@ -766,10 +778,12 @@ def read_trig(spark: SparkSession, path: str) -> DataFrame:
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         cols = [f.name for f in QUAD_SCHEMA.fields]
         for pdf in it:
-            rows: list[tuple] = []
+            # one frame per file (r14) — see read_rdfxml
             for content in pdf["content"]:
-                rows.extend(_parse_trig(bytes(content).decode("utf-8")))
-            yield pd.DataFrame(rows, columns=cols)
+                yield pd.DataFrame(
+                    _parse_trig(bytes(content).decode("utf-8")),
+                    columns=cols,
+                )
 
     return _files(spark, path).mapInPandas(batches, schema=QUAD_SCHEMA)
 

@@ -407,7 +407,6 @@ def read_turtle_full(
         import hashlib
 
         for pdf in it:
-            rows: list[dict] = []
             for pth, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
                 # real RDF corpora ship gzipped (wikidata's .ttl.gz);
@@ -416,10 +415,17 @@ def read_turtle_full(
                     raw = gzip.decompress(raw)
                 doc = raw.decode("utf-8")
                 pfx = hashlib.md5(str(pth).encode()).hexdigest()[:8]
-                rows.extend(parse_turtle(doc, bnode_prefix=pfx))
-            yield pd.DataFrame(
-                [[r[c] for c in cols] for r in rows], columns=cols
-            )
+                rows = parse_turtle(doc, bnode_prefix=pfx)
+                # ONE columnar frame PER FILE (r14): accumulating a
+                # packed task's files into one list-of-dicts then
+                # converting row-wise measured 2.8× super-linear at
+                # the 10× rehearsal (grouped READ 3.0 → 83.0 s for
+                # 10× data — GC churn on millions of per-triple
+                # dicts); per-file columnar construction is linear
+                # and bounds memory at one document's rows
+                yield pd.DataFrame(
+                    {c: [r[c] for r in rows] for c in cols}
+                )
 
     return (
         spark.read.format("binaryFile")
@@ -893,16 +899,21 @@ def read_turtle_sharded(
 
         pfx_env, base_env = bc_env.value
         for pdf in it:
-            rows: list[list] = []
+            rows: list[dict] = []
             for sid, stmt in zip(pdf["stmt_id"], pdf["stmt"]):
                 if not stmt.strip():
                     continue
                 pfx = hashlib.md5(str(int(sid)).encode()).hexdigest()[:8]
-                for r in parse_turtle(
-                    stmt, bnode_prefix=pfx,
-                    prefixes=pfx_env, base=base_env,
-                ):
-                    rows.append([r[c] for c in cols])
-            yield pd.DataFrame(rows, columns=cols)
+                rows.extend(
+                    parse_turtle(
+                        stmt, bnode_prefix=pfx,
+                        prefixes=pfx_env, base=base_env,
+                    )
+                )
+            # columnar construction (r14): pd.DataFrame from a list of
+            # per-row lists pays row-wise object inference — the same
+            # super-linear cost the 10× rehearsal exposed in
+            # read_turtle_full
+            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
 
     return stmts.mapInPandas(batches, schema=TRIPLE_SCHEMA)
